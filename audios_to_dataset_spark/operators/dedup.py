@@ -1,0 +1,226 @@
+"""Deduplication operator family for training-data pipelines.
+
+Exact, n-gram Jaccard, MinHash+LSH, SimHash — all expressed with JVM-side
+built-ins (split/HOFs/md5/explode/joins), no Python UDFs, so every stage
+stays inside whole-stage codegen and scales by shuffle on content-derived
+keys (never by doc_id ranges, which would skew).
+
+Scale notes (100 TB design point):
+- Shingling explodes each doc into ~n_tokens rows; the inverted-index join
+  (`shared shingle` self-join) shuffles on the shingle hash — uniformly
+  distributed by construction, no salting needed.
+- Very frequent shingles create quadratic pair blowup; ``max_shingle_freq``
+  drops them (standard LSH practice — a shingle shared by thousands of docs
+  carries no dedup signal but dominates the join).
+- MinHash uses k independent min-aggregations over md5(seed || shingle) —
+  a single groupBy(doc) after the explode, i.e. one shuffle; LSH banding
+  then buckets signatures so candidate generation is an equi-join on
+  (band_id, band_key) — broadcast-free, skew-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: str | Column = "text") -> Column:
+    """Lowercased, alnum-only content normalization for exact dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(c), "[^a-z0-9]", "")
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: sha256 content hash → (hash, keep_id, n_copies).
+
+    One shuffle on the content hash; min(id) picks the canonical survivor
+    deterministically (the reference's first-wins insert_record,
+    /root/reference/src/main.rs:178-193, with min-id instead of scan order
+    because scan order is not stable on a cluster).
+    """
+    h = F.sha2(F.col(text_col).cast("binary"), 256)
+    return (
+        df.select(F.col(id_col).alias("id"), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles: (id, shingle) exploded rows.
+
+    Tokens via whitespace split; shingle = n consecutive tokens joined by
+    a single space. Docs shorter than n tokens yield no shingles.
+    """
+    toks = F.split(F.lower(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.2,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity above ``threshold``.
+
+    Inverted-index self-join: pairs sharing ≥1 shingle get their common
+    count; |union| = |A| + |B| - common. Exact integer arithmetic until the
+    final division. ``max_shingle_freq`` prunes stop-shingles at scale.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
+        sh = sh.join(
+            freq.filter(F.col("f") <= max_shingle_freq).select("shingle"),
+            "shingle",
+        )
+    counts = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    ca = counts.select(F.col("id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    cb = counts.select(F.col("id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    )
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signatures: for each of k seeded hash families, the minimum
+    md5(seed || ':' || shingle) hex string over the doc's shingle set.
+
+    String-min over md5 hex is a valid uniform min-hash and is reproducible
+    in any engine with md5 (the DuckDB oracle uses the identical formula).
+    One explode + one groupBy → a single shuffle for all k mins.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 16, band_size: int = 4
+) -> DataFrame:
+    """LSH banding over MinHash signatures → distinct candidate pairs.
+
+    Each band's key is md5 of its concatenated mins; docs sharing any band
+    key become a candidate pair. Equi-join on (band, key) — the shuffle key
+    is a hash, so distribution is uniform at any scale.
+    """
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [f"mh{b * band_size + j}" for j in range(band_size)]
+        key = F.md5(F.concat_ws("|", *[F.col(c) for c in cols]))
+        bands.append(
+            signatures.select(
+                "id", F.lit(b).alias("band"), key.alias("band_key")
+            )
+        )
+    exploded = bands[0]
+    for extra in bands[1:]:
+        exploded = exploded.unionByName(extra)
+    a = exploded.select(F.col("id").alias("doc_a"), "band", "band_key")
+    b_ = exploded.select(F.col("id").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b_, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def simhash16(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash over whitespace tokens.
+
+    Each token votes with the first 4 hex digits of its md5; bit i of the
+    fingerprint is the majority vote of bit i across tokens. Pure integer
+    arithmetic (strpos/floor/%), identically expressible in SQL engines.
+    """
+    toks = F.split(F.lower(text_col), " ")
+    n_toks = F.size(toks).cast("long")
+
+    def vote_sum(p: int, j: int) -> Column:
+        # digit = strpos(HEX, md5(tok)[p]) - 1; bit = floor(digit / j) % 2;
+        # sum the bit over all tokens.
+        return F.aggregate(
+            F.transform(
+                toks,
+                lambda t: F.floor(
+                    (
+                        F.instr(
+                            F.lit(HEX_DIGITS), F.substring(F.md5(t), p, 1)
+                        )
+                        - 1
+                    )
+                    / F.lit(j)
+                ).cast("long")
+                % 2,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    vote_cols = [
+        vote_sum(i // 4 + 1, 2 ** (i % 4)).alias(f"v{i}") for i in range(16)
+    ]
+
+    with_votes = df.select(
+        F.col(id_col).alias("id"), n_toks.alias("n_toks"), *vote_cols
+    )
+    fp = None
+    for i in range(16):
+        bit = F.when(
+            F.col(f"v{i}") * 2 >= F.col("n_toks"), F.lit(2**i)
+        ).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return with_votes.select("id", fp.cast("long").alias("simhash"))

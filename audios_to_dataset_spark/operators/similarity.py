@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine with HOFs (`zip_with` dot product — JVM-side, codegen'd)
+as the exact baseline, plus a random-hyperplane LSH bucketing as the scale
+path: at 100 TB you never do the O(N·Q) brute force; you bucket by sign
+hashes (equi-join shuffle on the bucket key) and only score within buckets.
+
+All double math accumulates left-to-right in float64 so the DuckDB oracle
+(list_transform + list_sum with double casts) reproduces it bit-for-bit;
+results are rounded before any threshold/ordering so cross-engine float
+noise (≤1 ulp) cannot flip a comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-to-right double dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_vs_query(
+    df: DataFrame,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 3,
+) -> DataFrame:
+    """Cosine similarity of every vector against one query vector.
+
+    The 1-row query side is cross-joined broadcast — no shuffle of the big
+    side at all; the scan streams through a codegen'd projection.
+    """
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("query_vec")
+    )
+    cos = _dot(F.col(vec_col), F.col("query_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("query_vec"))
+    )
+    # `+ 0.0` collapses IEEE -0.0 to 0.0 so the canonical value matches
+    # whatever sign the oracle's rounding produced.
+    return (
+        df.crossJoin(F.broadcast(q))
+        .select(id_col, (F.round(cos, decimals) + 0.0).alias("cos_sim"))
+    )
+
+
+def topk_vs_query(
+    df: DataFrame,
+    k: int = 20,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 3,
+) -> DataFrame:
+    """Top-k nearest by cosine — ordered on the *rounded* score with an id
+    tie-break so the cutoff is engine-independent. Spark plans the
+    orderBy+limit as TakeOrderedAndProject (per-partition top-k, no global
+    sort shuffle)."""
+    scored = cosine_vs_query(df, query_id, id_col, vec_col, decimals)
+    return scored.orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    ).limit(k)
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: all pairs with rounded cosine ≥
+    threshold. Brute-force O(N²) — correct baseline; use
+    :func:`lsh_bucketed_neardup_pairs` at scale."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cos, decimals) + 0.0)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket key = sign-bit string of the vector's
+    dot products with fixed hyperplanes. Deterministic given the planes
+    (callers derive planes from a seeded RNG)."""
+    bits = [
+        F.when(_dot(F.col(vec_col), F.array(*[F.lit(p) for p in plane])) >= 0,
+               "1").otherwise("0")
+        for plane in planes
+    ]
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.concat(*bits).alias("bucket"),
+    )
+
+
+def lsh_bucketed_neardup_pairs(
+    df: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """Approximate near-dup pairs: score only within LSH buckets.
+
+    The self-join shuffles on the bucket key (uniform by construction); at
+    1000 executors each bucket's pairs are generated locally post-shuffle.
+    Recall is tunable via number of planes (fewer planes → bigger buckets →
+    higher recall, more compute)."""
+    bucketed = hyperplane_buckets(df, planes, id_col, vec_col)
+    a = bucketed.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"), "bucket"
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cos, decimals) + 0.0)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+        .distinct()
+    )

@@ -1,0 +1,38 @@
+"""Declarative query plans exposed through ``__spark_entry__``.
+
+Each module defines two dicts:
+
+- ``QUERIES``: name -> ``fn(spark, sf_dir) -> DataFrame``
+- ``ORACLES``: name -> ANSI-SQL string DuckDB runs on the same parquet
+  (omitted for non-SQL-expressible ops → the driver does a rows-only check)
+
+``all_queries()`` / ``all_oracles()`` merge every module; this is the single
+source of truth for the driver contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from . import dedup, events, relational, similarity, textops
+
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in (relational, events, textops, dedup, similarity):
+        overlap = merged.keys() & mod.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query ids: {overlap}")
+        merged.update(mod.QUERIES)
+    return merged
+
+
+def all_oracles() -> dict[str, str]:
+    from . import dedup, events, relational, similarity, textops
+
+    merged: dict[str, str] = {}
+    for mod in (relational, events, textops, dedup, similarity):
+        merged.update(mod.ORACLES)
+    return merged

@@ -1,0 +1,189 @@
+"""Dedup plans over the documents table, wrapping operators.dedup.
+
+Every oracle reproduces the *identical* algorithm in DuckDB SQL (same md5
+seeds, same shingling, same integer arithmetic), so the hashes must match
+exactly — these are full differential tests of the dedup operators, not
+just row-count smokes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load
+from ..operators import dedup as D
+
+NGRAM_N = 3
+NGRAM_THRESHOLD = 0.2
+NUM_HASHES = 16
+BAND_SIZE = 4
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by sha256 content hash (min-id survivor)."""
+    d = load(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(d)
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+"""
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs above 0.2."""
+    d = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, threshold=NGRAM_THRESHOLD, n=NGRAM_N)
+
+
+ORACLE_DEDUP_NGRAM = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(t) - {NGRAM_N - 1}, 0) + 1),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+    FROM toks) u
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 4) AS jaccard
+FROM pairs
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= {NGRAM_THRESHOLD}
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs."""
+    d = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(d, num_hashes=NUM_HASHES, n=NGRAM_N)
+    return D.lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
+
+
+def _oracle_minhash() -> str:
+    mins = ",\n         ".join(
+        f"MIN(md5('{i}:' || s)) AS mh{i}" for i in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(t) - {NGRAM_N - 1}, 0) + 1),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+    FROM toks) u
+), sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+), bands AS (
+{band_rows}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document."""
+    d = load(spark, sf_dir, "documents")
+    return D.simhash16(d)
+
+
+def _oracle_simhash() -> str:
+    vote_exprs = []
+    for i in range(16):
+        p = i // 4 + 1
+        j = 2 ** (i % 4)
+        vote_exprs.append(
+            f"list_sum(list_transform(t, tok -> "
+            f"CAST(FLOOR((strpos('{D.HEX_DIGITS}', substr(md5(tok), {p}, 1))"
+            f" - 1) / {j}) AS BIGINT) % 2)) AS v{i}"
+        )
+    votes = ",\n         ".join(vote_exprs)
+    fp = " + ".join(
+        f"(CASE WHEN v{i} * 2 >= n_toks THEN {2**i} ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks
+  FROM documents
+), votes AS (
+  SELECT doc_id, n_toks,
+         {votes}
+  FROM toks
+)
+SELECT doc_id AS id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force exact baseline; the
+    LSH-bucketed scale path is operators.similarity.lsh_bucketed_neardup_pairs)."""
+    from ..operators import similarity as S
+
+    em = load(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_pairs(em, threshold=0.95)
+
+
+ORACLE_DEDUP_EMBEDDING = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(range(1, len(a.e) + 1),
+                                     i -> a.e[i] * b.e[i]))
+             / (a.nrm * b.nrm), 4) + 0.0 AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(range(1, len(a.e) + 1),
+                                    i -> a.e[i] * b.e[i]))
+            / (a.nrm * b.nrm), 4) >= 0.95
+"""
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_ngram": q_dedup_ngram,
+    "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_embedding": q_dedup_embedding,
+}
+
+ORACLES = {
+    "q_dedup_exact": ORACLE_DEDUP_EXACT,
+    "q_dedup_ngram": ORACLE_DEDUP_NGRAM,
+    "q_dedup_minhash_lsh": _oracle_minhash(),
+    "q_dedup_simhash": _oracle_simhash(),
+    "q_dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+}

@@ -1,0 +1,244 @@
+"""Text-analysis plans over the documents table.
+
+The large-scale-training-data operator set: language ID, quality scoring,
+token counting, fingerprinting — each expressed with JVM-side built-ins
+(split / HOFs / regexp / md5), no Python UDFs in the hot path, and each
+with an exact DuckDB oracle (identical integer/string algorithms on both
+engines; doubles only in final deterministic divisions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+# Stopword sets for the n-gram/stopword language-ID heuristic. Priority
+# order breaks score ties deterministically (en > fr > es > de > zh).
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "is", "to"),
+    "fr": ("le", "la", "et", "de", "un", "est"),
+    "es": ("el", "la", "y", "de", "un", "es"),
+    "de": ("der", "die", "und", "das", "ein", "ist"),
+    "zh": ("wo", "ni", "ta", "de", "shi", "bu"),
+}
+
+PUNCT_CLASS = "[.,!?;:]"
+WORD_RE = "[a-z0-9]+"
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.lower(col), " ")
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core string scalar surface (SURVEY §2.7): lower/length/substr/split."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lower("text").alias("text_lower"),
+        F.length("text").cast("long").alias("text_len"),
+        F.substring("text", 1, 20).alias("prefix20"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.upper("lang").alias("lang_upper"),
+    )
+
+
+ORACLE_STRING_FUNCS = """
+SELECT doc_id, lower(text) AS text_lower,
+       CAST(length(text) AS BIGINT) AS text_len,
+       substr(text, 1, 20) AS prefix20,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       upper(lang) AS lang_upper
+FROM documents
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + regex word tokens (the BPE-ish
+    pre-tokenization count a data pipeline uses for budget estimates)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(WORD_RE), 0))
+        .cast("long")
+        .alias("n_word_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{WORD_RE}')) AS BIGINT)
+         AS n_word_tokens
+FROM documents
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: length, token count, distinct tokens, mean token
+    length (exact integer sums; one final double division)."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    sum_tok_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_toks = F.size(toks).cast("long")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        n_toks.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        (sum_tok_len.cast("double") / n_toks).alias("mean_token_len"),
+    )
+
+
+ORACLE_TEXT_STATS = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+         AS n_unique_tokens,
+       CAST(list_sum(list_transform(string_split(lower(text), ' '),
+                                    t -> CAST(length(t) AS BIGINT)))
+            AS DOUBLE)
+         / len(string_split(lower(text), ' ')) AS mean_token_len
+FROM documents
+"""
+
+
+def _stop_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+
+def _stop_hits_sql(words: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return (
+        "CAST(len(list_filter(string_split(lower(text), ' '), "
+        f"t -> t IN ({in_list}))) AS BIGINT)"
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with deterministic priority tie-break."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    scores = {
+        lang: _stop_hits(toks, words) for lang, words in LANG_STOPWORDS.items()
+    }
+    en, fr, es, de, zh = (scores[x] for x in ("en", "fr", "es", "de", "zh"))
+    pred = (
+        F.when((en >= fr) & (en >= es) & (en >= de) & (en >= zh), "en")
+        .when((fr >= es) & (fr >= de) & (fr >= zh), "fr")
+        .when((es >= de) & (es >= zh), "es")
+        .when(de >= zh, "de")
+        .otherwise("zh")
+    )
+    return d.select(
+        "doc_id", "lang", pred.alias("pred_lang"), en.alias("en_hits")
+    )
+
+
+def _oracle_lang_id() -> str:
+    s = {lang: _stop_hits_sql(w) for lang, w in LANG_STOPWORDS.items()}
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {s['en']} AS en, {s['fr']} AS fr, {s['es']} AS es,
+         {s['de']} AS de, {s['zh']} AS zh
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN en >= fr AND en >= es AND en >= de AND en >= zh THEN 'en'
+            WHEN fr >= es AND fr >= de AND fr >= zh THEN 'fr'
+            WHEN es >= de AND es >= zh THEN 'es'
+            WHEN de >= zh THEN 'de'
+            ELSE 'zh' END AS pred_lang,
+       en AS en_hits
+FROM scored
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristics: length band, punctuation ratio,
+    stopword ratio → composite score (all-deterministic arithmetic)."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_toks = F.size(toks).cast("long")
+    text_len = F.length("text").cast("long")
+    punct_cnt = (
+        text_len - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
+    ).cast("long")
+    stop_cnt = _stop_hits(toks, LANG_STOPWORDS["en"])
+    punct_ratio = punct_cnt.cast("double") / text_len
+    stop_ratio = stop_cnt.cast("double") / n_toks
+    len_ok = F.when((text_len >= 100) & (text_len <= 2000), 1.0).otherwise(0.0)
+    score = len_ok * 0.5 + stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.2
+    return d.select(
+        "doc_id",
+        text_len.alias("text_len"),
+        punct_cnt.alias("punct_cnt"),
+        stop_cnt.alias("stop_cnt"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def _oracle_quality_score() -> str:
+    stop = _stop_hits_sql(LANG_STOPWORDS["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS text_len,
+         CAST(length(text)
+              - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g'))
+              AS BIGINT) AS punct_cnt,
+         {stop} AS stop_cnt,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks
+  FROM documents
+)
+SELECT doc_id, text_len, punct_cnt, stop_cnt,
+       round(
+         (CASE WHEN text_len BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.5
+         + (CAST(stop_cnt AS DOUBLE) / n_toks) * 0.3
+         + (1.0 - CAST(punct_cnt AS DOUBLE) / text_len) * 0.2,
+       6) AS quality_score
+FROM base
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the alnum-normalized text (the
+    content-hash a dedup pipeline keys on)."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "q_string_funcs": q_string_funcs,
+    "q_token_count": q_token_count,
+    "q_text_stats": q_text_stats,
+    "q_lang_id": q_lang_id,
+    "q_quality_score": q_quality_score,
+    "q_fingerprint": q_fingerprint,
+}
+
+ORACLES = {
+    "q_string_funcs": ORACLE_STRING_FUNCS,
+    "q_token_count": ORACLE_TOKEN_COUNT,
+    "q_text_stats": ORACLE_TEXT_STATS,
+    "q_lang_id": _oracle_lang_id(),
+    "q_quality_score": _oracle_quality_score(),
+    "q_fingerprint": ORACLE_FINGERPRINT,
+}
