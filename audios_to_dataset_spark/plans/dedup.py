@@ -73,7 +73,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_minhash() -> str:
     mins = ",\n         ".join(
-        f"MIN(md5('{i}:' || s)) AS mh{i}" for i in range(NUM_HASHES)
+        f"MIN(substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8)) AS mh{i}"
+        for i in range(NUM_HASHES)
     )
     n_bands = NUM_HASHES // BAND_SIZE
     band_rows = "\n  UNION ALL\n".join(
