@@ -1,0 +1,37 @@
+"""Shard assignment (W1/W2): deterministic fixed-size buckets.
+
+Reference semantics (/root/reference/src/main.rs:714-724): files are taken
+in scan order, chunked into ``files_per_db`` (default 500) groups, and the
+chunk index becomes the output shard name ``<idx>.parquet`` / ``.duckdb``.
+Within a DuckDB shard the ``id`` column is the 0-based in-shard row index
+(:807-809).
+
+Spark has no stable scan order, so the determinism contract is an explicit
+``orderBy(path)`` (SURVEY.md §7.4 item 2): one global-sort exchange, then
+``shard = floor(row_number0 / N)`` and ``id = row_number0 % N``.
+
+Scale note: the single Window.orderBy is the only global sort in the
+pipeline. At 100 TB you would swap it for
+``repartitionByRange(path) + per-partition offsets``; the semantics stay
+identical because the mapping path→shard is total-order based either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_FILES_PER_SHARD = 500  # --files-per-db default, src/main.rs:67-69
+
+
+def assign_shards(
+    df: DataFrame,
+    files_per_shard: int = DEFAULT_FILES_PER_SHARD,
+    order_col: str = "relative_path",
+) -> DataFrame:
+    """Add ``shard`` (0-based bucket) and ``row_in_shard`` columns."""
+    w = Window.orderBy(order_col)
+    rn0 = F.row_number().over(w) - 1
+    return df.withColumn("shard", F.floor(rn0 / files_per_shard)).withColumn(
+        "row_in_shard", rn0 % files_per_shard
+    )

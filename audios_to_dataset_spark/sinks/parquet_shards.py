@@ -1,0 +1,168 @@
+"""Sharded Parquet sink with Hugging Face footer metadata (S9/S10/S12).
+
+Reference behavior (/root/reference/src/main.rs:438-613):
+
+- one file per shard named ``<idx>.parquet`` (:724, README.md:45)
+- columns: ``audio STRUCT<bytes BINARY, sampling_rate INT32, path STRING>``
+  (field order :465-469), ``duration DOUBLE``, then metadata columns in
+  lexicographic order (:478)
+- Parquet footer key ``huggingface`` holding
+  ``{"info": {"features": {...}}}`` with ``{"_type": "Audio"}`` for audio
+  and `datasets`-style Value/Sequence descriptors per column (:582-601)
+- row-group size fixed at 256 rows (:607)
+- compression mapping with Lzo→Snappy and Lz4→Lz4Raw fallbacks (:571-580)
+- pre-existing shard file deleted before write (S12, :732-735)
+
+Spark's native Parquet writer cannot emit custom footer keys or exact
+file names, so shards are written through pyarrow inside
+``applyInPandas`` — one task per shard, each producing its own file
+(SURVEY.md §7.4 item 1). This is the grouped-map sink pattern: fully
+distributed, no driver materialization, and safe because shard ids
+partition the rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema import hf_feature
+
+ROW_GROUP_SIZE = 256  # src/main.rs:607
+
+# S10 (src/main.rs:43-53, 571-580): CLI choice → pyarrow codec.
+# lzo silently falls back to snappy; lz4 means the raw codec.
+COMPRESSION_MAP = {
+    "uncompressed": "NONE",
+    "none": "NONE",
+    "snappy": "SNAPPY",
+    "gzip": "GZIP",
+    "lzo": "SNAPPY",
+    "brotli": "BROTLI",
+    "lz4": "LZ4",
+    "zstd": "ZSTD",
+    "lz4raw": "LZ4",
+}
+
+AUDIO_ARROW_TYPE = pa.struct(
+    [
+        pa.field("bytes", pa.binary()),
+        pa.field("sampling_rate", pa.int32()),
+        pa.field("path", pa.string()),
+    ]
+)
+
+
+def _arrow_type(dt: T.DataType) -> pa.DataType:
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.ArrayType):
+        return pa.list_(_arrow_type(dt.elementType))
+    return pa.string()
+
+
+def hf_features_json(meta_fields: list[tuple[str, T.DataType]]) -> str:
+    """The ``huggingface`` footer value (src/main.rs:582-601)."""
+    features: dict = {"audio": {"_type": "Audio"}}
+    features["duration"] = {"dtype": "float64", "_type": "Value"}
+    for name, dt in meta_fields:
+        features[name] = hf_feature(dt)
+    return json.dumps({"info": {"features": features}})
+
+
+def write_parquet_shards(
+    df: DataFrame,
+    output_dir: str,
+    compression: str = "snappy",
+) -> DataFrame:
+    """Write one ``<shard>.parquet`` per shard; returns a small DataFrame
+    of (shard, n_rows, out_path) write receipts.
+
+    ``df`` must carry: shard, row_in_shard, relative_path, content,
+    duration, sampling_rate, and the widened metadata columns (everything
+    else is ignored).
+    """
+    codec = COMPRESSION_MAP.get(compression.lower())
+    if codec is None:
+        raise ValueError(
+            f"unknown compression {compression!r}; "
+            f"one of {sorted(COMPRESSION_MAP)}"
+        )
+    os.makedirs(output_dir, exist_ok=True)
+
+    fixed = {"shard", "row_in_shard", "relative_path", "content",
+             "duration", "sampling_rate", "path", "file_name", "length",
+             "modificationTime"}
+    meta_fields = sorted(
+        (f.name, f.dataType)
+        for f in df.schema.fields
+        if f.name not in fixed
+    )
+    features_json = hf_features_json(meta_fields)
+    arrow_fields = [
+        pa.field("audio", AUDIO_ARROW_TYPE),
+        pa.field("duration", pa.float64()),
+    ] + [pa.field(n, _arrow_type(dt)) for n, dt in meta_fields]
+    arrow_schema = pa.schema(
+        arrow_fields, metadata={"huggingface": features_json}
+    )
+
+    select_cols = [
+        "shard", "row_in_shard", "relative_path", "content",
+        "duration", "sampling_rate",
+    ] + [n for n, _ in meta_fields]
+    slim = df.select(*select_cols)
+
+    meta_names = [n for n, _ in meta_fields]
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("row_in_shard")
+        shard = int(pdf["shard"].iloc[0])
+        out_path = os.path.join(output_dir, f"{shard}.parquet")
+        audio = pa.StructArray.from_arrays(
+            [
+                pa.array(list(pdf["content"]), pa.binary()),
+                pa.array(pdf["sampling_rate"].astype("int32"), pa.int32()),
+                pa.array(pdf["relative_path"], pa.string()),
+            ],
+            fields=list(AUDIO_ARROW_TYPE),
+        )
+        cols = [audio, pa.array(pdf["duration"].astype("float64"),
+                                pa.float64())]
+        for n, dt in meta_fields:
+            # from_pandas=True maps pandas NaN back to Parquet NULL —
+            # missing metadata must stay NULL (src/main.rs:486-509), not
+            # become a float NaN.
+            cols.append(
+                pa.array(pdf[n], _arrow_type(dt), from_pandas=True)
+            )
+        table = pa.Table.from_arrays(cols, schema=arrow_schema)
+        if os.path.exists(out_path):  # S12 idempotent replace
+            os.remove(out_path)
+        pq.write_table(
+            table,
+            out_path,
+            compression=codec,
+            row_group_size=ROW_GROUP_SIZE,
+        )
+        return pd.DataFrame(
+            {"shard": [shard], "n_rows": [len(pdf)], "out_path": [out_path]}
+        )
+
+    receipt_schema = T.StructType(
+        [
+            T.StructField("shard", T.LongType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("out_path", T.StringType()),
+        ]
+    )
+    return slim.groupBy("shard").applyInPandas(write_shard, receipt_schema)

@@ -1,0 +1,280 @@
+"""End-to-end pipeline tests mirroring the reference's e2e suite
+(/root/reference/tests/end_to_end.rs): synthetic sine WAVs + metadata →
+sharded output → read back → golden-value assertions."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+
+from audios_to_dataset_spark.functions.wav import synth_wav
+from audios_to_dataset_spark.pipeline import run_pipeline
+
+
+@pytest.fixture()
+def audio_dir(tmp_path):
+    d = tmp_path / "audio"
+    d.mkdir()
+    (d / "sample.wav").write_bytes(synth_wav(sample_rate=16_000))
+    nested = d / "nested"
+    nested.mkdir()
+    (nested / "with_path.wav").write_bytes(synth_wav(sample_rate=44_100))
+    return str(d)
+
+
+def _read_shard(out_dir: str, idx: int = 0):
+    return pq.read_table(os.path.join(out_dir, f"{idx}.parquet"))
+
+
+def test_csv_relative_path_golden(spark, tmp_path, audio_dir):
+    # end_to_end.rs:11-86 — CSV keyed by relative_path, golden values
+    meta = tmp_path / "metadata.csv"
+    meta.write_text(
+        "file_name,transcription,relative_path\n"
+        "sample.wav,test transcription,sample.wav\n"
+        "with_path.wav,nested one,nested/with_path.wav\n"
+    )
+    out = str(tmp_path / "out")
+    receipts = run_pipeline(
+        spark, audio_dir, out, metadata_file=str(meta)
+    )
+    assert len(receipts) == 1 and receipts[0].n_rows == 2
+    t = _read_shard(out)
+    assert t.num_rows == 2
+    rows = t.to_pylist()
+    by_path = {r["audio"]["path"]: r for r in rows}
+    r = by_path["sample.wav"]
+    assert r["duration"] == 1.0
+    assert r["audio"]["sampling_rate"] == 16_000
+    assert r["transcription"] == "test transcription"
+    assert bytes(r["audio"]["bytes"]) == synth_wav(sample_rate=16_000)
+    r2 = by_path["nested/with_path.wav"]
+    assert r2["duration"] == 1.0
+    assert r2["audio"]["sampling_rate"] == 44_100
+    assert r2["transcription"] == "nested one"
+    # column order: audio, duration, then metadata lexicographic
+    assert t.column_names == ["audio", "duration", "transcription"]
+    # audio struct field order bytes/sampling_rate/path (src/main.rs:465-469)
+    assert [f.name for f in t.schema.field("audio").type] == [
+        "bytes", "sampling_rate", "path"
+    ]
+
+
+def test_csv_fallback_by_file_name(spark, tmp_path, audio_dir):
+    # end_to_end.rs:88-131 — metadata keyed only by file_name
+    meta = tmp_path / "m.csv"
+    meta.write_text(
+        "file_name,transcription\nwith_path.wav,found by name\n"
+    )
+    out = str(tmp_path / "out")
+    run_pipeline(spark, audio_dir, out, metadata_file=str(meta))
+    rows = _read_shard(out).to_pylist()
+    by_path = {r["audio"]["path"]: r for r in rows}
+    assert by_path["nested/with_path.wav"]["transcription"] == "found by name"
+    # unmatched file gets the "-" default (README.md:62)
+    assert by_path["sample.wav"]["transcription"] == "-"
+
+
+def test_jsonl_typed_scalars(spark, tmp_path, audio_dir):
+    # end_to_end.rs:133-189 — string/bool/float columns land typed
+    meta = tmp_path / "m.jsonl"
+    meta.write_text(
+        json.dumps(
+            {
+                "relative_path": "sample.wav",
+                "transcription": "jsonl text",
+                "speaker": "alice",
+                "verified": True,
+                "snr": 12.5,
+            }
+        )
+        + "\n"
+    )
+    out = str(tmp_path / "out")
+    run_pipeline(spark, audio_dir, out, metadata_file=str(meta))
+    t = _read_shard(out)
+    import pyarrow as pa
+
+    schema = {f.name: f.type for f in t.schema}
+    assert schema["speaker"] == pa.string()
+    assert schema["verified"] == pa.bool_()
+    assert schema["snr"] == pa.float64()
+    by_path = {r["audio"]["path"]: r for r in t.to_pylist()}
+    r = by_path["sample.wav"]
+    assert (r["speaker"], r["verified"], r["snr"]) == ("alice", True, 12.5)
+    # the unmatched file's typed columns are NULL — including doubles,
+    # which must not degrade to NaN through the pandas hop
+    r2 = by_path["nested/with_path.wav"]
+    assert r2["speaker"] is None and r2["verified"] is None
+    assert r2["snr"] is None
+
+
+def test_jsonl_arrays_roundtrip(spark, tmp_path, audio_dir):
+    # end_to_end.rs:191-269 — list<string>, list<double>, list<bool>
+    meta = tmp_path / "m.jsonl"
+    meta.write_text(
+        json.dumps(
+            {
+                "relative_path": "sample.wav",
+                "transcription": "array text",
+                "tags": ["music", "test"],
+                "scores": [0.1, 0.2],
+                "flags": [True, False],
+                "counts": [1, 2, 3],
+            }
+        )
+        + "\n"
+    )
+    out = str(tmp_path / "out")
+    run_pipeline(spark, audio_dir, out, metadata_file=str(meta))
+    t = _read_shard(out)
+    by_path = {r["audio"]["path"]: r for r in t.to_pylist()}
+    r = by_path["sample.wav"]
+    assert r["tags"] == ["music", "test"]
+    assert r["scores"] == [0.1, 0.2]
+    assert r["flags"] == [True, False]
+    # JSON integers are Float64 in the reference lattice (src/main.rs:215)
+    assert r["counts"] == [1.0, 2.0, 3.0]
+    # HF footer features (src/main.rs:582-601)
+    hf = json.loads(t.schema.metadata[b"huggingface"])
+    feats = hf["info"]["features"]
+    assert feats["audio"] == {"_type": "Audio"}
+    assert feats["duration"] == {"dtype": "float64", "_type": "Value"}
+    assert feats["tags"] == {
+        "_type": "Sequence",
+        "feature": {"dtype": "string", "_type": "Value"},
+    }
+    assert feats["counts"] == {
+        "_type": "Sequence",
+        "feature": {"dtype": "float64", "_type": "Value"},
+    }
+
+
+def test_jsonl_file_name_with_nested_path(spark, tmp_path, audio_dir):
+    # end_to_end.rs:271-330 — file_name carrying a path matches via the
+    # 3rd lookup level by_name[relative_path] (src/main.rs:201)
+    meta = tmp_path / "m.jsonl"
+    meta.write_text(
+        json.dumps(
+            {
+                "file_name": "nested/with_path.wav",
+                "transcription": "path lookup",
+                "speaker": "bob",
+            }
+        )
+        + "\n"
+    )
+    out = str(tmp_path / "out")
+    run_pipeline(spark, audio_dir, out, metadata_file=str(meta))
+    by_path = {
+        r["audio"]["path"]: r for r in _read_shard(out).to_pylist()
+    }
+    assert by_path["nested/with_path.wav"]["transcription"] == "path lookup"
+    assert by_path["nested/with_path.wav"]["speaker"] == "bob"
+
+
+def test_no_metadata_defaults(spark, tmp_path, audio_dir):
+    out = str(tmp_path / "out")
+    run_pipeline(spark, audio_dir, out)
+    rows = _read_shard(out).to_pylist()
+    assert {r["transcription"] for r in rows} == {"-"}
+
+
+def test_sharding_and_overwrite(spark, tmp_path, audio_dir):
+    out = str(tmp_path / "out")
+    receipts = run_pipeline(spark, audio_dir, out, files_per_shard=1)
+    assert sorted(r.shard for r in receipts) == [0, 1]
+    assert os.path.exists(os.path.join(out, "0.parquet"))
+    assert os.path.exists(os.path.join(out, "1.parquet"))
+    # shard membership follows relative_path order
+    t0 = _read_shard(out, 0).to_pylist()
+    assert t0[0]["audio"]["path"] == "nested/with_path.wav"
+    # idempotent replace (S12): run again, still exactly one row each
+    receipts = run_pipeline(spark, audio_dir, out, files_per_shard=1)
+    assert _read_shard(out, 0).num_rows == 1
+
+
+def test_metadata_file_excluded_from_scan(spark, tmp_path, audio_dir):
+    # S3: metadata file living inside the input dir is not ingested
+    meta = os.path.join(audio_dir, "metadata.csv")
+    with open(meta, "w") as f:
+        f.write("file_name,transcription\nsample.wav,hello\n")
+    out = str(tmp_path / "out")
+    run_pipeline(spark, audio_dir, out, metadata_file=meta)
+    paths = {r["audio"]["path"] for r in _read_shard(out).to_pylist()}
+    assert "metadata.csv" not in paths
+    assert paths == {"sample.wav", "nested/with_path.wav"}
+
+
+def test_mime_filter(spark, tmp_path, audio_dir):
+    # S4: a non-audio file is dropped only when check_mime_type is on
+    with open(os.path.join(audio_dir, "notes.txt"), "w") as f:
+        f.write("not audio")
+    out1 = str(tmp_path / "out1")
+    run_pipeline(spark, audio_dir, out1)
+    assert _read_shard(out1).num_rows == 3  # kept, duration 0.0
+    rows = {r["audio"]["path"]: r for r in _read_shard(out1).to_pylist()}
+    assert rows["notes.txt"]["duration"] == 0.0
+    assert rows["notes.txt"]["audio"]["sampling_rate"] == 0
+    out2 = str(tmp_path / "out2")
+    run_pipeline(spark, audio_dir, out2, check_mime_type=True)
+    assert _read_shard(out2).num_rows == 2
+
+
+def test_duckdb_sink(spark, tmp_path, audio_dir):
+    meta = tmp_path / "m.jsonl"
+    meta.write_text(
+        json.dumps(
+            {
+                "relative_path": "sample.wav",
+                "transcription": "db text",
+                "verified": True,
+                "snr": 3.5,
+                "tags": ["a", "b"],
+            }
+        )
+        + "\n"
+    )
+    out = str(tmp_path / "db")
+    receipts = run_pipeline(
+        spark, audio_dir, out, metadata_file=str(meta),
+        output_format="duckdb",
+    )
+    assert len(receipts) == 1
+    con = duckdb.connect(os.path.join(out, "0.duckdb"))
+    rows = con.execute(
+        "SELECT id, duration, audio.path, audio.sampling_rate, "
+        "audio.bytes, snr, tags, transcription, verified "
+        "FROM files ORDER BY id"
+    ).fetchall()
+    con.close()
+    assert [r[0] for r in rows] == [0, 1]  # id = in-shard index
+    by_path = {r[2]: r for r in rows}
+    r = by_path["sample.wav"]
+    assert r[1] == 1.0 and r[3] == 16_000
+    assert bytes(r[4]) == synth_wav(sample_rate=16_000)
+    assert r[5] == 3.5
+    assert r[6] == '["a","b"]'  # lists stored as JSON text
+    assert r[7] == "db text" and r[8] is True
+    r2 = by_path["nested/with_path.wav"]
+    assert r2[7] == "-" and r2[5] is None
+
+
+def test_first_wins_duplicate_metadata(spark, tmp_path, audio_dir):
+    # J2: first record per key wins (src/main.rs:178-193)
+    meta = tmp_path / "m.csv"
+    meta.write_text(
+        "relative_path,transcription\n"
+        "sample.wav,first\n"
+        "sample.wav,second\n"
+    )
+    out = str(tmp_path / "out")
+    run_pipeline(spark, audio_dir, out, metadata_file=str(meta))
+    by_path = {
+        r["audio"]["path"]: r for r in _read_shard(out).to_pylist()
+    }
+    assert by_path["sample.wav"]["transcription"] == "first"
