@@ -17,11 +17,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import dedup, events, relational, similarity, textops
+def _modules():
+    from ..streaming import events as streaming_events
+    from . import dedup, events, paths, relational, similarity, textops
 
+    return (relational, events, textops, dedup, similarity, paths,
+            streaming_events)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, events, textops, dedup, similarity):
+    for mod in _modules():
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query ids: {overlap}")
@@ -30,9 +36,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def all_oracles() -> dict[str, str]:
-    from . import dedup, events, relational, similarity, textops
-
     merged: dict[str, str] = {}
-    for mod in (relational, events, textops, dedup, similarity):
+    for mod in _modules():
         merged.update(mod.ORACLES)
     return merged

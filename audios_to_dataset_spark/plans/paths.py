@@ -1,0 +1,80 @@
+"""Path-utility plans (A2 + csv_path_rewriter parity) over documents."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.paths import rewrite_paths
+
+_SYNTH_PATH = "concat('data/', source, '/f', doc_id, '.wav')"
+
+
+def q_common_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-common-dir-prefix via the min/max extremes trick (A2,
+    scripts/csv_path_rewriter.py:72-79): the LCP of all strings equals the
+    LCP of the lexicographic min and max — one aggregation, no full fold."""
+    d = load(spark, sf_dir, "documents").select(
+        F.expr(_SYNTH_PATH).alias("p")
+    )
+    mm = d.agg(F.min("p").alias("lo"), F.max("p").alias("hi"))
+    lcp_len = F.expr(
+        "size(filter(sequence(1, least(length(lo), length(hi))),"
+        " i -> substring(lo, 1, i) = substring(hi, 1, i)))"
+    )
+    out = mm.withColumn("lcp_len", lcp_len).withColumn(
+        "prefix", F.expr("substring(lo, 1, lcp_len)")
+    )
+    dir_prefix = F.when(
+        F.col("prefix").contains("/"),
+        F.regexp_extract("prefix", r"^(.*)/[^/]*$", 1),
+    ).otherwise(F.lit(""))
+    return out.select(dir_prefix.alias("common_prefix"))
+
+
+ORACLE_COMMON_PREFIX = f"""
+WITH p AS (SELECT {_SYNTH_PATH} AS p FROM documents),
+mm AS (SELECT min(p) AS lo, max(p) AS hi FROM p),
+l AS (
+  SELECT lo, hi,
+         len(list_filter(range(1, least(length(lo), length(hi)) + 1),
+             i -> substr(lo, 1, CAST(i AS INT))
+                  = substr(hi, 1, CAST(i AS INT)))) AS lcp_len
+  FROM mm
+)
+SELECT CASE WHEN contains(substr(lo, 1, CAST(lcp_len AS INT)), '/')
+            THEN regexp_extract(substr(lo, 1, CAST(lcp_len AS INT)),
+                                '^(.*)/[^/]*$', 1)
+            ELSE '' END AS common_prefix
+FROM l
+"""
+
+
+def q_path_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """csv_path_rewriter transform (scripts/csv_path_rewriter.py:105-136):
+    basename + relative path against a base dir, fixed column order."""
+    d = load(spark, sf_dir, "documents").select(
+        F.expr(_SYNTH_PATH).alias("file_name"),
+        F.substring("text", 1, 20).alias("transcription"),
+    )
+    return rewrite_paths(d, base_dir="data")
+
+
+ORACLE_PATH_REWRITE = f"""
+SELECT (string_split({_SYNTH_PATH}, '/'))[-1] AS file_name,
+       substr({_SYNTH_PATH}, length('data/') + 1) AS relative_path,
+       substr(text, 1, 20) AS transcription
+FROM documents
+"""
+
+
+QUERIES = {
+    "q_common_prefix": q_common_prefix,
+    "q_path_rewrite": q_path_rewrite,
+}
+
+ORACLES = {
+    "q_common_prefix": ORACLE_COMMON_PREFIX,
+    "q_path_rewrite": ORACLE_PATH_REWRITE,
+}

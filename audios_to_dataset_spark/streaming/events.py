@@ -1,0 +1,111 @@
+"""Structured Streaming twins of the event-time plans (SURVEY §2.8, M7).
+
+The reference is strictly batch; these are the engine-capability streaming
+operators: watermarked tumbling-window aggregation and watermarked
+dropDuplicates over the events table, executed with the availableNow
+trigger against the same parquet so a batch driver can still collect the
+result (the driver records a rows-only check — watermark semantics have
+no DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with the batch-identical schema.
+
+    The nanos→micros conversion matches catalog.load so streaming and
+    batch plans see the same ``ts``.
+    """
+    batch_schema = load(spark, sf_dir, "events").schema
+    raw_schema = ",".join(
+        f"{f.name} {'BIGINT' if f.name == 'ts' else f.dataType.simpleString()}"
+        for f in batch_schema.fields
+    )
+    # FileStreamSource requires a directory; glob-filter to the one table.
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Execute a streaming plan with the availableNow trigger into a
+    memory sink and return the materialized batch DataFrame."""
+    sink = f"stream_{query_name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"ckpt_{query_name}_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(sink)
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling window counts (append mode emits only
+    windows the watermark has closed)."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n_events"
+        )
+    )
+    return _run_available_now(agg, "tumbling")
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked dropDuplicates on (user_id, event_type) — the streaming
+    analog of build-side first-wins dedup (J2)."""
+    ev = _stream_events(spark, sf_dir)
+    dedup = (
+        ev.withWatermark("ts", "2 hours")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id")
+    )
+    out = _run_available_now(dedup, "dedup")
+    # one survivor per (user_id, event_type); which event wins is
+    # arrival-order-dependent → project the deterministic part
+    return out.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types")
+    )
+
+
+QUERIES = {
+    "q_stream_tumbling": q_stream_tumbling,
+    "q_stream_dedup": q_stream_dedup,
+}
+
+# q_stream_dedup stays rows-only (the surviving event per key is
+# arrival-order dependent). The tumbling window IS oracle-checkable:
+# availableNow + append mode emits exactly the windows whose end has
+# passed the final watermark max(ts) - delay (verified empirically:
+# 3370/3370 rows equal at sf0.01).
+ORACLES: dict[str, str] = {
+    "q_stream_tumbling": """
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+       <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+""",
+}
