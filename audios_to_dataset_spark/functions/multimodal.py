@@ -1,0 +1,219 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The large-scale-training-data pattern: media travel as ``binary`` columns
+(the same shape as the audio pipeline's ``content``), and every transform
+is an Arrow-batched ``mapInPandas`` whose schema/partitioning/batch
+contract is real and tested even where the heavy codec is not available
+in this container.
+
+What is REAL here:
+- image header decode (PNG / JPEG / GIF / BMP dimensions) — pure-Python
+  header walks, no codec needed (same spirit as the WAV header decode,
+  /root/reference/src/main.rs:760-769)
+- audio decode — delegates to functions.wav
+- deterministic fake feature extraction (md5-seeded unit vector) — real
+  schema ``array<float>``, real batch plumbing, reproducible for tests
+- the mapInPandas iterator protocol, spill-safe batching, NULL handling
+
+What is STUBBED (no PIL/ffmpeg in the container):
+- pixel-level resize → raises NotImplementedError unless PIL importable
+- video frame extraction → raises NotImplementedError unless av/ffmpeg
+
+Scale notes: media rows are large (MBs); transforms repartition by
+byte-size budget, not row count, so a 1000-executor cluster gets balanced
+tasks (`partition_by_size_budget`). Never collect media columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Image header decode (real)
+# ---------------------------------------------------------------------------
+
+IMAGE_INFO_TYPE = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def parse_image_header(data: bytes | None) -> tuple[str | None, int, int]:
+    """(format, width, height) from magic bytes + header fields; unknown or
+    truncated input → (None, 0, 0). Pure Python, no codecs."""
+    try:
+        if not data or len(data) < 12:
+            return None, 0, 0
+        if data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", data[16:24])
+            return "png", w, h
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", data[6:10])
+            return "gif", w, h
+        if data[:2] == b"BM":
+            w, h = struct.unpack("<ii", data[18:26])
+            return "bmp", w, abs(h)
+        if data[:2] == b"\xff\xd8":  # JPEG: scan for a SOF marker
+            pos = 2
+            n = len(data)
+            while pos + 9 < n:
+                if data[pos] != 0xFF:
+                    pos += 1
+                    continue
+                marker = data[pos + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (
+                    0xC4, 0xC8, 0xCC
+                ):
+                    h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+                    return "jpeg", w, h
+                (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+                pos += 2 + seg_len
+            return "jpeg", 0, 0
+        return None, 0, 0
+    except Exception:
+        return None, 0, 0
+
+
+def with_image_info(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Append an ``image`` struct column decoded from headers via
+    mapInPandas (batch-iterating, so a huge media partition never
+    materializes as one pandas frame)."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("image", IMAGE_INFO_TYPE)]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            info = [parse_image_header(b) for b in pdf[content_col]]
+            pdf = pdf.copy()
+            pdf["image"] = [
+                {"format": f, "width": w, "height": h} for f, w, h in info
+            ]
+            yield pdf
+
+    return df.mapInPandas(decode, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fake feature extraction (real plumbing, fake model)
+# ---------------------------------------------------------------------------
+
+
+def fake_embedding(data: bytes | None, dim: int = 16) -> list[float]:
+    """Deterministic unit vector seeded by the content digest — a stand-in
+    for a real encoder with identical schema and distribution properties
+    (reproducible across engines/runs for tests)."""
+    if data is None:
+        data = b""
+    seed = int.from_bytes(hashlib.md5(data).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim)
+    norm = float(np.linalg.norm(v))
+    return [float(x) for x in (v / norm if norm > 0 else v)]
+
+
+def with_content_embedding(
+    df: DataFrame, content_col: str = "content", dim: int = 16
+) -> DataFrame:
+    """Append ``embedding array<float>`` via mapInPandas."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("embedding", T.ArrayType(T.FloatType()))]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["embedding"] = [
+                fake_embedding(b, dim) for b in pdf[content_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(encode, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Stubbed pixel/video ops (clearly marked; real signatures)
+# ---------------------------------------------------------------------------
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+) -> DataFrame:
+    """Pixel resize — requires PIL. The Spark-side contract (schema,
+    batching) is real; the codec is not in this container."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "resize_images needs Pillow, which is not available in this "
+            "container; the mapInPandas plumbing is exercised via "
+            "with_image_info/with_content_embedding instead"
+        ) from e
+
+    import io
+
+    out_schema = df.schema
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from PIL import Image
+
+        for pdf in batches:
+            out = []
+            for b in pdf[content_col]:
+                img = Image.open(io.BytesIO(b)).resize((width, height))
+                buf = io.BytesIO()
+                img.save(buf, format=img.format or "PNG")
+                out.append(buf.getvalue())
+            pdf = pdf.copy()
+            pdf[content_col] = out
+            yield pdf
+
+    return df.mapInPandas(resize, out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame, every_n_seconds: float = 1.0, content_col: str = "content"
+) -> DataFrame:
+    """Video frame sampling — requires an ffmpeg binding (not in this
+    container)."""
+    raise NotImplementedError(
+        "sample_video_frames needs PyAV/ffmpeg, not available here; "
+        "signature kept for API parity: returns one row per sampled frame "
+        "with columns (src columns..., frame_idx int, frame binary)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Size-budgeted partitioning for media frames
+# ---------------------------------------------------------------------------
+
+
+def partition_by_size_budget(
+    df: DataFrame,
+    target_bytes_per_partition: int = 128 * 1024 * 1024,
+    length_col: str = "length",
+) -> DataFrame:
+    """Repartition media rows so each task holds ≈ target bytes.
+
+    Row-count partitioning skews badly when file sizes vary 1000×; this
+    computes the partition count from the actual byte total (one cheap agg
+    over a pruned column) and hash-distributes rows.
+    """
+    total = df.agg(F.sum(length_col).alias("s")).first()["s"] or 0
+    n = max(1, int(total // target_bytes_per_partition) + 1)
+    return df.repartition(n)

@@ -19,10 +19,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _modules():
     from ..streaming import events as streaming_events
-    from . import dedup, events, paths, relational, similarity, textops
+    from . import (
+        dedup,
+        events,
+        multimodal,
+        paths,
+        relational,
+        similarity,
+        textops,
+    )
 
     return (relational, events, textops, dedup, similarity, paths,
-            streaming_events)
+            multimodal, streaming_events)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,68 @@
+"""Multimodal plans: binary-column transforms through mapInPandas.
+
+The documents table carries no media bytes, so content is the UTF-8
+encoding of ``text`` — the point is the *plumbing*: binary columns in,
+Arrow-batched Python transforms, typed struct/array columns out. These
+are rows-only checks (the md5-seeded fake encoder is not SQL-expressible;
+the driver records the weaker rows+schema check, SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.multimodal import with_content_embedding, with_image_info
+
+
+def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary content → deterministic fake embedding (mapInPandas),
+    then a JVM-side reduction over the result (mixed Python/JVM plan)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    emb = with_content_embedding(d, dim=16)
+    return emb.select(
+        "doc_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            ),
+            4,
+        ).alias("sq_norm"),
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image header decode over binary content (real PNG/JPEG/GIF/BMP
+    header walk; non-image bytes yield the (NULL, 0, 0) fallback — the
+    same keep-with-zeros contract as the WAV decoder, src/main.rs:768)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    info = with_image_info(d)
+    return info.select(
+        "doc_id",
+        F.col("image.format").alias("img_format"),
+        F.col("image.width").cast("long").alias("img_width"),
+    )
+
+
+QUERIES = {
+    "q_multimodal_embed": q_multimodal_embed,
+    "q_multimodal_decode": q_multimodal_decode,
+}
+
+# q_multimodal_decode over text bytes always yields the fallback row —
+# that IS SQL-expressible, so give it an oracle; embed stays rows-only.
+ORACLES = {
+    "q_multimodal_decode": """
+SELECT doc_id, CAST(NULL AS VARCHAR) AS img_format,
+       CAST(0 AS BIGINT) AS img_width
+FROM documents
+""",
+}

@@ -1,0 +1,103 @@
+"""Multimodal column plumbing: real header decodes, real mapInPandas
+schema/batch contracts, deterministic fake features, stubbed codecs."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from audios_to_dataset_spark.functions.multimodal import (
+    fake_embedding,
+    parse_image_header,
+    partition_by_size_budget,
+    sample_video_frames,
+    with_content_embedding,
+    with_image_info,
+)
+
+
+def _png(w: int, h: int) -> bytes:
+    ihdr = b"IHDR" + struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + ihdr + b"\x00" * 16
+
+
+def _gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 16
+
+
+def _bmp(w: int, h: int) -> bytes:
+    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 16
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    sof = b"\xff\xc0" + struct.pack(">HBHH", 8 + 9, 8, h, w) + b"\x03"
+    return b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00" \
+        + sof + b"\x00" * 8
+
+
+def test_parse_headers():
+    assert parse_image_header(_png(640, 480)) == ("png", 640, 480)
+    assert parse_image_header(_gif(320, 200)) == ("gif", 320, 200)
+    assert parse_image_header(_bmp(800, 600)) == ("bmp", 800, 600)
+    assert parse_image_header(_jpeg(1024, 768)) == ("jpeg", 1024, 768)
+    assert parse_image_header(b"garbage data here") == (None, 0, 0)
+    assert parse_image_header(None) == (None, 0, 0)
+    # bottom-up BMP (negative height) is normalized
+    assert parse_image_header(_bmp(10, -20)) == ("bmp", 10, 20)
+
+
+def test_with_image_info_schema_and_values(spark):
+    rows = [
+        ("a", _png(640, 480)),
+        ("b", _jpeg(1024, 768)),
+        ("c", b"not an image"),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "id string, content binary")
+    out = with_image_info(df)
+    assert out.schema.simpleString() == (
+        "struct<id:string,content:binary,"
+        "image:struct<format:string,width:int,height:int>>"
+    )
+    got = {r.id: r.image for r in out.collect()}
+    assert got["a"].format == "png" and got["a"].width == 640
+    assert got["b"].height == 768
+    assert got["c"].format is None and got["c"].width == 0
+    assert got["d"].format is None
+
+
+def test_fake_embedding_deterministic_and_normalized(spark):
+    e1 = fake_embedding(b"hello", 16)
+    e2 = fake_embedding(b"hello", 16)
+    e3 = fake_embedding(b"world", 16)
+    assert e1 == e2 and e1 != e3 and len(e1) == 16
+    assert abs(sum(x * x for x in e1) - 1.0) < 1e-5
+
+    df = spark.createDataFrame(
+        [("a", b"hello"), ("b", None)], "id string, content binary"
+    )
+    out = with_content_embedding(df, dim=8)
+    got = {r.id: r.embedding for r in out.collect()}
+    assert len(got["a"]) == 8
+    # driver-side and executor-side fakes agree (pure function of bytes)
+    assert [round(x, 5) for x in got["a"]] == [
+        round(x, 5) for x in fake_embedding(b"hello", 8)
+    ]
+    assert got["b"] is not None  # NULL content → embedding of b""
+
+
+def test_stubbed_ops_raise_clearly(spark):
+    df = spark.createDataFrame([("a", b"x")], "id string, content binary")
+    with pytest.raises(NotImplementedError, match="PyAV|ffmpeg"):
+        sample_video_frames(df)
+
+
+def test_partition_by_size_budget(spark):
+    df = spark.createDataFrame(
+        [(i, b"x" * 1000, 1000) for i in range(100)],
+        "id long, content binary, length long",
+    )
+    out = partition_by_size_budget(df, target_bytes_per_partition=10_000)
+    assert out.rdd.getNumPartitions() == 11  # 100kB / 10kB + 1
+    assert out.count() == 100

@@ -1,0 +1,74 @@
+"""Physical-plan audits: the scale-critical properties stay true.
+
+These pin the Catalyst outcomes the 100 TB design depends on — filter
+pushdown into the parquet scan, column pruning, broadcast joins instead
+of sort-merge, top-k without a global sort (SURVEY.md §4.1)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from audios_to_dataset_spark.plans.relational import (
+    q_agg_count,
+    q_filter_in,
+    q_join_fallback,
+    q_join_inner,
+    q_sort_limit,
+)
+
+
+def _explain(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    e = _explain(q_filter_in(spark, sf_dir))
+    # the IN-list and range predicates reach the parquet scan
+    assert "PushedFilters:" in e
+    assert "In(l_returnflag" in e
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in e
+    # column pruning: the 11-column lineitem scan reads only 5 columns
+    assert "l_extendedprice" not in e
+    assert "l_shipdate" not in e
+
+
+def test_joins_broadcast_not_sortmerge(spark, sf_dir):
+    e = _explain(q_join_inner(spark, sf_dir))
+    assert "BroadcastHashJoin" in e
+    assert "SortMergeJoin" not in e
+    e2 = _explain(q_join_fallback(spark, sf_dir))
+    # two left joins, both broadcast (formatted mode prints each node in
+    # the tree and again in the detail section)
+    assert e2.count("BroadcastHashJoin LeftOuter") == 2
+    assert "SortMergeJoin" not in e2
+
+
+def test_agg_has_partial_stage(spark, sf_dir):
+    # map-side combine: two HashAggregates around one exchange
+    e = _explain(q_agg_count(spark, sf_dir))
+    assert e.count("HashAggregate") >= 2
+    assert "Exchange" in e
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    e = _explain(q_sort_limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in e
+    # no full-sort exchange for a limit-10
+    assert "Sort " not in e
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # AQE hides codegen stars until execution — run, then inspect the
+    # final executed plan
+    df = q_agg_count(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark operators fused into whole-stage codegen
+    assert "*(" in executed and "isFinalPlan=true" in executed
+    e = _explain(df, "simple")
+    # map-side combine visible pre-execution
+    assert "partial_sum" in e and "partial_count" in e
