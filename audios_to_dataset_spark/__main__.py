@@ -1,0 +1,85 @@
+"""CLI entry point: ``python -m audios_to_dataset_spark --input … --output …``
+
+Flag-for-flag parity with the reference binary's arguments
+(/root/reference/src/main.rs:55-95):
+
+  --input, --output, --format {parquet,duckdb}, --files-per-db,
+  --max-depth-size, --check-mime-type, --num-threads,
+  --parquet-compression, --metadata-file
+
+``--num-threads`` maps to the local-mode core count (the reference sizes
+its rayon pool with it; on a cluster you would drop it and let the
+scheduler own parallelism).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="audios_to_dataset_spark",
+        description=(
+            "Turn a folder of audio files into chunked Parquet or DuckDB "
+            "datasets mirroring the Hugging Face `datasets` layout."
+        ),
+    )
+    p.add_argument("--input", required=True, help="input folder (recursive)")
+    p.add_argument("--output", required=True, help="output folder")
+    p.add_argument(
+        "--format", choices=("parquet", "duckdb"), default="parquet"
+    )
+    p.add_argument("--files-per-db", type=int, default=500)
+    p.add_argument("--max-depth-size", type=int, default=50)
+    p.add_argument("--check-mime-type", action="store_true")
+    p.add_argument("--num-threads", type=int, default=5)
+    p.add_argument(
+        "--parquet-compression",
+        choices=(
+            "uncompressed", "snappy", "gzip", "lzo", "brotli", "lz4",
+            "zstd", "lz4raw",
+        ),
+        default="snappy",
+    )
+    p.add_argument("--metadata-file", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if not os.path.isdir(args.input):
+        print(f"error: input folder does not exist: {args.input}",
+              file=sys.stderr)
+        return 2
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(args.num_threads))
+    from .pipeline import run_pipeline
+    from .session import get_session
+
+    spark = get_session("audios-to-dataset")
+    receipts = run_pipeline(
+        spark,
+        args.input,
+        args.output,
+        metadata_file=args.metadata_file,
+        output_format=args.format,
+        compression=args.parquet_compression,
+        files_per_shard=args.files_per_db,
+        max_depth=args.max_depth_size,
+        check_mime_type=args.check_mime_type,
+    )
+    total = sum(r.n_rows for r in receipts)
+    for r in sorted(receipts, key=lambda r: r.shard):
+        print(
+            f"Successfully wrote {r.n_rows} records to "
+            f"{os.path.basename(r.out_path)}."
+        )
+    print(f"{total} records in {len(receipts)} shard(s).")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -10,10 +10,12 @@ Spark has no stable scan order, so the determinism contract is an explicit
 ``orderBy(path)`` (SURVEY.md §7.4 item 2): one global-sort exchange, then
 ``shard = floor(row_number0 / N)`` and ``id = row_number0 % N``.
 
-Scale note: the single Window.orderBy is the only global sort in the
-pipeline. At 100 TB you would swap it for
-``repartitionByRange(path) + per-partition offsets``; the semantics stay
-identical because the mapping path→shard is total-order based either way.
+Scale note: a naive ``row_number().over(Window.orderBy(path))`` on the
+full frame funnels every row — audio bytes included — through ONE
+partition. Instead the global sort runs on a pruned (path-only)
+projection, and the resulting (path → shard, row) mapping joins back to
+the fat rows by path: the heavy columns move once, in a hash-partitioned
+join, never through a single-task sort.
 """
 
 from __future__ import annotations
@@ -29,9 +31,16 @@ def assign_shards(
     files_per_shard: int = DEFAULT_FILES_PER_SHARD,
     order_col: str = "relative_path",
 ) -> DataFrame:
-    """Add ``shard`` (0-based bucket) and ``row_in_shard`` columns."""
+    """Add ``shard`` (0-based bucket) and ``row_in_shard`` columns.
+
+    ``order_col`` values must be unique (relative paths from one scan
+    are); the shard mapping is computed on just that column.
+    """
     w = Window.orderBy(order_col)
     rn0 = F.row_number().over(w) - 1
-    return df.withColumn("shard", F.floor(rn0 / files_per_shard)).withColumn(
-        "row_in_shard", rn0 % files_per_shard
+    mapping = (
+        df.select(order_col)
+        .withColumn("shard", F.floor(rn0 / files_per_shard))
+        .withColumn("row_in_shard", rn0 % files_per_shard)
     )
+    return df.join(mapping, order_col)

@@ -282,7 +282,9 @@ def q_window_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard assignment (W2): floor((row_number-1)/N) over a deterministic
     order — exactly chunks(files_per_db).enumerate() (src/main.rs:714-724)
     with N=500 (the reference's --files-per-db default)."""
-    o = load(spark, sf_dir, "orders")
+    # prune to the ordering key before the global-sort window so only one
+    # slim column funnels through the single sort task
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
     w = Window.orderBy("o_orderkey")
     return (
         o.withColumn(
