@@ -25,12 +25,13 @@ def _modules():
         multimodal,
         paths,
         relational,
+        relational2,
         similarity,
         textops,
     )
 
-    return (relational, events, textops, dedup, similarity, paths,
-            multimodal, streaming_events)
+    return (relational, relational2, events, textops, dedup, similarity,
+            paths, multimodal, streaming_events)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,314 @@
+"""Second breadth batch: cube/grouping, subqueries, per-group top-k,
+pivot, ntile, having, conditional agg, string agg, moment statistics.
+
+All engine-capability surface (the reference has none of these); every
+query is oracle-checked. Float determinism follows _util's decimal-sum
+discipline; moments are derived from exact decimal sums in one final
+double expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ._util import dsum, dsum_sql
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n_rows",
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS n_rows
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((priority), (status)) via spark.sql."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+               COALESCE(o_orderstatus, 'ALL') AS st,
+               COUNT(*) AS n_orders
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+       COALESCE(o_orderstatus, 'ALL') AS st,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+"""
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS: customers having an order above 400k (planned as
+    a semi join by both engines)."""
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"_sq_{t}")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM _sq_customer c
+        WHERE EXISTS (SELECT 1 FROM _sq_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+        """
+    )
+
+
+ORACLE_EXISTS_SUBQUERY = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 400000)
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (row_number ≤ 3, deterministic
+    tie-break on orderkey)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) t
+WHERE rk <= 3
+"""
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) decile assignment over customer balances."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", F.ntile(10).over(w).alias("decile")
+    )
+
+
+ORACLE_WINDOW_NTILE = """
+SELECT c_custkey,
+       ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+FROM customer
+"""
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group filter: customers with ≥ 15 orders."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+ORACLE_HAVING = """
+SELECT o_custkey, COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+"""
+
+
+def q_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: per-returnflag quantity split by status."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dsum(
+            F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))
+            .otherwise(F.lit(0.0))
+        ).alias("qty_f"),
+        dsum(
+            F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))
+            .otherwise(F.lit(0.0))
+        ).alias("qty_o"),
+    )
+
+
+ORACLE_CASE_AGG = f"""
+SELECT l_returnflag,
+       {dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END")}
+         AS qty_f,
+       {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END")}
+         AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: nation names per region."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations")
+        )
+    )
+
+
+ORACLE_STRING_AGG = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts by type (5 known types)."""
+    e = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+ORACLE_PIVOT = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS n_click,
+       COUNT(*) FILTER (event_type = 'error') AS n_error,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean and population variance per group from exact decimal moments
+    (sum, sum of squares) — order-independent, unlike native stddev."""
+    li = load(spark, sf_dir, "lineitem")
+    s1 = F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double")
+    s2 = F.sum(
+        (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,6)")
+    ).cast("double")
+    n = F.count("l_quantity")
+    mean = s1 / n
+    var = s2 / n - (s1 / n) * (s1 / n)
+    return li.groupBy("l_returnflag").agg(
+        F.round(mean, 6).alias("mean_qty"),
+        F.round(var, 6).alias("var_qty"),
+    )
+
+
+ORACLE_MOMENT_STATS = """
+SELECT l_returnflag,
+       round(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(l_quantity), 6) AS mean_qty,
+       round(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+                  AS DOUBLE) / COUNT(l_quantity)
+             - (CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                / COUNT(l_quantity))
+               * (CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                  / COUNT(l_quantity)), 6) AS var_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 5-way join: revenue per region for 1996 orders.
+    Dimension chain broadcasts; the fact-fact join shuffles on the key."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_JOIN_MULTI = """
+SELECT r_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY r_name
+"""
+
+
+QUERIES = {
+    "q_cube": q_cube,
+    "q_grouping_sets": q_grouping_sets,
+    "q_exists_subquery": q_exists_subquery,
+    "q_topk_per_group": q_topk_per_group,
+    "q_window_ntile": q_window_ntile,
+    "q_having": q_having,
+    "q_case_agg": q_case_agg,
+    "q_string_agg": q_string_agg,
+    "q_pivot": q_pivot,
+    "q_moment_stats": q_moment_stats,
+    "q_join_multi": q_join_multi,
+}
+
+ORACLES = {
+    "q_cube": ORACLE_CUBE,
+    "q_grouping_sets": ORACLE_GROUPING_SETS,
+    "q_exists_subquery": ORACLE_EXISTS_SUBQUERY,
+    "q_topk_per_group": ORACLE_TOPK_PER_GROUP,
+    "q_window_ntile": ORACLE_WINDOW_NTILE,
+    "q_having": ORACLE_HAVING,
+    "q_case_agg": ORACLE_CASE_AGG,
+    "q_string_agg": ORACLE_STRING_AGG,
+    "q_pivot": ORACLE_PIVOT,
+    "q_moment_stats": ORACLE_MOMENT_STATS,
+    "q_join_multi": ORACLE_JOIN_MULTI,
+}
