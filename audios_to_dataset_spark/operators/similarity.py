@@ -13,7 +13,7 @@ noise (≤1 ulp) cannot flip a comparison.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -125,9 +125,94 @@ def hyperplane_buckets(
     )
 
 
+def ivf_assignments(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: (centroids, assignments).
+
+    Centroids are the ``n_centroids`` lowest-id vectors — deterministic,
+    no RNG, good enough as a coarse partitioner (swap in KMeans with a
+    fixed seed when Spark ML is warranted). Each vector is assigned to
+    its max-cosine centroid via a broadcast cross join + argmax — the
+    big side streams once, no shuffle.
+    """
+    w = Window.orderBy(id_col)
+    centroids = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_centroids)
+        .select(
+            (F.col("_rn") - 1).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+    cos = _dot(F.col(vec_col), F.col("centroid_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("centroid_vec"))
+    )
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        cos.alias("_ccos"),
+    )
+    pick = Window.partitionBy(id_col).orderBy(
+        F.col("_ccos").desc(), "centroid_id"
+    )
+    assignments = (
+        scored.withColumn("_pick", F.row_number().over(pick))
+        .filter(F.col("_pick") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+    return centroids, assignments
+
+
+def ivf_topk_vs_query(
+    df: DataFrame,
+    k: int = 20,
+    query_id: int = 0,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 3,
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` centroid lists nearest
+    the query, score within them. At scale the assignment table is
+    partitioned by centroid_id, so a query touches nprobe/n_centroids of
+    the data instead of all of it."""
+    centroids, assignments = ivf_assignments(
+        df, n_centroids, id_col, vec_col
+    )
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("query_vec")
+    )
+    ccos = _dot(F.col("centroid_vec"), F.col("query_vec")) / (
+        _norm(F.col("centroid_vec")) * _norm(F.col("query_vec"))
+    )
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("centroid_id", ccos.alias("_qc"))
+        .orderBy(F.col("_qc").desc(), "centroid_id")
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    candidates = assignments.join(F.broadcast(probe), "centroid_id")
+    cos = _dot(F.col(vec_col), F.col("query_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("query_vec"))
+    )
+    return (
+        candidates.crossJoin(F.broadcast(q))
+        .select(id_col, (F.round(cos, decimals) + 0.0).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_bucketed_neardup_pairs(
     df: DataFrame,
-    planes: list[list[float]],
+    tables: list[list[list[float]]],
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -135,11 +220,21 @@ def lsh_bucketed_neardup_pairs(
 ) -> DataFrame:
     """Approximate near-dup pairs: score only within LSH buckets.
 
-    The self-join shuffles on the bucket key (uniform by construction); at
-    1000 executors each bucket's pairs are generated locally post-shuffle.
-    Recall is tunable via number of planes (fewer planes → bigger buckets →
-    higher recall, more compute)."""
-    bucketed = hyperplane_buckets(df, planes, id_col, vec_col)
+    ``tables`` is a list of hash tables, each a list of hyperplanes; a
+    pair is a candidate if it collides in ANY table (recall ≈
+    1 − (1 − p^b)^T for per-plane agreement p). Candidates are re-scored
+    exactly, so precision is 1 — only recall is approximate.
+
+    The self-join shuffles on (table, bucket) keys — uniform by
+    construction; at 1000 executors each bucket's pairs generate locally
+    post-shuffle. Tune: more planes/table → smaller buckets (cheaper,
+    lower recall); more tables → higher recall (linearly more hashing)."""
+    bucketed = None
+    for t, planes in enumerate(tables):
+        part = hyperplane_buckets(df, planes, id_col, vec_col).select(
+            "id", "vec", F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("bucket")
+        )
+        bucketed = part if bucketed is None else bucketed.unionByName(part)
     a = bucketed.select(
         F.col("id").alias("id_a"), F.col("vec").alias("va"), "bucket"
     )
@@ -152,8 +247,9 @@ def lsh_bucketed_neardup_pairs(
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
         .withColumn("cos_sim", F.round(cos, decimals) + 0.0)
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
-        .distinct()
     )

@@ -1,0 +1,96 @@
+"""Similarity operators: brute force as ground truth, LSH/IVF as scale
+paths whose recall is measured against it."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from audios_to_dataset_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """60 vectors in 3 tight clusters + noise — near-dups exist by
+    construction."""
+    rng = random.Random(7)
+    rows = []
+    centers = [
+        [1.0 if i == j else 0.0 for i in range(8)] for j in range(3)
+    ]
+    vid = 0
+    for c in centers:
+        for _ in range(15):
+            v = [x + rng.gauss(0, 0.02) for x in c]
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(15):
+        v = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).cache()
+
+
+def test_bruteforce_matches_python(spark, vectors):
+    rows = {r.vec_id: r.embedding for r in vectors.collect()}
+    got = {
+        r.vec_id: r.cos_sim
+        for r in S.cosine_vs_query(vectors, query_id=0, decimals=6).collect()
+    }
+    q = rows[0]
+    for vid, v in rows.items():
+        dot = sum(a * b for a, b in zip(v, q))
+        na = math.sqrt(sum(a * a for a in v))
+        nq = math.sqrt(sum(a * a for a in q))
+        assert abs(got[vid] - dot / (na * nq)) < 1e-5
+
+
+def test_lsh_neardup_recall(spark, vectors):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_neardup_pairs(vectors, threshold=0.98).collect()
+    }
+    assert len(exact) > 50  # clusters produce plenty of near-dups
+    rng = random.Random(13)
+    tables = [
+        [[rng.gauss(0, 1) for _ in range(8)] for _ in range(4)]
+        for _ in range(3)
+    ]
+    approx = {
+        (r.id_a, r.id_b)
+        for r in S.lsh_bucketed_neardup_pairs(
+            vectors, tables, threshold=0.98
+        ).collect()
+    }
+    # no false positives (bucket candidates are re-scored exactly)
+    assert approx <= exact
+    # 3 hash tables: a pair missed by all three is rare
+    assert len(approx) / len(exact) > 0.9
+
+
+def test_ivf_topk_recall(spark, vectors):
+    exact = [r.vec_id for r in S.topk_vs_query(vectors, k=10, query_id=0).collect()]
+    approx = [
+        r.vec_id
+        for r in S.ivf_topk_vs_query(
+            vectors, k=10, query_id=0, n_centroids=8, nprobe=3
+        ).collect()
+    ]
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.7  # probing 3/8 lists finds most true neighbors
+    # the query's own cluster is probed, so the top hit survives
+    assert approx[0] == exact[0]
+
+
+def test_ivf_assignments_cover_all(spark, vectors):
+    cents, assign = S.ivf_assignments(vectors, n_centroids=8)
+    assert cents.count() == 8
+    assert assign.count() == vectors.count()
+    assert assign.select("vec_id").distinct().count() == vectors.count()
+    n_used = assign.select("centroid_id").distinct().count()
+    assert n_used >= 3  # the three clusters separate
