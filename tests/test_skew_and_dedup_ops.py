@@ -1,0 +1,117 @@
+"""Skew primitives + dedup operators on constructed inputs (the testdata
+documents are all-unique, so real duplicates are synthesized here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from audios_to_dataset_spark.operators import dedup as D
+from audios_to_dataset_spark.operators.skew import salted_join, two_phase_agg
+
+
+def test_salted_join_matches_plain_join(spark):
+    # 90% of big rows share one hot key
+    big = spark.createDataFrame(
+        [(1 if i < 900 else i % 50, i) for i in range(1000)],
+        "k int, v long",
+    )
+    small = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(50)], "k int, name string"
+    )
+    plain = big.join(small, "k").groupBy("name").count()
+    salted = salted_join(big, small, "k").groupBy("name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, 10), (99, 11)], "k int, v long")
+    small = spark.createDataFrame([(1, "a")], "k int, name string")
+    rows = {
+        r.v: r.name for r in salted_join(big, small, "k", how="left").collect()
+    }
+    assert rows == {10: "a", 11: None}
+
+
+def test_two_phase_agg_matches_direct(spark):
+    df = spark.createDataFrame(
+        [("hot" if i % 10 else f"k{i}", float(i)) for i in range(1000)],
+        "k string, v double",
+    )
+    direct = {
+        (r.k): (r.s, r.n, r.mx)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("n"),
+             F.max("v").alias("mx"))
+        .collect()
+    }
+    two = {
+        (r.k): (r.s, r.n, r.mx)
+        for r in two_phase_agg(
+            df, "k",
+            {"s": ("v", "sum"), "n": ("v", "count"), "mx": ("v", "max")},
+        ).collect()
+    }
+    assert set(direct) == set(two)
+    for k in direct:
+        assert direct[k][1] == two[k][1]
+        assert direct[k][2] == two[k][2]
+        assert abs(direct[k][0] - two[k][0]) < 1e-6
+
+
+def test_exact_dedup_groups_with_real_duplicates(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "alpha"), (3, "alpha"), (4, "gamma")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.keep_id: r.n_copies
+        for r in D.exact_dedup_groups(df).collect()
+    }
+    assert got == {0: 3, 1: 1, 4: 1}
+
+
+def test_ngram_jaccard_detects_near_duplicate(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "sleepy")
+    other = "completely different words having zero overlap with anything"
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, other)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(df, threshold=0.2).collect()
+    }
+    assert (0, 1) in pairs and 0.2 <= pairs[(0, 1)] < 1.0
+    assert not any(2 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    near = base.replace("w7", "x7")  # 3 shingles differ out of 38
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, "unrelated text entirely here")],
+        "doc_id long, text string",
+    )
+    sigs = D.minhash_signatures(df)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in D.lsh_candidate_pairs(sigs).collect()
+    }
+    assert (0, 1) in pairs          # identical docs always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup collides in ≥1 band
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_similar_docs_close(spark):
+    base = " ".join(f"tok{i}" for i in range(50))
+    near = base.replace("tok3", "zzz3")
+    far = " ".join(f"other{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id long, text string"
+    )
+    fp = {r.id: r.simhash for r in D.simhash16(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fp[0], fp[1]) <= 4
+    assert ham(fp[0], fp[2]) >= ham(fp[0], fp[1])
