@@ -285,7 +285,32 @@ GROUP BY r_name
 """
 
 
+def q_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an explicit schema → typed struct → field access
+    (the reference's serde_json object parse, src/main.rs:345, with a
+    declared schema instead of inference)."""
+    e = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k BIGINT")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        F.when(parsed.isNull(), F.lit("invalid"))
+        .otherwise(F.lit("valid"))
+        .alias("parse_status"),
+    )
+
+
+ORACLE_JSON_STRUCT = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+       CASE WHEN TRY_CAST(props AS JSON) IS NULL THEN 'invalid'
+            ELSE 'valid' END AS parse_status
+FROM events
+"""
+
+
 QUERIES = {
+    "q_json_struct": q_json_struct,
     "q_cube": q_cube,
     "q_grouping_sets": q_grouping_sets,
     "q_exists_subquery": q_exists_subquery,
@@ -300,6 +325,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_json_struct": ORACLE_JSON_STRUCT,
     "q_cube": ORACLE_CUBE,
     "q_grouping_sets": ORACLE_GROUPING_SETS,
     "q_exists_subquery": ORACLE_EXISTS_SUBQUERY,
