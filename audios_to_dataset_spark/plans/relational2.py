@@ -309,7 +309,74 @@ FROM events
 """
 
 
+def q_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (lateral unnest with ordinality): dimension-wise mean
+    over all embedding vectors — the columnar flatten at scale shuffles
+    on the position key, perfectly uniform."""
+    em = load(spark, sf_dir, "embeddings")
+    flat = em.select(
+        F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    return flat.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("val").cast("double").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("dim_sum"),
+    ).select(F.col("pos").cast("long").alias("pos"), "n", "dim_sum")
+
+
+ORACLE_EXPLODE_POS = """
+SELECT pos, COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+         AS dim_sum
+FROM (
+  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS val
+  FROM embeddings) t
+GROUP BY pos
+"""
+
+
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pagination: rows 101-120 of the key-ordered orders."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return o.orderBy("o_orderkey").offset(100).limit(20)
+
+
+ORACLE_LIMIT_OFFSET = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_orderkey LIMIT 20 OFFSET 100
+"""
+
+
+def q_distinct_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (dedup shuffle on the projected key pair)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+ORACLE_DISTINCT_PROJ = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two smallest dims (5 × 25)."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    n = load(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+ORACLE_CROSS_JOIN = """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+"""
+
+
 QUERIES = {
+    "q_explode_pos": q_explode_pos,
+    "q_limit_offset": q_limit_offset,
+    "q_distinct_proj": q_distinct_proj,
+    "q_cross_join": q_cross_join,
     "q_json_struct": q_json_struct,
     "q_cube": q_cube,
     "q_grouping_sets": q_grouping_sets,
@@ -325,6 +392,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_explode_pos": ORACLE_EXPLODE_POS,
+    "q_limit_offset": ORACLE_LIMIT_OFFSET,
+    "q_distinct_proj": ORACLE_DISTINCT_PROJ,
+    "q_cross_join": ORACLE_CROSS_JOIN,
     "q_json_struct": ORACLE_JSON_STRUCT,
     "q_cube": ORACLE_CUBE,
     "q_grouping_sets": ORACLE_GROUPING_SETS,
