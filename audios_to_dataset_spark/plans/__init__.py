@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 def _modules():
     from ..streaming import events as streaming_events
     from . import (
+        analytics,
         dedup,
         events,
         multimodal,
@@ -30,8 +31,8 @@ def _modules():
         textops,
     )
 
-    return (relational, relational2, events, textops, dedup, similarity,
-            paths, multimodal, streaming_events)
+    return (relational, relational2, analytics, events, textops, dedup,
+            similarity, paths, multimodal, streaming_events)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

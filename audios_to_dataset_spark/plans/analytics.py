@@ -1,0 +1,238 @@
+"""Flagship analytics plans: TPC-H-shaped reports and event funnels.
+
+These are the multi-join/agg pipelines that dominate real warehouse
+load; each is oracle-checked with the decimal-sum discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ._util import dsum_sql
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: top-10 highest-revenue orders for one market
+    segment before a cutoff date."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    revenue = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(28,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_TOP_ORDERS = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: revenue lost to returns per customer (top 20)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load(spark, sf_dir, "nation")
+    revenue = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(28,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLE_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+            AS DOUBLE) AS lost_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase per user: a user reaches
+    a stage only if its first event time follows the previous stage's."""
+    e = load(spark, sf_dir, "events")
+    stage = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    reached_click = (
+        F.col("t_signup").isNotNull()
+        & F.col("t_click").isNotNull()
+        & (F.col("t_click") > F.col("t_signup"))
+    )
+    reached_purchase = reached_click & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") > F.col("t_click")
+    )
+    return stage.agg(
+        F.count(F.when(F.col("t_signup").isNotNull(), 1)).alias("n_signup"),
+        F.count(F.when(reached_click, 1)).alias("n_click_after"),
+        F.count(F.when(reached_purchase, 1)).alias("n_purchase_after"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH stage AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS n_signup,
+       COUNT(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                   AND t_click > t_signup THEN 1 END) AS n_click_after,
+       COUNT(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                   AND t_click > t_signup AND t_purchase IS NOT NULL
+                   AND t_purchase > t_click THEN 1 END) AS n_purchase_after
+FROM stage
+"""
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention: for each user's first-seen day, how many
+    users were active again k days later (k ≤ 7)."""
+    e = load(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    k = F.datediff(F.col("day"), F.col("cohort_day")).cast("long")
+    return (
+        active.join(first_day, "user_id")
+        .withColumn("k", k)
+        .filter(F.col("k").between(0, 7))
+        .groupBy("cohort_day", "k")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+ORACLE_RETENTION = """
+WITH first_day AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+)
+SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+       CAST(date_diff('day', CAST(cohort_day AS DATE), CAST(day AS DATE))
+            AS BIGINT) AS k,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM active a JOIN first_day f ON a.user_id = f.user_id
+WHERE date_diff('day', CAST(cohort_day AS DATE), CAST(day AS DATE))
+      BETWEEN 0 AND 7
+GROUP BY 1, 2
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the n-gram Jaccard
+    pair graph. Spark side is iterative min-label propagation
+    (operators.graph); the oracle computes the same fixpoint with a
+    recursive CTE. Returns (id, cluster_id = min reachable id)."""
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.2).select("doc_a", "doc_b")
+    ids = d.select(F.col("doc_id").alias("id"))
+    return connected_components(ids, pairs, src="doc_a", dst="doc_b")
+
+
+def _oracle_dedup_clusters() -> str:
+    from .dedup import NGRAM_N, NGRAM_THRESHOLD
+
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(t) - {NGRAM_N - 1}, 0) + 1),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+    FROM toks) u
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), jpairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common)
+        >= {NGRAM_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jpairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM jpairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+)
+SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+QUERIES = {
+    "q_top_orders": q_top_orders,
+    "q_returned_items": q_returned_items,
+    "q_funnel": q_funnel,
+    "q_retention": q_retention,
+    "q_dedup_clusters": q_dedup_clusters,
+}
+
+ORACLES = {
+    "q_top_orders": ORACLE_TOP_ORDERS,
+    "q_returned_items": ORACLE_RETURNED_ITEMS,
+    "q_funnel": ORACLE_FUNNEL,
+    "q_retention": ORACLE_RETENTION,
+    "q_dedup_clusters": _oracle_dedup_clusters(),
+}
