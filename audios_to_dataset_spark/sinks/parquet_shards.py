@@ -166,3 +166,45 @@ def write_parquet_shards(
         ]
     )
     return slim.groupBy("shard").applyInPandas(write_shard, receipt_schema)
+
+
+def write_native_sharded(
+    df: DataFrame,
+    output_dir: str,
+    compression: str = "snappy",
+) -> None:
+    """Scale-path alternative sink: Spark's native writer partitioned by
+    shard (``<dir>/shard=<idx>/part-*.parquet``).
+
+    Trades the reference's exact ``<idx>.parquet`` naming, HF footer, and
+    256-row groups for the native writer's scalability machinery (job
+    commit protocol, task retries, no pandas hop). Use the pyarrow sink
+    for HF-layout parity; use this when the output feeds Spark again.
+    """
+    codec = COMPRESSION_MAP.get(compression.lower())
+    if codec is None:
+        raise ValueError(f"unknown compression {compression!r}")
+    fixed = {"shard", "row_in_shard", "relative_path", "content",
+             "duration", "sampling_rate", "path", "file_name", "length",
+             "modificationTime"}
+    meta_names = sorted(
+        f.name for f in df.schema.fields if f.name not in fixed
+    )
+    out = df.select(
+        "shard",
+        F.struct(
+            F.col("content").alias("bytes"),
+            F.col("sampling_rate"),
+            F.col("relative_path").alias("path"),
+        ).alias("audio"),
+        "duration",
+        *meta_names,
+    )
+    (
+        out.repartition("shard")
+        .sortWithinPartitions("shard")
+        .write.mode("overwrite")
+        .option("compression", codec.lower() if codec != "NONE" else "none")
+        .partitionBy("shard")
+        .parquet(output_dir)
+    )
