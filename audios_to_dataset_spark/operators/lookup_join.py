@@ -28,11 +28,17 @@ def lookup_join(
     metadata: DataFrame,
     rel_col: str = "relative_path",
     name_col: str = "file_name",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Enrich ``files`` with metadata columns via the 3-level fallback.
 
     ``metadata`` must carry ``relative_path``/``file_name`` key columns and
     a ``_line`` ordering column (as produced by sources.metadata loaders).
+
+    ``broadcast=True`` matches the reference's Arc-shared in-RAM index
+    (metadata fits on every worker). For metadata too big to broadcast,
+    pass False: the three joins become shuffle joins on the key columns —
+    same semantics, and AQE's skew handling covers hot keys.
     """
     value_cols = sorted(
         c
@@ -57,13 +63,12 @@ def lookup_join(
         *[F.col(f"_2_{c}").alias(f"_3_{c}") for c in value_cols],
     )
 
+    hint = F.broadcast if broadcast else (lambda df: df)
     joined = (
-        files.join(
-            F.broadcast(by_rel), files[rel_col] == by_rel["_k1"], "left"
-        )
-        .join(F.broadcast(by_name), files[name_col] == by_name["_k2"], "left")
+        files.join(hint(by_rel), files[rel_col] == by_rel["_k1"], "left")
+        .join(hint(by_name), files[name_col] == by_name["_k2"], "left")
         .join(
-            F.broadcast(by_name_as_rel),
+            hint(by_name_as_rel),
             files[rel_col] == by_name_as_rel["_k3"],
             "left",
         )

@@ -1,0 +1,63 @@
+"""Property-based tests (hypothesis) for the pure kernels — the reference
+has no randomized testing (SURVEY §5); these harden the parsers that face
+arbitrary bytes in production."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from audios_to_dataset_spark.functions.multimodal import parse_image_header
+from audios_to_dataset_spark.functions.wav import parse_wav_header, synth_wav
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=300, deadline=None)
+def test_wav_parser_total_on_garbage(data):
+    # never throws; failure contract is exactly (0.0, 0)
+    duration, sr = parse_wav_header(data)
+    assert duration >= 0.0
+    assert sr >= 0
+    if sr == 0:
+        assert duration == 0.0
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=300, deadline=None)
+def test_image_parser_total_on_garbage(data):
+    fmt, w, h = parse_image_header(data)
+    assert (fmt is None) == (w == 0 and h == 0) or fmt is not None
+    assert w >= 0 and h >= 0
+
+
+@given(
+    rate=st.sampled_from([8_000, 16_000, 22_050, 44_100, 48_000]),
+    n=st.integers(min_value=0, max_value=50_000),
+    channels=st.integers(min_value=1, max_value=2),
+)
+@settings(max_examples=50, deadline=None)
+def test_wav_roundtrip_duration(rate, n, channels):
+    duration, sr = parse_wav_header(
+        synth_wav(sample_rate=rate, n_samples=n, channels=channels)
+    )
+    assert sr == rate
+    assert abs(duration - n / rate) < 1e-9
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_wav_parser_prefix_safety(data):
+    # a valid header with arbitrary tail bytes never crashes
+    base = synth_wav(sample_rate=8_000, n_samples=100)
+    duration, sr = parse_wav_header(base + data)
+    assert sr in (0, 8_000)
+
+
+@given(st.text(min_size=0, max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_fake_embedding_deterministic(s):
+    from audios_to_dataset_spark.functions.multimodal import fake_embedding
+
+    b = s.encode()
+    assert fake_embedding(b, 8) == fake_embedding(b, 8)
+    assert len(fake_embedding(b, 8)) == 8
