@@ -54,12 +54,54 @@ ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
 """
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components: posexplode + grouped decimal mean —
+    the distributed embedding-aggregation shape (shuffles on (label,
+    pos), perfectly uniform)."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load as _load
+
+    em = _load(spark, sf_dir, "embeddings")
+    flat = em.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    dec = F.sum(
+        F.col("val").cast("double").cast("decimal(28,6)")
+    ).cast("double")
+    return (
+        flat.filter(F.col("pos") < 8)
+        .groupBy("label", "pos")
+        .agg((dec / F.count("val")).alias("centroid"))
+        .select(
+            "label",
+            F.col("pos").cast("long").alias("pos"),
+            (F.round("centroid", 6) + 0.0).alias("centroid"),
+        )
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+SELECT label, pos,
+       round(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(28,6)))
+                  AS DOUBLE) / COUNT(val), 6) + 0.0 AS centroid
+FROM (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS val
+  FROM embeddings) t
+WHERE pos < 8
+GROUP BY label, pos
+"""
+
+
 QUERIES = {
     "q_cosine_scores": q_cosine_scores,
     "q_ann_topk": q_ann_topk,
+    "q_label_centroids": q_label_centroids,
 }
 
 ORACLES = {
     "q_cosine_scores": ORACLE_COSINE_SCORES,
     "q_ann_topk": ORACLE_ANN_TOPK,
+    "q_label_centroids": ORACLE_LABEL_CENTROIDS,
 }

@@ -225,7 +225,59 @@ FROM documents
 """
 
 
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical distributed wordcount: explode tokens, drop
+    stopwords, count, top-25 with deterministic tie-break. Map-side
+    combine + a tiny final top-k — the shape that must scale linearly."""
+    d = load(spark, sf_dir, "documents")
+    stop = LANG_STOPWORDS["en"]
+    tok = F.explode(_tokens()).alias("word")
+    return (
+        d.select(tok)
+        .filter(~F.col("word").isin(*stop) & (F.col("word") != ""))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(25)
+    )
+
+
+def _oracle_word_count() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+SELECT word, COUNT(*) AS n FROM (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+WHERE word NOT IN ({stop_list}) AND word <> ''
+GROUP BY word ORDER BY n DESC, word LIMIT 25
+"""
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization chain: lower → strip non-alnum (keep spaces) →
+    squeeze runs of spaces → trim."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return d.select("doc_id", norm.alias("norm_text"))
+
+
+ORACLE_TEXT_NORMALIZE = """
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+         ' +', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
 QUERIES = {
+    "q_word_count": q_word_count,
+    "q_text_normalize": q_text_normalize,
     "q_string_funcs": q_string_funcs,
     "q_token_count": q_token_count,
     "q_text_stats": q_text_stats,
@@ -235,6 +287,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_word_count": _oracle_word_count(),
+    "q_text_normalize": ORACLE_TEXT_NORMALIZE,
     "q_string_funcs": ORACLE_STRING_FUNCS,
     "q_token_count": ORACLE_TOKEN_COUNT,
     "q_text_stats": ORACLE_TEXT_STATS,
