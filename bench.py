@@ -43,6 +43,49 @@ HEADLINE = [
 ]
 
 
+def bench_audio_pipeline(spark, n_files: int = 400) -> float:
+    """Throughput of the flagship audio ETL (scan→decode→join→shard→
+    parquet sink) on synthetic 1-second WAVs — the reference's own
+    workload shape (its CI smoke processes one HF dataset shard)."""
+    import shutil
+    import tempfile
+    import time
+
+    from audios_to_dataset_spark.functions.wav import synth_wav
+    from audios_to_dataset_spark.pipeline import run_pipeline
+
+    root = tempfile.mkdtemp(prefix="bench_audio_")
+    try:
+        audio_dir = os.path.join(root, "in")
+        os.makedirs(audio_dir)
+        payload = synth_wav(sample_rate=16_000)  # ~32 KB each
+        for i in range(n_files):
+            with open(os.path.join(audio_dir, f"clip_{i:05d}.wav"), "wb") as f:
+                f.write(payload)
+        # Spin up the Python UDF workers on a throwaway run so the timed
+        # number reflects steady-state throughput, not worker fork cost.
+        warm_dir = os.path.join(root, "warm")
+        os.makedirs(warm_dir)
+        with open(os.path.join(warm_dir, "w.wav"), "wb") as f:
+            f.write(payload)
+        run_pipeline(spark, warm_dir, os.path.join(root, "warm_out"))
+        meta = os.path.join(root, "meta.csv")
+        with open(meta, "w") as f:
+            f.write("file_name,transcription\n")
+            for i in range(0, n_files, 2):
+                f.write(f"clip_{i:05d}.wav,transcript {i}\n")
+        t0 = time.perf_counter()
+        receipts = run_pipeline(
+            spark, audio_dir, os.path.join(root, "out"),
+            metadata_file=meta, files_per_shard=100,
+        )
+        elapsed = time.perf_counter() - t0
+        assert sum(r.n_rows for r in receipts) == n_files
+        return round(elapsed, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -63,6 +106,8 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    timings["audio_pipeline_400wav"] = bench_audio_pipeline(spark)
 
     total = round(sum(timings.values()), 3)
     print(
