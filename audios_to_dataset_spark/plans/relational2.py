@@ -372,7 +372,56 @@ SELECT r_name, n_name FROM region CROSS JOIN nation
 """
 
 
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines use the
+    same linear-interpolation definition — verified bit-equal)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("q50"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("q90"),
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("price_q25"),
+    )
+
+
+ORACLE_PERCENTILE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS q50,
+       quantile_cont(l_quantity, 0.9) AS q90,
+       quantile_cont(l_extendedprice, 0.25) AS price_q25
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-hash prefix — the
+    reproducible-split primitive every training pipeline needs (stable
+    under re-runs, engine-independent, no RNG). ~5% val, ~5% test via
+    lexicographic md5-prefix ranges."""
+    d = load(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("text").cast("binary")), 1, 2)
+    split = (
+        F.when(h < "0d", "val")
+        .when(h < "1a", "test")
+        .otherwise("train")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
+ORACLE_HASH_SPLIT = """
+SELECT CASE WHEN substr(md5(text), 1, 2) < '0d' THEN 'val'
+            WHEN substr(md5(text), 1, 2) < '1a' THEN 'test'
+            ELSE 'train' END AS split,
+       COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES = {
+    "q_percentile": q_percentile,
+    "q_hash_split": q_hash_split,
     "q_explode_pos": q_explode_pos,
     "q_limit_offset": q_limit_offset,
     "q_distinct_proj": q_distinct_proj,
@@ -392,6 +441,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_percentile": ORACLE_PERCENTILE,
+    "q_hash_split": ORACLE_HASH_SPLIT,
     "q_explode_pos": ORACLE_EXPLODE_POS,
     "q_limit_offset": ORACLE_LIMIT_OFFSET,
     "q_distinct_proj": ORACLE_DISTINCT_PROJ,
