@@ -10,7 +10,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ._util import dsum_sql
 
 
 def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,11 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..schema import (
-    KEY_COLUMNS,
-    RESERVED_KEYS,
-    widen_metadata_columns,
-)
+from ..schema import KEY_COLUMNS, widen_metadata_columns
 
 
 def metadata_format_from_path(path: str) -> str:
