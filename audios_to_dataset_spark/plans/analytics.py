@@ -220,7 +220,95 @@ SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's latest order at or
+    before the event time (operators.asof union+window trick — one
+    shuffle, no range explosion). Oracle is an independent correlated-
+    subquery formulation, so the two implementations cross-check."""
+    from ..operators.asof import as_of_join
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load(spark, sf_dir, "orders")
+    joined = as_of_join(
+        e, o,
+        left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        right_value_cols=["o_orderdate", "o_orderkey"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
+        F.col("asof_o_orderdate").alias("asof_orderdate"),
+    )
+
+
+ORACLE_ASOF_JOIN = """
+SELECT e.event_id, e.user_id,
+       (SELECT max(o.o_orderkey) FROM orders o
+        WHERE o.o_custkey = e.user_id
+          AND o.o_orderdate = (SELECT max(o2.o_orderdate) FROM orders o2
+                               WHERE o2.o_custkey = e.user_id
+                                 AND o2.o_orderdate <= e.ts))
+         AS asof_orderkey,
+       (SELECT max(o2.o_orderdate) FROM orders o2
+        WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts)
+         AS asof_orderdate
+FROM events e
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: for each signup event, how many events the same user
+    produced within the following hour (bucketed-candidate equi-join —
+    no nested loop). Oracle is the direct inequality join DuckDB plans
+    as an IEJoin, so the two strategies cross-check."""
+    from ..operators.rangejoin import range_join
+
+    e = load(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id"),
+        F.col("ts"),
+    )
+    followers = e.select(
+        F.col("user_id").alias("f_user"),
+        F.col("ts").alias("f_ts"),
+        F.col("event_id").alias("f_id"),
+    )
+    matched = range_join(
+        signups, followers,
+        left_key="user_id", right_key="f_user",
+        left_time="ts", right_time="f_ts",
+        lower_us=0, upper_us=3_600_000_000,
+    )
+    counted = matched.groupBy("signup_id").agg(
+        F.count("*").alias("n_following")
+    )
+    return (
+        signups.join(counted, "signup_id", "left")
+        .select(
+            "signup_id",
+            F.coalesce("n_following", F.lit(0)).alias("n_following"),
+        )
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT s.event_id AS signup_id,
+       COUNT(e.event_id) AS n_following
+FROM events s LEFT JOIN events e
+  ON e.user_id = s.user_id
+ AND epoch_us(e.ts) > epoch_us(s.ts)
+ AND epoch_us(e.ts) <= epoch_us(s.ts) + 3600000000
+WHERE s.event_type = 'signup'
+GROUP BY s.event_id
+"""
+
+
 QUERIES = {
+    "q_range_join": q_range_join,
+    "q_asof_join": q_asof_join,
     "q_top_orders": q_top_orders,
     "q_returned_items": q_returned_items,
     "q_funnel": q_funnel,
@@ -229,6 +317,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_range_join": ORACLE_RANGE_JOIN,
+    "q_asof_join": ORACLE_ASOF_JOIN,
     "q_top_orders": ORACLE_TOP_ORDERS,
     "q_returned_items": ORACLE_RETURNED_ITEMS,
     "q_funnel": ORACLE_FUNNEL,

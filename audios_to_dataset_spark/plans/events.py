@@ -88,12 +88,45 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event lands in two
+    overlapping windows (F.window with a slide duration)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"), "n_events", "sum_value"
+        )
+    )
+
+
+# Each event belongs to the two epoch-aligned 30-min-slide windows that
+# contain it: starts at trunc30(ts) and trunc30(ts) - 30min.
+ORACLE_SLIDING_WINDOW = f"""
+WITH cand AS (
+  SELECT ts, value,
+         unnest([
+           time_bucket(INTERVAL 30 MINUTE, ts),
+           time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
+         ]) AS win_start
+  FROM events
+)
+SELECT win_start, COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
+FROM cand
+WHERE ts >= win_start AND ts < win_start + INTERVAL 1 HOUR
+GROUP BY win_start
+"""
+
+
 QUERIES = {
     "q_tumbling_window": q_tumbling_window,
     "q_session_gap": q_session_gap,
+    "q_sliding_window": q_sliding_window,
 }
 
 ORACLES = {
     "q_tumbling_window": ORACLE_TUMBLING_WINDOW,
     "q_session_gap": ORACLE_SESSION_GAP,
+    "q_sliding_window": ORACLE_SLIDING_WINDOW,
 }

@@ -1,0 +1,49 @@
+"""Range join: bucketed candidates vs brute-force ground truth."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from audios_to_dataset_spark.operators.rangejoin import range_join
+
+
+def test_range_join_matches_bruteforce(spark):
+    rng = random.Random(5)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, rng.randrange(3), base + dt.timedelta(seconds=rng.randrange(7200)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, k int, t timestamp")
+    left = df.select(
+        df.id.alias("lid"), df.k.alias("lk"), df.t.alias("lt")
+    )
+    right = df.select(
+        df.id.alias("rid"), df.k.alias("rk"), df.t.alias("rt")
+    )
+    got = {
+        (r.lid, r.r_rid)
+        for r in range_join(
+            left, right, "lk", "rk", "lt", "rt",
+            lower_us=0, upper_us=600_000_000,  # 10 minutes
+        ).collect()
+    }
+    expected = {
+        (a, b)
+        for a, ka, ta in rows
+        for b, kb, tb in rows
+        if ka == kb and ta < tb <= ta + dt.timedelta(minutes=10)
+    }
+    assert got == expected
+    assert len(expected) > 100  # non-trivial
+
+
+def test_range_join_rejects_bad_bounds(spark):
+    df = spark.createDataFrame([(1, 1, dt.datetime(2024, 1, 1))],
+                               "id long, k int, t timestamp")
+    try:
+        range_join(df, df, "k", "k", "t", "t", lower_us=5, upper_us=5)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
