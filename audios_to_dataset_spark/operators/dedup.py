@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans._util import sround
+
 
 def normalized_text(col: str | Column = "text") -> Column:
     """Lowercased, alnum-only content normalization for exact dedup."""
@@ -138,7 +140,7 @@ def ngram_jaccard_pairs(
         .join(cb, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        .select("doc_a", "doc_b", sround(F.col("jaccard"), 4).alias("jaccard"))
     )
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans._util import sround
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Left-to-right double dot product of two float arrays."""
@@ -54,11 +56,9 @@ def cosine_vs_query(
     cos = _dot(F.col(vec_col), F.col("query_vec")) / (
         _norm(F.col(vec_col)) * _norm(F.col("query_vec"))
     )
-    # `+ 0.0` collapses IEEE -0.0 to 0.0 so the canonical value matches
-    # whatever sign the oracle's rounding produced.
     return (
         df.crossJoin(F.broadcast(q))
-        .select(id_col, (F.round(cos, decimals) + 0.0).alias("cos_sim"))
+        .select(id_col, sround(cos, decimals).alias("cos_sim"))
     )
 
 
@@ -98,7 +98,7 @@ def cosine_neardup_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cos, decimals) + 0.0)
+        .withColumn("cos_sim", sround(cos, decimals))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -204,7 +204,7 @@ def ivf_topk_vs_query(
     )
     return (
         candidates.crossJoin(F.broadcast(q))
-        .select(id_col, (F.round(cos, decimals) + 0.0).alias("cos_sim"))
+        .select(id_col, sround(cos, decimals).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -249,7 +249,7 @@ def lsh_bucketed_neardup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "va", "vb")
         .distinct()
-        .withColumn("cos_sim", F.round(cos, decimals) + 0.0)
+        .withColumn("cos_sim", sround(cos, decimals))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

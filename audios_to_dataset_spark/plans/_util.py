@@ -31,6 +31,25 @@ def davg(col: str | Column) -> Column:
     return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).cast("double")
 
 
+def sround(col: Column, k: int) -> Column:
+    """Cross-engine-stable rounding to k decimals.
+
+    ``round(x, k)`` disagrees between engines at half boundaries: Spark
+    rounds the exact binary value via BigDecimal, DuckDB multiplies by
+    10^k in floating point first (observed: 0.0032135 → 0.003213 vs
+    0.003214 at sf0.1). Doing the multiply explicitly on BOTH sides makes
+    the boundary value identical, and integer rounding of the same double
+    agrees everywhere; ``+ 0.0`` collapses IEEE −0.0.
+    """
+    scale = float(10**k)
+    return (F.round(col * scale) / scale) + 0.0
+
+
+def sround_sql(expr: str, k: int) -> str:
+    scale = float(10**k)
+    return f"(round(({expr}) * {scale}) / {scale}) + 0.0"
+
+
 def dsum_sql(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS {DEC_SQL})) AS DOUBLE)"
 

@@ -56,7 +56,8 @@ WITH toks AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       round(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 4) AS jaccard
+       round((CAST(common AS DOUBLE) / (ca.n + cb.n - common)) * 10000.0)
+         / 10000.0 + 0.0 AS jaccard
 FROM pairs
 JOIN cnt ca ON ca.doc_id = doc_a
 JOIN cnt cb ON cb.doc_id = doc_b
@@ -163,13 +164,13 @@ WITH v AS (
   FROM v
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_sum(list_transform(range(1, len(a.e) + 1),
-                                     i -> a.e[i] * b.e[i]))
-             / (a.nrm * b.nrm), 4) + 0.0 AS cos_sim
+       round((list_sum(list_transform(range(1, len(a.e) + 1),
+                                      i -> a.e[i] * b.e[i]))
+              / (a.nrm * b.nrm)) * 10000.0) / 10000.0 + 0.0 AS cos_sim
 FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE round(list_sum(list_transform(range(1, len(a.e) + 1),
-                                    i -> a.e[i] * b.e[i]))
-            / (a.nrm * b.nrm), 4) >= 0.95
+WHERE round((list_sum(list_transform(range(1, len(a.e) + 1),
+                                     i -> a.e[i] * b.e[i]))
+             / (a.nrm * b.nrm)) * 10000.0) / 10000.0 >= 0.95
 """
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ._util import sround
 from ..functions.multimodal import with_content_embedding, with_image_info
 
 
@@ -26,7 +27,7 @@ def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "doc_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.round(
+        sround(
             F.aggregate(
                 F.transform("embedding", lambda x: x.cast("double")),
                 F.lit(0.0),

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ._util import davg, davg_sql, dsum, dsum_sql
+from ._util import davg, davg_sql, dsum, dsum_sql, sround
 
 # --------------------------------------------------------------------------
 # Aggregations (SURVEY §2.4: A1-A3 + engine-capability breadth)
@@ -623,7 +623,7 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
         F.element_at("embedding", 1).cast("double").alias("first_elem"),
-        (F.round(vec_sum, 3) + 0.0).alias("vec_sum"),
+        sround(vec_sum, 3).alias("vec_sum"),
         n_pos.cast("long").alias("n_pos"),
     )
 
@@ -632,8 +632,8 @@ ORACLE_ARRAY_FUNCS = """
 SELECT vec_id,
        CAST(len(embedding) AS BIGINT) AS dim,
        CAST(embedding[1] AS DOUBLE) AS first_elem,
-       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 3)
-         + 0.0 AS vec_sum,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+             * 1000.0) / 1000.0 + 0.0 AS vec_sum,
        CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
 FROM embeddings
 """

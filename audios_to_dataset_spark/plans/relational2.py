@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ._util import dsum, dsum_sql
+from ._util import dsum, dsum_sql, sround
 
 
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,21 +223,23 @@ def q_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = s1 / n
     var = s2 / n - (s1 / n) * (s1 / n)
     return li.groupBy("l_returnflag").agg(
-        F.round(mean, 6).alias("mean_qty"),
-        F.round(var, 6).alias("var_qty"),
+        sround(mean, 6).alias("mean_qty"),
+        sround(var, 6).alias("var_qty"),
     )
 
 
 ORACLE_MOMENT_STATS = """
 SELECT l_returnflag,
-       round(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
-             / COUNT(l_quantity), 6) AS mean_qty,
-       round(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
-                  AS DOUBLE) / COUNT(l_quantity)
-             - (CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
-                / COUNT(l_quantity))
-               * (CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
-                  / COUNT(l_quantity)), 6) AS var_qty
+       round((CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+              / COUNT(l_quantity)) * 1000000.0) / 1000000.0 + 0.0
+         AS mean_qty,
+       round((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+                   AS DOUBLE) / COUNT(l_quantity)
+              - (CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(l_quantity))
+                * (CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(l_quantity))) * 1000000.0) / 1000000.0 + 0.0
+         AS var_qty
 FROM lineitem GROUP BY l_returnflag
 """
 

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load
 from ..operators import similarity as S
+from ._util import sround
 
 QUERY_ID = 0
 TOP_K = 20
@@ -19,11 +20,11 @@ WITH q AS (
   FROM embeddings
 ), scored AS (
   SELECT vec_id,
-         round(
+         round((
            list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * qe[i]))
            / (sqrt(list_sum(list_transform(e, x -> x * x)))
-              * sqrt(list_sum(list_transform(qe, x -> x * x)))),
-         3) + 0.0 AS cos_sim
+              * sqrt(list_sum(list_transform(qe, x -> x * x))))
+           * 1000.0)) / 1000.0 + 0.0 AS cos_sim
   FROM v, q
 )
 """
@@ -76,15 +77,16 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             F.col("pos").cast("long").alias("pos"),
-            (F.round("centroid", 6) + 0.0).alias("centroid"),
+            sround(F.col("centroid"), 6).alias("centroid"),
         )
     )
 
 
 ORACLE_LABEL_CENTROIDS = """
 SELECT label, pos,
-       round(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(28,6)))
-                  AS DOUBLE) / COUNT(val), 6) + 0.0 AS centroid
+       round((CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(28,6)))
+                  AS DOUBLE) / COUNT(val)) * 1000000.0) / 1000000.0 + 0.0
+         AS centroid
 FROM (
   SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
          unnest(embedding) AS val

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ._util import sround
 
 # Stopword sets for the n-gram/stopword language-ID heuristic. Priority
 # order breaks score ties deterministically (en > fr > es > de > zh).
@@ -183,7 +184,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_len.alias("text_len"),
         punct_cnt.alias("punct_cnt"),
         stop_cnt.alias("stop_cnt"),
-        F.round(score, 6).alias("quality_score"),
+        sround(score, 6).alias("quality_score"),
     )
 
 
@@ -201,11 +202,11 @@ WITH base AS (
   FROM documents
 )
 SELECT doc_id, text_len, punct_cnt, stop_cnt,
-       round(
+       round((
          (CASE WHEN text_len BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.5
          + (CAST(stop_cnt AS DOUBLE) / n_toks) * 0.3
-         + (1.0 - CAST(punct_cnt AS DOUBLE) / text_len) * 0.2,
-       6) AS quality_score
+         + (1.0 - CAST(punct_cnt AS DOUBLE) / text_len) * 0.2
+       ) * 1000000.0) / 1000000.0 + 0.0 AS quality_score
 FROM base
 """
 
