@@ -151,11 +151,13 @@ def ivf_assignments(
     cos = _dot(F.col(vec_col), F.col("centroid_vec")) / (
         _norm(F.col(vec_col)) * _norm(F.col("centroid_vec"))
     )
+    # assignment ordering uses the stable-rounded cosine so the argmax is
+    # engine-reproducible (ties then break on centroid_id)
     scored = df.crossJoin(F.broadcast(centroids)).select(
         id_col,
         vec_col,
         "centroid_id",
-        cos.alias("_ccos"),
+        sround(cos, 6).alias("_ccos"),
     )
     pick = Window.partitionBy(id_col).orderBy(
         F.col("_ccos").desc(), "centroid_id"
@@ -193,7 +195,7 @@ def ivf_topk_vs_query(
     )
     probe = (
         centroids.crossJoin(F.broadcast(q))
-        .select("centroid_id", ccos.alias("_qc"))
+        .select("centroid_id", sround(ccos, 6).alias("_qc"))
         .orderBy(F.col("_qc").desc(), "centroid_id")
         .limit(nprobe)
         .select("centroid_id")

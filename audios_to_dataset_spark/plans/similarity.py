@@ -96,14 +96,77 @@ GROUP BY label, pos
 """
 
 
+N_CENTROIDS = 16
+NPROBE = 4
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k — the scale path itself, oracle-checked:
+    deterministic lowest-id centroids, stable-rounded argmax assignment,
+    nprobe=4 of 16 lists probed, exact re-score within candidates."""
+    em = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk_vs_query(
+        em, k=TOP_K, query_id=QUERY_ID,
+        n_centroids=N_CENTROIDS, nprobe=NPROBE,
+    )
+
+
+ORACLE_ANN_IVF = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), nn AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce,
+         nrm AS cnrm
+  FROM nn ORDER BY vec_id LIMIT {N_CENTROIDS}
+), scored AS (
+  SELECT nn.vec_id, cents.cid,
+         round((list_sum(list_transform(range(1, len(nn.e) + 1),
+                                        i -> nn.e[i] * cents.ce[i]))
+                / (nn.nrm * cents.cnrm)) * 1000000.0) / 1000000.0 + 0.0
+           AS c6
+  FROM nn, cents
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY c6 DESC, cid) AS rn
+    FROM scored) t WHERE rn = 1
+), q AS (
+  SELECT e AS qe, nrm AS qnrm FROM nn WHERE vec_id = {QUERY_ID}
+), probe AS (
+  SELECT cid FROM (
+    SELECT cents.cid,
+           round((list_sum(list_transform(range(1, len(cents.ce) + 1),
+                                          i -> cents.ce[i] * qe[i]))
+                  / (cents.cnrm * qnrm)) * 1000000.0) / 1000000.0 AS qc
+    FROM cents, q) t
+  ORDER BY qc DESC, cid LIMIT {NPROBE}
+), cand AS (
+  SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
+)
+SELECT nn.vec_id,
+       round((list_sum(list_transform(range(1, len(nn.e) + 1),
+                                      i -> nn.e[i] * qe[i]))
+              / (nn.nrm * qnrm)) * 1000.0) / 1000.0 + 0.0 AS cos_sim
+FROM nn JOIN cand USING (vec_id), q
+ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "q_cosine_scores": q_cosine_scores,
     "q_ann_topk": q_ann_topk,
+    "q_ann_ivf": q_ann_ivf,
     "q_label_centroids": q_label_centroids,
 }
 
 ORACLES = {
     "q_cosine_scores": ORACLE_COSINE_SCORES,
     "q_ann_topk": ORACLE_ANN_TOPK,
+    "q_ann_ivf": ORACLE_ANN_IVF,
     "q_label_centroids": ORACLE_LABEL_CENTROIDS,
 }
