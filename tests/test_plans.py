@@ -61,6 +61,22 @@ def test_topk_avoids_global_sort(spark, sf_dir):
     assert "Sort " not in e
 
 
+def test_range_and_asof_avoid_nested_loop(spark, sf_dir):
+    from audios_to_dataset_spark.plans.analytics import (
+        q_asof_join,
+        q_range_join,
+    )
+
+    e = _explain(q_range_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in e
+    assert "CartesianProduct" not in e
+    e2 = _explain(q_asof_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in e2
+    assert "CartesianProduct" not in e2
+    # the asof union trick is one window pass, not a join at all
+    assert "Window" in e2
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     # AQE hides codegen stars until execution — run, then inspect the
     # final executed plan
