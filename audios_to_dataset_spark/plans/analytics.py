@@ -306,7 +306,96 @@ GROUP BY s.event_id
 """
 
 
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped: shipping volume between supplier and customer
+    nations for 1997 — two broadcast dimension joins hanging off the
+    lineitem⋈orders fact join."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(28,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.sn_key)
+        .join(F.broadcast(n2), c.c_nationkey == n2.cn_key)
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.sum(volume).cast("double").alias("volume"),
+             F.count("*").alias("n_items"))
+    )
+
+
+ORACLE_NATION_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+            AS DOUBLE) AS volume,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped: share of revenue from 'PROMO%' parts in one
+    month (conditional aggregation over a fact⋈dim join)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-06-01")
+        & (F.col("l_shipdate") < "1997-07-01")
+    )
+    p = load(spark, sf_dir, "part")
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(28,6)")
+    promo_rev = F.when(
+        F.col("p_type").startswith("PROMO"), rev
+    ).otherwise(F.lit(0).cast("decimal(28,6)"))
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        (
+            F.sum(promo_rev).cast("double") * 100.0
+            / F.sum(rev).cast("double")
+        ).alias("promo_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
+ORACLE_PROMO_REVENUE = """
+SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(28,6))
+                     ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) * 100.0
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS promo_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+  AND l_shipdate < TIMESTAMP '1997-07-01'
+"""
+
+
 QUERIES = {
+    "q_nation_volume": q_nation_volume,
+    "q_promo_revenue": q_promo_revenue,
     "q_range_join": q_range_join,
     "q_asof_join": q_asof_join,
     "q_top_orders": q_top_orders,
@@ -317,6 +406,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_nation_volume": ORACLE_NATION_VOLUME,
+    "q_promo_revenue": ORACLE_PROMO_REVENUE,
     "q_range_join": ORACLE_RANGE_JOIN,
     "q_asof_join": ORACLE_ASOF_JOIN,
     "q_top_orders": ORACLE_TOP_ORDERS,

@@ -174,7 +174,41 @@ WHERE round((list_sum(list_transform(range(1, len(a.e) + 1),
 """
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: pairs with Hamming distance ≤ 3 on
+    the 16-bit fingerprint. Brute-force pair scan here (500 docs); the
+    scale path buckets by fingerprint bytes so only same-bucket pairs
+    compare (each ≤3-bit-distant pair shares at least one byte half)."""
+    from pyspark.sql import functions as F
+
+    fp = D.simhash16(load(spark, sf_dir, "documents"))
+    a = fp.select(F.col("id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = fp.select(F.col("id").alias("doc_b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _oracle_simhash_pairs() -> str:
+    inner = _oracle_simhash().strip()
+    return f"""
+WITH fp AS (
+{inner}
+)
+SELECT a.id AS doc_a, b.id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 QUERIES = {
+    "q_simhash_pairs": q_simhash_pairs,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -183,6 +217,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_simhash_pairs": _oracle_simhash_pairs(),
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
     "q_dedup_ngram": ORACLE_DEDUP_NGRAM,
     "q_dedup_minhash_lsh": _oracle_minhash(),

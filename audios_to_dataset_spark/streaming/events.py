@@ -90,9 +90,23 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked sliding windows (1 h / 30 min): each event feeds two
+    overlapping windows; append mode emits closed windows only."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "n_events")
+    )
+    return _run_available_now(agg, "sliding")
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_dedup": q_stream_dedup,
+    "q_stream_sliding": q_stream_sliding,
 }
 
 # q_stream_dedup stays rows-only (the surviving event per key is
@@ -106,6 +120,22 @@ SELECT date_trunc('hour', ts) AS win_start, event_type,
        COUNT(*) AS n_events
 FROM events GROUP BY 1, 2
 HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+       <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+""",
+    "q_stream_sliding": """
+WITH cand AS (
+  SELECT ts,
+         unnest([
+           time_bucket(INTERVAL 30 MINUTE, ts),
+           time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
+         ]) AS win_start
+  FROM events
+)
+SELECT win_start, COUNT(*) AS n_events
+FROM cand
+WHERE ts >= win_start AND ts < win_start + INTERVAL 1 HOUR
+GROUP BY win_start
+HAVING win_start + INTERVAL 1 HOUR
        <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
 """,
 }
