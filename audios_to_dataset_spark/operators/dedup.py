@@ -162,17 +162,25 @@ def minhash_signatures(
     """
     # min() is duplicate-insensitive → skip the shingle-dedup shuffle.
     sh = shingles(df, id_col, text_col, n, distinct=False)
-    digests = {
-        s: F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))
-        for s in range((num_hashes + 3) // 4)
-    }
+    n_digests = (num_hashes + 3) // 4
+    # Materialize each digest as a column before aggregating: the md5 is
+    # evaluated exactly once per shingle row (not once per agg
+    # expression), and the 16 min-aggs become tiny substring expressions
+    # — far less generated code to compile.
+    with_digests = sh.select(
+        "id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))).alias(f"_d{s}")
+            for s in range(n_digests)
+        ],
+    )
     aggs = [
         F.min(
-            F.substring(digests[i // 4], (i % 4) * 8 + 1, 8)
+            F.substring(F.col(f"_d{i // 4}"), (i % 4) * 8 + 1, 8)
         ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return with_digests.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
