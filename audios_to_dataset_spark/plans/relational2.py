@@ -421,7 +421,76 @@ FROM documents GROUP BY 1
 """
 
 
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex group extraction (the extension-match shape,
+    src/main.rs:266-277): numeric id out of the source tag."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", "src([0-9]+)", 1)
+        .cast("long")
+        .alias("src_num"),
+        F.regexp_extract("text", "^([a-z]+)", 1).alias("first_word"),
+    )
+
+
+ORACLE_REGEX_EXTRACT = """
+SELECT doc_id,
+       CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) AS src_num,
+       regexp_extract(text, '^([a-z]+)', 1) AS first_word
+FROM documents
+"""
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicating UNION of two key sets (vs the UNION ALL in
+    q_schema_union)."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k")
+    )
+    return c.union(s).distinct()
+
+
+ORACLE_UNION_DISTINCT = """
+SELECT c_nationkey AS k FROM customer
+UNION
+SELECT s_nationkey AS k FROM supplier
+"""
+
+
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over an unbounded frame with a
+    deterministic (ts, event_id) order."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.first_value("event_type").over(w).alias("first_type"),
+        F.last_value("event_type").over(w).alias("last_type"),
+    ).distinct()
+
+
+ORACLE_FIRST_LAST = """
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER w AS last_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 QUERIES = {
+    "q_regex_extract": q_regex_extract,
+    "q_union_distinct": q_union_distinct,
+    "q_first_last": q_first_last,
     "q_percentile": q_percentile,
     "q_hash_split": q_hash_split,
     "q_explode_pos": q_explode_pos,
@@ -443,6 +512,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_regex_extract": ORACLE_REGEX_EXTRACT,
+    "q_union_distinct": ORACLE_UNION_DISTINCT,
+    "q_first_last": ORACLE_FIRST_LAST,
     "q_percentile": ORACLE_PERCENTILE,
     "q_hash_split": ORACLE_HASH_SPLIT,
     "q_explode_pos": ORACLE_EXPLODE_POS,
