@@ -219,6 +219,58 @@ def lsh_candidate_pairs(
     )
 
 
+def simhash_neardup_pairs(
+    fp: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "id",
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """Bucketed SimHash pair search: pairs with Hamming distance ≤
+    ``max_hamming`` on a 16-bit fingerprint, without an all-pairs scan.
+
+    Pigeonhole: split the 16 bits into 4 nibbles; ≤3 differing bits can
+    touch at most 3 nibbles, so every qualifying pair shares at least one
+    nibble *exactly* — recall is 1 by construction, not probabilistic.
+    Candidates come from an equi-join on (nibble_position, nibble_value)
+    — a plain shuffle join, no CartesianProduct — then the exact
+    bit_count filter keeps true pairs only.
+
+    At 100 TB: the fingerprint table is 2 longs/row; the 4× band fan-out
+    and the (band, nib) shuffle are linear, and candidate dedup moves
+    only (id_a, id_b, ha, hb) integer tuples.
+    """
+    if max_hamming > 3:
+        raise ValueError("nibble pigeonhole supports max_hamming <= 3")
+    slim = fp.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+    bands = []
+    for p in range(4):
+        nib = F.shiftright(F.col("h"), p * 4).bitwiseAND(F.lit(15))
+        bands.append(
+            slim.select(
+                "id", "h", F.lit(p).alias("band"), nib.alias("nib")
+            )
+        )
+    exploded = bands[0]
+    for extra in bands[1:]:
+        exploded = exploded.unionByName(extra)
+    a = exploded.select(
+        F.col("id").alias("doc_a"), F.col("h").alias("ha"), "band", "nib"
+    )
+    b = exploded.select(
+        F.col("id").alias("doc_b"), F.col("h").alias("hb"), "band", "nib"
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, ["band", "nib"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 HEX_DIGITS = "0123456789abcdef"
 
 

@@ -135,18 +135,22 @@ def ivf_assignments(
 
     Centroids are the ``n_centroids`` lowest-id vectors — deterministic,
     no RNG, good enough as a coarse partitioner (swap in KMeans with a
-    fixed seed when Spark ML is warranted). Each vector is assigned to
-    its max-cosine centroid via a broadcast cross join + argmax — the
-    big side streams once, no shuffle.
+    fixed seed when Spark ML is warranted). The pick is ``orderBy(id).
+    limit(n)`` — Spark plans TakeOrderedAndProject (per-partition top-k,
+    never a global single-partition sort) — and the centroid's own id
+    doubles as ``centroid_id`` (id order = rank order, so every
+    tie-break downstream sorts identically), so no window function
+    touches the vector table at all. Each vector is assigned to its
+    max-cosine centroid via a broadcast cross join + argmax — the big
+    side streams once, no shuffle.
     """
-    w = Window.orderBy(id_col)
     centroids = (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_centroids)
-        .select(
-            (F.col("_rn") - 1).alias("centroid_id"),
+        df.select(
+            F.col(id_col).alias("centroid_id"),
             F.col(vec_col).alias("centroid_vec"),
         )
+        .orderBy("centroid_id")
+        .limit(n_centroids)
     )
     cos = _dot(F.col(vec_col), F.col("centroid_vec")) / (
         _norm(F.col(vec_col)) * _norm(F.col("centroid_vec"))
@@ -229,28 +233,33 @@ def lsh_bucketed_neardup_pairs(
 
     The self-join shuffles on (table, bucket) keys — uniform by
     construction; at 1000 executors each bucket's pairs generate locally
-    post-shuffle. Tune: more planes/table → smaller buckets (cheaper,
-    lower recall); more tables → higher recall (linearly more hashing)."""
+    post-shuffle. Candidate dedup moves only (id_a, id_b) pairs — the
+    heavy vector payloads are joined back *after* the distinct, so the
+    dedup shuffle is ids, not vectors. Tune: more planes/table → smaller
+    buckets (cheaper, lower recall); more tables → higher recall
+    (linearly more hashing)."""
     bucketed = None
     for t, planes in enumerate(tables):
         part = hyperplane_buckets(df, planes, id_col, vec_col).select(
-            "id", "vec", F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("bucket")
+            "id", F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("bucket")
         )
         bucketed = part if bucketed is None else bucketed.unionByName(part)
-    a = bucketed.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("va"), "bucket"
+    a = bucketed.select(F.col("id").alias("id_a"), "bucket")
+    b = bucketed.select(F.col("id").alias("id_b"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    b = bucketed.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vb"), "bucket"
-    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cos = _dot(F.col("va"), F.col("vb")) / (
         _norm(F.col("va")) * _norm(F.col("vb"))
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
-        .distinct()
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos_sim", sround(cos, decimals))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")

@@ -31,8 +31,12 @@ def _modules():
         textops,
     )
 
-    return (relational, relational2, analytics, events, textops, dedup,
-            similarity, paths, multimodal, streaming_events)
+    # Order matters: the driver's correctness gate samples queries in
+    # iteration order, so the LLM-pipeline family (dedup/similarity/text/
+    # multimodal/streaming) and the analytics joins come first; the broad
+    # relational surface fills in after.
+    return (dedup, similarity, textops, multimodal, streaming_events,
+            analytics, events, paths, relational, relational2)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -17,6 +17,11 @@ NGRAM_N = 3
 NGRAM_THRESHOLD = 0.2
 NUM_HASHES = 16
 BAND_SIZE = 4
+# Stop-shingle cap: shingles appearing in more docs than this carry no
+# dedup signal but dominate the inverted-index join (quadratic in the
+# hottest shingle). Exercised by the declared query and mirrored in the
+# oracle CTE. At sf0.01 the max doc-frequency is 7, so 5 prunes real rows.
+MAX_SHINGLE_FREQ = 5
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,21 +38,34 @@ FROM documents GROUP BY sha256(text)
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard near-dup pairs above 0.2."""
+    """Word-3-gram Jaccard near-dup pairs above 0.2, with the
+    stop-shingle frequency cap engaged (the scale guard against
+    quadratic blowup on hot shingles)."""
     d = load(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(d, threshold=NGRAM_THRESHOLD, n=NGRAM_N)
+    return D.ngram_jaccard_pairs(
+        d,
+        threshold=NGRAM_THRESHOLD,
+        n=NGRAM_N,
+        max_shingle_freq=MAX_SHINGLE_FREQ,
+    )
 
 
 ORACLE_DEDUP_NGRAM = f"""
 WITH toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id, s FROM (
     SELECT doc_id,
            unnest(list_transform(
              range(1, greatest(len(t) - {NGRAM_N - 1}, 0) + 1),
              i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
     FROM toks) u
+), sh AS (
+  -- stop-shingle cap, mirrored from ngram_jaccard_pairs(max_shingle_freq)
+  SELECT sh0.doc_id, sh0.s
+  FROM sh0 JOIN (
+    SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE_FREQ}
+  ) keep ON sh0.s = keep.s
 ), cnt AS (
   SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
 ), pairs AS (
@@ -145,16 +163,107 @@ SELECT doc_id AS id, CAST({fp} AS BIGINT) AS simhash FROM votes
 """
 
 
+# --- Embedding near-dup -------------------------------------------------
+#
+# Declared path = the LSH-bucketed scale operator (hyperplane sign
+# buckets, candidates from bucket equi-joins, exact re-score). The planes
+# are fixed and seeded, so candidate generation is deterministic and the
+# DuckDB oracle reproduces the identical bucketing — a full differential
+# test of the approximate algorithm, not just of the scorer.
+EMB_DIM = 64
+EMB_THRESHOLD = 0.35  # sf0.01 max pairwise cosine is 0.513 — non-vacuous
+LSH_TABLES = 4
+LSH_PLANES = 4
+
+
+def _make_planes(
+    n_tables: int = LSH_TABLES,
+    n_planes: int = LSH_PLANES,
+    dim: int = EMB_DIM,
+    seed: int = 7,
+) -> list[list[list[float]]]:
+    """Seeded Gaussian hyperplanes, rounded to 6 dp so the decimal text
+    parses to the identical double in Spark and DuckDB."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [[round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)]
+         for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+
+PLANES = _make_planes()
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute-force exact baseline; the
-    LSH-bucketed scale path is operators.similarity.lsh_bucketed_neardup_pairs)."""
+    """Embedding-cosine near-dup pairs via the LSH-bucketed scale path:
+    candidates only from hyperplane-sign buckets (equi-join shuffle, no
+    cross join), exact rounded re-score, threshold on the rounded value."""
     from ..operators import similarity as S
 
     em = load(spark, sf_dir, "embeddings")
-    return S.cosine_neardup_pairs(em, threshold=0.95)
+    return S.lsh_bucketed_neardup_pairs(
+        em, PLANES, threshold=EMB_THRESHOLD
+    )
 
 
-ORACLE_DEDUP_EMBEDDING = """
+def _plane_sql(plane: list[float]) -> str:
+    return "CAST([" + ", ".join(repr(v) for v in plane) + "] AS DOUBLE[])"
+
+
+def _oracle_dedup_embedding() -> str:
+    bucket_rows = []
+    for t, planes in enumerate(PLANES):
+        bits = " || ".join(
+            "(CASE WHEN list_sum(list_transform(range(1, len(e) + 1), "
+            f"i -> e[i] * ({_plane_sql(p)})[i])) >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        bucket_rows.append(
+            f"  SELECT vec_id, '{t}:' || {bits} AS bucket FROM v"
+        )
+    buckets = "\n  UNION ALL\n".join(bucket_rows)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), buckets AS (
+{buckets}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), n AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+)
+SELECT cand.id_a, cand.id_b,
+       round((list_sum(list_transform(range(1, len(a.e) + 1),
+                                      i -> a.e[i] * b.e[i]))
+              / (a.nrm * b.nrm)) * 10000.0) / 10000.0 + 0.0 AS cos_sim
+FROM cand
+JOIN n a ON a.vec_id = cand.id_a
+JOIN n b ON b.vec_id = cand.id_b
+WHERE round((list_sum(list_transform(range(1, len(a.e) + 1),
+                                     i -> a.e[i] * b.e[i]))
+             / (a.nrm * b.nrm)) * 10000.0) / 10000.0 >= {EMB_THRESHOLD}
+"""
+
+
+def q_dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, brute-force exact baseline (the
+    recall yardstick for the LSH path; O(N²) — never the scale path)."""
+    from ..operators import similarity as S
+
+    em = load(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_pairs(em, threshold=EMB_THRESHOLD)
+
+
+ORACLE_DEDUP_EMBEDDING_EXACT = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
@@ -170,28 +279,17 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE round((list_sum(list_transform(range(1, len(a.e) + 1),
                                      i -> a.e[i] * b.e[i]))
-             / (a.nrm * b.nrm)) * 10000.0) / 10000.0 >= 0.95
+             / (a.nrm * b.nrm)) * 10000.0) / 10000.0 >= {EMB_THRESHOLD}
 """
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: pairs with Hamming distance ≤ 3 on
-    the 16-bit fingerprint. Brute-force pair scan here (500 docs); the
-    scale path buckets by fingerprint bytes so only same-bucket pairs
-    compare (each ≤3-bit-distant pair shares at least one byte half)."""
-    from pyspark.sql import functions as F
-
+    """SimHash near-dup pairs (Hamming ≤ 3) via the nibble-pigeonhole
+    bucketed join — no CartesianProduct anywhere in the plan. The oracle
+    stays the all-pairs formulation: the pigeonhole guarantees recall 1,
+    so agreeing with the exhaustive scan *proves* the bucketing correct."""
     fp = D.simhash16(load(spark, sf_dir, "documents"))
-    a = fp.select(F.col("id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = fp.select(F.col("id").alias("doc_b"), F.col("simhash").alias("hb"))
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", ham.cast("long"))
-        .filter(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return D.simhash_neardup_pairs(fp, max_hamming=3)
 
 
 def _oracle_simhash_pairs() -> str:
@@ -214,6 +312,7 @@ QUERIES = {
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embedding": q_dedup_embedding,
+    "q_dedup_embedding_exact": q_dedup_embedding_exact,
 }
 
 ORACLES = {
@@ -222,5 +321,6 @@ ORACLES = {
     "q_dedup_ngram": ORACLE_DEDUP_NGRAM,
     "q_dedup_minhash_lsh": _oracle_minhash(),
     "q_dedup_simhash": _oracle_simhash(),
-    "q_dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    "q_dedup_embedding": _oracle_dedup_embedding(),
+    "q_dedup_embedding_exact": ORACLE_DEDUP_EMBEDDING_EXACT,
 }

@@ -119,8 +119,7 @@ WITH v AS (
   SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
   FROM v
 ), cents AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce,
-         nrm AS cnrm
+  SELECT vec_id AS cid, e AS ce, nrm AS cnrm
   FROM nn ORDER BY vec_id LIMIT {N_CENTROIDS}
 ), scored AS (
   SELECT nn.vec_id, cents.cid,

@@ -77,6 +77,41 @@ def test_range_and_asof_avoid_nested_loop(spark, sf_dir):
     assert "Window" in e2
 
 
+def test_ivf_no_global_window_no_cartesian(spark, sf_dir):
+    """The IVF centroid pick must be TakeOrderedAndProject, never a
+    single-partition Window over the whole vector table (VERDICT r1 #3);
+    the only Window left is the per-vector argmax, partitioned by id."""
+    from audios_to_dataset_spark.plans.similarity import q_ann_ivf
+
+    e = _explain(q_ann_ivf(spark, sf_dir))
+    assert "TakeOrderedAndProject" in e
+    for line in e.splitlines():
+        if "Window [" in line:
+            # partition spec is the 3rd bracket group: empty ⇒ global
+            assert "[vec_id" in line.split("],")[-2], line
+
+
+def test_simhash_pairs_no_cartesian(spark, sf_dir):
+    """Nibble-pigeonhole SimHash pair search is a bucketed equi-join —
+    no CartesianProduct / BroadcastNestedLoopJoin (VERDICT r1 #4)."""
+    from audios_to_dataset_spark.plans.dedup import q_simhash_pairs
+
+    e = _explain(q_simhash_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in e
+    assert "BroadcastNestedLoopJoin" not in e
+
+
+def test_dedup_embedding_lsh_no_cartesian(spark, sf_dir):
+    """Declared embedding near-dup path is LSH-bucketed: candidate join
+    and vector re-join are equi-joins, never a cross product
+    (VERDICT r1 #2)."""
+    from audios_to_dataset_spark.plans.dedup import q_dedup_embedding
+
+    e = _explain(q_dedup_embedding(spark, sf_dir))
+    assert "CartesianProduct" not in e
+    assert "BroadcastNestedLoopJoin" not in e
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     # AQE hides codegen stars until execution — run, then inspect the
     # final executed plan
