@@ -175,9 +175,13 @@ def resize_images(
         for pdf in batches:
             out = []
             for b in pdf[content_col]:
-                img = Image.open(io.BytesIO(b)).resize((width, height))
+                img = Image.open(io.BytesIO(b))
+                # capture before resize(): the resized copy has
+                # .format=None, which would silently re-encode
+                # everything as PNG
+                fmt = img.format or "PNG"
                 buf = io.BytesIO()
-                img.save(buf, format=img.format or "PNG")
+                img.resize((width, height)).save(buf, format=fmt)
                 out.append(buf.getvalue())
             pdf = pdf.copy()
             pdf[content_col] = out

@@ -37,6 +37,14 @@ def range_join(
         raise ValueError("upper_us must exceed lower_us")
     width = upper_us - lower_us
 
+    # Tag every left row with a unique id BEFORE exploding so left-outer
+    # semantics can rejoin on the tag alone: rejoining on the left's
+    # value columns would multiply duplicate left rows (2 dups × m
+    # matches → 4m rows) and silently drop matches whose key columns
+    # contain NULL (null-unsafe equality).
+    if how == "left":
+        left = left.withColumn("_row_tag", F.monotonically_increasing_id())
+
     lt = F.unix_micros(F.col(left_time))
     rt = F.unix_micros(F.col(right_time))
 
@@ -65,7 +73,15 @@ def range_join(
     if how == "inner":
         return matched
     if how == "left":
-        return left.join(
-            matched, on=left.columns, how="left"
+        # Unmatched lefts via anti-join on the tag, padded with NULL
+        # right columns, then unioned back — no equality on value
+        # columns anywhere.
+        unmatched = left.join(
+            matched.select("_row_tag"), on="_row_tag", how="left_anti"
         )
+        for c, t in zip(right.columns, [f.dataType for f in right.schema]):
+            unmatched = unmatched.withColumn(
+                f"r_{c}", F.lit(None).cast(t)
+            )
+        return matched.unionByName(unmatched).drop("_row_tag")
     raise ValueError(f"unsupported how={how!r}")

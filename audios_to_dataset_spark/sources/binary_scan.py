@@ -24,11 +24,42 @@ materialization (SURVEY.md §4.1 caveat).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_MAX_DEPTH = 50  # src/main.rs:71-73
+
+# Above this many symlink entries the exclusion switches from in-plan
+# literal predicates to a broadcast anti-join (keeps the plan small).
+_SYMLINK_LITERAL_CAP = 100
+
+
+def _symlink_entries(input_dir: str) -> tuple[list[str], list[str]]:
+    """Driver-side walk collecting symlinked files and directories.
+
+    Symlink-ness is a local-filesystem property that Hadoop's
+    LocalFileSystem resolves away before Spark ever sees the listing, so
+    the only place it can be observed is a driver-side ``os.walk`` (no
+    ``followlinks``, mirroring the reference's iterator-level NoSymlink
+    filter, /root/reference/src/main.rs:661-667). Object stores have no
+    symlinks, so at 100 TB this walk only ever runs for local inputs and
+    costs one directory traversal with no file I/O.
+    """
+    root = os.path.abspath(input_dir)
+    files: list[str] = []
+    dirs: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        for d in dirnames:
+            p = os.path.join(dirpath, d)
+            if os.path.islink(p):
+                dirs.append(p)
+        for f in filenames:
+            p = os.path.join(dirpath, f)
+            if os.path.islink(p):
+                files.append(p)
+    return files, dirs
 
 
 def normalize_path(col: Column) -> Column:
@@ -65,6 +96,7 @@ def scan_audio_files(
     metadata_file: str | None = None,
     check_mime_type: bool = False,
     path_glob: str | None = None,
+    no_symlink: bool = True,
 ) -> DataFrame:
     """S1-S5: recursive binaryFile scan with the reference's filters.
 
@@ -78,6 +110,31 @@ def scan_audio_files(
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     df = reader.load(input_dir)
+
+    # Symlink exclusion (S1, src/main.rs:661-667): Hadoop's local FS
+    # follows symlinks, so binaryFile would double-count link targets;
+    # drop rows whose path is a symlinked file or sits under a symlinked
+    # directory. binaryFile paths are not percent-encoded (verified for
+    # space/unicode/% names), so plain string compare works.
+    if no_symlink and not input_dir.startswith(("s3", "hdfs", "gs")):
+        link_files, link_dirs = _symlink_entries(input_dir)
+        no_scheme = F.regexp_replace(F.col("path"), r"^file:/*", "/")
+        if len(link_files) + len(link_dirs) > _SYMLINK_LITERAL_CAP:
+            banned = [(p,) for p in link_files]
+            df = df.join(
+                F.broadcast(
+                    spark.createDataFrame(banned, "banned_path string")
+                ),
+                no_scheme == F.col("banned_path"),
+                "left_anti",
+            )
+            for d in link_dirs:
+                df = df.filter(~no_scheme.startswith(d + "/"))
+        else:
+            for p in link_files:
+                df = df.filter(no_scheme != F.lit(p))
+            for d in link_dirs:
+                df = df.filter(~no_scheme.startswith(d + "/"))
 
     rel = relative_path(F.col("path"), input_dir)
     df = df.select(
@@ -98,14 +155,20 @@ def scan_audio_files(
     if metadata_file is not None:
         meta_abs = os.path.abspath(metadata_file)
         meta_rel = os.path.relpath(meta_abs, os.path.abspath(input_dir))
-        meta_rel_norm = meta_rel.replace("\\", "/").lstrip("./")
         df = df.filter(
-            (F.col("relative_path") != F.lit(meta_rel_norm))
-            & (
-                F.regexp_replace(F.col("path"), r"^file:/*", "/")
-                != F.lit(meta_abs)
-            )
+            F.regexp_replace(F.col("path"), r"^file:/*", "/")
+            != F.lit(meta_abs)
         )
+        # The relative-path exclusion only applies when the metadata file
+        # actually lives under the input dir: a '../'-prefixed relpath
+        # must NOT be prefix-stripped into a name that shadows an
+        # unrelated input file (r1 ADVICE: lstrip('./') strips a char
+        # set, not a prefix).
+        if not meta_rel.startswith(".."):
+            meta_rel_norm = re.sub(r"^(\./)+", "", meta_rel.replace("\\", "/"))
+            df = df.filter(
+                F.col("relative_path") != F.lit(meta_rel_norm)
+            )
 
     if check_mime_type:
         from ..functions.mime import is_audio_content

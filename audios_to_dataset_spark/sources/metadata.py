@@ -37,14 +37,19 @@ def metadata_format_from_path(path: str) -> str:
 
 
 def _with_line_number(df: DataFrame) -> DataFrame:
-    """Attach the source line number for first-wins semantics.
+    """Attach a file-order key for first-wins semantics — scalably.
 
-    The metadata side table is the *small* side of the pipeline (the
-    reference holds it fully in RAM, src/main.rs:622-633), so a
-    single-partition pass is acceptable at any realistic metadata size;
-    it guarantees ``monotonically_increasing_id`` equals file order.
+    ``monotonically_increasing_id`` encodes (partition_index << 33) +
+    row-offset-in-partition. For a file-source read, rows within a split
+    are in file order, and the splits of one file are laid out in byte
+    offset order, so the id ordering reproduces file order without
+    collapsing the read to one partition (the old ``coalesce(1)``
+    serialized the whole metadata load — fatal for the big-metadata
+    ``broadcast=False`` join mode). Ties across same-length splits rely
+    on Spark's stable split packing; a metadata file small enough to be
+    one split (<128 MB default) gets exact file order either way.
     """
-    return df.coalesce(1).withColumn("_line", F.monotonically_increasing_id())
+    return df.withColumn("_line", F.monotonically_increasing_id())
 
 
 def _normalize_relpath(col):

@@ -39,3 +39,45 @@ def test_shuffle_mode_matches_broadcast(spark, tmp_path):
     assert by_rel["sub/b.wav"][3] == "nb"
     assert by_rel["nested/c.wav"][3] == "nc"
     assert by_rel["miss.wav"][3] == "-"
+
+
+def test_shuffle_mode_has_no_single_partition_upstream(spark, tmp_path):
+    """broadcast=False exists for metadata too big to broadcast; its
+    usefulness dies if the metadata read is first collapsed to one
+    partition (the r1 coalesce(1) line numbering). Pin: shuffle joins in
+    the plan, no Coalesce(1) on the metadata side."""
+    import contextlib
+    import io
+    import json as _json
+
+    p = tmp_path / "m.jsonl"
+    p.write_text(
+        "\n".join(
+            _json.dumps({"file_name": f"f{i}.wav", "transcription": f"t{i}"})
+            for i in range(50)
+        )
+        + "\n"
+    )
+    meta = load_jsonl_metadata(spark, str(p))
+    files = spark.createDataFrame(
+        [(f"f{i}.wav", f"f{i}.wav") for i in range(50)],
+        "relative_path string, file_name string",
+    )
+    # simulate metadata too big to broadcast: kill auto-broadcast so the
+    # planner must pick a shuffle join
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lookup_join(
+            files, meta, rel_col="relative_path", name_col="file_name",
+            broadcast=False,
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Coalesce" not in plan
+    # non-broadcast mode really shuffle-joins (SMJ or shuffled hash)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)

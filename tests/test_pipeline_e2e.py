@@ -210,6 +210,64 @@ def test_metadata_file_excluded_from_scan(spark, tmp_path, audio_dir):
     assert paths == {"sample.wav", "nested/with_path.wav"}
 
 
+def test_symlinks_excluded_from_scan(spark, tmp_path, audio_dir):
+    # S1 (src/main.rs:661-667): symlinked files and files reached through
+    # symlinked directories are skipped, like the reference's NoSymlink
+    # iterator filter. Without the exclusion, binaryFile ingests both.
+    outside = tmp_path / "outside"
+    outside.mkdir()
+    (outside / "target.wav").write_bytes(synth_wav(sample_rate=8_000))
+    os.symlink(str(outside / "target.wav"),
+               os.path.join(audio_dir, "link.wav"))
+    os.symlink(str(outside), os.path.join(audio_dir, "linkdir"))
+    out = str(tmp_path / "out")
+    run_pipeline(spark, audio_dir, out)
+    paths = {r["audio"]["path"] for r in _read_shard(out).to_pylist()}
+    assert paths == {"sample.wav", "nested/with_path.wav"}
+
+
+def test_metadata_outside_input_dir_no_shadow_exclusion(
+    spark, tmp_path, audio_dir
+):
+    # r1 ADVICE: '../m.csv' must not normalize to 'm.csv' and silently
+    # exclude an unrelated input file of that relative name.
+    shadow = os.path.join(audio_dir, "m.csv")
+    with open(shadow, "w") as f:
+        f.write("file_name,transcription\nwhatever.wav,x\n")  # a data file!
+    meta = tmp_path / "m.csv"  # OUTSIDE the input dir, same basename
+    meta.write_text("file_name,transcription\nsample.wav,outer meta\n")
+    out = str(tmp_path / "out")
+    run_pipeline(spark, audio_dir, out, metadata_file=str(meta))
+    rows = {r["audio"]["path"]: r for r in _read_shard(out).to_pylist()}
+    # the in-dir m.csv is DATA (kept, duration 0.0); the outer metadata
+    # still joined
+    assert "m.csv" in rows
+    assert rows["sample.wav"]["transcription"] == "outer meta"
+
+
+def test_filename_edge_cases(spark, tmp_path):
+    # src/main.rs:771-780 neighborhood: names with spaces, unicode and
+    # literal '%NN' sequences survive the scan unmangled (binaryFile does
+    # not percent-encode) and join metadata by file_name.
+    d = tmp_path / "audio"
+    d.mkdir()
+    weird = ["with space.wav", "uni_é_ü.wav", "pct%20enc.wav"]
+    for name in weird:
+        (d / name).write_bytes(synth_wav(sample_rate=16_000))
+    meta = tmp_path / "m.csv"
+    meta.write_text(
+        "file_name,transcription\n"
+        + "".join(f"{n},meta for {n}\n" for n in weird)
+    )
+    out = str(tmp_path / "out")
+    run_pipeline(spark, str(d), out, metadata_file=str(meta))
+    rows = {r["audio"]["path"]: r for r in _read_shard(out).to_pylist()}
+    assert set(rows) == set(weird)
+    for n in weird:
+        assert rows[n]["transcription"] == f"meta for {n}"
+        assert rows[n]["duration"] == 1.0
+
+
 def test_mime_filter(spark, tmp_path, audio_dir):
     # S4: a non-audio file is dropped only when check_mime_type is on
     with open(os.path.join(audio_dir, "notes.txt"), "w") as f:

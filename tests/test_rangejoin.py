@@ -39,6 +39,44 @@ def test_range_join_matches_bruteforce(spark):
     assert len(expected) > 100  # non-trivial
 
 
+def test_range_join_left_duplicates_and_nulls(spark):
+    """Left-outer mode must keep duplicate left rows 1:1 with their
+    matches and must not drop matches for rows containing NULLs (the
+    r1 ADVICE bug: rejoining on all left columns multiplied duplicates
+    and lost NULL-keyed rows to null-unsafe equality)."""
+    base = dt.datetime(2024, 1, 1)
+    # two IDENTICAL left rows (dup), one left row with a NULL extra col,
+    # one unmatched left row
+    left = spark.createDataFrame(
+        [
+            (1, "x", base),
+            (1, "x", base),                      # exact duplicate
+            (2, None, base),                     # NULL in a value column
+            (3, "z", base + dt.timedelta(days=30)),  # no match
+        ],
+        "lk int, note string, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=1)),
+            (2, base + dt.timedelta(minutes=2)),
+        ],
+        "rk int, rt timestamp",
+    )
+    out = range_join(
+        left, right, "lk", "rk", "lt", "rt",
+        lower_us=0, upper_us=600_000_000, how="left",
+    ).collect()
+    # 2 dup rows × 1 match each + 1 NULL-note row match + 1 unmatched
+    assert len(out) == 4
+    matched = [r for r in out if r.r_rk is not None]
+    assert len(matched) == 3
+    # the NULL-note row kept its match
+    assert any(r.lk == 2 and r.note is None and r.r_rk == 2 for r in out)
+    # the unmatched row survives null-padded
+    assert any(r.lk == 3 and r.r_rk is None for r in out)
+
+
 def test_range_join_rejects_bad_bounds(spark):
     df = spark.createDataFrame([(1, 1, dt.datetime(2024, 1, 1))],
                                "id long, k int, t timestamp")
