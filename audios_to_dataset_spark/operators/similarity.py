@@ -216,6 +216,86 @@ def ivf_topk_vs_query(
     )
 
 
+def kmeans_assignments(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic seeded KMeans on cosine similarity → (id, cid).
+
+    Init: the ``k`` lowest-id vectors (TakeOrderedAndProject, no RNG).
+    Each iteration: (1) assign every vector to its max-rounded-cosine
+    centroid (broadcast the k centroids, argmax per vector — the big
+    side streams, one narrow window per id); (2) recompute centroids as
+    the per-dimension *decimal* mean of their members (posexplode →
+    groupBy(cid, pos) — one uniform shuffle on (k × dim) keys — then
+    reassembled in pos order). Returns the assignment against the final
+    centroids.
+
+    Every arithmetic step (decimal sums, stable rounding, cid
+    tie-breaks) is engine-reproducible, so the DuckDB oracle replays the
+    identical iteration — this differentially tests a distributed
+    iterative algorithm end to end. At 100 TB: per-iteration cost is one
+    broadcast + one (cid, pos) shuffle; centroids (k×dim doubles) stay
+    driver-small.
+    """
+    from ..plans._util import DEC
+
+    def assign(cents: DataFrame) -> DataFrame:
+        cos = _dot(F.col(vec_col), F.col("cvec")) / (
+            _norm(F.col(vec_col)) * _norm(F.col("cvec"))
+        )
+        scored = df.select(id_col, vec_col).crossJoin(
+            F.broadcast(cents)
+        ).select(
+            id_col, vec_col, "cid", sround(cos, 6).alias("_c6")
+        )
+        pick = Window.partitionBy(id_col).orderBy(
+            F.col("_c6").desc(), "cid"
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(pick))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, vec_col, "cid")
+        )
+
+    cents = (
+        df.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
+        .orderBy("cid")
+        .limit(k)
+    )
+    for _ in range(iters):
+        a = assign(cents)
+        flat = a.select(
+            "cid", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        means = flat.groupBy("cid", "pos").agg(
+            (
+                F.sum(F.col("val").cast("double").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        cents = (
+            means.groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("_pm")
+            )
+            .select(
+                "cid", F.transform("_pm", lambda s: s["m"]).alias("cvec")
+            )
+            # k rows — cache so each reuse (assignment + next recompute)
+            # doesn't replay the whole iteration lineage
+            .cache()
+        )
+    return assign(cents).select(id_col, "cid")
+
+
 def lsh_bucketed_neardup_pairs(
     df: DataFrame,
     tables: list[list[list[float]]],

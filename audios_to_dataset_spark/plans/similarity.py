@@ -156,10 +156,77 @@ ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
 """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded KMeans cluster assignment after 2 iterations — the
+    iterative distributed-algorithm pattern (broadcast centroids +
+    (cid, pos) mean shuffle per round), differentially tested against a
+    DuckDB replay of the identical iteration."""
+    from ..operators.similarity import kmeans_assignments
+
+    em = load(spark, sf_dir, "embeddings")
+    return kmeans_assignments(em, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+def _oracle_kmeans() -> str:
+    """Replay the exact kmeans_assignments arithmetic as chained CTEs:
+    cents_0 = lowest-id k; assign_t = argmax rounded-cosine (cid
+    tie-break); cents_t = per-dimension decimal mean in pos order."""
+    dot = (
+        "list_sum(list_transform(range(1, len(v.e) + 1),"
+        " i -> v.e[i] * c.ce[i]))"
+    )
+    nrm_v = "sqrt(list_sum(list_transform(v.e, x -> x * x)))"
+    nrm_c = "sqrt(list_sum(list_transform(c.ce, x -> x * x)))"
+    c6 = f"round(({dot} / ({nrm_v} * {nrm_c})) * 1000000.0) / 1000000.0"
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {c6} DESC, c.cid) AS rn
+    FROM v, {cents} c) t WHERE rn = 1
+)"""
+
+    def recompute_cte(name: str, assign: str) -> str:
+        return f"""{name} AS (
+  SELECT cid, list(m ORDER BY pos) AS ce FROM (
+    SELECT cid, pos,
+           CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS m
+    FROM (
+      SELECT a.cid, generate_subscripts(v.e, 1) AS pos, unnest(v.e) AS val
+      FROM {assign} a JOIN v USING (vec_id)) u
+    GROUP BY cid, pos) s
+  GROUP BY cid
+)"""
+
+    ctes = [
+        "v AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        " FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, e AS ce FROM v"
+        f" ORDER BY vec_id LIMIT {KMEANS_K})",
+    ]
+    prev = "c0"
+    for t in range(1, KMEANS_ITERS + 1):
+        ctes.append(assign_cte(f"a{t}", prev))
+        ctes.append(recompute_cte(f"c{t}", f"a{t}"))
+        prev = f"c{t}"
+    final = f"a{KMEANS_ITERS + 1}"
+    ctes.append(assign_cte(final, prev))
+    joined = ",\n".join(ctes)
+    return f"WITH {joined}\nSELECT vec_id, cid FROM {final}"
+
+
 QUERIES = {
     "q_cosine_scores": q_cosine_scores,
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
+    "q_kmeans": q_kmeans,
     "q_label_centroids": q_label_centroids,
 }
 
@@ -167,5 +234,6 @@ ORACLES = {
     "q_cosine_scores": ORACLE_COSINE_SCORES,
     "q_ann_topk": ORACLE_ANN_TOPK,
     "q_ann_ivf": ORACLE_ANN_IVF,
+    "q_kmeans": _oracle_kmeans(),
     "q_label_centroids": ORACLE_LABEL_CENTROIDS,
 }

@@ -90,6 +90,38 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join + watermarked tumbling aggregation: the events
+    stream broadcast-joins the static customer dimension (stateless — each
+    micro-batch probes the broadcast hash table, no join state), then a
+    1-hour windowed count/decimal-sum per market segment. This is the
+    canonical enrichment-then-aggregate streaming shape; at scale the
+    static side is broadcast once per executor and the only state is the
+    windowed aggregation's."""
+    from ..plans._util import dsum
+
+    ev = _stream_events(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(cust), "user_id")
+    agg = (
+        joined.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_available_now(agg, "static_join")
+
+
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked sliding windows (1 h / 30 min): each event feeds two
     overlapping windows; append mode emits closed windows only."""
@@ -107,6 +139,7 @@ QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_sliding": q_stream_sliding,
+    "q_stream_static_join": q_stream_static_join,
 }
 
 # q_stream_dedup stays rows-only (the surviving event per key is
@@ -136,6 +169,15 @@ FROM cand
 WHERE ts >= win_start AND ts < win_start + INTERVAL 1 HOUR
 GROUP BY win_start
 HAVING win_start + INTERVAL 1 HOUR
+       <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+""",
+    "q_stream_static_join": """
+SELECT date_trunc('hour', ts) AS win_start, c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
        <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
 """,
 }
