@@ -216,6 +216,54 @@ def ivf_topk_vs_query(
     )
 
 
+def lsh_topk_vs_query(
+    df: DataFrame,
+    tables: list[list[list[float]]],
+    k: int = 20,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 3,
+) -> DataFrame:
+    """Approximate top-k vs one query via hyperplane-LSH buckets.
+
+    Candidates = vectors colliding with the query in ANY hash table;
+    they alone are scored exactly, then top-k on the rounded score with
+    an id tie-break. At scale this probes |tables| buckets instead of
+    the full table — the candidate fetch is an equi-join on the bucket
+    key against a handful of broadcast query buckets, and only the
+    candidate rows' vectors ever move.
+    """
+    bucketed = None
+    for t, planes in enumerate(tables):
+        part = hyperplane_buckets(df, planes, id_col, vec_col).select(
+            "id",
+            F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("bucket"),
+        )
+        bucketed = part if bucketed is None else bucketed.unionByName(part)
+    qb = bucketed.filter(F.col("id") == query_id).select("bucket")
+    cand_ids = (
+        bucketed.join(F.broadcast(qb), "bucket")
+        .select("id")
+        .distinct()
+    )
+    cand = df.join(
+        cand_ids.withColumnRenamed("id", id_col), id_col
+    )
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("query_vec")
+    )
+    cos = _dot(F.col(vec_col), F.col("query_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("query_vec"))
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(id_col, sround(cos, decimals).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def kmeans_assignments(
     df: DataFrame,
     k: int = 8,

@@ -156,6 +156,57 @@ ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
 """
 
 
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k vs the query vector — the
+    bucket-probe ANN scale path itself, oracle-checked (deterministic
+    seeded planes shared with q_dedup_embedding)."""
+    from ..operators.similarity import lsh_topk_vs_query
+    from .dedup import PLANES
+
+    em = load(spark, sf_dir, "embeddings")
+    return lsh_topk_vs_query(em, PLANES, k=TOP_K, query_id=QUERY_ID)
+
+
+def _oracle_ann_lsh() -> str:
+    from .dedup import PLANES, _plane_sql
+
+    bucket_rows = []
+    for t, planes in enumerate(PLANES):
+        bits = " || ".join(
+            "(CASE WHEN list_sum(list_transform(range(1, len(e) + 1), "
+            f"i -> e[i] * ({_plane_sql(p)})[i])) >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        bucket_rows.append(
+            f"  SELECT vec_id, '{t}:' || {bits} AS bucket FROM v"
+        )
+    buckets = "\n  UNION ALL\n".join(bucket_rows)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), buckets AS (
+{buckets}
+), qb AS (
+  SELECT bucket FROM buckets WHERE vec_id = {QUERY_ID}
+), cand AS (
+  SELECT DISTINCT b.vec_id FROM buckets b JOIN qb ON b.bucket = qb.bucket
+), q AS (
+  SELECT e AS qe FROM v WHERE vec_id = {QUERY_ID}
+)
+SELECT v.vec_id,
+       round((
+         list_sum(list_transform(range(1, len(v.e) + 1),
+                                 i -> v.e[i] * qe[i]))
+         / (sqrt(list_sum(list_transform(v.e, x -> x * x)))
+            * sqrt(list_sum(list_transform(qe, x -> x * x))))
+         * 1000.0)) / 1000.0 + 0.0 AS cos_sim
+FROM v JOIN cand USING (vec_id), q
+ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
+"""
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 2
 
@@ -226,6 +277,7 @@ QUERIES = {
     "q_cosine_scores": q_cosine_scores,
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
+    "q_ann_lsh": q_ann_lsh,
     "q_kmeans": q_kmeans,
     "q_label_centroids": q_label_centroids,
 }
@@ -234,6 +286,7 @@ ORACLES = {
     "q_cosine_scores": ORACLE_COSINE_SCORES,
     "q_ann_topk": ORACLE_ANN_TOPK,
     "q_ann_ivf": ORACLE_ANN_IVF,
+    "q_ann_lsh": _oracle_ann_lsh(),
     "q_kmeans": _oracle_kmeans(),
     "q_label_centroids": ORACLE_LABEL_CENTROIDS,
 }

@@ -135,11 +135,79 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(agg, "sliding")
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with a
+    30-minute gap via ``applyInPandasWithState`` (SURVEY §2.8 — the
+    applyInPandasWithState pattern for operators Spark lacks built-in).
+
+    State per user = the open session (start, end, n). A session is
+    emitted when a later event arrives beyond the gap; each user's
+    still-open tail session stays in state and is never emitted, which
+    makes the emitted set deterministic and SQL-expressible (all
+    sessions but each user's last) — so even this stateful operator
+    gets a full DuckDB oracle, not a rows-only check. Arrow-batched
+    per-key pandas, state is 3 longs/user — scales by user_id shuffle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    ev = _stream_events(spark, sf_dir).select("user_id", "ts")
+
+    def sessionize(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        if state.exists:
+            s, e, n = state.get
+        else:
+            s = e = n = None
+        out: list[tuple] = []
+        for t in rows["ts"]:
+            us = int(pd.Timestamp(t).value // 1_000)
+            if s is None:
+                s, e, n = us, us, 1
+            elif us - e > SESSION_GAP_US:
+                out.append((key[0], s, e, n))
+                s, e, n = us, us, 1
+            else:
+                e, n = us, n + 1
+        state.update((s, e, n))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([r[0] for r in out], dtype="int64"),
+                "session_start": pd.to_datetime(
+                    [r[1] for r in out], unit="us"
+                ),
+                "session_end": pd.to_datetime(
+                    [r[2] for r in out], unit="us"
+                ),
+                "n_events": pd.Series([r[3] for r in out], dtype="int64"),
+            }
+        )
+
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=(
+            "user_id bigint, session_start timestamp,"
+            " session_end timestamp, n_events bigint"
+        ),
+        stateStructType="s long, e long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_available_now(sessions, "sessions")
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_sliding": q_stream_sliding,
     "q_stream_static_join": q_stream_static_join,
+    "q_stream_sessions": q_stream_sessions,
 }
 
 # q_stream_dedup stays rows-only (the surviving event per key is
@@ -179,5 +247,29 @@ FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1, 2
 HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
        <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+""",
+    # Emitted sessions = every closed session, i.e. all but each user's
+    # last (the still-open one held in state at end of stream).
+    "q_stream_sessions": """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), g AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+), agg AS (
+  SELECT user_id, sid, MIN(ts) AS session_start,
+         MAX(ts) AS session_end, COUNT(*) AS n_events
+  FROM g GROUP BY 1, 2
+)
+SELECT user_id, session_start, session_end, n_events
+FROM agg
+WHERE sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
 """,
 }
