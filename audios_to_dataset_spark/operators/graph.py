@@ -65,3 +65,87 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+# PageRank decimal sum precision: double → DECIMAL casts agree between
+# Spark (shortest-repr BigDecimal) and DuckDB (exact binary expansion)
+# only while value × 10^scale stays well inside ~15 significant digits;
+# ranks/contributions are ≤ 1, so scale 12 is safely inside the
+# agreement zone (scale 18 was measured to diverge in the 17th digit).
+PR_DEC = "decimal(38,12)"
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(id, rank) after ``iters`` synchronous PageRank iterations.
+
+    The canonical distributed iteration the reference has no analog for
+    (its only loop is the per-shard rayon fan-out,
+    /root/reference/src/main.rs:718): per round, one equi-join of ranks
+    onto edges (shuffle on src), one groupBy(dst) decimal-sum (shuffle on
+    dst), plus a tiny dangling-mass aggregate that is broadcast back —
+    no driver-side collect of node state, lineage cut per round with
+    localCheckpoint. Dangling nodes (no out-edges) donate their mass
+    uniformly, the standard correction.
+
+    Determinism contract: inflow and dangling sums go through
+    ``PR_DEC`` fixed-point (order-independent); every other step is
+    scalar double arithmetic replayed identically by the DuckDB oracle
+    (plans/sketches.py).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # n as a broadcast 1-row frame, not a driver scalar: the plan stays
+    # fully lazy/distributed and the oracle mirrors it as a subquery.
+    n_df = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "id", (F.lit(1.0) / F.col("n").cast("double")).alias("rank")
+    )
+    ew = e.join(outdeg, "src")  # (src, dst, deg), reused every round
+
+    for _ in range(iters):
+        contrib = ew.join(ranks, ew.src == ranks.id).select(
+            F.col("dst"),
+            (F.col("rank") / F.col("deg").cast("double")).alias("c"),
+        )
+        inflow = contrib.groupBy("dst").agg(
+            F.sum(F.col("c").cast(PR_DEC)).cast("double").alias("inflow")
+        )
+        dangling = (
+            ranks.join(outdeg, ranks.id == outdeg.src, "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast(PR_DEC)).cast("double"),
+                    F.lit(0.0),
+                ).alias("dmass")
+            )
+        )
+        ranks = (
+            nodes.join(inflow, nodes.id == inflow.dst, "left")
+            .crossJoin(F.broadcast(n_df))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping))
+                    / F.col("n").cast("double")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dmass") / F.col("n").cast("double")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -28,6 +28,7 @@ def _modules():
         relational,
         relational2,
         similarity,
+        sketches,
         textops,
     )
 
@@ -35,8 +36,9 @@ def _modules():
     # iteration order, so the LLM-pipeline family (dedup/similarity/text/
     # multimodal/streaming) and the analytics joins come first; the broad
     # relational surface fills in after.
-    return (dedup, similarity, textops, multimodal, streaming_events,
-            analytics, events, paths, relational, relational2)
+    return (dedup, similarity, textops, sketches, multimodal,
+            streaming_events, analytics, events, paths, relational,
+            relational2)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,220 @@
+"""Sketch / graph / sampling plans — scale-path engine capabilities.
+
+Four operators a 100 TB training-data pipeline leans on, each with an
+exact DuckDB twin:
+
+- ``q_approx_distinct``: deterministic HyperLogLog (md5 registers) —
+  the sketch shuffles ≤ m rows per group instead of every distinct key;
+- ``q_pagerank``: synchronous PageRank with dangling-mass correction —
+  the second iterative distributed-algorithm pattern next to
+  ``q_kmeans``/``q_dedup_clusters``, oracle = full CTE replay of every
+  iteration;
+- ``q_bloom_join``: explicit bloom-filter semi-join pruning (k md5
+  positions, broadcast bit-set) — deterministic false-positive set,
+  oracle = k EXISTS probes of the same positions;
+- ``q_stratified_sample``: reproducible per-stratum hash sampling —
+  md5-bucket thresholds per event_type, the subsampling primitive for
+  dataset curation.
+
+The reference has no analogs (its aggregate surface is the schema union,
+/root/reference/src/main.rs:166-176); these are engine-capability
+extensions per SURVEY.md §7 M7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.bloom import bloom_positions_sql, bloom_semi_join
+from ..operators.graph import pagerank
+from ..operators.sketch import hll_estimate, hll_sql
+from ._util import sround, sround_sql
+
+HLL_M = 64
+
+PR_ITERS = 3
+PR_DAMPING = 0.85
+PR_SUPP_OFFSET = 2_000_000  # supplier node ids, disjoint from custkeys
+
+BLOOM_M_BITS = 4096  # small on purpose: forces real false positives
+BLOOM_K = 3
+# Selective build side (~35% of customers at sf0.01) so the bloom result
+# sits strictly between the true semi-join and the full probe table —
+# both the pruning and the false-positive semantics are exercised.
+BLOOM_MIN_TOTALPRICE = 480_000.0
+
+SAMPLE_RATES = {"purchase": 500, "view": 50}  # per-mille; default below
+SAMPLE_DEFAULT = 200
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx distinct users per event type via the md5-register HLL
+    sketch (m=64, ±13% typical) next to nothing but integer math."""
+    e = load(spark, sf_dir, "events")
+    return hll_estimate(e, "user_id", ["event_type"], m=HLL_M).select(
+        "event_type",
+        "registers_hit",
+        sround(F.col("hll_estimate"), 4).alias("hll_estimate"),
+    )
+
+
+ORACLE_APPROX_DISTINCT = f"""
+SELECT event_type, registers_hit,
+       {sround_sql('hll_estimate', 4)} AS hll_estimate
+FROM ({hll_sql('events', 'user_id', ['event_type'], HLL_M)})
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier order graph (directed edge per
+    distinct (o_custkey, l_suppkey) pair; suppliers are all dangling, so
+    the dangling-mass path is genuinely exercised)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("src"),
+            (F.col("l_suppkey").cast("bigint") + PR_SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    r = pagerank(edges, iters=PR_ITERS, damping=PR_DAMPING)
+    return r.select(
+        F.col("id").cast("bigint").alias("node_id"),
+        sround(F.col("rank"), 9).alias("rank"),
+    )
+
+
+def _oracle_pagerank() -> str:
+    """Replay every pagerank iteration as chained CTEs with the same
+    decimal(38,12) sums and double scalar expression shapes."""
+    nd = "(SELECT CAST(n AS DOUBLE) FROM nn)"
+    base = repr(1.0 - PR_DAMPING)
+    d = repr(PR_DAMPING)
+    ctes = [
+        "e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,"
+        f" CAST(l_suppkey AS BIGINT) + {PR_SUPP_OFFSET} AS dst"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / {nd} AS rank FROM nodes)",
+    ]
+    for t in range(1, PR_ITERS + 1):
+        p = f"r{t - 1}"
+        ctes.append(
+            f"d{t} AS (SELECT COALESCE(CAST(SUM(CAST(rank AS"
+            f" DECIMAL(38,12))) AS DOUBLE), 0.0) AS dmass FROM {p} r"
+            " WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r.id))"
+        )
+        ctes.append(
+            f"i{t} AS (SELECT e.dst, CAST(SUM(CAST(r.rank /"
+            " CAST(deg.deg AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)"
+            f" AS inflow FROM e JOIN {p} r ON e.src = r.id"
+            " JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{t} AS (SELECT nodes.id, ({base} / {nd}) + {d} *"
+            f" (COALESCE(i.inflow, 0.0) + (SELECT dmass FROM d{t}) / {nd})"
+            f" AS rank FROM nodes LEFT JOIN i{t} i ON i.dst = nodes.id)"
+        )
+    joined = ",\n".join(ctes)
+    return (
+        f"WITH {joined}\nSELECT CAST(id AS BIGINT) AS node_id,"
+        f" {sround_sql('rank', 9)} AS rank FROM r{PR_ITERS}"
+    )
+
+
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers that *may* have orders per a 4096-bit/3-hash bloom of
+    order custkeys — the pre-shuffle probe-pruning pattern; the result is
+    a deterministic superset of the true semi-join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > BLOOM_MIN_TOTALPRICE
+    )
+    passed = bloom_semi_join(
+        c, o, "c_custkey", "o_custkey", m_bits=BLOOM_M_BITS, k=BLOOM_K
+    )
+    return passed.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"), "c_name"
+    )
+
+
+def _oracle_bloom_join() -> str:
+    parts = " UNION ALL ".join(
+        f"SELECT {bloom_positions_sql('o_custkey', i, BLOOM_M_BITS)} AS p"
+        f" FROM orders WHERE o_totalprice > {BLOOM_MIN_TOTALPRICE!r}"
+        for i in range(BLOOM_K)
+    )
+    probes = " AND ".join(
+        "EXISTS (SELECT 1 FROM pos WHERE pos.p = "
+        f"{bloom_positions_sql('c.c_custkey', i, BLOOM_M_BITS)})"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH pos AS (SELECT DISTINCT p FROM ({parts}))
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name
+FROM customer c WHERE {probes}
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified subsample: per-event-type keep rates
+    (purchase 50%, view 5%, rest 20%) decided by an md5 bucket of the
+    event id — stable across runs, engines, and partitionings."""
+    e = load(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("samp:"), F.col("event_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    rate = F.lit(SAMPLE_DEFAULT)
+    for etype, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("event_type") == etype, r).otherwise(rate)
+    return (
+        e.filter(F.pmod(h, F.lit(1000)) < rate)
+        .select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "event_type",
+            F.col("user_id").cast("bigint").alias("user_id"),
+        )
+    )
+
+
+def _oracle_stratified_sample() -> str:
+    h = (
+        "(('0x' || substr(md5('samp:' || CAST(event_id AS VARCHAR)),"
+        " 1, 15))::BIGINT)"
+    )
+    whens = " ".join(
+        f"WHEN '{t}' THEN {r}" for t, r in SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+       CAST(user_id AS BIGINT) AS user_id
+FROM events
+WHERE ({h} % 1000) < (CASE event_type {whens} ELSE {SAMPLE_DEFAULT} END)
+"""
+
+
+QUERIES = {
+    "q_approx_distinct": q_approx_distinct,
+    "q_pagerank": q_pagerank,
+    "q_bloom_join": q_bloom_join,
+    "q_stratified_sample": q_stratified_sample,
+}
+
+ORACLES = {
+    "q_approx_distinct": ORACLE_APPROX_DISTINCT,
+    "q_pagerank": _oracle_pagerank(),
+    "q_bloom_join": _oracle_bloom_join(),
+    "q_stratified_sample": _oracle_stratified_sample(),
+}

@@ -1,0 +1,61 @@
+"""HLL sketch, PageRank, and bloom semi-join properties.
+
+Cross-engine value parity is covered by the driver oracle
+(plans/sketches.py); these tests pin the *algorithmic* guarantees the
+oracle can't express: estimator accuracy, rank-mass conservation,
+bloom's no-false-negative contract, and the broadcast plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from audios_to_dataset_spark.operators.bloom import bloom_semi_join
+from audios_to_dataset_spark.operators.graph import pagerank
+from audios_to_dataset_spark.operators.sketch import hll_estimate
+
+
+def test_hll_accuracy(spark):
+    # 5000 distinct values, one group; m=256 → typical error ~6.5%.
+    df = spark.range(5000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    est = hll_estimate(df, "v", ["g"], m=256).collect()[0].hll_estimate
+    assert abs(est / 5000.0 - 1.0) < 0.2
+
+
+def test_hll_duplicates_dont_inflate(spark):
+    # 100 distinct values repeated 50x each must estimate ~100, not 5000.
+    df = spark.range(5000).select(
+        F.lit("g").alias("g"), (F.col("id") % 100).alias("v")
+    )
+    est = hll_estimate(df, "v", ["g"], m=64).collect()[0].hll_estimate
+    assert abs(est / 100.0 - 1.0) < 0.35
+
+
+def test_pagerank_mass_and_dangling(spark):
+    # a -> b, a -> c, b -> c; c dangling. Ranks must stay a probability
+    # distribution and favor the sink c.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    ranks = {r.id: r.rank for r in pagerank(edges, iters=10).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks[3] > ranks[2] > ranks[1] > 0
+
+
+def test_bloom_semi_join_contract(spark):
+    probe = spark.range(0, 2000).select(F.col("id").alias("k"))
+    build = spark.range(0, 300).select((F.col("id") * 3).alias("bk"))
+    passed = bloom_semi_join(probe, build, "k", "bk", m_bits=1024, k=2)
+    got = {r.k for r in passed.collect()}
+    true = {r.bk for r in build.collect()}
+    # no false negatives; pruning actually happened; supersets only
+    assert true <= got
+    assert len(got) < 2000
+
+    # plan: probe side must be filtered via broadcast joins (no shuffle
+    # of the probe table before the semi joins)
+    plan = passed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
