@@ -276,6 +276,127 @@ FROM documents
 """
 
 
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: total/distinct word
+    2-grams, most-frequent-2-gram mass, duplicate-2-gram fraction —
+    the standard "degenerate repetition" quality filters for training
+    corpora. One explode + two aggregations, all JVM-side."""
+    from ..operators.dedup import shingles
+
+    d = load(spark, sf_dir, "documents")
+    per_gram = (
+        shingles(d, n=2, distinct=False)
+        .groupBy("id", "shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = F.sum("cnt").cast("bigint")
+    uniq = F.count(F.lit(1)).cast("bigint")
+    return (
+        per_gram.groupBy("id")
+        .agg(
+            total.alias("n_grams"),
+            uniq.alias("n_distinct_grams"),
+            (F.max("cnt").cast("double") / total.cast("double")).alias(
+                "top_gram_ratio"
+            ),
+            (
+                F.lit(1.0) - uniq.cast("double") / total.cast("double")
+            ).alias("dup_gram_ratio"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_grams",
+            "n_distinct_grams",
+            "top_gram_ratio",
+            "dup_gram_ratio",
+        )
+    )
+
+
+ORACLE_REPETITION = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1]))
+               AS gram
+      FROM t),
+c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+         AS top_gram_ratio,
+       1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+         AS dup_gram_ratio
+FROM c
+GROUP BY doc_id
+"""
+
+
+NUM_RE = "[0-9]+"
+
+
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing: mask every digit run in the raw event props
+    payload (the identifier-redaction pass a curation pipeline runs
+    before training); keeps a changed flag so the differential proves
+    replacements actually fired."""
+    e = load(spark, sf_dir, "events")
+    red = F.regexp_replace("props", NUM_RE, "<NUM>")
+    return e.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        red.alias("props_redacted"),
+        (red != F.col("props")).alias("changed"),
+    )
+
+
+ORACLE_TEXT_REDACT = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       regexp_replace(props, '{NUM_RE}', '<NUM>', 'g') AS props_redacted,
+       regexp_replace(props, '{NUM_RE}', '<NUM>', 'g') <> props AS changed
+FROM events
+"""
+
+
+# Deterministic removal set for the stopword-strip pass (sorted; the
+# documents vocabulary includes 'a' and 'the').
+STRIP_WORDS = ("a", "an", "is", "of", "the")
+
+
+def q_stopword_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword removal as an array pipeline: split -> filter ->
+    re-join, with before/after token counts. All higher-order
+    functions, no UDF."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    kept = F.filter(toks, lambda t: ~t.isin(*STRIP_WORDS))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.array_join(kept, " ").alias("text_stripped"),
+    )
+
+
+def _oracle_stopword_strip() -> str:
+    lst = ", ".join(f"'{w}'" for w in STRIP_WORDS)
+    return f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+k AS (SELECT doc_id, toks,
+             list_filter(toks, x -> NOT list_contains([{lst}], x)) AS kept
+      FROM t)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       array_to_string(kept, ' ') AS text_stripped
+FROM k
+"""
+
+
 QUERIES = {
     "q_word_count": q_word_count,
     "q_text_normalize": q_text_normalize,
@@ -285,6 +406,9 @@ QUERIES = {
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
     "q_fingerprint": q_fingerprint,
+    "q_repetition": q_repetition,
+    "q_text_redact": q_text_redact,
+    "q_stopword_strip": q_stopword_strip,
 }
 
 ORACLES = {
@@ -296,4 +420,7 @@ ORACLES = {
     "q_lang_id": _oracle_lang_id(),
     "q_quality_score": _oracle_quality_score(),
     "q_fingerprint": ORACLE_FINGERPRINT,
+    "q_repetition": ORACLE_REPETITION,
+    "q_text_redact": ORACLE_TEXT_REDACT,
+    "q_stopword_strip": _oracle_stopword_strip(),
 }
