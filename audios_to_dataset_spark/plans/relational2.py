@@ -487,7 +487,79 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): aggregate the fact table
+    first (map-side partial sums shrink the shuffle), filter on the
+    aggregate, then join the survivors back to orders/customer — the
+    having-pushdown pattern that keeps the expensive join small."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300.0)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+ORACLE_LARGE_ORDERS = f"""
+SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+       o_totalprice, total_qty
+FROM (SELECT l_orderkey, {dsum_sql('l_quantity')} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING total_qty > 300.0) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank and cume_dist of each
+    order's price within its priority class (tie-stable by definition),
+    plus the class size."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderpriority"))
+        .cast("bigint")
+        .alias("class_size"),
+    )
+
+
+ORACLE_WINDOW_DIST = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
+       percent_rank() OVER w AS price_pct_rank,
+       cume_dist() OVER w AS price_cume_dist,
+       CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+         AS class_size
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+"""
+
+
 QUERIES = {
+    "q_large_orders": q_large_orders,
+    "q_window_dist": q_window_dist,
     "q_regex_extract": q_regex_extract,
     "q_union_distinct": q_union_distinct,
     "q_first_last": q_first_last,
@@ -512,6 +584,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_large_orders": ORACLE_LARGE_ORDERS,
+    "q_window_dist": ORACLE_WINDOW_DIST,
     "q_regex_extract": ORACLE_REGEX_EXTRACT,
     "q_union_distinct": ORACLE_UNION_DISTINCT,
     "q_first_last": ORACLE_FIRST_LAST,

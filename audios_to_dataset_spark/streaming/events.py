@@ -202,11 +202,54 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(sessions, "sessions")
 
 
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition: each
+    view event pairs with the same user's purchases in the following
+    hour (the classic streaming attribution join). Both sides carry
+    watermarks and the join has an explicit time bound, so Spark can
+    expire join state — the required shape for an unbounded run; with
+    availableNow over one file the emitted pairs are exactly the batch
+    self-join, which the oracle replays."""
+    v = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+        )
+    )
+    p = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    j = v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND purchase_ts > view_ts"
+            " AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        F.col("v_user").cast("bigint").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+    return _run_available_now(j, "stream_stream")
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_sliding": q_stream_sliding,
     "q_stream_static_join": q_stream_static_join,
+    "q_stream_stream_join": q_stream_stream_join,
     "q_stream_sessions": q_stream_sessions,
 }
 
@@ -250,6 +293,14 @@ HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
 """,
     # Emitted sessions = every closed session, i.e. all but each user's
     # last (the still-open one held in state at end of stream).
+    "q_stream_stream_join": """
+SELECT CAST(v.user_id AS BIGINT) AS user_id, v.ts AS view_ts,
+       p.ts AS purchase_ts, p.value AS purchase_value
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+""",
     "q_stream_sessions": """
 WITH s AS (
   SELECT user_id, ts,
