@@ -150,3 +150,93 @@ SELECT {g},
 FROM regs
 GROUP BY {g}
 """
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    bins: int,
+    quantiles: list[int],  # integer percents, e.g. [50, 95]
+) -> DataFrame:
+    """Mergeable fixed-bin histogram quantile sketch.
+
+    Exact distributed quantiles need a full sort; this sketch reduces a
+    group to ``bins`` counters (map-side combinable, trivially mergeable
+    across partitions/days), then reads each requested percentile as the
+    upper edge of the first bin whose cumulative count reaches
+    ``ceil(q% * n)`` — error bounded by the bin width. All counting and
+    thresholding is integer arithmetic; the only doubles are the binning
+    division and the final edge multiply, both scalar and replayed
+    exactly by the oracle (plans/sketches.py).
+    """
+    width = (hi - lo) / bins
+    x = F.col(value_col).cast("double")
+    b = F.floor((x - lo) / width).cast("long")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+    counts = (
+        df.select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy(*group_cols))
+    )
+    aggs = [F.max("total").cast("long").alias("n_rows")]
+    for q in quantiles:
+        # ceil(q% * total) in pure integers: (q*total + 99) div 100
+        thr = F.expr(f"({q} * total + 99) div 100")
+        hit_bin = F.min(F.when(F.col("cum") >= thr, F.col("bin")))
+        aggs.append(
+            ((hit_bin + 1).cast("double") * F.lit(width) + F.lit(lo)).alias(
+                f"p{q}_est"
+            )
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def histogram_quantiles_sql(
+    table_expr: str,
+    value_sql: str,
+    group_sql: list[str],
+    lo: float,
+    hi: float,
+    bins: int,
+    quantiles: list[int],
+) -> str:
+    """DuckDB twin of histogram_quantiles."""
+    width = (hi - lo) / bins
+    g = ", ".join(group_sql)
+    b = (
+        f"least(greatest(CAST(floor((CAST({value_sql} AS DOUBLE) - {lo!r})"
+        f" / {width!r}) AS BIGINT), 0), {bins - 1})"
+    )
+    qcols = ",\n       ".join(
+        f"(CAST(MIN(CASE WHEN cum >= (({q} * total + 99) // 100)"
+        f" THEN bin END) + 1 AS DOUBLE) * {width!r} + {lo!r}) AS p{q}_est"
+        for q in quantiles
+    )
+    return f"""
+WITH counts AS (
+  SELECT {g}, {b} AS bin, CAST(COUNT(*) AS BIGINT) AS n
+  FROM {table_expr} GROUP BY {g}, bin
+), cum AS (
+  SELECT {g}, bin, n,
+         SUM(n) OVER (PARTITION BY {g} ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n) OVER (PARTITION BY {g}) AS total
+  FROM counts
+)
+SELECT {g}, CAST(MAX(total) AS BIGINT) AS n_rows,
+       {qcols}
+FROM cum GROUP BY {g}
+"""

@@ -393,7 +393,41 @@ WHERE l_shipdate >= TIMESTAMP '1997-06-01'
 """
 
 
+
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient fact-dimension join as a first-class query: the
+    lineitem fact side is salted into 8 buckets and the supplier
+    dimension replicated 8x, so one hot supplier key can no longer pin a
+    single reducer (operators/skew.salted_join — salts affect placement
+    only, never results; the oracle is the plain join). Then the usual
+    per-supplier decimal-sum rollup."""
+    from ..operators.skew import salted_join
+    from ._util import dsum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice"
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    j = salted_join(li, s, "suppkey", salt_buckets=8)
+    return j.groupBy("s_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        dsum("l_extendedprice").alias("total_price"),
+    )
+
+
+ORACLE_SKEW_JOIN = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+         AS total_price
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
 QUERIES = {
+    "q_skew_join": q_skew_join,
     "q_nation_volume": q_nation_volume,
     "q_promo_revenue": q_promo_revenue,
     "q_range_join": q_range_join,
@@ -406,6 +440,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_skew_join": ORACLE_SKEW_JOIN,
     "q_nation_volume": ORACLE_NATION_VOLUME,
     "q_promo_revenue": ORACLE_PROMO_REVENUE,
     "q_range_join": ORACLE_RANGE_JOIN,

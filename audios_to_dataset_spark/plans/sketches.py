@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..operators.bloom import bloom_positions_sql, bloom_semi_join
 from ..operators.graph import pagerank
-from ..operators.sketch import hll_estimate, hll_sql
+from ..operators.sketch import (
+    histogram_quantiles,
+    histogram_quantiles_sql,
+    hll_estimate,
+    hll_sql,
+)
 from ._util import sround, sround_sql
 
 HLL_M = 64
@@ -205,8 +210,77 @@ WHERE ({h} % 1000) < (CASE event_type {whens} ELSE {SAMPLE_DEFAULT} END)
 """
 
 
+# Histogram-quantile sketch range: l_extendedprice spans ~[900, 105000]
+# in TPC-H-shaped data; 4096 bins over [0, 120000] → ~29.3 bin width,
+# i.e. ≤0.03% relative error at the p50/p95 magnitudes.
+HQ_LO, HQ_HI, HQ_BINS = 0.0, 120_000.0, 4096
+HQ_QUANTILES = [50, 95]
+
+
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95 of item price per return flag via the
+    mergeable fixed-bin histogram sketch — bins counters instead of a
+    distributed sort; map-side combinable, mergeable across days."""
+    li = load(spark, sf_dir, "lineitem")
+    return histogram_quantiles(
+        li,
+        "l_extendedprice",
+        ["l_returnflag"],
+        lo=HQ_LO,
+        hi=HQ_HI,
+        bins=HQ_BINS,
+        quantiles=HQ_QUANTILES,
+    )
+
+
+ORACLE_APPROX_PERCENTILE = histogram_quantiles_sql(
+    "lineitem",
+    "l_extendedprice",
+    ["l_returnflag"],
+    lo=HQ_LO,
+    hi=HQ_HI,
+    bins=HQ_BINS,
+    quantiles=HQ_QUANTILES,
+)
+
+
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key for orders over (customer, order-day): the
+    Morton interleave whose sort order clusters both dimensions at once,
+    so row-group min/max stats prune scans on either key. zbucket is the
+    coarse cluster id a range-partitioned writer would use as the file
+    split."""
+    from ..operators.zorder import morton2
+
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    z = morton2(F.col("o_custkey"), day)
+    return o.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        z.alias("zcode"),
+        F.shiftright(z, 16).cast("bigint").alias("zbucket"),
+    )
+
+
+def _oracle_zorder() -> str:
+    from ..operators.zorder import morton2_sql
+
+    z = morton2_sql(
+        "o_custkey",
+        "datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
+    )
+    return f"""
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       {z} AS zcode,
+       CAST({z} >> 16 AS BIGINT) AS zbucket
+FROM orders
+"""
+
+
 QUERIES = {
     "q_approx_distinct": q_approx_distinct,
+    "q_approx_percentile": q_approx_percentile,
+    "q_zorder": q_zorder,
     "q_pagerank": q_pagerank,
     "q_bloom_join": q_bloom_join,
     "q_stratified_sample": q_stratified_sample,
@@ -214,6 +288,8 @@ QUERIES = {
 
 ORACLES = {
     "q_approx_distinct": ORACLE_APPROX_DISTINCT,
+    "q_approx_percentile": ORACLE_APPROX_PERCENTILE,
+    "q_zorder": _oracle_zorder(),
     "q_pagerank": _oracle_pagerank(),
     "q_bloom_join": _oracle_bloom_join(),
     "q_stratified_sample": _oracle_stratified_sample(),

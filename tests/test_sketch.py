@@ -59,3 +59,41 @@ def test_bloom_semi_join_contract(spark):
     plan = passed._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_histogram_quantiles_uniform(spark):
+    from audios_to_dataset_spark.operators.sketch import histogram_quantiles
+
+    df = spark.range(10000).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    row = histogram_quantiles(
+        df, "v", ["g"], lo=0.0, hi=10000.0, bins=1000, quantiles=[50, 95]
+    ).collect()[0]
+    assert row.n_rows == 10000
+    # bin width 10: estimates land on the bin's upper edge
+    assert abs(row.p50_est - 5000.0) <= 10.0
+    assert abs(row.p95_est - 9500.0) <= 10.0
+
+
+def _py_spread16(x: int) -> int:
+    x &= 0xFFFF
+    for s, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                    (2, 0x33333333), (1, 0x55555555)):
+        x = (x | (x << s)) & mask
+    return x
+
+
+def test_morton_matches_reference_bit_interleave(spark):
+    from audios_to_dataset_spark.operators.zorder import morton2
+
+    rows = [(3, 5), (0, 0), (65535, 65535), (1234, 4321), (65536 + 7, 9)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", morton2(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _py_spread16(x) | (_py_spread16(y) << 1)
