@@ -105,3 +105,115 @@ def synth_wav(
     )
     data = b"data" + struct.pack("<I", data_size)
     return bytes(hdr + fmt + data + body)
+
+
+def segment_wav_bytes(
+    data: bytes | None, seg_seconds: float
+) -> list[tuple[int, float, float, bytes]]:
+    """Split one WAV payload into fixed-duration standalone WAV segments.
+
+    Returns ``[(seg_idx, start_s, duration_s, riff_bytes), ...]``; each
+    segment is a fully valid RIFF/WAVE file (fmt chunk copied verbatim,
+    data chunk sliced on frame boundaries) so downstream consumers can
+    treat segments exactly like source files. Unparseable input → []
+    (the skip-with-warning analog of the reference's decode-failure
+    tolerance, /root/reference/src/main.rs:768).
+    """
+    try:
+        if data is None or len(data) < 12 or data[0:4] != b"RIFF" \
+                or data[8:12] != b"WAVE":
+            return []
+        pos = 12
+        n = len(data)
+        fmt_body = None
+        sample_rate = 0
+        block_align = 0
+        data_off = -1
+        data_size = -1
+        while pos + 8 <= n:
+            chunk_id = data[pos : pos + 4]
+            (chunk_size,) = struct.unpack_from("<I", data, pos + 4)
+            body = pos + 8
+            if chunk_id == b"fmt " and body + 16 <= n:
+                fmt_body = data[body : body + chunk_size]
+                (_t, _c, sample_rate, _br, block_align, _b) = (
+                    struct.unpack_from("<HHIIHH", data, body)
+                )
+            elif chunk_id == b"data":
+                data_off = body
+                data_size = min(chunk_size, n - body)
+            pos = body + chunk_size + (chunk_size & 1)
+        if (
+            fmt_body is None
+            or sample_rate <= 0
+            or block_align <= 0
+            or data_off < 0
+            or data_size < 0
+        ):
+            return []
+        frames = data_size // block_align
+        frames_per_seg = max(int(seg_seconds * sample_rate), 1)
+        out = []
+        for idx, start in enumerate(range(0, frames, frames_per_seg)):
+            seg_frames = min(frames_per_seg, frames - start)
+            lo = data_off + start * block_align
+            seg_body = data[lo : lo + seg_frames * block_align]
+            fmt = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            if len(fmt_body) & 1:
+                fmt += b"\x00"
+            dchunk = b"data" + struct.pack("<I", len(seg_body)) + seg_body
+            riff = (
+                b"RIFF"
+                + struct.pack("<I", 4 + len(fmt) + len(dchunk))
+                + b"WAVE"
+                + fmt
+                + dchunk
+            )
+            out.append(
+                (
+                    idx,
+                    start / sample_rate,
+                    seg_frames / sample_rate,
+                    riff,
+                )
+            )
+        return out
+    except Exception:
+        return []
+
+
+SEGMENT_SCHEMA = (
+    "path string, seg_idx int, seg_start double,"
+    " seg_duration double, seg_bytes binary"
+)
+
+
+def segment_wavs(
+    df, content_col: str = "content", path_col: str = "path",
+    seg_seconds: float = 0.25,
+):
+    """Explode whole-file WAV rows into fixed-duration segment rows via
+    mapInPandas — the audio-chunking pass a training pipeline runs to
+    normalize clip lengths. Arrow-batched; each input batch yields one
+    output frame, so memory is bounded by batch size × segment count,
+    and the operator parallelizes per input partition with no shuffle.
+    """
+    import pandas as pd  # noqa: F811 — local for the worker closure
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for p, b in zip(pdf[path_col], pdf[content_col]):
+                for idx, st, dur, sb in segment_wav_bytes(b, seg_seconds):
+                    rows.append((p, idx, st, dur, sb))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "seg_idx", "seg_start", "seg_duration",
+                    "seg_bytes",
+                ],
+            )
+
+    return df.select(path_col, content_col).mapInPandas(
+        gen, SEGMENT_SCHEMA
+    )

@@ -42,3 +42,52 @@ def test_truncated_data_chunk():
     duration, sr = parse_wav_header(truncated)
     assert sr == 8_000
     assert 0.0 < duration < 1.0
+
+
+def test_segment_wav_bytes_roundtrip():
+    from audios_to_dataset_spark.functions.wav import (
+        parse_wav_header,
+        segment_wav_bytes,
+        synth_wav,
+    )
+
+    src = synth_wav(sample_rate=8000)  # exactly 1.0 s
+    segs = segment_wav_bytes(src, 0.25)
+    assert [s[0] for s in segs] == [0, 1, 2, 3]
+    assert [round(s[1], 6) for s in segs] == [0.0, 0.25, 0.5, 0.75]
+    body = b""
+    for _, _, dur, riff in segs:
+        d, sr = parse_wav_header(riff)
+        assert (d, sr) == (0.25, 8000)
+        assert dur == 0.25
+        body += riff[44:]
+    assert body == src[44:]  # concatenated segment payloads == original
+
+    # tail segment shorter than the window
+    segs = segment_wav_bytes(synth_wav(8000, n_samples=10000), 0.5)
+    assert [s[2] for s in segs] == [0.5, 0.5, 0.25]
+    # garbage in → no segments, no exception
+    assert segment_wav_bytes(b"not a wav", 0.25) == []
+    assert segment_wav_bytes(None, 0.25) == []
+
+
+def test_segment_wavs_spark(spark, tmp_path):
+    import os
+
+    from audios_to_dataset_spark.functions.wav import segment_wavs, synth_wav
+    from audios_to_dataset_spark.sources.binary_scan import scan_audio_files
+
+    for i in range(3):
+        (tmp_path / f"c{i}.wav").write_bytes(
+            synth_wav(16000, n_samples=16000 * (i + 1))
+        )
+    files = scan_audio_files(spark, str(tmp_path))
+    segs = segment_wavs(files, seg_seconds=1.0).collect()
+    # 1 + 2 + 3 one-second segments
+    assert len(segs) == 6
+    by_file = {}
+    for r in segs:
+        by_file.setdefault(os.path.basename(r.path), []).append(r)
+    assert sorted(len(v) for v in by_file.values()) == [1, 2, 3]
+    assert all(r.seg_duration == 1.0 for r in segs)
+    assert all(r.seg_bytes[:4] == b"RIFF" for r in segs)
