@@ -30,13 +30,14 @@ def _modules():
         similarity,
         sketches,
         textops,
+        versioning,
     )
 
     # Order matters: the driver's correctness gate samples queries in
     # iteration order, so the LLM-pipeline family (dedup/similarity/text/
     # multimodal/streaming) and the analytics joins come first; the broad
     # relational surface fills in after.
-    return (dedup, similarity, textops, sketches, multimodal,
+    return (dedup, similarity, textops, sketches, versioning, multimodal,
             streaming_events, analytics, events, paths, relational,
             relational2)
 

@@ -1,0 +1,171 @@
+"""Dataset versioning plans: upsert merge and snapshot diff.
+
+A curated training dataset is rebuilt incrementally: new shards arrive,
+records get corrected, and each release must be diffable against the
+last. Two primitives cover it, both pure DataFrame ops:
+
+- ``q_upsert_latest``: latest-wins merge of a base table with an
+  updates stream — unionByName + one window dedup on the key, ordered
+  by version. One shuffle on the key; no driver state.
+- ``q_snapshot_diff``: full-outer join of two snapshots on the key,
+  classifying added / removed / changed / unchanged via content
+  fingerprints — the release-audit report.
+
+The reference's nearest notion is its first-wins metadata dedup
+(/root/reference/src/main.rs:178-193); these are the engine-capability
+generalizations (latest-wins + diff) a live corpus needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+# Synthetic-but-deterministic update set: every 7th order gets a
+# "correction" bumping its price by 10% and advancing its version.
+UPD_MOD = 7
+
+
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins upsert: base orders (version 0) merged with the
+    correction batch (version 1); for each key keep the highest
+    (version, then price as tie-break) row. The window dedup is the
+    distributed MERGE INTO equivalent — one hash shuffle on the key."""
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(0).alias("version"),
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % UPD_MOD == 0)
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("k"),
+            (F.col("o_totalprice") * 1.1).alias("price"),
+            F.lit(1).alias("version"),
+        )
+    )
+    merged = base.unionByName(updates)
+    w = Window.partitionBy("k").orderBy(
+        F.col("version").desc(), F.col("price").desc()
+    )
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "price", F.col("version").cast("int").alias("version"))
+    )
+
+
+ORACLE_UPSERT_LATEST = f"""
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price,
+         0 AS version
+  FROM orders
+), upd AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice * 1.1 AS price,
+         1 AS version
+  FROM orders WHERE o_orderkey % {UPD_MOD} = 0
+), u AS (
+  SELECT * FROM base UNION ALL SELECT * FROM upd
+), r AS (
+  SELECT k, price, version,
+         row_number() OVER (PARTITION BY k
+                            ORDER BY version DESC, price DESC) AS rn
+  FROM u
+)
+SELECT k, price, CAST(version AS INT) AS version FROM r WHERE rn = 1
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release audit: diff snapshot A (all orders) against snapshot B
+    (orders with the same correction applied and low-priority rows
+    dropped), reporting added/removed/changed/unchanged per key via an
+    md5 fingerprint of the content columns."""
+    o = load(spark, sf_dir, "orders")
+
+    def fp(price, status):
+        # canonicalize the price as integer ten-thousandths — identical
+        # string in every engine (float formatting is not portable)
+        return F.md5(
+            F.concat_ws(
+                "|", F.round(price * 10000).cast("bigint").cast("string"),
+                status,
+            )
+        )
+
+    a = o.select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        fp(F.col("o_totalprice"), F.col("o_orderstatus")).alias("fp_a"),
+    )
+    b_src = o.filter(F.col("o_orderpriority") != "5-LOW")
+    b = b_src.select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        fp(
+            F.when(
+                F.col("o_orderkey") % UPD_MOD == 0,
+                F.col("o_totalprice") * 1.1,
+            ).otherwise(F.col("o_totalprice")),
+            F.col("o_orderstatus"),
+        ).alias("fp_b"),
+    ).unionByName(
+        # brand-new records in release B (key space disjoint from A)
+        o.filter(F.col("o_orderkey") % 13 == 0).select(
+            (F.col("o_orderkey").cast("bigint") + 100_000_000).alias("k"),
+            fp(F.col("o_totalprice"), F.lit("NEW")).alias("fp_b"),
+        )
+    )
+    j = a.join(b, "k", "full_outer")
+    status = (
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        .when(F.col("fp_a") == F.col("fp_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+WITH a AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         md5(CAST(CAST(round(o_totalprice * 10000) AS BIGINT) AS VARCHAR) || '|' || o_orderstatus)
+           AS fp_a
+  FROM orders
+), b AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         md5(CAST(CAST(round(
+                    (CASE WHEN o_orderkey % {UPD_MOD} = 0
+                          THEN o_totalprice * 1.1
+                          ELSE o_totalprice END) * 10000) AS BIGINT)
+                  AS VARCHAR) || '|' || o_orderstatus) AS fp_b
+  FROM orders WHERE o_orderpriority <> '5-LOW'
+  UNION ALL
+  SELECT CAST(o_orderkey AS BIGINT) + 100000000 AS k,
+         md5(CAST(CAST(round(o_totalprice * 10000) AS BIGINT) AS VARCHAR) || '|' || 'NEW') AS fp_b
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT CASE WHEN fp_a IS NULL THEN 'added'
+            WHEN fp_b IS NULL THEN 'removed'
+            WHEN fp_a = fp_b THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM a FULL OUTER JOIN b USING (k)
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "q_upsert_latest": q_upsert_latest,
+    "q_snapshot_diff": q_snapshot_diff,
+}
+
+ORACLES = {
+    "q_upsert_latest": ORACLE_UPSERT_LATEST,
+    "q_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+}

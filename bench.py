@@ -40,6 +40,13 @@ HEADLINE = [
     "q_lang_id",
     "q_cosine_scores",
     "q_ann_topk",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_skew_join",
+    "q_bloom_join",
+    "q_pagerank",
+    "q_repetition",
+    "q_zorder",
 ]
 
 

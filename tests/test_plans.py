@@ -123,3 +123,44 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     e = _explain(df, "simple")
     # map-side combine visible pre-execution
     assert "partial_sum" in e and "partial_count" in e
+
+
+def test_hll_prunes_and_partially_aggregates(spark, sf_dir):
+    from audios_to_dataset_spark.plans.sketches import q_approx_distinct
+
+    e = _explain(q_approx_distinct(spark, sf_dir))
+    # sketch reads only the group + value columns of the events table
+    assert "ReadSchema" in e
+    assert "value" not in e.split("ReadSchema")[1].splitlines()[0]
+    assert "props" not in e.split("ReadSchema")[1].splitlines()[0]
+    # register build has map-side combine (partial max per register)
+    assert e.count("HashAggregate") >= 2
+    # integer-only pipeline: no python UDF anywhere
+    assert "BatchEvalPython" not in e and "ArrowEvalPython" not in e
+
+
+def test_large_orders_aggregates_before_join(spark, sf_dir):
+    from audios_to_dataset_spark.plans.relational2 import q_large_orders
+
+    e = _explain(q_large_orders(spark, sf_dir))
+    # the quantity rollup + having-filter must sit below the joins so
+    # only the few large orders are joined; formatted-mode node ids are
+    # execution-ordered (children first), so the first HashAggregate id
+    # must precede the first join id
+    import re
+
+    agg = min(int(x) for x in re.findall(r"\((\d+)\) HashAggregate", e))
+    join = min(int(x) for x in re.findall(r"\((\d+)\) BroadcastHashJoin", e))
+    assert agg < join
+    assert "SortMergeJoin" not in e
+
+
+def test_histogram_quantiles_no_global_sort(spark, sf_dir):
+    from audios_to_dataset_spark.plans.sketches import q_approx_percentile
+
+    e = _explain(q_approx_percentile(spark, sf_dir))
+    # the whole point: quantiles without sorting the fact table — the
+    # only sort is the per-group bin ordering after reduction to bins
+    first_scan = e.index("Scan parquet")
+    assert "TakeOrderedAndProject" not in e[:first_scan]
+    assert e.count("HashAggregate") >= 2
