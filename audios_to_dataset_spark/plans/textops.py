@@ -9,7 +9,7 @@ engines; doubles only in final deterministic divisions).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -397,6 +397,125 @@ FROM k
 """
 
 
+VOCAB_TOP_K = 200
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary construction: corpus-wide token frequencies,
+    rank by (count desc, token) for a deterministic top-K vocab, plus
+    each token's cumulative corpus coverage — the budget table a BPE/
+    unigram tokenizer build starts from. One explode + one groupBy; the
+    top-K is a TakeOrderedAndProject, not a global sort."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    freq = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # Top-K first via TakeOrderedAndProject (per-partition top-k, no
+    # global sort and no full-vocab single-partition window — the rank/
+    # coverage window then runs over only K rows). The (n desc, token)
+    # order is total, so prefix ranks equal the full-table ranks.
+    top = freq.orderBy(F.col("n").desc(), "token").limit(VOCAB_TOP_K)
+    total = freq.agg(F.sum("n").cast("bigint").alias("tot"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "coverage",
+            F.sum("n").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("double")
+            / F.col("tot").cast("double"),
+        )
+        .select("rank", "token", "n", "coverage")
+    )
+
+
+ORACLE_VOCAB = f"""
+WITH f AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        FROM documents)
+  GROUP BY token
+), r AS (
+  SELECT token, n,
+         CAST(row_number() OVER w AS BIGINT) AS rank,
+         CAST(SUM(n) OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / CAST(SUM(n) OVER () AS DOUBLE) AS coverage
+  FROM f
+  WINDOW w AS (ORDER BY n DESC, token)
+)
+SELECT rank, token, n, coverage FROM r WHERE rank <= {VOCAB_TOP_K}
+"""
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top term by tf-idf (idf as the exact rational N/df —
+    no transcendental log, so both engines compute the identical
+    double): the distinctive-term extraction used for topic tagging.
+    Tie-break on token keeps the argmax deterministic."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.select(F.countDistinct("doc_id").alias("nd"))
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df_ = tok.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * (F.col("nd").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", F.col("token").alias("top_term"), "tf", "df", "tfidf"
+        )
+    )
+
+
+ORACLE_TFIDF = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, token
+), dfx AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token
+), nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+          FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfx.df,
+         CAST(tf.tf AS DOUBLE)
+           * (CAST(nd.nd AS DOUBLE) / CAST(dfx.df AS DOUBLE)) AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY CAST(tf.tf AS DOUBLE)
+                              * (CAST(nd.nd AS DOUBLE)
+                                 / CAST(dfx.df AS DOUBLE)) DESC,
+                              tf.token) AS rn
+  FROM tf JOIN dfx USING (token) CROSS JOIN nd
+)
+SELECT doc_id, token AS top_term, tf, df, tfidf FROM s WHERE rn = 1
+"""
+
+
 QUERIES = {
     "q_word_count": q_word_count,
     "q_text_normalize": q_text_normalize,
@@ -409,6 +528,8 @@ QUERIES = {
     "q_repetition": q_repetition,
     "q_text_redact": q_text_redact,
     "q_stopword_strip": q_stopword_strip,
+    "q_vocab": q_vocab,
+    "q_tfidf": q_tfidf,
 }
 
 ORACLES = {
@@ -423,4 +544,6 @@ ORACLES = {
     "q_repetition": ORACLE_REPETITION,
     "q_text_redact": ORACLE_TEXT_REDACT,
     "q_stopword_strip": _oracle_stopword_strip(),
+    "q_vocab": ORACLE_VOCAB,
+    "q_tfidf": ORACLE_TFIDF,
 }
