@@ -426,7 +426,62 @@ GROUP BY s_name
 """
 
 
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame after clustering: per near-dup cluster keep one
+    canonical document (longest text, doc_id tie-break) and report the
+    cluster size — the keep/drop decision that actually shrinks the
+    corpus. One window over the cluster assignment."""
+    from pyspark.sql import Window
+
+    clusters = q_dedup_clusters(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.length("text").cast("bigint").alias("text_len"),
+    )
+    j = clusters.join(d, "id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("text_len").desc(), F.col("id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("cluster_id")
+            ).cast("bigint"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("id").alias("survivor_id"),
+            F.col("text_len").alias("survivor_len"),
+            "n_members",
+        )
+    )
+
+
+def _oracle_dedup_survivors() -> str:
+    return f"""
+WITH clusters AS ({_oracle_dedup_clusters()}),
+j AS (
+  SELECT c.id, c.cluster_id, CAST(length(d.text) AS BIGINT) AS text_len
+  FROM clusters c JOIN documents d ON d.doc_id = c.id
+), r AS (
+  SELECT cluster_id, id, text_len,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY text_len DESC, id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS n_members
+  FROM j
+)
+SELECT cluster_id, id AS survivor_id, text_len AS survivor_len, n_members
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "q_dedup_survivors": q_dedup_survivors,
     "q_skew_join": q_skew_join,
     "q_nation_volume": q_nation_volume,
     "q_promo_revenue": q_promo_revenue,
@@ -440,6 +495,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_dedup_survivors": _oracle_dedup_survivors(),
     "q_skew_join": ORACLE_SKEW_JOIN,
     "q_nation_volume": ORACLE_NATION_VOLUME,
     "q_promo_revenue": ORACLE_PROMO_REVENUE,

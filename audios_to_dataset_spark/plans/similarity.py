@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators import similarity as S
@@ -273,7 +274,52 @@ def _oracle_kmeans() -> str:
     return f"WITH {joined}\nSELECT vec_id, cid FROM {final}"
 
 
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    scale = max|x| / 127) — the 4x storage/bandwidth cut an ANN index
+    takes before sharding. Pure higher-order functions; round() at
+    integer precision is portable (no decimal-scale multiply), so the
+    DuckDB twin reproduces every quantized value."""
+    em = load(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mx = F.greatest(
+        F.array_max(F.transform(e, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    scale = (mx / F.lit(127.0)).alias("scale")
+    q = F.transform(e, lambda x: F.round(x / (mx / 127.0)).cast("int"))
+    return em.select(
+        "vec_id",
+        scale,
+        q.alias("q8"),
+        F.aggregate(
+            q, F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+        ).alias("q8_sum"),
+    )
+
+
+ORACLE_EMBED_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), s AS (
+  SELECT vec_id, e,
+         greatest(list_max(list_transform(e, x -> abs(x))), 1e-12)
+           AS mx
+  FROM v
+)
+SELECT vec_id,
+       mx / 127.0 AS scale,
+       list_transform(e, x -> CAST(round(x / (mx / 127.0)) AS INT)) AS q8,
+       CAST(list_sum(list_transform(
+              e, x -> CAST(round(x / (mx / 127.0)) AS BIGINT)))
+            AS BIGINT) AS q8_sum
+FROM s
+"""
+
+
 QUERIES = {
+    "q_embed_quantize": q_embed_quantize,
     "q_cosine_scores": q_cosine_scores,
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
@@ -283,6 +329,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_embed_quantize": ORACLE_EMBED_QUANTIZE,
     "q_cosine_scores": ORACLE_COSINE_SCORES,
     "q_ann_topk": ORACLE_ANN_TOPK,
     "q_ann_ivf": ORACLE_ANN_IVF,
