@@ -164,3 +164,12 @@ def test_histogram_quantiles_no_global_sort(spark, sf_dir):
     first_scan = e.index("Scan parquet")
     assert "TakeOrderedAndProject" not in e[:first_scan]
     assert e.count("HashAggregate") >= 2
+
+
+def test_vocab_topk_no_global_window(spark, sf_dir):
+    from audios_to_dataset_spark.plans.textops import q_vocab
+
+    e = _explain(q_vocab(spark, sf_dir))
+    # top-K must come from TakeOrderedAndProject; the rank/coverage
+    # window then only sees K rows
+    assert "TakeOrderedAndProject" in e

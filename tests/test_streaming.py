@@ -45,3 +45,47 @@ def test_stream_dedup_counts(spark, sf_dir):
     assert len(rows) > 0
     # every user keeps at most the 5 distinct event types
     assert all(1 <= r.n_types <= 5 for r in rows)
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    """Streaming -> foreachBatch -> parquet shard per micro-batch: the
+    production sink path (idempotent per-batch overwrite = exactly-once
+    on replay). The rows written must equal the memory-sink run."""
+    from pyspark.sql import functions as F
+
+    from audios_to_dataset_spark.streaming.events import (
+        _stream_events,
+        q_stream_tumbling,
+    )
+
+    out = str(tmp_path / "stream_out")
+    agg = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+    )
+
+    def sink(batch_df, batch_id):
+        # append mode emits closed windows in the batch AFTER the
+        # watermark advances past them; write every batch (possibly
+        # empty) to its own idempotent dir
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    written = spark.read.parquet(f"{out}/batch=*")
+    expect = q_stream_tumbling(spark, sf_dir)
+    got = {tuple(r) for r in written.collect()}
+    want = {tuple(r) for r in expect.collect()}
+    assert got == want and len(got) > 0
