@@ -45,6 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
         default="snappy",
     )
     p.add_argument("--metadata-file", default=None)
+    p.add_argument(
+        "--segment-seconds",
+        type=float,
+        default=None,
+        help="engine extension: split each WAV into fixed-duration"
+        " standalone segments before sharding",
+    )
     return p
 
 
@@ -70,6 +77,7 @@ def main(argv: list[str] | None = None) -> int:
         files_per_shard=args.files_per_db,
         max_depth=args.max_depth_size,
         check_mime_type=args.check_mime_type,
+        segment_seconds=args.segment_seconds,
     )
     total = sum(r.n_rows for r in receipts)
     for r in sorted(receipts, key=lambda r: r.shard):

@@ -39,6 +39,68 @@ def enrich_files(files: DataFrame) -> DataFrame:
     ).drop("_wav")
 
 
+def segment_files(files: DataFrame, seg_seconds: float) -> DataFrame:
+    """Engine extension (no reference analog): explode each WAV row into
+    fixed-duration standalone segments before enrichment — the clip
+    normalization pass for training corpora.
+
+    One mapInPandas pass carries every non-content column through
+    (relative_path / file_name keep keying the metadata join), replaces
+    ``content`` with the segment's RIFF bytes, and uniquifies ``path``
+    with a ``#segN`` suffix so downstream shard ordering stays
+    deterministic. No shuffle; parallel per input partition.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .functions.wav import segment_wav_bytes
+
+    base = [f for f in files.schema.fields if f.name != "content"]
+    names = [f.name for f in base]
+    schema = T.StructType(
+        base
+        + [
+            T.StructField("seg_index", T.IntegerType(), False),
+            T.StructField("seg_start", T.DoubleType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                for idx, st, _dur, sb in segment_wav_bytes(
+                    rec["content"], seg_seconds
+                ):
+                    r = {k: rec[k] for k in names}
+                    r["seg_index"] = idx
+                    r["seg_start"] = st
+                    r["content"] = sb
+                    rows.append(r)
+            yield pd.DataFrame(
+                rows, columns=names + ["seg_index", "seg_start", "content"]
+            )
+
+    out = files.mapInPandas(gen, schema)
+    return (
+        # zero-padded suffix keeps lexicographic order == segment order;
+        # relative_path / file_name stay original so the metadata lookup
+        # still keys on the source file — sharding orders by this unique
+        # path instead (build_dataset passes order_col="path")
+        out.withColumn(
+            "path",
+            F.concat(
+                F.col("path"), F.lit("#seg"),
+                F.lpad(F.col("seg_index").cast("string"), 4, "0"),
+            ),
+        )
+        # the sink's metadata lattice is String/Bool/Float64/List
+        # (src/main.rs:124-130) — carry the segment columns as Float64
+        .withColumn("seg_index", F.col("seg_index").cast("double"))
+    )
+
+
 def build_dataset(
     spark: SparkSession,
     input_dir: str,
@@ -46,6 +108,7 @@ def build_dataset(
     max_depth: int = DEFAULT_MAX_DEPTH,
     check_mime_type: bool = False,
     files_per_shard: int = DEFAULT_FILES_PER_SHARD,
+    segment_seconds: float | None = None,
 ) -> DataFrame:
     """The full logical plan up to (but excluding) the sink."""
     files = scan_audio_files(
@@ -55,6 +118,8 @@ def build_dataset(
         metadata_file=metadata_file,
         check_mime_type=check_mime_type,
     )
+    if segment_seconds is not None:
+        files = segment_files(files, segment_seconds)
     files = enrich_files(files)
 
     if metadata_file is not None:
@@ -68,7 +133,11 @@ def build_dataset(
             TRANSCRIPTION, F.lit(TRANSCRIPTION_DEFAULT)
         )
 
-    return assign_shards(files, files_per_shard)
+    return assign_shards(
+        files,
+        files_per_shard,
+        order_col="path" if segment_seconds is not None else "relative_path",
+    )
 
 
 def run_pipeline(
@@ -81,6 +150,7 @@ def run_pipeline(
     files_per_shard: int = DEFAULT_FILES_PER_SHARD,
     max_depth: int = DEFAULT_MAX_DEPTH,
     check_mime_type: bool = False,
+    segment_seconds: float | None = None,
 ) -> list:
     """Run scan→enrich→join→shard→sink; returns the write receipts."""
     sharded = build_dataset(
@@ -90,6 +160,7 @@ def run_pipeline(
         max_depth=max_depth,
         check_mime_type=check_mime_type,
         files_per_shard=files_per_shard,
+        segment_seconds=segment_seconds,
     )
     if output_format == "parquet":
         from .sinks.parquet_shards import write_parquet_shards

@@ -336,3 +336,44 @@ def test_first_wins_duplicate_metadata(spark, tmp_path, audio_dir):
         r["audio"]["path"]: r for r in _read_shard(out).to_pylist()
     }
     assert by_path["sample.wav"]["transcription"] == "first"
+
+
+def test_segmented_pipeline_e2e(spark, tmp_path):
+    """--segment-seconds: each WAV becomes N standalone segments that
+    flow through metadata join, sharding, and the parquet sink."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from audios_to_dataset_spark.functions.wav import synth_wav
+    from audios_to_dataset_spark.pipeline import run_pipeline
+
+    audio = tmp_path / "in"
+    audio.mkdir()
+    (audio / "a.wav").write_bytes(synth_wav(8000))  # 1.0 s → 4 segments
+    (audio / "b.wav").write_bytes(synth_wav(8000, n_samples=4000))  # 2 segs
+    meta = tmp_path / "m.csv"
+    meta.write_text(
+        "file_name,transcription\na.wav,alpha\nb.wav,beta\n"
+    )
+    out = tmp_path / "out"
+    receipts = run_pipeline(
+        spark,
+        str(audio),
+        str(out),
+        metadata_file=str(meta),
+        segment_seconds=0.25,
+    )
+    assert sum(r.n_rows for r in receipts) == 6
+    tbl = pq.read_table(glob.glob(str(out / "*.parquet"))[0])
+    rows = tbl.to_pylist()
+    assert len(rows) == 6
+    # every segment decoded to 0.25 s and kept its file's transcription
+    assert all(abs(r["duration"] - 0.25) < 1e-9 for r in rows)
+    by_tx = {}
+    for r in rows:
+        by_tx.setdefault(r["transcription"], 0)
+        by_tx[r["transcription"]] += 1
+    assert by_tx == {"alpha": 4, "beta": 2}
+    # segment payloads are standalone RIFF files
+    assert all(bytes(r["audio"]["bytes"])[:4] == b"RIFF" for r in rows)
