@@ -325,3 +325,46 @@ def simhash16(
         ).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return with_votes.select("id", fp.cast("long").alias("simhash"))
+
+
+def cross_lsh_candidates(
+    sig_a: DataFrame,
+    sig_b: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """LSH candidates ACROSS two corpora: (id_a, id_b) pairs whose
+    MinHash signatures collide in any band — the eval-set contamination
+    check (did any training document near-duplicate an eval document?).
+
+    Same banding as ``lsh_candidate_pairs`` but joining corpus A's bands
+    to corpus B's instead of self-joining: still a pure equi-join on a
+    uniformly-distributed hash key, so A×B scale costs one shuffle of
+    each side's band table, never a cross product.
+    """
+    n_bands = num_hashes // band_size
+
+    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        parts = []
+        for b in range(n_bands):
+            cols = [f"mh{b * band_size + j}" for j in range(band_size)]
+            key = F.md5(F.concat_ws("|", *[F.col(c) for c in cols]))
+            parts.append(
+                sigs.select(
+                    F.col("id").alias(out_id),
+                    F.lit(b).alias("band"),
+                    key.alias("band_key"),
+                )
+            )
+        out = parts[0]
+        for extra in parts[1:]:
+            out = out.unionByName(extra)
+        return out
+
+    a = banded(sig_a, "id_a")
+    b = banded(sig_b, "id_b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .select("id_a", "id_b")
+        .distinct()
+    )

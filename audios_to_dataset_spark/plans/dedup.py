@@ -9,6 +9,7 @@ just row-count smokes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators import dedup as D
@@ -305,7 +306,98 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+
+# Contamination check: the synthetic "eval set" is every 10th document
+# with its first token dropped — near-dup of its source, never identical.
+CONTAM_MOD = 10
+CONTAM_PICK = 3
+CONTAM_OFFSET = 1_000_000
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination detection: MinHash-LSH candidates ACROSS
+    two corpora (training docs × perturbed eval docs). Cross-corpus
+    banding is the same equi-join discipline as self-dedup — one shuffle
+    per side, no cross product — so checking a 100 TB corpus against an
+    eval suite costs one LSH pass, not N×M comparisons."""
+    d = load(spark, sf_dir, "documents")
+    evalset = d.filter(
+        F.col("doc_id") % CONTAM_MOD == CONTAM_PICK
+    ).select(
+        (F.col("doc_id") + CONTAM_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 2, 1_000_000), " "
+        ).alias("text"),
+    )
+    sig_a = D.minhash_signatures(d, num_hashes=NUM_HASHES, n=NGRAM_N)
+    sig_b = D.minhash_signatures(evalset, num_hashes=NUM_HASHES, n=NGRAM_N)
+    pairs = D.cross_lsh_candidates(
+        sig_a, sig_b, num_hashes=NUM_HASHES, band_size=BAND_SIZE
+    )
+    return pairs.select(
+        F.col("id_a").alias("train_id"), F.col("id_b").alias("eval_id")
+    )
+
+
+def _oracle_contamination() -> str:
+    mins = ",\n         ".join(
+        f"MIN(substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8)) AS mh{i}"
+        for i in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+
+    def band_rows(sig: str) -> str:
+        return "\n  UNION ALL\n".join(
+            f"  SELECT doc_id, {b} AS band, md5({key}) AS band_key"
+            f" FROM {sig}"
+            for b, key in (
+                (
+                    bb,
+                    " || '|' || ".join(
+                        f"mh{bb * BAND_SIZE + j}" for j in range(BAND_SIZE)
+                    ),
+                )
+                for bb in range(n_bands)
+            )
+        )
+
+    shingle = (
+        "SELECT DISTINCT doc_id, s FROM (\n"
+        "    SELECT doc_id,\n"
+        "           unnest(list_transform(\n"
+        f"             range(1, greatest(len(t) - {NGRAM_N - 1}, 0) + 1),\n"
+        "             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s\n"
+        "    FROM {toks}) u"
+    )
+    return f"""
+WITH toksA AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), toksB AS (
+  SELECT doc_id + {CONTAM_OFFSET} AS doc_id,
+         list_slice(string_split(lower(text), ' '), 2,
+                    len(string_split(lower(text), ' '))) AS t
+  FROM documents WHERE doc_id % {CONTAM_MOD} = {CONTAM_PICK}
+), shA AS (
+  {shingle.format(toks="toksA")}
+), shB AS (
+  {shingle.format(toks="toksB")}
+), sigA AS (
+  SELECT doc_id, {mins} FROM shA GROUP BY doc_id
+), sigB AS (
+  SELECT doc_id, {mins} FROM shB GROUP BY doc_id
+), bandsA AS (
+{band_rows("sigA")}
+), bandsB AS (
+{band_rows("sigB")}
+)
+SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+FROM bandsA a
+JOIN bandsB b ON a.band = b.band AND a.band_key = b.band_key
+"""
+
+
 QUERIES = {
+    "q_contamination": q_contamination,
     "q_simhash_pairs": q_simhash_pairs,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram": q_dedup_ngram,
@@ -316,6 +408,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_contamination": _oracle_contamination(),
     "q_simhash_pairs": _oracle_simhash_pairs(),
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
     "q_dedup_ngram": ORACLE_DEDUP_NGRAM,

@@ -531,7 +531,13 @@ JOIN customer ON o_custkey = c_custkey
 def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: percent_rank and cume_dist of each
     order's price within its priority class (tie-stable by definition),
-    plus the class size."""
+    plus the class size.
+
+    Scale note: rank semantics require each partition's rows on one
+    task, so low-cardinality partition keys cap parallelism at the key
+    count — inherent to the operator, not this plan. When only the
+    quantile VALUES are needed, use the mergeable histogram sketch
+    (``q_approx_percentile``) which has no such constraint."""
     o = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
     return o.select(
