@@ -177,26 +177,35 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE. Returns (id, cluster_id = min reachable id)."""
     from ..operators.dedup import ngram_jaccard_pairs
     from ..operators.graph import connected_components
+    from .dedup import MAX_SHINGLE_FREQ
 
     d = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.2).select("doc_a", "doc_b")
+    pairs = ngram_jaccard_pairs(
+        d, threshold=0.2, max_shingle_freq=MAX_SHINGLE_FREQ
+    ).select("doc_a", "doc_b")
     ids = d.select(F.col("doc_id").alias("id"))
     return connected_components(ids, pairs, src="doc_a", dst="doc_b")
 
 
 def _oracle_dedup_clusters() -> str:
-    from .dedup import NGRAM_N, NGRAM_THRESHOLD
+    from .dedup import MAX_SHINGLE_FREQ, NGRAM_N, NGRAM_THRESHOLD
 
     return f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id, s FROM (
     SELECT doc_id,
            unnest(list_transform(
              range(1, greatest(len(t) - {NGRAM_N - 1}, 0) + 1),
              i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
     FROM toks) u
+), sh AS (
+  -- stop-shingle cap, mirrored from ngram_jaccard_pairs(max_shingle_freq)
+  SELECT sh0.doc_id, sh0.s
+  FROM sh0 JOIN (
+    SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE_FREQ}
+  ) keep ON sh0.s = keep.s
 ), cnt AS (
   SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
 ), jpairs AS (
@@ -480,18 +489,21 @@ FROM r WHERE rn = 1
 """
 
 
+# Order matters: the driver's correctness gate covers the first 50
+# declared queries — the north-star operators (clusters, survivors,
+# time-series joins) lead; TPC-H report shapes follow.
 QUERIES = {
+    "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_survivors": q_dedup_survivors,
     "q_skew_join": q_skew_join,
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
     "q_nation_volume": q_nation_volume,
     "q_promo_revenue": q_promo_revenue,
-    "q_range_join": q_range_join,
-    "q_asof_join": q_asof_join,
     "q_top_orders": q_top_orders,
     "q_returned_items": q_returned_items,
     "q_funnel": q_funnel,
     "q_retention": q_retention,
-    "q_dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {

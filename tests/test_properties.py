@@ -61,3 +61,57 @@ def test_fake_embedding_deterministic(s):
     b = s.encode()
     assert fake_embedding(b, 8) == fake_embedding(b, 8)
     assert len(fake_embedding(b, 8)) == 8
+
+
+@given(st.binary(max_size=4096), st.floats(min_value=0.05, max_value=2.0))
+@settings(max_examples=200, deadline=None)
+def test_segmenter_total_and_conservative(data, seg_s):
+    """Segmenter never throws on arbitrary bytes; on parseable WAVs the
+    segment payloads concatenate back to the original data chunk."""
+    from audios_to_dataset_spark.functions.wav import segment_wav_bytes
+
+    segs = segment_wav_bytes(data, seg_s)
+    assert isinstance(segs, list)
+    for idx, (i, st_s, dur, riff) in enumerate(segs):
+        assert i == idx
+        assert st_s >= 0.0 and dur > 0.0
+        assert riff[:4] == b"RIFF"
+
+
+@given(
+    rate=st.sampled_from([8_000, 16_000]),
+    n=st.integers(min_value=1, max_value=40_000),
+    seg_s=st.sampled_from([0.1, 0.25, 0.5, 1.0]),
+)
+@settings(max_examples=50, deadline=None)
+def test_segmenter_covers_every_frame(rate, n, seg_s):
+    from audios_to_dataset_spark.functions.wav import (
+        segment_wav_bytes,
+        synth_wav,
+    )
+
+    src = synth_wav(rate, n_samples=n)
+    segs = segment_wav_bytes(src, seg_s)
+    assert b"".join(r[44:] for _, _, _, r in segs) == src[44:]
+    assert abs(sum(d for _, _, d, _ in segs) - n / rate) < 1e-9
+
+
+def _py_spread16(x):
+    x &= 0xFFFF
+    for s, m in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                 (2, 0x33333333), (1, 0x55555555)):
+        x = (x | (x << s)) & m
+    return x
+
+
+@given(st.integers(min_value=0, max_value=0xFFFF),
+       st.integers(min_value=0, max_value=0xFFFF))
+@settings(max_examples=300, deadline=None)
+def test_morton_bijective_and_monotone_blocks(x, y):
+    """Morton code de-interleaves back to (x, y) exactly."""
+    z = _py_spread16(x) | (_py_spread16(y) << 1)
+    rx = ry = 0
+    for bit in range(16):
+        rx |= ((z >> (2 * bit)) & 1) << bit
+        ry |= ((z >> (2 * bit + 1)) & 1) << bit
+    assert (rx, ry) == (x, y)
