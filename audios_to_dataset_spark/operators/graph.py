@@ -81,6 +81,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    partitions: int | None = None,
 ) -> DataFrame:
     """(id, rank) after ``iters`` synchronous PageRank iterations.
 
@@ -102,9 +103,13 @@ def pagerank(
     # checkpoint once so the (possibly expensive) upstream plan that
     # produced the edges — joins, distinct — is not re-executed every
     # iteration (measured 4× on the order-graph bench at sf0.1).
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=True)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if partitions is not None:
+        # iteration state is small relative to the session's shuffle
+        # width; sizing the loop's frames explicitly cuts per-job task
+        # overhead (every iteration is several tiny jobs)
+        e = e.repartition(partitions, "src")
+    e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))

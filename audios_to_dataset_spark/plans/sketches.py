@@ -86,7 +86,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    r = pagerank(edges, iters=PR_ITERS, damping=PR_DAMPING)
+    r = pagerank(edges, iters=PR_ITERS, damping=PR_DAMPING, partitions=8)
     return r.select(
         F.col("id").cast("bigint").alias("node_id"),
         sround(F.col("rank"), 9).alias("rank"),
