@@ -392,3 +392,67 @@ def lsh_bucketed_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def lsh_topk_batch(
+    df: DataFrame,
+    tables: list[list[list[float]]],
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 3,
+) -> DataFrame:
+    """Batch ANN: approximate top-k for MANY query vectors at once.
+
+    The realistic serving/backfill shape (one query at a time wastes a
+    full pass per query): all queries' buckets broadcast, candidates
+    arrive via ONE equi-join on the bucket key, exact scores only for
+    (query, candidate) collisions, then a per-query window top-k. Cost
+    at scale: one pass over the vector table for bucketing + a shuffle
+    of candidate rows — independent of the number of queries until the
+    query side outgrows the broadcast threshold.
+    """
+    from pyspark.sql import Window
+
+    bucketed = None
+    for t, planes in enumerate(tables):
+        part = hyperplane_buckets(df, planes, id_col, vec_col).select(
+            "id",
+            F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("bucket"),
+        )
+        bucketed = part if bucketed is None else bucketed.unionByName(part)
+    ids = [F.lit(q) for q in query_ids]
+    qb = (
+        bucketed.filter(F.col("id").isin(*ids))
+        .select(F.col("id").alias("qid"), "bucket")
+    )
+    cand = (
+        bucketed.join(F.broadcast(qb), "bucket")
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", "id")
+        .distinct()
+    )
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    qv = df.filter(F.col(id_col).isin(*ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    cos = _dot(F.col("vec"), F.col("qvec")) / (
+        _norm(F.col("vec")) * _norm(F.col("qvec"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("id")
+    )
+    return (
+        cand.join(v, "id")
+        .join(F.broadcast(qv), "qid")
+        .select("qid", "id", sround(cos, decimals).alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("qid").cast("bigint").alias("query_id"),
+            F.col("id").cast("bigint").alias("neighbor_id"),
+            "cos_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -318,7 +318,79 @@ FROM s
 """
 
 
+
+BATCH_QUERY_IDS = [0, 7, 21, 42, 99]
+BATCH_K = 5
+
+
+def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: top-5 approximate neighbors for five query vectors in
+    ONE pass (broadcast query buckets → single candidate equi-join →
+    per-query window top-k) — the serving/backfill shape where
+    per-query table scans would be ruinous."""
+    from ..operators.similarity import lsh_topk_batch
+    from .dedup import PLANES
+
+    em = load(spark, sf_dir, "embeddings")
+    return lsh_topk_batch(
+        em, PLANES, query_ids=BATCH_QUERY_IDS, k=BATCH_K
+    )
+
+
+def _oracle_ann_batch() -> str:
+    from .dedup import PLANES, _plane_sql
+
+    bucket_rows = []
+    for t, planes in enumerate(PLANES):
+        bits = " || ".join(
+            "(CASE WHEN list_sum(list_transform(range(1, len(e) + 1), "
+            f"i -> e[i] * ({_plane_sql(p)})[i])) >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        bucket_rows.append(
+            f"  SELECT vec_id, '{t}:' || {bits} AS bucket FROM v"
+        )
+    buckets = "\n  UNION ALL\n".join(bucket_rows)
+    qids = ", ".join(str(q) for q in BATCH_QUERY_IDS)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), buckets AS (
+{buckets}
+), qb AS (
+  SELECT vec_id AS qid, bucket FROM buckets WHERE vec_id IN ({qids})
+), cand AS (
+  SELECT DISTINCT qb.qid, b.vec_id
+  FROM buckets b JOIN qb ON b.bucket = qb.bucket
+  WHERE b.vec_id <> qb.qid
+), scored AS (
+  SELECT cand.qid, cand.vec_id,
+         round((
+           list_sum(list_transform(range(1, len(cv.e) + 1),
+                                   i -> cv.e[i] * qv.e[i]))
+           / (sqrt(list_sum(list_transform(cv.e, x -> x * x)))
+              * sqrt(list_sum(list_transform(qv.e, x -> x * x))))
+           * 1000.0)) / 1000.0 + 0.0 AS cos_sim
+  FROM cand
+  JOIN v cv ON cv.vec_id = cand.vec_id
+  JOIN v qv ON qv.vec_id = cand.qid
+), r AS (
+  SELECT qid, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS neighbor_id,
+       cos_sim, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= {BATCH_K}
+"""
+
+
 QUERIES = {
+    "q_ann_batch": q_ann_batch,
     "q_embed_quantize": q_embed_quantize,
     "q_cosine_scores": q_cosine_scores,
     "q_ann_topk": q_ann_topk,
@@ -329,6 +401,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_ann_batch": _oracle_ann_batch(),
     "q_embed_quantize": ORACLE_EMBED_QUANTIZE,
     "q_cosine_scores": ORACLE_COSINE_SCORES,
     "q_ann_topk": ORACLE_ANN_TOPK,

@@ -89,3 +89,44 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in written.collect()}
     want = {tuple(r) for r in expect.collect()}
     assert got == want and len(got) > 0
+
+
+def test_foreach_batch_restart_is_idempotent(spark, sf_dir, tmp_path):
+    """Restarting an availableNow query against the same checkpoint must
+    not reprocess data (exactly-once bookkeeping via the offset log)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from audios_to_dataset_spark.streaming.events import _stream_events
+
+    out = str(tmp_path / "o")
+    ckpt = str(tmp_path / "c")
+    counts = {"batches": 0}
+
+    agg = (
+        _stream_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def sink(batch_df, batch_id):
+        counts["batches"] += 1
+        batch_df.write.mode("overwrite").parquet(f"{out}/b{batch_id}")
+
+    def run_once():
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = counts["batches"]
+    assert first >= 1
+    run_once()  # same checkpoint, no new data → no new batches
+    assert counts["batches"] == first
+    assert len(glob.glob(f"{out}/b*")) == first
