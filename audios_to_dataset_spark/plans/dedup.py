@@ -396,7 +396,66 @@ JOIN bandsB b ON a.band = b.band AND a.band_key = b.band_key
 """
 
 
+
+def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based similarity estimation: for every LSH candidate pair,
+    estimate Jaccard as the fraction of agreeing MinHash components —
+    the cheap O(k) scorer a dedup pipeline uses before (or instead of)
+    exact shingle intersection. Joins the two signature rows per
+    candidate pair; no shingle data moves."""
+    d = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(d, num_hashes=NUM_HASHES, n=NGRAM_N)
+    pairs = D.lsh_candidate_pairs(
+        sigs, num_hashes=NUM_HASHES, band_size=BAND_SIZE
+    )
+    a = sigs.select(
+        F.col("id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    b = sigs.select(
+        F.col("id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / float(NUM_HASHES)).alias("jaccard_est"),
+        )
+    )
+
+
+def _oracle_minhash_jaccard() -> str:
+    base = _oracle_minhash()
+    # reuse the minhash oracle's CTE chain; rebuild the final select to
+    # join signatures back onto the candidate pairs
+    head, _sep, _tail = base.rpartition("SELECT DISTINCT")
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES)
+    )
+    return f"""{head}, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)
+SELECT cand.doc_a, cand.doc_b,
+       CAST(({agree}) AS DOUBLE) / {float(NUM_HASHES)!r} AS jaccard_est
+FROM cand
+JOIN sig sa ON sa.doc_id = cand.doc_a
+JOIN sig sb ON sb.doc_id = cand.doc_b
+"""
+
+
 QUERIES = {
+    "q_minhash_jaccard": q_minhash_jaccard,
     "q_contamination": q_contamination,
     "q_simhash_pairs": q_simhash_pairs,
     "q_dedup_exact": q_dedup_exact,
@@ -408,6 +467,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_minhash_jaccard": _oracle_minhash_jaccard(),
     "q_contamination": _oracle_contamination(),
     "q_simhash_pairs": _oracle_simhash_pairs(),
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
