@@ -277,10 +277,78 @@ FROM orders
 """
 
 
+
+# Columns profiled by q_profile — canonicalized to strings so one melt
+# (column, value) relation feeds every statistic in a single pass.
+PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset profile — the QA report a curation pipeline runs
+    on every new drop: per column, row/null counts, min/max, and an HLL
+    distinct estimate. The table is melted to (col_name, value) rows so
+    ALL columns' statistics come from one scan + one groupBy family
+    (profiling 500 columns costs the same shuffles as one)."""
+    o = load(spark, sf_dir, "orders")
+    kv = []
+    for c in PROFILE_COLS:
+        kv += [F.lit(c), F.col(c).cast("string")]
+    melted = o.select(
+        F.explode(F.create_map(*kv)).alias("col_name", "value")
+    )
+    basic = melted.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("value")).cast("bigint").alias(
+            "n_null"
+        ),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    est = hll_estimate(
+        melted.filter(F.col("value").isNotNull()),
+        "value",
+        ["col_name"],
+        m=HLL_M,
+    ).select("col_name", sround(F.col("hll_estimate"), 4).alias("distinct_est"))
+    return basic.join(est, "col_name")
+
+
+def _oracle_profile() -> str:
+    melt = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS value"
+        " FROM orders"
+        for c in PROFILE_COLS
+    )
+    h = hll_sql(
+        f"(SELECT * FROM melted WHERE value IS NOT NULL) nn",
+        "value",
+        ["col_name"],
+        HLL_M,
+    )
+    return f"""
+WITH melted AS ({melt}),
+basic AS (
+  SELECT col_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(value) AS BIGINT) AS n_null,
+         MIN(value) AS min_value,
+         MAX(value) AS max_value
+  FROM melted GROUP BY col_name
+),
+est AS (
+  SELECT col_name, {sround_sql('hll_estimate', 4)} AS distinct_est
+  FROM ({h})
+)
+SELECT basic.col_name, n_rows, n_null, min_value, max_value, distinct_est
+FROM basic JOIN est USING (col_name)
+"""
+
+
 QUERIES = {
     "q_approx_distinct": q_approx_distinct,
     "q_approx_percentile": q_approx_percentile,
     "q_zorder": q_zorder,
+    "q_profile": q_profile,
     "q_pagerank": q_pagerank,
     "q_bloom_join": q_bloom_join,
     "q_stratified_sample": q_stratified_sample,
@@ -290,6 +358,7 @@ ORACLES = {
     "q_approx_distinct": ORACLE_APPROX_DISTINCT,
     "q_approx_percentile": ORACLE_APPROX_PERCENTILE,
     "q_zorder": _oracle_zorder(),
+    "q_profile": _oracle_profile(),
     "q_pagerank": _oracle_pagerank(),
     "q_bloom_join": _oracle_bloom_join(),
     "q_stratified_sample": _oracle_stratified_sample(),
