@@ -489,12 +489,131 @@ FROM r WHERE rn = 1
 """
 
 
+
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-dedup pass as ONE query — what a user actually
+    runs before training: (1) exact dedup (sha256, min-id survivor),
+    (2) n-gram Jaccard near-dup pairs over the exact survivors (with
+    the stop-shingle cap), (3) connected components, (4) one canonical
+    doc per cluster (longest text, id tie-break). Returns the kept
+    corpus with per-doc exact-copy and cluster counts."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graph import connected_components
+    from .dedup import MAX_SHINGLE_FREQ
+
+    d = load(spark, sf_dir, "documents")
+    groups = d.groupBy(F.sha2("text", 256).alias("h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_copies"),
+    )
+    docs = d.join(groups, "doc_id").select(
+        "doc_id", "text", "n_exact_copies"
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.2, max_shingle_freq=MAX_SHINGLE_FREQ
+    ).select("doc_a", "doc_b")
+    ids = docs.select(F.col("doc_id").alias("id"))
+    cc = connected_components(ids, pairs, src="doc_a", dst="doc_b")
+    j = cc.join(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.length("text").cast("bigint").alias("text_len"),
+            "n_exact_copies",
+        ),
+        "id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("text_len").desc(), F.col("id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("cluster_id"))
+            .cast("bigint"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id").alias("kept_id"),
+            "n_exact_copies",
+            "n_members",
+            "text_len",
+        )
+    )
+
+
+def _oracle_dedup_pipeline() -> str:
+    from .dedup import MAX_SHINGLE_FREQ, NGRAM_N, NGRAM_THRESHOLD
+
+    return f"""
+WITH RECURSIVE grp AS (
+  SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_exact_copies
+  FROM documents GROUP BY sha256(text)
+), docs AS (
+  SELECT d.doc_id, d.text, grp.n_exact_copies
+  FROM documents d JOIN grp ON d.doc_id = grp.doc_id
+), toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM docs
+), sh0 AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(t) - {NGRAM_N - 1}, 0) + 1),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+    FROM toks) u
+), sh AS (
+  SELECT sh0.doc_id, sh0.s
+  FROM sh0 JOIN (
+    SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE_FREQ}
+  ) keep ON sh0.s = keep.s
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), jpairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common)
+        >= {NGRAM_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jpairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM jpairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+), cc AS (
+  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+), j AS (
+  SELECT cc.id, cc.cluster_id,
+         CAST(length(docs.text) AS BIGINT) AS text_len,
+         docs.n_exact_copies
+  FROM cc JOIN docs ON docs.doc_id = cc.id
+), r AS (
+  SELECT id, cluster_id, text_len, n_exact_copies,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY text_len DESC, id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS n_members
+  FROM j
+)
+SELECT id AS kept_id, n_exact_copies, n_members, text_len
+FROM r WHERE rn = 1
+"""
+
+
 # Order matters: the driver's correctness gate covers the first 50
 # declared queries — the north-star operators (clusters, survivors,
 # time-series joins) lead; TPC-H report shapes follow.
 QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_survivors": q_dedup_survivors,
+    "q_dedup_pipeline": q_dedup_pipeline,
     "q_skew_join": q_skew_join,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
@@ -508,6 +627,7 @@ QUERIES = {
 
 ORACLES = {
     "q_dedup_survivors": _oracle_dedup_survivors(),
+    "q_dedup_pipeline": _oracle_dedup_pipeline(),
     "q_skew_join": ORACLE_SKEW_JOIN,
     "q_nation_volume": ORACLE_NATION_VOLUME,
     "q_promo_revenue": ORACLE_PROMO_REVENUE,

@@ -516,6 +516,44 @@ SELECT doc_id, token AS top_term, tf, df, tfidf FROM s WHERE rn = 1
 """
 
 
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity as Gini impurity of the token distribution,
+    1 - sum((count/total)^2) — the entropy-style repetitiveness signal
+    without a transcendental log (rational arithmetic, so the DuckDB
+    twin is bit-exact). Low diversity = degenerate/repetitive text."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    cnt = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    total = F.sum("c").cast("bigint")
+    sumsq = F.sum(F.col("c") * F.col("c")).cast("bigint")
+    return cnt.groupBy("doc_id").agg(
+        total.alias("n_tokens"),
+        (
+            F.lit(1.0)
+            - sumsq.cast("double") / (total * total).cast("double")
+        ).alias("gini_diversity"),
+    )
+
+
+ORACLE_TOKEN_DIVERSITY = """
+WITH cnt AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents)
+  GROUP BY doc_id, token
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       1.0 - CAST(SUM(c * c) AS DOUBLE)
+             / CAST(SUM(c) * SUM(c) AS DOUBLE) AS gini_diversity
+FROM cnt GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q_word_count": q_word_count,
     "q_text_normalize": q_text_normalize,
@@ -530,6 +568,7 @@ QUERIES = {
     "q_stopword_strip": q_stopword_strip,
     "q_vocab": q_vocab,
     "q_tfidf": q_tfidf,
+    "q_token_diversity": q_token_diversity,
 }
 
 ORACLES = {
@@ -546,4 +585,5 @@ ORACLES = {
     "q_stopword_strip": _oracle_stopword_strip(),
     "q_vocab": ORACLE_VOCAB,
     "q_tfidf": ORACLE_TFIDF,
+    "q_token_diversity": ORACLE_TOKEN_DIVERSITY,
 }
