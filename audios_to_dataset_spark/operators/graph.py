@@ -161,3 +161,60 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, u: str = "u", v: str = "v"
+) -> DataFrame:
+    """Exact triangle count of an undirected graph via degree orientation.
+
+    ``edges`` must hold each undirected edge once with ``u < v``. The
+    classic distributed algorithm (Cohen's MapReduce triangle counting /
+    node-iterator++): orient every edge from the endpoint of lower
+    (degree, id) to the higher, enumerate wedges only from each node's
+    *out*-edges, and close them against the edge set.
+
+    Scale notes: after orientation every out-degree is O(sqrt(m)), so the
+    wedge self-join produces at most O(m^1.5) rows regardless of skew — a
+    hub node of degree 1M generates zero wedges as a source because all
+    its edges point *into* it. Both joins are hash equi-joins on node ids
+    (no CartesianProduct); the degree table is a single groupBy. This is
+    the plan that survives a 100 TB edge list; the naive u<v orientation
+    dies on the first celebrity node.
+    """
+    e0 = edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        e0.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    e1 = oriented.select(F.col("s"), F.col("t").alias("t1"))
+    e2 = oriented.select(F.col("s"), F.col("t").alias("t2"))
+    # t1 < t2 matches e0's u < v storage order, so the closing join is a
+    # direct equi-join — each triangle is counted exactly once.
+    wedges = e1.join(e2, "s").filter(F.col("t1") < F.col("t2")).select(
+        F.col("t1").alias("wu"), F.col("t2").alias("wv")
+    )
+    closed = wedges.join(
+        e0, (wedges.wu == e0.u) & (wedges.wv == e0.v), "inner"
+    )
+    edge_ct = e0.agg(F.count(F.lit(1)).alias("n_edges"))
+    node_ct = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        edge_ct.crossJoin(node_ct)
+        .crossJoin(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )

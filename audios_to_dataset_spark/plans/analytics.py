@@ -607,6 +607,84 @@ FROM r WHERE rn = 1
 """
 
 
+def q_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped: distribution of order counts per customer,
+    including never-ordered customers (left join keeps the zero bucket).
+
+    Pure integer arithmetic — no float parity tricks needed. Scale: one
+    shuffle on the join/grouping key (custkey), then a tiny second agg
+    on the count value; both map-side combinable.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+ORACLE_CUST_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count on the part co-purchase graph (parts linked
+    when they appear in the same order) via degree-oriented wedge
+    enumeration — the scale-safe distributed algorithm, not the naive
+    three-way self-join. See operators/graph.py:triangle_count for the
+    O(m^1.5) bound argument."""
+    from ..operators.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = items.select("o", F.col("p").alias("u"))
+    b = items.select("o", F.col("p").alias("v"))
+    edges = (
+        a.join(b, "o").filter(F.col("u") < F.col("v"))
+        .select("u", "v").distinct()
+    )
+    return triangle_count(edges)
+
+
+ORACLE_TRIANGLE_COUNT = """
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+deg AS (SELECT node, COUNT(*) AS d
+        FROM (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+        GROUP BY node),
+oriented AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v
+         END AS s,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u
+         END AS t
+  FROM e0 JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+wedges AS (SELECT e1.t AS wu, e2.t AS wv
+           FROM oriented e1 JOIN oriented e2
+             ON e1.s = e2.s AND e1.t < e2.t)
+SELECT (SELECT COUNT(*) FROM e0) AS n_edges,
+       (SELECT COUNT(*) FROM deg) AS n_nodes,
+       COUNT(*) AS n_triangles
+FROM wedges JOIN e0 ON e0.u = wedges.wu AND e0.v = wedges.wv
+"""
+
+
 # Order matters: the driver's correctness gate covers the first 50
 # declared queries — the north-star operators (clusters, survivors,
 # time-series joins) lead; TPC-H report shapes follow.
@@ -623,6 +701,8 @@ QUERIES = {
     "q_returned_items": q_returned_items,
     "q_funnel": q_funnel,
     "q_retention": q_retention,
+    "q_cust_distribution": q_cust_distribution,
+    "q_triangle_count": q_triangle_count,
 }
 
 ORACLES = {
@@ -638,4 +718,6 @@ ORACLES = {
     "q_funnel": ORACLE_FUNNEL,
     "q_retention": ORACLE_RETENTION,
     "q_dedup_clusters": _oracle_dedup_clusters(),
+    "q_cust_distribution": ORACLE_CUST_DISTRIBUTION,
+    "q_triangle_count": ORACLE_TRIANGLE_COUNT,
 }

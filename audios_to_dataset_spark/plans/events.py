@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ._util import dsum, dsum_sql
+from ._util import davg, davg_sql, dsum, dsum_sql, sround, sround_sql
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, microseconds
 
@@ -119,14 +119,120 @@ GROUP BY win_start
 """
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: hourly event counts per type over the full
+    observed range, with missing hours materialized as zero rows.
+
+    The spine (hours × types) is generated with ``sequence`` + ``explode``
+    and stays tiny even at 100 TB (years of hourly buckets × a handful of
+    types), so it is broadcast to the aggregated counts — the only
+    shuffle is the counts groupBy itself, which is map-side combinable.
+    """
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("win_start")
+    )
+    types = e.select("event_type").distinct()
+    spine = hours.crossJoin(types)
+    counts = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("win_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # Right-outer keeps every spine row while broadcasting the (small,
+    # pre-aggregated) counts side — BroadcastHashJoin supports building
+    # the non-preserved side only.
+    return (
+        F.broadcast(counts)
+        .join(spine, ["win_start", "event_type"], "right")
+        .select(
+            "win_start",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+ORACLE_GAP_FILL = """
+WITH b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS win_start FROM b
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), c AS (
+  SELECT date_trunc('hour', ts) AS win_start, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT hours.win_start, types.event_type,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM hours CROSS JOIN types
+LEFT JOIN c ON c.win_start = hours.win_start
+           AND c.event_type = types.event_type
+"""
+
+Z_THRESHOLD = 3.0
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers: events whose value sits more than 3
+    standard deviations from the type mean.
+
+    Mean and E[x²] go through the order-independent decimal sum so both
+    engines derive bit-identical doubles; the z expression is then the
+    same IEEE arithmetic on both sides, and the filter compares the
+    *rounded* z so no boundary row can flip between engines. Stats are a
+    5-row broadcast — the scan is the only distributed work.
+    """
+    e = load(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        davg("value").alias("mean"),
+        davg(F.col("value") * F.col("value")).alias("m2"),
+    )
+    std = F.sqrt(F.col("m2") - F.col("mean") * F.col("mean"))
+    z = sround((F.col("value") - F.col("mean")) / std, 6)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id", "event_type", "value", z.alias("z")
+        )
+        .filter(F.abs(F.col("z")) > Z_THRESHOLD)
+    )
+
+
+ORACLE_ANOMALY_ZSCORE = f"""
+WITH s AS (
+  SELECT event_type, {davg_sql('value')} AS mean,
+         {davg_sql('value * value')} AS m2
+  FROM events GROUP BY event_type
+), scored AS (
+  SELECT event_id, e.event_type, value,
+         {sround_sql('(value - mean) / sqrt(m2 - mean * mean)', 6)} AS z
+  FROM events e JOIN s ON e.event_type = s.event_type
+)
+SELECT event_id, event_type, value, z FROM scored
+WHERE abs(z) > {Z_THRESHOLD}
+"""
+
+
 QUERIES = {
     "q_tumbling_window": q_tumbling_window,
     "q_session_gap": q_session_gap,
     "q_sliding_window": q_sliding_window,
+    "q_gap_fill": q_gap_fill,
+    "q_anomaly_zscore": q_anomaly_zscore,
 }
 
 ORACLES = {
     "q_tumbling_window": ORACLE_TUMBLING_WINDOW,
     "q_session_gap": ORACLE_SESSION_GAP,
     "q_sliding_window": ORACLE_SLIDING_WINDOW,
+    "q_gap_fill": ORACLE_GAP_FILL,
+    "q_anomaly_zscore": ORACLE_ANOMALY_ZSCORE,
 }
