@@ -554,6 +554,198 @@ FROM cnt GROUP BY doc_id
 """
 
 
+BIGRAM_MIN_COUNT = 5
+BIGRAM_TOP_K = 50
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top bigrams by PMI-style lift,
+    n_ab·B / (fa·sb) with fa/sb the first/second-slot marginal counts
+    over all B bigrams. The lift is one division of exact integer
+    products, so both engines compute the identical double — no
+    transcendental log needed for the ranking.
+
+    Scale: one explode + three groupBys (bigrams, first-slot, second-slot
+    marginals, all map-side combinable) and two vocab-sized equi-joins;
+    the top-K is a TakeOrderedAndProject, never a global sort.
+    """
+    from ..operators.dedup import shingles
+
+    d = load(spark, sf_dir, "documents")
+    g = shingles(d, n=2, distinct=False).select(
+        F.col("shingle").alias("bigram")
+    )
+    c = (
+        g.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .withColumn("a", F.substring_index("bigram", " ", 1))
+        .withColumn("b", F.substring_index("bigram", " ", -1))
+    )
+    fa = c.groupBy("a").agg(F.sum("n_ab").cast("bigint").alias("fa"))
+    sb = c.groupBy("b").agg(F.sum("n_ab").cast("bigint").alias("sb"))
+    tot = c.agg(F.sum("n_ab").cast("bigint").alias("n_total"))
+    lift = (F.col("n_ab") * F.col("n_total")).cast("double") / (
+        F.col("fa") * F.col("sb")
+    ).cast("double")
+    return (
+        c.join(fa, "a")
+        .join(sb, "b")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_ab") >= BIGRAM_MIN_COUNT)
+        .select("bigram", "n_ab", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "bigram")
+        .limit(BIGRAM_TOP_K)
+    )
+
+
+ORACLE_BIGRAM_PMI = f"""
+WITH t AS (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+g AS (SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1]))
+        AS bigram FROM t),
+c AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_ab FROM g GROUP BY 1),
+c2 AS (SELECT bigram, n_ab,
+              string_split(bigram, ' ')[1] AS a,
+              string_split(bigram, ' ')[2] AS b
+       FROM c),
+fa AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS fa FROM c2 GROUP BY a),
+sb AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS sb FROM c2 GROUP BY b),
+tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_total FROM c)
+SELECT bigram, n_ab,
+       CAST(n_ab * n_total AS DOUBLE) / CAST(fa * sb AS DOUBLE) AS lift
+FROM c2 JOIN fa USING (a) JOIN sb USING (b) CROSS JOIN tot
+WHERE n_ab >= {BIGRAM_MIN_COUNT}
+ORDER BY lift DESC, bigram LIMIT {BIGRAM_TOP_K}
+"""
+
+
+CHUNK_WORDS = 10
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication: split each doc into fixed 10-word
+    chunks, count corpus-wide chunk occurrences, report each doc's
+    duplicated-chunk fraction — the paragraph-level dedup signal used
+    when whole-document hashing misses boilerplate reuse.
+
+    Scale: chunking is per-row codegen (the chunk list is built from a
+    projected token column, so nothing re-evaluates per element); the
+    global chunk census and the join back are equi-shuffles on the chunk
+    string — the same shape as exact dedup, just at finer grain.
+    """
+    d = load(spark, sf_dir, "documents")
+    base = (
+        d.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+        .withColumn(
+            "n_chunks", F.floor(F.size("toks") / F.lit(CHUNK_WORDS))
+        )
+        .filter(F.col("n_chunks") >= 1)
+    )
+    chunks = base.select(
+        "doc_id",
+        "n_chunks",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int")),
+                lambda i: F.concat_ws(
+                    " ", F.slice("toks", i * CHUNK_WORDS + 1, CHUNK_WORDS)
+                ),
+            )
+        ).alias("chunk"),
+    )
+    census = chunks.groupBy("chunk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    n_dup = F.sum((F.col("cnt") > 1).cast("int")).cast("bigint")
+    return (
+        chunks.join(census, "chunk")
+        .groupBy("doc_id", "n_chunks")
+        .agg(n_dup.alias("n_dup_chunks"))
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            "n_dup_chunks",
+            (
+                F.col("n_dup_chunks").cast("double")
+                / F.col("n_chunks").cast("double")
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+ORACLE_CHUNK_DEDUP = f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+b AS (SELECT doc_id, toks,
+             CAST(len(toks) // {CHUNK_WORDS} AS BIGINT) AS n_chunks
+      FROM t WHERE len(toks) >= {CHUNK_WORDS}),
+ch AS (SELECT doc_id, n_chunks,
+              array_to_string(
+                toks[i * {CHUNK_WORDS} + 1 : i * {CHUNK_WORDS}
+                     + {CHUNK_WORDS}], ' ') AS chunk
+       FROM b, unnest(range(n_chunks)) AS u(i)),
+census AS (SELECT chunk, COUNT(*) AS cnt FROM ch GROUP BY chunk)
+SELECT doc_id, n_chunks,
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(n_chunks AS DOUBLE) AS dup_ratio
+FROM ch JOIN census USING (chunk)
+GROUP BY doc_id, n_chunks
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-gated corpus filter: rank docs per language by lexical
+    quality (distinct-token ratio) and keep the top half — the standard
+    "train on the best X% per language" selection pass.
+
+    The cutoff is integer arithmetic (rank·2 ≤ n_lang), so no float
+    threshold can flip a boundary row between engines. Scale: one window
+    per language partition; languages are the partition key, so skew is
+    bounded by corpus language balance (salt or sub-rank within source
+    if one language dominates).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    q = F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast(
+        "double"
+    )
+    scored = d.select("doc_id", "lang", q.alias("q"))
+    w = Window.partitionBy("lang").orderBy(F.col("q").desc(), "doc_id")
+    return (
+        scored.withColumn("lang_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "n_lang", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+        )
+        .filter(F.col("lang_rank") * 2 <= F.col("n_lang"))
+        .select(
+            "doc_id", "lang", sround(F.col("q"), 6).alias("quality"),
+            "lang_rank",
+        )
+    )
+
+
+ORACLE_QUALITY_FILTER = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+           / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS q
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, q,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id)
+              AS BIGINT) AS lang_rank,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM scored
+)
+SELECT doc_id, lang,
+       round(q * 1000000.0) / 1000000.0 + 0.0 AS quality,
+       lang_rank
+FROM r WHERE lang_rank * 2 <= n_lang
+"""
+
+
 QUERIES = {
     "q_word_count": q_word_count,
     "q_text_normalize": q_text_normalize,
@@ -569,6 +761,9 @@ QUERIES = {
     "q_vocab": q_vocab,
     "q_tfidf": q_tfidf,
     "q_token_diversity": q_token_diversity,
+    "q_bigram_pmi": q_bigram_pmi,
+    "q_chunk_dedup": q_chunk_dedup,
+    "q_quality_filter": q_quality_filter,
 }
 
 ORACLES = {
@@ -586,4 +781,7 @@ ORACLES = {
     "q_vocab": ORACLE_VOCAB,
     "q_tfidf": ORACLE_TFIDF,
     "q_token_diversity": ORACLE_TOKEN_DIVERSITY,
+    "q_bigram_pmi": ORACLE_BIGRAM_PMI,
+    "q_chunk_dedup": ORACLE_CHUNK_DEDUP,
+    "q_quality_filter": ORACLE_QUALITY_FILTER,
 }
