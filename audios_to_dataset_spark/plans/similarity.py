@@ -389,6 +389,57 @@ FROM r WHERE rnk <= {BATCH_K}
 """
 
 
+RP_DIM = 8
+
+
+def _rp_planes() -> list[list[float]]:
+    from .dedup import _make_planes
+
+    return _make_planes(n_tables=1, n_planes=RP_DIM, seed=11)[0]
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    64-dim embedding onto 8 seeded Gaussian directions — the cheap
+    front-end that shrinks vectors before clustering / ANN at corpus
+    scale (8× less shuffle payload downstream).
+
+    Per-row HOF dot products inside codegen, zero shuffles; both engines
+    accumulate the dot left-to-right in float64 and the output is
+    rounded, so the differential check covers the whole projection.
+    """
+    from ..operators.similarity import _dot
+
+    em = load(spark, sf_dir, "embeddings")
+    cols = [
+        sround(
+            _dot(F.col("embedding"), F.array(*[F.lit(v) for v in plane])), 6
+        ).alias(f"p{j}")
+        for j, plane in enumerate(_rp_planes())
+    ]
+    return em.select("vec_id", *cols)
+
+
+def _oracle_random_projection() -> str:
+    from .dedup import _plane_sql
+
+    comps = ",\n       ".join(
+        "round(list_sum(list_transform(range(1, len(e) + 1), "
+        f"i -> e[i] * ({_plane_sql(p)})[i])) * 1000000.0) / 1000000.0 + 0.0"
+        f" AS p{j}"
+        for j, p in enumerate(_rp_planes())
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+)
+SELECT vec_id,
+       {comps}
+FROM v
+"""
+
+
 QUERIES = {
     "q_ann_batch": q_ann_batch,
     "q_embed_quantize": q_embed_quantize,
@@ -398,6 +449,7 @@ QUERIES = {
     "q_ann_lsh": q_ann_lsh,
     "q_kmeans": q_kmeans,
     "q_label_centroids": q_label_centroids,
+    "q_random_projection": q_random_projection,
 }
 
 ORACLES = {
@@ -409,4 +461,5 @@ ORACLES = {
     "q_ann_lsh": _oracle_ann_lsh(),
     "q_kmeans": _oracle_kmeans(),
     "q_label_centroids": ORACLE_LABEL_CENTROIDS,
+    "q_random_projection": _oracle_random_projection(),
 }
