@@ -203,6 +203,122 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+BLOOM_M_BITS = 1024
+BLOOM_K = 3
+
+
+def q_stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed bloom dedup: per (event_type, hour) the state is a fixed
+    1024-bit bloom bitset — an event is emitted only if it sets a new bit
+    for its user signature. Unlike ``dropDuplicates`` (whose per-key state
+    grows with distinct keys), state here is a constant 128 bytes per
+    window regardless of cardinality — the memory-bounded streaming dedup
+    you actually run over an unbounded firehose, trading bounded false
+    positives (never false negatives) for O(1) state.
+
+    The bloom is exactly replayable: bit positions come from the same
+    md5 scheme as operators/bloom.py, and because a fully-covered
+    signature sets no new bits, always-insert semantics coincide with
+    insert-on-emit — so "emitted" ⟺ "first event to set one of its k
+    bits", which the DuckDB oracle computes with a min-rank per
+    (window, bit) group. A full differential check of a stateful
+    streaming operator, not a rows-only smoke.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    m, k = BLOOM_M_BITS, BLOOM_K
+
+    def positions(uid: int) -> list[int]:
+        # Twin of operators/bloom.py:_position — 60-bit md5 prefix mod m.
+        return [
+            int(
+                hashlib.md5(f"{s}:{uid}".encode()).hexdigest()[:15], 16
+            ) & (m - 1)
+            for s in range(k)
+        ]
+
+    def dedup(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        bloom = int.from_bytes(state.get[0], "big") if state.exists else 0
+        keep: list[int] = []
+        users: list[int] = []
+        for eid, uid in zip(rows["event_id"], rows["user_id"]):
+            mask = 0
+            for p in positions(int(uid)):
+                mask |= 1 << p
+            if mask & ~bloom:
+                keep.append(int(eid))
+                users.append(int(uid))
+            bloom |= mask
+        state.update((bloom.to_bytes(m // 8, "big"),))
+        yield pd.DataFrame(
+            {
+                "event_id": pd.Series(keep, dtype="int64"),
+                "event_type": key[0],
+                "win_start": key[1],
+                "user_id": pd.Series(users, dtype="int64"),
+            }
+        )
+
+    ev = _stream_events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("win_start"),
+        "ts",
+        "user_id",
+    )
+    out = ev.groupBy("event_type", "win_start").applyInPandasWithState(
+        dedup,
+        outputStructType=(
+            "event_id bigint, event_type string,"
+            " win_start timestamp, user_id bigint"
+        ),
+        stateStructType="bloom binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_available_now(out, "bloom_dedup")
+
+
+def _oracle_stream_bloom_dedup() -> str:
+    from ..operators.bloom import bloom_positions_sql
+
+    pos = ", ".join(
+        bloom_positions_sql("user_id", s, BLOOM_M_BITS)
+        for s in range(BLOOM_K)
+    )
+    return f"""
+WITH e AS (
+  SELECT event_id, event_type, user_id, ts,
+         date_trunc('hour', ts) AS win_start
+  FROM events
+), ord AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, win_start
+                               ORDER BY ts, event_id) AS rn
+  FROM e
+), bits AS (
+  SELECT event_type, win_start, event_id, user_id, rn,
+         unnest([{pos}]) AS pos
+  FROM ord
+), first_set AS (
+  SELECT event_type, win_start, pos, MIN(rn) AS first_rn
+  FROM bits GROUP BY event_type, win_start, pos
+)
+SELECT b.event_id, b.event_type, b.win_start, MIN(b.user_id) AS user_id
+FROM bits b
+JOIN first_set f ON f.event_type = b.event_type
+                AND f.win_start = b.win_start AND f.pos = b.pos
+GROUP BY b.event_id, b.event_type, b.win_start
+HAVING SUM(CASE WHEN b.rn = f.first_rn THEN 1 ELSE 0 END) > 0
+"""
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with event-time range condition: each
     view event pairs with the same user's purchases in the following
@@ -251,6 +367,7 @@ QUERIES = {
     "q_stream_static_join": q_stream_static_join,
     "q_stream_stream_join": q_stream_stream_join,
     "q_stream_sessions": q_stream_sessions,
+    "q_stream_bloom_dedup": q_stream_bloom_dedup,
 }
 
 # q_stream_dedup stays rows-only (the surviving event per key is
@@ -259,6 +376,7 @@ QUERIES = {
 # passed the final watermark max(ts) - delay (verified empirically:
 # 3370/3370 rows equal at sf0.01).
 ORACLES: dict[str, str] = {
+    "q_stream_bloom_dedup": _oracle_stream_bloom_dedup(),
     "q_stream_tumbling": """
 SELECT date_trunc('hour', ts) AS win_start, event_type,
        COUNT(*) AS n_events
