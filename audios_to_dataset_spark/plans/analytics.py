@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ._util import davg, davg_sql, dsum, dsum_sql, sround, sround_sql
 
 
 def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,6 +686,96 @@ FROM wedges JOIN e0 ON e0.u = wedges.wu AND e0.v = wedges.wv
 """
 
 
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped: revenue from lineitems whose quantity is below
+    20% of their part's average quantity (correlated scalar aggregate,
+    decorrelated into a groupBy + equi-join).
+
+    The per-part average uses the decimal-sum discipline and the
+    comparison is against the *rounded* threshold on both engines, so no
+    boundary row can flip. Scale: one shuffle to build per-part averages
+    (map-side combinable), then an equi-join on partkey — Catalyst's
+    standard decorrelation, no per-row subquery.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        sround(davg("l_quantity") * 0.2, 6).alias("qty_threshold")
+    )
+    return (
+        li.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            (dsum("l_extendedprice") / 7.0).alias("avg_yearly"),
+        )
+    )
+
+
+ORACLE_SMALL_QTY_REVENUE = f"""
+WITH t AS (
+  SELECT l_partkey,
+         {sround_sql(davg_sql('l_quantity') + ' * 0.2', 6)} AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT COUNT(*) AS n_small,
+       {dsum_sql('l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem JOIN t USING (l_partkey)
+WHERE l_quantity < qty_threshold
+"""
+
+
+HIGH_ORDER_CUTOFF = 400_000.0
+
+
+def q_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: per market segment, customers with an
+    above-average account balance who have never placed a high-value
+    order (scalar-subquery threshold + left-anti join; the testdata has
+    no zero-order customers, so the anti-join target is the filtered
+    high-value order set to keep the result non-vacuous).
+
+    The global average is a broadcast scalar; the anti-join shuffles on
+    custkey with the order-side filter pushed below it. The balance
+    filter compares raw doubles to a decimal-derived threshold that both
+    engines compute identically.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > HIGH_ORDER_CUTOFF
+    )
+    thresh = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_ABOVE_AVG_CUSTOMERS = f"""
+WITH t AS (
+  SELECT {davg_sql('c_acctbal')} AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment, COUNT(*) AS n_custs,
+       {dsum_sql('c_acctbal')} AS total_bal
+FROM customer, t
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_totalprice > {HIGH_ORDER_CUTOFF})
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 # Order matters: the driver's correctness gate covers the first 50
 # declared queries — the north-star operators (clusters, survivors,
 # time-series joins) lead; TPC-H report shapes follow.
@@ -703,6 +794,8 @@ QUERIES = {
     "q_retention": q_retention,
     "q_cust_distribution": q_cust_distribution,
     "q_triangle_count": q_triangle_count,
+    "q_small_qty_revenue": q_small_qty_revenue,
+    "q_above_avg_customers": q_above_avg_customers,
 }
 
 ORACLES = {
@@ -720,4 +813,6 @@ ORACLES = {
     "q_dedup_clusters": _oracle_dedup_clusters(),
     "q_cust_distribution": ORACLE_CUST_DISTRIBUTION,
     "q_triangle_count": ORACLE_TRIANGLE_COUNT,
+    "q_small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
+    "q_above_avg_customers": ORACLE_ABOVE_AVG_CUSTOMERS,
 }
