@@ -29,3 +29,32 @@ def test_chain_converges(spark):
 def test_cycle(spark):
     got = _run(spark, 4, [(0, 1), (1, 2), (2, 0)])
     assert got == {0: 0, 1: 0, 2: 0, 3: 3}
+
+
+def _tri(spark, edges):
+    from audios_to_dataset_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "u long, v long"
+    ).distinct()
+    row = triangle_count(df).collect()[0]
+    return row.n_edges, row.n_nodes, row.n_triangles
+
+
+def test_triangle_single(spark):
+    assert _tri(spark, [(0, 1), (1, 2), (0, 2)]) == (3, 3, 1)
+
+
+def test_triangle_none_in_path(spark):
+    assert _tri(spark, [(0, 1), (1, 2), (2, 3)]) == (3, 4, 0)
+
+
+def test_triangle_k4_has_four(spark):
+    # complete graph on 4 nodes: C(4,3) = 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _tri(spark, k4) == (6, 4, 4)
+
+
+def test_triangle_hub_star_has_none(spark):
+    # star graph: the hub has high degree but no closed wedge
+    assert _tri(spark, [(0, i) for i in range(1, 8)]) == (7, 8, 0)

@@ -173,3 +173,51 @@ def test_vocab_topk_no_global_window(spark, sf_dir):
     # top-K must come from TakeOrderedAndProject; the rank/coverage
     # window then only sees K rows
     assert "TakeOrderedAndProject" in e
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    from audios_to_dataset_spark.plans.analytics import q_triangle_count
+
+    e = _explain(q_triangle_count(spark, sf_dir))
+    # degree-oriented wedge enumeration: the graph joins are hash
+    # equi-joins (the only nested-loop joins are the 1-row scalar-count
+    # crossJoins at the top, which broadcast a single row)
+    assert "CartesianProduct" not in e
+    assert "SortMergeJoin" in e or "ShuffledHashJoin" in e \
+        or "BroadcastHashJoin" in e
+
+
+def test_gap_fill_broadcasts_counts(spark, sf_dir):
+    from audios_to_dataset_spark.plans.events import q_gap_fill
+
+    e = _explain(q_gap_fill(spark, sf_dir))
+    # the aggregated counts side broadcasts; the spine is never shuffled
+    # into a sort-merge join
+    assert "BroadcastHashJoin" in e
+    assert "SortMergeJoin" not in e
+
+
+def test_anomaly_zscore_broadcast_stats(spark, sf_dir):
+    from audios_to_dataset_spark.plans.events import q_anomaly_zscore
+
+    e = _explain(q_anomaly_zscore(spark, sf_dir))
+    # 5-row stats side must broadcast, never shuffle the events scan
+    assert "BroadcastHashJoin" in e
+    assert "SortMergeJoin" not in e
+
+
+def test_bigram_pmi_topk_no_global_sort(spark, sf_dir):
+    from audios_to_dataset_spark.plans.textops import q_bigram_pmi
+
+    e = _explain(q_bigram_pmi(spark, sf_dir))
+    assert "TakeOrderedAndProject" in e
+    assert "CartesianProduct" not in e
+
+
+def test_small_qty_revenue_pushes_partial_agg(spark, sf_dir):
+    from audios_to_dataset_spark.plans.analytics import q_small_qty_revenue
+
+    e = _explain(q_small_qty_revenue(spark, sf_dir))
+    # per-part average: partial + final HashAggregate around one exchange
+    assert e.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in e

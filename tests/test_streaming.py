@@ -130,3 +130,36 @@ def test_foreach_batch_restart_is_idempotent(spark, sf_dir, tmp_path):
     run_once()  # same checkpoint, no new data → no new batches
     assert counts["batches"] == first
     assert len(glob.glob(f"{out}/b*")) == first
+
+
+def test_bloom_positions_python_spark_parity(spark):
+    """The streaming bloom dedup's hashlib positions must equal the
+    JVM-side md5 positions of operators/bloom.py — same 60-bit prefix,
+    same mask — or the DuckDB oracle (built on bloom_positions_sql)
+    would drift from the executed stream."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from audios_to_dataset_spark.operators.bloom import _position
+    from audios_to_dataset_spark.streaming.events import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+    )
+
+    uids = [0, 1, 7, 123456789, 999999999999]
+    df = spark.createDataFrame([(u,) for u in uids], "user_id long")
+    got = df.select(
+        "user_id",
+        *[
+            _position(F.col("user_id"), s, BLOOM_M_BITS).alias(f"p{s}")
+            for s in range(BLOOM_K)
+        ],
+    ).collect()
+    for row in got:
+        for s in range(BLOOM_K):
+            expect = int(
+                hashlib.md5(f"{s}:{row.user_id}".encode()).hexdigest()[:15],
+                16,
+            ) & (BLOOM_M_BITS - 1)
+            assert row[f"p{s}"] == expect
