@@ -47,6 +47,9 @@ HEADLINE = [
     "q_pagerank",
     "q_repetition",
     "q_zorder",
+    "q_chunk_dedup",
+    "q_gap_fill",
+    "q_cust_distribution",
 ]
 
 
