@@ -344,6 +344,140 @@ FROM basic JOIN est USING (col_name)
 """
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each event's value to its type's exact
+    [p5, p95] band, with percentiles defined by rank position (the value
+    of the row at rank ceil(q·n) under (value, event_id) order) — a
+    purely ordinal definition, so no interpolation float can diverge
+    between engines.
+
+    Scale: one window per event_type partition to rank, one broadcast
+    join of the 5-row threshold table back onto the scan. This is the
+    standard outlier-capping pass before training-statistics export.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    lo_rank = F.ceil(F.col("n") * 0.05).cast("long")
+    hi_rank = F.ceil(F.col("n") * 0.95).cast("long")
+    bounds = (
+        ranked.withColumn("lo_rank", lo_rank)
+        .withColumn("hi_rank", hi_rank)
+        .filter(
+            (F.col("rnk") == F.col("lo_rank"))
+            | (F.col("rnk") == F.col("hi_rank"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("rnk") == F.col("lo_rank"), F.col("value"))
+            ).alias("p05"),
+            F.max(
+                F.when(F.col("rnk") == F.col("hi_rank"), F.col("value"))
+            ).alias("p95"),
+        )
+    )
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.greatest(F.least(F.col("value"), F.col("p95")), F.col("p05"))
+            .alias("value_clipped"),
+            "p05",
+            "p95",
+        )
+    )
+
+
+ORACLE_WINSORIZE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), bounds AS (
+  SELECT event_type,
+         MIN(CASE WHEN rnk = CAST(ceil(n * 0.05) AS BIGINT)
+                  THEN value END) AS p05,
+         MAX(CASE WHEN rnk = CAST(ceil(n * 0.95) AS BIGINT)
+                  THEN value END) AS p95
+  FROM ranked
+  WHERE rnk = CAST(ceil(n * 0.05) AS BIGINT)
+     OR rnk = CAST(ceil(n * 0.95) AS BIGINT)
+  GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       greatest(least(value, p95), p05) AS value_clipped, p05, p95
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+"""
+
+COMPACT_TARGET_CHARS = 50_000
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning — the small-files fix a 100 TB lake runs
+    nightly: treat each document as a file of size n_chars, pack them
+    in doc_id order into ~50 KB output groups by bucketing the running
+    cumulative size, and report each group's file count and bytes.
+
+    The cumulative sum is integer (exact); the bucket id is
+    floor((cumsum − size) / target), i.e. a file starts a new group when
+    the bytes before it cross the boundary — the greedy first-fit rule.
+    One global-order window over (source) partitions: grouping is done
+    per source partition so no single-task global sort exists.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = d.select("source", "doc_id", F.col("n_chars").cast("long").alias("sz"))
+    planned = sized.withColumn("cum", F.sum("sz").over(w)).withColumn(
+        "grp",
+        F.floor(
+            (F.col("cum") - F.col("sz")) / F.lit(COMPACT_TARGET_CHARS)
+        ).cast("long"),
+    )
+    return (
+        planned.groupBy("source", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("sz").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+ORACLE_COMPACTION_PLAN = f"""
+WITH planned AS (
+  SELECT source, doc_id, n_chars AS sz,
+         CAST(floor(
+           CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_chars
+                AS DOUBLE) / {COMPACT_TARGET_CHARS}) AS BIGINT) AS grp
+  FROM documents
+)
+SELECT source, grp, COUNT(*) AS n_files,
+       CAST(SUM(sz) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM planned
+GROUP BY source, grp
+"""
+
+
 QUERIES = {
     "q_approx_distinct": q_approx_distinct,
     "q_approx_percentile": q_approx_percentile,
@@ -352,6 +486,8 @@ QUERIES = {
     "q_pagerank": q_pagerank,
     "q_bloom_join": q_bloom_join,
     "q_stratified_sample": q_stratified_sample,
+    "q_winsorize": q_winsorize,
+    "q_compaction_plan": q_compaction_plan,
 }
 
 ORACLES = {
@@ -362,4 +498,6 @@ ORACLES = {
     "q_pagerank": _oracle_pagerank(),
     "q_bloom_join": _oracle_bloom_join(),
     "q_stratified_sample": _oracle_stratified_sample(),
+    "q_winsorize": ORACLE_WINSORIZE,
+    "q_compaction_plan": ORACLE_COMPACTION_PLAN,
 }
