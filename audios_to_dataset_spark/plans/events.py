@@ -221,12 +221,55 @@ WHERE abs(z) > {Z_THRESHOLD}
 """
 
 
+ROLLING_US = 30 * 60 * 1_000_000  # trailing 30 minutes, microseconds
+
+
+def q_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-minute per-user rolling aggregate via a RANGE window
+    frame over integer microseconds — the event-time rolling feature
+    (rate counters, trailing spend) that tumbling windows can't express.
+
+    RANGE frames group ties by order *value*, so the result is
+    independent of intra-tick row order on both engines; sums go through
+    the decimal discipline. Scale: one window per user partition — the
+    same shuffle profile as sessionization.
+    """
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-ROLLING_US, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_30m"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_30m"),
+    )
+
+
+ORACLE_ROLLING_SUM = f"""
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_30m,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_30m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {ROLLING_US} PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "q_tumbling_window": q_tumbling_window,
     "q_session_gap": q_session_gap,
     "q_sliding_window": q_sliding_window,
     "q_gap_fill": q_gap_fill,
     "q_anomaly_zscore": q_anomaly_zscore,
+    "q_rolling_sum": q_rolling_sum,
 }
 
 ORACLES = {
@@ -235,4 +278,5 @@ ORACLES = {
     "q_sliding_window": ORACLE_SLIDING_WINDOW,
     "q_gap_fill": ORACLE_GAP_FILL,
     "q_anomaly_zscore": ORACLE_ANOMALY_ZSCORE,
+    "q_rolling_sum": ORACLE_ROLLING_SUM,
 }
