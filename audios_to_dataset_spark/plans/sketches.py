@@ -478,6 +478,88 @@ GROUP BY source, grp
 """
 
 
+CMS_W = 256  # count-min width (power of two → md5 mask)
+CMS_D = 3    # count-min depth (independent hash rows)
+CMS_TOP = 20
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with a count-min sketch audit: the exact top-20
+    corpus tokens next to their CMS estimates (d=3 rows × w=256 md5
+    buckets, same position scheme as the bloom operator) and the
+    resulting overcount.
+
+    The sketch is the mergeable fixed-size structure you keep per
+    partition at 100 TB (d·w counters regardless of vocab size,
+    map-side combinable); the overcount column makes its error model
+    observable. CMS never undercounts — pinned by construction here and
+    by the oracle, which replays the identical buckets in SQL.
+    """
+    from ..operators.bloom import _position
+
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), "token").limit(CMS_TOP)
+    out = top
+    est = None
+    for s in range(CMS_D):
+        counter = (
+            counts.select(
+                _position(F.col("token"), s, CMS_W).alias("b"),
+                F.col("n"),
+            )
+            .groupBy("b")
+            .agg(F.sum("n").cast("bigint").alias(f"c{s}"))
+        )
+        out = out.withColumn("b", _position(F.col("token"), s, CMS_W)).join(
+            F.broadcast(counter), "b"
+        ).drop("b")
+        c = F.col(f"c{s}")
+        est = c if est is None else F.least(est, c)
+    return out.select(
+        "token",
+        "n",
+        est.alias("cms_est"),
+        (est - F.col("n")).alias("overcount"),
+    ).orderBy(F.col("n").desc(), "token")
+
+
+def _oracle_heavy_hitters() -> str:
+    from ..operators.bloom import bloom_positions_sql
+
+    counters = ",\n".join(
+        f"ctr{s} AS (SELECT {bloom_positions_sql('token', s, CMS_W)} AS b,"
+        f" CAST(SUM(n) AS BIGINT) AS c{s} FROM counts GROUP BY 1)"
+        for s in range(CMS_D)
+    )
+    joins = "\n".join(
+        f"JOIN ctr{s} ON ctr{s}.b = "
+        f"{bloom_positions_sql('top.token', s, CMS_W)}"
+        for s in range(CMS_D)
+    )
+    least = "least(" + ", ".join(f"c{s}" for s in range(CMS_D)) + ")"
+    return f"""
+WITH counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        FROM documents)
+  GROUP BY token
+), top AS (
+  SELECT token, n FROM counts ORDER BY n DESC, token LIMIT {CMS_TOP}
+),
+{counters}
+SELECT top.token, top.n, {least} AS cms_est,
+       {least} - top.n AS overcount
+FROM top
+{joins}
+ORDER BY top.n DESC, top.token
+"""
+
+
 QUERIES = {
     "q_approx_distinct": q_approx_distinct,
     "q_approx_percentile": q_approx_percentile,
@@ -488,6 +570,7 @@ QUERIES = {
     "q_stratified_sample": q_stratified_sample,
     "q_winsorize": q_winsorize,
     "q_compaction_plan": q_compaction_plan,
+    "q_heavy_hitters": q_heavy_hitters,
 }
 
 ORACLES = {
@@ -500,4 +583,5 @@ ORACLES = {
     "q_stratified_sample": _oracle_stratified_sample(),
     "q_winsorize": ORACLE_WINSORIZE,
     "q_compaction_plan": ORACLE_COMPACTION_PLAN,
+    "q_heavy_hitters": _oracle_heavy_hitters(),
 }

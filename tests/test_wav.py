@@ -91,3 +91,47 @@ def test_segment_wavs_spark(spark, tmp_path):
     assert sorted(len(v) for v in by_file.values()) == [1, 2, 3]
     assert all(r.seg_duration == 1.0 for r in segs)
     assert all(r.seg_bytes[:4] == b"RIFF" for r in segs)
+
+
+def test_wav_stats_sine(spark):
+    """Full-scale 1 s sine: RMS ≈ 1/√2, peak ≈ 1, tiny clipped fraction."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from audios_to_dataset_spark.functions.wav import (
+        synth_wav,
+        with_wav_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(synth_wav(sample_rate=8000),)], "content binary"
+    )
+    row = df.select(with_wav_stats(F.col("content")).alias("s")).select(
+        "s.*"
+    ).collect()[0]
+    assert row.n_samples == 8000
+    assert abs(row.rms - 1.0 / math.sqrt(2.0)) < 0.01
+    assert 0.99 <= row.peak <= 1.0
+    # a full-scale sine touches ±32767 on ~1% of samples
+    assert 0.0 <= row.clipped_frac <= 0.02
+
+
+def test_wav_stats_silence_and_garbage(spark):
+    from pyspark.sql import functions as F
+
+    from audios_to_dataset_spark.functions.wav import (
+        synth_wav,
+        with_wav_stats,
+    )
+
+    silent = synth_wav(sample_rate=1000, freq_hz=0.0)
+    df = spark.createDataFrame(
+        [(silent,), (b"not a wav",), (None,)], "content binary"
+    )
+    rows = df.select(with_wav_stats(F.col("content")).alias("s")).select(
+        "s.*"
+    ).collect()
+    assert rows[0].rms == 0.0 and rows[0].n_samples == 1000
+    assert rows[1] == rows[2]  # both degrade to all-zeros
+    assert rows[1].n_samples == 0
