@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="engine extension: split each WAV into fixed-duration"
         " standalone segments before sharding",
     )
+    p.add_argument(
+        "--audio-stats",
+        action="store_true",
+        help="engine extension: add rms/peak/clipped_frac signal QA"
+        " columns from the PCM payload",
+    )
     return p
 
 
@@ -78,6 +84,7 @@ def main(argv: list[str] | None = None) -> int:
         max_depth=args.max_depth_size,
         check_mime_type=args.check_mime_type,
         segment_seconds=args.segment_seconds,
+        audio_stats=args.audio_stats,
     )
     total = sum(r.n_rows for r in receipts)
     for r in sorted(receipts, key=lambda r: r.shard):

@@ -29,14 +29,30 @@ from .sources.binary_scan import DEFAULT_MAX_DEPTH, scan_audio_files
 from .sources.metadata import load_metadata
 
 
-def enrich_files(files: DataFrame) -> DataFrame:
-    """P4+P5: WAV header decode → duration/sampling_rate columns."""
+def enrich_files(files: DataFrame, audio_stats: bool = False) -> DataFrame:
+    """P4+P5: WAV header decode → duration/sampling_rate columns.
+
+    With ``audio_stats=True`` (engine extension, ``--audio-stats``) a
+    second Arrow batch adds signal QA columns (rms, peak, clipped_frac
+    — numpy-vectorized over the PCM payload) for silence/clipping
+    screens; extras are doubles per the sink metadata lattice."""
     info = wav_info(F.col("content"))
-    return files.withColumn("_wav", info).select(
+    out = files.withColumn("_wav", info).select(
         "*",
         F.col("_wav.duration").alias("duration"),
         F.col("_wav.sampling_rate").alias("sampling_rate"),
     ).drop("_wav")
+    if audio_stats:
+        from .functions.wav import wav_stats
+
+        st = wav_stats(F.col("content"))
+        out = out.withColumn("_st", st).select(
+            "*",
+            F.col("_st.rms").alias("rms"),
+            F.col("_st.peak").alias("peak"),
+            F.col("_st.clipped_frac").alias("clipped_frac"),
+        ).drop("_st")
+    return out
 
 
 def segment_files(files: DataFrame, seg_seconds: float) -> DataFrame:
@@ -109,6 +125,7 @@ def build_dataset(
     check_mime_type: bool = False,
     files_per_shard: int = DEFAULT_FILES_PER_SHARD,
     segment_seconds: float | None = None,
+    audio_stats: bool = False,
 ) -> DataFrame:
     """The full logical plan up to (but excluding) the sink."""
     files = scan_audio_files(
@@ -120,7 +137,7 @@ def build_dataset(
     )
     if segment_seconds is not None:
         files = segment_files(files, segment_seconds)
-    files = enrich_files(files)
+    files = enrich_files(files, audio_stats=audio_stats)
 
     if metadata_file is not None:
         meta = load_metadata(spark, metadata_file)
@@ -151,6 +168,7 @@ def run_pipeline(
     max_depth: int = DEFAULT_MAX_DEPTH,
     check_mime_type: bool = False,
     segment_seconds: float | None = None,
+    audio_stats: bool = False,
 ) -> list:
     """Run scan→enrich→join→shard→sink; returns the write receipts."""
     sharded = build_dataset(
@@ -161,6 +179,7 @@ def run_pipeline(
         check_mime_type=check_mime_type,
         files_per_shard=files_per_shard,
         segment_seconds=segment_seconds,
+        audio_stats=audio_stats,
     )
     if output_format == "parquet":
         from .sinks.parquet_shards import write_parquet_shards

@@ -377,3 +377,32 @@ def test_segmented_pipeline_e2e(spark, tmp_path):
     assert by_tx == {"alpha": 4, "beta": 2}
     # segment payloads are standalone RIFF files
     assert all(bytes(r["audio"]["bytes"])[:4] == b"RIFF" for r in rows)
+
+
+def test_audio_stats_pipeline(spark, tmp_path):
+    """--audio-stats adds rms/peak/clipped_frac columns to the shards."""
+    import math
+    import os
+
+    from audios_to_dataset_spark.functions.wav import synth_wav
+    from audios_to_dataset_spark.pipeline import run_pipeline
+
+    audio = tmp_path / "in"
+    audio.mkdir()
+    (audio / "a.wav").write_bytes(synth_wav(sample_rate=4000))
+    (audio / "b.wav").write_bytes(
+        synth_wav(sample_rate=4000, freq_hz=0.0)
+    )
+    out = str(tmp_path / "out")
+    run_pipeline(spark, str(audio), out, audio_stats=True)
+    shard = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert shard
+    back = spark.read.parquet(os.path.join(out, shard[0]))
+    rows = {
+        os.path.basename(r.path): r
+        for r in back.select(
+            "audio.path", "rms", "peak", "clipped_frac"
+        ).collect()
+    }
+    assert abs(rows["a.wav"].rms - 1.0 / math.sqrt(2.0)) < 0.01
+    assert rows["b.wav"].rms == 0.0 and rows["b.wav"].peak == 0.0
