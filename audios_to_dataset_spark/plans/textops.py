@@ -746,6 +746,86 @@ FROM r WHERE lang_rank * 2 <= n_lang
 """
 
 
+INDEX_MIN_DF = 50
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → sorted postings list (distinct doc
+    ids) for tokens appearing in ≥ 50 docs — the search/retrieval index
+    materialization pass. One explode + distinct + groupBy; the postings
+    array is sorted so the layout is deterministic and splittable.
+
+    Scale: postings for a stop-word-grade token can be huge — the df
+    floor models the real system's posting cap; collect_list after
+    groupBy shuffles each token's ids to one reducer, which is the
+    index-build shape (writers emit one postings segment per token).
+    """
+    d = load(spark, sf_dir, "documents")
+    postings = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .distinct()
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+        )
+    )
+    return postings.filter(F.col("df") >= INDEX_MIN_DF)
+
+
+ORACLE_INVERTED_INDEX = f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+       list_sort(list(doc_id)) AS postings
+FROM (SELECT DISTINCT doc_id, token
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS token
+            FROM documents) u)
+GROUP BY token
+HAVING COUNT(*) >= {INDEX_MIN_DF}
+"""
+
+
+def q_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: docs, distinct texts, dup rate —
+    the provenance-level QA rollup that decides which crawl sources are
+    worth re-ingesting. Exact distinct on the text hash (sha256, never
+    the raw text) so the shuffle moves 32-byte keys, not documents."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("source", F.sha2(F.col("text"), 256).alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("h").cast("bigint").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_DEDUP = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_distinct,
+       1.0 - CAST(COUNT(DISTINCT sha256(text)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q_word_count": q_word_count,
     "q_text_normalize": q_text_normalize,
@@ -764,6 +844,8 @@ QUERIES = {
     "q_bigram_pmi": q_bigram_pmi,
     "q_chunk_dedup": q_chunk_dedup,
     "q_quality_filter": q_quality_filter,
+    "q_inverted_index": q_inverted_index,
+    "q_source_dedup": q_source_dedup,
 }
 
 ORACLES = {
@@ -784,4 +866,6 @@ ORACLES = {
     "q_bigram_pmi": ORACLE_BIGRAM_PMI,
     "q_chunk_dedup": ORACLE_CHUNK_DEDUP,
     "q_quality_filter": ORACLE_QUALITY_FILTER,
+    "q_inverted_index": ORACLE_INVERTED_INDEX,
+    "q_source_dedup": ORACLE_SOURCE_DEDUP,
 }
