@@ -1,0 +1,150 @@
+"""Physical-plan audit over every declared batch query.
+
+Sweeps ``queries()`` and flags the three plan shapes that kill a 100 TB
+run:
+
+- ``CartesianProduct``        — all-pairs join, O(N·M) rows moved
+- ``BroadcastNestedLoopJoin`` — per-row loop join; only acceptable when
+                                one side is a literal handful of rows
+                                (scalar aggregates, tiny spines)
+- single-partition Window     — ``Exchange SinglePartition`` feeding a
+                                ``Window``: the whole table sorts on one
+                                task
+
+Queries where a flagged shape is *intentional* (brute-force correctness
+baselines kept next to their LSH scale paths; the reference-semantics
+global row id) are allowlisted with the reason printed, so any NEW
+offender fails the audit — run this after adding a query.
+
+Usage: python tools/plan_audit.py [sf_dir]   (default sf0.001 — plans
+don't depend on data volume). Exit 0 = clean, 1 = unexpected flags.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (query, pattern) -> reason; audited and accepted.
+ALLOW: dict[tuple[str, str], str] = {
+    ("q_window_bucket", "SinglePartitionWindow"):
+        "reference shard semantics need a total order (src/main.rs:714);"
+        " input pruned to the slim ordering key first",
+    ("q_window_ntile", "SinglePartitionWindow"):
+        "global deciles are total-order by definition; scale alt ="
+        " q_approx_percentile histogram buckets",
+}
+
+# Deliberate crossJoins (scalar aggregates, tiny spines) appear as
+# Cross-type BNLJs — "BroadcastNestedLoopJoin Cross Build…". Those are
+# the accepted pattern; what must never appear is a *conditional*
+# nested-loop join (Inner/LeftOuter/… BNLJ), which means a non-equi
+# predicate silently degraded a real join.
+BNLJ_NODE = re.compile(r"BroadcastNestedLoopJoin (\w+) Build")
+
+
+def _window_on_single_partition(plan: str) -> bool:
+    """True if a Window node's subtree contains an Exchange whose
+    arguments are SinglePartition — i.e. the window's input really is
+    one task. A SinglePartition exchange elsewhere (scalar aggregates,
+    1-row broadcasts) is fine and must not flag.
+
+    Parses the formatted-explain tree section (indented ``+- Node (id)``
+    lines) plus the per-node detail section (``(id) Node`` /
+    ``Arguments: …``)."""
+    lines = plan.splitlines()
+    # node id -> its Arguments line
+    args: dict[str, str] = {}
+    cur = None
+    for ln in lines:
+        m = re.match(r"\((\d+)\) ", ln.strip())
+        if m:
+            cur = m.group(1)
+        elif cur and ln.startswith("Arguments:"):
+            args[cur] = ln
+    # tree walk: for each Window, inspect deeper-indented nodes below it
+    tree = [
+        (len(ln) - len(ln.lstrip()), ln.strip())
+        for ln in lines
+        if re.search(r"(\+\-|^\w).*\(\d+\)\s*$", ln)
+    ]
+    # Follow only the window's direct input spine (Sort/Project/Filter/
+    # AQE wrappers) — a SinglePartition exchange on a *sibling* branch
+    # (e.g. the broadcast of a scalar aggregate joined below the window)
+    # is legitimate and must not flag.
+    spine_ok = re.compile(
+        r"\b(Sort|Project|Filter|WindowGroupLimit|AQEShuffleRead|"
+        r"ShuffleQueryStage|InputAdapter|ColumnarToRow|Exchange)\b"
+    )
+    for i, (indent, text) in enumerate(tree):
+        if not re.search(r"\bWindow(Group)?\w* \(\d+\)", text):
+            continue
+        prev = indent
+        for indent2, text2 in tree[i + 1:]:
+            if indent2 <= indent or indent2 <= prev - 1:
+                break
+            if indent2 > prev + 3:  # deeper than the direct child chain
+                break
+            if not spine_ok.search(text2):
+                break
+            m = re.search(r"Exchange \((\d+)\)", text2)
+            if m and "SinglePartition" in args.get(m.group(1), ""):
+                return True
+            prev = indent2
+    return False
+
+
+def audit(spark, sf_dir: str) -> int:
+    from audios_to_dataset_spark.plans import all_queries
+
+    flags: list[tuple[str, str, bool]] = []
+    n_checked = 0
+    for name, fn in sorted(all_queries().items()):
+        if name.startswith("q_stream_"):
+            continue  # streaming plans execute on explain; audited in tests
+        df = fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        n_checked += 1
+
+        found: list[str] = []
+        if "CartesianProduct" in plan:
+            found.append("CartesianProduct")
+        join_types = {m.group(1) for m in BNLJ_NODE.finditer(plan)}
+        if join_types - {"Cross"}:
+            found.append("BroadcastNestedLoopJoin")
+        if _window_on_single_partition(plan):
+            found.append("SinglePartitionWindow")
+
+        for f in found:
+            allowed = (name, f) in ALLOW
+            flags.append((name, f, allowed))
+
+    bad = 0
+    for name, f, allowed in flags:
+        if allowed:
+            print(f"ALLOW {name}: {f} — {ALLOW[(name, f)]}")
+        else:
+            print(f"FLAG  {name}: {f}")
+            bad += 1
+    print(f"{n_checked} plans audited, {bad} unexpected flags")
+    return 1 if bad else 0
+
+
+def main() -> int:
+    from audios_to_dataset_spark.session import get_session
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_session("plan-audit")
+    return audit(spark, sf_dir)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
