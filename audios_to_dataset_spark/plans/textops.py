@@ -826,6 +826,92 @@ ORDER BY source
 """
 
 
+# Target mixture: relative weights per source bucket (sources are
+# "src_00".."src_19" in the testdata; bucket by numeric suffix parity to
+# model the common "curated vs crawled" split) and a global token budget.
+MIX_BUDGET_TOKENS = 20_000
+MIX_WEIGHTS = {"even": 3, "odd": 1}
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planning: given per-source-bucket token counts, a
+    global token budget and relative weights, derive each bucket's
+    sampling rate and expected token yield — the mixing table a training
+    run is launched from.
+
+    rate = min(1, budget·w/Σw / tokens) computed in exact integer/
+    rational steps (one double division at the end); buckets that
+    undershoot their allocation (rate capped at 1) surface as
+    ``deficit_tokens`` so the caller can re-weight. All aggregates are
+    map-side combinable; the weights table is a broadcast literal.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = F.when(
+        F.substring("source", -1, 1).cast("int") % 2 == 0, "even"
+    ).otherwise("odd")
+    toks = d.select(
+        bucket.alias("bucket"),
+        F.size(F.split(F.lower("text"), " ")).cast("bigint").alias("n"),
+    )
+    per = toks.groupBy("bucket").agg(
+        F.sum("n").cast("bigint").alias("tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    total_w = sum(MIX_WEIGHTS.values())
+    alloc = F.lit(None).cast("bigint")
+    for b, w in MIX_WEIGHTS.items():
+        share = MIX_BUDGET_TOKENS * w // total_w
+        alloc = F.when(F.col("bucket") == b, F.lit(share)).otherwise(alloc)
+    return (
+        per.withColumn("alloc_tokens", alloc)
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.col("alloc_tokens").cast("double")
+                / F.col("tokens").cast("double"),
+            ),
+        )
+        .withColumn(
+            "expected_tokens",
+            F.least(F.col("alloc_tokens"), F.col("tokens")),
+        )
+        .withColumn(
+            "deficit_tokens",
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.col("alloc_tokens") - F.col("tokens"),
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _oracle_mixture_plan() -> str:
+    total_w = sum(MIX_WEIGHTS.values())
+    whens = " ".join(
+        f"WHEN bucket = '{b}' THEN {MIX_BUDGET_TOKENS * w // total_w}"
+        for b, w in MIX_WEIGHTS.items()
+    )
+    return f"""
+WITH per AS (
+  SELECT CASE WHEN CAST(substr(source, -1, 1) AS INT) % 2 = 0
+              THEN 'even' ELSE 'odd' END AS bucket,
+         CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT bucket, tokens, n_docs,
+       CAST(CASE {whens} END AS BIGINT) AS alloc_tokens,
+       least(1.0, CAST(CASE {whens} END AS DOUBLE)
+                  / CAST(tokens AS DOUBLE)) AS rate,
+       least(CAST(CASE {whens} END AS BIGINT), tokens) AS expected_tokens,
+       greatest(CAST(0 AS BIGINT),
+                CAST(CASE {whens} END AS BIGINT) - tokens) AS deficit_tokens
+FROM per ORDER BY bucket
+"""
+
+
 QUERIES = {
     "q_word_count": q_word_count,
     "q_text_normalize": q_text_normalize,
@@ -846,6 +932,7 @@ QUERIES = {
     "q_quality_filter": q_quality_filter,
     "q_inverted_index": q_inverted_index,
     "q_source_dedup": q_source_dedup,
+    "q_mixture_plan": q_mixture_plan,
 }
 
 ORACLES = {
@@ -868,4 +955,5 @@ ORACLES = {
     "q_quality_filter": ORACLE_QUALITY_FILTER,
     "q_inverted_index": ORACLE_INVERTED_INDEX,
     "q_source_dedup": ORACLE_SOURCE_DEDUP,
+    "q_mixture_plan": _oracle_mixture_plan(),
 }
