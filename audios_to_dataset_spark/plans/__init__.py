@@ -34,11 +34,12 @@ def _modules():
     )
 
     # Order matters: the driver's correctness gate samples queries in
-    # iteration order, so the LLM-pipeline family (dedup/similarity/text/
-    # multimodal/streaming) and the analytics joins come first; the broad
-    # relational surface fills in after.
-    return (dedup, similarity, textops, sketches, versioning, multimodal,
-            streaming_events, analytics, events, paths, relational,
+    # iteration order, so the LLM-pipeline family (dedup/similarity/
+    # multimodal/streaming/text) comes first — multimodal and streaming
+    # before the wide text module so every north-star family sits inside
+    # the first-50 window; the broad relational surface fills in after.
+    return (dedup, similarity, multimodal, streaming_events, textops,
+            sketches, versioning, analytics, events, paths, relational,
             relational2)
 
 
