@@ -263,6 +263,102 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+SEQ_PATTERN = "v[^p]*c[^s]*p"  # view … click … purchase, in order
+
+
+def q_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (MATCH_RECOGNIZE-lite): encode each
+    user's time-ordered events as an initials string and regex-match the
+    view→click→purchase journey.
+
+    collect_list over a (ts, event_id)-sorted window gives a
+    deterministic encoding; the regex runs per user row (tiny), so the
+    heavy lifting is one user_id shuffle — the same profile as
+    sessionization, with the pattern logic free on top.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    seq = (
+        e.withColumn(
+            "enc", F.substring(F.col("event_type"), 1, 1)
+        )
+        .withColumn("journey", F.concat_ws("", F.collect_list("enc").over(w)))
+        .groupBy("user_id")
+        .agg(F.first("journey").alias("journey"))
+    )
+    return seq.select(
+        "user_id",
+        F.length("journey").cast("long").alias("n_events"),
+        F.col("journey").rlike(SEQ_PATTERN).alias("converted"),
+    ).orderBy("user_id")
+
+
+ORACLE_EVENT_SEQUENCE = f"""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS journey
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(length(journey) AS BIGINT) AS n_events,
+       regexp_matches(journey, '{SEQ_PATTERN}') AS converted
+FROM seq ORDER BY user_id
+"""
+
+
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user timeline (lag window + groupBy) with the row-
+    conditional probability — the behavioral-model fit step. Integer
+    counts; one double division against the broadcast-size from-totals.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("from_type"),
+                 F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("tot")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type", "to_type", "n",
+            (F.col("n").cast("double") / F.col("tot").cast("double"))
+            .alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+ORACLE_TRANSITIONS = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+), c AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+), t AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n,
+       CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+FROM c JOIN t USING (from_type)
+ORDER BY c.from_type, c.to_type
+"""
+
+
 QUERIES = {
     "q_tumbling_window": q_tumbling_window,
     "q_session_gap": q_session_gap,
@@ -270,6 +366,8 @@ QUERIES = {
     "q_gap_fill": q_gap_fill,
     "q_anomaly_zscore": q_anomaly_zscore,
     "q_rolling_sum": q_rolling_sum,
+    "q_event_sequence": q_event_sequence,
+    "q_transitions": q_transitions,
 }
 
 ORACLES = {
@@ -279,4 +377,6 @@ ORACLES = {
     "q_gap_fill": ORACLE_GAP_FILL,
     "q_anomaly_zscore": ORACLE_ANOMALY_ZSCORE,
     "q_rolling_sum": ORACLE_ROLLING_SUM,
+    "q_event_sequence": ORACLE_EVENT_SEQUENCE,
+    "q_transitions": ORACLE_TRANSITIONS,
 }

@@ -563,6 +563,33 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
 """
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (§2.6 reshaping): part's numeric attributes to long
+    (key, attr, val) form — the normalization step before generic
+    per-attribute profiling. Zero shuffles: unpivot is a per-row
+    projection (each input row emits one row per value column)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )
+
+
+ORACLE_UNPIVOT = """
+SELECT p_partkey, attr, val
+FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size,
+             CAST(p_retailprice AS DOUBLE) AS p_retailprice
+      FROM part)
+UNPIVOT (val FOR attr IN (p_size, p_retailprice))
+"""
+
+
 QUERIES = {
     "q_large_orders": q_large_orders,
     "q_window_dist": q_window_dist,
@@ -587,6 +614,7 @@ QUERIES = {
     "q_pivot": q_pivot,
     "q_moment_stats": q_moment_stats,
     "q_join_multi": q_join_multi,
+    "q_unpivot": q_unpivot,
 }
 
 ORACLES = {
@@ -613,4 +641,5 @@ ORACLES = {
     "q_pivot": ORACLE_PIVOT,
     "q_moment_stats": ORACLE_MOMENT_STATS,
     "q_join_multi": ORACLE_JOIN_MULTI,
+    "q_unpivot": ORACLE_UNPIVOT,
 }
