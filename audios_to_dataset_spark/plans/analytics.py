@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ._util import davg, davg_sql, dsum, dsum_sql, sround, sround_sql
+from ._util import DEC, davg, davg_sql, dsum, dsum_sql, sround, sround_sql
 
 
 def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,6 +776,140 @@ ORDER BY c_mktsegment
 """
 
 
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _moments(df, cols):
+    """Exact decimal first/second/cross moments for the given columns —
+    one map-side-combinable aggregation, no per-pair passes."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(DEC)).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast(DEC))
+            .cast("double")
+            .alias(f"ss_{c}")
+        )
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast(DEC))
+                .cast("double")
+                .alias(f"sx_{a}_{b}")
+            )
+    return df.agg(*aggs)
+
+
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns from exact decimal moments — unlike ``corr()``, whose float
+    accumulation is partition-order dependent, this is reproducible to
+    the bit across engines and runs.
+
+    One aggregation computes every moment (14 decimal sums) in a single
+    pass over the scan; the 6 correlations are scalar arithmetic on the
+    1-row result. The single-pass-moments shape is how you compute a
+    correlation matrix over 100 TB without 6 separate jobs.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    m = _moments(li, CORR_COLS)
+    nd = F.col("n").cast("double")
+    pair_structs = []
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1:]:
+            cov = nd * F.col(f"sx_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            va = nd * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+            vb = nd * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+            pair_structs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    sround(cov / (F.sqrt(va) * F.sqrt(vb)), 9).alias("corr"),
+                )
+            )
+    # one explode over the 1-row moment frame → 6 rows, single job
+    return (
+        m.select(F.explode(F.array(*pair_structs)).alias("r"))
+        .select("r.col_a", "r.col_b", "r.corr")
+        .orderBy("col_a", "col_b")
+    )
+
+
+def _oracle_correlation() -> str:
+    moments = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in CORR_COLS:
+        moments.append(f"{dsum_sql(c)} AS s_{c}")
+        moments.append(f"{dsum_sql(f'{c} * {c}')} AS ss_{c}")
+    pairs = []
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1:]:
+            moments.append(f"{dsum_sql(f'{a} * {b}')} AS sx_{a}_{b}")
+            expr = (
+                f"(CAST(n AS DOUBLE) * sx_{a}_{b} - s_{a} * s_{b})"
+                f" / (sqrt(CAST(n AS DOUBLE) * ss_{a} - s_{a} * s_{a})"
+                f" * sqrt(CAST(n AS DOUBLE) * ss_{b} - s_{b} * s_{b}))"
+            )
+            pairs.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+                f" {sround_sql(expr, 9)} AS corr FROM m"
+            )
+    sel = "\nUNION ALL\n".join(pairs)
+    return (
+        "WITH m AS (SELECT " + ", ".join(moments) + " FROM lineitem)\n"
+        + sel + "\nORDER BY col_a, col_b"
+    )
+
+
+def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form simple linear regression (price ~ quantity) per
+    return flag from the same exact-moment discipline: slope =
+    (n·Sxy − Sx·Sy)/(n·Sxx − Sx²), intercept = (Sy − slope·Sx)/n.
+    The distributed "fit a line to a trillion rows" pattern — one
+    grouped aggregation, scalar math after."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = "l_quantity", "l_extendedprice"
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(x).cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col(y).cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col(x) * F.col(x)).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((F.col(x) * F.col(y)).cast(DEC)).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        sround(slope, 9).alias("slope"),
+        sround((F.col("sy") - slope * F.col("sx")) / nd, 9).alias(
+            "intercept"
+        ),
+    ).orderBy("l_returnflag")
+
+
+ORACLE_LINREG = f"""
+WITH g AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         {dsum_sql('l_quantity')} AS sx,
+         {dsum_sql('l_extendedprice')} AS sy,
+         {dsum_sql('l_quantity * l_quantity')} AS sxx,
+         {dsum_sql('l_quantity * l_extendedprice')} AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       {sround_sql(
+           '(CAST(n AS DOUBLE) * sxy - sx * sy)'
+           ' / (CAST(n AS DOUBLE) * sxx - sx * sx)', 9)} AS slope,
+       {sround_sql(
+           '(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)'
+           ' / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)'
+           ' / CAST(n AS DOUBLE)', 9)} AS intercept
+FROM g ORDER BY l_returnflag
+"""
+
+
 # Order matters: the driver's correctness gate covers the first 50
 # declared queries — the north-star operators (clusters, survivors,
 # time-series joins) lead; TPC-H report shapes follow.
@@ -796,6 +930,8 @@ QUERIES = {
     "q_triangle_count": q_triangle_count,
     "q_small_qty_revenue": q_small_qty_revenue,
     "q_above_avg_customers": q_above_avg_customers,
+    "q_correlation": q_correlation,
+    "q_linreg": q_linreg,
 }
 
 ORACLES = {
@@ -815,4 +951,6 @@ ORACLES = {
     "q_triangle_count": ORACLE_TRIANGLE_COUNT,
     "q_small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
     "q_above_avg_customers": ORACLE_ABOVE_AVG_CUSTOMERS,
+    "q_correlation": _oracle_correlation(),
+    "q_linreg": ORACLE_LINREG,
 }
