@@ -910,6 +910,44 @@ FROM g ORDER BY l_returnflag
 """
 
 
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly decimal-sum revenue,
+    previous month via lag, growth ratio — the standard reporting
+    comparison. The lag window runs over the *aggregated* month frame
+    (dozens of rows even for decades of data), so its single partition
+    is a non-issue; the heavy work is the map-side-combinable monthly
+    rollup."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        sround((F.col("revenue") - prev) / prev, 9).alias("growth"),
+    ).orderBy("month")
+
+
+ORACLE_PERIOD_OVER_PERIOD = f"""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         {dsum_sql('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+       {sround_sql(
+           '(revenue - lag(revenue) OVER (ORDER BY month))'
+           ' / lag(revenue) OVER (ORDER BY month)', 9)} AS growth
+FROM monthly ORDER BY month
+"""
+
+
 # Order matters: the driver's correctness gate covers the first 50
 # declared queries — the north-star operators (clusters, survivors,
 # time-series joins) lead; TPC-H report shapes follow.
@@ -932,6 +970,7 @@ QUERIES = {
     "q_above_avg_customers": q_above_avg_customers,
     "q_correlation": q_correlation,
     "q_linreg": q_linreg,
+    "q_period_over_period": q_period_over_period,
 }
 
 ORACLES = {
@@ -953,4 +992,5 @@ ORACLES = {
     "q_above_avg_customers": ORACLE_ABOVE_AVG_CUSTOMERS,
     "q_correlation": _oracle_correlation(),
     "q_linreg": ORACLE_LINREG,
+    "q_period_over_period": ORACLE_PERIOD_OVER_PERIOD,
 }

@@ -38,6 +38,8 @@ ALLOW: dict[tuple[str, str], str] = {
     ("q_window_ntile", "SinglePartitionWindow"):
         "global deciles are total-order by definition; scale alt ="
         " q_approx_percentile histogram buckets",
+    ("q_period_over_period", "SinglePartitionWindow"):
+        "lag runs over the aggregated month frame (dozens of rows)",
 }
 
 # Deliberate crossJoins (scalar aggregates, tiny spines) appear as
