@@ -359,6 +359,102 @@ ORDER BY c.from_type, c.to_type
 """
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the built-in ``session_window`` operator (the
+    merging-interval aggregate Spark provides natively, vs the manual
+    lag+cumsum in q_session_gap) — same 30-minute gap, so the oracle is
+    the identical session CTE projected to window bounds.
+
+    session_window's merge happens inside the aggregation, no window
+    function pass at all — at scale this is one shuffle on (user_id)
+    with map-side partial merging, strictly cheaper than the two window
+    passes of the manual formulation.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            # session_window's end = last event + gap; project to the
+            # last-event bound so the oracle needs no gap arithmetic
+            (F.unix_micros(F.col("w.end")) - SESSION_GAP_US).alias(
+                "last_event_us"
+            ),
+            "n_events",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, MIN(ts) AS session_start,
+       epoch_us(MAX(ts)) AS last_event_us,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: per-user event-type counts packed into
+    a map (map_from_entries over a sorted entry array), consumed with
+    map_values + a HOF sum, and serialized via to_json for the
+    cross-engine comparison (map key order is pinned by the sort, so
+    the JSON string is canonical)."""
+    e = load(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("event_type", "n")))
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(m.alias("m"))
+        .select(
+            "user_id",
+            F.to_json(F.col("m")).alias("type_counts"),
+            F.size(F.map_keys(F.col("m"))).cast("long").alias("n_types"),
+            F.aggregate(
+                F.map_values(F.col("m")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("total_events"),
+        )
+    )
+
+
+ORACLE_MAP_FUNCS = """
+WITH per AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       '{' || string_agg('"' || event_type || '":' || n, ','
+                         ORDER BY event_type) || '}' AS type_counts,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(n) AS BIGINT) AS total_events
+FROM per GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q_tumbling_window": q_tumbling_window,
     "q_session_gap": q_session_gap,
@@ -368,6 +464,8 @@ QUERIES = {
     "q_rolling_sum": q_rolling_sum,
     "q_event_sequence": q_event_sequence,
     "q_transitions": q_transitions,
+    "q_session_window": q_session_window,
+    "q_map_funcs": q_map_funcs,
 }
 
 ORACLES = {
@@ -379,4 +477,6 @@ ORACLES = {
     "q_rolling_sum": ORACLE_ROLLING_SUM,
     "q_event_sequence": ORACLE_EVENT_SEQUENCE,
     "q_transitions": ORACLE_TRANSITIONS,
+    "q_session_window": ORACLE_SESSION_WINDOW,
+    "q_map_funcs": ORACLE_MAP_FUNCS,
 }
