@@ -59,11 +59,19 @@ QUERIES = {
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
-# that IS SQL-expressible, so give it an oracle; embed stays rows-only.
+# that IS SQL-expressible, so give it an oracle. The fake encoder's RNG
+# (numpy PCG64) is not SQL-replayable, but its OUTPUT CONTRACT is: every
+# embedding is a 16-dim unit vector, so (dim, round(sq_norm, 4)) are
+# exactly (16, 1.0) for every row — the oracle pins that invariant
+# per-doc, upgrading embed from rows-only to a full hash check.
 ORACLES = {
     "q_multimodal_decode": """
 SELECT doc_id, CAST(NULL AS VARCHAR) AS img_format,
        CAST(0 AS BIGINT) AS img_width
+FROM documents
+""",
+    "q_multimodal_embed": """
+SELECT doc_id, CAST(16 AS BIGINT) AS dim, 1.0 AS sq_norm
 FROM documents
 """,
 }
