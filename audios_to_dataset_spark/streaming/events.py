@@ -370,13 +370,20 @@ QUERIES = {
     "q_stream_bloom_dedup": q_stream_bloom_dedup,
 }
 
-# q_stream_dedup stays rows-only (the surviving event per key is
-# arrival-order dependent). The tumbling window IS oracle-checkable:
+# q_stream_dedup's SURVIVORS are arrival-order dependent, but the
+# declared projection (distinct event types per user) is not: dedup
+# keeps exactly one row per (user, type), so the count equals the batch
+# COUNT(DISTINCT event_type) — a full oracle after all. The tumbling
+# window is likewise oracle-checkable:
 # availableNow + append mode emits exactly the windows whose end has
 # passed the final watermark max(ts) - delay (verified empirically:
 # 3370/3370 rows equal at sf0.01).
 ORACLES: dict[str, str] = {
     "q_stream_bloom_dedup": _oracle_stream_bloom_dedup(),
+    "q_stream_dedup": """
+SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+""",
     "q_stream_tumbling": """
 SELECT date_trunc('hour', ts) AS win_start, event_type,
        COUNT(*) AS n_events
