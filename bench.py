@@ -110,9 +110,16 @@ def main() -> None:
         "noop"
     ).save()
 
+    # Default measures COLD times (first execution incl. codegen) for
+    # round-over-round comparability. --warm runs each query once to
+    # JIT/cache, then reports the second execution — the steady-state
+    # number a long-running cluster actually sees.
+    warm = "--warm" in sys.argv
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
+        if warm:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -123,7 +130,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                "metric": "headline_queries_total"
+                + ("_warm" if warm else ""),
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
