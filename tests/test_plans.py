@@ -221,3 +221,49 @@ def test_small_qty_revenue_pushes_partial_agg(spark, sf_dir):
     # per-part average: partial + final HashAggregate around one exchange
     assert e.count("HashAggregate") >= 2
     assert "CartesianProduct" not in e
+
+
+def test_plan_audit_parser_detects_spine_single_partition():
+    """Pin tools/plan_audit's structural detector: a SinglePartition
+    exchange on the window's input spine flags; the same exchange on a
+    sibling broadcast branch does not."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "plan_audit.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    spine = """== Physical Plan ==
+AdaptiveSparkPlan (5)
++- Window (4)
+   +- Sort (3)
+      +- Exchange (2)
+         +- Scan parquet  (1)
+
+
+(2) Exchange
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]
+"""
+    sibling = """== Physical Plan ==
+AdaptiveSparkPlan (7)
++- Window (6)
+   +- Sort (5)
+      +- Exchange (4)
+         +- BroadcastNestedLoopJoin Cross BuildRight (3)
+            :- Scan parquet  (1)
+            +- Exchange (2)
+
+
+(2) Exchange
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=2]
+
+(4) Exchange
+Arguments: hashpartitioning(user_id#2L, 32), ENSURE_REQUIREMENTS
+"""
+    assert mod._window_on_single_partition(spine) is True
+    assert mod._window_on_single_partition(sibling) is False
