@@ -948,6 +948,84 @@ FROM monthly ORDER BY month
 """
 
 
+SKYLINE_BUCKET_W = 500.0  # acctbal bucket width for the pruning grid
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline): customers not strictly dominated on
+    (account balance, order count) — no other customer has BOTH a
+    higher balance and more orders.
+
+    Scale-safe two-level formulation instead of the O(N²) dominance
+    join: per distinct balance compute the max order count, grid the
+    balances into fixed-width buckets, take a suffix-max across the
+    (tiny, data-independent) bucket table, and resolve strictly-greater
+    balances within each bucket with a per-bucket window. A point
+    survives iff its count ≥ the max count over all strictly higher
+    balances. Only the bucket-level suffix-max window is global — over
+    dozens of rows regardless of data volume.
+    """
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    pts = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.count("o_orderkey").cast("bigint").alias("y"))
+        .select("c_custkey", F.col("c_acctbal").alias("x"), "y")
+    )
+    per_x = pts.groupBy("x").agg(F.max("y").alias("ymax"))
+    bucket = F.floor(F.col("x") / F.lit(SKYLINE_BUCKET_W)).cast("long")
+    per_x = per_x.withColumn("b", bucket)
+    bucket_max = per_x.groupBy("b").agg(F.max("ymax").alias("bmax"))
+    # suffix max over buckets strictly above b (tiny frame)
+    wb = Window.orderBy(F.col("b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_sfx = bucket_max.withColumn("above", F.max("bmax").over(wb))
+    # within-bucket running max over strictly greater distinct balances
+    wx = (
+        Window.partitionBy("b")
+        .orderBy(F.col("x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = (
+        per_x.withColumn("run", F.max("ymax").over(wx))
+        .join(F.broadcast(bucket_sfx.select("b", "above")), "b")
+        .select(
+            "x",
+            F.greatest(
+                F.coalesce(F.col("run"), F.lit(-1).cast("bigint")),
+                F.coalesce(F.col("above"), F.lit(-1).cast("bigint")),
+            ).alias("m"),
+        )
+    )
+    return (
+        pts.join(m, "x")
+        .filter(F.col("y") >= F.col("m"))
+        .select(
+            "c_custkey", F.col("x").alias("acctbal"),
+            F.col("y").alias("n_orders"),
+        )
+        .orderBy("acctbal", "c_custkey")
+    )
+
+
+ORACLE_SKYLINE = """
+WITH pts AS (
+  SELECT c_custkey, c_acctbal AS x,
+         CAST(COUNT(o_orderkey) AS BIGINT) AS y
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey, c_acctbal
+)
+SELECT p.c_custkey, p.x AS acctbal, p.y AS n_orders
+FROM pts p
+WHERE NOT EXISTS (SELECT 1 FROM pts q WHERE q.x > p.x AND q.y > p.y)
+ORDER BY acctbal, c_custkey
+"""
+
+
 # Order matters: the driver's correctness gate covers the first 50
 # declared queries — the north-star operators (clusters, survivors,
 # time-series joins) lead; TPC-H report shapes follow.
@@ -971,6 +1049,7 @@ QUERIES = {
     "q_correlation": q_correlation,
     "q_linreg": q_linreg,
     "q_period_over_period": q_period_over_period,
+    "q_skyline": q_skyline,
 }
 
 ORACLES = {
@@ -993,4 +1072,5 @@ ORACLES = {
     "q_correlation": _oracle_correlation(),
     "q_linreg": ORACLE_LINREG,
     "q_period_over_period": ORACLE_PERIOD_OVER_PERIOD,
+    "q_skyline": ORACLE_SKYLINE,
 }

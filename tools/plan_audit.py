@@ -40,6 +40,9 @@ ALLOW: dict[tuple[str, str], str] = {
         " q_approx_percentile histogram buckets",
     ("q_period_over_period", "SinglePartitionWindow"):
         "lag runs over the aggregated month frame (dozens of rows)",
+    ("q_skyline", "SinglePartitionWindow"):
+        "suffix-max window runs over the bucket grid — size fixed by"
+        " the value range, not the data volume",
 }
 
 # Deliberate crossJoins (scalar aggregates, tiny spines) appear as
