@@ -319,6 +319,35 @@ HAVING SUM(CASE WHEN b.rn = f.first_rn THEN 1 ELSE 0 END) > 0
 """
 
 
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly filter: broadcast per-type stats computed from
+    the static batch (the "trained model"), score each streamed event's
+    z-score JVM-side, emit only outliers — the canonical stateless
+    inference-over-stream shape (no state, no watermark needed; each
+    micro-batch probes the broadcast).
+
+    Because the operator is stateless, availableNow emits exactly the
+    batch anomaly set, so the DuckDB oracle is the same z-score query —
+    a full differential check of the streaming path.
+    """
+    from ..plans._util import davg, sround
+
+    batch = load(spark, sf_dir, "events")
+    stats = batch.groupBy("event_type").agg(
+        davg("value").alias("mean"),
+        davg(F.col("value") * F.col("value")).alias("m2"),
+    )
+    std = F.sqrt(F.col("m2") - F.col("mean") * F.col("mean"))
+    z = sround((F.col("value") - F.col("mean")) / std, 6)
+    ev = _stream_events(spark, sf_dir)
+    out = (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 3.0)
+    )
+    return _run_available_now(out, "anomaly")
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with event-time range condition: each
     view event pairs with the same user's purchases in the following
@@ -368,6 +397,7 @@ QUERIES = {
     "q_stream_stream_join": q_stream_stream_join,
     "q_stream_sessions": q_stream_sessions,
     "q_stream_bloom_dedup": q_stream_bloom_dedup,
+    "q_stream_anomaly": q_stream_anomaly,
 }
 
 # q_stream_dedup's SURVIVORS are arrival-order dependent, but the
@@ -380,6 +410,10 @@ QUERIES = {
 # 3370/3370 rows equal at sf0.01).
 ORACLES: dict[str, str] = {
     "q_stream_bloom_dedup": _oracle_stream_bloom_dedup(),
+    # stateless inference filter: availableNow output == batch z-score set
+    "q_stream_anomaly": __import__(
+        "audios_to_dataset_spark.plans.events", fromlist=["x"]
+    ).ORACLE_ANOMALY_ZSCORE,
     "q_stream_dedup": """
 SELECT user_id, COUNT(DISTINCT event_type) AS n_types
 FROM events GROUP BY user_id
