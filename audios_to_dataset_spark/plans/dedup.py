@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators import dedup as D
+from ._util import sround, sround_sql
 
 NGRAM_N = 3
 NGRAM_THRESHOLD = 0.2
@@ -454,6 +455,86 @@ JOIN sig sb ON sb.doc_id = cand.doc_b
 """
 
 
+ENTITY_THRESHOLD = 0.4
+
+
+def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: candidate duplicate part names by CHARACTER
+    trigram Jaccard — the fuzzy-matching pass that catches typo-level
+    variants word-shingle dedup misses (short strings have no word
+    n-grams to share).
+
+    Same inverted-index shape as document dedup, one granularity down:
+    distinct names → distinct char-3-grams → gram equi-join →
+    integer intersection counts → one final double division, thresholded
+    on the rounded score. Scale: the gram join shuffles (gram, name)
+    pairs; names are bounded-length so per-name gram count is O(len).
+    """
+    p = load(spark, sf_dir, "part")
+    names = p.select(F.col("p_name").alias("name")).distinct()
+    base = names.select("name")  # projected column → no HOF re-eval
+    grams = base.select(
+        "name",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("name") - 2),
+                    lambda i: F.col("name").substr(i, F.lit(3)),
+                )
+            )
+        ).alias("gram"),
+    )
+    sz = grams.groupBy("name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    a = grams.select(F.col("name").alias("na"), "gram")
+    b = grams.select(F.col("name").alias("nb"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("na") < F.col("nb"))
+        .groupBy("na", "nb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    sa = sz.select(F.col("name").alias("na"), F.col("sz").alias("sa"))
+    sb = sz.select(F.col("name").alias("nb"), F.col("sz").alias("sb"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sa") + F.col("sb") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "na")
+        .join(sb, "nb")
+        .select("na", "nb", sround(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= ENTITY_THRESHOLD)
+        .orderBy("na", "nb")
+    )
+
+
+ORACLE_ENTITY_MATCH = f"""
+WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+g AS (SELECT name,
+             unnest(list_distinct(list_transform(
+               range(1, length(name) - 1), i -> substr(name, i, 3))))
+               AS gram
+      FROM n),
+sz AS (SELECT name, CAST(COUNT(*) AS BIGINT) AS sz FROM g GROUP BY name),
+inter AS (SELECT a.name AS na, b.name AS nb,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM g a JOIN g b ON a.gram = b.gram AND a.name < b.name
+          GROUP BY a.name, b.name)
+SELECT na, nb,
+       {sround_sql(
+           'CAST(inter AS DOUBLE)'
+           ' / CAST(sa.sz + sb.sz - inter AS DOUBLE)', 6)} AS jaccard
+FROM inter
+JOIN sz sa ON sa.name = na
+JOIN sz sb ON sb.name = nb
+WHERE {sround_sql(
+    'CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)',
+    6)} >= {ENTITY_THRESHOLD}
+ORDER BY na, nb
+"""
+
+
 QUERIES = {
     "q_minhash_jaccard": q_minhash_jaccard,
     "q_contamination": q_contamination,
@@ -464,6 +545,7 @@ QUERIES = {
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embedding": q_dedup_embedding,
     "q_dedup_embedding_exact": q_dedup_embedding_exact,
+    "q_entity_match": q_entity_match,
 }
 
 ORACLES = {
@@ -476,4 +558,5 @@ ORACLES = {
     "q_dedup_simhash": _oracle_simhash(),
     "q_dedup_embedding": _oracle_dedup_embedding(),
     "q_dedup_embedding_exact": ORACLE_DEDUP_EMBEDDING_EXACT,
+    "q_entity_match": ORACLE_ENTITY_MATCH,
 }
