@@ -11,8 +11,9 @@ def test_every_oracle_has_a_query():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # rows-only set is intentional and small
-    assert set(qs) - set(oracles) == {"q_multimodal_embed", "q_stream_dedup"}
+    # every declared query now carries a full value-hash oracle — keep
+    # it that way (a new rows-only query must be a deliberate decision)
+    assert set(qs) - set(oracles) == set()
 
 
 def test_query_callables_take_spark_and_sfdir():
