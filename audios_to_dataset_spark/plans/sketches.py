@@ -560,6 +560,71 @@ ORDER BY top.n DESC, top.token
 """
 
 
+MEDIAN_BUCKET_W = 1000.0  # value-range grid for the selection pass
+
+
+def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median of l_extendedprice by distributed selection, not a
+    global sort: bucket-count the column on a fixed value grid, find the
+    bucket holding rank ⌈n/2⌉ from the (tiny) cumulative bucket table,
+    then resolve the exact element with a TakeOrdered limited to that
+    single bucket's rows.
+
+    This is the textbook two-pass selection algorithm: pass 1 is a
+    map-side-combinable histogram (bucket count is set by the value
+    range, not the row count); pass 2 scans only ~1/buckets of the data
+    and its limit is the in-bucket rank. No step sorts more than one
+    bucket. The approx sketch (q_approx_percentile) is the cheap cousin;
+    this is what you run when the number must be exact.
+    """
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    bucket = F.floor(F.col("v") / F.lit(MEDIAN_BUCKET_W)).cast("long")
+    hist = li.groupBy(bucket.alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    n_df = hist.agg(F.sum("c").cast("bigint").alias("n"))
+    cum = (
+        hist.withColumn(
+            "before", F.coalesce(F.sum("c").over(wb), F.lit(0).cast("bigint"))
+        )
+        .crossJoin(F.broadcast(n_df))
+        .withColumn("k", F.floor((F.col("n") + 1) / 2).cast("bigint"))
+    )
+    target = cum.filter(
+        (F.col("before") < F.col("k"))
+        & (F.col("before") + F.col("c") >= F.col("k"))
+    ).select("b", "before", "k", "n")
+    # resolve within the single target bucket: the (k - before)-th
+    # smallest value of that bucket. The limit is driven by a join, so
+    # express it as a rank inside the bucket (bucket rows ≈ n/buckets).
+    in_bucket = li.withColumn("b", bucket).join(
+        F.broadcast(target), "b"
+    )
+    wv = Window.partitionBy("b").orderBy("v")
+    return (
+        in_bucket.withColumn("rn", F.row_number().over(wv).cast("bigint"))
+        .filter(F.col("rn") == F.col("k") - F.col("before"))
+        .select("n", "k", F.col("v").alias("median"))
+    )
+
+
+ORACLE_EXACT_MEDIAN = """
+WITH s AS (
+  SELECT l_extendedprice AS v,
+         CAST(row_number() OVER (ORDER BY l_extendedprice) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM lineitem
+)
+SELECT n, CAST(FLOOR((n + 1) / 2) AS BIGINT) AS k, v AS median
+FROM s WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
+"""
+
+
 QUERIES = {
     "q_approx_distinct": q_approx_distinct,
     "q_approx_percentile": q_approx_percentile,
@@ -571,6 +636,7 @@ QUERIES = {
     "q_winsorize": q_winsorize,
     "q_compaction_plan": q_compaction_plan,
     "q_heavy_hitters": q_heavy_hitters,
+    "q_exact_median": q_exact_median,
 }
 
 ORACLES = {
@@ -584,4 +650,5 @@ ORACLES = {
     "q_winsorize": ORACLE_WINSORIZE,
     "q_compaction_plan": ORACLE_COMPACTION_PLAN,
     "q_heavy_hitters": _oracle_heavy_hitters(),
+    "q_exact_median": ORACLE_EXACT_MEDIAN,
 }
