@@ -30,6 +30,7 @@ def _modules():
         similarity,
         sketches,
         textops,
+        tpch2,
         versioning,
     )
 
@@ -40,7 +41,7 @@ def _modules():
     # the first-50 window; the broad relational surface fills in after.
     return (dedup, similarity, multimodal, streaming_events, textops,
             sketches, versioning, analytics, events, paths, relational,
-            relational2)
+            relational2, tpch2)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

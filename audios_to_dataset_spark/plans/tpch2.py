@@ -1,0 +1,289 @@
+"""Second batch of TPC-H-shaped plans: Q4/Q6/Q8/Q9/Q16/Q19 adapted to the
+testdata schema (no partsupp/commitdate/shipmode columns, so each query
+keeps the canonical TPC-H plan SHAPE — the join graph, the predicate
+style, the agg — with predicates rewritten onto available columns).
+
+Why these shapes matter at 100 TB: Q6 is the pure scan+filter+agg whose
+entire cost is the parquet scan (pushdown or die); Q4 is a semi-join that
+must NOT materialize the join; Q8 is a two-fact-region share with a
+conditional aggregate; Q9 is the widest join tree (5 tables) where join
+ORDER dominates; Q16 is a distinct-agg after an equi-join bridge; Q19 is
+the disjunctive-predicate join that tests OR-pushdown into the scan.
+
+All money aggregates use the decimal-sum discipline (``_util.dsum``) so
+Spark and DuckDB produce bit-identical doubles regardless of shuffle
+order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ._util import DEC, dsum_sql, sround, sround_sql
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped forecast-revenue delta: one scan, three pushable
+    predicates, a single global decimal sum. The whole query should
+    collapse to a parquet scan with PushedFilters + partial/final agg —
+    no shuffle wider than one row."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast(DEC)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_FORECAST_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_priority_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped order-priority check: count orders per priority
+    that have at least one returned lineitem, in one quarter. The
+    existence test is a LEFT SEMI join — Spark must not materialize
+    order×lineitem; the semi join short-circuits per key."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_PRIORITY_WAIT = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: within orders from ASIA customers,
+    the yearly revenue share supplied by NATION_7. Conditional decimal
+    sums give the numerator and denominator in ONE aggregation pass; the
+    share is a stable 6-decimal round. nation/region broadcast."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_n = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    supp_n = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    nation_rev = F.when(F.col("sn_name") == "NATION_7", rev).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cust_n), c.c_nationkey == F.col("cn_key"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_n), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.sum(nation_rev).cast("double").alias("nation_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+    share = F.col("nation_revenue") / F.col("total_revenue")
+    return agg.select(
+        "yr",
+        "nation_revenue",
+        "total_revenue",
+        sround(share, 6).alias("mkt_share"),
+    ).orderBy("yr")
+
+
+_SHARE = "(nation_revenue / total_revenue)"
+
+ORACLE_MARKET_SHARE = f"""
+WITH agg AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         {dsum_sql("CASE WHEN sn.n_name = 'NATION_7' "
+                   "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+           AS nation_revenue,
+         {dsum_sql("l_extendedprice * (1 - l_discount)")} AS total_revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  GROUP BY yr)
+SELECT yr, nation_revenue, total_revenue,
+       {sround_sql(_SHARE, 6)} AS mkt_share
+FROM agg ORDER BY yr
+"""
+
+
+def q_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped product profit: for parts whose name contains
+    'red', profit = revenue − retail cost, grouped by supplier nation ×
+    order year. Five-table join tree; part is filtered BEFORE the join so
+    the selective predicate prunes the fact scan via the join, and
+    nation broadcasts."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(DEC)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(F.sum(amount).cast("double").alias("profit"))
+        .orderBy("nation", F.col("yr").desc())
+    )
+
+
+ORACLE_PROFIT = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+       {dsum_sql("l_extendedprice * (1 - l_discount)"
+                 " - p_retailprice * l_quantity")} AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+GROUP BY n_name, yr ORDER BY n_name, yr DESC
+"""
+
+
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped supplier variety: how many distinct suppliers can
+    deliver each (brand, type, size) combination, excluding one brand —
+    bridged through lineitem (the testdata has no partsupp). The
+    distinct-agg dedups (brand,type,size,suppkey) BEFORE counting, which
+    Spark plans as a two-phase expand+agg — no row explosion survives
+    the first shuffle."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#5")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(20)
+    )
+
+
+ORACLE_SUPPLIER_VARIETY = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20
+"""
+
+
+def q_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive discounted revenue: an OR of three
+    (brand, size-range, quantity-range) conjunctions evaluated across
+    the lineitem⋈part equi-join. The equi-key join stays a hash join;
+    the disjunction is a post-join filter — the classic test that the
+    planner does NOT fall back to a nested-loop join."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_DISJUNCTIVE_FILTER = f"""
+SELECT {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+QUERIES = {
+    "q_forecast_revenue": q_forecast_revenue,
+    "q_priority_wait": q_priority_wait,
+    "q_market_share": q_market_share,
+    "q_profit": q_profit,
+    "q_supplier_variety": q_supplier_variety,
+    "q_disjunctive_filter": q_disjunctive_filter,
+}
+
+ORACLES = {
+    "q_forecast_revenue": ORACLE_FORECAST_REVENUE,
+    "q_priority_wait": ORACLE_PRIORITY_WAIT,
+    "q_market_share": ORACLE_MARKET_SHARE,
+    "q_profit": ORACLE_PROFIT,
+    "q_supplier_variety": ORACLE_SUPPLIER_VARIETY,
+    "q_disjunctive_filter": ORACLE_DISJUNCTIVE_FILTER,
+}
