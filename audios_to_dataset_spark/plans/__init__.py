@@ -30,6 +30,7 @@ def _modules():
         similarity,
         sketches,
         textops,
+        textops2,
         tpch2,
         versioning,
     )
@@ -40,7 +41,7 @@ def _modules():
     # before the wide text module so every north-star family sits inside
     # the first-50 window; the broad relational surface fills in after.
     return (dedup, similarity, multimodal, streaming_events, textops,
-            sketches, versioning, analytics, events, paths, relational,
+            textops2, sketches, versioning, analytics, events, paths, relational,
             relational2, tpch2)
 
 

@@ -1,0 +1,246 @@
+"""Training-data curation ops, batch 2: corpus-rarity scoring, per-source
+caps, and sequence packing.
+
+These are the steps between "raw crawl" and "tokenized shards" in an LLM
+data pipeline: score documents against corpus statistics, cap any one
+source's contribution, and pack documents into fixed-length training
+sequences. All arithmetic is exact (bigint counts, IEEE divisions of
+exactly-representable integers, decimal sums) so the DuckDB oracles
+hash-match bit-for-bit — no libm transcendentals anywhere.
+
+Scale notes (100 TB): the rarity join shuffles tokens (wordcount-shaped,
+linear); the cap and packing use windows PARTITIONED by source/lang, so
+no single-partition global sort appears anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ._util import DEC, dsum_sql
+
+SEQ_LEN = 512
+SOURCE_CAP = 10
+
+
+def _tokens():
+    return F.split(F.lower("text"), " ")
+
+
+def q_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-rarity signals — the exact-arithmetic stand-in
+    for unigram-LM perplexity (no ``ln``, so Spark and DuckDB agree to
+    the bit): for each doc, the mean inverse relative corpus frequency
+    of its tokens (rare tokens → large score) and its hapax ratio
+    (share of tokens that occur exactly once corpus-wide). N/cnt divides
+    two exactly-representable bigints — IEEE division is correctly
+    rounded, so both engines produce the identical double.
+
+    Plan: explode tokens → corpus counts (one wordcount shuffle) →
+    re-join tokens to counts (shuffle on token) → per-doc agg. Linear at
+    any corpus size; no broadcast of the (potentially huge) vocabulary.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    total = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_n")
+    )
+    inv_freq = (
+        F.col("total_n").cast("double") / F.col("cnt").cast("double")
+    )
+    return (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum(inv_freq.cast(DEC)).cast("double").alias("sum_inv_freq"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            (F.col("sum_inv_freq") / F.col("n_tok").cast("double")).alias(
+                "mean_inv_freq"
+            ),
+            (
+                F.col("n_hapax").cast("double")
+                / F.col("n_tok").cast("double")
+            ).alias("hapax_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_RARITY_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents),
+tok AS (SELECT * FROM toks WHERE token <> ''),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_n FROM tok),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         {dsum_sql("CAST(total_n AS DOUBLE) / CAST(cnt AS DOUBLE)")}
+           AS sum_inv_freq,
+         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax
+  FROM tok JOIN counts USING (token) CROSS JOIN total
+  GROUP BY doc_id)
+SELECT doc_id, n_tok,
+       sum_inv_freq / CAST(n_tok AS DOUBLE) AS mean_inv_freq,
+       CAST(n_hapax AS DOUBLE) / CAST(n_tok AS DOUBLE) AS hapax_ratio
+FROM per_doc ORDER BY doc_id
+"""
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution cap — the "no domain dominates" rule every
+    crawl pipeline applies: keep at most {SOURCE_CAP} docs per source,
+    chosen by a deterministic content-blind lottery (md5 of the doc id,
+    doc_id tie-break), and report kept/total/chars per source.
+
+    The window partitions by source, so each source's lottery is an
+    independent partition-local sort — no global shuffle beyond the
+    groupBy."""
+    d = load(spark, sf_dir, "documents")
+    lottery = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(lottery, "doc_id")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("rn") <= SOURCE_CAP, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("rn") <= SOURCE_CAP, F.col("n_chars")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_CAP = f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rn <= {SOURCE_CAP} THEN n_chars ELSE 0 END)
+            AS BIGINT) AS kept_chars
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate each language's docs (doc_id order)
+    and chunk into fixed {SEQ_LEN}-token training sequences — the
+    concat-and-chunk packing every pretraining tokenizer stage runs.
+    Reports per language: total tokens, number of sequences, the exact
+    fill ratio of the last partial sequence amortized over all
+    ({SEQ_LEN}·n_seqs), and how many docs straddle a sequence boundary
+    (those need cross-sequence attention masking).
+
+    The running sum windows by lang — each language packs independently,
+    the degenerate single-partition global window never appears."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens()).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    per_doc = d.select("lang", "doc_id", n_tok.alias("n_tok")).select(
+        "lang",
+        "n_tok",
+        cum.alias("cum"),
+    )
+    crosses = (
+        (F.col("cum") - 1) / SEQ_LEN
+    ).cast("bigint") != (
+        (F.col("cum") - F.col("n_tok")) / SEQ_LEN
+    ).cast("bigint")
+    agg = per_doc.groupBy("lang").agg(
+        F.max("cum").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(crosses, 1).otherwise(0))
+        .cast("bigint")
+        .alias("boundary_docs"),
+    )
+    n_seqs = F.floor((F.col("total_tokens") + SEQ_LEN - 1) / SEQ_LEN).cast(
+        "bigint"
+    )
+    return agg.select(
+        "lang",
+        "total_tokens",
+        n_seqs.alias("n_seqs"),
+        (
+            F.col("total_tokens").cast("double")
+            / (n_seqs * SEQ_LEN).cast("double")
+        ).alias("fill_ratio"),
+        "boundary_docs",
+    ).orderBy("lang")
+
+
+ORACLE_SEQ_PACK = f"""
+WITH per_doc AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+cum AS (
+  SELECT lang, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM per_doc),
+agg AS (
+  SELECT lang, CAST(MAX(cum) AS BIGINT) AS total_tokens,
+         CAST(SUM(CASE WHEN CAST(floor((cum - 1) / {SEQ_LEN}) AS BIGINT)
+                         <> CAST(floor((cum - n_tok) / {SEQ_LEN}) AS BIGINT)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs
+  FROM cum GROUP BY lang)
+SELECT lang, total_tokens,
+       CAST(floor((total_tokens + {SEQ_LEN} - 1) / {SEQ_LEN}) AS BIGINT)
+         AS n_seqs,
+       CAST(total_tokens AS DOUBLE)
+         / CAST(CAST(floor((total_tokens + {SEQ_LEN} - 1) / {SEQ_LEN})
+                     AS BIGINT) * {SEQ_LEN} AS DOUBLE) AS fill_ratio,
+       boundary_docs
+FROM agg ORDER BY lang
+"""
+
+
+QUERIES = {
+    "q_rarity_score": q_rarity_score,
+    "q_source_cap": q_source_cap,
+    "q_seq_pack": q_seq_pack,
+}
+
+ORACLES = {
+    "q_rarity_score": ORACLE_RARITY_SCORE,
+    "q_source_cap": ORACLE_SOURCE_CAP,
+    "q_seq_pack": ORACLE_SEQ_PACK,
+}
