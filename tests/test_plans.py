@@ -267,3 +267,39 @@ Arguments: hashpartitioning(user_id#2L, 32), ENSURE_REQUIREMENTS
 """
     assert mod._window_on_single_partition(spine) is True
     assert mod._window_on_single_partition(sibling) is False
+
+
+def test_forecast_revenue_pushdown(spark, sf_dir):
+    from audios_to_dataset_spark.plans.tpch2 import q_forecast_revenue
+
+    e = _explain(q_forecast_revenue(spark, sf_dir))
+    # all three predicates reach the parquet scan
+    assert "PushedFilters:" in e
+    assert "GreaterThanOrEqual(l_shipdate" in e
+    assert "LessThan(l_quantity,24.0)" in e
+    # column pruning: only the 4 needed columns are read
+    assert "l_returnflag" not in e
+    assert "l_tax" not in e
+    # map-side partial agg before the single-row exchange
+    assert e.count("HashAggregate") >= 2
+
+
+def test_priority_wait_semi_join_no_materialize(spark, sf_dir):
+    from audios_to_dataset_spark.plans.tpch2 import q_priority_wait
+
+    e = _explain(q_priority_wait(spark, sf_dir))
+    assert "LeftSemi" in e
+    assert "SortMergeJoin" not in e
+    # the returnflag filter reaches the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in e
+
+
+def test_profit_broadcasts_dims(spark, sf_dir):
+    from audios_to_dataset_spark.plans.tpch2 import q_profit
+
+    e = _explain(q_profit(spark, sf_dir))
+    # part/supplier/nation all land on the build side of hash joins
+    assert "BroadcastHashJoin" in e
+    assert "SortMergeJoin" not in e
+    # the selective name filter reaches the part scan
+    assert "StringContains(p_name,red)" in e
