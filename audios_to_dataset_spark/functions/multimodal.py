@@ -194,12 +194,69 @@ def sample_video_frames(
     df: DataFrame, every_n_seconds: float = 1.0, content_col: str = "content"
 ) -> DataFrame:
     """Video frame sampling — requires an ffmpeg binding (not in this
-    container)."""
+    container). ``sample_fake_frames`` below exercises the identical
+    Spark-side plumbing (one-to-many mapInPandas, binary out) with a
+    deterministic fake codec."""
     raise NotImplementedError(
         "sample_video_frames needs PyAV/ffmpeg, not available here; "
         "signature kept for API parity: returns one row per sampled frame "
         "with columns (src columns..., frame_idx int, frame binary)"
     )
+
+
+def sample_fake_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    frame_bytes: int = 64,
+    every_n: int = 2,
+) -> DataFrame:
+    """FAKE-CODEC frame sampler — the ffmpeg-free twin of
+    ``sample_video_frames`` that keeps every piece of the distributed
+    plumbing real: a "video" is its byte stream, frame *i* is the
+    ``frame_bytes`` window at offset ``i*frame_bytes``, and every
+    ``every_n``-th frame is emitted as its own output row.
+
+    This is the one-to-many shape a real decoder needs — mapInPandas
+    re-batching a variable number of output rows per input row, binary
+    frame payloads, and per-frame digests — with a byte-window "decode"
+    standing in for ffmpeg (clearly marked fake; deterministic, so the
+    result is oracle-checkable). Batches stream through Arrow; a long
+    video never materializes more than one pandas batch of frames."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+            T.StructField("frame_len", T.LongType()),
+            T.StructField("frame_md5", T.StringType()),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, lens, digests = [], [], [], [], []
+            for rid, data in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(data) if data is not None else b""
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    frame = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(rid)
+                    idxs.append(i)
+                    frames.append(frame)
+                    lens.append(len(frame))
+                    digests.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="object"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                    "frame_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(sample, out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ._util import sround
-from ..functions.multimodal import with_content_embedding, with_image_info
+from ..functions.multimodal import (
+    sample_fake_frames,
+    with_content_embedding,
+    with_image_info,
+)
 
 
 def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,9 +57,45 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary content via the fake-codec plumbing
+    (functions/multimodal.sample_fake_frames): one row per sampled
+    64-byte "frame" (every 2nd), with length + md5 digest. The
+    mapInPandas stage is genuinely one-to-many — the shape a real
+    ffmpeg decoder plugs into unchanged.
+
+    The oracle replays the byte windows with VARCHAR substr + md5 —
+    valid because the synthetic documents are pure ASCII (verified at
+    both SFs: octet_length(encode(text)) == length(text) for all rows),
+    so char offsets ARE byte offsets and DuckDB's md5(VARCHAR) hashes
+    the same bytes hashlib sees."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    return sample_fake_frames(d).select(
+        "doc_id", "frame_idx", "frame_len", "frame_md5"
+    ).orderBy("doc_id", "frame_idx")
+
+
+ORACLE_FRAME_SAMPLE = """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 2))
+           AS frame_idx
+  FROM documents)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(length(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64))
+            AS BIGINT) AS frame_len,
+       md5(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64))
+         AS frame_md5
+FROM f ORDER BY doc_id, frame_idx
+"""
+
+
 QUERIES = {
     "q_multimodal_embed": q_multimodal_embed,
     "q_multimodal_decode": q_multimodal_decode,
+    "q_frame_sample": q_frame_sample,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -75,3 +115,4 @@ SELECT doc_id, CAST(16 AS BIGINT) AS dim, 1.0 AS sq_norm
 FROM documents
 """,
 }
+ORACLES["q_frame_sample"] = ORACLE_FRAME_SAMPLE
