@@ -590,7 +590,57 @@ UNPIVOT (val FOR attr IN (p_size, p_retailprice))
 """
 
 
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (§2.3 completeness): per-nation wealthy-customer
+    counts vs wealthy-supplier counts, where each side's filter leaves
+    nations unmatched on the other — both null-padded directions are
+    genuinely exercised. The aggregates shrink each side to ≤25 rows
+    BEFORE the join (agg-below-join), so the full-outer itself is a
+    dimension-sized hash join, never a fact-table shuffle."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9950)
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rich_customers"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rich_suppliers"))
+    )
+    return (
+        c.join(s, c.nk_c == s.nk_s, "full_outer")
+        .select(
+            F.coalesce("nk_c", "nk_s").cast("bigint").alias("nationkey"),
+            F.coalesce("rich_customers", F.lit(0))
+            .cast("bigint")
+            .alias("rich_customers"),
+            F.coalesce("rich_suppliers", F.lit(0))
+            .cast("bigint")
+            .alias("rich_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+ORACLE_FULL_OUTER = """
+WITH c AS (
+  SELECT c_nationkey AS nk_c, CAST(COUNT(*) AS BIGINT) AS rich_customers
+  FROM customer WHERE c_acctbal > 9950 GROUP BY c_nationkey),
+s AS (
+  SELECT s_nationkey AS nk_s, CAST(COUNT(*) AS BIGINT) AS rich_suppliers
+  FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey)
+SELECT CAST(COALESCE(nk_c, nk_s) AS BIGINT) AS nationkey,
+       CAST(COALESCE(rich_customers, 0) AS BIGINT) AS rich_customers,
+       CAST(COALESCE(rich_suppliers, 0) AS BIGINT) AS rich_suppliers
+FROM c FULL OUTER JOIN s ON nk_c = nk_s
+ORDER BY nationkey
+"""
+
+
 QUERIES = {
+    "q_full_outer": q_full_outer,
     "q_large_orders": q_large_orders,
     "q_window_dist": q_window_dist,
     "q_regex_extract": q_regex_extract,
@@ -618,6 +668,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_full_outer": ORACLE_FULL_OUTER,
     "q_large_orders": ORACLE_LARGE_ORDERS,
     "q_window_dist": ORACLE_WINDOW_DIST,
     "q_regex_extract": ORACLE_REGEX_EXTRACT,

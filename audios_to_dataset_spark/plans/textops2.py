@@ -233,14 +233,66 @@ FROM agg ORDER BY lang
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training, step one: the top-20 BPE merge candidates —
+    corpus-weighted counts of adjacent character pairs inside words.
+    (Full BPE iterates this with re-segmentation; the candidate scan is
+    the distributed-heavy part — each iteration is this same shape.)
+
+    Plan: wordcount (one shuffle) → per-distinct-word pair explosion
+    via sequence+substr (JVM-side, no Python) → weighted pair agg (one
+    shuffle). Exploding DISTINCT words, not raw tokens, keeps the
+    explode linear in vocabulary size rather than corpus size — at
+    100 TB the vocab is millions while the corpus is trillions."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_tokens()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_word"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        "n_word",
+        F.explode(
+            F.sequence(F.lit(1), F.length("word") - 1)
+        ).alias("i"),
+        F.col("word"),
+    ).select(
+        F.substring(F.col("word"), F.col("i"), 2).alias("pair"), "n_word"
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n_word").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+ORACLE_BPE_MERGES = """
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_word FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+  WHERE word <> '' GROUP BY word),
+pairs AS (
+  SELECT substr(word, CAST(i AS BIGINT), 2) AS pair, n_word
+  FROM (SELECT word, n_word, unnest(range(1, length(word))) AS i
+        FROM words WHERE length(word) >= 2) p)
+SELECT pair, CAST(SUM(n_word) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+"""
+
+
 QUERIES = {
     "q_rarity_score": q_rarity_score,
+    "q_bpe_merges": q_bpe_merges,
     "q_source_cap": q_source_cap,
     "q_seq_pack": q_seq_pack,
 }
 
 ORACLES = {
     "q_rarity_score": ORACLE_RARITY_SCORE,
+    "q_bpe_merges": ORACLE_BPE_MERGES,
     "q_source_cap": ORACLE_SOURCE_CAP,
     "q_seq_pack": ORACLE_SEQ_PACK,
 }
