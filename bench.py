@@ -50,6 +50,10 @@ HEADLINE = [
     "q_chunk_dedup",
     "q_gap_fill",
     "q_cust_distribution",
+    "q_forecast_revenue",
+    "q_profit",
+    "q_bpe_merges",
+    "q_seq_pack",
 ]
 
 
