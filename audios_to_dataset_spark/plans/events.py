@@ -455,7 +455,58 @@ FROM per GROUP BY user_id
 """
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 interval build — the lakehouse dimension-history op:
+    collapse each user's event stream into [valid_from, valid_to)
+    event_type intervals, a new interval only when the type CHANGES
+    (consecutive repeats merge), the open interval flagged current.
+
+    All windows partition by user_id (scale-safe: one shuffle on the
+    dimension key, no global sort); timestamps stay integer
+    microseconds end to end (unix_micros ↔ epoch_us)."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("ts_us"),
+        "event_id",
+        (
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type"))
+        ).alias("is_start"),
+    )
+    starts = marked.filter("is_start")
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return starts.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+        F.lead("ts_us").over(w2).isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from_us")
+
+
+ORACLE_SCD2 = """
+WITH marked AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         (lag(event_type) OVER w IS NULL
+          OR lag(event_type) OVER w <> event_type) AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+starts AS (SELECT * FROM marked WHERE is_start)
+SELECT user_id, event_type, ts_us AS valid_from_us,
+       lead(ts_us) OVER w2 AS valid_to_us,
+       (lead(ts_us) OVER w2 IS NULL) AS is_current
+FROM starts
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+ORDER BY user_id, valid_from_us
+"""
+
+
 QUERIES = {
+    "q_scd2": q_scd2,
     "q_tumbling_window": q_tumbling_window,
     "q_session_gap": q_session_gap,
     "q_sliding_window": q_sliding_window,
@@ -469,6 +520,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_scd2": ORACLE_SCD2,
     "q_tumbling_window": ORACLE_TUMBLING_WINDOW,
     "q_session_gap": ORACLE_SESSION_GAP,
     "q_sliding_window": ORACLE_SLIDING_WINDOW,

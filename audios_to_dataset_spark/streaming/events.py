@@ -389,7 +389,41 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(j, "stream_stream")
 
 
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest / batch-finish top-k: watermarked 1-hour tumbling
+    counts per event_type stream into the sink (append mode — closed
+    windows only), then a batch rank keeps each window's top-3 types.
+    This split is the production shape for "trending now" dashboards:
+    the streaming job maintains only windowed-count state (bounded by
+    the watermark), and the cheap rank runs over the already-tiny
+    aggregate — never over the firehose.
+
+    The rank window partitions by win_start, so the finish step shuffles
+    the aggregate on window key — no single-partition sort."""
+    from pyspark.sql import Window
+
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n_events"
+        )
+    )
+    closed = _run_available_now(agg, "topk")
+    rk = Window.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        closed.withColumn("rk", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("win_start", "rk")
+    )
+
+
 QUERIES = {
+    "q_stream_topk": q_stream_topk,
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_sliding": q_stream_sliding,
@@ -409,6 +443,20 @@ QUERIES = {
 # passed the final watermark max(ts) - delay (verified empirically:
 # 3370/3370 rows equal at sf0.01).
 ORACLES: dict[str, str] = {
+    "q_stream_topk": """
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS win_start, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+  HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+         <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY win_start
+              ORDER BY n_events DESC, event_type) AS BIGINT) AS rk
+  FROM counts)
+SELECT win_start, event_type, n_events, rk
+FROM ranked WHERE rk <= 3 ORDER BY win_start, rk
+""",
     "q_stream_bloom_dedup": _oracle_stream_bloom_dedup(),
     # stateless inference filter: availableNow output == batch z-score set
     "q_stream_anomaly": __import__(
