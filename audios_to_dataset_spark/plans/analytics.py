@@ -1029,7 +1029,43 @@ ORDER BY acctbal, c_custkey
 # Order matters: the driver's correctness gate covers the first 50
 # declared queries — the north-star operators (clusters, survivors,
 # time-series joins) lead; TPC-H report shapes follow.
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: the top-20 part pairs most often bought in
+    the same order (support counts — the candidate-generation pass of
+    apriori/FP-growth). The self-join keys on l_orderkey, so the fact
+    shuffles ONCE and pair explosion is bounded by per-order basket
+    size (≈7 items in TPC-H-shaped data → ≤21 pairs per order), keeping
+    the blowup constant-factor at any corpus scale."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .orderBy(F.col("support").desc(), "pa", "pb")
+        .limit(20)
+    )
+
+
+ORACLE_FREQUENT_PAIRS = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem)
+SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+GROUP BY pa, pb ORDER BY support DESC, pa, pb LIMIT 20
+"""
+
+
 QUERIES = {
+    "q_frequent_pairs": q_frequent_pairs,
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_survivors": q_dedup_survivors,
     "q_dedup_pipeline": q_dedup_pipeline,
@@ -1053,6 +1089,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_frequent_pairs": ORACLE_FREQUENT_PAIRS,
     "q_dedup_survivors": _oracle_dedup_survivors(),
     "q_dedup_pipeline": _oracle_dedup_pipeline(),
     "q_skew_join": ORACLE_SKEW_JOIN,

@@ -535,6 +535,91 @@ ORDER BY na, nb
 """
 
 
+EDIT_MAX = 3
+CAND_THRESHOLD = 0.2
+
+
+def q_entity_match_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage entity resolution — the block-then-verify pattern every
+    production matcher uses: the cheap trigram-Jaccard inverted index
+    BLOCKS (candidates at a permissive 0.2), then exact Levenshtein
+    VERIFIES (edit distance ≤ 3), so the expensive O(len²) DP runs only
+    on the candidate set, never all pairs. Both stages JVM-side;
+    ``levenshtein`` is built into both engines with identical classic-DP
+    semantics."""
+    p = load(spark, sf_dir, "part")
+    names = p.select(F.col("p_name").alias("name")).distinct()
+    grams = names.select(
+        "name",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("name") - 2),
+                    lambda i: F.col("name").substr(i, F.lit(3)),
+                )
+            )
+        ).alias("gram"),
+    )
+    sz = grams.groupBy("name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    a = grams.select(F.col("name").alias("na"), "gram")
+    b = grams.select(F.col("name").alias("nb"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("na") < F.col("nb"))
+        .groupBy("na", "nb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    sa = sz.select(F.col("name").alias("na"), F.col("sz").alias("sa"))
+    sb = sz.select(F.col("name").alias("nb"), F.col("sz").alias("sb"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sa") + F.col("sb") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "na")
+        .join(sb, "nb")
+        .select("na", "nb", sround(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= CAND_THRESHOLD)
+        .withColumn(
+            "edit_dist",
+            F.levenshtein("na", "nb").cast("bigint"),
+        )
+        .filter(F.col("edit_dist") <= EDIT_MAX)
+        .orderBy("na", "nb")
+    )
+
+
+ORACLE_ENTITY_MATCH_VERIFIED = f"""
+WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+g AS (SELECT name,
+             unnest(list_distinct(list_transform(
+               range(1, length(name) - 1), i -> substr(name, i, 3))))
+               AS gram
+      FROM n),
+sz AS (SELECT name, CAST(COUNT(*) AS BIGINT) AS sz FROM g GROUP BY name),
+inter AS (SELECT a.name AS na, b.name AS nb,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM g a JOIN g b ON a.gram = b.gram AND a.name < b.name
+          GROUP BY a.name, b.name),
+cand AS (
+  SELECT na, nb,
+         {sround_sql(
+             'CAST(inter AS DOUBLE)'
+             ' / CAST(sa.sz + sb.sz - inter AS DOUBLE)', 6)} AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.name = na
+  JOIN sz sb ON sb.name = nb
+  WHERE {sround_sql(
+      'CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)',
+      6)} >= {CAND_THRESHOLD})
+SELECT na, nb, jaccard,
+       CAST(levenshtein(na, nb) AS BIGINT) AS edit_dist
+FROM cand WHERE levenshtein(na, nb) <= {EDIT_MAX}
+ORDER BY na, nb
+"""
+
+
 QUERIES = {
     "q_minhash_jaccard": q_minhash_jaccard,
     "q_contamination": q_contamination,
@@ -546,6 +631,7 @@ QUERIES = {
     "q_dedup_embedding": q_dedup_embedding,
     "q_dedup_embedding_exact": q_dedup_embedding_exact,
     "q_entity_match": q_entity_match,
+    "q_entity_match_verified": q_entity_match_verified,
 }
 
 ORACLES = {
@@ -559,4 +645,5 @@ ORACLES = {
     "q_dedup_embedding": _oracle_dedup_embedding(),
     "q_dedup_embedding_exact": ORACLE_DEDUP_EMBEDDING_EXACT,
     "q_entity_match": ORACLE_ENTITY_MATCH,
+    "q_entity_match_verified": ORACLE_ENTITY_MATCH_VERIFIED,
 }
