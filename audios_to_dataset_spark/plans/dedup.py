@@ -535,6 +535,53 @@ ORDER BY na, nb
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — "which crawl dumps overlap":
+    MinHash-LSH candidate near-dup pairs rolled up to unordered
+    source-pair counts. This is the report that decides which source to
+    drop when two dumps substantially overlap. Reuses the exact LSH
+    banding of q_dedup_minhash_lsh (one explode+groupBy shuffle, band
+    equi-join), then two slim doc_id→source joins and a small agg."""
+    d = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(d, num_hashes=NUM_HASHES, n=NGRAM_N)
+    pairs = D.lsh_candidate_pairs(
+        sigs, num_hashes=NUM_HASHES, band_size=BAND_SIZE
+    )
+    src = d.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "source_a", "source_b")
+    )
+
+
+def _oracle_source_overlap() -> str:
+    return f"""
+WITH pairs AS ({_oracle_minhash()}),
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(a.source, b.source) AS source_a,
+       greatest(a.source, b.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN src a ON a.doc_id = doc_a
+JOIN src b ON b.doc_id = doc_b
+GROUP BY source_a, source_b
+ORDER BY n_pairs DESC, source_a, source_b
+"""
+
+
 EDIT_MAX = 3
 CAND_THRESHOLD = 0.2
 
@@ -632,6 +679,7 @@ QUERIES = {
     "q_dedup_embedding_exact": q_dedup_embedding_exact,
     "q_entity_match": q_entity_match,
     "q_entity_match_verified": q_entity_match_verified,
+    "q_source_overlap": q_source_overlap,
 }
 
 ORACLES = {
@@ -646,4 +694,5 @@ ORACLES = {
     "q_dedup_embedding_exact": ORACLE_DEDUP_EMBEDDING_EXACT,
     "q_entity_match": ORACLE_ENTITY_MATCH,
     "q_entity_match_verified": ORACLE_ENTITY_MATCH_VERIFIED,
+    "q_source_overlap": _oracle_source_overlap(),
 }
