@@ -455,6 +455,58 @@ FROM per GROUP BY user_id
 """
 
 
+EWMA_TERMS = 8
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay rolling average (EWMA, half-life 1 step) of each
+    user's event values over the trailing {EWMA_TERMS} events — the
+    smoothing pass monitoring pipelines run per entity.
+
+    Determinism without transcendentals: the EWMA is a FIXED-ORDER sum
+    of lag terms (v·1 + lag1·0.5 + lag2·0.25 + …). Every weight is a
+    power of two (exact double scaling), every add happens in the same
+    textual order in both engines, and IEEE ops are deterministic — so
+    no rounding discipline is needed at all. Windows partition by
+    user_id (one shuffle, no global sort); the {EWMA_TERMS}-term
+    expression stays inside whole-stage codegen."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    num = F.col("value") * F.lit(1.0)
+    den = F.lit(1.0)
+    for j in range(1, EWMA_TERMS):
+        lj = F.lag("value", j).over(w)
+        wj = 1.0 / float(2**j)
+        num = num + F.coalesce(lj * F.lit(wj), F.lit(0.0))
+        den = den + F.when(lj.isNull(), 0.0).otherwise(wj)
+    return ev.select(
+        "user_id",
+        "event_id",
+        us.alias("ts_us"),
+        (num / den).alias("ewma"),
+    ).orderBy("user_id", "ts_us", "event_id")
+
+
+def _oracle_ewma() -> str:
+    num = ["value * 1.0"]
+    den = ["1.0"]
+    for j in range(1, EWMA_TERMS):
+        wj = repr(1.0 / float(2**j))
+        num.append(f"COALESCE(lag(value, {j}) OVER w * {wj}, 0.0)")
+        den.append(
+            f"CASE WHEN lag(value, {j}) OVER w IS NULL THEN 0.0"
+            f" ELSE {wj} END"
+        )
+    return f"""
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       ({" + ".join(num)}) / ({" + ".join(den)}) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+ORDER BY user_id, ts_us, event_id
+"""
+
+
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-type-2 interval build — the lakehouse dimension-history op:
     collapse each user's event stream into [valid_from, valid_to)
@@ -507,6 +559,7 @@ ORDER BY user_id, valid_from_us
 
 QUERIES = {
     "q_scd2": q_scd2,
+    "q_ewma": q_ewma,
     "q_tumbling_window": q_tumbling_window,
     "q_session_gap": q_session_gap,
     "q_sliding_window": q_sliding_window,
@@ -521,6 +574,7 @@ QUERIES = {
 
 ORACLES = {
     "q_scd2": ORACLE_SCD2,
+    "q_ewma": _oracle_ewma(),
     "q_tumbling_window": ORACLE_TUMBLING_WINDOW,
     "q_session_gap": ORACLE_SESSION_GAP,
     "q_sliding_window": ORACLE_SLIDING_WINDOW,
