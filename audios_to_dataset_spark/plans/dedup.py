@@ -52,7 +52,8 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DEDUP_NGRAM = f"""
+def _ngram_pairs_sql(threshold: float) -> str:
+    return f"""
 WITH toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
 ), sh0 AS (
@@ -81,7 +82,37 @@ SELECT doc_a, doc_b,
 FROM pairs
 JOIN cnt ca ON ca.doc_id = doc_a
 JOIN cnt cb ON cb.doc_id = doc_b
-WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= {NGRAM_THRESHOLD}
+WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= {threshold}
+"""
+
+
+ORACLE_DEDUP_NGRAM = _ngram_pairs_sql(NGRAM_THRESHOLD)
+
+def q_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-score histogram — the threshold-tuning curve for near
+    dedup: every shingle-sharing pair's Jaccard bucketed into 0.1-wide
+    bands with counts. Run before committing to a dedup threshold; the
+    elbow in this histogram IS the threshold decision. Same capped
+    inverted-index plan as q_dedup_ngram (threshold 0 keeps all
+    candidate pairs; the stop-shingle cap still bounds the join)."""
+    d = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, threshold=0.0, n=NGRAM_N, max_shingle_freq=MAX_SHINGLE_FREQ
+    )
+    band = F.floor(F.col("jaccard") * 10).cast("bigint")
+    return (
+        pairs.groupBy(band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("band")
+    )
+
+
+def _oracle_sim_histogram() -> str:
+    return f"""
+SELECT CAST(floor(jaccard * 10) AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM ({_ngram_pairs_sql(0.0)}) p
+GROUP BY band ORDER BY band
 """
 
 
@@ -680,6 +711,7 @@ QUERIES = {
     "q_entity_match": q_entity_match,
     "q_entity_match_verified": q_entity_match_verified,
     "q_source_overlap": q_source_overlap,
+    "q_sim_histogram": q_sim_histogram,
 }
 
 ORACLES = {
@@ -695,4 +727,5 @@ ORACLES = {
     "q_entity_match": ORACLE_ENTITY_MATCH,
     "q_entity_match_verified": ORACLE_ENTITY_MATCH_VERIFIED,
     "q_source_overlap": _oracle_source_overlap(),
+    "q_sim_histogram": _oracle_sim_histogram(),
 }

@@ -625,7 +625,47 @@ FROM s WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
 """
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the fraud/synthetic-
+    data smell test a data-quality pass runs over any money column.
+    First digit comes from the INTEGER part rendered as a string
+    (bigint→string is engine-portable; double→string is not), counts
+    are exact, and the ratio is one IEEE division of exact bigints —
+    no rounding discipline needed. One scan, one 9-row agg."""
+    o = load(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    )
+    counts = o.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    total = o.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            (F.col("n").cast("double") / F.col("total").cast("double")
+             ).alias("ratio"),
+        )
+        .orderBy("digit")
+    )
+
+
+ORACLE_BENFORD = """
+WITH counts AS (
+  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+           AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY digit),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders)
+SELECT digit, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS ratio
+FROM counts CROSS JOIN total ORDER BY digit
+"""
+
+
 QUERIES = {
+    "q_benford": q_benford,
     "q_approx_distinct": q_approx_distinct,
     "q_approx_percentile": q_approx_percentile,
     "q_zorder": q_zorder,
@@ -640,6 +680,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_benford": ORACLE_BENFORD,
     "q_approx_distinct": ORACLE_APPROX_DISTINCT,
     "q_approx_percentile": ORACLE_APPROX_PERCENTILE,
     "q_zorder": _oracle_zorder(),
