@@ -455,6 +455,67 @@ FROM per GROUP BY user_id
 """
 
 
+def q_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile — the measurement that picks a streaming
+    watermark: treating event_id as arrival order, an event's lateness
+    is how far the per-type running-max event time has already advanced
+    past it. Reports per type: events, late events, max and mean
+    lateness (µs), and how many would be dropped by a 1-hour watermark.
+    All integer-microsecond arithmetic; the running max partitions by
+    event_type (no global window)."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lateness = F.greatest(
+        F.max(us).over(w) - us, F.lit(0).cast("bigint")
+    )
+    per = ev.select(
+        "event_type", lateness.alias("late_us")
+    )
+    hour_us = 3_600_000_000
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_late"),
+            F.max("late_us").cast("bigint").alias("max_late_us"),
+            (
+                F.sum("late_us").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_late_us"),
+            F.sum(F.when(F.col("late_us") > hour_us, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dropped_1h_watermark"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_LATENESS = """
+WITH per AS (
+  SELECT event_type,
+         greatest(MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+                    ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+                  - epoch_us(ts), CAST(0 AS BIGINT)) AS late_us
+  FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+       CAST(SUM(late_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_late_us,
+       CAST(SUM(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS dropped_1h_watermark
+FROM per GROUP BY event_type ORDER BY event_type
+"""
+
+
 EWMA_TERMS = 8
 
 
@@ -560,6 +621,7 @@ ORDER BY user_id, valid_from_us
 QUERIES = {
     "q_scd2": q_scd2,
     "q_ewma": q_ewma,
+    "q_lateness": q_lateness,
     "q_tumbling_window": q_tumbling_window,
     "q_session_gap": q_session_gap,
     "q_sliding_window": q_sliding_window,
@@ -575,6 +637,7 @@ QUERIES = {
 ORACLES = {
     "q_scd2": ORACLE_SCD2,
     "q_ewma": _oracle_ewma(),
+    "q_lateness": ORACLE_LATENESS,
     "q_tumbling_window": ORACLE_TUMBLING_WINDOW,
     "q_session_gap": ORACLE_SESSION_GAP,
     "q_sliding_window": ORACLE_SLIDING_WINDOW,
