@@ -455,6 +455,61 @@ FROM per GROUP BY user_id
 """
 
 
+CONCUR_DUR_US = 1_800_000_000
+
+
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type — the classic sweep-line: each
+    event is a 30-minute interval, exploded into +1/-1 boundary deltas,
+    cumulative-summed in time order (ends sort before starts at a tie,
+    so touching intervals don't double-count). MAX of the running sum
+    is invariant to tie order among equal (t, delta) rows, so the
+    result is deterministic even though the window's tie-break isn't.
+    Partitioned by event_type — each type sweeps independently."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    starts = ev.select(
+        "event_type", us.alias("t"), F.lit(1).cast("long").alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        (us + CONCUR_DUR_US).alias("t"),
+        F.lit(-1).cast("long").alias("delta"),
+    )
+    sweep = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sweep.select(
+        "event_type", F.sum("delta").over(w).alias("cur")
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(F.max("cur").cast("bigint").alias("max_concurrent"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_CONCURRENCY = f"""
+WITH sweep AS (
+  SELECT event_type, epoch_us(ts) AS t, CAST(1 AS BIGINT) AS delta
+  FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + {CONCUR_DUR_US} AS t,
+         CAST(-1 AS BIGINT) AS delta
+  FROM events),
+cum AS (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS cur
+  FROM sweep)
+SELECT event_type, CAST(MAX(cur) AS BIGINT) AS max_concurrent
+FROM cum GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-orderness profile — the measurement that picks a streaming
     watermark: treating event_id as arrival order, an event's lateness
@@ -622,6 +677,7 @@ QUERIES = {
     "q_scd2": q_scd2,
     "q_ewma": q_ewma,
     "q_lateness": q_lateness,
+    "q_concurrency": q_concurrency,
     "q_tumbling_window": q_tumbling_window,
     "q_session_gap": q_session_gap,
     "q_sliding_window": q_sliding_window,
@@ -638,6 +694,7 @@ ORACLES = {
     "q_scd2": ORACLE_SCD2,
     "q_ewma": _oracle_ewma(),
     "q_lateness": ORACLE_LATENESS,
+    "q_concurrency": ORACLE_CONCURRENCY,
     "q_tumbling_window": ORACLE_TUMBLING_WINDOW,
     "q_session_gap": ORACLE_SESSION_GAP,
     "q_sliding_window": ORACLE_SLIDING_WINDOW,
