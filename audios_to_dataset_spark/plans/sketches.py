@@ -625,6 +625,101 @@ FROM s WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
 """
 
 
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the foreign-key health check a lake
+    runs after every ingest: orphan counts for each fact→dim edge
+    (orders→customer, lineitem→orders/part/supplier). Each check is one
+    LEFT ANTI join (broadcastable dim side or shuffle-hash on the key)
+    aggregated to a single count; the union of four tiny frames is the
+    report."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    p = load(spark, sf_dir, "part")
+    su = load(spark, sf_dir, "supplier")
+
+    def orphans(fact, key, dim, dim_key, edge):
+        return (
+            fact.join(dim, fact[key] == dim[dim_key], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            .select(F.lit(edge).alias("edge"), "n_orphans")
+        )
+
+    return (
+        orphans(o, "o_custkey", c, "c_custkey", "orders->customer")
+        .unionByName(
+            orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        )
+        .unionByName(
+            orphans(li, "l_partkey", p, "p_partkey", "lineitem->part")
+        )
+        .unionByName(
+            orphans(li, "l_suppkey", su, "s_suppkey", "lineitem->supplier")
+        )
+        .orderBy("edge")
+    )
+
+
+ORACLE_REF_INTEGRITY = """
+SELECT 'orders->customer' AS edge, CAST(COUNT(*) AS BIGINT) AS n_orphans
+FROM orders WHERE NOT EXISTS
+  (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'lineitem->orders', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE NOT EXISTS
+  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE NOT EXISTS
+  (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+UNION ALL
+SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE NOT EXISTS
+  (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+ORDER BY edge
+"""
+
+
+def q_dup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI report — what exact dedup would save, per source:
+    duplicate rows (n−1 per sha-group) and the chars they waste. This is
+    the query that justifies (or kills) running the dedup pass at all.
+    One hash-groupBy on (source, sha256), then a per-source rollup —
+    two linear shuffles."""
+    d = load(spark, sf_dir, "documents")
+    groups = (
+        d.groupBy("source", F.sha2("text", 256).alias("h"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("n_chars").cast("bigint").alias("chars"),
+        )
+    )
+    return (
+        groups.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.sum(F.col("n") - 1).cast("bigint").alias("dup_docs"),
+            F.sum((F.col("n") - 1) * F.col("chars"))
+            .cast("bigint")
+            .alias("wasted_chars"),
+        )
+        .orderBy(F.col("wasted_chars").desc(), "source")
+    )
+
+
+ORACLE_DUP_IMPACT = """
+WITH groups AS (
+  SELECT source, sha256(text) AS h, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY source, h)
+SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(SUM(n - 1) AS BIGINT) AS dup_docs,
+       CAST(SUM((n - 1) * chars) AS BIGINT) AS wasted_chars
+FROM groups GROUP BY source
+ORDER BY wasted_chars DESC, source
+"""
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of order totals — the fraud/synthetic-
     data smell test a data-quality pass runs over any money column.
@@ -666,6 +761,8 @@ FROM counts CROSS JOIN total ORDER BY digit
 
 QUERIES = {
     "q_benford": q_benford,
+    "q_ref_integrity": q_ref_integrity,
+    "q_dup_impact": q_dup_impact,
     "q_approx_distinct": q_approx_distinct,
     "q_approx_percentile": q_approx_percentile,
     "q_zorder": q_zorder,
@@ -681,6 +778,8 @@ QUERIES = {
 
 ORACLES = {
     "q_benford": ORACLE_BENFORD,
+    "q_ref_integrity": ORACLE_REF_INTEGRITY,
+    "q_dup_impact": ORACLE_DUP_IMPACT,
     "q_approx_distinct": ORACLE_APPROX_DISTINCT,
     "q_approx_percentile": ORACLE_APPROX_PERCENTILE,
     "q_zorder": _oracle_zorder(),
