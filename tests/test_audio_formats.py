@@ -1,0 +1,99 @@
+"""Header-sniffing behavior for the multi-format audio extension
+(crafted minimal container headers — no codec libs involved)."""
+
+from __future__ import annotations
+
+import struct
+
+from audios_to_dataset_spark.functions.audio_formats import (
+    parse_audio_header,
+)
+
+
+def _flac_bytes(sr: int = 44100, total: int = 44100 * 3) -> bytes:
+    info = bytearray(34)
+    info[0:2] = (4096).to_bytes(2, "big")  # min blocksize
+    info[2:4] = (4096).to_bytes(2, "big")
+    info[10] = (sr >> 12) & 0xFF
+    info[11] = (sr >> 4) & 0xFF
+    # byte 12: sr low nibble | (channels-1)<<1 | bps-1 high bit
+    info[12] = ((sr & 0xF) << 4) | ((2 - 1) << 1)
+    # byte 13: (bps-1) low nibble << 4 | total_samples[35:32]
+    info[13] = (15 << 4) | ((total >> 32) & 0x0F)
+    info[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+    return b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(info)
+
+
+def test_flac_streaminfo():
+    fmt, sr, dur, est = parse_audio_header(_flac_bytes())
+    assert (fmt, sr, est) == ("flac", 44100, False)
+    assert abs(dur - 3.0) < 1e-9
+
+
+def test_ogg_vorbis_id_header():
+    page = b"OggS" + bytes(2) + struct.pack("<q", 0) + bytes(12) + b"\x01"
+    packet = b"\x01vorbis" + struct.pack("<IBI", 0, 2, 22050)
+    data = page + packet
+    fmt, sr, dur, est = parse_audio_header(data)
+    assert (fmt, sr) == ("ogg", 22050)
+    # no final-page granule beyond 0 → duration known-exact at 0.0
+    assert dur == 0.0 and est is False
+
+
+def test_opus_head():
+    page = b"OggS" + bytes(2) + struct.pack("<q", 48000 + 312) + bytes(12)
+    packet = b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+    packet += struct.pack("<I", 16000) + bytes(3)
+    fmt, sr, dur, est = parse_audio_header(page + packet)
+    assert (fmt, sr, est) == ("opus", 48000, False)
+    assert abs(dur - 1.0) < 1e-9  # granule minus pre-skip, at 48 kHz
+
+
+def test_mp3_first_frame_with_id3():
+    id3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10])  # 10-byte ext area
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00])  # V1 L3, 128 kbps, 44100
+    body = bytes(16000 - 4)
+    fmt, sr, dur, est = parse_audio_header(id3 + bytes(10) + frame + body)
+    assert (fmt, sr, est) == ("mp3", 44100, True)
+    assert abs(dur - 1.0) < 1e-3  # 16000 bytes at 128 kbps ≈ 1 s
+
+
+def test_garbage_and_none_keep_zeros():
+    assert parse_audio_header(None) == (None, 0, 0.0, False)
+    assert parse_audio_header(b"") == (None, 0, 0.0, False)
+    assert parse_audio_header(b"\x00" * 64) == (None, 0, 0.0, False)
+
+
+def test_wav_still_delegates():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 8000)
+    fmt, sr, dur, est = parse_audio_header(buf.getvalue())
+    assert (fmt, sr, est) == ("wav", 8000, False)
+    assert abs(dur - 1.0) < 1e-9
+
+
+def test_udf_batch(spark):
+    from pyspark.sql import functions as F
+
+    from audios_to_dataset_spark.functions.audio_formats import (
+        with_audio_info,
+    )
+
+    df = spark.createDataFrame(
+        [(1, _flac_bytes()), (2, b"junk")], "id long, content binary"
+    )
+    rows = {
+        r.id: r.a
+        for r in df.select(
+            "id", with_audio_info(F.col("content")).alias("a")
+        ).collect()
+    }
+    assert rows[1].format == "flac" and rows[1].sampling_rate == 44100
+    assert rows[2].format is None and rows[2].sampling_rate == 0
