@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--metadata-file", default=None)
     p.add_argument(
+        "--sniff-formats",
+        action="store_true",
+        help="add an audio_format column sniffed from container headers "
+        "(wav/flac/ogg/opus/mp3) — engine extension, no reference analog",
+    )
+    p.add_argument(
         "--segment-seconds",
         type=float,
         default=None,
@@ -85,6 +91,7 @@ def main(argv: list[str] | None = None) -> int:
         check_mime_type=args.check_mime_type,
         segment_seconds=args.segment_seconds,
         audio_stats=args.audio_stats,
+        sniff_formats=args.sniff_formats,
     )
     total = sum(r.n_rows for r in receipts)
     for r in sorted(receipts, key=lambda r: r.shard):

@@ -29,13 +29,22 @@ from .sources.binary_scan import DEFAULT_MAX_DEPTH, scan_audio_files
 from .sources.metadata import load_metadata
 
 
-def enrich_files(files: DataFrame, audio_stats: bool = False) -> DataFrame:
+def enrich_files(
+    files: DataFrame,
+    audio_stats: bool = False,
+    sniff_formats: bool = False,
+) -> DataFrame:
     """P4+P5: WAV header decode → duration/sampling_rate columns.
 
     With ``audio_stats=True`` (engine extension, ``--audio-stats``) a
     second Arrow batch adds signal QA columns (rms, peak, clipped_frac
     — numpy-vectorized over the PCM payload) for silence/clipping
-    screens; extras are doubles per the sink metadata lattice."""
+    screens; extras are doubles per the sink metadata lattice.
+
+    With ``sniff_formats=True`` (engine extension, ``--sniff-formats``)
+    an ``audio_format`` string column tags each file's container
+    (wav/flac/ogg/opus/mp3, NULL if unknown) from header bytes only —
+    see functions/audio_formats.py."""
     info = wav_info(F.col("content"))
     out = files.withColumn("_wav", info).select(
         "*",
@@ -52,6 +61,12 @@ def enrich_files(files: DataFrame, audio_stats: bool = False) -> DataFrame:
             F.col("_st.peak").alias("peak"),
             F.col("_st.clipped_frac").alias("clipped_frac"),
         ).drop("_st")
+    if sniff_formats:
+        from .functions.audio_formats import audio_info
+
+        out = out.withColumn(
+            "audio_format", audio_info(F.col("content"))["format"]
+        )
     return out
 
 
@@ -126,6 +141,7 @@ def build_dataset(
     files_per_shard: int = DEFAULT_FILES_PER_SHARD,
     segment_seconds: float | None = None,
     audio_stats: bool = False,
+    sniff_formats: bool = False,
 ) -> DataFrame:
     """The full logical plan up to (but excluding) the sink."""
     files = scan_audio_files(
@@ -137,7 +153,9 @@ def build_dataset(
     )
     if segment_seconds is not None:
         files = segment_files(files, segment_seconds)
-    files = enrich_files(files, audio_stats=audio_stats)
+    files = enrich_files(
+        files, audio_stats=audio_stats, sniff_formats=sniff_formats
+    )
 
     if metadata_file is not None:
         meta = load_metadata(spark, metadata_file)
@@ -169,6 +187,7 @@ def run_pipeline(
     check_mime_type: bool = False,
     segment_seconds: float | None = None,
     audio_stats: bool = False,
+    sniff_formats: bool = False,
 ) -> list:
     """Run scan→enrich→join→shard→sink; returns the write receipts."""
     sharded = build_dataset(
@@ -180,6 +199,7 @@ def run_pipeline(
         files_per_shard=files_per_shard,
         segment_seconds=segment_seconds,
         audio_stats=audio_stats,
+        sniff_formats=sniff_formats,
     )
     if output_format == "parquet":
         from .sinks.parquet_shards import write_parquet_shards

@@ -406,3 +406,27 @@ def test_audio_stats_pipeline(spark, tmp_path):
     }
     assert abs(rows["a.wav"].rms - 1.0 / math.sqrt(2.0)) < 0.01
     assert rows["b.wav"].rms == 0.0 and rows["b.wav"].peak == 0.0
+
+
+def test_sniff_formats_pipeline(spark, tmp_path):
+    """--sniff-formats tags each file's container in an audio_format
+    column (wav here; non-audio bytes → NULL)."""
+    import os
+
+    from audios_to_dataset_spark.functions.wav import synth_wav
+    from audios_to_dataset_spark.pipeline import run_pipeline
+
+    audio = tmp_path / "in"
+    audio.mkdir()
+    (audio / "a.wav").write_bytes(synth_wav(sample_rate=8000))
+    (audio / "junk.wav").write_bytes(b"not really audio")
+    out = str(tmp_path / "out")
+    run_pipeline(spark, str(audio), out, sniff_formats=True)
+    shard = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    back = spark.read.parquet(os.path.join(out, shard[0]))
+    rows = {
+        os.path.basename(r.path): r.audio_format
+        for r in back.select("audio.path", "audio_format").collect()
+    }
+    assert rows["a.wav"] == "wav"
+    assert rows["junk.wav"] is None
