@@ -36,33 +36,42 @@ def q_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its tokens (rare tokens → large score) and its hapax ratio
     (share of tokens that occur exactly once corpus-wide). N/cnt divides
     two exactly-representable bigints — IEEE division is correctly
-    rounded, so both engines produce the identical double.
+    rounded, so both engines produce the identical double; the per-doc
+    weighting multiplies that value by an integer term frequency INSIDE
+    the decimal domain (exact), so the sum equals tf repeated adds.
 
-    Plan: explode tokens → corpus counts (one wordcount shuffle) →
-    re-join tokens to counts (shuffle on token) → per-doc agg. Linear at
-    any corpus size; no broadcast of the (potentially huge) vocabulary.
-    """
+    Plan: ONE token explode → (doc, token, tf) agg → token totals derived
+    from that agg (no second corpus scan) → tf-weighted join on token →
+    per-doc agg. Two shuffles total, and the token join moves distinct
+    (doc, token) pairs — not raw occurrences. Corpus total N is a
+    broadcast one-row frame. Linear at any corpus size; the (potentially
+    huge) vocabulary is never broadcast."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(_tokens()).alias("token")
-    ).filter(F.col("token") != "")
-    counts = toks.groupBy("token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    tf = (
+        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
-    total = toks.agg(
-        F.count(F.lit(1)).cast("bigint").alias("total_n")
+    counts = tf.groupBy("token").agg(
+        F.sum("tf").cast("bigint").alias("cnt")
+    )
+    total = counts.agg(
+        F.sum("cnt").cast("bigint").alias("total_n")
     )
     inv_freq = (
         F.col("total_n").cast("double") / F.col("cnt").cast("double")
     )
     return (
-        toks.join(counts, "token")
+        tf.join(counts, "token")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
-            F.sum(inv_freq.cast(DEC)).cast("double").alias("sum_inv_freq"),
-            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            F.sum("tf").cast("bigint").alias("n_tok"),
+            F.sum(inv_freq.cast(DEC) * F.col("tf"))
+            .cast("double")
+            .alias("sum_inv_freq"),
+            F.sum(F.when(F.col("cnt") == 1, F.col("tf")).otherwise(0))
             .cast("bigint")
             .alias("n_hapax"),
         )
@@ -81,21 +90,24 @@ def q_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_RARITY_SCORE = f"""
+ORACLE_RARITY_SCORE = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
   FROM documents),
-tok AS (SELECT * FROM toks WHERE token <> ''),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token),
 counts AS (
-  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
-total AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_n FROM tok),
+  SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY token),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_n FROM counts),
 per_doc AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
-         {dsum_sql("CAST(total_n AS DOUBLE) / CAST(cnt AS DOUBLE)")}
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+         CAST(SUM(CAST(CAST(total_n AS DOUBLE) / CAST(cnt AS DOUBLE)
+                       AS DECIMAL(28,6)) * tf) AS DOUBLE)
            AS sum_inv_freq,
-         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(SUM(CASE WHEN cnt = 1 THEN tf ELSE 0 END) AS BIGINT)
            AS n_hapax
-  FROM tok JOIN counts USING (token) CROSS JOIN total
+  FROM tf JOIN counts USING (token) CROSS JOIN total
   GROUP BY doc_id)
 SELECT doc_id, n_tok,
        sum_inv_freq / CAST(n_tok AS DOUBLE) AS mean_inv_freq,
