@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ._util import DEC, dsum_sql
+from ._util import DEC
 
 SEQ_LEN = 512
 SOURCE_CAP = 10
