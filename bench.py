@@ -54,6 +54,7 @@ HEADLINE = [
     "q_profit",
     "q_bpe_merges",
     "q_seq_pack",
+    "q_rarity_score",
 ]
 
 
