@@ -639,8 +639,41 @@ ORDER BY nationkey
 """
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface (the open-ended semi-structured type that
+    replaces schema-on-write JSON structs): parse each event's props
+    into a variant, extract a typed path, aggregate. The parse and the
+    typed get are both JVM expressions — this is the modern path for
+    "the schema isn't known until read". Oracle: DuckDB's JSON extract
+    of the same path, cast to the same type."""
+    ev = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VARIANT_EXTRACT = """
+SELECT event_type,
+       CAST(COUNT(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_with_k,
+       CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q_full_outer": q_full_outer,
+    "q_variant_extract": q_variant_extract,
     "q_large_orders": q_large_orders,
     "q_window_dist": q_window_dist,
     "q_regex_extract": q_regex_extract,
@@ -669,6 +702,7 @@ QUERIES = {
 
 ORACLES = {
     "q_full_outer": ORACLE_FULL_OUTER,
+    "q_variant_extract": ORACLE_VARIANT_EXTRACT,
     "q_large_orders": ORACLE_LARGE_ORDERS,
     "q_window_dist": ORACLE_WINDOW_DIST,
     "q_regex_extract": ORACLE_REGEX_EXTRACT,
