@@ -625,6 +625,43 @@ FROM s WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
 """
 
 
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer→supplier order graph — the
+    first profile you run on any graph before choosing partitioning
+    (power-law tails are what make naive graph shuffles fall over).
+    Two linear aggs: distinct edges → out-degree per node → node count
+    per degree."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("src"),
+            F.col("l_suppkey").cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+ORACLE_DEGREE_DIST = """
+WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                  CAST(l_suppkey AS BIGINT) AS dst
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM e GROUP BY src)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
 def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit — the foreign-key health check a lake
     runs after every ingest: orphan counts for each fact→dim edge
@@ -762,6 +799,7 @@ FROM counts CROSS JOIN total ORDER BY digit
 QUERIES = {
     "q_benford": q_benford,
     "q_ref_integrity": q_ref_integrity,
+    "q_degree_dist": q_degree_dist,
     "q_dup_impact": q_dup_impact,
     "q_approx_distinct": q_approx_distinct,
     "q_approx_percentile": q_approx_percentile,
@@ -779,6 +817,7 @@ QUERIES = {
 ORACLES = {
     "q_benford": ORACLE_BENFORD,
     "q_ref_integrity": ORACLE_REF_INTEGRITY,
+    "q_degree_dist": ORACLE_DEGREE_DIST,
     "q_dup_impact": ORACLE_DUP_IMPACT,
     "q_approx_distinct": ORACLE_APPROX_DISTINCT,
     "q_approx_percentile": ORACLE_APPROX_PERCENTILE,
