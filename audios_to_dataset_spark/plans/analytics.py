@@ -6,7 +6,7 @@ load; each is oracle-checked with the decimal-sum discipline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -1029,6 +1029,85 @@ ORDER BY acctbal, c_custkey
 # Order matters: the driver's correctness gate covers the first 50
 # declared queries — the north-star operators (clusters, survivors,
 # time-series joins) lead; TPC-H report shapes follow.
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: for each signup cohort (first-seen day) and age
+    k (days since signup, ≤ 7), the cumulative per-user value accrued —
+    the growth-accounting read-out next to q_retention's activity
+    curve. Decimal sums keep the cumulative exact; the cumulative
+    window partitions by cohort (never global)."""
+    e = load(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    daily = (
+        e.join(first_day, "user_id")
+        .withColumn(
+            "k",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day"))
+            .cast("long"),
+        )
+        .filter(F.col("k").between(0, 7))
+        .groupBy("cohort_day", "k")
+        .agg(
+            F.sum(F.col("value").cast(DEC)).alias("day_value"),
+            F.countDistinct("user_id").cast("bigint").alias("n_active"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cohort_size = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    ).groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    return (
+        daily.withColumn(
+            "cum_value", F.sum("day_value").over(w).cast("double")
+        )
+        .join(cohort_size, "cohort_day")
+        .select(
+            "cohort_day",
+            "k",
+            "n_active",
+            (
+                F.col("cum_value")
+                / F.col("cohort_users").cast("double")
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_day", "k")
+    )
+
+
+ORACLE_COHORT_LTV = """
+WITH first_day AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+  FROM events GROUP BY user_id),
+daily AS (
+  SELECT cohort_day,
+         CAST(date_diff('day', CAST(cohort_day AS DATE),
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+           AS k,
+         SUM(CAST(value AS DECIMAL(28,6))) AS day_value,
+         CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+  FROM events e JOIN first_day f ON e.user_id = f.user_id
+  WHERE date_diff('day', CAST(cohort_day AS DATE),
+                  CAST(date_trunc('day', ts) AS DATE)) BETWEEN 0 AND 7
+  GROUP BY 1, 2),
+cohort_size AS (
+  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM first_day GROUP BY cohort_day)
+SELECT CAST(d.cohort_day AS TIMESTAMP) AS cohort_day, k, n_active,
+       CAST(SUM(day_value) OVER (PARTITION BY d.cohort_day ORDER BY k
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / CAST(cohort_users AS DOUBLE) AS ltv_per_user
+FROM daily d JOIN cohort_size c ON d.cohort_day = c.cohort_day
+ORDER BY cohort_day, k
+"""
+
+
 def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket mining: the top-20 part pairs most often bought in
     the same order (support counts — the candidate-generation pass of
@@ -1066,6 +1145,7 @@ GROUP BY pa, pb ORDER BY support DESC, pa, pb LIMIT 20
 
 QUERIES = {
     "q_frequent_pairs": q_frequent_pairs,
+    "q_cohort_ltv": q_cohort_ltv,
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_survivors": q_dedup_survivors,
     "q_dedup_pipeline": q_dedup_pipeline,
@@ -1090,6 +1170,7 @@ QUERIES = {
 
 ORACLES = {
     "q_frequent_pairs": ORACLE_FREQUENT_PAIRS,
+    "q_cohort_ltv": ORACLE_COHORT_LTV,
     "q_dedup_survivors": _oracle_dedup_survivors(),
     "q_dedup_pipeline": _oracle_dedup_pipeline(),
     "q_skew_join": ORACLE_SKEW_JOIN,
