@@ -486,6 +486,107 @@ JOIN sig sb ON sb.doc_id = cand.doc_b
 """
 
 
+def q_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE next to the EXACT shingle Jaccard and the absolute
+    error — the audit that tells you whether 16 hashes are enough
+    before you trust the sketch at 100 TB. The exact intersection is
+    computed ONLY for candidate pairs (the shingle self-join is
+    restricted by an equi-join onto the candidate set first), so the
+    expensive part stays proportional to candidates, not all pairs."""
+    d = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(d, num_hashes=NUM_HASHES, n=NGRAM_N)
+    pairs = D.lsh_candidate_pairs(
+        sigs, num_hashes=NUM_HASHES, band_size=BAND_SIZE
+    )
+    sh = D.shingles(d, n=NGRAM_N)
+    a = sh.select(F.col("id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(pairs, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    cnt = sh.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    sa = sigs.select(
+        F.col("id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    ca = cnt.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na"))
+    cb = cnt.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    est = agree.cast("double") / float(NUM_HASHES)
+    exact = F.coalesce(F.col("common"), F.lit(0)).cast("double") / (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("common"), F.lit(0))
+    ).cast("double")
+    return (
+        pairs.join(common, ["doc_a", "doc_b"], "left")
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("jaccard_est"),
+            sround(exact, 4).alias("jaccard_exact"),
+            sround(F.abs(est - exact), 4).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _oracle_minhash_error() -> str:
+    base = _oracle_minhash()
+    head, _sep, _tail = base.rpartition("SELECT DISTINCT")
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES)
+    )
+    est = f"CAST(({agree}) AS DOUBLE) / {float(NUM_HASHES)!r}"
+    exact = (
+        "CAST(COALESCE(common, 0) AS DOUBLE)"
+        " / CAST(ca.n_sh + cb.n_sh - COALESCE(common, 0) AS DOUBLE)"
+    )
+    return f"""{head}, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+), cnt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT cand.doc_a, cand.doc_b,
+       {est} AS jaccard_est,
+       {sround_sql(exact, 4)} AS jaccard_exact,
+       {sround_sql(f"abs(({est}) - ({exact}))", 4)} AS abs_err
+FROM cand
+LEFT JOIN inter ON inter.doc_a = cand.doc_a AND inter.doc_b = cand.doc_b
+JOIN cnt ca ON ca.doc_id = cand.doc_a
+JOIN cnt cb ON cb.doc_id = cand.doc_b
+JOIN sig sa ON sa.doc_id = cand.doc_a
+JOIN sig sb ON sb.doc_id = cand.doc_b
+ORDER BY cand.doc_a, cand.doc_b
+"""
+
+
 ENTITY_THRESHOLD = 0.4
 
 
@@ -712,6 +813,7 @@ QUERIES = {
     "q_entity_match_verified": q_entity_match_verified,
     "q_source_overlap": q_source_overlap,
     "q_sim_histogram": q_sim_histogram,
+    "q_minhash_error": q_minhash_error,
 }
 
 ORACLES = {
@@ -728,4 +830,5 @@ ORACLES = {
     "q_entity_match_verified": ORACLE_ENTITY_MATCH_VERIFIED,
     "q_source_overlap": _oracle_source_overlap(),
     "q_sim_histogram": _oracle_sim_histogram(),
+    "q_minhash_error": _oracle_minhash_error(),
 }
