@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators import similarity as S
-from ._util import sround
+from ._util import DEC, sround
 
 QUERY_ID = 0
 TOP_K = 20
@@ -275,6 +275,47 @@ def _oracle_kmeans() -> str:
 
 
 
+def q_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: per-label L2-norm statistics (count, mean, min,
+    max) — the sanity scan before any cosine math (zero or exploding
+    norms break normalization downstream). sqrt is IEEE-correctly-
+    rounded, so norms are bit-identical across engines; the mean goes
+    through the decimal-sum discipline. One narrow shuffle on label."""
+    em = load(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return (
+        em.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            (
+                F.sum(F.col("norm").cast(DEC)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_norm"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_EMBED_NORM_STATS = """
+WITH v AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(norm AS DECIMAL(28,6))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_norm,
+       MIN(norm) AS min_norm, MAX(norm) AS max_norm
+FROM v GROUP BY label ORDER BY label
+"""
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (per-vector
     scale = max|x| / 127) — the 4x storage/bandwidth cut an ANN index
@@ -443,6 +484,7 @@ FROM v
 QUERIES = {
     "q_ann_batch": q_ann_batch,
     "q_embed_quantize": q_embed_quantize,
+    "q_embed_norm_stats": q_embed_norm_stats,
     "q_cosine_scores": q_cosine_scores,
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
@@ -455,6 +497,7 @@ QUERIES = {
 ORACLES = {
     "q_ann_batch": _oracle_ann_batch(),
     "q_embed_quantize": ORACLE_EMBED_QUANTIZE,
+    "q_embed_norm_stats": ORACLE_EMBED_NORM_STATS,
     "q_cosine_scores": ORACLE_COSINE_SCORES,
     "q_ann_topk": ORACLE_ANN_TOPK,
     "q_ann_ivf": ORACLE_ANN_IVF,
