@@ -1,0 +1,55 @@
+"""End-to-end curation CLI: every stage monotonically shrinks the corpus,
+the packed output round-trips, and the run is deterministic."""
+
+from __future__ import annotations
+
+import os
+
+from audios_to_dataset_spark.curate import run_curation
+
+
+def test_curate_e2e(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    report = run_curation(
+        spark,
+        "/root/testdata/sf0.001/documents.parquet",
+        out,
+        seq_len=128,
+        cap=3,
+        est_threshold=0.5,
+    )
+    assert (
+        report["input"]
+        >= report["after_exact_dedup"]
+        >= report["after_near_dedup"]
+        >= report["after_quality_gate"]
+        >= report["after_source_cap"]
+        > 0
+    )
+    # partitioned layout by lang
+    langs = [d for d in os.listdir(out) if d.startswith("lang=")]
+    assert langs
+    back = spark.read.parquet(out)
+    assert back.count() == report["after_source_cap"]
+    # packing invariant: within a lang, seq_id is nondecreasing in doc_id
+    rows = back.select("lang", "doc_id", "seq_id", "n_tok").collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append((r.doc_id, r.seq_id))
+    for pairs in by_lang.values():
+        pairs.sort()
+        seqs = [s for _, s in pairs]
+        assert seqs == sorted(seqs)
+
+    # determinism: a second run reports identical counts
+    report2 = run_curation(
+        spark,
+        "/root/testdata/sf0.001/documents.parquet",
+        str(tmp_path / "shards2"),
+        seq_len=128,
+        cap=3,
+        est_threshold=0.5,
+    )
+    assert {k: v for k, v in report.items() if k != "output"} == {
+        k: v for k, v in report2.items() if k != "output"
+    }
