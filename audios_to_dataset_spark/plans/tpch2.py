@@ -270,6 +270,69 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
 """
 
 
+def q_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration report (the Q20-adjacent risk query the
+    testdata schema supports without partsupp): for each part, the
+    dominant supplier's share of total shipped quantity; emit parts
+    where one supplier carries more than half. Decimal sums per
+    (part, supplier), then one window partitioned by part — share-of-
+    total without any global sort, top-20 by share."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qty).alias("sq")
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("l_partkey")
+    ranked = per_ps.select(
+        "l_partkey",
+        "l_suppkey",
+        "sq",
+        F.sum("sq").over(wp).alias("total_q"),
+        F.row_number()
+        .over(
+            Window.partitionBy("l_partkey").orderBy(
+                F.col("sq").desc(), "l_suppkey"
+            )
+        )
+        .alias("rk"),
+    )
+    share = F.col("sq").cast("double") / F.col("total_q").cast("double")
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("top_suppkey"),
+            sround(share, 6).alias("share"),
+        )
+        .filter(F.col("share") > 0.5)
+        .orderBy(F.col("share").desc(), "partkey")
+        .limit(20)
+    )
+
+
+_CONC_SHARE = "CAST(sq AS DOUBLE) / CAST(total_q AS DOUBLE)"
+
+ORACLE_SUPPLIER_CONCENTRATION = f"""
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sq
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+ranked AS (
+  SELECT l_partkey, l_suppkey, sq,
+         SUM(sq) OVER (PARTITION BY l_partkey) AS total_q,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY sq DESC, l_suppkey) AS rk
+  FROM per_ps)
+SELECT l_partkey AS partkey, l_suppkey AS top_suppkey,
+       {sround_sql(_CONC_SHARE, 6)} AS share
+FROM ranked
+WHERE rk = 1 AND {sround_sql(_CONC_SHARE, 6)} > 0.5
+ORDER BY share DESC, partkey LIMIT 20
+"""
+
+
 QUERIES = {
     "q_forecast_revenue": q_forecast_revenue,
     "q_priority_wait": q_priority_wait,
@@ -277,6 +340,7 @@ QUERIES = {
     "q_profit": q_profit,
     "q_supplier_variety": q_supplier_variety,
     "q_disjunctive_filter": q_disjunctive_filter,
+    "q_supplier_concentration": q_supplier_concentration,
 }
 
 ORACLES = {
@@ -286,4 +350,5 @@ ORACLES = {
     "q_profit": ORACLE_PROFIT,
     "q_supplier_variety": ORACLE_SUPPLIER_VARIETY,
     "q_disjunctive_filter": ORACLE_DISJUNCTIVE_FILTER,
+    "q_supplier_concentration": ORACLE_SUPPLIER_CONCENTRATION,
 }
