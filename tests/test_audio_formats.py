@@ -97,3 +97,17 @@ def test_udf_batch(spark):
     }
     assert rows[1].format == "flac" and rows[1].sampling_rate == 44100
     assert rows[2].format is None and rows[2].sampling_rate == 0
+
+
+def test_fuzz_never_raises():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=512))
+    def run(data):
+        fmt, sr, dur, est = parse_audio_header(data)
+        assert fmt in (None, "wav", "flac", "ogg", "opus", "mp3")
+        assert sr >= 0 and dur >= 0.0 and isinstance(est, bool)
+
+    run()
