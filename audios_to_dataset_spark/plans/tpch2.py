@@ -273,8 +273,10 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
 def q_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supply-concentration report (the Q20-adjacent risk query the
     testdata schema supports without partsupp): for each part, the
-    dominant supplier's share of total shipped quantity; emit parts
-    where one supplier carries more than half. Decimal sums per
+    dominant supplier's share of total shipped quantity, top-20 by
+    share with a `dominant` (>50%) flag — always non-empty at any SF,
+    so the differential check never degenerates to comparing empty
+    sets. Decimal sums per
     (part, supplier), then one window partitioned by part — share-of-
     total without any global sort, top-20 by share."""
     li = load(spark, sf_dir, "lineitem")
@@ -306,7 +308,7 @@ def q_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").alias("top_suppkey"),
             sround(share, 6).alias("share"),
         )
-        .filter(F.col("share") > 0.5)
+        .withColumn("dominant", F.col("share") > 0.5)
         .orderBy(F.col("share").desc(), "partkey")
         .limit(20)
     )
@@ -326,9 +328,10 @@ ranked AS (
                             ORDER BY sq DESC, l_suppkey) AS rk
   FROM per_ps)
 SELECT l_partkey AS partkey, l_suppkey AS top_suppkey,
-       {sround_sql(_CONC_SHARE, 6)} AS share
+       {sround_sql(_CONC_SHARE, 6)} AS share,
+       {sround_sql(_CONC_SHARE, 6)} > 0.5 AS dominant
 FROM ranked
-WHERE rk = 1 AND {sround_sql(_CONC_SHARE, 6)} > 0.5
+WHERE rk = 1
 ORDER BY share DESC, partkey LIMIT 20
 """
 
