@@ -72,6 +72,37 @@ FROM ({hll_sql('events', 'user_id', ['event_type'], HLL_M)})
 """
 
 
+def q_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch × event-time window composition: approx distinct users per
+    1-hour window via the same md5-register HLL — the "uniques per hour"
+    dashboard query that at 100 TB must NOT hold per-window user sets
+    (state is m=64 registers per window, mergeable across partitions
+    and days)."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.select(
+        F.date_trunc("hour", "ts").alias("win_start"), "user_id"
+    )
+    return (
+        hll_estimate(hourly, "user_id", ["win_start"], m=HLL_M)
+        .select(
+            "win_start",
+            "registers_hit",
+            sround(F.col("hll_estimate"), 4).alias("hll_estimate"),
+        )
+        .orderBy("win_start")
+    )
+
+
+ORACLE_WINDOWED_DISTINCT = f"""
+SELECT win_start, registers_hit,
+       {sround_sql('hll_estimate', 4)} AS hll_estimate
+FROM ({hll_sql(
+    "(SELECT date_trunc('hour', ts) AS win_start, user_id FROM events) t",
+    'user_id', ['win_start'], HLL_M)})
+ORDER BY win_start
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer→supplier order graph (directed edge per
     distinct (o_custkey, l_suppkey) pair; suppliers are all dangling, so
@@ -802,6 +833,7 @@ QUERIES = {
     "q_degree_dist": q_degree_dist,
     "q_dup_impact": q_dup_impact,
     "q_approx_distinct": q_approx_distinct,
+    "q_windowed_distinct": q_windowed_distinct,
     "q_approx_percentile": q_approx_percentile,
     "q_zorder": q_zorder,
     "q_profile": q_profile,
@@ -820,6 +852,7 @@ ORACLES = {
     "q_degree_dist": ORACLE_DEGREE_DIST,
     "q_dup_impact": ORACLE_DUP_IMPACT,
     "q_approx_distinct": ORACLE_APPROX_DISTINCT,
+    "q_windowed_distinct": ORACLE_WINDOWED_DISTINCT,
     "q_approx_percentile": ORACLE_APPROX_PERCENTILE,
     "q_zorder": _oracle_zorder(),
     "q_profile": _oracle_profile(),
