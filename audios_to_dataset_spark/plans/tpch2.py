@@ -336,6 +336,63 @@ ORDER BY share DESC, partkey LIMIT 20
 """
 
 
+def q_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: per market segment, stats over the gaps
+    (days) between a customer's consecutive orders — the recency/
+    frequency signal behind churn models. The lag window partitions by
+    customer (one shuffle on the dimension key); day diffs are exact
+    integers; the mean divides two exact bigints."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(w)
+            ).cast("bigint").alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return (
+        gaps.join(c, gaps.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            (
+                F.sum("gap_days").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_gap_days"),
+            F.min("gap_days").alias("min_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_PURCHASE_INTERVALS = """
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+              CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS DATE),
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+  FROM orders)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_gap_days,
+       CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+FROM gaps JOIN customer ON o_custkey = c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q_forecast_revenue": q_forecast_revenue,
     "q_priority_wait": q_priority_wait,
@@ -344,6 +401,7 @@ QUERIES = {
     "q_supplier_variety": q_supplier_variety,
     "q_disjunctive_filter": q_disjunctive_filter,
     "q_supplier_concentration": q_supplier_concentration,
+    "q_purchase_intervals": q_purchase_intervals,
 }
 
 ORACLES = {
@@ -354,4 +412,5 @@ ORACLES = {
     "q_supplier_variety": ORACLE_SUPPLIER_VARIETY,
     "q_disjunctive_filter": ORACLE_DISJUNCTIVE_FILTER,
     "q_supplier_concentration": ORACLE_SUPPLIER_CONCENTRATION,
+    "q_purchase_intervals": ORACLE_PURCHASE_INTERVALS,
 }
