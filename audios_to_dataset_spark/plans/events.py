@@ -455,6 +455,53 @@ FROM per GROUP BY user_id
 """
 
 
+def q_behavior_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity as Gini impurity over event types —
+    1 − Σ(nᵢ/n)², the entropy-style concentration measure with NO
+    logarithm (exact integer sums, one final IEEE division of exact
+    bigints — bit-identical across engines). Two linear aggs; the
+    histogram binning of the score is a third tiny agg. Output is the
+    diversity distribution (users per 0.01-wide band), so the result
+    stays dashboard-sized at any user count."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i")
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum(F.col("n_i") * F.col("n_i")).cast("bigint").alias("sq"),
+    )
+    gini = F.lit(1.0) - (
+        F.col("sq").cast("double")
+        / (F.col("n") * F.col("n")).cast("double")
+    )
+    return (
+        per_user.select(
+            F.floor(gini * 100).cast("bigint").alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("band")
+    )
+
+
+ORACLE_BEHAVIOR_DIVERSITY = """
+WITH per_type AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_i
+  FROM events GROUP BY user_id, event_type),
+per_user AS (
+  SELECT user_id, CAST(SUM(n_i) AS BIGINT) AS n,
+         CAST(SUM(n_i * n_i) AS BIGINT) AS sq
+  FROM per_type GROUP BY user_id),
+banded AS (
+  SELECT CAST(floor((1.0 - CAST(sq AS DOUBLE)
+              / CAST(n * n AS DOUBLE)) * 100) AS BIGINT) AS band
+  FROM per_user)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM banded GROUP BY band ORDER BY band
+"""
+
+
 CONCUR_DUR_US = 1_800_000_000
 
 
@@ -678,6 +725,7 @@ QUERIES = {
     "q_ewma": q_ewma,
     "q_lateness": q_lateness,
     "q_concurrency": q_concurrency,
+    "q_behavior_diversity": q_behavior_diversity,
     "q_tumbling_window": q_tumbling_window,
     "q_session_gap": q_session_gap,
     "q_sliding_window": q_sliding_window,
@@ -695,6 +743,7 @@ ORACLES = {
     "q_ewma": _oracle_ewma(),
     "q_lateness": ORACLE_LATENESS,
     "q_concurrency": ORACLE_CONCURRENCY,
+    "q_behavior_diversity": ORACLE_BEHAVIOR_DIVERSITY,
     "q_tumbling_window": ORACLE_TUMBLING_WINDOW,
     "q_session_gap": ORACLE_SESSION_GAP,
     "q_sliding_window": ORACLE_SLIDING_WINDOW,
