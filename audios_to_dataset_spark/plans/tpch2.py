@@ -393,6 +393,45 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: revenue share by calendar month pooled
+    across all years — the demand-curve read-out planners use for
+    capacity. Decimal month sums; the grand total is derived from the
+    SAME 12-row aggregate (no second fact scan) and broadcast back for
+    one exact share division."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.month("o_orderdate").cast("long").alias("mth")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    total = monthly.agg(F.sum("rev").alias("total_rev"))
+    return (
+        monthly.crossJoin(F.broadcast(total))
+        .select(
+            "mth",
+            F.col("rev").cast("double").alias("revenue"),
+            sround(
+                F.col("rev").cast("double")
+                / F.col("total_rev").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("mth")
+    )
+
+
+ORACLE_SEASONALITY = f"""
+WITH monthly AS (
+  SELECT CAST(month(o_orderdate) AS BIGINT) AS mth,
+         SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+  FROM orders GROUP BY mth),
+total AS (SELECT SUM(rev) AS total_rev FROM monthly)
+SELECT mth, CAST(rev AS DOUBLE) AS revenue,
+       {sround_sql("CAST(rev AS DOUBLE) / CAST(total_rev AS DOUBLE)", 6)}
+         AS share
+FROM monthly CROSS JOIN total ORDER BY mth
+"""
+
+
 QUERIES = {
     "q_forecast_revenue": q_forecast_revenue,
     "q_priority_wait": q_priority_wait,
@@ -402,6 +441,7 @@ QUERIES = {
     "q_disjunctive_filter": q_disjunctive_filter,
     "q_supplier_concentration": q_supplier_concentration,
     "q_purchase_intervals": q_purchase_intervals,
+    "q_seasonality": q_seasonality,
 }
 
 ORACLES = {
@@ -413,4 +453,5 @@ ORACLES = {
     "q_disjunctive_filter": ORACLE_DISJUNCTIVE_FILTER,
     "q_supplier_concentration": ORACLE_SUPPLIER_CONCENTRATION,
     "q_purchase_intervals": ORACLE_PURCHASE_INTERVALS,
+    "q_seasonality": ORACLE_SEASONALITY,
 }
