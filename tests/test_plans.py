@@ -303,3 +303,49 @@ def test_profit_broadcasts_dims(spark, sf_dir):
     assert "SortMergeJoin" not in e
     # the selective name filter reaches the part scan
     assert "StringContains(p_name,red)" in e
+
+
+def test_frequent_pairs_single_fact_shuffle(spark, sf_dir):
+    from audios_to_dataset_spark.plans.analytics import q_frequent_pairs
+
+    e = _explain(q_frequent_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in e
+    assert "BroadcastNestedLoopJoin" not in e
+    # top-20 without a global sort
+    assert "TakeOrderedAndProject" in e
+
+
+def test_minhash_error_no_cartesian(spark, sf_dir):
+    from audios_to_dataset_spark.plans.dedup import q_minhash_error
+
+    e = _explain(q_minhash_error(spark, sf_dir))
+    assert "CartesianProduct" not in e
+
+
+def test_windowed_distinct_partial_agg(spark, sf_dir):
+    from audios_to_dataset_spark.plans.sketches import q_windowed_distinct
+
+    e = _explain(q_windowed_distinct(spark, sf_dir))
+    # register max and final sum both map-side combine before exchanging
+    assert e.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in e
+
+
+def test_curation_stages_no_cartesian(spark):
+    from audios_to_dataset_spark.curate import (
+        exact_dedup,
+        near_dedup,
+        pack_sequences,
+        quality_gate,
+        source_cap,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    staged = pack_sequences(
+        source_cap(quality_gate(near_dedup(exact_dedup(docs), 0.5)), 5),
+        128,
+    )
+    e = _explain(staged)
+    assert "CartesianProduct" not in e
+    # every window in the pipeline is partitioned (no global sort)
+    assert "No Partition Defined" not in e
