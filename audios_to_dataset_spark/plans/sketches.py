@@ -23,6 +23,8 @@ extensions per SURVEY.md §7 M7.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -100,6 +102,115 @@ FROM ({hll_sql(
     "(SELECT date_trunc('hour', ts) AS win_start, user_id FROM events) t",
     'user_id', ['win_start'], HLL_M)})
 ORDER BY win_start
+"""
+
+
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness from MERGEABLE sketches — the pattern that
+    makes distinct-counting survive 100 TB: daily HLL register tables
+    are the only state; WAU for day d is a register-wise MAX over days
+    d−6..d (sketch union), never a rescan of raw events. The trailing
+    window is an explode of each register row into the ≤7 target days
+    it serves (equi-join onto the day spine — no nested-loop range
+    join), so work is 7× the register table, constant per day.
+    Estimates use the exact same integer HLL pipeline as
+    q_approx_distinct; stickiness = DAU/WAU rounded to 4."""
+    from ..operators.sketch import HASH_BITS, hll_alpha, hll_registers
+
+    m = HLL_M
+    w = HASH_BITS - int(math.log2(m))
+    p = w + 1
+    numer = float(hll_alpha(m) * m * m * (2**p))
+
+    e = load(spark, sf_dir, "events")
+    daily = e.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+    regs = hll_registers(daily, "user_id", ["day"], m=m)
+
+    def estimate(grouped):
+        z_seen = F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({p} - m_j AS INT))"
+            )
+        )
+        hit = F.count(F.lit(1)).cast("long")
+        z = z_seen + (F.lit(m).cast("long") - hit) * F.lit(2**p).cast(
+            "long"
+        )
+        return grouped.agg(
+            (F.lit(numer) / z.cast("double")).alias("est")
+        )
+
+    dau = estimate(regs.groupBy("day")).withColumnRenamed("est", "dau")
+    days = regs.select("day").distinct()
+    spread = regs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        F.date_add("day", F.col("i")).cast("timestamp").alias("t_day"),
+        "reg",
+        "m_j",
+    ).join(
+        F.broadcast(days.select(F.col("day").alias("t_day"))), "t_day"
+    )
+    wau_regs = spread.groupBy(
+        F.col("t_day").alias("day"), "reg"
+    ).agg(F.max("m_j").alias("m_j"))
+    wau = estimate(wau_regs.groupBy("day")).withColumnRenamed(
+        "est", "wau"
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            sround(F.col("dau"), 4).alias("dau_est"),
+            sround(F.col("wau"), 4).alias("wau_est"),
+            sround(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+def _oracle_stickiness() -> str:
+    from ..operators.sketch import HASH_BITS, hll_alpha
+
+    m = HLL_M
+    log2m = int(math.log2(m))
+    w = HASH_BITS - log2m
+    p = w + 1
+    numer = repr(float(hll_alpha(m) * m * m * (2**p)))
+    h = "(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)"
+    b = f"({h} >> {log2m})"
+    x = b
+    for sft in (1, 2, 4, 8, 16, 32):
+        x = f"({x} | ({x} >> {sft}))"
+    rho = f"({w} - bit_count({x}) + 1)"
+    z = (
+        f"SUM(CAST(1 AS BIGINT) << ({p} - m_j))"
+        f" + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {p})"
+    )
+    return f"""
+WITH regs AS (
+  SELECT date_trunc('day', ts) AS day, ({h} % {m}) AS reg,
+         MAX({rho}) AS m_j
+  FROM events GROUP BY day, reg),
+dau AS (
+  SELECT day, {numer} / CAST({z} AS DOUBLE) AS dau
+  FROM regs GROUP BY day),
+days AS (SELECT DISTINCT day FROM regs),
+spread AS (
+  SELECT regs.day + i * INTERVAL 1 DAY AS t_day, reg, m_j
+  FROM regs, (SELECT unnest(range(0, 7)) AS i) offs),
+wau_regs AS (
+  SELECT t_day AS day, reg, MAX(m_j) AS m_j
+  FROM spread JOIN days ON days.day = spread.t_day
+  GROUP BY t_day, reg),
+wau AS (
+  SELECT day, {numer} / CAST({z} AS DOUBLE) AS wau
+  FROM wau_regs GROUP BY day)
+SELECT CAST(dau.day AS TIMESTAMP) AS day,
+       {sround_sql('dau', 4)} AS dau_est,
+       {sround_sql('wau', 4)} AS wau_est,
+       {sround_sql('dau / wau', 4)} AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+ORDER BY day
 """
 
 
@@ -834,6 +945,7 @@ QUERIES = {
     "q_dup_impact": q_dup_impact,
     "q_approx_distinct": q_approx_distinct,
     "q_windowed_distinct": q_windowed_distinct,
+    "q_stickiness": q_stickiness,
     "q_approx_percentile": q_approx_percentile,
     "q_zorder": q_zorder,
     "q_profile": q_profile,
@@ -853,6 +965,7 @@ ORACLES = {
     "q_dup_impact": ORACLE_DUP_IMPACT,
     "q_approx_distinct": ORACLE_APPROX_DISTINCT,
     "q_windowed_distinct": ORACLE_WINDOWED_DISTINCT,
+    "q_stickiness": _oracle_stickiness(),
     "q_approx_percentile": ORACLE_APPROX_PERCENTILE,
     "q_zorder": _oracle_zorder(),
     "q_profile": _oracle_profile(),
