@@ -163,3 +163,48 @@ def test_bloom_positions_python_spark_parity(spark):
                 16,
             ) & (BLOOM_M_BITS - 1)
             assert row[f"p{s}"] == expect
+
+
+def test_stream_reads_pipeline_shards(spark, tmp_path):
+    """Interop loop: the audio pipeline's parquet shards are themselves a
+    valid streaming source — readStream over the output dir sees every
+    record the batch sink wrote (the handoff a downstream training job
+    uses to tail a landing zone)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from audios_to_dataset_spark.functions.wav import synth_wav
+    from audios_to_dataset_spark.pipeline import run_pipeline
+
+    audio = tmp_path / "in"
+    audio.mkdir()
+    for i in range(6):
+        (audio / f"c{i}.wav").write_bytes(synth_wav(sample_rate=8000))
+    out = str(tmp_path / "shards")
+    receipts = run_pipeline(spark, str(audio), out, files_per_shard=3)
+    n_written = sum(r.n_rows for r in receipts)
+
+    schema = spark.read.parquet(out).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(out)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sink = "stream_shards_test"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(sink).collect()[0].n
+    assert got == n_written == 6
+    assert len([f for f in os.listdir(out) if f.endswith(".parquet")]) == 2
