@@ -486,6 +486,84 @@ JOIN sig sb ON sb.doc_id = cand.doc_b
 """
 
 
+CONTAIN_THRESHOLD = 0.6
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT |A∩B|/|A| — the measure
+    that catches a document quoted wholesale inside a larger one, which
+    symmetric Jaccard dilutes below threshold. Same capped inverted-
+    index join as q_dedup_ngram; the division just normalizes by the
+    CONTAINED side's shingle count. Emits (inner, outer) pairs where
+    the smaller doc's shingles are ≥ 60% covered by the other."""
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingles(d, n=NGRAM_N)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+    sh = sh.join(
+        freq.filter(F.col("f") <= MAX_SHINGLE_FREQ).select("shingle"),
+        "shingle",
+    )
+    cnt = sh.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    a = sh.select(F.col("id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    ca = cnt.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na"))
+    containment = F.col("common").cast("double") / F.col("na").cast(
+        "double"
+    )
+    return (
+        common.join(ca, "doc_a")
+        .select(
+            F.col("doc_a").alias("inner_doc"),
+            F.col("doc_b").alias("outer_doc"),
+            sround(containment, 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAIN_THRESHOLD)
+        .orderBy("inner_doc", "outer_doc")
+    )
+
+
+def _oracle_containment() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(t) - {NGRAM_N - 1}, 0) + 1),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+    FROM toks) u
+), sh AS (
+  SELECT sh0.doc_id, sh0.s
+  FROM sh0 JOIN (
+    SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE_FREQ}
+  ) keep ON sh0.s = keep.s
+), cnt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+         CAST(COUNT(*) AS BIGINT) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT inner_doc, outer_doc,
+       {sround_sql('CAST(common AS DOUBLE) / CAST(ca.n_sh AS DOUBLE)', 4)}
+         AS containment
+FROM pairs JOIN cnt ca ON ca.doc_id = inner_doc
+WHERE {sround_sql('CAST(common AS DOUBLE) / CAST(ca.n_sh AS DOUBLE)', 4)}
+      >= {CONTAIN_THRESHOLD}
+ORDER BY inner_doc, outer_doc
+"""
+
+
 def q_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch calibration: for every LSH candidate pair, the MinHash
     Jaccard ESTIMATE next to the EXACT shingle Jaccard and the absolute
@@ -814,6 +892,7 @@ QUERIES = {
     "q_source_overlap": q_source_overlap,
     "q_sim_histogram": q_sim_histogram,
     "q_minhash_error": q_minhash_error,
+    "q_containment": q_containment,
 }
 
 ORACLES = {
@@ -831,4 +910,5 @@ ORACLES = {
     "q_source_overlap": _oracle_source_overlap(),
     "q_sim_histogram": _oracle_sim_histogram(),
     "q_minhash_error": _oracle_minhash_error(),
+    "q_containment": _oracle_containment(),
 }

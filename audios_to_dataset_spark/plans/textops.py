@@ -164,6 +164,75 @@ FROM scored
 """
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-eval analytics: the confusion matrix of the stopword
+    language classifier against the labeled lang column — (actual,
+    predicted, n) with per-actual recall. This is the evaluation query
+    any heuristic filter needs before it gates a corpus; one agg over
+    the classifier projection, exact integer counts, exact division."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    scores = {
+        lang: _stop_hits(toks, words)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    en, fr, es, de, zh = (
+        scores[x] for x in ("en", "fr", "es", "de", "zh")
+    )
+    pred = (
+        F.when((en >= fr) & (en >= es) & (en >= de) & (en >= zh), "en")
+        .when((fr >= es) & (fr >= de) & (fr >= zh), "fr")
+        .when((es >= de) & (es >= zh), "es")
+        .when(de >= zh, "de")
+        .otherwise("zh")
+    )
+    cell = d.select("lang", pred.alias("pred_lang")).groupBy(
+        "lang", "pred_lang"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    totals = cell.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_actual")
+    )
+    return (
+        cell.join(totals, "lang")
+        .select(
+            F.col("lang").alias("actual"),
+            "pred_lang",
+            "n",
+            (F.col("n").cast("double") / F.col("n_actual").cast("double")
+             ).alias("rate"),
+        )
+        .orderBy("actual", "pred_lang")
+    )
+
+
+def _oracle_lang_confusion() -> str:
+    s = {lang: _stop_hits_sql(w) for lang, w in LANG_STOPWORDS.items()}
+    return f"""
+WITH scored AS (
+  SELECT lang,
+         {s['en']} AS en, {s['fr']} AS fr, {s['es']} AS es,
+         {s['de']} AS de, {s['zh']} AS zh
+  FROM documents),
+pred AS (
+  SELECT lang,
+       CASE WHEN en >= fr AND en >= es AND en >= de AND en >= zh THEN 'en'
+            WHEN fr >= es AND fr >= de AND fr >= zh THEN 'fr'
+            WHEN es >= de AND es >= zh THEN 'es'
+            WHEN de >= zh THEN 'de'
+            ELSE 'zh' END AS pred_lang
+  FROM scored),
+cell AS (
+  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY lang, pred_lang),
+totals AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_actual FROM cell GROUP BY lang)
+SELECT lang AS actual, pred_lang, n,
+       CAST(n AS DOUBLE) / CAST(n_actual AS DOUBLE) AS rate
+FROM cell JOIN totals USING (lang)
+ORDER BY actual, pred_lang
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality heuristics: length band, punctuation ratio,
     stopword ratio → composite score (all-deterministic arithmetic)."""
@@ -919,6 +988,7 @@ QUERIES = {
     "q_token_count": q_token_count,
     "q_text_stats": q_text_stats,
     "q_lang_id": q_lang_id,
+    "q_lang_confusion": q_lang_confusion,
     "q_quality_score": q_quality_score,
     "q_fingerprint": q_fingerprint,
     "q_repetition": q_repetition,
@@ -942,6 +1012,7 @@ ORACLES = {
     "q_token_count": ORACLE_TOKEN_COUNT,
     "q_text_stats": ORACLE_TEXT_STATS,
     "q_lang_id": _oracle_lang_id(),
+    "q_lang_confusion": _oracle_lang_confusion(),
     "q_quality_score": _oracle_quality_score(),
     "q_fingerprint": ORACLE_FINGERPRINT,
     "q_repetition": ORACLE_REPETITION,
