@@ -394,6 +394,57 @@ def lsh_bucketed_neardup_pairs(
     )
 
 
+def knn_graph(
+    df: DataFrame,
+    tables: list[list[list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 3,
+) -> DataFrame:
+    """Approximate k-NN graph — the index-construction primitive under
+    HNSW/IVF-graph ANN serving: for EVERY vector, its top-k neighbors
+    among LSH bucket-mates (exact re-score inside buckets, so precision
+    is 1 within the candidate set; recall grows with tables).
+
+    Scale shape: bucket self-join on uniform (table, bucket) keys, a
+    distinct on directed id pairs (ids only — vectors join back after),
+    then a row_number window PARTITIONED BY source id. No global sort,
+    no all-pairs anywhere."""
+    from pyspark.sql import Window
+
+    bucketed = None
+    for t, planes in enumerate(tables):
+        part = hyperplane_buckets(df, planes, id_col, vec_col).select(
+            "id", F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("bucket")
+        )
+        bucketed = part if bucketed is None else bucketed.unionByName(part)
+    a = bucketed.select(F.col("id").alias("src"), "bucket")
+    b = bucketed.select(F.col("id").alias("dst"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), "dst"
+    )
+    return (
+        cand.join(va, "src")
+        .join(vb, "dst")
+        .withColumn("cos_sim", sround(cos, decimals))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cos_sim", "rank")
+    )
+
+
 def lsh_topk_batch(
     df: DataFrame,
     tables: list[list[list[float]]],

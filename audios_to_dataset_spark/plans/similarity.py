@@ -208,6 +208,64 @@ ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
 """
 
 
+KNN_K = 3
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph over the embedding table (top-3 neighbors
+    per vector among LSH bucket-mates) — see operators/similarity.
+    knn_graph. The build step every graph-ANN index runs."""
+    from ..operators.similarity import knn_graph
+    from .dedup import PLANES
+
+    em = load(spark, sf_dir, "embeddings")
+    return knn_graph(em, PLANES, k=KNN_K).orderBy("src", "rank")
+
+
+def _oracle_knn_graph() -> str:
+    from .dedup import PLANES, _plane_sql
+
+    bucket_rows = []
+    for t, planes in enumerate(PLANES):
+        bits = " || ".join(
+            "(CASE WHEN list_sum(list_transform(range(1, len(e) + 1), "
+            f"i -> e[i] * ({_plane_sql(p)})[i])) >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        bucket_rows.append(
+            f"  SELECT vec_id, '{t}:' || {bits} AS bucket FROM v"
+        )
+    buckets = "\n  UNION ALL\n".join(bucket_rows)
+    cos = (
+        "list_sum(list_transform(range(1, len(a.e) + 1),"
+        " i -> a.e[i] * b.e[i]))"
+        " / (sqrt(list_sum(list_transform(a.e, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(b.e, x -> x * x))))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), buckets AS (
+{buckets}
+), cand AS (
+  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+  FROM buckets x JOIN buckets y
+    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+), scored AS (
+  SELECT src, dst,
+         round(({cos}) * 1000.0) / 1000.0 + 0.0 AS cos_sim
+  FROM cand JOIN v a ON a.vec_id = src JOIN v b ON b.vec_id = dst
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY src
+              ORDER BY cos_sim DESC, dst) AS BIGINT) AS rank
+  FROM scored)
+SELECT src, dst, cos_sim, rank FROM ranked WHERE rank <= {KNN_K}
+ORDER BY src, rank
+"""
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 2
 
@@ -489,6 +547,7 @@ QUERIES = {
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
     "q_ann_lsh": q_ann_lsh,
+    "q_knn_graph": q_knn_graph,
     "q_kmeans": q_kmeans,
     "q_label_centroids": q_label_centroids,
     "q_random_projection": q_random_projection,
@@ -502,6 +561,7 @@ ORACLES = {
     "q_ann_topk": ORACLE_ANN_TOPK,
     "q_ann_ivf": ORACLE_ANN_IVF,
     "q_ann_lsh": _oracle_ann_lsh(),
+    "q_knn_graph": _oracle_knn_graph(),
     "q_kmeans": _oracle_kmeans(),
     "q_label_centroids": ORACLE_LABEL_CENTROIDS,
     "q_random_projection": _oracle_random_projection(),
