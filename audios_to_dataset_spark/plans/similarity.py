@@ -266,6 +266,105 @@ ORDER BY src, rank
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@3 of the LSH k-NN graph against
+    exact brute-force top-3 for a 5-vector probe set — the measurement
+    that decides whether the bucket configuration is good enough to
+    serve. Exact side: probe rows broadcast against the table (5·N
+    scores, linear); approx side: the same knn_graph plan restricted to
+    the probes. Recall is an exact integer ratio."""
+    from ..operators.similarity import knn_graph
+    from .dedup import PLANES
+
+    probe_ids = list(range(5))
+    em = load(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = em.select("vec_id", e.alias("e"))
+    probes = v.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("src"), F.col("e").alias("qe")
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "qe", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    cos = dot / (nrm(F.col("e")) * nrm(F.col("qe")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), "vec_id"
+    )
+    exact = (
+        v.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("src"))
+        .withColumn("cos_sim", sround(cos, 3))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .select("src", F.col("vec_id").alias("dst"))
+    )
+    approx = knn_graph(em, PLANES, k=KNN_K).filter(
+        F.col("src").isin(probe_ids)
+    ).select("src", "dst")
+    hits = exact.join(approx, ["src", "dst"], "left_semi")
+    n_hits = hits.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return (
+        exact.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .join(n_hits, "src", "left")
+        .select(
+            "src",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("src")
+    )
+
+
+def _oracle_ann_recall() -> str:
+    knn = _oracle_knn_graph().replace("ORDER BY src, rank", "")
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), probes AS (
+  SELECT vec_id AS src, e AS qe FROM v WHERE vec_id < 5
+), scored AS (
+  SELECT probes.src, v.vec_id AS dst,
+         round((list_sum(list_transform(range(1, len(e) + 1),
+                 i -> e[i] * qe[i]))
+           / (sqrt(list_sum(list_transform(e, x -> x * x)))
+              * sqrt(list_sum(list_transform(qe, x -> x * x)))))
+           * 1000.0) / 1000.0 + 0.0 AS cos_sim
+  FROM v CROSS JOIN probes WHERE v.vec_id <> probes.src
+), exact AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src
+             ORDER BY cos_sim DESC, dst) AS rk
+    FROM scored) x WHERE rk <= {KNN_K}
+), approx AS (
+  SELECT src, dst FROM ({knn}) g WHERE src < 5
+), hits AS (
+  SELECT exact.src, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM exact JOIN approx USING (src, dst) GROUP BY exact.src
+)
+SELECT e.src, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COALESCE(MAX(h.n_hit), 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(MAX(h.n_hit), 0) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM exact e LEFT JOIN hits h ON h.src = e.src
+GROUP BY e.src ORDER BY e.src
+"""
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 2
 
@@ -548,6 +647,7 @@ QUERIES = {
     "q_ann_ivf": q_ann_ivf,
     "q_ann_lsh": q_ann_lsh,
     "q_knn_graph": q_knn_graph,
+    "q_ann_recall": q_ann_recall,
     "q_kmeans": q_kmeans,
     "q_label_centroids": q_label_centroids,
     "q_random_projection": q_random_projection,
@@ -562,6 +662,7 @@ ORACLES = {
     "q_ann_ivf": ORACLE_ANN_IVF,
     "q_ann_lsh": _oracle_ann_lsh(),
     "q_knn_graph": _oracle_knn_graph(),
+    "q_ann_recall": _oracle_ann_recall(),
     "q_kmeans": _oracle_kmeans(),
     "q_label_centroids": ORACLE_LABEL_CENTROIDS,
     "q_random_projection": _oracle_random_projection(),
