@@ -365,6 +365,67 @@ GROUP BY e.src ORDER BY e.src
 """
 
 
+HYBRID_KEYWORD = "small"
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the RAG serving query: keyword prefilter on the
+    documents table (token membership, pushed into the scan side),
+    then cosine re-rank of ONLY the survivors against the query vector
+    (embeddings join on the shared id), top-10. At scale the lexical
+    stage prunes the candidate set before any vector math runs, and the
+    final top-k is TakeOrderedAndProject — no global sort."""
+    d = load(spark, sf_dir, "documents")
+    em = load(spark, sf_dir, "embeddings")
+    hits = d.filter(
+        F.array_contains(
+            F.split(F.lower("text"), " "), HYBRID_KEYWORD
+        )
+    ).select("doc_id")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = em.select("vec_id", e.alias("e"))
+    q = v.filter(F.col("vec_id") == QUERY_ID).select(
+        F.col("e").alias("qe")
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "qe", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    cos = dot / (nrm(F.col("e")) * nrm(F.col("qe")))
+    return (
+        hits.join(v, hits.doc_id == v.vec_id)
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", sround(cos, 3).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+def _oracle_hybrid_search() -> str:
+    return f"""
+WITH hits AS (
+  SELECT doc_id FROM documents
+  WHERE list_contains(string_split(lower(text), ' '),
+                      '{HYBRID_KEYWORD}')
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), q AS (SELECT e AS qe FROM v WHERE vec_id = {QUERY_ID})
+SELECT doc_id,
+       round((list_sum(list_transform(range(1, len(e) + 1),
+               i -> e[i] * qe[i]))
+         / (sqrt(list_sum(list_transform(e, x -> x * x)))
+            * sqrt(list_sum(list_transform(qe, x -> x * x)))))
+         * 1000.0) / 1000.0 + 0.0 AS cos_sim
+FROM hits JOIN v ON vec_id = doc_id CROSS JOIN q
+ORDER BY cos_sim DESC, doc_id LIMIT 10
+"""
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 2
 
@@ -648,6 +709,7 @@ QUERIES = {
     "q_ann_lsh": q_ann_lsh,
     "q_knn_graph": q_knn_graph,
     "q_ann_recall": q_ann_recall,
+    "q_hybrid_search": q_hybrid_search,
     "q_kmeans": q_kmeans,
     "q_label_centroids": q_label_centroids,
     "q_random_projection": q_random_projection,
@@ -663,6 +725,7 @@ ORACLES = {
     "q_ann_lsh": _oracle_ann_lsh(),
     "q_knn_graph": _oracle_knn_graph(),
     "q_ann_recall": _oracle_ann_recall(),
+    "q_hybrid_search": _oracle_hybrid_search(),
     "q_kmeans": _oracle_kmeans(),
     "q_label_centroids": ORACLE_LABEL_CENTROIDS,
     "q_random_projection": _oracle_random_projection(),
