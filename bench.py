@@ -55,6 +55,8 @@ HEADLINE = [
     "q_bpe_merges",
     "q_seq_pack",
     "q_rarity_score",
+    "q_knn_graph",
+    "q_hybrid_search",
 ]
 
 
