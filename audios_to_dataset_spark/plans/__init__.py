@@ -21,6 +21,7 @@ def _modules():
     from ..streaming import events as streaming_events
     from . import (
         analytics,
+        curation,
         dedup,
         events,
         multimodal,
@@ -40,7 +41,7 @@ def _modules():
     # multimodal/streaming/text) comes first — multimodal and streaming
     # before the wide text module so every north-star family sits inside
     # the first-50 window; the broad relational surface fills in after.
-    return (dedup, similarity, multimodal, streaming_events, textops,
+    return (dedup, similarity, multimodal, streaming_events, curation, textops,
             textops2, sketches, versioning, analytics, events, paths, relational,
             relational2, tpch2)
 

@@ -1,0 +1,122 @@
+"""The curation pipeline as ONE oracle-checked query: per-stage corpus
+counts through exact dedup → near dedup → quality gate → source cap —
+the funnel report every data-curation run publishes, and the end-to-end
+differential check of `curate.py`'s plan composition (the CLI's e2e
+test checks behavior; this checks VALUES against a DuckDB replay of
+all four stages chained)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..curate import (
+    exact_dedup,
+    near_dedup,
+    quality_gate,
+    source_cap,
+)
+from .dedup import NUM_HASHES, _oracle_minhash
+
+EST_THRESHOLD = 0.5
+CAP = 10
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage survivor counts of the full curation pass
+    (curate.py stages, parameters pinned: MinHash agreement ≥ 0.5
+    drops the younger doc; top-half quality per lang; cap 10/source)."""
+    docs = load(spark, sf_dir, "documents")
+    stages = [("0_input", docs)]
+    d1 = exact_dedup(docs)
+    stages.append(("1_exact_dedup", d1))
+    d2 = near_dedup(d1, EST_THRESHOLD)
+    stages.append(("2_near_dedup", d2))
+    d3 = quality_gate(d2)
+    stages.append(("3_quality_gate", d3))
+    d4 = source_cap(d3, CAP)
+    stages.append(("4_source_cap", d4))
+    out = None
+    for name, df in stages:
+        c = df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        out = c if out is None else out.unionByName(c)
+    return out.orderBy("stage")
+
+
+def _oracle_curation_funnel() -> str:
+    # near-dedup survivor rule replayed on the minhash signature CTEs:
+    # doc_b (the younger of a candidate pair) drops when >= half the
+    # signature components agree with its lower-id partner.
+    base = _oracle_minhash()
+    head, _sep, _tail = base.rpartition("SELECT DISTINCT")
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES)
+    )
+    need = int(EST_THRESHOLD * NUM_HASHES)
+    return f"""{head}, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+), d1 AS (
+  SELECT d.* FROM documents d
+  JOIN (SELECT sha256(text) AS h, MIN(doc_id) AS keep
+        FROM documents GROUP BY sha256(text)) k
+    ON sha256(d.text) = k.h AND d.doc_id = k.keep
+), drops AS (
+  SELECT DISTINCT cand.doc_b AS doc_id
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_a
+  JOIN sig sb ON sb.doc_id = cand.doc_b
+  WHERE ({agree}) >= {need}
+), d2 AS (
+  SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+), scored AS (
+  SELECT *,
+         CAST(len(list_distinct(list_filter(
+                string_split(lower(text), ' '), t -> t <> ''))) AS DOUBLE)
+           / CAST(greatest(len(list_filter(
+                string_split(lower(text), ' '), t -> t <> '')), 1)
+                  AS DOUBLE) AS _q
+  FROM d2
+), gated AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang
+                ORDER BY _q DESC, doc_id) AS _rk,
+              COUNT(*) OVER (PARTITION BY lang) AS _n
+    FROM scored) x
+  WHERE _rk * 2 <= _n
+), d4 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS _crn
+    FROM gated) y
+  WHERE _crn <= {CAP}
+)
+SELECT stage, n_docs FROM (
+  SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents
+  UNION ALL
+  SELECT '1_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM d1
+  UNION ALL
+  SELECT '2_near_dedup', CAST(COUNT(*) AS BIGINT) FROM d2
+  UNION ALL
+  SELECT '3_quality_gate', CAST(COUNT(*) AS BIGINT) FROM gated
+  UNION ALL
+  SELECT '4_source_cap', CAST(COUNT(*) AS BIGINT) FROM d4
+) s ORDER BY stage
+"""
+
+
+QUERIES = {
+    "q_curation_funnel": q_curation_funnel,
+}
+
+ORACLES = {
+    "q_curation_funnel": _oracle_curation_funnel(),
+}
