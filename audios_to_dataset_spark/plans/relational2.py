@@ -671,8 +671,40 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank (ties share a rank, no gaps — vs rank's gap
+    semantics, q_window_rank): per-segment customer balance leaderboard
+    keeping every customer in the densest three tiers. Completes the
+    ranking-function surface (§2.5)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.dense_rank().over(w).cast("bigint").alias("dr"),
+        )
+        .filter(F.col("dr") <= 3)
+        .orderBy("c_mktsegment", "dr", "c_custkey")
+    )
+
+
+ORACLE_DENSE_RANK = """
+SELECT c_mktsegment, c_custkey, c_acctbal, dr FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         CAST(dense_rank() OVER (PARTITION BY c_mktsegment
+                ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS dr
+  FROM customer) x
+WHERE dr <= 3 ORDER BY c_mktsegment, dr, c_custkey
+"""
+
+
 QUERIES = {
     "q_full_outer": q_full_outer,
+    "q_dense_rank": q_dense_rank,
     "q_variant_extract": q_variant_extract,
     "q_large_orders": q_large_orders,
     "q_window_dist": q_window_dist,
@@ -702,6 +734,7 @@ QUERIES = {
 
 ORACLES = {
     "q_full_outer": ORACLE_FULL_OUTER,
+    "q_dense_rank": ORACLE_DENSE_RANK,
     "q_variant_extract": ORACLE_VARIANT_EXTRACT,
     "q_large_orders": ORACLE_LARGE_ORDERS,
     "q_window_dist": ORACLE_WINDOW_DIST,
