@@ -295,11 +295,77 @@ FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
 """
 
 
+def q_source_lang_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bias audit: source × language contingency with the
+    independence baseline — observed cell counts vs expected
+    (row_total · col_total / N), ratio rounded to 4. Cells far from 1
+    reveal a source skewing the language mix (the check a curation
+    pipeline runs before fixing mixture weights). All counts exact;
+    expected is one division of exact bigints; three tiny broadcast
+    joins after one corpus agg."""
+    d = load(spark, sf_dir, "documents")
+    cell = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("observed")
+    )
+    row_t = cell.groupBy("source").agg(
+        F.sum("observed").cast("bigint").alias("n_source")
+    )
+    col_t = cell.groupBy("lang").agg(
+        F.sum("observed").cast("bigint").alias("n_lang")
+    )
+    total = cell.agg(F.sum("observed").cast("bigint").alias("n_total"))
+    expected = (
+        (F.col("n_source") * F.col("n_lang")).cast("double")
+        / F.col("n_total").cast("double")
+    )
+    from ._util import sround
+
+    return (
+        cell.join(F.broadcast(row_t), "source")
+        .join(F.broadcast(col_t), "lang")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "lang",
+            "observed",
+            sround(expected, 4).alias("expected"),
+            sround(
+                F.col("observed").cast("double") / expected, 4
+            ).alias("bias_ratio"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+ORACLE_SOURCE_LANG_BIAS = """
+WITH cell AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS observed
+  FROM documents GROUP BY source, lang),
+row_t AS (SELECT source, CAST(SUM(observed) AS BIGINT) AS n_source
+          FROM cell GROUP BY source),
+col_t AS (SELECT lang, CAST(SUM(observed) AS BIGINT) AS n_lang
+          FROM cell GROUP BY lang),
+total AS (SELECT CAST(SUM(observed) AS BIGINT) AS n_total FROM cell)
+SELECT source, lang, observed,
+       (round((CAST(n_source * n_lang AS DOUBLE)
+               / CAST(n_total AS DOUBLE)) * 10000.0) / 10000.0) + 0.0
+         AS expected,
+       (round((CAST(observed AS DOUBLE)
+               / (CAST(n_source * n_lang AS DOUBLE)
+                  / CAST(n_total AS DOUBLE))) * 10000.0) / 10000.0) + 0.0
+         AS bias_ratio
+FROM cell JOIN row_t USING (source) JOIN col_t USING (lang)
+CROSS JOIN total
+ORDER BY source, lang
+"""
+
+
 QUERIES = {
     "q_rarity_score": q_rarity_score,
     "q_bpe_merges": q_bpe_merges,
     "q_source_cap": q_source_cap,
     "q_seq_pack": q_seq_pack,
+    "q_source_lang_bias": q_source_lang_bias,
 }
 
 ORACLES = {
@@ -307,4 +373,5 @@ ORACLES = {
     "q_bpe_merges": ORACLE_BPE_MERGES,
     "q_source_cap": ORACLE_SOURCE_CAP,
     "q_seq_pack": ORACLE_SEQ_PACK,
+    "q_source_lang_bias": ORACLE_SOURCE_LANG_BIAS,
 }
