@@ -295,6 +295,84 @@ FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
 """
 
 
+def q_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram lookup LM: for each of the 20 most frequent head words,
+    its most likely next word with the exact conditional probability
+    (n_bigram / n_head, two exact bigints) — the n-gram-LM-as-table
+    that seeds autocomplete and data-synthesis checks. One explode
+    pass builds bigrams via a partitioned lead window; ties break
+    lexicographically."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "w")
+    )
+    lead_w = F.lead("w").over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    # filter AFTER the lead so adjacency matches raw array positions
+    # (a '' token breaks the bigram on both engines identically)
+    bigrams = (
+        toks.select("doc_id", "pos", "w", lead_w.alias("nxt"))
+        .filter(
+            (F.col("w") != "")
+            & F.col("nxt").isNotNull()
+            & (F.col("nxt") != "")
+        )
+        .groupBy("w", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bi"))
+    )
+    heads = bigrams.groupBy("w").agg(
+        F.sum("n_bi").cast("bigint").alias("n_head")
+    )
+    rk = Window.partitionBy("w").orderBy(
+        F.col("n_bi").desc(), "nxt"
+    )
+    best = (
+        bigrams.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .join(heads, "w")
+    )
+    return (
+        best.select(
+            "w",
+            "nxt",
+            "n_head",
+            "n_bi",
+            (
+                F.col("n_bi").cast("double")
+                / F.col("n_head").cast("double")
+            ).alias("p_next"),
+        )
+        .orderBy(F.col("n_head").desc(), "w")
+        .limit(20)
+    )
+
+
+ORACLE_NEXT_WORD = """
+WITH toks AS (
+  SELECT doc_id, i AS pos, t[i] AS w, t[i + 1] AS nxt
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents) d, unnest(range(1, len(t) + 1)) AS u(i)),
+bigrams AS (
+  SELECT w, nxt, CAST(COUNT(*) AS BIGINT) AS n_bi
+  FROM toks
+  WHERE w <> '' AND nxt IS NOT NULL AND nxt <> ''
+  GROUP BY w, nxt),
+heads AS (
+  SELECT w, CAST(SUM(n_bi) AS BIGINT) AS n_head FROM bigrams GROUP BY w),
+best AS (
+  SELECT * FROM (
+    SELECT w, nxt, n_bi,
+           row_number() OVER (PARTITION BY w
+                              ORDER BY n_bi DESC, nxt) AS rk
+    FROM bigrams) x WHERE rk = 1)
+SELECT w, nxt, n_head, n_bi,
+       CAST(n_bi AS DOUBLE) / CAST(n_head AS DOUBLE) AS p_next
+FROM best JOIN heads USING (w)
+ORDER BY n_head DESC, w LIMIT 20
+"""
+
+
 def q_source_lang_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bias audit: source × language contingency with the
     independence baseline — observed cell counts vs expected
@@ -366,6 +444,7 @@ QUERIES = {
     "q_source_cap": q_source_cap,
     "q_seq_pack": q_seq_pack,
     "q_source_lang_bias": q_source_lang_bias,
+    "q_next_word": q_next_word,
 }
 
 ORACLES = {
@@ -374,4 +453,5 @@ ORACLES = {
     "q_source_cap": ORACLE_SOURCE_CAP,
     "q_seq_pack": ORACLE_SEQ_PACK,
     "q_source_lang_bias": ORACLE_SOURCE_LANG_BIAS,
+    "q_next_word": ORACLE_NEXT_WORD,
 }
