@@ -160,12 +160,69 @@ GROUP BY 1
 """
 
 
+def q_version_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-retention GC report: three stacked versions per modified
+    key (base, +10%, +20%); policy keeps the newest 2 per key; report
+    rows and price-weight per (version, kept/evicted) class — both
+    what GC reclaims and what survives. The rank windows partition by key —
+    the MERGE/VACUUM planning shape, one shuffle."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("bigint").alias("k")
+    versions = None
+    for v, mult in ((0, 1.0), (1, 1.1), (2, 1.2)):
+        part = o.filter(
+            (F.lit(v) == 0) | (F.col("o_orderkey") % UPD_MOD == 0)
+        ).select(
+            k, (F.col("o_totalprice") * mult).alias("price"),
+            F.lit(v).cast("bigint").alias("version"),
+        )
+        versions = part if versions is None else versions.unionByName(part)
+    w = Window.partitionBy("k").orderBy(F.col("version").desc())
+    ranked = versions.withColumn("vr", F.row_number().over(w))
+    return (
+        ranked.groupBy(
+            "version", (F.col("vr") <= 2).alias("kept")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("price_weight"),
+        )
+        .orderBy("version", "kept")
+    )
+
+
+ORACLE_VERSION_RETENTION = f"""
+WITH versions AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice * 1.0 AS price,
+         CAST(0 AS BIGINT) AS version FROM orders
+  UNION ALL
+  SELECT CAST(o_orderkey AS BIGINT), o_totalprice * 1.1,
+         CAST(1 AS BIGINT) FROM orders WHERE o_orderkey % {{m}} = 0
+  UNION ALL
+  SELECT CAST(o_orderkey AS BIGINT), o_totalprice * 1.2,
+         CAST(2 AS BIGINT) FROM orders WHERE o_orderkey % {{m}} = 0),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC)
+         AS vr
+  FROM versions)
+SELECT version, (vr <= 2) AS kept, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(28,6))) AS DOUBLE)
+         AS price_weight
+FROM ranked
+GROUP BY version, kept ORDER BY version, kept
+""".format(m=UPD_MOD)
+
+
 QUERIES = {
     "q_upsert_latest": q_upsert_latest,
     "q_snapshot_diff": q_snapshot_diff,
+    "q_version_retention": q_version_retention,
 }
 
 ORACLES = {
     "q_upsert_latest": ORACLE_UPSERT_LATEST,
     "q_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "q_version_retention": ORACLE_VERSION_RETENTION,
 }
