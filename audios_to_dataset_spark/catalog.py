@@ -48,6 +48,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif field.name == "ts" and field.dataType.typeName() == "timestamp_ntz":
+            # Micros-precision testdata read before the inferTimestampNTZ
+            # conf took effect (or under a locked-down session): reinterpret
+            # the naive value as UTC wall-clock — identical instants under
+            # the session zone pinned in session.tune.
+            df = df.withColumn("ts", F.to_timestamp("ts"))
     return df
 
 

@@ -34,6 +34,12 @@ _RUNTIME_CONF = {
     # read as long nanos and convert in the catalog loader (DuckDB parity:
     # it truncates ns→us on read, and so do we).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Some testdata generations write events.ts as naive TIMESTAMP(MICROS)
+    # instead; Spark 4 would infer TIMESTAMP_NTZ, which time functions like
+    # unix_micros reject. Read naive micros as LTZ — with the session zone
+    # pinned to UTC above, the wall-clock values match DuckDB's naive
+    # TIMESTAMP exactly.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

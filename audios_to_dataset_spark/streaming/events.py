@@ -25,9 +25,22 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     The nanos→micros conversion matches catalog.load so streaming and
     batch plans see the same ``ts``.
     """
+    import os
+
+    import pyarrow.parquet as pq
+
     batch_schema = load(spark, sf_dir, "events").schema
+    # Sniff the physical timestamp precision: TIMESTAMP(NANOS) testdata
+    # must stream as BIGINT + ns→us division (Spark rejects nanos
+    # natively); TIMESTAMP(MICROS) testdata streams as a plain timestamp.
+    ts_unit = (
+        pq.read_schema(os.path.join(sf_dir, "events.parquet"))
+        .field("ts")
+        .type.unit
+    )
+    nanos = ts_unit == "ns"
     raw_schema = ",".join(
-        f"{f.name} {'BIGINT' if f.name == 'ts' else f.dataType.simpleString()}"
+        f"{f.name} {'BIGINT' if f.name == 'ts' and nanos else f.dataType.simpleString()}"
         for f in batch_schema.fields
     )
     # FileStreamSource requires a directory; glob-filter to the one table.
@@ -36,7 +49,9 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def _run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
