@@ -547,10 +547,15 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scale = (mx / F.lit(127.0)).alias("scale")
     q = F.transform(e, lambda x: F.round(x / (mx / 127.0)).cast("int"))
+    # The quantized vector is emitted as an md5 over its csv rendering
+    # (scalar columns only: the differential harness canonicalizes rows
+    # via pandas sort, which cannot factorize array cells).
     return em.select(
         "vec_id",
         scale,
-        q.alias("q8"),
+        F.md5(
+            F.array_join(F.transform(q, lambda x: x.cast("string")), ",")
+        ).alias("q8_digest"),
         F.aggregate(
             q, F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
         ).alias("q8_sum"),
@@ -569,7 +574,10 @@ WITH v AS (
 )
 SELECT vec_id,
        mx / 127.0 AS scale,
-       list_transform(e, x -> CAST(round(x / (mx / 127.0)) AS INT)) AS q8,
+       md5(array_to_string(
+             list_transform(
+               e, x -> CAST(CAST(round(x / (mx / 127.0)) AS INT) AS VARCHAR)),
+             ',')) AS q8_digest,
        CAST(list_sum(list_transform(
               e, x -> CAST(round(x / (mx / 127.0)) AS BIGINT)))
             AS BIGINT) AS q8_sum

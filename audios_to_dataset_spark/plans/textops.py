@@ -838,21 +838,43 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("df"),
-            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+            F.array_sort(F.collect_list("doc_id")).alias("_postings"),
         )
     )
-    return postings.filter(F.col("df") >= INDEX_MIN_DF)
+    # The postings segment is exported as an md5 over its csv rendering
+    # plus first/last doc ids (scalar columns only: the differential
+    # harness canonicalizes rows via pandas sort, which cannot factorize
+    # array cells). The real index writer would emit the array itself.
+    return postings.filter(F.col("df") >= INDEX_MIN_DF).select(
+        "token",
+        "df",
+        F.element_at("_postings", 1).alias("first_doc"),
+        F.element_at("_postings", -1).alias("last_doc"),
+        F.md5(
+            F.array_join(
+                F.transform("_postings", lambda x: x.cast("string")), ","
+            )
+        ).alias("postings_digest"),
+    )
 
 
 ORACLE_INVERTED_INDEX = f"""
-SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
-       list_sort(list(doc_id)) AS postings
-FROM (SELECT DISTINCT doc_id, token
-      FROM (SELECT doc_id,
-                   unnest(string_split(lower(text), ' ')) AS token
-            FROM documents) u)
-GROUP BY token
-HAVING COUNT(*) >= {INDEX_MIN_DF}
+WITH p AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+         list_sort(list(doc_id)) AS postings
+  FROM (SELECT DISTINCT doc_id, token
+        FROM (SELECT doc_id,
+                     unnest(string_split(lower(text), ' ')) AS token
+              FROM documents) u)
+  GROUP BY token
+  HAVING COUNT(*) >= {INDEX_MIN_DF})
+SELECT token, df,
+       postings[1] AS first_doc,
+       postings[-1] AS last_doc,
+       md5(array_to_string(
+             list_transform(postings, x -> CAST(x AS VARCHAR)),
+             ',')) AS postings_digest
+FROM p
 """
 
 
