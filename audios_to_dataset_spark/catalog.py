@@ -11,6 +11,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
 
 from .session import tune
 
@@ -52,8 +53,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Micros-precision testdata read before the inferTimestampNTZ
             # conf took effect (or under a locked-down session): reinterpret
             # the naive value as UTC wall-clock — identical instants under
-            # the session zone pinned in session.tune.
-            df = df.withColumn("ts", F.to_timestamp("ts"))
+            # the session zone pinned in session.tune. An unconditional
+            # cast (not to_timestamp, which returns the session's
+            # spark.sql.timestampType and is a no-op under a pinned
+            # TIMESTAMP_NTZ default) guarantees an LTZ column.
+            df = df.withColumn("ts", df["ts"].cast(TimestampType()))
     return df
 
 

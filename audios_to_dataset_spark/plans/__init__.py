@@ -37,13 +37,15 @@ def _modules():
     )
 
     # Order matters: the driver's correctness gate samples queries in
-    # iteration order, so the LLM-pipeline family (dedup/similarity/
-    # multimodal/streaming/text) comes first — multimodal and streaming
-    # before the wide text module so every north-star family sits inside
-    # the first-50 window; the broad relational surface fills in after.
-    return (dedup, similarity, multimodal, streaming_events, curation, textops,
-            textops2, sketches, versioning, analytics, events, paths, relational,
-            relational2, tpch2)
+    # iteration order. Rounds 1-3 covered the relational + dedup/
+    # similarity/multimodal/streaming/text families (100 unique queries);
+    # round 4 rotates the never-driver-checked families into the first-50
+    # window: sketches (HLL/count-min/pagerank), analytics (asof/skyline/
+    # dedup clusters/funnel), events, tpch2. Previously-green families
+    # fill in after.
+    return (sketches, analytics, events, tpch2, versioning, paths, textops2,
+            dedup, similarity, multimodal, streaming_events, curation,
+            textops, relational, relational2)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

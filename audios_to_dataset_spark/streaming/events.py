@@ -33,12 +33,15 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sniff the physical timestamp precision: TIMESTAMP(NANOS) testdata
     # must stream as BIGINT + ns→us division (Spark rejects nanos
     # natively); TIMESTAMP(MICROS) testdata streams as a plain timestamp.
-    ts_unit = (
-        pq.read_schema(os.path.join(sf_dir, "events.parquet"))
-        .field("ts")
-        .type.unit
-    )
-    nanos = ts_unit == "ns"
+    import pyarrow as pa
+
+    ts_field = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts")
+    # An int64-stored ts has no .unit — treat it like the batch loader's
+    # `long` branch (catalog.load): raw nanoseconds needing ns→us division.
+    if pa.types.is_timestamp(ts_field.type):
+        nanos = ts_field.type.unit == "ns"
+    else:
+        nanos = True
     raw_schema = ",".join(
         f"{f.name} {'BIGINT' if f.name == 'ts' and nanos else f.dataType.simpleString()}"
         for f in batch_schema.fields
@@ -545,4 +548,222 @@ SELECT user_id, session_start, session_end, n_events
 FROM agg
 WHERE sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
 """,
+}
+
+
+# ---------------------------------------------------------------------------
+# Batch twins for tools/plan_audit.py. The streaming queries execute on
+# call (availableNow into a memory sink), so the plan audit can't explain
+# them without running them; each twin below builds the structurally
+# identical BATCH plan — same shuffle keys, join types, window
+# partitioning, and (for the stateful ops) the same groupBy →
+# applyInPandas exchange — so cartesians / conditional BNLJs /
+# single-partition windows in the streaming graphs are caught here.
+# The twins are real executable queries, not explain-only shells.
+# ---------------------------------------------------------------------------
+
+
+def _twin_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+    )
+
+
+def _twin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.dropDuplicates(["user_id", "event_type"])
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n_types"))
+    )
+
+
+def _twin_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "n_events")
+    )
+
+
+def _twin_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans._util import dsum
+
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _twin_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND purchase_ts > view_ts"
+            " AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        F.col("v_user").cast("bigint").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def _twin_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same groupBy(user_id) → per-key pandas exchange as the streaming
+    sessionizer; emits every closed session (all but each user's last)."""
+    import pandas as pd
+
+    def sessionize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        out: list[tuple] = []
+        s = e = n = None
+        uid = int(pdf["user_id"].iloc[0])
+        for t in pdf["ts"]:
+            us = int(pd.Timestamp(t).value // 1_000)
+            if s is None:
+                s, e, n = us, us, 1
+            elif us - e > SESSION_GAP_US:
+                out.append((uid, s, e, n))
+                s, e, n = us, us, 1
+            else:
+                e, n = us, n + 1
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([r[0] for r in out], dtype="int64"),
+                "session_start": pd.to_datetime([r[1] for r in out], unit="us"),
+                "session_end": pd.to_datetime([r[2] for r in out], unit="us"),
+                "n_events": pd.Series([r[3] for r in out], dtype="int64"),
+            }
+        )
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    return ev.groupBy("user_id").applyInPandas(
+        sessionize,
+        "user_id bigint, session_start timestamp,"
+        " session_end timestamp, n_events bigint",
+    )
+
+
+def _twin_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same groupBy(event_type, hour) → per-key pandas exchange as the
+    streaming bloom; replays the bloom insert loop without state."""
+    import hashlib
+
+    import pandas as pd
+
+    m, k = BLOOM_M_BITS, BLOOM_K
+
+    def dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bloom = 0
+        keep: list[int] = []
+        users: list[int] = []
+        for eid, uid in zip(pdf["event_id"], pdf["user_id"]):
+            mask = 0
+            for s in range(k):
+                mask |= 1 << (
+                    int(
+                        hashlib.md5(f"{s}:{int(uid)}".encode()).hexdigest()[
+                            :15
+                        ],
+                        16,
+                    )
+                    & (m - 1)
+                )
+            if mask & ~bloom:
+                keep.append(int(eid))
+                users.append(int(uid))
+            bloom |= mask
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series(keep, dtype="int64"),
+                "event_type": pdf["event_type"].iloc[0],
+                "win_start": pdf["win_start"].iloc[0],
+                "user_id": pd.Series(users, dtype="int64"),
+            }
+        )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("win_start"),
+        "ts",
+        "user_id",
+    )
+    return ev.groupBy("event_type", "win_start").applyInPandas(
+        dedup,
+        "event_id bigint, event_type string,"
+        " win_start timestamp, user_id bigint",
+    )
+
+
+def _twin_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans._util import davg, sround
+
+    batch = load(spark, sf_dir, "events")
+    stats = batch.groupBy("event_type").agg(
+        davg("value").alias("mean"),
+        davg(F.col("value") * F.col("value")).alias("m2"),
+    )
+    std = F.sqrt(F.col("m2") - F.col("mean") * F.col("mean"))
+    z = sround((F.col("value") - F.col("mean")) / std, 6)
+    return (
+        batch.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 3.0)
+    )
+
+
+def _twin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    counts = _twin_tumbling(spark, sf_dir)
+    rk = Window.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+BATCH_TWINS = {
+    "q_stream_topk": _twin_topk,
+    "q_stream_tumbling": _twin_tumbling,
+    "q_stream_dedup": _twin_dedup,
+    "q_stream_sliding": _twin_sliding,
+    "q_stream_static_join": _twin_static_join,
+    "q_stream_stream_join": _twin_stream_join,
+    "q_stream_sessions": _twin_sessions,
+    "q_stream_bloom_dedup": _twin_bloom_dedup,
+    "q_stream_anomaly": _twin_anomaly,
 }

@@ -109,12 +109,16 @@ def _window_on_single_partition(plan: str) -> bool:
 
 def audit(spark, sf_dir: str) -> int:
     from audios_to_dataset_spark.plans import all_queries
+    from audios_to_dataset_spark.streaming.events import BATCH_TWINS
 
     flags: list[tuple[str, str, bool]] = []
     n_checked = 0
     for name, fn in sorted(all_queries().items()):
         if name.startswith("q_stream_"):
-            continue  # streaming plans execute on explain; audited in tests
+            # Streaming queries execute on call (availableNow into a
+            # memory sink); audit the structurally identical batch twin
+            # (same shuffle keys / join types / window partitioning).
+            fn = BATCH_TWINS[name]
         df = fn(spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
