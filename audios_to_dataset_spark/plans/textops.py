@@ -831,7 +831,12 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     postings = (
-        d.select(
+        # doc_id is nullable in the schema; Spark's collect_list drops
+        # NULLs while DuckDB's list() keeps them (NULLS-first after
+        # sort), so pin identical semantics by excluding NULL ids on
+        # both sides (the oracle filters too).
+        d.filter(F.col("doc_id").isNotNull())
+        .select(
             "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
         )
         .distinct()
@@ -865,7 +870,8 @@ WITH p AS (
   FROM (SELECT DISTINCT doc_id, token
         FROM (SELECT doc_id,
                      unnest(string_split(lower(text), ' ')) AS token
-              FROM documents) u)
+              FROM documents
+              WHERE doc_id IS NOT NULL) u)
   GROUP BY token
   HAVING COUNT(*) >= {INDEX_MIN_DF})
 SELECT token, df,

@@ -115,3 +115,32 @@ def test_simhash_similar_docs_close(spark):
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(fp[0], fp[1]) <= 4
     assert ham(fp[0], fp[2]) >= ham(fp[0], fp[1])
+
+
+def test_shingle_freq_cap_bounds_candidates(spark):
+    """Pathological corpus — one stop-shingle present in EVERY doc —
+    must not produce a quadratic candidate set when max_shingle_freq is
+    engaged: each retained shingle joins <= cap rows with itself, so the
+    candidate-pair count is bounded by cap * n_docs (uncapped, the
+    universal shingle alone gives C(n,2) pairs)."""
+    from audios_to_dataset_spark.operators.dedup import ngram_jaccard_pairs
+
+    n_docs, cap = 60, 5
+    # every doc contains the same leading trigram "x y z"; the remaining
+    # tokens are unique per doc, shared only inside small groups of 3
+    rows = [
+        (i, f"x y z u{i // 3} v{i // 3} w{i} t{i} s{i}")
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # threshold 0 keeps every candidate pair that shares >= 1 retained
+    # shingle, so the row count IS the candidate count
+    capped = ngram_jaccard_pairs(
+        df, threshold=0.0, n=3, max_shingle_freq=cap
+    ).count()
+    assert capped <= cap * n_docs
+
+    uncapped = ngram_jaccard_pairs(df, threshold=0.0, n=3).count()
+    assert uncapped >= n_docs * (n_docs - 1) // 2  # quadratic blowup
+    assert capped < uncapped
