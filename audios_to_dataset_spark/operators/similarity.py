@@ -130,28 +130,31 @@ def ivf_assignments(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: (centroids, assignments).
 
-    Centroids are the ``n_centroids`` lowest-id vectors — deterministic,
-    no RNG, good enough as a coarse partitioner (swap in KMeans with a
-    fixed seed when Spark ML is warranted). The pick is ``orderBy(id).
-    limit(n)`` — Spark plans TakeOrderedAndProject (per-partition top-k,
-    never a global single-partition sort) — and the centroid's own id
-    doubles as ``centroid_id`` (id order = rank order, so every
-    tie-break downstream sorts identically), so no window function
-    touches the vector table at all. Each vector is assigned to its
-    max-cosine centroid via a broadcast cross join + argmax — the big
-    side streams once, no shuffle.
+    Default centroids are the ``n_centroids`` lowest-id vectors —
+    deterministic, no RNG, good enough as a coarse partitioner. The pick
+    is ``orderBy(id).limit(n)`` — Spark plans TakeOrderedAndProject
+    (per-partition top-k, never a global single-partition sort) — and
+    the centroid's own id doubles as ``centroid_id`` (id order = rank
+    order, so every tie-break downstream sorts identically), so no
+    window function touches the vector table at all. Pass ``centroids``
+    (a (centroid_id, centroid_vec) frame, e.g. from
+    :func:`kmeans_centroids`) to swap in a trained quantizer. Each
+    vector is assigned to its max-cosine centroid via a broadcast cross
+    join + argmax — the big side streams once, no shuffle.
     """
-    centroids = (
-        df.select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).alias("centroid_vec"),
+    if centroids is None:
+        centroids = (
+            df.select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("centroid_vec"),
+            )
+            .orderBy("centroid_id")
+            .limit(n_centroids)
         )
-        .orderBy("centroid_id")
-        .limit(n_centroids)
-    )
     cos = _dot(F.col(vec_col), F.col("centroid_vec")) / (
         _norm(F.col(vec_col)) * _norm(F.col("centroid_vec"))
     )
@@ -183,13 +186,15 @@ def ivf_topk_vs_query(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` centroid lists nearest
     the query, score within them. At scale the assignment table is
     partitioned by centroid_id, so a query touches nprobe/n_centroids of
-    the data instead of all of it."""
+    the data instead of all of it. ``centroids`` swaps in a trained
+    coarse quantizer (e.g. :func:`kmeans_centroids`)."""
     centroids, assignments = ivf_assignments(
-        df, n_centroids, id_col, vec_col
+        df, n_centroids, id_col, vec_col, centroids=centroids
     )
     q = df.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("query_vec")
@@ -264,50 +269,48 @@ def lsh_topk_vs_query(
     )
 
 
-def kmeans_assignments(
+def _kmeans_assign(
+    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Assign every vector to its max-rounded-cosine centroid (broadcast
+    the k centroids (cid, cvec), argmax per vector — the big side streams,
+    one narrow window per id)."""
+    cos = _dot(F.col(vec_col), F.col("cvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("cvec"))
+    )
+    scored = df.select(id_col, vec_col).crossJoin(
+        F.broadcast(cents)
+    ).select(
+        id_col, vec_col, "cid", sround(cos, 6).alias("_c6")
+    )
+    pick = Window.partitionBy(id_col).orderBy(
+        F.col("_c6").desc(), "cid"
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+
+
+def kmeans_centroids(
     df: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic seeded KMeans on cosine similarity → (id, cid).
+    """Deterministic seeded KMeans → the final k centroids (cid, cvec).
 
     Init: the ``k`` lowest-id vectors (TakeOrderedAndProject, no RNG).
-    Each iteration: (1) assign every vector to its max-rounded-cosine
-    centroid (broadcast the k centroids, argmax per vector — the big
-    side streams, one narrow window per id); (2) recompute centroids as
-    the per-dimension *decimal* mean of their members (posexplode →
-    groupBy(cid, pos) — one uniform shuffle on (k × dim) keys — then
-    reassembled in pos order). Returns the assignment against the final
-    centroids.
-
-    Every arithmetic step (decimal sums, stable rounding, cid
-    tie-breaks) is engine-reproducible, so the DuckDB oracle replays the
-    identical iteration — this differentially tests a distributed
-    iterative algorithm end to end. At 100 TB: per-iteration cost is one
-    broadcast + one (cid, pos) shuffle; centroids (k×dim doubles) stay
-    driver-small.
+    Each iteration: (1) argmax-rounded-cosine assignment against the
+    broadcast centroids; (2) recompute centroids as the per-dimension
+    *decimal* mean of their members (posexplode → groupBy(cid, pos) —
+    one uniform shuffle on (k × dim) keys — then reassembled in pos
+    order). Every arithmetic step is engine-reproducible, so a DuckDB
+    oracle replays the identical iteration.
     """
     from ..plans._util import DEC
-
-    def assign(cents: DataFrame) -> DataFrame:
-        cos = _dot(F.col(vec_col), F.col("cvec")) / (
-            _norm(F.col(vec_col)) * _norm(F.col("cvec"))
-        )
-        scored = df.select(id_col, vec_col).crossJoin(
-            F.broadcast(cents)
-        ).select(
-            id_col, vec_col, "cid", sround(cos, 6).alias("_c6")
-        )
-        pick = Window.partitionBy(id_col).orderBy(
-            F.col("_c6").desc(), "cid"
-        )
-        return (
-            scored.withColumn("_rn", F.row_number().over(pick))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, vec_col, "cid")
-        )
 
     cents = (
         df.select(
@@ -317,7 +320,7 @@ def kmeans_assignments(
         .limit(k)
     )
     for _ in range(iters):
-        a = assign(cents)
+        a = _kmeans_assign(df, cents, id_col, vec_col)
         flat = a.select(
             "cid", F.posexplode(F.col(vec_col)).alias("pos", "val")
         )
@@ -341,7 +344,22 @@ def kmeans_assignments(
             # doesn't replay the whole iteration lineage
             .cache()
         )
-    return assign(cents).select(id_col, "cid")
+    return cents
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic seeded KMeans on cosine similarity → (id, cid): the
+    assignment of every vector against :func:`kmeans_centroids`'s final
+    centroids. At 100 TB: per-iteration cost is one broadcast + one
+    (cid, pos) shuffle; centroids (k×dim doubles) stay driver-small."""
+    cents = kmeans_centroids(df, k, iters, id_col, vec_col)
+    return _kmeans_assign(df, cents, id_col, vec_col).select(id_col, "cid")
 
 
 def lsh_bucketed_neardup_pairs(

@@ -441,10 +441,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assignments(em, k=KMEANS_K, iters=KMEANS_ITERS)
 
 
-def _oracle_kmeans() -> str:
-    """Replay the exact kmeans_assignments arithmetic as chained CTEs:
-    cents_0 = lowest-id k; assign_t = argmax rounded-cosine (cid
-    tie-break); cents_t = per-dimension decimal mean in pos order."""
+def _kmeans_assign_cte(name: str, cents: str) -> str:
     dot = (
         "list_sum(list_transform(range(1, len(v.e) + 1),"
         " i -> v.e[i] * c.ce[i]))"
@@ -452,9 +449,7 @@ def _oracle_kmeans() -> str:
     nrm_v = "sqrt(list_sum(list_transform(v.e, x -> x * x)))"
     nrm_c = "sqrt(list_sum(list_transform(c.ce, x -> x * x)))"
     c6 = f"round(({dot} / ({nrm_v} * {nrm_c})) * 1000000.0) / 1000000.0"
-
-    def assign_cte(name: str, cents: str) -> str:
-        return f"""{name} AS (
+    return f"""{name} AS (
   SELECT vec_id, cid FROM (
     SELECT v.vec_id, c.cid,
            row_number() OVER (PARTITION BY v.vec_id
@@ -462,8 +457,9 @@ def _oracle_kmeans() -> str:
     FROM v, {cents} c) t WHERE rn = 1
 )"""
 
-    def recompute_cte(name: str, assign: str) -> str:
-        return f"""{name} AS (
+
+def _kmeans_recompute_cte(name: str, assign: str) -> str:
+    return f"""{name} AS (
   SELECT cid, list(m ORDER BY pos) AS ce FROM (
     SELECT cid, pos,
            CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS m
@@ -474,23 +470,264 @@ def _oracle_kmeans() -> str:
   GROUP BY cid
 )"""
 
+
+def _kmeans_ctes(k: int, iters: int) -> tuple[list[str], str]:
+    """The shared kmeans iteration replay: returns (CTE list, name of the
+    final-centroid CTE). cents_0 = lowest-id k; assign_t = argmax
+    rounded-cosine (cid tie-break); cents_t = per-dimension decimal mean
+    in pos order."""
     ctes = [
         "v AS (SELECT vec_id,"
         " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
         " FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cid, e AS ce FROM v"
-        f" ORDER BY vec_id LIMIT {KMEANS_K})",
+        f" ORDER BY vec_id LIMIT {k})",
     ]
     prev = "c0"
-    for t in range(1, KMEANS_ITERS + 1):
-        ctes.append(assign_cte(f"a{t}", prev))
-        ctes.append(recompute_cte(f"c{t}", f"a{t}"))
+    for t in range(1, iters + 1):
+        ctes.append(_kmeans_assign_cte(f"a{t}", prev))
+        ctes.append(_kmeans_recompute_cte(f"c{t}", f"a{t}"))
         prev = f"c{t}"
+    return ctes, prev
+
+
+def _oracle_kmeans() -> str:
+    """Replay the exact kmeans_assignments arithmetic as chained CTEs."""
+    ctes, final_cents = _kmeans_ctes(KMEANS_K, KMEANS_ITERS)
     final = f"a{KMEANS_ITERS + 1}"
-    ctes.append(assign_cte(final, prev))
+    ctes.append(_kmeans_assign_cte(final, final_cents))
     joined = ",\n".join(ctes)
     return f"WITH {joined}\nSELECT vec_id, cid FROM {final}"
 
+
+
+NPROBE_KM = 2
+
+
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k with a TRAINED coarse quantizer: the seeded
+    KMeans centroids (k=8, 2 iterations — the same oracle-replayed
+    arithmetic as q_kmeans) feed ivf_topk_vs_query as the partitioner;
+    nprobe=2 of 8 lists probed, exact re-score within candidates. The
+    production IVF shape: train once (centroids stay driver-small,
+    broadcast everywhere), assign + probe at scale — one broadcast
+    cross-join argmax for assignment, candidate fetch is an equi-join
+    on centroid_id."""
+    from ..operators.similarity import kmeans_centroids
+
+    em = load(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(em, k=KMEANS_K, iters=KMEANS_ITERS).select(
+        F.col("cid").alias("centroid_id"),
+        F.col("cvec").alias("centroid_vec"),
+    )
+    return S.ivf_topk_vs_query(
+        em, k=TOP_K, query_id=QUERY_ID, nprobe=NPROBE_KM, centroids=cents
+    )
+
+
+def _oracle_ann_ivf_kmeans() -> str:
+    """KMeans centroid replay (shared CTEs with _oracle_kmeans) feeding
+    the IVF probe replay of ORACLE_ANN_IVF."""
+    ctes, cfin = _kmeans_ctes(KMEANS_K, KMEANS_ITERS)
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined},
+cents AS (
+  SELECT cid, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm
+  FROM {cfin}
+), nn AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+), ivfscored AS (
+  SELECT nn.vec_id, cents.cid,
+         round((list_sum(list_transform(range(1, len(nn.e) + 1),
+                                        i -> nn.e[i] * cents.ce[i]))
+                / (nn.nrm * cents.cnrm)) * 1000000.0) / 1000000.0 + 0.0
+           AS c6
+  FROM nn, cents
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY c6 DESC, cid) AS rn
+    FROM ivfscored) t WHERE rn = 1
+), q AS (
+  SELECT e AS qe, nrm AS qnrm FROM nn WHERE vec_id = {QUERY_ID}
+), probe AS (
+  SELECT cid FROM (
+    SELECT cents.cid,
+           round((list_sum(list_transform(range(1, len(cents.ce) + 1),
+                                          i -> cents.ce[i] * qe[i]))
+                  / (cents.cnrm * qnrm)) * 1000000.0) / 1000000.0 AS qc
+    FROM cents, q) t
+  ORDER BY qc DESC, cid LIMIT {NPROBE_KM}
+), cand AS (
+  SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
+)
+SELECT nn.vec_id,
+       round((list_sum(list_transform(range(1, len(nn.e) + 1),
+                                      i -> nn.e[i] * qe[i]))
+              / (nn.nrm * qnrm)) * 1000.0) / 1000.0 + 0.0 AS cos_sim
+FROM nn JOIN cand USING (vec_id), q
+ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
+"""
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall gate for the bucket-probe serving path: recall@20 of
+    the hyperplane-LSH candidate top-k against exact brute-force top-k
+    for the 5-vector probe set — mirrors q_ann_recall but measures the
+    q_ann_lsh query shape itself (any-table bucket collision →
+    candidate re-score → top-k) rather than the k-NN graph. Self-matches
+    are excluded on both sides so recall reflects neighbors, not the
+    trivial self-hit."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import hyperplane_buckets
+    from .dedup import PLANES
+
+    probe_ids = list(range(5))
+    em = load(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = em.select("vec_id", e.alias("e"))
+
+    bucketed = None
+    for t, planes in enumerate(PLANES):
+        part = hyperplane_buckets(em, planes).select(
+            "id", F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("bucket")
+        )
+        bucketed = part if bucketed is None else bucketed.unionByName(part)
+    qb = bucketed.filter(F.col("id").isin(probe_ids)).select(
+        F.col("id").alias("src"), "bucket"
+    )
+    cand = (
+        bucketed.join(F.broadcast(qb), "bucket")
+        .filter(F.col("id") != F.col("src"))
+        .select("src", F.col("id").alias("dst"))
+        .distinct()
+    )
+
+    probes = v.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("src"), F.col("e").alias("qe")
+    )
+    dv = v.select(F.col("vec_id").alias("dst"), F.col("e").alias("de"))
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    cos_a = F.aggregate(
+        F.zip_with("de", "qe", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / (nrm(F.col("de")) * nrm(F.col("qe")))
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
+    approx = (
+        cand.join(dv, "dst")
+        .join(F.broadcast(probes), "src")
+        .withColumn("cos_sim", sround(cos_a, 3))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("src", "dst")
+    )
+
+    cos_e = F.aggregate(
+        F.zip_with("e", "qe", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / (nrm(F.col("e")) * nrm(F.col("qe")))
+    we = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), "vec_id"
+    )
+    exact = (
+        v.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("src"))
+        .withColumn("cos_sim", sround(cos_e, 3))
+        .withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= TOP_K)
+        .select("src", F.col("vec_id").alias("dst"))
+    )
+
+    hits = exact.join(approx, ["src", "dst"], "left_semi")
+    n_hits = hits.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return (
+        exact.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .join(n_hits, "src", "left")
+        .select(
+            "src",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("src")
+    )
+
+
+def _oracle_ann_lsh_recall() -> str:
+    from .dedup import PLANES, _plane_sql
+
+    bucket_rows = []
+    for t, planes in enumerate(PLANES):
+        bits = " || ".join(
+            "(CASE WHEN list_sum(list_transform(range(1, len(e) + 1), "
+            f"i -> e[i] * ({_plane_sql(p)})[i])) >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        bucket_rows.append(
+            f"  SELECT vec_id, '{t}:' || {bits} AS bucket FROM v"
+        )
+    buckets = "\n  UNION ALL\n".join(bucket_rows)
+    cos = (
+        "round((list_sum(list_transform(range(1, len(e) + 1),"
+        " i -> e[i] * qe[i]))"
+        " / (sqrt(list_sum(list_transform(e, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(qe, x -> x * x)))))"
+        " * 1000.0) / 1000.0 + 0.0"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), buckets AS (
+{buckets}
+), qb AS (
+  SELECT vec_id AS src, bucket FROM buckets WHERE vec_id < 5
+), cand AS (
+  SELECT DISTINCT qb.src, b.vec_id AS dst
+  FROM buckets b JOIN qb ON b.bucket = qb.bucket AND b.vec_id <> qb.src
+), probes AS (
+  SELECT vec_id AS src, e AS qe FROM v WHERE vec_id < 5
+), approx AS (
+  SELECT src, dst FROM (
+    SELECT c.src, c.dst,
+           row_number() OVER (PARTITION BY c.src
+                              ORDER BY {cos} DESC, c.dst) AS rk
+    FROM cand c JOIN v ON v.vec_id = c.dst
+                JOIN probes p ON p.src = c.src) t
+  WHERE rk <= {TOP_K}
+), exactscored AS (
+  SELECT p.src, v.vec_id AS dst, {cos} AS cos_sim
+  FROM v CROSS JOIN probes p WHERE v.vec_id <> p.src
+), exact AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src
+             ORDER BY cos_sim DESC, dst) AS rk
+    FROM exactscored) x WHERE rk <= {TOP_K}
+), hits AS (
+  SELECT exact.src, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM exact JOIN approx USING (src, dst) GROUP BY exact.src
+)
+SELECT e.src, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COALESCE(MAX(h.n_hit), 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(MAX(h.n_hit), 0) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM exact e LEFT JOIN hits h ON h.src = e.src
+GROUP BY e.src ORDER BY e.src
+"""
 
 
 def q_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,6 +954,8 @@ QUERIES = {
     "q_ann_lsh": q_ann_lsh,
     "q_knn_graph": q_knn_graph,
     "q_ann_recall": q_ann_recall,
+    "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
+    "q_ann_lsh_recall": q_ann_lsh_recall,
     "q_hybrid_search": q_hybrid_search,
     "q_kmeans": q_kmeans,
     "q_label_centroids": q_label_centroids,
@@ -733,6 +972,8 @@ ORACLES = {
     "q_ann_lsh": _oracle_ann_lsh(),
     "q_knn_graph": _oracle_knn_graph(),
     "q_ann_recall": _oracle_ann_recall(),
+    "q_ann_ivf_kmeans": _oracle_ann_ivf_kmeans(),
+    "q_ann_lsh_recall": _oracle_ann_lsh_recall(),
     "q_hybrid_search": _oracle_hybrid_search(),
     "q_kmeans": _oracle_kmeans(),
     "q_label_centroids": ORACLE_LABEL_CENTROIDS,

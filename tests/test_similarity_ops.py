@@ -94,3 +94,32 @@ def test_ivf_assignments_cover_all(spark, vectors):
     assert assign.select("vec_id").distinct().count() == vectors.count()
     n_used = assign.select("centroid_id").distinct().count()
     assert n_used >= 3  # the three clusters separate
+
+
+def test_ivf_kmeans_probe_contains_query(spark, sf_dir):
+    """The KMeans-quantized IVF probe must always fetch the query's own
+    list (its argmax centroid ranks first in the probe order), so the
+    query itself tops the result at cos 1.0."""
+    from audios_to_dataset_spark.plans.similarity import (
+        TOP_K,
+        q_ann_ivf_kmeans,
+    )
+
+    out = q_ann_ivf_kmeans(spark, sf_dir).collect()
+    assert len(out) == TOP_K
+    assert out[0].vec_id == 0
+    assert abs(out[0].cos_sim - 1.0) < 1e-9
+
+
+def test_ann_lsh_recall_shape_and_bounds(spark, sf_dir):
+    from audios_to_dataset_spark.plans.similarity import (
+        TOP_K,
+        q_ann_lsh_recall,
+    )
+
+    rows = q_ann_lsh_recall(spark, sf_dir).collect()
+    assert [r.src for r in rows] == [0, 1, 2, 3, 4]
+    for r in rows:
+        assert r.n_exact == TOP_K
+        assert 0 <= r.n_hit <= r.n_exact
+        assert abs(r.recall - r.n_hit / r.n_exact) < 1e-12
