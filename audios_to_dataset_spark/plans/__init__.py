@@ -38,14 +38,17 @@ def _modules():
 
     # Order matters: the driver's correctness gate samples queries in
     # iteration order. Rounds 1-3 covered the relational + dedup/
-    # similarity/multimodal/streaming/text families (100 unique queries);
-    # round 4 rotates the never-driver-checked families into the first-50
-    # window: sketches (HLL/count-min/pagerank), analytics (asof/skyline/
-    # dedup clusters/funnel), events, tpch2. Previously-green families
-    # fill in after.
-    return (sketches, analytics, events, tpch2, versioning, paths, textops2,
-            dedup, similarity, multimodal, streaming_events, curation,
-            textops, relational, relational2)
+    # similarity/multimodal/streaming families plus the first nine text
+    # queries (100 unique); round 4 rotates never-driver-checked queries
+    # into the first-50 window: sketches (HLL/count-min/pagerank),
+    # analytics (asof/skyline/dedup clusters/funnel), then the unseen
+    # textops tail (led by q_inverted_index, flagged absent from every
+    # CORRECTNESS_r* in the r3 review). events/tpch2/textops2 queue
+    # behind for the round-5 window; previously-green families fill in
+    # after.
+    return (sketches, analytics, textops, events, tpch2, versioning, paths,
+            textops2, dedup, similarity, multimodal, streaming_events,
+            curation, relational, relational2)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1009,16 +1009,13 @@ FROM per ORDER BY bucket
 """
 
 
+# Iteration order matters: the driver's correctness gate samples the
+# merged query dict in order, so the queries that have never had a
+# driver row (r1-r3 windows covered the first nine) lead —
+# q_inverted_index first (flagged absent from every CORRECTNESS_r* by
+# the r3 review).
 QUERIES = {
-    "q_word_count": q_word_count,
-    "q_text_normalize": q_text_normalize,
-    "q_string_funcs": q_string_funcs,
-    "q_token_count": q_token_count,
-    "q_text_stats": q_text_stats,
-    "q_lang_id": q_lang_id,
-    "q_lang_confusion": q_lang_confusion,
-    "q_quality_score": q_quality_score,
-    "q_fingerprint": q_fingerprint,
+    "q_inverted_index": q_inverted_index,
     "q_repetition": q_repetition,
     "q_text_redact": q_text_redact,
     "q_stopword_strip": q_stopword_strip,
@@ -1028,9 +1025,17 @@ QUERIES = {
     "q_bigram_pmi": q_bigram_pmi,
     "q_chunk_dedup": q_chunk_dedup,
     "q_quality_filter": q_quality_filter,
-    "q_inverted_index": q_inverted_index,
     "q_source_dedup": q_source_dedup,
     "q_mixture_plan": q_mixture_plan,
+    "q_word_count": q_word_count,
+    "q_text_normalize": q_text_normalize,
+    "q_string_funcs": q_string_funcs,
+    "q_token_count": q_token_count,
+    "q_text_stats": q_text_stats,
+    "q_lang_id": q_lang_id,
+    "q_lang_confusion": q_lang_confusion,
+    "q_quality_score": q_quality_score,
+    "q_fingerprint": q_fingerprint,
 }
 
 ORACLES = {
