@@ -229,6 +229,16 @@ def _make_planes(
 
 PLANES = _make_planes()
 
+# Plane set for the k-NN graph build (q_knn_graph / q_ann_recall):
+# 8 tables × 5 planes (32 buckets/table). Same total candidate budget as
+# 4×4 (sum(bucket²) ≈ equal) but 3× the measured recall@3 at sf0.1
+# (0.667 vs 0.2) — more tables buys recall, more planes/table bounds
+# bucket SIZE (candidate pairs grow with sum(bucket²), so planes per
+# table must scale ~log2(N / target_bucket_size) as N grows; the 4×4
+# config stays for per-query serving probes where per-query cost is one
+# bucket, and for the near-dup threshold path whose oracle pins it).
+KNN_PLANES = _make_planes(n_tables=8, n_planes=5, seed=11)
+
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via the LSH-bucketed scale path:

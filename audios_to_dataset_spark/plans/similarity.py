@@ -214,19 +214,22 @@ KNN_K = 3
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN graph over the embedding table (top-3 neighbors
     per vector among LSH bucket-mates) — see operators/similarity.
-    knn_graph. The build step every graph-ANN index runs."""
+    knn_graph. The build step every graph-ANN index runs. Uses the
+    fine-grained KNN_PLANES (8 planes/table → 256 buckets): the all-pairs
+    graph build must keep bucket SIZE bounded (candidates ~ sum(bucket²)),
+    unlike the per-query serving probe which keeps the coarser PLANES."""
     from ..operators.similarity import knn_graph
-    from .dedup import PLANES
+    from .dedup import KNN_PLANES
 
     em = load(spark, sf_dir, "embeddings")
-    return knn_graph(em, PLANES, k=KNN_K).orderBy("src", "rank")
+    return knn_graph(em, KNN_PLANES, k=KNN_K).orderBy("src", "rank")
 
 
 def _oracle_knn_graph() -> str:
-    from .dedup import PLANES, _plane_sql
+    from .dedup import KNN_PLANES, _plane_sql
 
     bucket_rows = []
-    for t, planes in enumerate(PLANES):
+    for t, planes in enumerate(KNN_PLANES):
         bits = " || ".join(
             "(CASE WHEN list_sum(list_transform(range(1, len(e) + 1), "
             f"i -> e[i] * ({_plane_sql(p)})[i])) >= 0 "
@@ -274,7 +277,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores, linear); approx side: the same knn_graph plan restricted to
     the probes. Recall is an exact integer ratio."""
     from ..operators.similarity import knn_graph
-    from .dedup import PLANES
+    from .dedup import KNN_PLANES as PLANES
 
     probe_ids = list(range(5))
     em = load(spark, sf_dir, "embeddings")
