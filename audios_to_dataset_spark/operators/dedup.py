@@ -70,6 +70,32 @@ def shingles(
     formulation re-evaluates the split per access and goes quadratic; the
     zip_with form measured 15× faster at sf0.1.)
     """
+    out = shingle_arrays(df, id_col, text_col, n).select(
+        "id", F.explode("grams").alias("shingle")
+    )
+    # Callers whose downstream agg is duplicate-insensitive (min-hash) pass
+    # distinct=False and save the dedup shuffle entirely.
+    return out.distinct() if distinct else out
+
+
+def shingle_arrays(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-doc word n-gram shingle ARRAY: (id, grams) — the un-exploded
+    form, for consumers whose aggregate is per-document (min-hash) and can
+    therefore stay map-side.
+
+    Tokens via whitespace split; shingle = n consecutive tokens joined by
+    a single space. Docs shorter than n tokens yield an empty array.
+
+    Built by zip_with-ing the token array against its own shifted slices —
+    O(tokens) per row inside codegen. (A per-index element_at(transform …)
+    formulation re-evaluates the split per access and goes quadratic; the
+    zip_with form measured 15× faster at sf0.1.)
+    """
     slim = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
     # A small parquet file scans as ONE task, serializing the entire
     # shingle+hash projection on one core. Fan the slim (id, text) rows
@@ -94,10 +120,7 @@ def shingles(
     grams = F.array_compact(
         F.slice(cur, 1, F.greatest(sz - (n - 1), F.lit(0)))
     )
-    out = base.select("id", F.explode(grams).alias("shingle"))
-    # Callers whose downstream agg is duplicate-insensitive (min-hash) pass
-    # distinct=False and save the dedup shuffle entirely.
-    return out.distinct() if distinct else out
+    return base.select("id", grams.alias("grams"))
 
 
 def ngram_jaccard_pairs(
@@ -157,30 +180,43 @@ def minhash_signatures(
 
     String-min over fixed-width hex is a valid uniform min-hash and is
     reproducible in any engine with md5 (the DuckDB oracle uses the
-    identical formula). One explode + one groupBy → a single shuffle for
-    all k mins; md5 cost is k/4 digests per shingle.
+    identical formula). The signature is computed ENTIRELY map-side:
+    min over a doc's shingles is a per-row aggregate, so the shingle
+    array never explodes and nothing shuffles — mh_i = array_min over a
+    hash transform of the per-doc shingle array. (The previous
+    explode + groupBy(id) formulation moved every shingle row through a
+    shuffle; at 100 TB that shuffle IS the minhash cost.) min() is
+    duplicate-insensitive, so duplicate shingles need no dedup. md5
+    cost is k/4 digests per shingle, identical to before.
     """
-    # min() is duplicate-insensitive → skip the shingle-dedup shuffle.
-    sh = shingles(df, id_col, text_col, n, distinct=False)
-    n_digests = (num_hashes + 3) // 4
-    # Materialize each digest as a column before aggregating: the md5 is
-    # evaluated exactly once per shingle row (not once per agg
-    # expression), and the 16 min-aggs become tiny substring expressions
-    # — far less generated code to compile.
-    with_digests = sh.select(
-        "id",
-        *[
-            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))).alias(f"_d{s}")
-            for s in range(n_digests)
-        ],
+    arr = shingle_arrays(df, id_col, text_col, n).filter(
+        F.size("grams") > 0  # docs shorter than n tokens have no signature
     )
-    aggs = [
-        F.min(
-            F.substring(F.col(f"_d{i // 4}"), (i % 4) * 8 + 1, 8)
+    n_digests = (num_hashes + 3) // 4
+
+    # NOTE: the seed/position must be bound OUTSIDE the lambda — a
+    # two-parameter lambda is an (element, index) higher-order function
+    # to Spark, so a `s=s` default-capture silently rebinds the seed to
+    # the array index.
+    def _digests(s: int):
+        prefix = F.lit(f"{s}:")
+        return F.transform(
+            "grams", lambda g: F.md5(F.concat(prefix, g))
+        ).alias(f"_d{s}")
+
+    def _mh(i: int):
+        pos = (i % 4) * 8 + 1
+        return F.array_min(
+            F.transform(
+                F.col(f"_d{i // 4}"), lambda d: F.substring(d, pos, 8)
+            )
         ).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return with_digests.groupBy("id").agg(*aggs)
+
+    # Materialize each digest array once: the md5 runs once per shingle
+    # per seed (not once per mh column), and the 16 mins become tiny
+    # substring transforms over already-computed hex.
+    with_digests = arr.select("id", *[_digests(s) for s in range(n_digests)])
+    return with_digests.select("id", *[_mh(i) for i in range(num_hashes)])
 
 
 def lsh_candidate_pairs(

@@ -144,3 +144,45 @@ def test_shingle_freq_cap_bounds_candidates(spark):
     uncapped = ngram_jaccard_pairs(df, threshold=0.0, n=3).count()
     assert uncapped >= n_docs * (n_docs - 1) // 2  # quadratic blowup
     assert capped < uncapped
+
+
+def test_minhash_mapside_equals_explode_formulation(spark, sf_dir):
+    """The map-side signature (array_min over per-doc hash transforms)
+    must equal the explode + groupBy(id) + min() formulation bit-for-bit
+    — this pins the seed binding inside the HOF lambdas (a two-parameter
+    lambda is an (element, index) function to Spark, so a careless
+    default-capture silently hashes with the array index as the seed)."""
+    from pyspark.sql import functions as F
+
+    from audios_to_dataset_spark.catalog import load
+    from audios_to_dataset_spark.operators.dedup import (
+        minhash_signatures,
+        shingles,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    got = {
+        r.id: tuple(r[f"mh{i}"] for i in range(16))
+        for r in minhash_signatures(d).collect()
+    }
+
+    sh = shingles(d, distinct=False)
+    n_digests = 4
+    with_digests = sh.select(
+        "id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))).alias(f"_d{s}")
+            for s in range(n_digests)
+        ],
+    )
+    aggs = [
+        F.min(F.substring(F.col(f"_d{i // 4}"), (i % 4) * 8 + 1, 8)).alias(
+            f"mh{i}"
+        )
+        for i in range(16)
+    ]
+    want = {
+        r.id: tuple(r[f"mh{i}"] for i in range(16))
+        for r in with_digests.groupBy("id").agg(*aggs).collect()
+    }
+    assert got == want and len(got) > 0
