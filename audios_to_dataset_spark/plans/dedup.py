@@ -760,7 +760,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH candidate near-dup pairs rolled up to unordered
     source-pair counts. This is the report that decides which source to
     drop when two dumps substantially overlap. Reuses the exact LSH
-    banding of q_dedup_minhash_lsh (one explode+groupBy shuffle, band
+    banding of q_dedup_minhash_lsh (map-side signatures, band
     equi-join), then two slim doc_id→source joins and a small agg."""
     d = load(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(d, num_hashes=NUM_HASHES, n=NGRAM_N)
