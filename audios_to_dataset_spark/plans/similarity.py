@@ -240,16 +240,17 @@ def _oracle_knn_graph() -> str:
             f"  SELECT vec_id, '{t}:' || {bits} AS bucket FROM v"
         )
     buckets = "\n  UNION ALL\n".join(bucket_rows)
-    cos = (
-        "list_sum(list_transform(range(1, len(a.e) + 1),"
-        " i -> a.e[i] * b.e[i]))"
-        " / (sqrt(list_sum(list_transform(a.e, x -> x * x)))"
-        " * sqrt(list_sum(list_transform(b.e, x -> x * x))))"
-    )
+    # unit-vector dot, mirroring knn_graph's pre-normalized scoring
+    cos = "list_sum(list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i]))"
     return f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
+), vn AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+), vu AS (
+  SELECT vec_id, list_transform(e, x -> x / nrm) AS u FROM vn
 ), buckets AS (
 {buckets}
 ), cand AS (
@@ -259,7 +260,7 @@ WITH v AS (
 ), scored AS (
   SELECT src, dst,
          round(({cos}) * 1000.0) / 1000.0 + 0.0 AS cos_sim
-  FROM cand JOIN v a ON a.vec_id = src JOIN v b ON b.vec_id = dst
+  FROM cand JOIN vu a ON a.vec_id = src JOIN vu b ON b.vec_id = dst
 ), ranked AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY src
               ORDER BY cos_sim DESC, dst) AS BIGINT) AS rank
