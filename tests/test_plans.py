@@ -349,3 +349,21 @@ def test_curation_stages_no_cartesian(spark):
     assert "CartesianProduct" not in e
     # every window in the pipeline is partitioned (no global sort)
     assert "No Partition Defined" not in e
+
+
+def test_minhash_signatures_mapside_no_aggregate(spark, sf_dir):
+    """The MinHash signature pipeline must stay map-side: no aggregate
+    (the mins are per-row array_min HOFs) and no exchange beyond the one
+    deliberate small-file fan-out repartition."""
+    from audios_to_dataset_spark.catalog import load
+    from audios_to_dataset_spark.operators.dedup import minhash_signatures
+
+    d = load(spark, sf_dir, "documents")
+    import re
+
+    e = _explain(minhash_signatures(d))
+    assert "HashAggregate" not in e and "SortAggregate" not in e
+    # formatted explain lists each node in the tree AND the detail
+    # section; count distinct Exchange node ids
+    assert len(re.findall(r"\(\d+\) Exchange", e)) <= 1  # the fan-out only
+    assert "Generate" not in e  # no explode anywhere
