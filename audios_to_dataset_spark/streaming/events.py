@@ -407,6 +407,53 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(j, "stream_stream")
 
 
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with event-time range condition —
+    the attribution join that also reports unconverted views: matched
+    (view, purchase) pairs emit like the inner join; a view with no
+    qualifying purchase emits a null-padded row when the watermark
+    passes the end of its match window (view_ts + 1h) and its join
+    state is evicted. Views whose window is still open at end-of-stream
+    stay in state and never emit — so the emitted set is deterministic
+    and fully SQL-expressible: the batch left join, keeping null rows
+    only for views whose window closed before the final watermark
+    (max(ts) − 2h). This exercises the state-expiry path the inner join
+    never touches; state size is bounded by the watermark exactly as in
+    an unbounded run."""
+    v = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+        )
+    )
+    p = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    j = v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND purchase_ts > view_ts"
+            " AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+        "left_outer",
+    ).select(
+        F.col("v_user").cast("bigint").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+    return _run_available_now(j, "stream_outer")
+
+
 def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-ingest / batch-finish top-k: watermarked 1-hour tumbling
     counts per event_type stream into the sink (append mode — closed
@@ -447,6 +494,7 @@ QUERIES = {
     "q_stream_sliding": q_stream_sliding,
     "q_stream_static_join": q_stream_static_join,
     "q_stream_stream_join": q_stream_stream_join,
+    "q_stream_outer_join": q_stream_outer_join,
     "q_stream_sessions": q_stream_sessions,
     "q_stream_bloom_dedup": q_stream_bloom_dedup,
     "q_stream_anomaly": q_stream_anomaly,
@@ -518,6 +566,27 @@ HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
 """,
     # Emitted sessions = every closed session, i.e. all but each user's
     # last (the still-open one held in state at end of stream).
+    # Outer rows: a null-padded view emits when its match window
+    # (view_ts + 1h) closes before the final watermark (max(ts) - 2h);
+    # matched pairs emit exactly like the inner join.
+    "q_stream_outer_join": """
+WITH v AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts,
+         p.value AS purchase_value
+  FROM v LEFT JOIN p ON v.user_id = p.user_id
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, view_ts, purchase_ts,
+       purchase_value
+FROM j
+WHERE purchase_ts IS NOT NULL
+   OR view_ts + INTERVAL 1 HOUR
+      < (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+""",
     "q_stream_stream_join": """
 SELECT CAST(v.user_id AS BIGINT) AS user_id, v.ts AS view_ts,
        p.ts AS purchase_ts, p.value AS purchase_value
@@ -634,6 +703,43 @@ def _twin_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_ts",
         "purchase_ts",
         "purchase_value",
+    )
+
+
+def _twin_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("m"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        v.join(
+            p,
+            F.expr(
+                "v_user = p_user AND purchase_ts > view_ts"
+                " AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
+            ),
+            "left_outer",
+        )
+        .crossJoin(F.broadcast(max_ts))
+        .filter(
+            F.col("purchase_ts").isNotNull()
+            | (
+                F.col("view_ts") + F.expr("INTERVAL 1 HOUR")
+                < F.col("m") - F.expr("INTERVAL 2 HOUR")
+            )
+        )
+        .select(
+            F.col("v_user").cast("bigint").alias("user_id"),
+            "view_ts",
+            "purchase_ts",
+            "purchase_value",
+        )
     )
 
 
@@ -763,6 +869,7 @@ BATCH_TWINS = {
     "q_stream_sliding": _twin_sliding,
     "q_stream_static_join": _twin_static_join,
     "q_stream_stream_join": _twin_stream_join,
+    "q_stream_outer_join": _twin_outer_join,
     "q_stream_sessions": _twin_sessions,
     "q_stream_bloom_dedup": _twin_bloom_dedup,
     "q_stream_anomaly": _twin_anomaly,
