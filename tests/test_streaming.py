@@ -208,3 +208,20 @@ def test_stream_reads_pipeline_shards(spark, tmp_path):
     got = spark.table(sink).collect()[0].n
     assert got == n_written == 6
     assert len([f for f in os.listdir(out) if f.endswith(".parquet")]) == 2
+
+
+def test_stream_outer_join_matches_batch_twin(spark, sf_dir):
+    """The left-outer stream-stream join must emit exactly the batch
+    left join restricted to closed match windows: matched pairs plus
+    null-padded views whose (view_ts + 1h) window ended before the
+    final watermark."""
+    from audios_to_dataset_spark.streaming.events import (
+        _twin_outer_join,
+        q_stream_outer_join,
+    )
+
+    got = {tuple(r) for r in q_stream_outer_join(spark, sf_dir).collect()}
+    want = {tuple(r) for r in _twin_outer_join(spark, sf_dir).collect()}
+    assert got == want
+    assert len(got) > 0
+    assert any(r[2] is None for r in got)  # unconverted views present
