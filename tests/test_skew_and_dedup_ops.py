@@ -186,3 +186,44 @@ def test_minhash_mapside_equals_explode_formulation(spark, sf_dir):
         for r in with_digests.groupBy("id").agg(*aggs).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_shingle_arrays_match_python_reference(spark):
+    """The zip_with shingle construction must equal the obvious Python
+    n-gram reference on edge-shaped inputs (short docs, repeated tokens,
+    empty tokens from double/leading/trailing spaces, unicode)."""
+    from audios_to_dataset_spark.operators.dedup import shingle_arrays
+
+    texts = [
+        "",
+        "a",
+        "a b",
+        "a b c",
+        "a b c d",
+        "  leading double space",
+        "trailing space  ",
+        "double  space inside",
+        "a b c a b c a b c",
+        "ünïcode tökens über älles",
+        "x",
+        " ",
+        "one two three four five six seven eight nine ten",
+        "same same same same",
+    ]
+    n = 3
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.id: list(r.grams)
+        for r in shingle_arrays(df, n=n).collect()
+    }
+
+    def ref(text: str) -> list[str]:
+        toks = text.lower().split(" ")
+        return [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ]
+
+    want = {i: ref(t) for i, t in enumerate(texts)}
+    assert got == want
