@@ -19,6 +19,14 @@ from pyspark.sql import SparkSession
 
 # Runtime-settable conf applied to any session before running our plans.
 _RUNTIME_CONF = {
+    # A plain (driver-built) session defaults to 200 shuffle partitions —
+    # wasteful 200-task stages for this rig's data volumes, and streaming
+    # state partitioning is pinned at first checkpoint. Match the local
+    # core count; AQE coalescing makes this safe either way. On a real
+    # cluster this would be ~2-3x total cores via spark-defaults.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_CPUS", "32"
+    ),
     # Timestamps in the testdata parquet are naive; pin the session zone to
     # UTC so Spark's TIMESTAMP_LTZ values collect to the same wall-clock as
     # DuckDB's naive TIMESTAMP (oracle parity).
