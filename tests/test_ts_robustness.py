@@ -157,3 +157,60 @@ def test_stream_sniff_micros_path_unchanged(spark, tmp_path):
     # one event each
     assert sum(r.n_events for r in rows) == 6
     assert len(rows) == 6
+
+
+def test_true_nanos_parquet_batch_and_stream(spark, tmp_path):
+    """The driver testdata has alternated between TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) generations; the current sf dirs are micros, so
+    this pins the nanos path with a purpose-built file: batch load must
+    convert long-nanos -> micros timestamps, and streaming must take
+    the BIGINT + div-1000 branch, agreeing with batch."""
+    from pyspark.sql import functions as F
+
+    from audios_to_dataset_spark.catalog import load
+    from audios_to_dataset_spark.streaming.events import q_stream_tumbling
+
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    naive = [
+        base + datetime.timedelta(hours=h, minutes=m)
+        for h in range(6)
+        for m in (0, 30)
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array(range(len(naive)), pa.int64()),
+            "ts": pa.array(naive, pa.timestamp("ns")),
+            "user_id": pa.array([i % 2 for i in range(len(naive))], pa.int64()),
+            "event_type": pa.array(
+                ["view" if i % 2 == 0 else "click" for i in range(len(naive))],
+                pa.string(),
+            ),
+            "value": pa.array([float(i) for i in range(len(naive))], pa.float64()),
+            "props": pa.array(["{}"] * len(naive), pa.string()),
+        }
+    )
+    pq.write_table(table, f"{tmp_path}/events.parquet", version="2.6")
+    stored = pq.read_schema(f"{tmp_path}/events.parquet").field("ts").type
+    assert pa.types.is_timestamp(stored) and stored.unit == "ns", (
+        f"precondition: file must store TIMESTAMP(NANOS), got {stored}"
+    )
+
+    ev = load(spark, str(tmp_path), "events")
+    assert ev.schema["ts"].dataType.typeName() == "timestamp"
+    got_ts = sorted(r.ts for r in ev.select("ts").collect())
+    assert got_ts == naive  # exact micros after ns->us truncation
+
+    out = q_stream_tumbling(spark, str(tmp_path)).collect()
+    batch = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    cutoff = max(naive) - datetime.timedelta(hours=2)
+    want = {
+        (str(r.w), r.event_type): r.n
+        for r in batch
+        if r.w + datetime.timedelta(hours=1) <= cutoff
+    }
+    got = {(str(r.win_start), r.event_type): r.n_events for r in out}
+    assert got == want and len(got) > 0
