@@ -32,8 +32,12 @@ def plain_spark(spark):
 
 
 def test_events_nanos_path_self_heals(plain_spark, sf_dir):
-    """catalog.load must set nanosAsLong itself — a raw read would throw
-    PARQUET_TYPE_ILLEGAL on the TIMESTAMP(NANOS) column."""
+    """catalog.load must apply its timestamp confs itself on a bare
+    session, whatever precision the current testdata generation stores
+    (nanosAsLong for TIMESTAMP(NANOS) generations — a raw read would
+    throw PARQUET_TYPE_ILLEGAL — LTZ inference for micros ones). The
+    nanos branch itself is pinned with a purpose-built file in
+    test_ts_robustness.test_true_nanos_parquet_batch_and_stream."""
     from audios_to_dataset_spark.plans.events import q_tumbling_window
 
     df = q_tumbling_window(plain_spark, sf_dir)
