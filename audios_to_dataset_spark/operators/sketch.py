@@ -92,21 +92,17 @@ def hll_registers(
     )
 
 
-def hll_estimate(
-    df: DataFrame,
-    value_col: str,
+def hll_estimate_from_registers(
+    regs: DataFrame,
     group_cols: list[str],
     m: int = 64,
 ) -> DataFrame:
-    """(group_cols..., registers_hit long, hll_estimate double).
-
-    The indicator sum stays integer (``sum(shiftleft(1, P - m_j))`` plus
-    ``2^P`` per never-touched register), so the only floating-point step
-    is one final division — bit-identical across engines.
-    """
+    """Estimate from an existing (group_cols..., reg, m_j) register table
+    — the second half of :func:`hll_estimate`, split out so MERGED
+    register tables (sketch union across partitions/sources) estimate
+    through the identical arithmetic."""
     w = HASH_BITS - int(math.log2(m))
     p = w + 1  # max possible rho (b = 0)
-    regs = hll_registers(df, value_col, group_cols, m)
     numer = float(hll_alpha(m) * m * m * (2**p))
     z_seen = F.sum(
         F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({p} - m_j AS INT))")
@@ -119,16 +115,30 @@ def hll_estimate(
     )
 
 
-def hll_sql(
+def hll_estimate(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    m: int = 64,
+) -> DataFrame:
+    """(group_cols..., registers_hit long, hll_estimate double).
+
+    The indicator sum stays integer (``sum(shiftleft(1, P - m_j))`` plus
+    ``2^P`` per never-touched register), so the only floating-point step
+    is one final division — bit-identical across engines.
+    """
+    regs = hll_registers(df, value_col, group_cols, m)
+    return hll_estimate_from_registers(regs, group_cols, m)
+
+
+def hll_regs_sql(
     table_expr: str,
     value_sql: str,
     group_sql: list[str],
     m: int = 64,
 ) -> str:
-    """DuckDB twin of hll_estimate — the exact same integer pipeline."""
+    """DuckDB twin of hll_registers: the (group..., reg, m_j) SELECT."""
     w = HASH_BITS - int(math.log2(m))
-    p = w + 1
-    numer = repr(float(hll_alpha(m) * m * m * (2**p)))
     g = ", ".join(group_sql)
     h = f"(('0x' || substr(md5(CAST({value_sql} AS VARCHAR)), 1, 15))::BIGINT)"
     b = f"({h} >> {int(math.log2(m))})"
@@ -136,19 +146,39 @@ def hll_sql(
     for s in (1, 2, 4, 8, 16, 32):
         x = f"({x} | ({x} >> {s}))"
     rho = f"({w} - bit_count({x}) + 1)"
-    return f"""
-WITH regs AS (
-  SELECT {g}, ({h} % {m}) AS reg, MAX({rho}) AS m_j
+    return f"""SELECT {g}, ({h} % {m}) AS reg, MAX({rho}) AS m_j
   FROM {table_expr}
-  GROUP BY {g}, reg
-)
-SELECT {g},
+  GROUP BY {g}, reg"""
+
+
+def hll_final_sql(group_sql: list[str], m: int = 64) -> str:
+    """DuckDB twin of hll_estimate_from_registers: the estimate SELECT
+    over a relation named ``regs`` with (group..., reg, m_j)."""
+    w = HASH_BITS - int(math.log2(m))
+    p = w + 1
+    numer = repr(float(hll_alpha(m) * m * m * (2**p)))
+    g = ", ".join(group_sql)
+    return f"""SELECT {g},
        CAST(COUNT(*) AS BIGINT) AS registers_hit,
        {numer} / CAST(SUM(CAST(1 AS BIGINT) << ({p} - m_j))
                       + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {p})
                       AS DOUBLE) AS hll_estimate
 FROM regs
-GROUP BY {g}
+GROUP BY {g}"""
+
+
+def hll_sql(
+    table_expr: str,
+    value_sql: str,
+    group_sql: list[str],
+    m: int = 64,
+) -> str:
+    """DuckDB twin of hll_estimate — the exact same integer pipeline."""
+    return f"""
+WITH regs AS (
+  {hll_regs_sql(table_expr, value_sql, group_sql, m)}
+)
+{hll_final_sql(group_sql, m)}
 """
 
 

@@ -74,6 +74,61 @@ FROM ({hll_sql('events', 'user_id', ['event_type'], HLL_M)})
 """
 
 
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGE — the property that makes HLL the right 100 TB
+    primitive: per-source distinct-text estimates PLUS a TOTAL row
+    computed by merging the per-source register tables (groupBy(reg),
+    max(m_j) across sources) instead of re-scanning the data. At scale
+    this is how per-partition/per-day sketches roll up: registers are
+    m rows each, the merge is a tiny shuffle, and max is associative so
+    the merged estimate is bit-identical to a direct pass — which the
+    oracle pins by replaying both levels."""
+    from ..operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    regs = hll_registers(d, "text", ["source"], m=HLL_M)
+    per_src = hll_estimate_from_registers(regs, ["source"], m=HLL_M)
+    merged = (
+        regs.groupBy("reg")
+        .agg(F.max("m_j").alias("m_j"))
+        .withColumn("source", F.lit("TOTAL"))
+    )
+    total = hll_estimate_from_registers(merged, ["source"], m=HLL_M)
+    return (
+        per_src.unionByName(total)
+        .select(
+            "source",
+            "registers_hit",
+            sround(F.col("hll_estimate"), 4).alias("hll_estimate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_hll_union() -> str:
+    from ..operators.sketch import hll_final_sql, hll_regs_sql
+
+    return f"""
+WITH srcregs AS (
+  {hll_regs_sql('documents', 'text', ['source'], HLL_M)}
+), merged AS (
+  SELECT 'TOTAL' AS source, reg, MAX(m_j) AS m_j FROM srcregs GROUP BY reg
+), regs AS (
+  SELECT source, reg, m_j FROM srcregs
+  UNION ALL
+  SELECT source, reg, m_j FROM merged
+), est AS (
+  {hll_final_sql(['source'], HLL_M)}
+)
+SELECT source, registers_hit,
+       {sround_sql('hll_estimate', 4)} AS hll_estimate
+FROM est ORDER BY source
+"""
+
+
 def q_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch × event-time window composition: approx distinct users per
     1-hour window via the same md5-register HLL — the "uniques per hour"
@@ -944,6 +999,7 @@ QUERIES = {
     "q_degree_dist": q_degree_dist,
     "q_dup_impact": q_dup_impact,
     "q_approx_distinct": q_approx_distinct,
+    "q_hll_union": q_hll_union,
     "q_windowed_distinct": q_windowed_distinct,
     "q_stickiness": q_stickiness,
     "q_approx_percentile": q_approx_percentile,
@@ -964,6 +1020,7 @@ ORACLES = {
     "q_degree_dist": ORACLE_DEGREE_DIST,
     "q_dup_impact": ORACLE_DUP_IMPACT,
     "q_approx_distinct": ORACLE_APPROX_DISTINCT,
+    "q_hll_union": _oracle_hll_union(),
     "q_windowed_distinct": ORACLE_WINDOWED_DISTINCT,
     "q_stickiness": _oracle_stickiness(),
     "q_approx_percentile": ORACLE_APPROX_PERCENTILE,
