@@ -97,3 +97,32 @@ def test_morton_matches_reference_bit_interleave(spark):
     }
     for x, y in rows:
         assert got[(x, y)] == _py_spread16(x) | (_py_spread16(y) << 1)
+
+
+def test_hll_merge_equals_direct(spark, sf_dir):
+    """Register-wise max across per-source sketches must give the exact
+    same estimate as one direct HLL over all documents (max is
+    associative) — the mergeability contract q_hll_union relies on."""
+    from pyspark.sql import functions as F
+
+    from audios_to_dataset_spark.catalog import load
+    from audios_to_dataset_spark.operators.sketch import (
+        hll_estimate,
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    regs = hll_registers(d, "text", ["source"], m=64)
+    merged = (
+        regs.groupBy("reg")
+        .agg(F.max("m_j").alias("m_j"))
+        .withColumn("g", F.lit("all"))
+    )
+    via_merge = hll_estimate_from_registers(merged, ["g"], m=64).first()
+
+    direct = hll_estimate(
+        d.withColumn("g", F.lit("all")), "text", ["g"], m=64
+    ).first()
+    assert via_merge.registers_hit == direct.registers_hit
+    assert via_merge.hll_estimate == direct.hll_estimate  # bit-identical
