@@ -62,17 +62,10 @@ def _bit_length(col: Column) -> Column:
     return F.bit_count(x).cast("int")
 
 
-def hll_registers(
-    df: DataFrame,
-    value_col: str,
-    group_cols: list[str],
-    m: int = 64,
-) -> DataFrame:
-    """Per-group register table: (group_cols..., reg int, m_j int).
-
-    One narrow projection + one groupBy — partial aggregation caps the
-    shuffle at ``m`` rows per group per input partition.
-    """
+def hll_reg_rho_cols(value_col: str, m: int = 64) -> tuple[Column, Column]:
+    """The (reg, rho) projection columns for one value — exposed so
+    streaming plans can apply a watermark between the projection and the
+    register groupBy."""
     if m & (m - 1) or m < 2:
         raise ValueError(f"m must be a power of two >= 2, got {m}")
     w = HASH_BITS - int(math.log2(m))
@@ -85,6 +78,21 @@ def hll_registers(
     reg = h.bitwiseAND(F.lit(m - 1)).cast("int")
     b = F.shiftright(h, log2m)
     rho = (F.lit(w) - _bit_length(b) + F.lit(1)).cast("int")
+    return reg, rho
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    m: int = 64,
+) -> DataFrame:
+    """Per-group register table: (group_cols..., reg int, m_j int).
+
+    One narrow projection + one groupBy — partial aggregation caps the
+    shuffle at ``m`` rows per group per input partition.
+    """
+    reg, rho = hll_reg_rho_cols(value_col, m)
     return (
         df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
         .groupBy(*group_cols, "reg")

@@ -407,6 +407,46 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(j, "stream_stream")
 
 
+HLL_STREAM_M = 64
+
+
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming × sketch composition: approx distinct users per 1-hour
+    window over the event STREAM. The streaming job maintains only the
+    md5 HLL register table per window (m=64 rows of watermarked state —
+    never per-user sets, never growing with cardinality); append mode
+    emits each window's registers when the watermark closes it, and a
+    cheap batch finish turns registers into estimates. This is the
+    firehose "uniques per hour" dashboard shape, and because the
+    registers are deterministic integer arithmetic the whole composite
+    carries a full DuckDB oracle (the closed-window HLL replay)."""
+    from ..operators.sketch import (
+        hll_estimate_from_registers,
+        hll_reg_rho_cols,
+    )
+    from ..plans._util import sround
+
+    ev = _stream_events(spark, sf_dir)
+    reg, rho = hll_reg_rho_cols("user_id", HLL_STREAM_M)
+    regs = (
+        ev.select("ts", reg.alias("reg"), rho.alias("rho"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "reg")
+        .agg(F.max("rho").alias("m_j"))
+        .select(F.col("w.start").alias("win_start"), "reg", "m_j")
+    )
+    closed = _run_available_now(regs, "hll")
+    return (
+        hll_estimate_from_registers(closed, ["win_start"], HLL_STREAM_M)
+        .select(
+            "win_start",
+            "registers_hit",
+            sround(F.col("hll_estimate"), 4).alias("hll_estimate"),
+        )
+        .orderBy("win_start")
+    )
+
+
 def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER join with event-time range condition —
     the attribution join that also reports unconverted views: matched
@@ -487,7 +527,28 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_stream_hll() -> str:
+    from ..operators.sketch import hll_final_sql, hll_regs_sql
+    from ..plans._util import sround_sql
+
+    hourly = "(SELECT date_trunc('hour', ts) AS win_start, user_id FROM events) t"
+    return f"""
+WITH regs AS (
+  {hll_regs_sql(hourly, 'user_id', ['win_start'], HLL_STREAM_M)}
+), est AS (
+  {hll_final_sql(['win_start'], HLL_STREAM_M)}
+)
+SELECT win_start, registers_hit,
+       {sround_sql('hll_estimate', 4)} AS hll_estimate
+FROM est
+WHERE win_start + INTERVAL 1 HOUR
+      <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+ORDER BY win_start
+"""
+
+
 QUERIES = {
+    "q_stream_hll": q_stream_hll,
     "q_stream_topk": q_stream_topk,
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_dedup": q_stream_dedup,
@@ -509,6 +570,7 @@ QUERIES = {
 # passed the final watermark max(ts) - delay (verified empirically:
 # 3370/3370 rows equal at sf0.01).
 ORACLES: dict[str, str] = {
+    "q_stream_hll": _oracle_stream_hll(),
     "q_stream_topk": """
 WITH counts AS (
   SELECT date_trunc('hour', ts) AS win_start, event_type,
@@ -862,7 +924,28 @@ def _twin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _twin_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from ..plans._util import sround
+
+    hourly = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("win_start"), "user_id"
+    )
+    regs = hll_registers(hourly, "user_id", ["win_start"], HLL_STREAM_M)
+    return hll_estimate_from_registers(
+        regs, ["win_start"], HLL_STREAM_M
+    ).select(
+        "win_start",
+        "registers_hit",
+        sround(F.col("hll_estimate"), 4).alias("hll_estimate"),
+    )
+
+
 BATCH_TWINS = {
+    "q_stream_hll": _twin_hll,
     "q_stream_topk": _twin_topk,
     "q_stream_tumbling": _twin_tumbling,
     "q_stream_dedup": _twin_dedup,
