@@ -757,6 +757,94 @@ ORDER BY top.n DESC, top.token
 """
 
 
+def q_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch MERGE — the frequency twin of q_hll_union's HLL
+    max-merge: each source builds its own d×w counter table, the global
+    sketch is the register-wise SUM across sources (sum is associative,
+    so the merged sketch is bit-identical to a direct build), and the
+    exact top-20 corpus tokens are estimated from the MERGED sketch. At
+    100 TB each partition/source keeps d·w counters, the rollup
+    shuffles d·w rows per source, and raw tokens are never re-scanned
+    for the merge. The oracle replays both levels."""
+    from ..operators.bloom import _position
+
+    d = load(spark, sf_dir, "documents")
+    per_src = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    counts = per_src.groupBy("token").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+    top = counts.orderBy(F.col("n").desc(), "token").limit(CMS_TOP)
+    out = top
+    est = None
+    for s in range(CMS_D):
+        src_counter = (
+            per_src.select(
+                "source",
+                _position(F.col("token"), s, CMS_W).alias("b"),
+                "n",
+            )
+            .groupBy("source", "b")
+            .agg(F.sum("n").cast("bigint").alias("c"))
+        )
+        merged = src_counter.groupBy("b").agg(
+            F.sum("c").cast("bigint").alias(f"c{s}")
+        )
+        out = out.withColumn(
+            "b", _position(F.col("token"), s, CMS_W)
+        ).join(F.broadcast(merged), "b").drop("b")
+        c = F.col(f"c{s}")
+        est = c if est is None else F.least(est, c)
+    return out.select(
+        "token",
+        "n",
+        est.alias("cms_est"),
+        (est - F.col("n")).alias("overcount"),
+    ).orderBy(F.col("n").desc(), "token")
+
+
+def _oracle_cms_merge() -> str:
+    from ..operators.bloom import bloom_positions_sql
+
+    counters = ",\n".join(
+        f"ctr{s} AS (SELECT b, CAST(SUM(c) AS BIGINT) AS c{s} FROM ("
+        f"SELECT source, {bloom_positions_sql('token', s, CMS_W)} AS b,"
+        f" CAST(SUM(n) AS BIGINT) AS c FROM srccounts GROUP BY 1, 2) u"
+        f" GROUP BY b)"
+        for s in range(CMS_D)
+    )
+    joins = "\n".join(
+        f"JOIN ctr{s} ON ctr{s}.b = "
+        f"{bloom_positions_sql('top.token', s, CMS_W)}"
+        for s in range(CMS_D)
+    )
+    least = "least(" + ", ".join(f"c{s}" for s in range(CMS_D)) + ")"
+    return f"""
+WITH srccounts AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents)
+  GROUP BY source, token
+), counts AS (
+  SELECT token, CAST(SUM(n) AS BIGINT) AS n FROM srccounts GROUP BY token
+), top AS (
+  SELECT token, n FROM counts ORDER BY n DESC, token LIMIT {CMS_TOP}
+),
+{counters}
+SELECT top.token, top.n, {least} AS cms_est,
+       {least} - top.n AS overcount
+FROM top
+{joins}
+ORDER BY top.n DESC, top.token
+"""
+
+
 MEDIAN_BUCKET_W = 1000.0  # value-range grid for the selection pass
 
 
@@ -1011,6 +1099,7 @@ QUERIES = {
     "q_winsorize": q_winsorize,
     "q_compaction_plan": q_compaction_plan,
     "q_heavy_hitters": q_heavy_hitters,
+    "q_cms_merge": q_cms_merge,
     "q_exact_median": q_exact_median,
 }
 
@@ -1032,5 +1121,6 @@ ORACLES = {
     "q_winsorize": ORACLE_WINSORIZE,
     "q_compaction_plan": ORACLE_COMPACTION_PLAN,
     "q_heavy_hitters": _oracle_heavy_hitters(),
+    "q_cms_merge": _oracle_cms_merge(),
     "q_exact_median": ORACLE_EXACT_MEDIAN,
 }
