@@ -31,8 +31,16 @@ from ..schema import KEY_COLUMNS, widen_metadata_columns
 
 def metadata_format_from_path(path: str) -> str:
     """Extension dispatch (src/main.rs:261-284): .json/.jsonl → jsonl,
-    anything else → csv."""
-    ext = os.path.splitext(path)[1].lower()
+    anything else → csv. A trailing compression extension is stripped
+    first (engine extension: Spark's csv/json readers decompress
+    .gz/.bz2 transparently, so `meta.jsonl.gz` must dispatch as jsonl,
+    not fall through to csv on the `.gz`)."""
+    base = path.lower()
+    for comp in (".gz", ".bz2"):
+        if base.endswith(comp):
+            base = base[: -len(comp)]
+            break
+    ext = os.path.splitext(base)[1]
     return "jsonl" if ext in (".json", ".jsonl") else "csv"
 
 

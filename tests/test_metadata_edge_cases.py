@@ -24,6 +24,45 @@ def test_format_dispatch():
     assert metadata_format_from_path("/a/b.csv") == "csv"
     assert metadata_format_from_path("/a/b.txt") == "csv"
     assert metadata_format_from_path("/a/b") == "csv"
+    # compressed variants dispatch on the inner extension
+    assert metadata_format_from_path("/a/b.jsonl.gz") == "jsonl"
+    assert metadata_format_from_path("/a/b.JSON.GZ") == "jsonl"
+    assert metadata_format_from_path("/a/b.jsonl.bz2") == "jsonl"
+    assert metadata_format_from_path("/a/b.csv.gz") == "csv"
+    assert metadata_format_from_path("/a/b.gz") == "csv"
+
+
+def test_gzipped_metadata_roundtrip(spark, tmp_path):
+    """Spark's csv/json readers decompress .gz transparently; the loader
+    must produce identical rows for compressed and plain files."""
+    import gzip
+
+    rows = [
+        {"file_name": "a.wav", "transcription": "hello"},
+        {"file_name": "b.wav", "transcription": "world"},
+    ]
+    jl = "\n".join(json.dumps(r) for r in rows) + "\n"
+    (tmp_path / "m.jsonl").write_text(jl)
+    with gzip.open(tmp_path / "m.jsonl.gz", "wt") as f:
+        f.write(jl)
+    csv = "file_name,transcription\na.wav,hello\nb.wav,world\n"
+    (tmp_path / "m.csv").write_text(csv)
+    with gzip.open(tmp_path / "m.csv.gz", "wt") as f:
+        f.write(csv)
+
+    from audios_to_dataset_spark.sources.metadata import load_metadata
+
+    def rowset(path):
+        return {
+            (r.file_name, r.transcription)
+            for r in load_metadata(spark, str(path)).collect()
+        }
+
+    plain_jl = rowset(tmp_path / "m.jsonl")
+    assert rowset(tmp_path / "m.jsonl.gz") == plain_jl
+    plain_csv = rowset(tmp_path / "m.csv")
+    assert rowset(tmp_path / "m.csv.gz") == plain_csv
+    assert plain_jl == plain_csv == {("a.wav", "hello"), ("b.wav", "world")}
 
 
 def test_jsonl_corrupt_and_blank_lines_skipped(spark, tmp_path):
