@@ -172,15 +172,22 @@ def write_native_sharded(
     df: DataFrame,
     output_dir: str,
     compression: str = "snappy",
+    file_format: str = "parquet",
 ) -> None:
     """Scale-path alternative sink: Spark's native writer partitioned by
-    shard (``<dir>/shard=<idx>/part-*.parquet``).
+    shard (``<dir>/shard=<idx>/part-*.<format>``).
 
     Trades the reference's exact ``<idx>.parquet`` naming, HF footer, and
     256-row groups for the native writer's scalability machinery (job
     commit protocol, task retries, no pandas hop). Use the pyarrow sink
     for HF-layout parity; use this when the output feeds Spark again.
+    ``file_format`` may be ``parquet`` (default) or ``orc`` — ORC ships
+    in Spark natively and reads back with the identical schema, for
+    downstream stacks standardized on ORC (engine extension; the
+    reference is parquet/duckdb-only).
     """
+    if file_format not in ("parquet", "orc"):
+        raise ValueError(f"unknown file format {file_format!r}")
     codec = COMPRESSION_MAP.get(compression.lower())
     if codec is None:
         raise ValueError(f"unknown compression {compression!r}")
@@ -200,11 +207,21 @@ def write_native_sharded(
         "duration",
         *meta_names,
     )
+    codec_name = codec.lower() if codec != "NONE" else "none"
+    if file_format == "orc":
+        # ORC's codec vocabulary differs from parquet's: no brotli/lz4raw,
+        # and uncompressed spells "none". Map what exists, fall back to
+        # the ORC default for parquet-only codecs.
+        codec_name = {
+            "snappy": "snappy", "zstd": "zstd", "none": "none",
+            "gzip": "zlib", "lz4": "lz4",
+        }.get(codec_name, "snappy")
     (
         out.repartition("shard")
         .sortWithinPartitions("shard")
         .write.mode("overwrite")
-        .option("compression", codec.lower() if codec != "NONE" else "none")
+        .option("compression", codec_name)
         .partitionBy("shard")
-        .parquet(output_dir)
+        .format(file_format)
+        .save(output_dir)
     )

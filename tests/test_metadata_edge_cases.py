@@ -165,3 +165,40 @@ def test_native_sharded_sink(spark, tmp_path):
     row = back.filter(F.col("audio.path") == "f0.wav").first()
     assert row.duration == 1.0
     assert bytes(row.audio.bytes) == synth_wav(8000)
+
+
+def test_native_sharded_sink_orc(spark, tmp_path):
+    """ORC variant of the native sharded sink: identical rows and schema
+    back through spark.read.orc (engine extension — the reference is
+    parquet/duckdb-only; ORC ships in Spark natively)."""
+    from audios_to_dataset_spark.functions.wav import synth_wav
+    from audios_to_dataset_spark.pipeline import build_dataset
+    from audios_to_dataset_spark.sinks.parquet_shards import (
+        write_native_sharded,
+    )
+
+    d = tmp_path / "audio"
+    d.mkdir()
+    for i in range(4):
+        (d / f"f{i}.wav").write_bytes(synth_wav(8000))
+    sharded = build_dataset(spark, str(d), files_per_shard=2)
+    out = str(tmp_path / "native_orc")
+    write_native_sharded(sharded, out, compression="zstd", file_format="orc")
+    back = spark.read.orc(out)
+    assert back.count() == 4
+    assert set(back.select("shard").distinct().toPandas()["shard"]) == {0, 1}
+    row = back.filter(F.col("audio.path") == "f2.wav").first()
+    assert row.duration == 1.0
+    assert bytes(row.audio.bytes) == synth_wav(8000)
+    # round-trip parity with the parquet variant
+    pq_out = str(tmp_path / "native_pq")
+    write_native_sharded(sharded, pq_out)
+    pq_rows = {
+        (r.audio.path, r.shard, bytes(r.audio.bytes))
+        for r in spark.read.parquet(pq_out).collect()
+    }
+    orc_rows = {
+        (r.audio.path, r.shard, bytes(r.audio.bytes))
+        for r in back.collect()
+    }
+    assert pq_rows == orc_rows
