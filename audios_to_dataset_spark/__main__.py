@@ -3,7 +3,7 @@
 Flag-for-flag parity with the reference binary's arguments
 (/root/reference/src/main.rs:55-95):
 
-  --input, --output, --format {parquet,duckdb}, --files-per-db,
+  --input, --output, --format {parquet,duckdb,orc}, --files-per-db,
   --max-depth-size, --check-mime-type, --num-threads,
   --parquet-compression, --metadata-file
 
@@ -30,7 +30,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True, help="input folder (recursive)")
     p.add_argument("--output", required=True, help="output folder")
     p.add_argument(
-        "--format", choices=("parquet", "duckdb"), default="parquet"
+        "--format", choices=("parquet", "duckdb", "orc"), default="parquet"
     )
     p.add_argument("--files-per-db", type=int, default=500)
     p.add_argument("--max-depth-size", type=int, default=50)

@@ -211,8 +211,25 @@ def run_pipeline(
         from .sinks.duckdb_sink import write_duckdb_shards
 
         receipts = write_duckdb_shards(sharded, output_dir)
+    elif output_format == "orc":
+        # Engine extension: Spark-native ORC shard layout (no receipts —
+        # the native writer owns the commit protocol). Returns per-shard
+        # counts read back from the output for a uniform contract.
+        from pyspark.sql import functions as F
+
+        from .sinks.parquet_shards import write_native_sharded
+
+        write_native_sharded(
+            sharded, output_dir, compression=compression, file_format="orc"
+        )
+        return (
+            spark.read.orc(output_dir)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .collect()
+        )
     else:
         raise ValueError(
-            f"unknown output_format {output_format!r}; parquet|duckdb"
+            f"unknown output_format {output_format!r}; parquet|duckdb|orc"
         )
     return receipts.collect()
