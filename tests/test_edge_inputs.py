@@ -58,3 +58,33 @@ def test_pagerank_single_edge(spark):
     assert ranks[2] > ranks[1]
     # probability mass is conserved (dangling correction included)
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_queries_tolerate_empty_and_singleton_tables(spark, tmp_path):
+    """Representative queries from every family must not crash on a
+    degenerate sf dir (EMPTY documents, one-row everything else) — the
+    shape a fresh ingest or an aggressive filter produces."""
+    import pyarrow.parquet as pq
+
+    from audios_to_dataset_spark.catalog import TABLES
+    from audios_to_dataset_spark.plans import all_queries
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "sf_tiny")
+    import os
+
+    os.makedirs(dst)
+    for t in TABLES:
+        tb = pq.read_table(f"{src}/{t}.parquet")
+        n = 0 if t == "documents" else min(1, tb.num_rows)
+        pq.write_table(tb.slice(0, n), f"{dst}/{t}.parquet")
+
+    qs = all_queries()
+    battery = (
+        "q_dedup_minhash_lsh", "q_dedup_exact", "q_knn_graph",
+        "q_text_stats", "q_agg_count", "q_tumbling_window",
+        "q_hll_union", "q_cms_merge", "q_inverted_index",
+        "q_ann_topk", "q_pagerank", "q_kmeans", "q_session_gap",
+    )
+    for name in battery:
+        qs[name](spark, dst).collect()  # must not raise
