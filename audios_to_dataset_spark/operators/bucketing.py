@@ -40,3 +40,16 @@ def bucketed_join(
     """Join two same-bucketed tables on their bucket key — planned
     shuffle-free when bucket counts match."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_col: str
+) -> None:
+    """Persist hive-style partitioned by a low-cardinality column — the
+    layout that buys two scan eliminations at 100 TB: STATIC partition
+    pruning for literal filters on the partition column (the scan lists
+    only matching directories), and DYNAMIC partition pruning when the
+    fact is joined to a filtered dimension on that column (Catalyst
+    injects a runtime IN-subquery partition filter from the build side).
+    Both are pinned by tests/test_bucketing.py."""
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)

@@ -71,3 +71,53 @@ def test_bucketed_join_matches_plain(spark, bucketed_tables):
         .first()
     )
     assert (got.n, got.q) == (exp.n, exp.q)
+
+
+def test_partitioned_layout_static_and_dynamic_pruning(spark, sf_dir, tmp_path):
+    """write_partitioned output must plan STATIC partition pruning for a
+    literal filter and DYNAMIC partition pruning (runtime IN-subquery
+    from the joined dim's filter) for a join — the two scan
+    eliminations that matter at 100 TB."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from audios_to_dataset_spark.catalog import load
+    from audios_to_dataset_spark.operators.bucketing import (
+        write_partitioned,
+    )
+
+    def explain(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    o = load(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_part")
+    write_partitioned(o, path, "o_orderpriority")
+    fact = spark.read.parquet(path)
+
+    static = explain(fact.filter(F.col("o_orderpriority") == "1-URGENT"))
+    assert "PartitionFilters" in static
+    assert "o_orderpriority" in static.split("PartitionFilters", 1)[1].split(
+        "\n"
+    )[0]
+
+    dim = (
+        fact.select("o_orderpriority")
+        .distinct()
+        .filter(F.col("o_orderpriority").startswith("1"))
+    )
+    dpp = explain(
+        fact.join(F.broadcast(dim), "o_orderpriority").select("o_orderkey")
+    )
+    assert "dynamicpruning" in dpp
+
+    # and the pruned result is correct
+    got = (
+        fact.join(F.broadcast(dim), "o_orderpriority").count()
+    )
+    want = o.filter(F.col("o_orderpriority").startswith("1")).count()
+    assert got == want > 0
