@@ -367,3 +367,44 @@ def test_minhash_signatures_mapside_no_aggregate(spark, sf_dir):
     # section; count distinct Exchange node ids
     assert len(re.findall(r"\(\d+\) Exchange", e)) <= 1  # the fan-out only
     assert "Generate" not in e  # no explode anywhere
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """Our session leaves Spark's runtime bloom-filter injection enabled;
+    at 100 TB the default thresholds self-activate (probe side > 10 GB),
+    which this pins by lowering the application-side threshold and
+    asserting the might_contain runtime filter lands on the fact scan of
+    a shuffle join — plus result parity with the filter un-injected."""
+    from pyspark.sql import functions as F
+
+    from audios_to_dataset_spark.catalog import load
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100000
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_quantity", "o_totalprice"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        baseline = j.count()
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        e = _explain(j)
+        assert "might_contain" in e
+        assert j.count() == baseline > 0
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
