@@ -454,3 +454,16 @@ def test_aqe_splits_skewed_join_partitions(spark):
         spark.conf.unset(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes"
         )
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE partition coalescing (on in session conf) must collapse the
+    32 near-empty shuffle partitions of a tiny aggregation into few
+    tasks — the runtime right-sizing that keeps small stages cheap while
+    spark.sql.shuffle.partitions stays sized for the big ones."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    df.collect()
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in ex
