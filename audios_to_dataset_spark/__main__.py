@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--metadata-file", default=None)
     p.add_argument(
+        "--incremental",
+        action="store_true",
+        help="skip files already present in the output dir and continue "
+        "shard numbering (engine extension; parquet output only)",
+    )
+    p.add_argument(
         "--sniff-formats",
         action="store_true",
         help="add an audio_format column sniffed from container headers "
@@ -92,12 +98,19 @@ def main(argv: list[str] | None = None) -> int:
         segment_seconds=args.segment_seconds,
         audio_stats=args.audio_stats,
         sniff_formats=args.sniff_formats,
+        incremental=args.incremental,
     )
     total = sum(r.n_rows for r in receipts)
     for r in sorted(receipts, key=lambda r: r.shard):
+        # native-writer formats (orc) report per-shard counts without a
+        # file path (the writer owns file naming)
+        dest = (
+            os.path.basename(r.out_path)
+            if "out_path" in r.__fields__
+            else f"shard={r.shard}"
+        )
         print(
-            f"Successfully wrote {r.n_rows} records to "
-            f"{os.path.basename(r.out_path)}."
+            f"Successfully wrote {r.n_rows} records to {dest}."
         )
     print(f"{total} records in {len(receipts)} shard(s).")
     return 0

@@ -30,17 +30,23 @@ def assign_shards(
     df: DataFrame,
     files_per_shard: int = DEFAULT_FILES_PER_SHARD,
     order_col: str = "relative_path",
+    shard_offset: int = 0,
 ) -> DataFrame:
-    """Add ``shard`` (0-based bucket) and ``row_in_shard`` columns.
+    """Add ``shard`` (0-based bucket, plus ``shard_offset``) and
+    ``row_in_shard`` columns.
 
     ``order_col`` values must be unique (relative paths from one scan
     are); the shard mapping is computed on just that column.
+    ``shard_offset`` lets an incremental run continue numbering after
+    the shards already on disk.
     """
     w = Window.orderBy(order_col)
     rn0 = F.row_number().over(w) - 1
     mapping = (
         df.select(order_col)
-        .withColumn("shard", F.floor(rn0 / files_per_shard))
+        .withColumn(
+            "shard", F.floor(rn0 / files_per_shard) + F.lit(shard_offset)
+        )
         .withColumn("row_in_shard", rn0 % files_per_shard)
     )
     return df.join(mapping, order_col)

@@ -142,8 +142,16 @@ def build_dataset(
     segment_seconds: float | None = None,
     audio_stats: bool = False,
     sniff_formats: bool = False,
+    exclude_relative_paths: DataFrame | None = None,
+    shard_offset: int = 0,
 ) -> DataFrame:
-    """The full logical plan up to (but excluding) the sink."""
+    """The full logical plan up to (but excluding) the sink.
+
+    ``exclude_relative_paths`` (a 1-column ``relative_path`` frame) is
+    anti-joined out right after the scan — before any decode work — so
+    an incremental run pays nothing for files already ingested;
+    ``shard_offset`` continues shard numbering after existing output.
+    """
     files = scan_audio_files(
         spark,
         input_dir,
@@ -151,6 +159,12 @@ def build_dataset(
         metadata_file=metadata_file,
         check_mime_type=check_mime_type,
     )
+    if exclude_relative_paths is not None:
+        files = files.join(
+            exclude_relative_paths.select("relative_path").distinct(),
+            "relative_path",
+            "left_anti",
+        )
     if segment_seconds is not None:
         files = segment_files(files, segment_seconds)
     files = enrich_files(
@@ -172,6 +186,7 @@ def build_dataset(
         files,
         files_per_shard,
         order_col="path" if segment_seconds is not None else "relative_path",
+        shard_offset=shard_offset,
     )
 
 
@@ -188,8 +203,42 @@ def run_pipeline(
     segment_seconds: float | None = None,
     audio_stats: bool = False,
     sniff_formats: bool = False,
+    incremental: bool = False,
 ) -> list:
-    """Run scan→enrich→join→shard→sink; returns the write receipts."""
+    """Run scan→enrich→join→shard→sink; returns the write receipts.
+
+    ``incremental=True`` (parquet output only): files whose
+    relative_path is already present in the output dir are skipped
+    before any decode work, and new shards continue numbering after the
+    highest ``<idx>.parquet`` on disk. A re-run with no new input files
+    writes nothing and leaves existing shards untouched.
+    """
+    exclude = None
+    shard_offset = 0
+    if incremental:
+        if output_format != "parquet":
+            raise ValueError("incremental mode requires parquet output")
+        if segment_seconds is not None:
+            raise ValueError(
+                "incremental mode tracks file-level relative paths;"
+                " not supported with segmentation"
+            )
+        import glob
+        import os
+        import re as _re
+
+        existing_shards = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(output_dir, "*.parquet"))
+            if (m := _re.match(r"^(\d+)\.parquet$", os.path.basename(f)))
+        ]
+        if existing_shards:
+            shard_offset = max(existing_shards) + 1
+            exclude = (
+                spark.read.parquet(output_dir)
+                .select(F.col("audio.path").alias("relative_path"))
+                .distinct()
+            )
     sharded = build_dataset(
         spark,
         input_dir,
@@ -200,6 +249,8 @@ def run_pipeline(
         segment_seconds=segment_seconds,
         audio_stats=audio_stats,
         sniff_formats=sniff_formats,
+        exclude_relative_paths=exclude,
+        shard_offset=shard_offset,
     )
     if output_format == "parquet":
         from .sinks.parquet_shards import write_parquet_shards
@@ -215,8 +266,6 @@ def run_pipeline(
         # Engine extension: Spark-native ORC shard layout (no receipts —
         # the native writer owns the commit protocol). Returns per-shard
         # counts read back from the output for a uniform contract.
-        from pyspark.sql import functions as F
-
         from .sinks.parquet_shards import write_native_sharded
 
         write_native_sharded(

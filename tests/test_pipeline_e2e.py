@@ -430,3 +430,54 @@ def test_sniff_formats_pipeline(spark, tmp_path):
     }
     assert rows["a.wav"] == "wav"
     assert rows["junk.wav"] is None
+
+
+def test_incremental_ingest_skips_existing_and_continues_shards(
+    spark, tmp_path
+):
+    """Second incremental run over a grown input dir must ingest ONLY the
+    new files, continue shard numbering after the existing <idx>.parquet,
+    leave prior shards byte-untouched, and a third run with nothing new
+    must write nothing."""
+    import os
+
+    from audios_to_dataset_spark.functions.wav import synth_wav
+    from audios_to_dataset_spark.pipeline import run_pipeline
+
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(4):
+        (d / f"a{i}.wav").write_bytes(synth_wav(8000))
+    out = str(tmp_path / "out")
+    r1 = run_pipeline(
+        spark, str(d), out, files_per_shard=2, incremental=True
+    )
+    assert sorted(r.shard for r in r1) == [0, 1]
+    mtimes = {
+        f: os.path.getmtime(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    }
+
+    for i in range(4, 7):
+        (d / f"b{i}.wav").write_bytes(synth_wav(8000))
+    r2 = run_pipeline(
+        spark, str(d), out, files_per_shard=2, incremental=True
+    )
+    assert sorted(r.shard for r in r2) == [2, 3]
+    assert sum(r.n_rows for r in r2) == 3
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, f)) == m  # untouched
+
+    back = spark.read.parquet(out)
+    assert back.count() == 7
+    paths = {r.path for r in back.select("audio.path").collect()}
+    assert paths == {f"a{i}.wav" for i in range(4)} | {
+        f"b{i}.wav" for i in range(4, 7)
+    }
+
+    r3 = run_pipeline(
+        spark, str(d), out, files_per_shard=2, incremental=True
+    )
+    assert r3 == []
+    assert spark.read.parquet(out).count() == 7
