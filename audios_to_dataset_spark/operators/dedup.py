@@ -199,29 +199,50 @@ def minhash_signatures(
     )
     n_digests = (num_hashes + 3) // 4
 
-    # NOTE: the seed/position must be bound OUTSIDE the lambda — a
+    # Two array passes total: (1) one transform hashes each shingle into
+    # a struct of its k/4 digests (md5 exactly once per shingle per
+    # seed); (2) one aggregate folds the digest array into a 16-field
+    # struct of running mins ('~' sorts above every hex char, so it is
+    # the identity). A per-column formulation (k/4 digest transforms +
+    # k substring transforms + k array_mins = 36 interpreted passes per
+    # row) measured 3× slower cold and 25% slower warm at sf0.1.
+    # NOTE: constants must be bound OUTSIDE the lambdas — a
     # two-parameter lambda is an (element, index) higher-order function
-    # to Spark, so a `s=s` default-capture silently rebinds the seed to
-    # the array index.
-    def _digests(s: int):
-        prefix = F.lit(f"{s}:")
-        return F.transform(
-            "grams", lambda g: F.md5(F.concat(prefix, g))
-        ).alias(f"_d{s}")
+    # to Spark, so a `s=s` default-capture silently rebinds to the
+    # array index.
+    def _digest_struct(g):
+        return F.struct(
+            *[
+                F.md5(F.concat(F.lit(f"{s}:"), g)).alias(f"d{s}")
+                for s in range(n_digests)
+            ]
+        )
 
-    def _mh(i: int):
-        pos = (i % 4) * 8 + 1
-        return F.array_min(
-            F.transform(
-                F.col(f"_d{i // 4}"), lambda d: F.substring(d, pos, 8)
-            )
-        ).alias(f"mh{i}")
+    init = F.struct(
+        *[F.lit("~").alias(f"m{i}") for i in range(num_hashes)]
+    )
 
-    # Materialize each digest array once: the md5 runs once per shingle
-    # per seed (not once per mh column), and the 16 mins become tiny
-    # substring transforms over already-computed hex.
-    with_digests = arr.select("id", *[_digests(s) for s in range(n_digests)])
-    return with_digests.select("id", *[_mh(i) for i in range(num_hashes)])
+    def _merge(acc, x):
+        return F.struct(
+            *[
+                F.least(
+                    acc[f"m{i}"],
+                    F.substring(x[f"d{i // 4}"], (i % 4) * 8 + 1, 8),
+                ).alias(f"m{i}")
+                for i in range(num_hashes)
+            ]
+        )
+
+    digs = arr.select(
+        "id", F.transform("grams", _digest_struct).alias("digs")
+    )
+    packed = digs.select(
+        "id", F.aggregate("digs", init, _merge).alias("_mh")
+    )
+    return packed.select(
+        "id",
+        *[F.col(f"_mh.m{i}").alias(f"mh{i}") for i in range(num_hashes)],
+    )
 
 
 def lsh_candidate_pairs(
