@@ -352,33 +352,37 @@ def simhash16(
     toks = F.split(F.lower("_t"), " ")
     n_toks = F.size(toks).cast("long")
 
-    def vote_sum(p: int, j: int) -> Column:
-        # digit = strpos(HEX, md5(tok)[p]) - 1; bit = floor(digit / j) % 2;
-        # sum the bit over all tokens.
-        return F.aggregate(
-            F.transform(
-                toks,
-                lambda t: F.floor(
-                    (
-                        F.instr(
-                            F.lit(HEX_DIGITS), F.substring(F.md5(t), p, 1)
-                        )
-                        - 1
-                    )
-                    / F.lit(j)
-                ).cast("long")
-                % 2,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+    # Two array passes: one transform hashes each token ONCE, one
+    # aggregate folds all 16 bit-vote counters in a single traversal.
+    # (The previous 16 independent vote_sum aggregates each recomputed
+    # md5 per token — 16 digests/token and 16 interpreted passes.)
+    # bit i = floor((strpos(HEX, md5(tok)[i//4+1]) - 1) / 2^(i%4)) % 2.
+    md5s = F.transform(toks, lambda t: F.md5(t))
+    init = F.struct(
+        *[F.lit(0).cast("long").alias(f"v{i}") for i in range(16)]
+    )
 
-    vote_cols = [
-        vote_sum(i // 4 + 1, 2 ** (i % 4)).alias(f"v{i}") for i in range(16)
-    ]
+    def _merge(acc, h):
+        fields = []
+        for i in range(16):
+            p = i // 4 + 1
+            j = 2 ** (i % 4)
+            digit = (
+                F.instr(F.lit(HEX_DIGITS), F.substring(h, p, 1)) - 1
+            )
+            bit = F.floor(digit / F.lit(j)).cast("long") % 2
+            fields.append((acc[f"v{i}"] + bit).alias(f"v{i}"))
+        return F.struct(*fields)
 
-    with_votes = slim.select(
-        F.col("_id").alias("id"), n_toks.alias("n_toks"), *vote_cols
+    packed = slim.select(
+        F.col("_id").alias("id"),
+        n_toks.alias("n_toks"),
+        F.aggregate(md5s, init, _merge).alias("_v"),
+    )
+    with_votes = packed.select(
+        "id",
+        "n_toks",
+        *[F.col(f"_v.v{i}").alias(f"v{i}") for i in range(16)],
     )
     fp = None
     for i in range(16):
