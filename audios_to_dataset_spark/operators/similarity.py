@@ -539,3 +539,41 @@ def lsh_topk_batch(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def cluster_bucketed_neardup_pairs(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup (cluster-bucketed; the method of
+    Abbas et al. 2023, "SemDeDup", public literature): bucket every
+    vector by its seeded-KMeans cluster, then score cosine pairs only
+    WITHIN clusters. The complement of LSH bucketing: clusters follow
+    the data's own density (near-dups co-cluster by construction), and
+    per-cluster candidate count is (N/k)² — at scale you raise k with N
+    (k ~ N/target_cluster_size) and the train step stays one broadcast
+    + one (cid, pos) shuffle per iteration. Exact re-score inside
+    buckets, so precision is 1; recall misses only pairs split across
+    cluster boundaries."""
+    assign = kmeans_assignments(df, k, iters, id_col, vec_col)
+    left = df.join(assign, id_col).select(
+        "cid", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    right = df.join(assign, id_col).select(
+        "cid", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        left.join(right, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", sround(cos, decimals))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

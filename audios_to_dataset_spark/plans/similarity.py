@@ -734,6 +734,50 @@ GROUP BY e.src ORDER BY e.src
 """
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup (public method: Abbas et al.
+    2023): candidate pairs come from seeded-KMeans CLUSTER buckets (the
+    same oracle-replayed k=8 / 2-iteration arithmetic as q_kmeans)
+    instead of random hyperplanes — clusters track the data's own
+    density, so near-dups co-cluster and per-cluster work is (N/k)²
+    (raise k with N at scale). Exact rounded re-score inside clusters,
+    threshold shared with the LSH path (q_dedup_embedding)."""
+    from ..operators.similarity import cluster_bucketed_neardup_pairs
+    from .dedup import EMB_THRESHOLD
+
+    em = load(spark, sf_dir, "embeddings")
+    return cluster_bucketed_neardup_pairs(
+        em, k=KMEANS_K, iters=KMEANS_ITERS, threshold=EMB_THRESHOLD
+    )
+
+
+def _oracle_dedup_semantic() -> str:
+    from .dedup import EMB_THRESHOLD
+
+    ctes, cfin = _kmeans_ctes(KMEANS_K, KMEANS_ITERS)
+    final = f"a{KMEANS_ITERS + 1}"
+    ctes.append(_kmeans_assign_cte(final, cfin))
+    joined = ",\n".join(ctes)
+    cos = (
+        "round((list_sum(list_transform(range(1, len(a.e) + 1),"
+        " i -> a.e[i] * b.e[i]))"
+        " / (sqrt(list_sum(list_transform(a.e, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(b.e, x -> x * x)))))"
+        " * 10000.0) / 10000.0 + 0.0"
+    )
+    return f"""WITH {joined},
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM {final} x JOIN {final} y
+    ON x.cid = y.cid AND x.vec_id < y.vec_id
+), scored AS (
+  SELECT id_a, id_b, {cos} AS cos_sim
+  FROM pairs JOIN v a ON a.vec_id = id_a JOIN v b ON b.vec_id = id_b
+)
+SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {EMB_THRESHOLD}
+"""
+
+
 def q_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding QA: per-label L2-norm statistics (count, mean, min,
     max) — the sanity scan before any cosine math (zero or exploding
@@ -959,6 +1003,7 @@ QUERIES = {
     "q_knn_graph": q_knn_graph,
     "q_ann_recall": q_ann_recall,
     "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
+    "q_dedup_semantic": q_dedup_semantic,
     "q_ann_lsh_recall": q_ann_lsh_recall,
     "q_hybrid_search": q_hybrid_search,
     "q_kmeans": q_kmeans,
@@ -977,6 +1022,7 @@ ORACLES = {
     "q_knn_graph": _oracle_knn_graph(),
     "q_ann_recall": _oracle_ann_recall(),
     "q_ann_ivf_kmeans": _oracle_ann_ivf_kmeans(),
+    "q_dedup_semantic": _oracle_dedup_semantic(),
     "q_ann_lsh_recall": _oracle_ann_lsh_recall(),
     "q_hybrid_search": _oracle_hybrid_search(),
     "q_kmeans": _oracle_kmeans(),
