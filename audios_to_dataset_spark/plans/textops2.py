@@ -438,6 +438,78 @@ ORDER BY source, lang
 """
 
 
+CHUNK_TOKENS = 64   # tokens per retrieval chunk
+CHUNK_STRIDE = 48   # 16-token overlap between consecutive chunks
+
+
+def q_text_chunks(spark, sf_dir):
+    """RAG chunk materialization: overlapping fixed-size token windows
+    (64 tokens, stride 48) per document — the retrieval-prep pass that
+    turns documents into embeddable units with stable ids. Chunk spans
+    come from one integer sequence per row (pure codegen arithmetic, no
+    per-element re-evaluation) and one explode; ids are (doc_id,
+    chunk_id) with chunk_id dense from 0. Exported as scalar columns
+    (token count + md5 digest of the chunk text) per the differential
+    harness contract; a real pipeline would also keep the text. Docs
+    shorter than one window become a single whole-doc chunk. All
+    integer math (n_chunks = (n - 17) div 48 + 1 for n > 64) so the
+    DuckDB twin replays bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    n_chunks = F.when(F.col("n") <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.expr(f"(n - {CHUNK_TOKENS - CHUNK_STRIDE + 1}) div {CHUNK_STRIDE}")
+        + F.lit(1)
+    )
+    chunks = base.withColumn("n_chunks", n_chunks).select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))
+        ).alias("chunk_id"),
+    )
+    window = F.slice(
+        F.col("toks"),
+        F.col("chunk_id") * CHUNK_STRIDE + 1,
+        CHUNK_TOKENS,
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(window).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", window)).alias("chunk_digest"),
+    )
+
+
+ORACLE_TEXT_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+              ELSE ((n - {CHUNK_TOKENS - CHUNK_STRIDE + 1})
+                    // {CHUNK_STRIDE}) + 1 END AS n_chunks
+  FROM t
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                           i * {CHUNK_STRIDE} + {CHUNK_TOKENS}))
+            AS BIGINT) AS n_tokens,
+       md5(array_to_string(
+             list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                        i * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' '))
+         AS chunk_digest
+FROM c, unnest(range(0, n_chunks)) AS u(i)
+"""
+
+
 QUERIES = {
     "q_rarity_score": q_rarity_score,
     "q_bpe_merges": q_bpe_merges,
@@ -445,6 +517,7 @@ QUERIES = {
     "q_seq_pack": q_seq_pack,
     "q_source_lang_bias": q_source_lang_bias,
     "q_next_word": q_next_word,
+    "q_text_chunks": q_text_chunks,
 }
 
 ORACLES = {
@@ -454,4 +527,5 @@ ORACLES = {
     "q_seq_pack": ORACLE_SEQ_PACK,
     "q_source_lang_bias": ORACLE_SOURCE_LANG_BIAS,
     "q_next_word": ORACLE_NEXT_WORD,
+    "q_text_chunks": ORACLE_TEXT_CHUNKS,
 }
