@@ -211,7 +211,10 @@ def run_pipeline(
     relative_path is already present in the output dir are skipped
     before any decode work, and new shards continue numbering after the
     highest ``<idx>.parquet`` on disk. A re-run with no new input files
-    writes nothing and leaves existing shards untouched.
+    writes nothing and leaves existing shards untouched. Trade-off:
+    existing shards are never repacked, so a previously underfull last
+    shard stays underfull — new files always start a fresh shard
+    (append-only semantics; run non-incrementally to repack).
     """
     exclude = None
     shard_offset = 0
