@@ -1,10 +1,13 @@
 """Sketch / graph / sampling plans — scale-path engine capabilities.
 
-Four operators a 100 TB training-data pipeline leans on, each with an
-exact DuckDB twin:
+Operators a 100 TB training-data pipeline leans on, each with an exact
+DuckDB twin; the anchors:
 
 - ``q_approx_distinct``: deterministic HyperLogLog (md5 registers) —
   the sketch shuffles ≤ m rows per group instead of every distinct key;
+  ``q_hll_union`` / ``q_cms_merge`` make the MERGE property explicit
+  (register-wise max / sum across sources ≡ a direct build — sketches
+  roll up without rescanning);
 - ``q_pagerank``: synchronous PageRank with dangling-mass correction —
   the second iterative distributed-algorithm pattern next to
   ``q_kmeans``/``q_dedup_clusters``, oracle = full CTE replay of every

@@ -1,11 +1,18 @@
 """Structured Streaming twins of the event-time plans (SURVEY §2.8, M7).
 
-The reference is strictly batch; these are the engine-capability streaming
-operators: watermarked tumbling-window aggregation and watermarked
-dropDuplicates over the events table, executed with the availableNow
-trigger against the same parquet so a batch driver can still collect the
-result (the driver records a rows-only check — watermark semantics have
-no DuckDB oracle).
+The reference is strictly batch; these are the engine-capability
+streaming operators over the events table — watermarked tumbling/
+sliding windows, stream-static and stream-stream (inner + left-outer)
+joins, custom stateful sessionization and bloom dedup via
+applyInPandasWithState, windowed-HLL distinct, and top-k — executed
+with the availableNow trigger against the same parquet so a batch
+driver can still collect the result. Every query carries a FULL DuckDB
+value-hash oracle: availableNow + append mode emits exactly the
+closed-watermark set, which is SQL-expressible (closed windows /
+all-but-last sessions / expired outer-join state), so even the
+stateful operators are differentially tested rather than rows-only.
+BATCH_TWINS exposes structurally identical batch plans for
+tools/plan_audit.py (streaming queries execute on call).
 """
 
 from __future__ import annotations
