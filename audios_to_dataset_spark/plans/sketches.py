@@ -92,7 +92,10 @@ def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents")
-    regs = hll_registers(d, "text", ["source"], m=HLL_M)
+    # regs is consumed twice (per-source estimates + the merge); cache
+    # the tiny post-agg register table so documents scans once, not
+    # twice (sources x m rows — trivially memory-resident at any scale)
+    regs = hll_registers(d, "text", ["source"], m=HLL_M).cache()
     per_src = hll_estimate_from_registers(regs, ["source"], m=HLL_M)
     merged = (
         regs.groupBy("reg")
@@ -772,6 +775,8 @@ def q_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bloom import _position
 
     d = load(spark, sf_dir, "documents")
+    # consumed by the global counts AND all d per-source counters —
+    # cache the vocabulary-sized aggregate so the corpus explodes once
     per_src = (
         d.select(
             "source",
@@ -779,6 +784,7 @@ def q_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .cache()
     )
     counts = per_src.groupBy("token").agg(
         F.sum("n").cast("bigint").alias("n")
