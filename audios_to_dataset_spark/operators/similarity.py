@@ -269,6 +269,75 @@ def lsh_topk_vs_query(
     )
 
 
+def multiprobe_topk_vs_query(
+    df: DataFrame,
+    tables: list[list[list[float]]],
+    k: int = 20,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 3,
+) -> DataFrame:
+    """Multi-probe LSH ANN (the method of Lv et al. 2007, public
+    literature): in each hash table, probe the query's own bucket PLUS
+    every bucket at Hamming distance 1 (each sign bit flipped once) —
+    1 + n_planes probes per table instead of 1. Near-miss neighbors that
+    landed one hyperplane away become candidates without adding hash
+    tables, so recall rises at the same indexing cost; candidates are
+    still re-scored exactly (precision stays 1).
+
+    Scale shape: identical to the single-probe path — the probe set is a
+    handful of broadcast bucket keys ((1 + n_planes) × n_tables rows),
+    candidates arrive via ONE equi-join on the bucket key, and only
+    candidate vectors are ever scored. The bit-flip probe generation is
+    pure string ops inside codegen on a tables-sized frame.
+    """
+    n_planes = len(tables[0])
+    bucketed = None
+    for t, planes in enumerate(tables):
+        part = hyperplane_buckets(df, planes, id_col, vec_col).select(
+            "id", F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("bucket")
+        )
+        bucketed = part if bucketed is None else bucketed.unionByName(part)
+    qb = bucketed.filter(F.col("id") == query_id).select("bucket")
+    # j = 0 keeps the exact bucket; j >= 1 flips sign bit j. The bucket
+    # string is "<table>:<bits>", so flips splice the bits part only.
+    probes = (
+        qb.withColumn(
+            "j", F.explode(F.sequence(F.lit(0), F.lit(n_planes)))
+        )
+        .select(
+            F.expr(
+                "if(j = 0, bucket,"
+                " concat(substring_index(bucket, ':', 1), ':',"
+                "        substring(substring_index(bucket, ':', -1),"
+                "                  1, j - 1),"
+                "        if(substring(substring_index(bucket, ':', -1),"
+                "                     j, 1) = '1', '0', '1'),"
+                "        substring(substring_index(bucket, ':', -1),"
+                f"                  j + 1, {n_planes})))"
+            ).alias("bucket")
+        )
+        .distinct()
+    )
+    cand_ids = (
+        bucketed.join(F.broadcast(probes), "bucket").select("id").distinct()
+    )
+    cand = df.join(cand_ids.withColumnRenamed("id", id_col), id_col)
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("query_vec")
+    )
+    cos = _dot(F.col(vec_col), F.col("query_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("query_vec"))
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(id_col, sround(cos, decimals).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def _kmeans_assign(
     df: DataFrame, cents: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:

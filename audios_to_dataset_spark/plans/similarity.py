@@ -208,6 +208,70 @@ ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
 """
 
 
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH approximate top-k vs the query vector: probes the
+    query bucket plus all Hamming-distance-1 buckets per table (Lv et
+    al. 2007, public) — candidate recall ≥ q_ann_lsh's by construction
+    (its probe set is a superset) at identical index cost. Same seeded
+    planes as the single-probe path so the two are directly comparable."""
+    from ..operators.similarity import multiprobe_topk_vs_query
+    from .dedup import PLANES
+
+    em = load(spark, sf_dir, "embeddings")
+    return multiprobe_topk_vs_query(em, PLANES, k=TOP_K, query_id=QUERY_ID)
+
+
+def _oracle_ann_multiprobe() -> str:
+    from .dedup import PLANES, _plane_sql
+
+    n_planes = len(PLANES[0])
+    bucket_rows = []
+    for t, planes in enumerate(PLANES):
+        bits = " || ".join(
+            "(CASE WHEN list_sum(list_transform(range(1, len(e) + 1), "
+            f"i -> e[i] * ({_plane_sql(p)})[i])) >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        bucket_rows.append(
+            f"  SELECT vec_id, '{t}:' || {bits} AS bucket FROM v"
+        )
+    buckets = "\n  UNION ALL\n".join(bucket_rows)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), buckets AS (
+{buckets}
+), qb AS (
+  SELECT bucket FROM buckets WHERE vec_id = {QUERY_ID}
+), probes AS (
+  SELECT DISTINCT
+    CASE WHEN j = 0 THEN bucket
+         ELSE string_split(bucket, ':')[1] || ':'
+              || substr(string_split(bucket, ':')[2], 1, j - 1)
+              || (CASE WHEN substr(string_split(bucket, ':')[2], j, 1)
+                            = '1' THEN '0' ELSE '1' END)
+              || substr(string_split(bucket, ':')[2], j + 1)
+    END AS bucket
+  FROM qb CROSS JOIN (SELECT unnest(range(0, {n_planes + 1})) AS j) r
+), cand AS (
+  SELECT DISTINCT b.vec_id FROM buckets b JOIN probes USING (bucket)
+), q AS (
+  SELECT e AS qe FROM v WHERE vec_id = {QUERY_ID}
+)
+SELECT v.vec_id,
+       round((
+         list_sum(list_transform(range(1, len(v.e) + 1),
+                                 i -> v.e[i] * qe[i]))
+         / (sqrt(list_sum(list_transform(v.e, x -> x * x)))
+            * sqrt(list_sum(list_transform(qe, x -> x * x))))
+         * 1000.0)) / 1000.0 + 0.0 AS cos_sim
+FROM v JOIN cand USING (vec_id), q
+ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
+"""
+
+
 KNN_K = 3
 
 
@@ -1000,6 +1064,7 @@ QUERIES = {
     "q_ann_topk": q_ann_topk,
     "q_ann_ivf": q_ann_ivf,
     "q_ann_lsh": q_ann_lsh,
+    "q_ann_multiprobe": q_ann_multiprobe,
     "q_knn_graph": q_knn_graph,
     "q_ann_recall": q_ann_recall,
     "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
@@ -1019,6 +1084,7 @@ ORACLES = {
     "q_ann_topk": ORACLE_ANN_TOPK,
     "q_ann_ivf": ORACLE_ANN_IVF,
     "q_ann_lsh": _oracle_ann_lsh(),
+    "q_ann_multiprobe": _oracle_ann_multiprobe(),
     "q_knn_graph": _oracle_knn_graph(),
     "q_ann_recall": _oracle_ann_recall(),
     "q_ann_ivf_kmeans": _oracle_ann_ivf_kmeans(),

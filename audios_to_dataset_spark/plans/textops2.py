@@ -510,6 +510,104 @@ FROM c, unnest(range(0, n_chunks)) AS u(i)
 """
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM fluency score per document — the
+    perplexity-style quality gate (the CCNet-pipeline stage, public
+    literature: Wenzek et al. 2020) in the transcendental-free form this
+    repo's oracles require: instead of avg(-log p) we report the
+    tf-weighted MEAN and the MIN of the bigram conditional probabilities
+    p(w2|w1) = n(w1,w2) / n(w1·), both monotone fluency signals.
+    Every p divides two exactly-representable bigints — IEEE division is
+    correctly rounded, so Spark and DuckDB produce the identical double —
+    and the per-doc mean goes through the decimal-sum discipline
+    (p truncates to 6 dp inside the decimal domain, then multiplies by an
+    integer tf: exact, order-independent).
+
+    Plan (100 TB): ONE bigram explode feeds both the per-doc tf agg and,
+    derived FROM that agg, the corpus bigram counts and first-slot
+    marginals — the corpus is scanned once. The probability table is
+    vocab-bounded (far smaller than the corpus) and joins back on the
+    bigram key — Zipf-skewed by nature, handled by AQE skew-join; the doc
+    side is tf-compressed to distinct (doc, bigram) pairs first so the
+    join moves no duplicate strings. No vocabulary broadcast anywhere.
+    Docs with <2 tokens have no bigrams and drop out (same rule as the
+    reference-style shingle ops: shorter-than-n docs yield nothing).
+    """
+    from ..operators.dedup import shingles
+
+    d = load(spark, sf_dir, "documents")
+    g = shingles(d, n=2, distinct=False).select(
+        F.col("id").alias("doc_id"), F.col("shingle").alias("bigram")
+    )
+    tf = g.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    c = (
+        tf.groupBy("bigram")
+        .agg(F.sum("tf").cast("bigint").alias("n_ab"))
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+    )
+    fa = c.groupBy("w1").agg(F.sum("n_ab").cast("bigint").alias("n_a"))
+    p = c.join(fa, "w1").select(
+        "bigram",
+        (
+            F.col("n_ab").cast("double") / F.col("n_a").cast("double")
+        ).alias("p"),
+    )
+    return (
+        tf.join(p, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("p").cast(DEC) * F.col("tf"))
+            .cast("double")
+            .alias("_sum_p"),
+            F.min("p").alias("min_condp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("_sum_p") / F.col("n_bigrams").cast("double")
+            ).alias("mean_condp"),
+            "min_condp",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_LM_SCORE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1]))
+           AS bigram
+  FROM t),
+tf AS (
+  SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM g GROUP BY doc_id, bigram),
+c AS (
+  SELECT bigram, CAST(SUM(tf) AS BIGINT) AS n_ab,
+         string_split(bigram, ' ')[1] AS w1
+  FROM tf GROUP BY bigram),
+fa AS (SELECT w1, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM c GROUP BY w1),
+p AS (
+  SELECT bigram, CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS p
+  FROM c JOIN fa USING (w1)),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CAST(p AS DECIMAL(28,6)) * tf) AS DOUBLE) AS sum_p,
+         MIN(p) AS min_condp
+  FROM tf JOIN p USING (bigram) GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+       sum_p / CAST(n_bigrams AS DOUBLE) AS mean_condp,
+       min_condp
+FROM per_doc ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_rarity_score": q_rarity_score,
     "q_bpe_merges": q_bpe_merges,
@@ -518,6 +616,7 @@ QUERIES = {
     "q_source_lang_bias": q_source_lang_bias,
     "q_next_word": q_next_word,
     "q_text_chunks": q_text_chunks,
+    "q_lm_score": q_lm_score,
 }
 
 ORACLES = {
@@ -528,4 +627,5 @@ ORACLES = {
     "q_source_lang_bias": ORACLE_SOURCE_LANG_BIAS,
     "q_next_word": ORACLE_NEXT_WORD,
     "q_text_chunks": ORACLE_TEXT_CHUNKS,
+    "q_lm_score": ORACLE_LM_SCORE,
 }

