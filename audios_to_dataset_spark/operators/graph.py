@@ -67,6 +67,67 @@ def connected_components(
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(id, community) after ``iters`` SYNCHRONOUS label-propagation
+    rounds (the community-detection method of Raghavan et al. 2007,
+    public literature): every node simultaneously adopts the most
+    frequent label among its neighbors, ties broken by the smallest
+    label; nodes with no neighbors keep their own. Unlike connected
+    components' min-label fixpoint, the mode update finds dense
+    communities inside a single component.
+
+    Synchronous update + a total tie order makes the result fully
+    deterministic (the textbook asynchronous variant is run-order
+    dependent and untestable), so a SQL oracle replays the identical
+    rounds.
+
+    Scale notes: per round, one equi-join of labels onto the undirected
+    edge list (shuffle on the neighbor id), one (node, label) count —
+    map-side combinable, so hub fan-in collapses before the shuffle —
+    and one row_number window PARTITIONED BY node. Labels are
+    localCheckpoint'ed per round to cut lineage, the same discipline as
+    :func:`connected_components` (``checkpoint=False`` keeps the full
+    lineage so plan tests can audit every round).
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+    )
+    if checkpoint:
+        und = und.localCheckpoint(eager=True)
+    labels = nodes.select("id", F.col("id").alias("label"))
+    w = Window.partitionBy("a").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(iters):
+        counts = (
+            und.join(labels, und.b == labels.id)
+            .groupBy("a", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        picked = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("a").alias("id"), F.col("label").alias("nlabel"))
+        )
+        labels = labels.join(picked, "id", "left").select(
+            "id", F.coalesce("nlabel", F.col("label")).alias("label")
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("id", F.col("label").alias("community"))
+
+
 # PageRank decimal sum precision: double → DECIMAL casts agree between
 # Spark (shortest-repr BigDecimal) and DuckDB (exact binary expansion)
 # only while value × 10^scale stays well inside ~15 significant digits;

@@ -336,6 +336,77 @@ def _oracle_pagerank() -> str:
     )
 
 
+LP_ITERS = 2
+
+
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the undirected customer↔supplier order
+    graph via 2 synchronous label-propagation rounds (Raghavan et al.
+    2007) — mode-label update with smallest-label tie-break, replayed
+    exactly by the DuckDB oracle. Complements q_dedup_clusters (min-label
+    connected components): LPA splits a connected trade network into
+    dense purchasing communities."""
+    from ..operators.graph import label_propagation
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("src"),
+            (F.col("l_suppkey").cast("bigint") + PR_SUPP_OFFSET).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    r = label_propagation(nodes, edges, iters=LP_ITERS)
+    return r.select(
+        F.col("id").cast("bigint").alias("node_id"),
+        F.col("community").cast("bigint").alias("community"),
+    )
+
+
+def _oracle_label_prop() -> str:
+    """Replay each synchronous LPA round as chained CTEs: neighbor label
+    counts → per-node mode with (count DESC, label ASC) tie-break →
+    coalesce for isolated nodes."""
+    ctes = [
+        "e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,"
+        f" CAST(l_suppkey AS BIGINT) + {PR_SUPP_OFFSET} AS dst"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "und AS (SELECT src AS a, dst AS b FROM e"
+        " UNION SELECT dst, src FROM e)",
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "l0 AS (SELECT id, id AS label FROM nodes)",
+    ]
+    for t in range(1, LP_ITERS + 1):
+        p = f"l{t - 1}"
+        ctes.append(
+            f"n{t} AS (SELECT und.a, l.label, COUNT(*) AS c"
+            f" FROM und JOIN {p} l ON und.b = l.id GROUP BY und.a, l.label)"
+        )
+        ctes.append(
+            f"p{t} AS (SELECT a AS id, label FROM ("
+            "SELECT a, label, row_number() OVER (PARTITION BY a"
+            f" ORDER BY c DESC, label) AS rn FROM n{t}) t WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{t} AS (SELECT l.id, COALESCE(p.label, l.label) AS label"
+            f" FROM {p} l LEFT JOIN p{t} p ON p.id = l.id)"
+        )
+    joined = ",\n".join(ctes)
+    return (
+        f"WITH {joined}\nSELECT CAST(id AS BIGINT) AS node_id,"
+        f" CAST(label AS BIGINT) AS community FROM l{LP_ITERS}"
+    )
+
+
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers that *may* have orders per a 4096-bit/3-hash bloom of
     order custkeys — the pre-shuffle probe-pruning pattern; the result is
@@ -1103,6 +1174,7 @@ QUERIES = {
     "q_zorder": q_zorder,
     "q_profile": q_profile,
     "q_pagerank": q_pagerank,
+    "q_label_prop": q_label_prop,
     "q_bloom_join": q_bloom_join,
     "q_stratified_sample": q_stratified_sample,
     "q_winsorize": q_winsorize,
@@ -1125,6 +1197,7 @@ ORACLES = {
     "q_zorder": _oracle_zorder(),
     "q_profile": _oracle_profile(),
     "q_pagerank": _oracle_pagerank(),
+    "q_label_prop": _oracle_label_prop(),
     "q_bloom_join": _oracle_bloom_join(),
     "q_stratified_sample": _oracle_stratified_sample(),
     "q_winsorize": ORACLE_WINSORIZE,

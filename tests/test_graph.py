@@ -58,3 +58,34 @@ def test_triangle_k4_has_four(spark):
 def test_triangle_hub_star_has_none(spark):
     # star graph: the hub has high degree but no closed wedge
     assert _tri(spark, [(0, i) for i in range(1, 8)]) == (7, 8, 0)
+
+
+def test_label_propagation_two_triangles_bridge(spark):
+    """Hand-replayed 2-round synchronous LPA on two triangles joined by a
+    bridge (3-4), plus an isolated node 7. Round 1: every node adopts its
+    neighbors' min-tied/mode label; round 2 stabilizes the left triangle
+    at 1 while the right side shows the classic synchronous oscillation
+    (4 sees {1,4,4}→4; 5,6 see {3,4}→tie→3) — the point is exact
+    determinism, which the DuckDB oracle replays identically."""
+    from audios_to_dataset_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    got = {
+        r.id: r.community
+        for r in label_propagation(nodes, e, iters=2).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3, 7: 7}
+
+
+def test_label_propagation_zero_iters_is_identity(spark):
+    from audios_to_dataset_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    got = {
+        r.id: r.community
+        for r in label_propagation(nodes, e, iters=0).collect()
+    }
+    assert got == {1: 1, 2: 2}

@@ -467,3 +467,75 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     df.collect()
     ex = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead coalesced" in ex
+
+
+def test_lm_score_no_vocab_broadcast_no_cartesian(spark, sf_dir):
+    """The bigram probability table is vocab-bounded but unbounded in
+    principle — it must join back on the bigram KEY (shuffle join is
+    fine, AQE handles the Zipf skew), never via CartesianProduct, and
+    the per-doc agg must have a map-side partial stage."""
+    from audios_to_dataset_spark.plans.textops2 import q_lm_score
+
+    e = _explain(q_lm_score(spark, sf_dir))
+    assert "CartesianProduct" not in e
+    assert "BroadcastNestedLoopJoin" not in e
+    assert e.count("HashAggregate") >= 2
+
+
+def test_ann_multiprobe_broadcasts_probe_set(spark, sf_dir):
+    """The (1 + n_planes) x n_tables probe buckets are a tiny frame: the
+    candidate fetch must be a broadcast equi-join against them, the
+    final top-k a TakeOrderedAndProject, and nothing may cartesian
+    against the full vector table (the 1-row query cross join is the
+    only BroadcastNestedLoopJoin allowed)."""
+    from audios_to_dataset_spark.plans.similarity import q_ann_multiprobe
+
+    e = _explain(q_ann_multiprobe(spark, sf_dir))
+    assert "BroadcastHashJoin" in e
+    assert "TakeOrderedAndProject" in e
+    assert "CartesianProduct" not in e
+
+
+def test_label_prop_no_cartesian_windows_partitioned(spark, sf_dir):
+    """Every LPA round shuffles on node ids — no cartesian anywhere, and
+    the mode-pick window is PARTITIONED BY the node (never a
+    single-partition global window). checkpoint=False keeps the full
+    2-round lineage in one explainable plan."""
+    from pyspark.sql import functions as F
+
+    from audios_to_dataset_spark.catalog import load
+    from audios_to_dataset_spark.operators.graph import label_propagation
+    from audios_to_dataset_spark.plans.sketches import PR_SUPP_OFFSET
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("src"),
+            (F.col("l_suppkey").cast("bigint") + PR_SUPP_OFFSET).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    e = _explain(label_propagation(nodes, edges, iters=2, checkpoint=False))
+    assert "CartesianProduct" not in e
+    assert "BroadcastNestedLoopJoin" not in e
+    # both rounds' mode-pick windows are keyed by the node column
+    assert "windowspecdefinition" in e
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+    )
+    from plan_audit import _window_on_single_partition
+
+    assert not _window_on_single_partition(e)
