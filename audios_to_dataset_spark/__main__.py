@@ -70,6 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="engine extension: add rms/peak/clipped_frac signal QA"
         " columns from the PCM payload",
     )
+    p.add_argument(
+        "--manifest",
+        action="store_true",
+        help="engine extension: write _manifest.jsonl + _SUCCESS after a"
+        " parquet run (per-shard rows/bytes/duration commit record;"
+        " merged across --incremental runs)",
+    )
     return p
 
 
@@ -99,6 +106,7 @@ def main(argv: list[str] | None = None) -> int:
         audio_stats=args.audio_stats,
         sniff_formats=args.sniff_formats,
         incremental=args.incremental,
+        manifest=args.manifest,
     )
     total = sum(r.n_rows for r in receipts)
     for r in sorted(receipts, key=lambda r: r.shard):

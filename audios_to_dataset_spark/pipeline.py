@@ -204,6 +204,7 @@ def run_pipeline(
     audio_stats: bool = False,
     sniff_formats: bool = False,
     incremental: bool = False,
+    manifest: bool = False,
 ) -> list:
     """Run scan→enrich→join→shard→sink; returns the write receipts.
 
@@ -284,4 +285,50 @@ def run_pipeline(
         raise ValueError(
             f"unknown output_format {output_format!r}; parquet|duckdb|orc"
         )
-    return receipts.collect()
+    rows = receipts.collect()
+    if manifest:
+        if output_format != "parquet":
+            raise ValueError("manifest requires parquet output")
+        from .sinks.parquet_shards import write_manifest
+
+        if incremental:
+            # append-only semantics: merge new receipts over any prior
+            # manifest so the record covers ALL shards on disk
+            rows_by_shard = {r.shard: r for r in rows}
+            prior = _read_manifest_rows(output_dir)
+            merged = [
+                r for r in prior if r.shard not in rows_by_shard
+            ] + rows
+            write_manifest(merged, output_dir)
+        else:
+            write_manifest(rows, output_dir)
+    return rows
+
+
+def _read_manifest_rows(output_dir: str) -> list:
+    """Prior-manifest lines as receipt-shaped rows ([] if none)."""
+    import json
+    import os
+    from types import SimpleNamespace
+
+    from .sinks.parquet_shards import MANIFEST_NAME
+
+    path = os.path.join(output_dir, MANIFEST_NAME)
+    if not os.path.exists(path):
+        return []
+    out = []
+    with open(path) as f:
+        for line in f:
+            d = json.loads(line)
+            out.append(
+                SimpleNamespace(
+                    shard=d["shard"],
+                    out_path=os.path.join(output_dir, d["file"]),
+                    n_rows=d["n_rows"],
+                    n_bytes=d["n_bytes"],
+                    sum_duration=d["sum_duration"],
+                    min_duration=d["min_duration"],
+                    max_duration=d["max_duration"],
+                )
+            )
+    return out

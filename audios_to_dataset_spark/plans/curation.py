@@ -113,10 +113,60 @@ SELECT stage, n_docs FROM (
 """
 
 
+SHUFFLE_SHARDS = 16
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-shuffle: every document gets a
+    (shard, pos) address from an md5 of its id — the corpus-wide
+    pseudo-random permutation a training run then reads sequentially.
+    ``shard = hash % k`` routes rows; ``pos`` is a row_number within the
+    shard ordered by (hash, doc_id), so the epoch order is fixed across
+    runs, engines, and input partitionings — no RNG anywhere.
+
+    Scale (100 TB): this IS the shuffle-write shape — one hash-partition
+    exchange on the shard key plus a per-shard sort of corpus/k rows;
+    the window is PARTITIONED BY shard, never global, and k scales with
+    the cluster (k ≈ corpus_bytes / target_shard_bytes). Contrast
+    q_window_bucket, whose total order is reference-mandated."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    hv = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            h.alias("h"),
+            F.pmod(hv, F.lit(SHUFFLE_SHARDS)).cast("int").alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def _oracle_global_shuffle() -> str:
+    h = "md5('shuf:' || CAST(doc_id AS VARCHAR))"
+    hv = f"(('0x' || substr({h}, 1, 15))::BIGINT)"
+    return f"""
+WITH a AS (
+  SELECT doc_id, {h} AS h,
+         CAST({hv} % {SHUFFLE_SHARDS} AS INT) AS shard
+  FROM documents)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM a
+"""
+
+
 QUERIES = {
     "q_curation_funnel": q_curation_funnel,
+    "q_global_shuffle": q_global_shuffle,
 }
 
 ORACLES = {
     "q_curation_funnel": _oracle_curation_funnel(),
+    "q_global_shuffle": _oracle_global_shuffle(),
 }

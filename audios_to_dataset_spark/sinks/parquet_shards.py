@@ -154,8 +154,17 @@ def write_parquet_shards(
             compression=codec,
             row_group_size=ROW_GROUP_SIZE,
         )
+        dur = pdf["duration"].astype("float64")
         return pd.DataFrame(
-            {"shard": [shard], "n_rows": [len(pdf)], "out_path": [out_path]}
+            {
+                "shard": [shard],
+                "n_rows": [len(pdf)],
+                "out_path": [out_path],
+                "n_bytes": [os.path.getsize(out_path)],
+                "sum_duration": [float(dur.sum())],
+                "min_duration": [float(dur.min())],
+                "max_duration": [float(dur.max())],
+            }
         )
 
     receipt_schema = T.StructType(
@@ -163,9 +172,55 @@ def write_parquet_shards(
             T.StructField("shard", T.LongType()),
             T.StructField("n_rows", T.LongType()),
             T.StructField("out_path", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("sum_duration", T.DoubleType()),
+            T.StructField("min_duration", T.DoubleType()),
+            T.StructField("max_duration", T.DoubleType()),
         ]
     )
     return slim.groupBy("shard").applyInPandas(write_shard, receipt_schema)
+
+
+MANIFEST_NAME = "_manifest.jsonl"
+
+
+def write_manifest(receipts: list, output_dir: str) -> str:
+    """Write ``_manifest.jsonl`` (one JSON line per shard, shard order)
+    plus a ``_SUCCESS`` marker from collected write receipts — the
+    dataset-level commit record a downstream job resumes/prunes from
+    (which shards exist, row/byte counts, duration range) without
+    listing or footer-probing every shard file.
+
+    The leading underscore keeps both files invisible to Hadoop input
+    listings, so ``spark.read.parquet(output_dir)`` — including the
+    incremental-mode re-scan — still sees only the shard files.
+    Driver-side by design: one row per SHARD (not per record), the same
+    cardinality as the receipts the caller already collected.
+    """
+    import json
+
+    path = os.path.join(output_dir, MANIFEST_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for r in sorted(receipts, key=lambda r: r.shard):
+            f.write(
+                json.dumps(
+                    {
+                        "shard": r.shard,
+                        "file": os.path.basename(r.out_path),
+                        "n_rows": r.n_rows,
+                        "n_bytes": r.n_bytes,
+                        "sum_duration": r.sum_duration,
+                        "min_duration": r.min_duration,
+                        "max_duration": r.max_duration,
+                    }
+                )
+                + "\n"
+            )
+    os.replace(tmp, path)  # atomic: readers never see a torn manifest
+    with open(os.path.join(output_dir, "_SUCCESS"), "w"):
+        pass
+    return path
 
 
 def write_native_sharded(

@@ -481,3 +481,75 @@ def test_incremental_ingest_skips_existing_and_continues_shards(
     )
     assert r3 == []
     assert spark.read.parquet(out).count() == 7
+
+
+def test_manifest_written_and_consistent(spark, tmp_path, audio_dir):
+    """--manifest writes _manifest.jsonl + _SUCCESS whose per-shard rows
+    match the receipts (counts, on-disk bytes, duration stats), and the
+    underscore names stay invisible to spark.read.parquet on the dir."""
+    import json as _json
+    import os as _os
+
+    out = str(tmp_path / "out")
+    receipts = run_pipeline(
+        spark, audio_dir, out, files_per_shard=1, manifest=True
+    )
+    mpath = _os.path.join(out, "_manifest.jsonl")
+    assert _os.path.exists(mpath)
+    assert _os.path.exists(_os.path.join(out, "_SUCCESS"))
+    lines = [
+        _json.loads(line) for line in open(mpath).read().splitlines()
+    ]
+    assert [d["shard"] for d in lines] == sorted(
+        r.shard for r in receipts
+    )
+    by_shard = {r.shard: r for r in receipts}
+    for d in lines:
+        r = by_shard[d["shard"]]
+        assert d["n_rows"] == r.n_rows
+        assert d["file"] == _os.path.basename(r.out_path)
+        assert d["n_bytes"] == _os.path.getsize(r.out_path) > 0
+        assert d["min_duration"] <= d["max_duration"]
+        assert abs(d["sum_duration"] - 2.0) < 1e-9 or d["n_rows"] == 1
+    assert sum(d["n_rows"] for d in lines) == 2
+    # the manifest files must not break a Spark read of the dataset dir
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_manifest_merges_across_incremental_runs(spark, tmp_path, audio_dir):
+    """An --incremental re-run with new files appends shards; the merged
+    manifest covers ALL shards on disk, old and new."""
+    import json as _json
+    import os as _os
+
+    out = str(tmp_path / "out")
+    run_pipeline(spark, audio_dir, out, files_per_shard=1, manifest=True)
+    n_first = len(open(_os.path.join(out, "_manifest.jsonl")).readlines())
+
+    (tmp_path / "more").mkdir()
+    (tmp_path / "more" / "extra.wav").write_bytes(
+        synth_wav(sample_rate=8_000)
+    )
+    # incremental over a second input dir: old relative paths differ, so
+    # only the new file is ingested, numbered after existing shards
+    run_pipeline(
+        spark,
+        str(tmp_path / "more"),
+        out,
+        files_per_shard=1,
+        incremental=True,
+        manifest=True,
+    )
+    lines = [
+        _json.loads(line)
+        for line in open(_os.path.join(out, "_manifest.jsonl"))
+    ]
+    assert len(lines) == n_first + 1
+    shards_on_disk = sorted(
+        int(f.split(".")[0])
+        for f in _os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    assert [d["shard"] for d in lines] == shards_on_disk
+    total = spark.read.parquet(out).count()
+    assert sum(d["n_rows"] for d in lines) == total == 3
