@@ -236,6 +236,58 @@ def pagerank(
     return ranks
 
 
+def k_core_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(id, core_deg) of nodes surviving ``rounds`` synchronous k-core
+    peeling rounds (Seidman 1983, public literature): each round drops
+    every node whose current degree is below ``k``, together with its
+    incident edges, simultaneously. The fixpoint is the classic k-core;
+    the bounded-round variant keeps the iteration count (and the SQL
+    oracle's CTE chain) deterministic, exactly like
+    :func:`connected_components`'s ``max_iter`` cap. ``core_deg`` is the
+    degree a survivor had entering its final round.
+
+    Scale notes: per round one degree groupBy (map-side combinable) and
+    one double semi-join of the edge list against the survivor set —
+    both shuffle on uniformly distributed node ids; no windows, no
+    collects. Edges are localCheckpoint'ed per round so lineage depth
+    stays O(1) per round, not O(rounds²).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+    )
+    if checkpoint:
+        und = und.localCheckpoint(eager=True)
+    keep = None
+    for _ in range(rounds):
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k)
+        und = (
+            und.join(keep.select("a"), "a")
+            .join(
+                keep.select(F.col("a").alias("b")),
+                "b",
+            )
+            .select("a", "b")
+        )
+        if checkpoint:
+            und = und.localCheckpoint(eager=True)
+    assert keep is not None
+    return keep.select(
+        F.col("a").alias("id"), F.col("d").alias("core_deg")
+    )
+
+
 def triangle_count(
     edges: DataFrame, u: str = "u", v: str = "v"
 ) -> DataFrame:

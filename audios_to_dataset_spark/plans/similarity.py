@@ -289,7 +289,9 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(em, KNN_PLANES, k=KNN_K).orderBy("src", "rank")
 
 
-def _oracle_knn_graph() -> str:
+def _knn_graph_sql_body() -> str:
+    """The k-NN-graph oracle minus its final ORDER BY — reusable as a
+    CTE base by downstream graph oracles (q_kcore in plans/sketches)."""
     from .dedup import KNN_PLANES, _plane_sql
 
     bucket_rows = []
@@ -330,8 +332,11 @@ WITH v AS (
               ORDER BY cos_sim DESC, dst) AS BIGINT) AS rank
   FROM scored)
 SELECT src, dst, cos_sim, rank FROM ranked WHERE rank <= {KNN_K}
-ORDER BY src, rank
 """
+
+
+def _oracle_knn_graph() -> str:
+    return _knn_graph_sql_body() + "ORDER BY src, rank"
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

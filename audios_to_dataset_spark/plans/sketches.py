@@ -407,6 +407,80 @@ def _oracle_label_prop() -> str:
     )
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling of the MUTUAL k-NN similarity graph —
+    the standard semantic-cluster denoising step: an edge survives only
+    if each endpoint ranks the other in its top-k (mutual k-NN), then
+    ``KCORE_ROUNDS`` synchronous peel rounds drop every node whose
+    degree falls below ``KCORE_K`` (Seidman 1983 k-core, bounded-round
+    like connected_components' max_iter). Survivors are the dense
+    "semantic core" a curation pipeline keeps; at sf0.01 the cascade is
+    genuinely multi-round (500 → 362 → 316 → 293 nodes).
+
+    Scale shape: the mutual filter is a self-equi-join of the k-NN edge
+    list on (src,dst)=(dst,src); each peel round is one degree groupBy +
+    one survivor semi-join (operators/graph.k_core_peel) — node-id
+    shuffles only, no windows, no collects. The k-NN base is
+    localCheckpoint'ed once so the LSH scoring isn't recomputed by the
+    self-join's two branches."""
+    from ..operators.graph import k_core_peel
+    from ..operators.similarity import knn_graph
+    from .dedup import KNN_PLANES
+    from .similarity import KNN_K
+
+    em = load(spark, sf_dir, "embeddings")
+    g = (
+        knn_graph(em, KNN_PLANES, k=KNN_K)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    rev = g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = g.join(rev, ["src", "dst"])
+    core = k_core_peel(mutual, k=KCORE_K, rounds=KCORE_ROUNDS)
+    return core.select(
+        F.col("id").cast("bigint").alias("node_id"),
+        F.col("core_deg").cast("bigint").alias("core_deg"),
+    )
+
+
+def _oracle_kcore() -> str:
+    """Replay: kNN CTE base (shared with q_knn_graph's oracle), mutual
+    self-join, then each peel round as degree→filter→edge-restrict CTEs.
+    MATERIALIZED pins DuckDB's CTE evaluation to once-per-CTE — the
+    chain references each u{t} twice, and inlining would re-expand the
+    LSH scoring subtree exponentially."""
+    from .similarity import _knn_graph_sql_body
+
+    ctes = [
+        f"knn AS MATERIALIZED ({_knn_graph_sql_body()})",
+        "mu AS MATERIALIZED (SELECT a.src AS a, a.dst AS b FROM knn a"
+        " JOIN knn b ON a.src = b.dst AND a.dst = b.src)",
+        "u0 AS MATERIALIZED (SELECT a, b FROM mu UNION SELECT b, a FROM mu)",
+    ]
+    for t in range(1, KCORE_ROUNDS + 1):
+        p = f"u{t - 1}"
+        ctes.append(
+            f"d{t} AS (SELECT a, COUNT(*) AS d FROM {p} GROUP BY a)"
+        )
+        ctes.append(
+            f"k{t} AS MATERIALIZED (SELECT a, d FROM d{t}"
+            f" WHERE d >= {KCORE_K})"
+        )
+        ctes.append(
+            f"u{t} AS MATERIALIZED (SELECT u.a, u.b FROM {p} u"
+            f" JOIN k{t} x ON u.a = x.a JOIN k{t} y ON u.b = y.a)"
+        )
+    joined = ",\n".join(ctes)
+    return (
+        f"WITH {joined}\nSELECT CAST(a AS BIGINT) AS node_id,"
+        f" CAST(d AS BIGINT) AS core_deg FROM k{KCORE_ROUNDS}"
+    )
+
+
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers that *may* have orders per a 4096-bit/3-hash bloom of
     order custkeys — the pre-shuffle probe-pruning pattern; the result is
@@ -1175,6 +1249,7 @@ QUERIES = {
     "q_profile": q_profile,
     "q_pagerank": q_pagerank,
     "q_label_prop": q_label_prop,
+    "q_kcore": q_kcore,
     "q_bloom_join": q_bloom_join,
     "q_stratified_sample": q_stratified_sample,
     "q_winsorize": q_winsorize,
@@ -1198,6 +1273,7 @@ ORACLES = {
     "q_profile": _oracle_profile(),
     "q_pagerank": _oracle_pagerank(),
     "q_label_prop": _oracle_label_prop(),
+    "q_kcore": _oracle_kcore(),
     "q_bloom_join": _oracle_bloom_join(),
     "q_stratified_sample": _oracle_stratified_sample(),
     "q_winsorize": ORACLE_WINSORIZE,

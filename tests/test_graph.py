@@ -79,6 +79,40 @@ def test_label_propagation_two_triangles_bridge(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3, 7: 7}
 
 
+def _kcore(spark, edges, k, rounds):
+    from audios_to_dataset_spark.operators.graph import k_core_peel
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r.id: r.core_deg
+        for r in k_core_peel(e, k=k, rounds=rounds).collect()
+    }
+
+
+def test_kcore_path_peels_endpoints_per_round(spark):
+    # 2-core peel of a path removes one endpoint per side per round;
+    # the whole path dies once rounds >= ceil(len/2)
+    path = [(i, i + 1) for i in range(4)]  # 0-1-2-3-4
+    assert _kcore(spark, path, k=2, rounds=1) == {1: 2, 2: 2, 3: 2}
+    assert _kcore(spark, path, k=2, rounds=2) == {2: 2}
+    assert _kcore(spark, path, k=2, rounds=3) == {}
+
+
+def test_kcore_triangle_with_tail(spark):
+    # triangle survives any number of 2-core rounds; the tail (3-4) peels
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    got = _kcore(spark, edges, k=2, rounds=3)
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_kcore_degree_is_entering_final_round(spark):
+    # node 2's reported degree is its degree ENTERING the last round:
+    # round 1 drops the pendant 3, so 2's degree goes 3 → 2
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    assert _kcore(spark, edges, k=2, rounds=1)[2] == 3
+    assert _kcore(spark, edges, k=2, rounds=2)[2] == 2
+
+
 def test_label_propagation_zero_iters_is_identity(spark):
     from audios_to_dataset_spark.operators.graph import label_propagation
 
