@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ._util import DEC
+from ._util import DEC, sround, sround_sql
 
 SEQ_LEN = 512
 SOURCE_CAP = 10
@@ -608,6 +608,120 @@ FROM per_doc ORDER BY doc_id
 """
 
 
+BM25_K1 = 1.5
+BM25_B = 0.75
+BM25_TERMS = ("spark", "query", "window")
+BM25_TOPK = 15
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking (Robertson & Zaragoza 2009, public literature)
+    of documents against a fixed keyword query — the retrieval scorer a
+    curation pipeline uses for targeted corpus slices. tf saturation and
+    length normalization use the standard k1/b form; idf uses the RSJ
+    odds ratio (N - df + 0.5)/(df + 0.5) WITHOUT the usual log wrap —
+    every input is an exactly-representable double and IEEE +,-,*,/ are
+    correctly rounded, so Spark and DuckDB compute bit-identical weights
+    with no libm transcendental anywhere (module contract above); the
+    per-document sum goes through the decimal domain (order-independent).
+
+    Scale shape: the term filter lands directly after the token explode,
+    so only query-term rows survive into the tf aggregate; df (≤ |terms|
+    rows) and the 1-row corpus stats are broadcast; the dl join shuffles
+    on doc_id; final top-k is orderBy+limit → TakeOrderedAndProject
+    (per-partition partial top-k, no single-partition window)."""
+    d = load(spark, sf_dir, "documents")
+    dl = d.select(
+        "doc_id",
+        F.size(F.filter(_tokens(), lambda t: t != "")).alias("dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("dl").cast("bigint").alias("tot"),
+    )
+    tf = (
+        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        .filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    avgdl = F.col("tot").cast("double") / F.col("nd").cast("double")
+    idf = (
+        F.col("nd").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    sat = (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(BM25_K1)
+        * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * sat).alias("w"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(F.col("w").cast(DEC)).cast("double").alias("_s"),
+    )
+    return (
+        agg.select(
+            "doc_id", "n_terms", sround(F.col("_s"), 9).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+_BM25_IDF = (
+    "(CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+    " / (CAST(df AS DOUBLE) + 0.5)"
+)
+_BM25_SAT = (
+    f"(CAST(tf AS DOUBLE) * {BM25_K1 + 1.0!r})"
+    f" / (CAST(tf AS DOUBLE) + {BM25_K1!r} * ({1.0 - BM25_B!r}"
+    f" + {BM25_B!r} * (CAST(dl AS DOUBLE)"
+    " / (CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE)))))"
+)
+ORACLE_BM25 = f"""
+WITH dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+           AS dl
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS tot
+  FROM dl
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents)
+  WHERE token IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, token
+), df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+), scored AS (
+  SELECT tf.doc_id, ({_BM25_IDF}) * ({_BM25_SAT}) AS w
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS s
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_terms, {sround_sql('s', 9)} AS score
+FROM agg
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
 QUERIES = {
     "q_rarity_score": q_rarity_score,
     "q_bpe_merges": q_bpe_merges,
@@ -617,6 +731,7 @@ QUERIES = {
     "q_next_word": q_next_word,
     "q_text_chunks": q_text_chunks,
     "q_lm_score": q_lm_score,
+    "q_bm25": q_bm25,
 }
 
 ORACLES = {
@@ -628,4 +743,5 @@ ORACLES = {
     "q_next_word": ORACLE_NEXT_WORD,
     "q_text_chunks": ORACLE_TEXT_CHUNKS,
     "q_lm_score": ORACLE_LM_SCORE,
+    "q_bm25": ORACLE_BM25,
 }
