@@ -542,6 +542,69 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WSAMPLE_K = 50
+_WSAMPLE_SCALE = float(2**60)  # md5 15-hex-digit range, a power of two
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential race keys
+    (Efraimidis & Spirakis 2006, public literature): each document draws
+    u ~ U(0,1] from an md5 of its id and races with key = -ln(u)/w,
+    w = n_chars; the k smallest keys are a weighted-without-replacement
+    sample — longer documents proportionally likelier. The one sanctioned
+    ``ln`` in the repo: the exponential transform has no rational
+    equivalent, so cross-engine determinism is pinned by rounding the key
+    to 12 decimals BEFORE ranking (libm differences are ≤1 ulp ≈ 1e-16
+    relative on keys ≤ 1; ties after rounding break on doc_id).
+
+    Scale shape: stateless per-row key derivation (md5 + arithmetic, all
+    JVM built-ins) then orderBy+limit → TakeOrderedAndProject: every
+    partition keeps its local top-k and only k rows per partition reach
+    the driver-side merge — the distributed reservoir, no shuffle of the
+    corpus and no single-partition window."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(_WSAMPLE_SCALE)
+    key = (-F.log(u)) / F.col("n_chars").cast("double")
+    return (
+        d.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            sround(key, 12).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(WSAMPLE_K)
+    )
+
+
+def _oracle_weighted_sample() -> str:
+    h = (
+        "(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)),"
+        " 1, 15))::BIGINT)"
+    )
+    key = f"(-ln(CAST({h} + 1 AS DOUBLE) / {_WSAMPLE_SCALE!r}))" \
+        " / CAST(n_chars AS DOUBLE)"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       {sround_sql(key, 12)} AS priority
+FROM documents
+WHERE n_chars IS NOT NULL AND n_chars > 0
+ORDER BY priority, doc_id
+LIMIT {WSAMPLE_K}
+"""
+
+
 def _oracle_stratified_sample() -> str:
     h = (
         "(('0x' || substr(md5('samp:' || CAST(event_id AS VARCHAR)),"
@@ -1252,6 +1315,7 @@ QUERIES = {
     "q_kcore": q_kcore,
     "q_bloom_join": q_bloom_join,
     "q_stratified_sample": q_stratified_sample,
+    "q_weighted_sample": q_weighted_sample,
     "q_winsorize": q_winsorize,
     "q_compaction_plan": q_compaction_plan,
     "q_heavy_hitters": q_heavy_hitters,
@@ -1276,6 +1340,7 @@ ORACLES = {
     "q_kcore": _oracle_kcore(),
     "q_bloom_join": _oracle_bloom_join(),
     "q_stratified_sample": _oracle_stratified_sample(),
+    "q_weighted_sample": _oracle_weighted_sample(),
     "q_winsorize": ORACLE_WINSORIZE,
     "q_compaction_plan": ORACLE_COMPACTION_PLAN,
     "q_heavy_hitters": _oracle_heavy_hitters(),
