@@ -431,6 +431,42 @@ def kmeans_assignments(
     return _kmeans_assign(df, cents, id_col, vec_col).select(id_col, "cid")
 
 
+def pq_codes(
+    df: DataFrame,
+    m: int,
+    subdim: int,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jégou, Douze & Schmid 2011, public
+    literature): split each vector into ``m`` contiguous ``subdim``-wide
+    subvectors, train an independent seeded-kmeans codebook per subspace
+    (same deterministic cosine kmeans as :func:`kmeans_centroids`, so the
+    DuckDB oracle replays it), and emit each vector's code word — the
+    centroid id — per subspace. m codes of log2(k) bits replace
+    m×subdim floats: THE memory-compression path that lets a 100 TB
+    embedding corpus serve ANN from RAM (codebooks are k×subdim doubles,
+    broadcast; distances against codes become m table lookups).
+
+    Scale shape: per subspace, the kmeans iterations are broadcast
+    assignment + one (cid, pos) mean shuffle; the final code frames join
+    back on the id — m small equi-joins, no all-pairs anywhere.
+    """
+    out = None
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("sub"),
+        )
+        codes = kmeans_assignments(
+            sub, k=k, iters=iters, id_col=id_col, vec_col="sub"
+        ).select(id_col, F.col("cid").alias(f"code_{s}"))
+        out = codes if out is None else out.join(codes, id_col)
+    return out
+
+
 def lsh_bucketed_neardup_pairs(
     df: DataFrame,
     tables: list[list[list[float]]],

@@ -514,53 +514,63 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assignments(em, k=KMEANS_K, iters=KMEANS_ITERS)
 
 
-def _kmeans_assign_cte(name: str, cents: str) -> str:
+def _kmeans_assign_cte(name: str, cents: str, src: str = "v") -> str:
     dot = (
-        "list_sum(list_transform(range(1, len(v.e) + 1),"
-        " i -> v.e[i] * c.ce[i]))"
+        f"list_sum(list_transform(range(1, len({src}.e) + 1),"
+        f" i -> {src}.e[i] * c.ce[i]))"
     )
-    nrm_v = "sqrt(list_sum(list_transform(v.e, x -> x * x)))"
+    nrm_v = f"sqrt(list_sum(list_transform({src}.e, x -> x * x)))"
     nrm_c = "sqrt(list_sum(list_transform(c.ce, x -> x * x)))"
     c6 = f"round(({dot} / ({nrm_v} * {nrm_c})) * 1000000.0) / 1000000.0"
     return f"""{name} AS (
   SELECT vec_id, cid FROM (
-    SELECT v.vec_id, c.cid,
-           row_number() OVER (PARTITION BY v.vec_id
+    SELECT {src}.vec_id, c.cid,
+           row_number() OVER (PARTITION BY {src}.vec_id
                               ORDER BY {c6} DESC, c.cid) AS rn
-    FROM v, {cents} c) t WHERE rn = 1
+    FROM {src}, {cents} c) t WHERE rn = 1
 )"""
 
 
-def _kmeans_recompute_cte(name: str, assign: str) -> str:
+def _kmeans_recompute_cte(name: str, assign: str, src: str = "v") -> str:
     return f"""{name} AS (
   SELECT cid, list(m ORDER BY pos) AS ce FROM (
     SELECT cid, pos,
            CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS m
     FROM (
-      SELECT a.cid, generate_subscripts(v.e, 1) AS pos, unnest(v.e) AS val
-      FROM {assign} a JOIN v USING (vec_id)) u
+      SELECT a.cid, generate_subscripts({src}.e, 1) AS pos,
+             unnest({src}.e) AS val
+      FROM {assign} a JOIN {src} USING (vec_id)) u
     GROUP BY cid, pos) s
   GROUP BY cid
 )"""
 
 
-def _kmeans_ctes(k: int, iters: int) -> tuple[list[str], str]:
+def _kmeans_ctes(
+    k: int, iters: int, src: str | None = None, prefix: str = ""
+) -> tuple[list[str], str]:
     """The shared kmeans iteration replay: returns (CTE list, name of the
     final-centroid CTE). cents_0 = lowest-id k; assign_t = argmax
     rounded-cosine (cid tie-break); cents_t = per-dimension decimal mean
-    in pos order."""
-    ctes = [
-        "v AS (SELECT vec_id,"
-        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
-        " FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cid, e AS ce FROM v"
-        f" ORDER BY vec_id LIMIT {k})",
-    ]
-    prev = "c0"
+    in pos order. ``src``/``prefix`` let callers replay kmeans over a
+    custom vector CTE (e.g. a PQ subspace slice) without name clashes;
+    the defaults keep the original whole-embedding shape."""
+    ctes = []
+    if src is None:
+        src = "v"
+        ctes.append(
+            "v AS (SELECT vec_id,"
+            " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+            " FROM embeddings)"
+        )
+    ctes.append(
+        f"{prefix}c0 AS (SELECT vec_id AS cid, e AS ce FROM {src}"
+        f" ORDER BY vec_id LIMIT {k})"
+    )
+    prev = f"{prefix}c0"
     for t in range(1, iters + 1):
-        ctes.append(_kmeans_assign_cte(f"a{t}", prev))
-        ctes.append(_kmeans_recompute_cte(f"c{t}", f"a{t}"))
-        prev = f"c{t}"
+        ctes.append(_kmeans_assign_cte(f"{prefix}a{t}", prev, src))
+        ctes.append(_kmeans_recompute_cte(f"{prefix}c{t}", f"{prefix}a{t}", src))
+        prev = f"{prefix}c{t}"
     return ctes, prev
 
 
@@ -1061,6 +1071,63 @@ FROM v
 """
 
 
+PQ_M = 4
+PQ_SUBDIM = 16
+PQ_K = 4
+PQ_ITERS = 2
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes for every embedding (Jégou et al.
+    2011): 4 subspaces × 16 dims, a 4-centroid seeded-kmeans codebook
+    per subspace → each 64-float vector compresses to 4 code words (the
+    RAM-resident ANN representation at 100 TB). Codebook training and
+    assignment reuse the deterministic cosine kmeans of q_kmeans, so the
+    oracle replays all 4 subspace iterations exactly; codes are centroid
+    ids (seed vector ids), stable across engines."""
+    from ..operators.similarity import pq_codes
+
+    em = load(spark, sf_dir, "embeddings")
+    out = pq_codes(
+        em, m=PQ_M, subdim=PQ_SUBDIM, k=PQ_K, iters=PQ_ITERS
+    )
+    return out.select(
+        "vec_id",
+        *[
+            F.col(f"code_{s}").cast("bigint").alias(f"code_{s}")
+            for s in range(PQ_M)
+        ],
+    )
+
+
+def _oracle_pq_codes() -> str:
+    """Per subspace: slice CTE, the shared kmeans replay (prefixed names),
+    a final assignment; codes join back on vec_id."""
+    ctes = []
+    for s in range(PQ_M):
+        lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        ctes.append(
+            f"v{s} AS (SELECT vec_id,"
+            f" list_transform(embedding[{lo}:{hi}],"
+            " x -> CAST(x AS DOUBLE)) AS e FROM embeddings)"
+        )
+        sub, cfin = _kmeans_ctes(
+            PQ_K, PQ_ITERS, src=f"v{s}", prefix=f"s{s}_"
+        )
+        ctes += sub
+        ctes.append(_kmeans_assign_cte(f"code{s}", cfin, src=f"v{s}"))
+    joined = ",\n".join(ctes)
+    cols = ", ".join(
+        f"CAST(code{s}.cid AS BIGINT) AS code_{s}" for s in range(PQ_M)
+    )
+    joins = " ".join(
+        f"JOIN code{s} USING (vec_id)" for s in range(1, PQ_M)
+    )
+    return (
+        f"WITH {joined}\nSELECT vec_id, {cols}\nFROM code0 {joins}"
+    )
+
+
 QUERIES = {
     "q_ann_batch": q_ann_batch,
     "q_embed_quantize": q_embed_quantize,
@@ -1079,6 +1146,7 @@ QUERIES = {
     "q_kmeans": q_kmeans,
     "q_label_centroids": q_label_centroids,
     "q_random_projection": q_random_projection,
+    "q_pq_codes": q_pq_codes,
 }
 
 ORACLES = {
@@ -1099,4 +1167,5 @@ ORACLES = {
     "q_kmeans": _oracle_kmeans(),
     "q_label_centroids": ORACLE_LABEL_CENTROIDS,
     "q_random_projection": _oracle_random_projection(),
+    "q_pq_codes": _oracle_pq_codes(),
 }

@@ -172,3 +172,24 @@ def test_multiprobe_probe_generation_flips_each_bit_once(spark):
     single = S.lsh_topk_vs_query(df, tables, k=40, query_id=0).collect()
     # multiprobe candidates strictly contain the single-probe candidates
     assert {r.vec_id for r in single} <= {r.vec_id for r in got}
+
+
+def test_pq_codes_cluster_by_subspace_direction(spark):
+    """Hand-checkable PQ: 4-dim vectors, 2 subspaces of 2 dims, k=2.
+    Seeds are the two lowest ids; each subspace clusters by direction
+    ((1,0)-ish vs (0,1)-ish), and one mean update does not change the
+    memberships, so codes are the seed ids."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0]),
+        (1, [0.0, 1.0, 1.0, 0.0]),
+        (2, [2.0, 0.1, 0.1, 2.0]),
+        (3, [0.1, 2.0, 2.0, 0.1]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = {
+        r.vec_id: (r.code_0, r.code_1)
+        for r in S.pq_codes(df, m=2, subdim=2, k=2, iters=1).collect()
+    }
+    assert got == {0: (0, 0), 1: (1, 1), 2: (0, 0), 3: (1, 1)}
