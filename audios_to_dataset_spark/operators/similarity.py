@@ -104,6 +104,20 @@ def cosine_neardup_pairs(
     )
 
 
+def _bucket_bits(planes: list[list[float]], vec_col: str) -> Column:
+    """Sign-bit string of the vector's dot products with the planes."""
+    return F.concat(
+        *[
+            F.when(
+                _dot(F.col(vec_col), F.array(*[F.lit(p) for p in plane]))
+                >= 0,
+                "1",
+            ).otherwise("0")
+            for plane in planes
+        ]
+    )
+
+
 def hyperplane_buckets(
     df: DataFrame,
     planes: list[list[float]],
@@ -113,15 +127,33 @@ def hyperplane_buckets(
     """Random-hyperplane LSH: bucket key = sign-bit string of the vector's
     dot products with fixed hyperplanes. Deterministic given the planes
     (callers derive planes from a seeded RNG)."""
-    bits = [
-        F.when(_dot(F.col(vec_col), F.array(*[F.lit(p) for p in plane])) >= 0,
-               "1").otherwise("0")
-        for plane in planes
-    ]
     return df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        F.concat(*bits).alias("bucket"),
+        _bucket_bits(planes, vec_col).alias("bucket"),
+    )
+
+
+def multitable_buckets(
+    df: DataFrame,
+    tables: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """('id', 'bucket') rows for EVERY hash table in ONE scan: each input
+    row computes its |tables| bucket keys ('<table>:<sign bits>') and
+    explodes them. Row-set identical to unioning per-table
+    :func:`hyperplane_buckets` projections, but the vector table — the
+    100 TB side — is read once instead of |tables| times, and the plan
+    is a single Generate inside codegen instead of a |tables|-way Union
+    of scans."""
+    entries = [
+        F.concat(F.lit(f"{t}:"), _bucket_bits(planes, vec_col))
+        for t, planes in enumerate(tables)
+    ]
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*entries)).alias("bucket"),
     )
 
 
@@ -239,13 +271,7 @@ def lsh_topk_vs_query(
     key against a handful of broadcast query buckets, and only the
     candidate rows' vectors ever move.
     """
-    bucketed = None
-    for t, planes in enumerate(tables):
-        part = hyperplane_buckets(df, planes, id_col, vec_col).select(
-            "id",
-            F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("bucket"),
-        )
-        bucketed = part if bucketed is None else bucketed.unionByName(part)
+    bucketed = multitable_buckets(df, tables, id_col, vec_col)
     qb = bucketed.filter(F.col("id") == query_id).select("bucket")
     cand_ids = (
         bucketed.join(F.broadcast(qb), "bucket")
@@ -293,12 +319,7 @@ def multiprobe_topk_vs_query(
     pure string ops inside codegen on a tables-sized frame.
     """
     n_planes = len(tables[0])
-    bucketed = None
-    for t, planes in enumerate(tables):
-        part = hyperplane_buckets(df, planes, id_col, vec_col).select(
-            "id", F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("bucket")
-        )
-        bucketed = part if bucketed is None else bucketed.unionByName(part)
+    bucketed = multitable_buckets(df, tables, id_col, vec_col)
     qb = bucketed.filter(F.col("id") == query_id).select("bucket")
     # j = 0 keeps the exact bucket; j >= 1 flips sign bit j. The bucket
     # string is "<table>:<bits>", so flips splice the bits part only.
@@ -489,12 +510,7 @@ def lsh_bucketed_neardup_pairs(
     dedup shuffle is ids, not vectors. Tune: more planes/table → smaller
     buckets (cheaper, lower recall); more tables → higher recall
     (linearly more hashing)."""
-    bucketed = None
-    for t, planes in enumerate(tables):
-        part = hyperplane_buckets(df, planes, id_col, vec_col).select(
-            "id", F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("bucket")
-        )
-        bucketed = part if bucketed is None else bucketed.unionByName(part)
+    bucketed = multitable_buckets(df, tables, id_col, vec_col)
     a = bucketed.select(F.col("id").alias("id_a"), "bucket")
     b = bucketed.select(F.col("id").alias("id_b"), "bucket")
     cand = (
@@ -536,12 +552,7 @@ def knn_graph(
     no all-pairs anywhere."""
     from pyspark.sql import Window
 
-    bucketed = None
-    for t, planes in enumerate(tables):
-        part = hyperplane_buckets(df, planes, id_col, vec_col).select(
-            "id", F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("bucket")
-        )
-        bucketed = part if bucketed is None else bucketed.unionByName(part)
+    bucketed = multitable_buckets(df, tables, id_col, vec_col)
     a = bucketed.select(F.col("id").alias("src"), "bucket")
     b = bucketed.select(F.col("id").alias("dst"), "bucket")
     cand = (
@@ -603,13 +614,7 @@ def lsh_topk_batch(
     """
     from pyspark.sql import Window
 
-    bucketed = None
-    for t, planes in enumerate(tables):
-        part = hyperplane_buckets(df, planes, id_col, vec_col).select(
-            "id",
-            F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("bucket"),
-        )
-        bucketed = part if bucketed is None else bucketed.unionByName(part)
+    bucketed = multitable_buckets(df, tables, id_col, vec_col)
     ids = [F.lit(q) for q in query_ids]
     qb = (
         bucketed.filter(F.col("id").isin(*ids))

@@ -665,7 +665,7 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     trivial self-hit."""
     from pyspark.sql import Window
 
-    from ..operators.similarity import hyperplane_buckets
+    from ..operators.similarity import multitable_buckets
     from .dedup import PLANES
 
     probe_ids = list(range(5))
@@ -673,12 +673,7 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     v = em.select("vec_id", e.alias("e"))
 
-    bucketed = None
-    for t, planes in enumerate(PLANES):
-        part = hyperplane_buckets(em, planes).select(
-            "id", F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("bucket")
-        )
-        bucketed = part if bucketed is None else bucketed.unionByName(part)
+    bucketed = multitable_buckets(em, PLANES)
     qb = bucketed.filter(F.col("id").isin(probe_ids)).select(
         F.col("id").alias("src"), "bucket"
     )
