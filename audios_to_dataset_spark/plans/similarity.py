@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators import similarity as S
-from ._util import DEC, sround
+from ._util import DEC, sround, sround_sql
 
 QUERY_ID = 0
 TOP_K = 20
@@ -1095,10 +1095,11 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_pq_codes() -> str:
-    """Per subspace: slice CTE, the shared kmeans replay (prefixed names),
-    a final assignment; codes join back on vec_id."""
-    ctes = []
+def _pq_ctes() -> tuple[list[str], list[str]]:
+    """Shared PQ replay: per subspace a slice CTE, the kmeans chain
+    (prefixed names), and a final code assignment. Returns (CTE list,
+    final-centroid CTE name per subspace)."""
+    ctes, cfins = [], []
     for s in range(PQ_M):
         lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
         ctes.append(
@@ -1111,6 +1112,14 @@ def _oracle_pq_codes() -> str:
         )
         ctes += sub
         ctes.append(_kmeans_assign_cte(f"code{s}", cfin, src=f"v{s}"))
+        cfins.append(cfin)
+    return ctes, cfins
+
+
+def _oracle_pq_codes() -> str:
+    """Per subspace: slice CTE, the shared kmeans replay (prefixed names),
+    a final assignment; codes join back on vec_id."""
+    ctes, _ = _pq_ctes()
     joined = ",\n".join(ctes)
     cols = ", ".join(
         f"CAST(code{s}.cid AS BIGINT) AS code_{s}" for s in range(PQ_M)
@@ -1121,6 +1130,122 @@ def _oracle_pq_codes() -> str:
     return (
         f"WITH {joined}\nSELECT vec_id, {cols}\nFROM code0 {joins}"
     )
+
+
+PQ_TOPK = 20
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN serving via asymmetric distance computation
+    (ADC, Jégou et al. 2011): per subspace, the query subvector is dotted
+    against the k codebook centroids ONCE (an m×k lookup table), and
+    every database vector is scored as the cosine of the query against
+    its PQ *reconstruction* — m table lookups summed, never a
+    full-vector dot. At 100 TB the scored side carries only m small ints
+    per vector; the LUTs (m broadcast joins on the code) and the 1-row
+    query norm are driver-small, and the top-k is
+    TakeOrderedAndProject. Completes q_pq_codes' compression story with
+    the serving path."""
+    from ..operators.similarity import _dot, _kmeans_assign, kmeans_centroids
+
+    em = load(spark, sf_dir, "embeddings")
+    qrow = em.filter(F.col("vec_id") == QUERY_ID).select(
+        F.col("embedding").alias("qv"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("qn2"),
+    )
+    scored = None
+    for s in range(PQ_M):
+        sub = em.select(
+            "vec_id",
+            F.slice("embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
+        )
+        cents = kmeans_centroids(
+            sub, k=PQ_K, iters=PQ_ITERS, id_col="vec_id", vec_col="sub"
+        )
+        codes = _kmeans_assign(sub, cents, "vec_id", "sub").select(
+            "vec_id", F.col("cid").alias(f"code_{s}")
+        )
+        lut = (
+            cents.crossJoin(
+                F.broadcast(
+                    qrow.select(
+                        F.slice(
+                            "qv", s * PQ_SUBDIM + 1, PQ_SUBDIM
+                        ).alias("qsub")
+                    )
+                )
+            )
+            .select(
+                F.col("cid").alias(f"code_{s}"),
+                _dot(F.col("qsub"), F.col("cvec")).alias(f"w_{s}"),
+                _dot(F.col("cvec"), F.col("cvec")).alias(f"n_{s}"),
+            )
+        )
+        part = codes.join(F.broadcast(lut), f"code_{s}")
+        scored = part if scored is None else scored.join(part, "vec_id")
+    w = F.col("w_0")
+    n = F.col("n_0")
+    for s in range(1, PQ_M):
+        w = w + F.col(f"w_{s}")
+        n = n + F.col(f"n_{s}")
+    score = w / (F.sqrt(F.col("qn2")) * F.sqrt(n))
+    return (
+        scored.crossJoin(F.broadcast(qrow.select("qn2")))
+        .filter(F.col("vec_id") != QUERY_ID)
+        .select("vec_id", sround(score, 6).alias("pq_cos"))
+        .orderBy(F.col("pq_cos").desc(), "vec_id")
+        .limit(PQ_TOPK)
+    )
+
+
+def _oracle_ann_pq() -> str:
+    """PQ replay + per-subspace LUT CTEs + the reconstruction-cosine
+    scoring, mirroring q_ann_pq's double arithmetic order exactly."""
+    ctes, cfins = _pq_ctes()
+    ctes.append(
+        "qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        f" AS e FROM embeddings WHERE vec_id = {QUERY_ID})"
+    )
+    ctes.append(
+        "qn AS (SELECT list_sum(list_transform(e, x -> x * x)) AS qn2"
+        " FROM qv)"
+    )
+    for s in range(PQ_M):
+        lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        ctes.append(
+            f"qs{s} AS (SELECT e[{lo}:{hi}] AS qe FROM qv)"
+        )
+        dot_qc = (
+            "list_sum(list_transform(range(1, len(ce) + 1),"
+            " i -> qe[i] * ce[i]))"
+        )
+        ctes.append(
+            f"lut{s} AS (SELECT cid AS code_{s}, {dot_qc} AS w_{s},"
+            " list_sum(list_transform(ce, x -> x * x))"
+            f" AS n_{s} FROM {cfins[s]}, qs{s})"
+        )
+    joined = ",\n".join(ctes)
+    wsum = "w_0"
+    nsum = "n_0"
+    for s in range(1, PQ_M):
+        wsum = f"({wsum} + w_{s})"
+        nsum = f"({nsum} + n_{s})"
+    score = f"({wsum}) / (sqrt(qn2) * sqrt({nsum}))"
+    code_joins = " ".join(
+        f"JOIN lut{s} ON code{s}.cid = lut{s}.code_{s}"
+        for s in range(PQ_M)
+    )
+    vec_joins = " ".join(
+        f"JOIN code{s} USING (vec_id)" for s in range(1, PQ_M)
+    )
+    return f"""
+WITH {joined}
+SELECT vec_id, {sround_sql(score, 6)} AS pq_cos
+FROM code0 {vec_joins} {code_joins} CROSS JOIN qn
+WHERE vec_id <> {QUERY_ID}
+ORDER BY pq_cos DESC, vec_id
+LIMIT {PQ_TOPK}
+"""
 
 
 QUERIES = {
@@ -1142,6 +1267,7 @@ QUERIES = {
     "q_label_centroids": q_label_centroids,
     "q_random_projection": q_random_projection,
     "q_pq_codes": q_pq_codes,
+    "q_ann_pq": q_ann_pq,
 }
 
 ORACLES = {
@@ -1163,4 +1289,5 @@ ORACLES = {
     "q_label_centroids": ORACLE_LABEL_CENTROIDS,
     "q_random_projection": _oracle_random_projection(),
     "q_pq_codes": _oracle_pq_codes(),
+    "q_ann_pq": _oracle_ann_pq(),
 }
