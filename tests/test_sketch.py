@@ -126,3 +126,28 @@ def test_hll_merge_equals_direct(spark, sf_dir):
     ).first()
     assert via_merge.registers_hit == direct.registers_hit
     assert via_merge.hll_estimate == direct.hll_estimate  # bit-identical
+
+
+def test_weighted_sample_biases_toward_long_docs(spark, sf_dir):
+    """Efraimidis-Spirakis with w = n_chars must over-represent long
+    documents: the sampled mean length exceeds the corpus mean (fully
+    deterministic — keys are md5-derived, no RNG)."""
+    from audios_to_dataset_spark.plans.sketches import (
+        WSAMPLE_K,
+        q_weighted_sample,
+    )
+
+    sample = q_weighted_sample(spark, sf_dir)
+    rows = sample.collect()
+    assert len(rows) == WSAMPLE_K
+    assert len({r.doc_id for r in rows}) == WSAMPLE_K  # w/o replacement
+    from audios_to_dataset_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    corpus_mean = (
+        load(spark, sf_dir, "documents")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
