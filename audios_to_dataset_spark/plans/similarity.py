@@ -1248,6 +1248,59 @@ LIMIT {PQ_TOPK}
 """
 
 
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@20 of PQ-ADC serving against exact brute-force cosine for
+    the q_ann_pq probe — the compression-quality gate that decides
+    whether m×k codebooks are enough before shipping a PQ index
+    (mirrors q_ann_recall / q_ann_lsh_recall for the LSH paths). Both
+    sides exclude the probe itself; the exact side ranks on the same
+    rounded cosine as q_ann_topk."""
+    em = load(spark, sf_dir, "embeddings")
+    from ..operators.similarity import cosine_vs_query
+
+    exact = (
+        cosine_vs_query(em, query_id=QUERY_ID)
+        .filter(F.col("vec_id") != QUERY_ID)
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(PQ_TOPK)
+        .select("vec_id")
+    )
+    pq = q_ann_pq(spark, sf_dir).select("vec_id")
+    return pq.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        (
+            F.count(F.lit(1)).cast("double") / F.lit(float(PQ_TOPK))
+        ).alias("recall"),
+    )
+
+
+def _oracle_ann_pq_recall() -> str:
+    cos = (
+        "round((list_sum(list_transform(range(1, len(e) + 1),"
+        " i -> e[i] * qe[i]))"
+        " / (sqrt(list_sum(list_transform(e, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(qe, x -> x * x)))))"
+        " * 1000.0) / 1000.0 + 0.0"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), q AS (SELECT e AS qe FROM v WHERE vec_id = {QUERY_ID}),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, {cos} AS cos_sim FROM v CROSS JOIN q
+    WHERE vec_id <> {QUERY_ID})
+  ORDER BY cos_sim DESC, vec_id LIMIT {PQ_TOPK}
+), pq AS (
+  SELECT vec_id FROM ({_oracle_ann_pq()}) t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / {float(PQ_TOPK)!r} AS recall
+FROM pq JOIN exact USING (vec_id)
+"""
+
+
 QUERIES = {
     "q_ann_batch": q_ann_batch,
     "q_embed_quantize": q_embed_quantize,
@@ -1268,6 +1321,7 @@ QUERIES = {
     "q_random_projection": q_random_projection,
     "q_pq_codes": q_pq_codes,
     "q_ann_pq": q_ann_pq,
+    "q_ann_pq_recall": q_ann_pq_recall,
 }
 
 ORACLES = {
@@ -1290,4 +1344,5 @@ ORACLES = {
     "q_random_projection": _oracle_random_projection(),
     "q_pq_codes": _oracle_pq_codes(),
     "q_ann_pq": _oracle_ann_pq(),
+    "q_ann_pq_recall": _oracle_ann_pq_recall(),
 }
