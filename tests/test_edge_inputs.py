@@ -88,3 +88,25 @@ def test_queries_tolerate_empty_and_singleton_tables(spark, tmp_path):
     )
     for name in battery:
         qs[name](spark, dst).collect()  # must not raise
+
+
+def test_kcore_empty_edges(spark):
+    from audios_to_dataset_spark.operators.graph import k_core_peel
+
+    e = spark.createDataFrame([], "src long, dst long")
+    assert k_core_peel(e, k=2, rounds=2).count() == 0
+
+
+def test_pq_codes_fewer_vectors_than_k(spark):
+    # k=4 codebook over 2 vectors: seeds are just the 2 ids; codes valid
+    from audios_to_dataset_spark.operators.similarity import pq_codes
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: r.code_0
+        for r in pq_codes(df, m=1, subdim=2, k=4, iters=1).collect()
+    }
+    assert got == {0: 0, 1: 1}
