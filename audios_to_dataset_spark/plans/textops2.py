@@ -614,7 +614,13 @@ BM25_TERMS = ("spark", "query", "window")
 BM25_TOPK = 15
 
 
-def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_topk(
+    d: DataFrame,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+) -> DataFrame:
     """Okapi BM25 ranking (Robertson & Zaragoza 2009, public literature)
     of documents against a fixed keyword query — the retrieval scorer a
     curation pipeline uses for targeted corpus slices. tf saturation and
@@ -629,8 +635,10 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     so only query-term rows survive into the tf aggregate; df (≤ |terms|
     rows) and the 1-row corpus stats are broadcast; the dl join shuffles
     on doc_id; final top-k is orderBy+limit → TakeOrderedAndProject
-    (per-partition partial top-k, no single-partition window)."""
-    d = load(spark, sf_dir, "documents")
+    (per-partition partial top-k, no single-partition window).
+
+    ``d`` needs (doc_id, text); tested against a pure-Python replica in
+    tests/test_curation_ops.py and the DuckDB oracle (ORACLE_BM25)."""
     dl = d.select(
         "doc_id",
         F.size(F.filter(_tokens(), lambda t: t != "")).alias("dl"),
@@ -641,7 +649,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = (
         d.select("doc_id", F.explode(_tokens()).alias("token"))
-        .filter(F.col("token").isin(*BM25_TERMS))
+        .filter(F.col("token").isin(*terms))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
@@ -652,12 +660,12 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = (
         F.col("nd").cast("double") - F.col("df").cast("double") + F.lit(0.5)
     ) / (F.col("df").cast("double") + F.lit(0.5))
-    sat = (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / (
+    sat = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
         F.col("tf").cast("double")
-        + F.lit(BM25_K1)
+        + F.lit(k1)
         * (
-            F.lit(1.0 - BM25_B)
-            + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+            F.lit(1.0 - b)
+            + F.lit(b) * (F.col("dl").cast("double") / avgdl)
         )
     )
     scored = (
@@ -675,8 +683,13 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_terms", sround(F.col("_s"), 9).alias("score")
         )
         .orderBy(F.col("score").desc(), "doc_id")
-        .limit(BM25_TOPK)
+        .limit(topk)
     )
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 for the fixed keyword query — see :func:`bm25_topk`."""
+    return bm25_topk(load(spark, sf_dir, "documents"))
 
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)

@@ -75,3 +75,71 @@ def test_source_cap_never_exceeds_cap(spark, sf_dir):
 
     for r in q_source_cap(spark, sf_dir).collect():
         assert r.n_kept <= min(SOURCE_CAP, r.n_docs)
+
+
+def test_bm25_matches_pure_python(spark):
+    """bm25_topk's determinism contract: a pure-Python replica with the
+    identical arithmetic order (IEEE doubles, shortest-repr decimal
+    quantization half-up, per-doc decimal sum) reproduces every score
+    bit-for-bit — no tolerance."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from audios_to_dataset_spark.plans.textops2 import bm25_topk
+
+    docs = [
+        (1, "spark query window spark"),
+        (2, "query the window"),
+        (3, "nothing relevant here"),
+        (4, "spark spark spark spark query"),
+        (5, "window"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r.doc_id, r.n_terms, r.score)
+        for r in bm25_topk(df, topk=5).collect()
+    ]
+
+    terms = ("spark", "query", "window")
+    k1, b = 1.5, 0.75
+    toks = {
+        i: [t for t in txt.lower().split(" ") if t != ""] for i, txt in docs
+    }
+    dls = {i: len(ts) for i, ts in toks.items()}
+    nd, tot = len(docs), sum(dls.values())
+    avgdl = float(tot) / float(nd)
+    tf: Counter = Counter()
+    for i, ts in toks.items():
+        for t in ts:
+            if t in terms:
+                tf[(i, t)] += 1
+    dfc = Counter(t for (_, t) in tf)
+
+    def q6(x: float) -> Decimal:
+        # Spark's double->decimal(28,6) cast: shortest repr, HALF_UP
+        return Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+
+    def sround9(x: float) -> float:
+        # plans/_util.sround: round(x*1e9)/1e9 + 0.0 with HALF_UP
+        scaled = Decimal(repr(x * 1e9)).quantize(
+            Decimal("1"), rounding=ROUND_HALF_UP
+        )
+        return float(scaled) / 1e9 + 0.0
+
+    weights: dict[int, list[float]] = {}
+    for (i, t), f in tf.items():
+        idf = (float(nd) - float(dfc[t]) + 0.5) / (float(dfc[t]) + 0.5)
+        sat = (float(f) * (k1 + 1.0)) / (
+            float(f) + k1 * ((1.0 - b) + b * (float(dls[i]) / avgdl))
+        )
+        weights.setdefault(i, []).append(idf * sat)
+    exp = sorted(
+        (
+            (i, len(ws), sround9(float(sum(q6(w) for w in ws))))
+            for i, ws in weights.items()
+        ),
+        key=lambda r: (-r[2], r[0]),
+    )
+    assert got == exp
