@@ -452,6 +452,106 @@ def kmeans_assignments(
     return _kmeans_assign(df, cents, id_col, vec_col).select(id_col, "cid")
 
 
+def pq_subvectors(
+    df: DataFrame,
+    m: int,
+    subdim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, s, sub): every vector exploded into its ``m`` contiguous
+    ``subdim``-wide subvectors — ONE scan of the vector table feeds all
+    subspaces (the per-subspace-loop alternative rescans the 100 TB side
+    m times per kmeans iteration)."""
+    parts = [
+        F.struct(
+            F.lit(s).cast("int").alias("s"),
+            F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("sub"),
+        )
+        for s in range(m)
+    ]
+    return df.select(
+        F.col(id_col), F.explode(F.array(*parts)).alias("_p")
+    ).select(id_col, F.col("_p.s").alias("s"), F.col("_p.sub").alias("sub"))
+
+
+def _pq_assign(
+    sub: DataFrame, cents: DataFrame, id_col: str
+) -> DataFrame:
+    """Per-subspace centroid assignment: broadcast the (s, cid, cvec)
+    codebooks, equi-join on the subspace, argmax rounded cosine with a
+    cid tie-break — the grouped twin of :func:`_kmeans_assign` (identical
+    arithmetic per subspace, so the same SQL replay applies)."""
+    cos = _dot(F.col("sub"), F.col("cvec")) / (
+        _norm(F.col("sub")) * _norm(F.col("cvec"))
+    )
+    scored = sub.join(F.broadcast(cents), "s").select(
+        id_col, "s", "sub", "cid", sround(cos, 6).alias("_c6")
+    )
+    pick = Window.partitionBy(id_col, "s").orderBy(
+        F.col("_c6").desc(), "cid"
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "s", "sub", "cid")
+    )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int,
+    subdim: int,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(s, cid, cvec) codebooks for all ``m`` PQ subspaces, trained as
+    ONE grouped seeded kmeans: the subvector table (id, s, sub) carries
+    every subspace, each iteration is a single broadcast assignment plus
+    a single (s, cid, pos) decimal-mean shuffle — m codebooks for the
+    per-iteration cost of one. Seeds are the k lowest ids (identical
+    across subspaces), matching :func:`kmeans_centroids`'s init, so the
+    arithmetic per subspace equals the independent-loop formulation and
+    the same DuckDB replay oracle applies."""
+    from ..plans._util import DEC
+
+    sub = pq_subvectors(df, m, subdim, id_col, vec_col)
+    seed_ids = df.select(id_col).orderBy(id_col).limit(k)
+    cents = sub.join(F.broadcast(seed_ids), id_col).select(
+        "s", F.col(id_col).alias("cid"), F.col("sub").alias("cvec")
+    )
+    for _ in range(iters):
+        a = _pq_assign(sub, cents, id_col)
+        flat = a.select(
+            "s", "cid", F.posexplode(F.col("sub")).alias("pos", "val")
+        )
+        means = flat.groupBy("s", "cid", "pos").agg(
+            (
+                F.sum(F.col("val").cast("double").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        cents = (
+            means.groupBy("s", "cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("_pm")
+            )
+            .select(
+                "s",
+                "cid",
+                F.transform("_pm", lambda x: x["m"]).alias("cvec"),
+            )
+            # m×k rows — cache so the next assignment and recompute don't
+            # replay the whole iteration lineage
+            .cache()
+        )
+    return cents
+
+
 def pq_codes(
     df: DataFrame,
     m: int,
@@ -463,29 +563,28 @@ def pq_codes(
 ) -> DataFrame:
     """Product quantization (Jégou, Douze & Schmid 2011, public
     literature): split each vector into ``m`` contiguous ``subdim``-wide
-    subvectors, train an independent seeded-kmeans codebook per subspace
-    (same deterministic cosine kmeans as :func:`kmeans_centroids`, so the
+    subvectors, train a seeded-kmeans codebook per subspace (same
+    deterministic cosine kmeans as :func:`kmeans_centroids`, so the
     DuckDB oracle replays it), and emit each vector's code word — the
     centroid id — per subspace. m codes of log2(k) bits replace
     m×subdim floats: THE memory-compression path that lets a 100 TB
     embedding corpus serve ANN from RAM (codebooks are k×subdim doubles,
     broadcast; distances against codes become m table lookups).
 
-    Scale shape: per subspace, the kmeans iterations are broadcast
-    assignment + one (cid, pos) mean shuffle; the final code frames join
-    back on the id — m small equi-joins, no all-pairs anywhere.
-    """
-    out = None
-    for s in range(m):
-        sub = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("sub"),
-        )
-        codes = kmeans_assignments(
-            sub, k=k, iters=iters, id_col=id_col, vec_col="sub"
-        ).select(id_col, F.col("cid").alias(f"code_{s}"))
-        out = codes if out is None else out.join(codes, id_col)
-    return out
+    Scale shape: all subspaces train and assign through the grouped
+    subvector table (:func:`pq_codebooks`) — one scan + one (id, s)
+    window per assignment, one (s, cid, pos) shuffle per recompute,
+    regardless of m; the final per-vector code row is a pivot-free
+    max(CASE) aggregate keyed on the id."""
+    sub = pq_subvectors(df, m, subdim, id_col, vec_col)
+    cents = pq_codebooks(df, m, subdim, k, iters, id_col, vec_col)
+    a = _pq_assign(sub, cents, id_col).select(id_col, "s", "cid")
+    return a.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("cid"))).alias(f"code_{s}")
+            for s in range(m)
+        ]
+    )
 
 
 def lsh_bucketed_neardup_pairs(

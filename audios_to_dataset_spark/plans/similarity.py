@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators import similarity as S
-from ._util import DEC, sround, sround_sql
+from ._util import DEC, DEC_SQL, sround, sround_sql
 
 QUERY_ID = 0
 TOP_K = 20
@@ -1146,51 +1146,41 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     query norm are driver-small, and the top-k is
     TakeOrderedAndProject. Completes q_pq_codes' compression story with
     the serving path."""
-    from ..operators.similarity import _dot, _kmeans_assign, kmeans_centroids
+    from ..operators.similarity import (
+        _dot,
+        _pq_assign,
+        pq_codebooks,
+        pq_subvectors,
+    )
 
     em = load(spark, sf_dir, "embeddings")
-    qrow = em.filter(F.col("vec_id") == QUERY_ID).select(
-        F.col("embedding").alias("qv"),
-        _dot(F.col("embedding"), F.col("embedding")).alias("qn2"),
+    sub = pq_subvectors(em, PQ_M, PQ_SUBDIM)
+    cents = pq_codebooks(em, PQ_M, PQ_SUBDIM, k=PQ_K, iters=PQ_ITERS)
+    codes = _pq_assign(sub, cents, "vec_id").select("vec_id", "s", "cid")
+    qdf = em.filter(F.col("vec_id") == QUERY_ID)
+    qsubs = pq_subvectors(qdf, PQ_M, PQ_SUBDIM).select(
+        "s", F.col("sub").alias("qsub")
     )
-    scored = None
-    for s in range(PQ_M):
-        sub = em.select(
-            "vec_id",
-            F.slice("embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
+    qn = qdf.select(
+        _dot(F.col("embedding"), F.col("embedding")).alias("qn2")
+    )
+    lut = cents.join(F.broadcast(qsubs), "s").select(
+        "s",
+        "cid",
+        _dot(F.col("qsub"), F.col("cvec")).alias("w"),
+        _dot(F.col("cvec"), F.col("cvec")).alias("n"),
+    )
+    agg = (
+        codes.join(F.broadcast(lut), ["s", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("w").cast(DEC)).cast("double").alias("wsum"),
+            F.sum(F.col("n").cast(DEC)).cast("double").alias("nsum"),
         )
-        cents = kmeans_centroids(
-            sub, k=PQ_K, iters=PQ_ITERS, id_col="vec_id", vec_col="sub"
-        )
-        codes = _kmeans_assign(sub, cents, "vec_id", "sub").select(
-            "vec_id", F.col("cid").alias(f"code_{s}")
-        )
-        lut = (
-            cents.crossJoin(
-                F.broadcast(
-                    qrow.select(
-                        F.slice(
-                            "qv", s * PQ_SUBDIM + 1, PQ_SUBDIM
-                        ).alias("qsub")
-                    )
-                )
-            )
-            .select(
-                F.col("cid").alias(f"code_{s}"),
-                _dot(F.col("qsub"), F.col("cvec")).alias(f"w_{s}"),
-                _dot(F.col("cvec"), F.col("cvec")).alias(f"n_{s}"),
-            )
-        )
-        part = codes.join(F.broadcast(lut), f"code_{s}")
-        scored = part if scored is None else scored.join(part, "vec_id")
-    w = F.col("w_0")
-    n = F.col("n_0")
-    for s in range(1, PQ_M):
-        w = w + F.col(f"w_{s}")
-        n = n + F.col(f"n_{s}")
-    score = w / (F.sqrt(F.col("qn2")) * F.sqrt(n))
+    )
+    score = F.col("wsum") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("nsum")))
     return (
-        scored.crossJoin(F.broadcast(qrow.select("qn2")))
+        agg.crossJoin(F.broadcast(qn))
         .filter(F.col("vec_id") != QUERY_ID)
         .select("vec_id", sround(score, 6).alias("pq_cos"))
         .orderBy(F.col("pq_cos").desc(), "vec_id")
@@ -1200,7 +1190,8 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_ann_pq() -> str:
     """PQ replay + per-subspace LUT CTEs + the reconstruction-cosine
-    scoring, mirroring q_ann_pq's double arithmetic order exactly."""
+    scoring. The per-vector sums over subspaces go through the decimal
+    domain (order-independent), mirroring q_ann_pq's grouped aggregate."""
     ctes, cfins = _pq_ctes()
     ctes.append(
         "qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -1220,28 +1211,28 @@ def _oracle_ann_pq() -> str:
             " i -> qe[i] * ce[i]))"
         )
         ctes.append(
-            f"lut{s} AS (SELECT cid AS code_{s}, {dot_qc} AS w_{s},"
+            f"lut{s} AS (SELECT cid, {dot_qc} AS w,"
             " list_sum(list_transform(ce, x -> x * x))"
-            f" AS n_{s} FROM {cfins[s]}, qs{s})"
+            f" AS n FROM {cfins[s]}, qs{s})"
         )
-    joined = ",\n".join(ctes)
-    wsum = "w_0"
-    nsum = "n_0"
-    for s in range(1, PQ_M):
-        wsum = f"({wsum} + w_{s})"
-        nsum = f"({nsum} + n_{s})"
-    score = f"({wsum}) / (sqrt(qn2) * sqrt({nsum}))"
-    code_joins = " ".join(
-        f"JOIN lut{s} ON code{s}.cid = lut{s}.code_{s}"
+    parts = " UNION ALL ".join(
+        f"SELECT code{s}.vec_id, lut{s}.w, lut{s}.n"
+        f" FROM code{s} JOIN lut{s} USING (cid)"
         for s in range(PQ_M)
     )
-    vec_joins = " ".join(
-        f"JOIN code{s} USING (vec_id)" for s in range(1, PQ_M)
+    ctes.append(f"scored AS ({parts})")
+    ctes.append(
+        "agg AS (SELECT vec_id,"
+        f" CAST(SUM(CAST(w AS {DEC_SQL})) AS DOUBLE) AS wsum,"
+        f" CAST(SUM(CAST(n AS {DEC_SQL})) AS DOUBLE) AS nsum"
+        " FROM scored GROUP BY vec_id)"
     )
+    joined = ",\n".join(ctes)
+    score = "wsum / (sqrt(qn2) * sqrt(nsum))"
     return f"""
 WITH {joined}
 SELECT vec_id, {sround_sql(score, 6)} AS pq_cos
-FROM code0 {vec_joins} {code_joins} CROSS JOIN qn
+FROM agg CROSS JOIN qn
 WHERE vec_id <> {QUERY_ID}
 ORDER BY pq_cos DESC, vec_id
 LIMIT {PQ_TOPK}
