@@ -57,8 +57,9 @@ HEADLINE = [
     "q_rarity_score",
     "q_knn_graph",
     "q_hybrid_search",
-    # round-4 additions — totals before r04 exclude these four (~6 s):
-    # compare per-query, not the headline total, across rounds
+    # round-4 additions — totals before r04 exclude these four (~9 s,
+    # q_kcore's k-NN base dominating): compare per-query, not the
+    # headline total, across rounds
     "q_bm25",
     "q_weighted_sample",
     "q_kcore",

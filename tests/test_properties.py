@@ -115,3 +115,49 @@ def test_morton_bijective_and_monotone_blocks(x, y):
         rx |= ((z >> (2 * bit)) & 1) << bit
         ry |= ((z >> (2 * bit + 1)) & 1) << bit
     assert (rx, ry) == (x, y)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=12, deadline=None)
+def test_kcore_matches_python_peel(spark, edge_list, k, rounds):
+    """k_core_peel against a literal python replay of synchronous
+    peeling on random ≤8-node graphs (self-loops dropped, like the
+    operator's distinct-undirected normalization)."""
+    from audios_to_dataset_spark.operators.graph import k_core_peel
+
+    edges = {(a, b) for a, b in edge_list if a != b}
+    und = {frozenset(e) for e in edges}
+    # python replay
+    adj: dict[int, set[int]] = {}
+    for e in und:
+        a, b = tuple(e)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected: dict[int, int] = {}
+    for _ in range(rounds):
+        deg = {n: len(ns) for n, ns in adj.items()}
+        keep = {n for n, d in deg.items() if d >= k}
+        expected = {n: deg[n] for n in keep}
+        adj = {
+            n: {x for x in ns if x in keep}
+            for n, ns in adj.items()
+            if n in keep
+        }
+    if not edges:
+        return  # createDataFrame([], schema) path covered elsewhere
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {
+        r.id: r.core_deg
+        for r in k_core_peel(df, k=k, rounds=rounds).collect()
+    }
+    assert got == expected
