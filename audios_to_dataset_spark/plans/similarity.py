@@ -1239,6 +1239,82 @@ LIMIT {PQ_TOPK}
 """
 
 
+def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook-health report: per (subspace, centroid), member count
+    and mean member-to-centroid cosine — the quantization-distortion
+    audit run before shipping a codebook (empty or low-similarity cells
+    mean k/iters are wrong for the corpus). Completes the PQ family:
+    q_pq_codes (compression) → q_ann_pq (serving) → q_ann_pq_recall
+    (serving quality) → this (codebook quality).
+
+    Scale shape: one grouped assignment (broadcast codebooks + per-(id,s)
+    window) and one (s, cid) aggregate — map-side combinable; means go
+    through the decimal domain."""
+    from ..operators.similarity import (
+        _dot,
+        _norm,
+        _pq_assign,
+        pq_codebooks,
+        pq_subvectors,
+    )
+
+    em = load(spark, sf_dir, "embeddings")
+    sub = pq_subvectors(em, PQ_M, PQ_SUBDIM)
+    cents = pq_codebooks(em, PQ_M, PQ_SUBDIM, k=PQ_K, iters=PQ_ITERS)
+    a = _pq_assign(sub, cents, "vec_id")
+    cos = _dot(F.col("sub"), F.col("cvec")) / (
+        _norm(F.col("sub")) * _norm(F.col("cvec"))
+    )
+    joined = a.join(F.broadcast(cents), ["s", "cid"]).select(
+        "s", "cid", sround(cos, 6).alias("_c6")
+    )
+    return (
+        joined.groupBy("s", "cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            (
+                F.sum(F.col("_c6").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_m"),
+        )
+        .select(
+            F.col("s").cast("bigint").alias("subspace"),
+            F.col("cid").cast("bigint").alias("code"),
+            "n_members",
+            sround(F.col("_m"), 9).alias("mean_cos"),
+        )
+    )
+
+
+def _oracle_pq_distortion() -> str:
+    """PQ replay + per-subspace member-cosine re-score (the identical
+    rounded cosine the assignment used), decimal-mean per (s, cid)."""
+    ctes, cfins = _pq_ctes()
+    dot = (
+        "list_sum(list_transform(range(1, len(v.e) + 1),"
+        " i -> v.e[i] * c.ce[i]))"
+    )
+    nv = "sqrt(list_sum(list_transform(v.e, x -> x * x)))"
+    nc = "sqrt(list_sum(list_transform(c.ce, x -> x * x)))"
+    c6 = f"(round(({dot} / ({nv} * {nc})) * 1000000.0) / 1000000.0) + 0.0"
+    parts = " UNION ALL ".join(
+        f"SELECT {s} AS s, a.cid, {c6} AS c6"
+        f" FROM code{s} a JOIN v{s} v USING (vec_id)"
+        f" JOIN {cfins[s]} c ON c.cid = a.cid"
+        for s in range(PQ_M)
+    )
+    ctes.append(f"members AS ({parts})")
+    joined = ",\n".join(ctes)
+    mean = f"CAST(SUM(CAST(c6 AS {DEC_SQL})) AS DOUBLE) / COUNT(*)"
+    return f"""
+WITH {joined}
+SELECT CAST(s AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS code,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       {sround_sql(mean, 9)} AS mean_cos
+FROM members GROUP BY s, cid
+"""
+
+
 def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@20 of PQ-ADC serving against exact brute-force cosine for
     the q_ann_pq probe — the compression-quality gate that decides
@@ -1313,6 +1389,7 @@ QUERIES = {
     "q_pq_codes": q_pq_codes,
     "q_ann_pq": q_ann_pq,
     "q_ann_pq_recall": q_ann_pq_recall,
+    "q_pq_distortion": q_pq_distortion,
 }
 
 ORACLES = {
@@ -1336,4 +1413,5 @@ ORACLES = {
     "q_pq_codes": _oracle_pq_codes(),
     "q_ann_pq": _oracle_ann_pq(),
     "q_ann_pq_recall": _oracle_ann_pq_recall(),
+    "q_pq_distortion": _oracle_pq_distortion(),
 }
