@@ -259,6 +259,8 @@ def k_core_peel(
     collects. Edges are localCheckpoint'ed per round so lineage depth
     stays O(1) per round, not O(rounds²).
     """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(
@@ -269,9 +271,11 @@ def k_core_peel(
     if checkpoint:
         und = und.localCheckpoint(eager=True)
     keep = None
-    for _ in range(rounds):
+    for it in range(rounds):
         deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k)
+        if it == rounds - 1:
+            break  # the restricted edge set is never read after the loop
         und = (
             und.join(keep.select("a"), "a")
             .join(
@@ -282,7 +286,6 @@ def k_core_peel(
         )
         if checkpoint:
             und = und.localCheckpoint(eager=True)
-    assert keep is not None
     return keep.select(
         F.col("a").alias("id"), F.col("d").alias("core_deg")
     )

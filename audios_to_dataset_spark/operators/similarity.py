@@ -118,22 +118,6 @@ def _bucket_bits(planes: list[list[float]], vec_col: str) -> Column:
     )
 
 
-def hyperplane_buckets(
-    df: DataFrame,
-    planes: list[list[float]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Random-hyperplane LSH: bucket key = sign-bit string of the vector's
-    dot products with fixed hyperplanes. Deterministic given the planes
-    (callers derive planes from a seeded RNG)."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        _bucket_bits(planes, vec_col).alias("bucket"),
-    )
-
-
 def multitable_buckets(
     df: DataFrame,
     tables: list[list[list[float]]],
@@ -142,8 +126,8 @@ def multitable_buckets(
 ) -> DataFrame:
     """('id', 'bucket') rows for EVERY hash table in ONE scan: each input
     row computes its |tables| bucket keys ('<table>:<sign bits>') and
-    explodes them. Row-set identical to unioning per-table
-    :func:`hyperplane_buckets` projections, but the vector table — the
+    explodes them. Row-set identical to unioning per-table single-scan
+    bucket projections, but the vector table — the
     100 TB side — is read once instead of |tables| times, and the plan
     is a single Generate inside codegen instead of a |tables|-way Union
     of scans."""
@@ -409,6 +393,7 @@ def kmeans_centroids(
         .orderBy("cid")
         .limit(k)
     )
+    prev = None
     for _ in range(iters):
         a = _kmeans_assign(df, cents, id_col, vec_col)
         flat = a.select(
@@ -434,6 +419,11 @@ def kmeans_centroids(
             # doesn't replay the whole iteration lineage
             .cache()
         )
+        # drop the previous iteration's dead cache entry (caller owns the
+        # final frame), mirroring pq_codebooks
+        if prev is not None:
+            prev.unpersist()
+        prev = cents
     return cents
 
 
@@ -522,6 +512,7 @@ def pq_codebooks(
     cents = sub.join(F.broadcast(seed_ids), id_col).select(
         "s", F.col(id_col).alias("cid"), F.col("sub").alias("cvec")
     )
+    prev = None
     for _ in range(iters):
         a = _pq_assign(sub, cents, id_col)
         flat = a.select(
@@ -549,6 +540,12 @@ def pq_codebooks(
             # replay the whole iteration lineage
             .cache()
         )
+        # the previous iteration's cached centroids are dead once the new
+        # ones exist; unpersist so repeated PQ queries don't accumulate
+        # cache entries for the app lifetime (caller owns the final frame)
+        if prev is not None:
+            prev.unpersist()
+        prev = cents
     return cents
 
 

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators import similarity as S
-from ._util import DEC, DEC_SQL, sround, sround_sql
+from ._util import DEC, dsum, dsum_sql, sround, sround_sql
 
 QUERY_ID = 0
 TOP_K = 20
@@ -1174,8 +1174,8 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.join(F.broadcast(lut), ["s", "cid"])
         .groupBy("vec_id")
         .agg(
-            F.sum(F.col("w").cast(DEC)).cast("double").alias("wsum"),
-            F.sum(F.col("n").cast(DEC)).cast("double").alias("nsum"),
+            dsum("w").alias("wsum"),
+            dsum("n").alias("nsum"),
         )
     )
     score = F.col("wsum") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("nsum")))
@@ -1223,8 +1223,8 @@ def _oracle_ann_pq() -> str:
     ctes.append(f"scored AS ({parts})")
     ctes.append(
         "agg AS (SELECT vec_id,"
-        f" CAST(SUM(CAST(w AS {DEC_SQL})) AS DOUBLE) AS wsum,"
-        f" CAST(SUM(CAST(n AS {DEC_SQL})) AS DOUBLE) AS nsum"
+        f" {dsum_sql('w')} AS wsum,"
+        f" {dsum_sql('n')} AS nsum"
         " FROM scored GROUP BY vec_id)"
     )
     joined = ",\n".join(ctes)
@@ -1272,10 +1272,7 @@ def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("s", "cid")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            (
-                F.sum(F.col("_c6").cast(DEC)).cast("double")
-                / F.count(F.lit(1))
-            ).alias("_m"),
+            (dsum("_c6") / F.count(F.lit(1))).alias("_m"),
         )
         .select(
             F.col("s").cast("bigint").alias("subspace"),
@@ -1305,7 +1302,7 @@ def _oracle_pq_distortion() -> str:
     )
     ctes.append(f"members AS ({parts})")
     joined = ",\n".join(ctes)
-    mean = f"CAST(SUM(CAST(c6 AS {DEC_SQL})) AS DOUBLE) / COUNT(*)"
+    mean = f"{dsum_sql('c6')} / COUNT(*)"
     return f"""
 WITH {joined}
 SELECT CAST(s AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS code,

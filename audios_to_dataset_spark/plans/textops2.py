@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ._util import DEC, sround, sround_sql
+from ._util import DEC, dsum, dsum_sql, sround, sround_sql
 
 SEQ_LEN = 512
 SOURCE_CAP = 10
@@ -676,7 +676,7 @@ def bm25_topk(
     )
     agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-        F.sum(F.col("w").cast(DEC)).cast("double").alias("_s"),
+        dsum("w").alias("_s"),
     )
     return (
         agg.select(
@@ -725,7 +725,7 @@ WITH dl AS (
   FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
 ), agg AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
-         CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS s
+         {dsum_sql('w')} AS s
   FROM scored GROUP BY doc_id
 )
 SELECT doc_id, n_terms, {sround_sql('s', 9)} AS score
