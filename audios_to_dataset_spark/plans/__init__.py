@@ -40,12 +40,13 @@ def _modules():
     # iteration order. Rounds 1-3 covered the relational + dedup/
     # similarity/multimodal/streaming families plus the first nine text
     # queries (100 unique); round 4 rotates never-driver-checked queries
-    # into the first-50 window: sketches (HLL/count-min/pagerank),
-    # analytics (asof/skyline/dedup clusters/funnel), then the unseen
-    # textops tail (led by q_inverted_index, flagged absent from every
-    # CORRECTNESS_r* in the r3 review). events/tpch2/textops2 queue
-    # behind for the round-5 window; previously-green families fill in
-    # after.
+    # into the first-50 window: sketches (HLL/count-min/pagerank, plus
+    # the new kcore/weighted-sample), analytics (asof/skyline/dedup
+    # clusters/funnel), then the unseen textops tail (led by
+    # q_inverted_index, flagged absent from every CORRECTNESS_r* in the
+    # r3 review). ROUND 5: move events, tpch2, versioning, textops2
+    # (q_bm25) and the new similarity PQ queries to the front — they
+    # will then be the only families without a driver row.
     return (sketches, analytics, textops, events, tpch2, versioning, paths,
             textops2, dedup, similarity, multimodal, streaming_events,
             curation, relational, relational2)
