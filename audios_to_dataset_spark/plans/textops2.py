@@ -257,6 +257,17 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode linear in vocabulary size rather than corpus size — at
     100 TB the vocab is millions while the corpus is trillions."""
     d = load(spark, sf_dir, "documents")
+    return (
+        _bpe_pair_counts(d)
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+def _bpe_pair_counts(d: DataFrame) -> DataFrame:
+    """(pair, n): corpus-weighted adjacent-character-pair counts — the
+    shared scan under q_bpe_merges (ranked list) and q_bpe_apply
+    (merge application)."""
     words = (
         d.select(F.explode(_tokens()).alias("word"))
         .filter(F.col("word") != "")
@@ -273,11 +284,8 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.substring(F.col("word"), F.col("i"), 2).alias("pair"), "n_word"
     )
-    return (
-        pairs.groupBy("pair")
-        .agg(F.sum("n_word").cast("bigint").alias("n"))
-        .orderBy(F.col("n").desc(), "pair")
-        .limit(20)
+    return pairs.groupBy("pair").agg(
+        F.sum("n_word").cast("bigint").alias("n")
     )
 
 
@@ -292,6 +300,108 @@ pairs AS (
         FROM words WHERE length(word) >= 2) p)
 SELECT pair, CAST(SUM(n_word) AS BIGINT) AS n
 FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+BPE_APPLY_K = 5
+_BPE_MARK_BASE = 57344  # U+E000 private-use; testdata text is ASCII
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training, step two: APPLY the learned top-5 BPE merges
+    to every document — each merge rewrites its character pair to a
+    fresh private-use symbol, in rank order, exactly the cascading
+    replacement real BPE performs — and report the per-document symbol
+    counts before/after plus the compression ratio (the statistic that
+    decides whether the merge table is worth shipping).
+
+    The merge table never touches the driver: the ranked merges are
+    collected into ONE array row (collect_list over the 5-row top-k,
+    sorted by a (−n, pair) struct key), broadcast, and folded over each
+    document with ``aggregate`` + ``replace`` — JVM-side, no Python, no
+    collect(). Pairs are intra-word by construction, so whole-text
+    replacement cannot match across a space. At 100 TB the pair scan is
+    vocabulary-bound (see q_bpe_merges) and the application is one
+    stateless map over the corpus."""
+    d = load(spark, sf_dir, "documents")
+    top = (
+        _bpe_pair_counts(d)
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(BPE_APPLY_K)
+    )
+    ms = top.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct((-F.col("n")).alias("negn"), F.col("pair"))
+            )
+        ).alias("ms0")
+    ).select(
+        F.transform(
+            "ms0",
+            lambda m, i: F.struct(
+                m["pair"].alias("pair"),
+                (i + 1).cast("int").alias("rk"),
+            ),
+        ).alias("ms")
+    )
+    merged = F.aggregate(
+        F.col("ms"),
+        F.lower(F.col("text")),
+        lambda acc, m: F.replace(
+            acc, m["pair"], F.chr(F.lit(_BPE_MARK_BASE) + m["rk"])
+        ),
+    )
+    before = F.length(
+        F.replace(F.lower(F.col("text")), F.lit(" "), F.lit(""))
+    )
+    after = F.length(F.replace(merged, F.lit(" "), F.lit("")))
+    return (
+        d.crossJoin(F.broadcast(ms))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            before.cast("bigint").alias("n_syms_before"),
+            after.cast("bigint").alias("n_syms_after"),
+            (after.cast("double") / before.cast("double")).alias(
+                "compression"
+            ),
+        )
+    )
+
+
+def _oracle_bpe_apply() -> str:
+    """Rank the same top-5 pairs (window over a 5-row frame — oracle
+    side only; the Spark side folds an indexed array instead) and nest
+    the replace() chain in rank order."""
+    expr = "lower(text)"
+    for i in range(1, BPE_APPLY_K + 1):
+        expr = (
+            f"replace({expr}, (SELECT pair FROM ranked WHERE rk = {i}),"
+            f" chr({_BPE_MARK_BASE + i}))"
+        )
+    return f"""
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_word FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+  WHERE word <> '' GROUP BY word),
+pairs AS (
+  SELECT substr(word, CAST(i AS BIGINT), 2) AS pair, n_word
+  FROM (SELECT word, n_word, unnest(range(1, length(word))) AS i
+        FROM words WHERE length(word) >= 2) p),
+agg AS (SELECT pair, CAST(SUM(n_word) AS BIGINT) AS n
+        FROM pairs GROUP BY pair),
+top AS (SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT {BPE_APPLY_K}),
+ranked AS (SELECT pair,
+                  CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT)
+                    AS rk
+           FROM top)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(replace(lower(text), ' ', '')) AS BIGINT)
+         AS n_syms_before,
+       CAST(length(replace({expr}, ' ', '')) AS BIGINT) AS n_syms_after,
+       CAST(length(replace({expr}, ' ', '')) AS DOUBLE)
+         / CAST(length(replace(lower(text), ' ', '')) AS DOUBLE)
+         AS compression
+FROM documents
 """
 
 
@@ -745,6 +855,7 @@ QUERIES = {
     "q_text_chunks": q_text_chunks,
     "q_lm_score": q_lm_score,
     "q_bm25": q_bm25,
+    "q_bpe_apply": q_bpe_apply,
 }
 
 ORACLES = {
@@ -757,4 +868,5 @@ ORACLES = {
     "q_text_chunks": ORACLE_TEXT_CHUNKS,
     "q_lm_score": ORACLE_LM_SCORE,
     "q_bm25": ORACLE_BM25,
+    "q_bpe_apply": _oracle_bpe_apply(),
 }
