@@ -16,9 +16,12 @@ plans/dedup.py, plans/textops.py, plans/textops2.py):
 3. quality gate     — keep the top half per language by distinct-token
                       ratio (integer rank·2 ≤ n cutoff, q_quality_filter)
 4. source cap       — ≤ ``--source-cap`` docs per source, md5 lottery
-5. sequence packing — concat-and-chunk seq_id per language at
+5. weighted sample  — optional ``--sample-k`` length-weighted draw
+                      without replacement (q_weighted_sample's
+                      Efraimidis-Spirakis race, md5-seeded)
+6. sequence packing — concat-and-chunk seq_id per language at
                       ``--seq-len`` whitespace tokens
-6. sharded write    — parquet partitioned by lang (dynamic overwrite)
+7. sharded write    — parquet partitioned by lang (dynamic overwrite)
 
 Every stage is JVM-side (one pandas-free plan end to end); stage counts
 print as one JSON report line for pipeline monitoring.
@@ -117,6 +120,36 @@ def source_cap(docs: DataFrame, cap: int) -> DataFrame:
     )
 
 
+def weighted_sample(docs: DataFrame, k: int) -> DataFrame:
+    """Length-weighted k-doc sample without replacement — the
+    Efraimidis-Spirakis exponential race of ``q_weighted_sample``
+    (plans/sketches.py), productionized: longer documents are
+    proportionally likelier, the draw is md5-seeded (reproducible), and
+    the race runs on a slim (doc_id, key) projection with
+    orderBy+limit → TakeOrderedAndProject before a semi-join brings the
+    full rows back — the wide columns never enter the top-k."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**60))
+    w = F.greatest(
+        F.coalesce(F.col("n_chars"), F.length("text")), F.lit(1)
+    ).cast("double")
+    key = (-F.log(u)) / w
+    slim = (
+        docs.select("doc_id", key.alias("_key"))
+        .orderBy("_key", "doc_id")
+        .limit(k)
+    )
+    return docs.join(slim.select("doc_id"), "doc_id", "left_semi")
+
+
 def pack_sequences(docs: DataFrame, seq_len: int) -> DataFrame:
     n_tok = F.size(_tokens()).cast("bigint")
     w = (
@@ -144,6 +177,7 @@ def run_curation(
     seq_len: int = 512,
     cap: int = 100_000,
     est_threshold: float = 0.5,
+    sample_k: int = 0,
 ) -> dict:
     docs = spark.read.parquet(input_path)
     report = {"input": docs.count()}
@@ -155,6 +189,9 @@ def run_curation(
     report["after_quality_gate"] = docs.count()
     docs = source_cap(docs, cap)
     report["after_source_cap"] = docs.count()
+    if sample_k > 0:
+        docs = weighted_sample(docs, sample_k)
+        report["after_weighted_sample"] = docs.count()
     packed = pack_sequences(docs, seq_len)
     (
         packed.write.mode("overwrite")
@@ -183,6 +220,13 @@ def main(argv: list[str] | None = None) -> int:
         default=0.5,
         help="MinHash agreement fraction above which the younger doc drops",
     )
+    p.add_argument(
+        "--sample-k",
+        type=int,
+        default=0,
+        help="if > 0, keep a length-weighted k-doc sample (Efraimidis-"
+        "Spirakis, md5-seeded) after the source cap",
+    )
     args = p.parse_args(argv)
 
     from .session import get_session
@@ -195,6 +239,7 @@ def main(argv: list[str] | None = None) -> int:
         seq_len=args.seq_len,
         cap=args.source_cap,
         est_threshold=args.est_threshold,
+        sample_k=args.sample_k,
     )
     print(json.dumps(report))
     return 0

@@ -53,3 +53,37 @@ def test_curate_e2e(spark, tmp_path):
     assert {k: v for k, v in report.items() if k != "output"} == {
         k: v for k, v in report2.items() if k != "output"
     }
+
+
+def test_curate_weighted_sample_stage(spark, tmp_path):
+    from audios_to_dataset_spark.curate import run_curation
+
+    out = str(tmp_path / "sampled")
+    report = run_curation(
+        spark,
+        "/root/testdata/sf0.001/documents.parquet",
+        out,
+        seq_len=128,
+        cap=10,
+        est_threshold=0.5,
+        sample_k=5,
+    )
+    assert report["after_weighted_sample"] == 5
+    back = spark.read.parquet(out)
+    assert back.count() == 5
+    # reproducible draw: same k selects the same doc_ids
+    report2 = run_curation(
+        spark,
+        "/root/testdata/sf0.001/documents.parquet",
+        str(tmp_path / "sampled2"),
+        seq_len=128,
+        cap=10,
+        est_threshold=0.5,
+        sample_k=5,
+    )
+    a = {r.doc_id for r in back.collect()}
+    b = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "sampled2")).collect()
+    }
+    assert a == b and report2["after_weighted_sample"] == 5
