@@ -887,6 +887,80 @@ ORDER BY na, nb
 """
 
 
+DUPSPAN_N = 8
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span LOCALIZATION — the position-level diagnostic
+    behind substring-level dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", public literature):
+    for each document, how many of its 8-token spans also occur in
+    ANOTHER document, and the first/last such token position. Doc-level
+    dedup (q_dedup_exact/q_dedup_minhash_lsh) decides keep-or-drop;
+    this says WHERE to cut when the right fix is excising the quoted
+    span and keeping the document.
+
+    Plan: positional span explode (one row per token position — linear
+    in corpus tokens), span groupBy for the cross-doc count (shuffle on
+    span text, uniform), equi-join of the shared-span set back, per-doc
+    agg. No windows, no pair explosion — a span shared by k docs costs
+    k rows, not k² pairs."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("t")
+    )
+    spans = (
+        d.filter(F.size("t") >= DUPSPAN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - (DUPSPAN_N - 1))
+            ).alias("pos"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.array_join(
+                F.slice("t", F.col("pos"), DUPSPAN_N), " "
+            ).alias("span"),
+        )
+    )
+    shared = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span")
+    )
+    return (
+        spans.join(shared, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_spans"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+            F.max("pos").cast("bigint").alias("last_pos"),
+        )
+    )
+
+
+ORACLE_DUP_SPANS = f"""
+WITH tt AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents),
+spans AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(t[i : i + {DUPSPAN_N - 1}], ' ') AS span
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {DUPSPAN_N - 1} + 1))
+               AS i
+        FROM tt WHERE len(t) >= {DUPSPAN_N}) u),
+shared AS (SELECT span FROM spans GROUP BY span
+           HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_spans,
+       CAST(MIN(pos) AS BIGINT) AS first_pos,
+       CAST(MAX(pos) AS BIGINT) AS last_pos
+FROM spans JOIN shared USING (span)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q_minhash_jaccard": q_minhash_jaccard,
     "q_contamination": q_contamination,
@@ -903,6 +977,7 @@ QUERIES = {
     "q_sim_histogram": q_sim_histogram,
     "q_minhash_error": q_minhash_error,
     "q_containment": q_containment,
+    "q_dup_spans": q_dup_spans,
 }
 
 ORACLES = {
@@ -921,4 +996,5 @@ ORACLES = {
     "q_sim_histogram": _oracle_sim_histogram(),
     "q_minhash_error": _oracle_minhash_error(),
     "q_containment": _oracle_containment(),
+    "q_dup_spans": ORACLE_DUP_SPANS,
 }
