@@ -236,6 +236,59 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """(hubs, auths) after ``iters`` synchronous HITS rounds (Kleinberg
+    1999, public literature) with max-normalization: auth(v) = Σ hub of
+    in-neighbors, hub(u) = Σ auth of out-neighbors, each score vector
+    divided by its max after every update. Max-normalization (a standard
+    HITS variant) keeps every step engine-reproducible: the sums go
+    through ``PR_DEC`` fixed-point (order-independent), MAX is exact,
+    and the division is a single correctly-rounded IEEE op — no L2 norm
+    ordering concerns.
+
+    Scale notes: per half-round one equi-join of scores onto the edge
+    list + one decimal-sum groupBy (both shuffle on node ids), plus a
+    1-row MAX aggregate broadcast back — the same distributed shape as
+    :func:`pagerank`, no driver-side state.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hubs = e.select(F.col("src").alias("id")).distinct().select(
+        "id", F.lit(1.0).alias("hub")
+    )
+    auths = None
+    for _ in range(iters):
+        araw = (
+            e.join(hubs, e.src == hubs.id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("hub").cast(PR_DEC)).cast("double").alias("raw"))
+        )
+        amax = araw.agg(F.max("raw").alias("m"))
+        auths = araw.crossJoin(F.broadcast(amax)).select(
+            F.col("dst").alias("id"), (F.col("raw") / F.col("m")).alias("auth")
+        )
+        hraw = (
+            e.join(auths, e.dst == auths.id)
+            .groupBy("src")
+            .agg(
+                F.sum(F.col("auth").cast(PR_DEC)).cast("double").alias("raw")
+            )
+        )
+        hmax = hraw.agg(F.max("raw").alias("m"))
+        hubs = hraw.crossJoin(F.broadcast(hmax)).select(
+            F.col("src").alias("id"), (F.col("raw") / F.col("m")).alias("hub")
+        )
+    return hubs, auths
+
+
 def k_core_peel(
     edges: DataFrame,
     k: int,

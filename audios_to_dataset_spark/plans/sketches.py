@@ -407,6 +407,85 @@ def _oracle_label_prop() -> str:
     )
 
 
+HITS_ITERS = 2
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the customer→supplier order graph
+    (Kleinberg 1999): 2 synchronous max-normalized rounds — customers
+    score as hubs (breadth of suppliers bought from), suppliers as
+    authorities (weight of well-connected buyers). Complements
+    q_pagerank's single-score endorsement with the two-sided
+    mutual-recursion shape; the oracle replays every half-round's
+    decimal sum, MAX, and division exactly."""
+    from ..operators.graph import hits
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("src"),
+            (F.col("l_suppkey").cast("bigint") + PR_SUPP_OFFSET).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    hubs, auths = hits(edges, iters=HITS_ITERS)
+    return hubs.select(
+        F.col("id").cast("bigint").alias("node_id"),
+        F.lit("hub").alias("kind"),
+        sround(F.col("hub"), 9).alias("score"),
+    ).unionByName(
+        auths.select(
+            F.col("id").cast("bigint").alias("node_id"),
+            F.lit("auth").alias("kind"),
+            sround(F.col("auth"), 9).alias("score"),
+        )
+    )
+
+
+def _oracle_hits() -> str:
+    """Replay each HITS half-round: decimal-sum join, scalar MAX
+    subquery, division — chained CTEs, same shapes as the Spark loop."""
+    dsum38 = "CAST(SUM(CAST({c} AS DECIMAL(38,12))) AS DOUBLE)"
+    ctes = [
+        "e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,"
+        f" CAST(l_suppkey AS BIGINT) + {PR_SUPP_OFFSET} AS dst"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "h0 AS (SELECT DISTINCT src AS id, CAST(1.0 AS DOUBLE) AS hub"
+        " FROM e)",
+    ]
+    for t in range(1, HITS_ITERS + 1):
+        p = f"h{t - 1}"
+        ctes.append(
+            f"a{t}r AS (SELECT dst AS id, {dsum38.format(c='hub')} AS raw"
+            f" FROM e JOIN {p} ON e.src = {p}.id GROUP BY dst)"
+        )
+        ctes.append(
+            f"a{t} AS (SELECT id, raw / (SELECT MAX(raw) FROM a{t}r)"
+            f" AS auth FROM a{t}r)"
+        )
+        ctes.append(
+            f"h{t}r AS (SELECT src AS id, {dsum38.format(c='auth')} AS raw"
+            f" FROM e JOIN a{t} ON e.dst = a{t}.id GROUP BY src)"
+        )
+        ctes.append(
+            f"h{t} AS (SELECT id, raw / (SELECT MAX(raw) FROM h{t}r)"
+            f" AS hub FROM h{t}r)"
+        )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT CAST(id AS BIGINT) AS node_id, 'hub' AS kind,
+       {sround_sql('hub', 9)} AS score FROM h{HITS_ITERS}
+UNION ALL
+SELECT CAST(id AS BIGINT) AS node_id, 'auth' AS kind,
+       {sround_sql('auth', 9)} AS score FROM a{HITS_ITERS}
+"""
+
+
 KCORE_K = 2
 KCORE_ROUNDS = 3
 
@@ -1312,6 +1391,7 @@ QUERIES = {
     "q_profile": q_profile,
     "q_pagerank": q_pagerank,
     "q_label_prop": q_label_prop,
+    "q_hits": q_hits,
     "q_kcore": q_kcore,
     "q_bloom_join": q_bloom_join,
     "q_stratified_sample": q_stratified_sample,
@@ -1337,6 +1417,7 @@ ORACLES = {
     "q_profile": _oracle_profile(),
     "q_pagerank": _oracle_pagerank(),
     "q_label_prop": _oracle_label_prop(),
+    "q_hits": _oracle_hits(),
     "q_kcore": _oracle_kcore(),
     "q_bloom_join": _oracle_bloom_join(),
     "q_stratified_sample": _oracle_stratified_sample(),
