@@ -123,3 +123,22 @@ def test_label_propagation_zero_iters_is_identity(spark):
         for r in label_propagation(nodes, e, iters=0).collect()
     }
     assert got == {1: 1, 2: 2}
+
+
+def test_hits_two_hubs(spark):
+    """Hand-replayed 2-round max-normalized HITS: hub 0 covers {2,3},
+    hub 1 covers {2} — node 2 becomes the unit authority, node 3 ~0.6,
+    hub 1 converges toward 0.625 of hub 0."""
+    import pytest
+
+    from audios_to_dataset_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [(0, 2), (0, 3), (1, 2)], "src long, dst long"
+    )
+    hubs, auths = hits(e, iters=2)
+    h = {r.id: r.hub for r in hubs.collect()}
+    a = {r.id: r.auth for r in auths.collect()}
+    assert h[0] == 1.0 and a[2] == 1.0
+    assert h[1] == pytest.approx(0.625, abs=1e-9)
+    assert a[3] == pytest.approx(0.6, abs=1e-9)
