@@ -961,6 +961,133 @@ GROUP BY doc_id
 """
 
 
+CDC_W = 4  # rolling fingerprint window (chars)
+CDC_D = 64  # boundary divisor → ~64-char expected chunk length
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rolling-fingerprint boundary rule
+    of LBFS, Muthitacharoen et al. 2001, public literature — the
+    storage-dedup primitive under restic/borg/rsync): a chunk boundary
+    falls wherever the fingerprint of the trailing 4-char window ≡ 0
+    mod 64, so insertions shift boundaries only locally — unlike fixed
+    -stride chunking (q_text_chunks) where one inserted byte re-chunks
+    the whole tail. Reports per document its chunk count and how many
+    of its chunks (by md5) also occur in ANOTHER document — the
+    cross-doc chunk-dedup signal.
+
+    Plan: one positional explode (row per char — linear), a boundary
+    filter inside codegen, per-doc boundary collect (bounded by doc
+    length), a segment explode, and a chunk-hash groupBy (shuffle on
+    md5 — uniform). No windows, no pair joins: a chunk shared by k docs
+    costs k rows."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("s")
+    )
+    win = F.col("s").substr(
+        (F.col("i") - (CDC_W - 1)).cast("int"), F.lit(CDC_W)
+    )
+    h = F.conv(F.substring(F.md5(win), 1, 8), 16, 10).cast("bigint")
+    cuts = (
+        d.select(
+            "doc_id",
+            "s",
+            F.explode(
+                F.sequence(F.lit(CDC_W), F.length("s"))
+            ).alias("i"),
+        )
+        .filter(h % CDC_D == 0)
+        .select("doc_id", F.col("i").cast("bigint").alias("i"))
+    )
+    bounds = cuts.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("i")).alias("cutpos")
+    )
+    docs2 = d.join(bounds, "doc_id", "left").select(
+        "doc_id",
+        "s",
+        F.coalesce(
+            F.col("cutpos"), F.array().cast("array<bigint>")
+        ).alias("cutpos"),
+    )
+    starts = F.concat(
+        F.array(F.lit(0).cast("bigint")), F.col("cutpos")
+    )
+    ends = F.concat(
+        F.col("cutpos"), F.array(F.length("s").cast("bigint"))
+    )
+    seg = docs2.select(
+        "doc_id",
+        starts.alias("starts"),
+        ends.alias("ends"),
+        "s",
+    ).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("starts")),
+                lambda j: F.col("s").substr(
+                    (F.element_at(F.col("starts"), j) + 1).cast("int"),
+                    (
+                        F.element_at(F.col("ends"), j)
+                        - F.element_at(F.col("starts"), j)
+                    ).cast("int"),
+                ),
+            )
+        ).alias("chunk"),
+    )
+    ch = seg.filter(F.col("chunk") != "").select(
+        "doc_id", F.md5("chunk").alias("h")
+    )
+    shared = (
+        ch.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_sh"))
+    )
+    return (
+        ch.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("is_sh"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_shared_chunks"),
+        )
+    )
+
+
+ORACLE_CDC_CHUNKS = f"""
+WITH d AS (SELECT doc_id, lower(text) AS s FROM documents),
+cuts AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i
+  FROM (SELECT doc_id, s, unnest(range({CDC_W}, length(s) + 1)) AS i
+        FROM d) u
+  WHERE (('0x' || substr(md5(substring(s, CAST(i AS BIGINT) - {CDC_W - 1},
+                                       {CDC_W})), 1, 8))::BIGINT)
+        % {CDC_D} = 0),
+bounds AS (SELECT doc_id, list_sort(list(i)) AS cutpos
+           FROM cuts GROUP BY doc_id),
+docs2 AS (
+  SELECT d.doc_id, d.s, COALESCE(b.cutpos, []) AS cutpos
+  FROM d LEFT JOIN bounds b USING (doc_id)),
+seg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(starts) + 1),
+           j -> substring(s, starts[j] + 1, ends[j] - starts[j]))) AS chunk
+  FROM (SELECT doc_id, s, list_concat([0], cutpos) AS starts,
+               list_concat(cutpos, [length(s)]) AS ends
+        FROM docs2) t),
+ch AS (SELECT doc_id, md5(chunk) AS h FROM seg WHERE chunk <> ''),
+shared AS (SELECT h, 1 AS is_sh FROM ch GROUP BY h
+           HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT ch.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(COALESCE(shared.is_sh, 0)) AS BIGINT) AS n_shared_chunks
+FROM ch LEFT JOIN shared USING (h)
+GROUP BY ch.doc_id
+"""
+
+
 QUERIES = {
     "q_minhash_jaccard": q_minhash_jaccard,
     "q_contamination": q_contamination,
@@ -978,6 +1105,7 @@ QUERIES = {
     "q_minhash_error": q_minhash_error,
     "q_containment": q_containment,
     "q_dup_spans": q_dup_spans,
+    "q_cdc_chunks": q_cdc_chunks,
 }
 
 ORACLES = {
@@ -997,4 +1125,5 @@ ORACLES = {
     "q_minhash_error": _oracle_minhash_error(),
     "q_containment": _oracle_containment(),
     "q_dup_spans": ORACLE_DUP_SPANS,
+    "q_cdc_chunks": ORACLE_CDC_CHUNKS,
 }
