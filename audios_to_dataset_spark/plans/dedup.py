@@ -961,6 +961,67 @@ GROUP BY doc_id
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence novelty per document: the share of each doc's
+    distinct word-3-grams whose FIRST corpus occurrence (min doc_id) is
+    this document — the corpus-staleness diagnostic: a crawl that keeps
+    re-collecting old content shows novelty sliding toward 0 across
+    ingestion order. Complements q_dup_spans (where duplication sits
+    inside a doc) with WHEN content first appeared.
+
+    Plan: one shingle explode + distinct, a min-id groupBy on the
+    shingle text (uniform shuffle), an equi-join back, a per-doc agg —
+    linear in corpus shingles, no pair joins anywhere."""
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingles(d, n=NGRAM_N)
+    first = sh.groupBy("shingle").agg(F.min("id").alias("first_id"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(t) - {NGRAM_N - 1}, 0) + 1),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+    FROM toks) u
+), first AS (
+  SELECT s, MIN(doc_id) AS first_id FROM sh GROUP BY s
+)
+SELECT CAST(sh.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN first_id = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN first_id = sh.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM sh JOIN first USING (s)
+GROUP BY sh.doc_id
+"""
+
+
 CDC_W = 4  # rolling fingerprint window (chars)
 CDC_D = 64  # boundary divisor → ~64-char expected chunk length
 
@@ -1106,6 +1167,7 @@ QUERIES = {
     "q_containment": q_containment,
     "q_dup_spans": q_dup_spans,
     "q_cdc_chunks": q_cdc_chunks,
+    "q_ngram_novelty": q_ngram_novelty,
 }
 
 ORACLES = {
@@ -1126,4 +1188,5 @@ ORACLES = {
     "q_containment": _oracle_containment(),
     "q_dup_spans": ORACLE_DUP_SPANS,
     "q_cdc_chunks": ORACLE_CDC_CHUNKS,
+    "q_ngram_novelty": ORACLE_NGRAM_NOVELTY,
 }
