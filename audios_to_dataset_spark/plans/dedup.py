@@ -1149,6 +1149,63 @@ GROUP BY ch.doc_id
 """
 
 
+SPARSE_MAX_DF = 5
+SPARSE_THRESHOLD = 0.3
+
+
+def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector cosine similarity join over word-3-gram TERM
+    FREQUENCIES — the weighted twin of q_dedup_ngram's set Jaccard
+    (Bayardo et al. 2007's all-pairs design, prefix filter collapsed to
+    the df<=5 stop-term cap): df-capped inverted-index candidates, then
+    an exact integer dot product over the full postings of candidate
+    pairs only. Repeated boilerplate counts here where Jaccard sees one
+    set member."""
+    d = load(spark, sf_dir, "documents")
+    return D.sparse_cosine_pairs(
+        d,
+        threshold=SPARSE_THRESHOLD,
+        n=NGRAM_N,
+        max_df=SPARSE_MAX_DF,
+    )
+
+
+_SPARSE_COS = "CAST(dot AS DOUBLE) / (na.nrm * nb.nrm)"
+
+ORACLE_SPARSE_COSINE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), gr AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(t) - {NGRAM_N - 1}, 0) + 1),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+  FROM toks
+), tf AS (
+  SELECT doc_id AS id, g, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM gr GROUP BY id, g
+), nrm AS (
+  SELECT id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm FROM tf GROUP BY id
+), rare AS (
+  SELECT tf.id, tf.g FROM tf JOIN (
+    SELECT g FROM tf GROUP BY g HAVING COUNT(*) <= {SPARSE_MAX_DF}) keep
+    ON tf.g = keep.g
+), cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM rare a JOIN rare b ON a.g = b.g AND a.id < b.id
+), dots AS (
+  SELECT doc_a, doc_b, CAST(SUM(ta.tf * tb.tf) AS BIGINT) AS dot
+  FROM cand JOIN tf ta ON ta.id = doc_a
+            JOIN tf tb ON tb.id = doc_b AND tb.g = ta.g
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, dot,
+       {sround_sql(_SPARSE_COS, 4)} AS cos_sim
+FROM dots JOIN nrm na ON na.id = doc_a JOIN nrm nb ON nb.id = doc_b
+WHERE {sround_sql(_SPARSE_COS, 4)} >= {SPARSE_THRESHOLD}
+"""
+
+
 QUERIES = {
     "q_minhash_jaccard": q_minhash_jaccard,
     "q_contamination": q_contamination,
@@ -1168,6 +1225,7 @@ QUERIES = {
     "q_dup_spans": q_dup_spans,
     "q_cdc_chunks": q_cdc_chunks,
     "q_ngram_novelty": q_ngram_novelty,
+    "q_sparse_cosine": q_sparse_cosine,
 }
 
 ORACLES = {
@@ -1189,4 +1247,5 @@ ORACLES = {
     "q_dup_spans": ORACLE_DUP_SPANS,
     "q_cdc_chunks": ORACLE_CDC_CHUNKS,
     "q_ngram_novelty": ORACLE_NGRAM_NOVELTY,
+    "q_sparse_cosine": ORACLE_SPARSE_COSINE,
 }

@@ -227,3 +227,62 @@ def test_shingle_arrays_match_python_reference(spark):
 
     want = {i: ref(t) for i, t in enumerate(texts)}
     assert got == want
+
+
+def _tf3(text: str):
+    from collections import Counter
+
+    t = text.lower().split(" ")
+    return Counter(" ".join(t[i : i + 3]) for i in range(len(t) - 2))
+
+
+def test_sparse_cosine_matches_python_replay(spark):
+    import math
+
+    docs = [
+        (0, "the cat sat on the mat today"),
+        (1, "the cat sat on the mat today"),
+        (2, "a cat sat on the mat today quietly"),
+        (3, "completely different words entirely here now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.dot, r.cos_sim)
+        for r in D.sparse_cosine_pairs(
+            df, threshold=0.0, max_df=10
+        ).collect()
+    }
+    tfs = {i: _tf3(t) for i, t in docs}
+    exp = {}
+    for a in range(4):
+        for b in range(a + 1, 4):
+            dot = sum(tfs[a][g] * tfs[b][g] for g in tfs[a] if g in tfs[b])
+            if dot == 0:
+                continue
+            na = math.sqrt(sum(v * v for v in tfs[a].values()))
+            nb = math.sqrt(sum(v * v for v in tfs[b].values()))
+            exp[(a, b)] = (dot, dot / (na * nb))
+    assert set(got) == set(exp)
+    for k, (dot, cos) in exp.items():
+        assert got[k][0] == dot
+        assert abs(got[k][1] - cos) < 1e-3
+
+
+def test_sparse_cosine_df_cap_prunes_stop_grams(spark):
+    # "cat sat on ..." grams appear in docs 0/1/2 (df=3); only the
+    # "the cat sat" gram is exclusive to the exact-dup pair (df=2), so
+    # max_df=2 keeps (0,1) and prunes the (0,2)/(1,2) candidates whose
+    # shared grams are all at df=3.
+    docs = [
+        (0, "the cat sat on the mat today"),
+        (1, "the cat sat on the mat today"),
+        (2, "a cat sat on the mat today quietly"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in D.sparse_cosine_pairs(
+            df, threshold=0.0, max_df=2
+        ).collect()
+    }
+    assert pairs == {(0, 1)}
