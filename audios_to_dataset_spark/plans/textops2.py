@@ -845,6 +845,139 @@ LIMIT {BM25_TOPK}
 """
 
 
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (public method: Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how much its hashed-unigram feature profile
+    leans toward a TARGET distribution (here lang='en' docs) versus the
+    raw corpus. Tokens hash into 64 md5 buckets; each bucket gets an
+    add-one-smoothed probability under both distributions; a doc's score
+    is sum(count_b * (p_target(b) - p_raw(b))), reported in parts per
+    million. The paper scores with the log-likelihood ratio; the repo's
+    determinism contract sanctions ``ln`` exactly once (weighted
+    sampling), so this uses the difference-of-probabilities linear
+    discriminant instead — same sign, same selection direction, exact
+    rational arithmetic end to end.
+
+    100 TB shape: the bucket tables are 64 rows (broadcast); the only
+    data-sized shuffles are wordcount-shaped groupBys on (bucket) and
+    (doc, bucket). Totals ride a 1-row broadcast cross join, the same
+    pattern as PageRank's dangling-mass frame."""
+    B = DSIR_BUCKETS
+    d = load(spark, sf_dir, "documents")
+    tb = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(_tokens()).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "lang",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("dsir:"), F.col("tok"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(B),
+            ).alias("b"),
+        )
+    )
+    raw = tb.groupBy("b").agg(F.count("*").alias("n_raw"))
+    tgt = (
+        tb.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count("*").alias("n_tgt"))
+    )
+    tot = tb.agg(
+        F.count("*").alias("r_tot"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("t_tot"),
+    )
+    p_t = (F.col("n_tgt") + 1).cast("double") / (
+        F.col("t_tot") + B
+    ).cast("double")
+    p_r = (F.col("n_raw") + 1).cast("double") / (
+        F.col("r_tot") + B
+    ).cast("double")
+    delta = (
+        raw.join(tgt, "b", "left")
+        .fillna(0, ["n_tgt"])
+        .crossJoin(F.broadcast(tot))
+        .select("b", sround((p_t - p_r) * 1e6, 6).alias("delta_ppm"))
+    )
+    docb = tb.groupBy("doc_id", "b").agg(F.count("*").alias("cnt"))
+    scored = (
+        docb.join(F.broadcast(delta), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_toks"),
+            F.sum(
+                (F.col("cnt") * F.col("delta_ppm")).cast(DEC)
+            )
+            .cast("double")
+            .alias("dsir_score_ppm"),
+        )
+    )
+    return scored.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "n_toks", "dsir_score_ppm"
+    )
+
+
+_DSIR_DELTA = (
+    f"((CAST(COALESCE(n_tgt, 0) + 1 AS DOUBLE)"
+    f" / CAST(t_tot + {DSIR_BUCKETS} AS DOUBLE))"
+    f" - (CAST(n_raw + 1 AS DOUBLE)"
+    f" / CAST(r_tot + {DSIR_BUCKETS} AS DOUBLE))) * 1000000.0"
+)
+
+ORACLE_DSIR_SELECT = f"""
+WITH tk AS (
+  SELECT doc_id, lang, tok FROM (
+    SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents) u
+  WHERE tok <> ''
+), tb AS (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5('dsir:' || tok), 1, 15))::BIGINT)
+           % {DSIR_BUCKETS} AS b
+  FROM tk
+), raw AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_raw FROM tb GROUP BY b
+), tgt AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_tgt FROM tb
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS r_tot,
+         CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS t_tot
+  FROM tb
+), delta AS (
+  SELECT b, {sround_sql(_DSIR_DELTA, 6)} AS delta_ppm
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+), docb AS (
+  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM tb
+  GROUP BY doc_id, b
+), scored AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks,
+         CAST(SUM(CAST(cnt * delta_ppm AS DECIMAL(28,6))) AS DOUBLE)
+           AS dsir_score_ppm
+  FROM docb JOIN delta USING (b) GROUP BY doc_id
+)
+SELECT s.doc_id, d.lang, s.n_toks, s.dsir_score_ppm
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+"""
+
+
 QUERIES = {
     "q_rarity_score": q_rarity_score,
     "q_bpe_merges": q_bpe_merges,
@@ -856,6 +989,7 @@ QUERIES = {
     "q_lm_score": q_lm_score,
     "q_bm25": q_bm25,
     "q_bpe_apply": q_bpe_apply,
+    "q_dsir_select": q_dsir_select,
 }
 
 ORACLES = {
@@ -869,4 +1003,5 @@ ORACLES = {
     "q_lm_score": ORACLE_LM_SCORE,
     "q_bm25": ORACLE_BM25,
     "q_bpe_apply": _oracle_bpe_apply(),
+    "q_dsir_select": ORACLE_DSIR_SELECT,
 }
