@@ -720,6 +720,88 @@ ORDER BY user_id, valid_from_us
 """
 
 
+DRIFT_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16T00:00:00Z, epoch µs
+DRIFT_BIN_WIDTH = 50.0
+
+
+def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit — the monitoring query a lake runs before
+    trusting a new data window: per event type, compare the histogram of
+    ``value`` (fixed 50-wide bins) between the first and second half of
+    the month and report a drift score. PSI is the industry shape but
+    its ``ln`` is outside the repo's determinism contract (sanctioned
+    once, for weighted sampling), so the score is the triangular
+    discrimination f-divergence sum((p_a-p_b)^2/(p_a+p_b)) — same
+    drift ordering, bounded [0,2], exact rational arithmetic.
+
+    100 TB shape: one map-side-combinable groupBy on (type, bin) with
+    conditional counts (the period split is a pushed integer-µs
+    predicate, no second scan), then a per-type rollup over the tiny
+    bin table. Scales with distinct (type, bin), not rows."""
+    e = load(spark, sf_dir, "events")
+    isa = F.unix_micros("ts") < DRIFT_SPLIT_US
+    tb = e.groupBy(
+        "event_type",
+        F.floor(F.col("value") / DRIFT_BIN_WIDTH)
+        .cast("bigint")
+        .alias("bin"),
+    ).agg(
+        F.sum(F.when(isa, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(isa, 0).otherwise(1)).alias("n_b"),
+    )
+    tot = tb.groupBy("event_type").agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    p_a = F.col("n_a").cast("double") / F.col("t_a").cast("double")
+    p_b = F.col("n_b").cast("double") / F.col("t_b").cast("double")
+    term = (p_a - p_b) * (p_a - p_b) / (p_a + p_b)
+    ppm = sround(term * 1e6, 6)
+    return (
+        tb.join(tot, "event_type")
+        .select("event_type", "n_a", "n_b", ppm.alias("_t"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.sum("n_a").alias("n_events_a"),
+            F.sum("n_b").alias("n_events_b"),
+            F.sum(F.col("_t").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("drift_ppm"),
+        )
+    )
+
+
+_DRIFT_PA = "CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE)"
+_DRIFT_PB = "CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE)"
+_DRIFT_TERM = (
+    f"({_DRIFT_PA} - {_DRIFT_PB}) * ({_DRIFT_PA} - {_DRIFT_PB})"
+    f" / ({_DRIFT_PA} + {_DRIFT_PB})"
+)
+
+ORACLE_VALUE_DRIFT = f"""
+WITH tb AS (
+  SELECT event_type, CAST(floor(value / {DRIFT_BIN_WIDTH!r}) AS BIGINT) AS bin,
+         CAST(SUM(CASE WHEN epoch_us(ts) < {DRIFT_SPLIT_US} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN epoch_us(ts) < {DRIFT_SPLIT_US} THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_b
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(SUM(n_a) AS BIGINT) AS t_a,
+         CAST(SUM(n_b) AS BIGINT) AS t_b
+  FROM tb GROUP BY 1
+)
+SELECT tb.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(n_a) AS BIGINT) AS n_events_a,
+       CAST(SUM(n_b) AS BIGINT) AS n_events_b,
+       CAST(SUM(CAST({sround_sql(f"({_DRIFT_TERM}) * 1000000.0", 6)}
+                AS DECIMAL(28,6))) AS DOUBLE) AS drift_ppm
+FROM tb JOIN tot USING (event_type)
+GROUP BY tb.event_type
+"""
+
+
 QUERIES = {
     "q_scd2": q_scd2,
     "q_ewma": q_ewma,
@@ -736,6 +818,7 @@ QUERIES = {
     "q_transitions": q_transitions,
     "q_session_window": q_session_window,
     "q_map_funcs": q_map_funcs,
+    "q_value_drift": q_value_drift,
 }
 
 ORACLES = {
@@ -754,4 +837,5 @@ ORACLES = {
     "q_transitions": ORACLE_TRANSITIONS,
     "q_session_window": ORACLE_SESSION_WINDOW,
     "q_map_funcs": ORACLE_MAP_FUNCS,
+    "q_value_drift": ORACLE_VALUE_DRIFT,
 }
