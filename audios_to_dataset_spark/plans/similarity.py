@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -1365,6 +1365,73 @@ FROM pq JOIN exact USING (vec_id)
 """
 
 
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation — the "are my semantic buckets
+    real" gate run before trusting SemDeDup/IVF partitions: per seeded
+    KMeans cluster (the same oracle-replayed k=8 / 2-iteration
+    arithmetic as q_kmeans), the member count, majority ``label``, and
+    purity = majority share. Exact integer ratio; ties on the majority
+    label break to the smallest label.
+
+    100 TB shape: assignment is the broadcast-centroid argmax; the
+    purity rollup is two tiny groupBys on (cid, label) — nothing
+    shuffles the vector payload."""
+    from ..operators.similarity import kmeans_assignments
+
+    em = load(spark, sf_dir, "embeddings")
+    a = kmeans_assignments(em, k=KMEANS_K, iters=KMEANS_ITERS)
+    cl = (
+        a.join(em.select("vec_id", "label"), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("cid").orderBy(F.col("n").desc(), "label")
+    top = (
+        cl.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cid",
+            F.col("label").alias("top_label"),
+            F.col("n").alias("n_top"),
+        )
+    )
+    tot = cl.groupBy("cid").agg(F.sum("n").alias("n_members"))
+    return tot.join(top, "cid").select(
+        "cid",
+        "n_members",
+        "top_label",
+        "n_top",
+        (
+            F.col("n_top").cast("double") / F.col("n_members").cast("double")
+        ).alias("purity"),
+    )
+
+
+def _oracle_cluster_purity() -> str:
+    ctes, cfin = _kmeans_ctes(KMEANS_K, KMEANS_ITERS)
+    final = f"a{KMEANS_ITERS + 1}"
+    ctes.append(_kmeans_assign_cte(final, cfin))
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined},
+cl AS (
+  SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM {final} JOIN embeddings USING (vec_id)
+  GROUP BY cid, label
+), top AS (
+  SELECT cid, label AS top_label, n AS n_top FROM (
+    SELECT cid, label, n,
+           row_number() OVER (PARTITION BY cid
+                              ORDER BY n DESC, label) AS rn
+    FROM cl) t WHERE rn = 1
+), tot AS (
+  SELECT cid, CAST(SUM(n) AS BIGINT) AS n_members FROM cl GROUP BY cid
+)
+SELECT cid, n_members, top_label, n_top,
+       CAST(n_top AS DOUBLE) / CAST(n_members AS DOUBLE) AS purity
+FROM tot JOIN top USING (cid)
+"""
+
+
 QUERIES = {
     "q_ann_batch": q_ann_batch,
     "q_embed_quantize": q_embed_quantize,
@@ -1387,6 +1454,7 @@ QUERIES = {
     "q_ann_pq": q_ann_pq,
     "q_ann_pq_recall": q_ann_pq_recall,
     "q_pq_distortion": q_pq_distortion,
+    "q_cluster_purity": q_cluster_purity,
 }
 
 ORACLES = {
@@ -1411,4 +1479,5 @@ ORACLES = {
     "q_ann_pq": _oracle_ann_pq(),
     "q_ann_pq_recall": _oracle_ann_pq_recall(),
     "q_pq_distortion": _oracle_pq_distortion(),
+    "q_cluster_purity": _oracle_cluster_purity(),
 }

@@ -64,6 +64,8 @@ HEADLINE = [
     "q_weighted_sample",
     "q_kcore",
     "q_ann_pq",
+    "q_sparse_cosine",
+    "q_dsir_select",
 ]
 
 
