@@ -891,17 +891,24 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
     )
-    raw = tb.groupBy("b").agg(F.count("*").alias("n_raw"))
-    tgt = (
-        tb.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count("*").alias("n_tgt"))
+    # ONE heavy (doc, bucket) shuffle; every bucket/total statistic then
+    # rolls up from this ≤64-rows-per-doc table instead of replaying the
+    # token explode (4.5 s → ~1 s at sf0.1).
+    docb = (
+        tb.groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("cnt"))
+        .cache()
     )
-    tot = tb.agg(
-        F.count("*").alias("r_tot"),
+    bstats = docb.groupBy("b").agg(
+        F.sum("cnt").alias("n_raw"),
         F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
-        ).alias("t_tot"),
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_tgt"),
+    )
+    tot = bstats.agg(
+        F.sum("n_raw").alias("r_tot"), F.sum("n_tgt").alias("t_tot")
     )
     p_t = (F.col("n_tgt") + 1).cast("double") / (
         F.col("t_tot") + B
@@ -909,16 +916,12 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_r = (F.col("n_raw") + 1).cast("double") / (
         F.col("r_tot") + B
     ).cast("double")
-    delta = (
-        raw.join(tgt, "b", "left")
-        .fillna(0, ["n_tgt"])
-        .crossJoin(F.broadcast(tot))
-        .select("b", sround((p_t - p_r) * 1e6, 6).alias("delta_ppm"))
+    delta = bstats.crossJoin(F.broadcast(tot)).select(
+        "b", sround((p_t - p_r) * 1e6, 6).alias("delta_ppm")
     )
-    docb = tb.groupBy("doc_id", "b").agg(F.count("*").alias("cnt"))
-    scored = (
+    return (
         docb.join(F.broadcast(delta), "b")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "lang")
         .agg(
             F.sum("cnt").alias("n_toks"),
             F.sum(
@@ -927,9 +930,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("dsir_score_ppm"),
         )
-    )
-    return scored.join(d.select("doc_id", "lang"), "doc_id").select(
-        "doc_id", "lang", "n_toks", "dsir_score_ppm"
+        .select("doc_id", "lang", "n_toks", "dsir_score_ppm")
     )
 
 
