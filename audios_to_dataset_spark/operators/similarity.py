@@ -783,3 +783,50 @@ def cluster_bucketed_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def semantic_dedup_decisions(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """The SemDeDup ENDGAME on top of :func:`cluster_bucketed_neardup_pairs`:
+    one row per vector with the keep/drop decision. A vector is dropped
+    when some LOWER-id cluster-mate scores >= threshold (min-id survivor,
+    the same deterministic rule as exact_dedup_groups); ``max_lower_cos``
+    reports the strongest such mate (-1.0 when none qualifies).
+
+    KMeans assignments are computed ONCE and cached — they feed both
+    sides of the pair join and the final decision frame. Scale shape is
+    unchanged from the pair search: per-cluster (N/k)^2 candidates with
+    k raised alongside N, then an (id) groupBy and a left join."""
+    assign = kmeans_assignments(df, k, iters, id_col, vec_col).cache()
+    left = df.join(assign, id_col).select(
+        "cid", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    right = df.join(assign, id_col).select(
+        "cid", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    drops = (
+        left.join(right, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", sround(cos, decimals))
+        .filter(F.col("cos_sim") >= threshold)
+        .groupBy("id_b")
+        .agg(F.max("cos_sim").alias("max_lower_cos"))
+    )
+    return assign.join(
+        drops, assign[id_col] == drops["id_b"], "left"
+    ).select(
+        id_col,
+        "cid",
+        F.coalesce("max_lower_cos", F.lit(-1.0)).alias("max_lower_cos"),
+        F.when(F.col("id_b").isNull(), 1).otherwise(0).alias("keep"),
+    )

@@ -1365,6 +1365,55 @@ FROM pq JOIN exact USING (vec_id)
 """
 
 
+def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup keep/drop DECISION per vector — what a curation
+    pipeline actually consumes downstream of q_dedup_semantic's pair
+    list: drop a vector when a lower-id cluster-mate scores >= the
+    shared embedding threshold (min-id survivor), report the strongest
+    such mate's cosine (-1.0 when kept). Same oracle-replayed KMeans
+    bucketing; the assignment is computed once and cached."""
+    from ..operators.similarity import semantic_dedup_decisions
+    from .dedup import EMB_THRESHOLD
+
+    em = load(spark, sf_dir, "embeddings")
+    return semantic_dedup_decisions(
+        em, k=KMEANS_K, iters=KMEANS_ITERS, threshold=EMB_THRESHOLD
+    )
+
+
+def _oracle_semdedup_keep() -> str:
+    from .dedup import EMB_THRESHOLD
+
+    ctes, cfin = _kmeans_ctes(KMEANS_K, KMEANS_ITERS)
+    final = f"a{KMEANS_ITERS + 1}"
+    ctes.append(_kmeans_assign_cte(final, cfin))
+    joined = ",\n".join(ctes)
+    cos = (
+        "round((list_sum(list_transform(range(1, len(a.e) + 1),"
+        " i -> a.e[i] * b.e[i]))"
+        " / (sqrt(list_sum(list_transform(a.e, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(b.e, x -> x * x)))))"
+        " * 10000.0) / 10000.0 + 0.0"
+    )
+    return f"""WITH {joined},
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM {final} x JOIN {final} y
+    ON x.cid = y.cid AND x.vec_id < y.vec_id
+), scored AS (
+  SELECT id_a, id_b, {cos} AS cos_sim
+  FROM pairs JOIN v a ON a.vec_id = id_a JOIN v b ON b.vec_id = id_b
+), drops AS (
+  SELECT id_b, MAX(cos_sim) AS max_lower_cos FROM scored
+  WHERE cos_sim >= {EMB_THRESHOLD} GROUP BY id_b
+)
+SELECT af.vec_id, af.cid,
+       COALESCE(d.max_lower_cos, -1.0) AS max_lower_cos,
+       CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END AS keep
+FROM {final} af LEFT JOIN drops d ON d.id_b = af.vec_id
+"""
+
+
 def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering-quality evaluation — the "are my semantic buckets
     real" gate run before trusting SemDeDup/IVF partitions: per seeded
@@ -1455,6 +1504,7 @@ QUERIES = {
     "q_ann_pq_recall": q_ann_pq_recall,
     "q_pq_distortion": q_pq_distortion,
     "q_cluster_purity": q_cluster_purity,
+    "q_semdedup_keep": q_semdedup_keep,
 }
 
 ORACLES = {
@@ -1480,4 +1530,5 @@ ORACLES = {
     "q_ann_pq_recall": _oracle_ann_pq_recall(),
     "q_pq_distortion": _oracle_pq_distortion(),
     "q_cluster_purity": _oracle_cluster_purity(),
+    "q_semdedup_keep": _oracle_semdedup_keep(),
 }

@@ -193,3 +193,22 @@ def test_pq_codes_cluster_by_subspace_direction(spark):
         for r in S.pq_codes(df, m=2, subdim=2, k=2, iters=1).collect()
     }
     assert got == {0: (0, 0), 1: (1, 1), 2: (0, 0), 3: (1, 1)}
+
+
+def test_semdedup_keep_consistent_with_pair_query(spark, sf_dir):
+    from audios_to_dataset_spark.plans.similarity import (
+        q_dedup_semantic,
+        q_semdedup_keep,
+    )
+
+    pairs = q_dedup_semantic(spark, sf_dir).collect()
+    decisions = q_semdedup_keep(spark, sf_dir).collect()
+    dropped = {r.id_b for r in pairs}
+    assert len(decisions) > 0
+    for r in decisions:
+        assert (r.keep == 0) == (r.vec_id in dropped)
+        if r.keep == 0:
+            best = max(p.cos_sim for p in pairs if p.id_b == r.vec_id)
+            assert abs(r.max_lower_cos - best) < 1e-9
+        else:
+            assert r.max_lower_cos == -1.0
