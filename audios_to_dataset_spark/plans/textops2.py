@@ -979,6 +979,65 @@ FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 """
 
 
+def q_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per language — the multilingual budget
+    check run before committing to a tokenizer: chars per word-token and
+    bytes per char by lang (CJK text runs ~3 UTF-8 bytes/char and
+    near-zero ascii word-tokens, exactly what this surfaces). Exact
+    bigint sums per group; two final double divisions.
+
+    100 TB shape: one map-side-combinable groupBy on a 5-value key over
+    scalar projections — scan-bound, pruned to (lang, text)."""
+    from .textops import WORD_RE
+
+    d = load(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        F.length("text").cast("long").alias("chars"),
+        F.octet_length("text").cast("long").alias("bytes"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_RE), 0)
+        )
+        .cast("long")
+        .alias("toks"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("chars").alias("n_chars"),
+        F.sum("bytes").alias("n_bytes"),
+        F.sum("toks").alias("n_word_tokens"),
+        (
+            F.sum("chars").cast("double") / F.sum("toks").cast("double")
+        ).alias("chars_per_token"),
+        (
+            F.sum("bytes").cast("double") / F.sum("chars").cast("double")
+        ).alias("bytes_per_char"),
+    )
+
+
+def _oracle_fertility() -> str:
+    from .textops import WORD_RE
+
+    return f"""
+WITH per AS (
+  SELECT lang, CAST(length(text) AS BIGINT) AS chars,
+         CAST(octet_length(encode(text)) AS BIGINT) AS bytes,
+         CAST(len(regexp_extract_all(lower(text), '{WORD_RE}')) AS BIGINT)
+           AS toks
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(chars) AS BIGINT) AS n_chars,
+       CAST(SUM(bytes) AS BIGINT) AS n_bytes,
+       CAST(SUM(toks) AS BIGINT) AS n_word_tokens,
+       CAST(SUM(chars) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE)
+         AS chars_per_token,
+       CAST(SUM(bytes) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE)
+         AS bytes_per_char
+FROM per GROUP BY lang
+"""
+
+
 QUERIES = {
     "q_rarity_score": q_rarity_score,
     "q_bpe_merges": q_bpe_merges,
@@ -991,6 +1050,7 @@ QUERIES = {
     "q_bm25": q_bm25,
     "q_bpe_apply": q_bpe_apply,
     "q_dsir_select": q_dsir_select,
+    "q_fertility": q_fertility,
 }
 
 ORACLES = {
@@ -1005,4 +1065,5 @@ ORACLES = {
     "q_bm25": ORACLE_BM25,
     "q_bpe_apply": _oracle_bpe_apply(),
     "q_dsir_select": ORACLE_DSIR_SELECT,
+    "q_fertility": _oracle_fertility(),
 }
