@@ -161,12 +161,101 @@ FROM a
 """
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the summary table a curation run
+    publishes alongside the shards: doc/char/word-token counts, exact
+    duplicate rate (md5 text identity), and the majority language with
+    its share. One groupBy per statistic family over the same scan;
+    exact integer arithmetic until the two final ratio divisions.
+
+    100 TB shape: two map-side-combinable aggregations keyed on the
+    (low-cardinality) source — the distinct-text count shuffles md5
+    digests, never text payloads — plus a per-source top-1 window over
+    the tiny (source, lang) rollup."""
+    from pyspark.sql import Window
+
+    from .textops import WORD_RE
+
+    d = load(spark, sf_dir, "documents")
+    base = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("n_chars"),
+        F.sum(
+            F.size(
+                F.regexp_extract_all(F.lower("text"), F.lit(WORD_RE), 0)
+            ).cast("long")
+        ).alias("n_word_tokens"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+    )
+    lang_counts = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), "lang")
+    top = (
+        lang_counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("n").alias("n_top_lang"),
+        )
+    )
+    return base.join(top, "source").select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "n_word_tokens",
+        (
+            (F.col("n_docs") - F.col("n_distinct")).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+        "top_lang",
+        (
+            F.col("n_top_lang").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("top_lang_share"),
+    )
+
+
+def _oracle_dataset_card() -> str:
+    from .textops import WORD_RE
+
+    return f"""
+WITH base AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         CAST(SUM(len(regexp_extract_all(lower(text), '{WORD_RE}')))
+              AS BIGINT) AS n_word_tokens,
+         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+  FROM documents GROUP BY source
+), lc AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+), top AS (
+  SELECT source, lang AS top_lang, n AS n_top_lang FROM (
+    SELECT source, lang, n,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n DESC, lang) AS rn
+    FROM lc) t WHERE rn = 1
+)
+SELECT source, n_docs, n_chars, n_word_tokens,
+       CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         AS dup_rate,
+       top_lang,
+       CAST(n_top_lang AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         AS top_lang_share
+FROM base JOIN top USING (source)
+"""
+
+
 QUERIES = {
     "q_curation_funnel": q_curation_funnel,
     "q_global_shuffle": q_global_shuffle,
+    "q_dataset_card": q_dataset_card,
 }
 
 ORACLES = {
     "q_curation_funnel": _oracle_curation_funnel(),
     "q_global_shuffle": _oracle_global_shuffle(),
+    "q_dataset_card": _oracle_dataset_card(),
 }
