@@ -1206,6 +1206,54 @@ WHERE {sround_sql(_SPARSE_COS, 4)} >= {SPARSE_THRESHOLD}
 """
 
 
+def q_lsh_recall_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical LSH S-curve — the text twin of q_ann_recall: for each
+    0.1-wide exact-Jaccard band, the fraction of shingle-sharing pairs
+    the MinHash(16)/LSH(4x4) banding actually surfaces as candidates.
+    This is the measured version of the 1-(1-s^r)^b collision curve the
+    band/row choice is designed around; run it before trusting an LSH
+    threshold at a new corpus. Ground truth is the capped inverted-index
+    pair set (threshold 0 keeps every candidate pair), so both sides
+    share the stop-shingle cap caveat."""
+    d = load(spark, sf_dir, "documents")
+    ex = D.ngram_jaccard_pairs(
+        d, threshold=0.0, n=NGRAM_N, max_shingle_freq=MAX_SHINGLE_FREQ
+    )
+    sigs = D.minhash_signatures(d, num_hashes=NUM_HASHES, n=NGRAM_N)
+    cand = D.lsh_candidate_pairs(
+        sigs, num_hashes=NUM_HASHES, band_size=BAND_SIZE
+    ).withColumn("_hit", F.lit(1))
+    return (
+        ex.join(cand, ["doc_a", "doc_b"], "left")
+        .groupBy(
+            F.floor(F.col("jaccard") * 10.0).cast("int").alias("band")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_caught"),
+            (
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+                / F.count("*").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+def _oracle_lsh_recall_text() -> str:
+    return f"""
+WITH ex AS (SELECT * FROM ({_ngram_pairs_sql(0.0)}) e),
+cand AS (SELECT * FROM ({_oracle_minhash()}) c)
+SELECT CAST(floor(jaccard * 10.0) AS INT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN cand.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_caught,
+       CAST(SUM(CASE WHEN cand.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM ex LEFT JOIN cand USING (doc_a, doc_b)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_minhash_jaccard": q_minhash_jaccard,
     "q_contamination": q_contamination,
@@ -1226,6 +1274,7 @@ QUERIES = {
     "q_cdc_chunks": q_cdc_chunks,
     "q_ngram_novelty": q_ngram_novelty,
     "q_sparse_cosine": q_sparse_cosine,
+    "q_lsh_recall_text": q_lsh_recall_text,
 }
 
 ORACLES = {
@@ -1248,4 +1297,5 @@ ORACLES = {
     "q_cdc_chunks": ORACLE_CDC_CHUNKS,
     "q_ngram_novelty": ORACLE_NGRAM_NOVELTY,
     "q_sparse_cosine": ORACLE_SPARSE_COSINE,
+    "q_lsh_recall_text": _oracle_lsh_recall_text(),
 }
