@@ -684,6 +684,73 @@ LIMIT {WSAMPLE_K}
 """
 
 
+WSAMPLE_STRAT_K = 10
+
+
+def q_weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE weighted sampling without replacement — the
+    balanced-subsample builder (k docs from every language, longer docs
+    proportionally likelier): the same Efraimidis-Spirakis race keys as
+    q_weighted_sample (same md5 uniform, same sanctioned ``ln``, same
+    12-decimal pinning), ranked within language instead of globally.
+
+    Scale shape: the window is PARTITIONED BY lang — per-stratum top-k,
+    no global order; with many strata this is the exact per-group
+    reservoir. (For very-low-cardinality strata at extreme scale the
+    TakeOrdered-per-stratum variant is a groupBy(lang) + min_by-k.)"""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(_WSAMPLE_SCALE)
+    key = (-F.log(u)) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        d.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            sround(key, 12).alias("priority"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= WSAMPLE_STRAT_K)
+        .select("doc_id", "lang", "n_chars", "priority")
+    )
+
+
+def _oracle_weighted_sample_stratified() -> str:
+    h = (
+        "(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)),"
+        " 1, 15))::BIGINT)"
+    )
+    key = f"(-ln(CAST({h} + 1 AS DOUBLE) / {_WSAMPLE_SCALE!r}))" \
+        " / CAST(n_chars AS DOUBLE)"
+    return f"""
+WITH scored AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         {sround_sql(key, 12)} AS priority
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, lang, n_chars, priority FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+              ORDER BY priority, doc_id) AS rn
+  FROM scored) t
+WHERE rn <= {WSAMPLE_STRAT_K}
+"""
+
+
 def _oracle_stratified_sample() -> str:
     h = (
         "(('0x' || substr(md5('samp:' || CAST(event_id AS VARCHAR)),"
@@ -1396,6 +1463,7 @@ QUERIES = {
     "q_bloom_join": q_bloom_join,
     "q_stratified_sample": q_stratified_sample,
     "q_weighted_sample": q_weighted_sample,
+    "q_weighted_sample_stratified": q_weighted_sample_stratified,
     "q_winsorize": q_winsorize,
     "q_compaction_plan": q_compaction_plan,
     "q_heavy_hitters": q_heavy_hitters,
@@ -1422,6 +1490,7 @@ ORACLES = {
     "q_bloom_join": _oracle_bloom_join(),
     "q_stratified_sample": _oracle_stratified_sample(),
     "q_weighted_sample": _oracle_weighted_sample(),
+    "q_weighted_sample_stratified": _oracle_weighted_sample_stratified(),
     "q_winsorize": ORACLE_WINSORIZE,
     "q_compaction_plan": ORACLE_COMPACTION_PLAN,
     "q_heavy_hitters": _oracle_heavy_hitters(),
