@@ -40,7 +40,7 @@ from ..operators.sketch import (
     hll_estimate,
     hll_sql,
 )
-from ._util import sround, sround_sql
+from ._util import DEC, DEC_SQL, davg, davg_sql, sround, sround_sql
 
 HLL_M = 64
 
@@ -681,6 +681,137 @@ FROM documents
 WHERE n_chars IS NOT NULL AND n_chars > 0
 ORDER BY priority, doc_id
 LIMIT {WSAMPLE_K}
+"""
+
+
+BOOT_R = 32
+# Poisson(1) CDF breakpoints scaled to the md5 15-hex-digit range
+# (floor(P(X<=k) * 2^60) for k = 0..3; k is truncated at 4 — P(k>=5) is
+# 3.7e-4 and the truncation is applied identically on both engines).
+# Integer comparisons only: the replica-weight assignment never touches
+# a double.
+_BOOT_T = (
+    424_136_118_829_305_344,
+    848_272_237_658_610_688,
+    1_060_340_297_073_263_360,
+    1_131_029_650_211_480_960,
+)
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean ``value`` per
+    event type — THE scalable resampling pattern (each row draws an
+    independent Poisson(1) multiplicity per replica, so no replica needs
+    a global sample): 32 deterministic replicas whose weights come from
+    integer md5 draws against fixed Poisson-CDF breakpoints, each
+    replica's weighted mean via decimal sums, and the 2nd-smallest /
+    2nd-largest replica means as a ~94% CI (order statistics of 32).
+
+    100 TB shape: the explode is a constant 32x row multiplier feeding
+    ONE map-side-combinable (type, replica) aggregation — no data-sized
+    shuffle beyond it, and the 5x32 replica-mean table is window-ranked
+    per type. RNG-free: reruns, engines, and partitionings all agree."""
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1))).alias("r"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot:"),
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("r").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    k = (
+        F.when(h < _BOOT_T[0], 0)
+        .when(h < _BOOT_T[1], 1)
+        .when(h < _BOOT_T[2], 2)
+        .when(h < _BOOT_T[3], 3)
+        .otherwise(4)
+    )
+    from pyspark.sql import Window
+
+    est = (
+        base.select("event_type", "r", k.alias("k"), "value")
+        .groupBy("event_type", "r")
+        .agg(
+            (
+                F.sum((F.col("k") * F.col("value")).cast(DEC)).cast("double")
+                / F.sum("k").cast("double")
+            ).alias("est")
+        )
+    )
+    lo_w = Window.partitionBy("event_type").orderBy("est", "r")
+    hi_w = Window.partitionBy("event_type").orderBy(
+        F.col("est").desc(), F.col("r").desc()
+    )
+    ranked = est.withColumn("_rlo", F.row_number().over(lo_w)).withColumn(
+        "_rhi", F.row_number().over(hi_w)
+    )
+    lo = ranked.filter(F.col("_rlo") == 2).select(
+        "event_type", F.col("est").alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("_rhi") == 2).select(
+        "event_type", F.col("est").alias("ci_hi")
+    )
+    point = e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), davg("value").alias("mean_value")
+    )
+    return point.join(lo, "event_type").join(hi, "event_type")
+
+
+def _oracle_bootstrap_ci() -> str:
+    h = (
+        "(('0x' || substr(md5('boot:' || CAST(event_id AS VARCHAR)"
+        " || ':' || CAST(r AS VARCHAR)), 1, 15))::BIGINT)"
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type, value, r, {h} AS h
+  FROM events CROSS JOIN range({BOOT_R}) t(r)
+), w AS (
+  SELECT event_type, r, value,
+         CASE WHEN h < {_BOOT_T[0]} THEN 0
+              WHEN h < {_BOOT_T[1]} THEN 1
+              WHEN h < {_BOOT_T[2]} THEN 2
+              WHEN h < {_BOOT_T[3]} THEN 3
+              ELSE 4 END AS k
+  FROM base
+), est AS (
+  SELECT event_type, r,
+         CAST(SUM(CAST(k * value AS {DEC_SQL})) AS DOUBLE)
+           / CAST(SUM(k) AS DOUBLE) AS est
+  FROM w GROUP BY 1, 2
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY est, r) AS rlo,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY est DESC, r DESC) AS rhi
+  FROM est
+), point AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         {davg_sql('value')} AS mean_value
+  FROM events GROUP BY 1
+)
+SELECT event_type, n_events, mean_value, lo.est AS ci_lo, hi.est AS ci_hi
+FROM point
+JOIN (SELECT event_type, est FROM ranked WHERE rlo = 2) lo
+  USING (event_type)
+JOIN (SELECT event_type, est FROM ranked WHERE rhi = 2) hi
+  USING (event_type)
 """
 
 
@@ -1464,6 +1595,7 @@ QUERIES = {
     "q_stratified_sample": q_stratified_sample,
     "q_weighted_sample": q_weighted_sample,
     "q_weighted_sample_stratified": q_weighted_sample_stratified,
+    "q_bootstrap_ci": q_bootstrap_ci,
     "q_winsorize": q_winsorize,
     "q_compaction_plan": q_compaction_plan,
     "q_heavy_hitters": q_heavy_hitters,
@@ -1491,6 +1623,7 @@ ORACLES = {
     "q_stratified_sample": _oracle_stratified_sample(),
     "q_weighted_sample": _oracle_weighted_sample(),
     "q_weighted_sample_stratified": _oracle_weighted_sample_stratified(),
+    "q_bootstrap_ci": _oracle_bootstrap_ci(),
     "q_winsorize": ORACLE_WINSORIZE,
     "q_compaction_plan": ORACLE_COMPACTION_PLAN,
     "q_heavy_hitters": _oracle_heavy_hitters(),

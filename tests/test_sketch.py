@@ -151,3 +151,14 @@ def test_weighted_sample_biases_toward_long_docs(spark, sf_dir):
     )
     sample_mean = sum(r.n_chars for r in rows) / len(rows)
     assert sample_mean > corpus_mean
+
+
+def test_bootstrap_ci_brackets_the_mean(spark, sf_dir):
+    from audios_to_dataset_spark.plans.sketches import q_bootstrap_ci
+
+    rows = q_bootstrap_ci(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.ci_lo < r.ci_hi
+        # the point estimate sits inside the replica spread
+        assert r.ci_lo <= r.mean_value <= r.ci_hi
