@@ -372,14 +372,25 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_label_prop() -> str:
+def _lp_ctes(edge_ctes: list[str] | None = None) -> tuple[list[str], str]:
     """Replay each synchronous LPA round as chained CTEs: neighbor label
     counts → per-node mode with (count DESC, label ASC) tie-break →
-    coalesce for isolated nodes."""
-    ctes = [
-        "e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,"
-        f" CAST(l_suppkey AS BIGINT) + {PR_SUPP_OFFSET} AS dst"
-        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+    coalesce for isolated nodes. Returns (CTE list, final-labels CTE
+    name). ``edge_ctes`` overrides the default customer↔supplier trade
+    edges with any CTE chain ending in ``e(src, dst)`` — q_modularity
+    passes the part co-purchase graph (LPA on the BIPARTITE trade graph
+    oscillates sides out of phase, leaving zero internal edges at every
+    round count; the unipartite co-purchase graph has real communities)."""
+    ctes = list(
+        edge_ctes
+        if edge_ctes is not None
+        else [
+            "e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,"
+            f" CAST(l_suppkey AS BIGINT) + {PR_SUPP_OFFSET} AS dst"
+            " FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        ]
+    )
+    ctes += [
         "und AS (SELECT src AS a, dst AS b FROM e"
         " UNION SELECT dst, src FROM e)",
         "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
@@ -400,11 +411,127 @@ def _oracle_label_prop() -> str:
             f"l{t} AS (SELECT l.id, COALESCE(p.label, l.label) AS label"
             f" FROM {p} l LEFT JOIN p{t} p ON p.id = l.id)"
         )
+    return ctes, f"l{LP_ITERS}"
+
+
+def _oracle_label_prop() -> str:
+    ctes, fin = _lp_ctes()
     joined = ",\n".join(ctes)
     return (
         f"WITH {joined}\nSELECT CAST(id AS BIGINT) AS node_id,"
-        f" CAST(label AS BIGINT) AS community FROM l{LP_ITERS}"
+        f" CAST(label AS BIGINT) AS community FROM {fin}"
     )
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of 2-round LPA communities on the part
+    CO-PURCHASE graph — the "are these communities real" eval (Newman &
+    Girvan 2004), pairing with q_cluster_purity's role for KMeans: per
+    community, node count, internal-edge count, degree sum, and the
+    modularity contribution e_c/m - (D_c/(2m))^2. All counts are exact
+    integers; the contribution is two integer-ratio divisions in fixed
+    order. The graph deliberately differs from q_label_prop's trade
+    graph: synchronous LPA on a bipartite graph oscillates the two
+    sides out of phase, so its "communities" have zero internal edges
+    at every round count — co-purchase is unipartite and yields real
+    ones (see _lp_ctes).
+
+    100 TB shape: degrees and internal edges are equi-join + groupBy
+    passes over the edge list; the 1-row total-edge frame rides a
+    broadcast cross join (the PageRank dangling-mass pattern)."""
+    from ..operators.graph import label_propagation
+
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_partkey").cast("bigint").alias("p"),
+    ).distinct()
+    edges = (
+        items.select("o", F.col("p").alias("src"))
+        .join(items.select("o", F.col("p").alias("dst")), "o")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    r = label_propagation(nodes, edges, iters=LP_ITERS)
+    und = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    )
+    deg = und.groupBy("id").agg(F.count("*").alias("deg"))
+    comm = r.select(
+        "id", F.col("community").cast("bigint").alias("community")
+    ).join(deg, "id")
+    stats = comm.groupBy("community").agg(
+        F.count("*").alias("n_nodes"), F.sum("deg").alias("deg_sum")
+    )
+    ca = comm.select(F.col("id").alias("src"), F.col("community").alias("_ca"))
+    cb = comm.select(F.col("id").alias("dst"), F.col("community").alias("_cb"))
+    ein = (
+        edges.join(ca, "src")
+        .join(cb, "dst")
+        .filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("community"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    m1 = edges.agg(F.count("*").alias("m"))
+    contrib = F.col("e_in").cast("double") / F.col("m").cast("double") - (
+        F.col("deg_sum").cast("double") / (F.col("m") * 2).cast("double")
+    ) * (
+        F.col("deg_sum").cast("double") / (F.col("m") * 2).cast("double")
+    )
+    return (
+        stats.join(ein, "community", "left")
+        .fillna(0, ["e_in"])
+        .crossJoin(F.broadcast(m1))
+        .select(
+            "community",
+            "n_nodes",
+            "deg_sum",
+            "e_in",
+            contrib.alias("contribution"),
+        )
+    )
+
+
+_MOD_EDGE_CTES = [
+    "items AS (SELECT DISTINCT l_orderkey AS o,"
+    " CAST(l_partkey AS BIGINT) AS p FROM lineitem)",
+    "e AS (SELECT DISTINCT a.p AS src, b.p AS dst"
+    " FROM items a JOIN items b ON a.o = b.o AND a.p < b.p)",
+]
+
+
+def _oracle_modularity() -> str:
+    ctes, fin = _lp_ctes(_MOD_EDGE_CTES)
+    joined = ",\n".join(ctes)
+    c = (
+        "CAST(COALESCE(e_in, 0) AS DOUBLE) / CAST(m AS DOUBLE)"
+        " - (CAST(deg_sum AS DOUBLE) / CAST(m * 2 AS DOUBLE))"
+        " * (CAST(deg_sum AS DOUBLE) / CAST(m * 2 AS DOUBLE))"
+    )
+    return f"""WITH {joined},
+deg AS (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM und GROUP BY a),
+comm AS (SELECT l.id, CAST(l.label AS BIGINT) AS community, deg.deg
+         FROM {fin} l JOIN deg USING (id)),
+stats AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 CAST(SUM(deg) AS BIGINT) AS deg_sum
+          FROM comm GROUP BY community),
+ein AS (SELECT ca.community, CAST(COUNT(*) AS BIGINT) AS e_in
+        FROM e JOIN comm ca ON ca.id = e.src
+               JOIN comm cb ON cb.id = e.dst
+        WHERE ca.community = cb.community GROUP BY ca.community),
+m1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e)
+SELECT s.community, n_nodes, deg_sum,
+       CAST(COALESCE(e_in, 0) AS BIGINT) AS e_in,
+       {c} AS contribution
+FROM stats s LEFT JOIN ein USING (community) CROSS JOIN m1
+"""
 
 
 HITS_ITERS = 2
@@ -1596,6 +1723,7 @@ QUERIES = {
     "q_weighted_sample": q_weighted_sample,
     "q_weighted_sample_stratified": q_weighted_sample_stratified,
     "q_bootstrap_ci": q_bootstrap_ci,
+    "q_modularity": q_modularity,
     "q_winsorize": q_winsorize,
     "q_compaction_plan": q_compaction_plan,
     "q_heavy_hitters": q_heavy_hitters,
@@ -1624,6 +1752,7 @@ ORACLES = {
     "q_weighted_sample": _oracle_weighted_sample(),
     "q_weighted_sample_stratified": _oracle_weighted_sample_stratified(),
     "q_bootstrap_ci": _oracle_bootstrap_ci(),
+    "q_modularity": _oracle_modularity(),
     "q_winsorize": ORACLE_WINSORIZE,
     "q_compaction_plan": ORACLE_COMPACTION_PLAN,
     "q_heavy_hitters": _oracle_heavy_hitters(),
