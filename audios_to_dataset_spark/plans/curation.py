@@ -248,14 +248,67 @@ FROM base JOIN top USING (source)
 """
 
 
+K_ANON = 5
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity privacy audit — the re-identification screen run
+    before releasing a dataset: treat (lang, source, 100-char length
+    band) as the quasi-identifier; any row whose QI group has fewer
+    than k=5 members is re-identifiable-risky. Reports, per source,
+    group count, the smallest group, and the share of rows at risk.
+    Exact integers until the final ratio.
+
+    100 TB shape: two map-side-combinable groupBys, the second over the
+    tiny QI-group table."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100.0).cast("bigint").alias("band"),
+    ).agg(F.count("*").alias("n"))
+    risky = F.sum(
+        F.when(F.col("n") < K_ANON, F.col("n")).otherwise(F.lit(0))
+    )
+    return g.groupBy("source").agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n").alias("n_rows"),
+        F.min("n").alias("min_group_size"),
+        risky.alias("n_risky_rows"),
+        (risky.cast("double") / F.sum("n").cast("double")).alias(
+            "risk_rate"
+        ),
+    )
+
+
+ORACLE_K_ANONYMITY = f"""
+WITH g AS (
+  SELECT lang, source,
+         CAST(floor(n_chars / 100.0) AS BIGINT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MIN(n) AS BIGINT) AS min_group_size,
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT)
+         AS n_risky_rows,
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(n) AS DOUBLE) AS risk_rate
+FROM g GROUP BY source
+"""
+
+
 QUERIES = {
     "q_curation_funnel": q_curation_funnel,
     "q_global_shuffle": q_global_shuffle,
     "q_dataset_card": q_dataset_card,
+    "q_k_anonymity": q_k_anonymity,
 }
 
 ORACLES = {
     "q_curation_funnel": _oracle_curation_funnel(),
     "q_global_shuffle": _oracle_global_shuffle(),
     "q_dataset_card": _oracle_dataset_card(),
+    "q_k_anonymity": ORACLE_K_ANONYMITY,
 }
