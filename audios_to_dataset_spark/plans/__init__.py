@@ -47,6 +47,10 @@ def _modules():
     # r3 review). ROUND 5: move events, tpch2, versioning, textops2
     # (q_bm25) and the new similarity PQ queries to the front — they
     # will then be the only families without a driver row.
+    # WINDOW FREEZE (r4): q_inverted_index sits at position 49 of the
+    # 50-query driver window — do NOT add queries to sketches/analytics/
+    # textops until the r4 CORRECTNESS file lands; register new work in
+    # the later modules (events, tpch2, …, curation) instead.
     return (sketches, analytics, textops, events, tpch2, versioning, paths,
             textops2, dedup, similarity, multimodal, streaming_events,
             curation, relational, relational2)
