@@ -299,11 +299,71 @@ FROM g GROUP BY source
 """
 
 
+L_DIVERSITY = 2
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's companion (Machanavajjhala et
+    al. 2007): a QI group can be large yet still leak the SENSITIVE
+    attribute if every member shares it. QI = (source, 100-char length
+    band), sensitive = lang; a group with fewer than l=2 distinct
+    languages discloses its members' language outright. Reports, per
+    source, the low-diversity group count and the share of rows at
+    risk. Exact integers until the final ratio.
+
+    100 TB shape: one (QI, sensitive) distinct-count groupBy, then a
+    rollup over the tiny group table."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy(
+        "source",
+        F.floor(F.col("n_chars") / 100.0).cast("bigint").alias("band"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    risky_rows = F.sum(
+        F.when(F.col("n_langs") < L_DIVERSITY, F.col("n")).otherwise(
+            F.lit(0)
+        )
+    )
+    return g.groupBy("source").agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n").alias("n_rows"),
+        F.sum(
+            F.when(F.col("n_langs") < L_DIVERSITY, 1).otherwise(0)
+        ).alias("n_low_div_groups"),
+        risky_rows.alias("n_risky_rows"),
+        (risky_rows.cast("double") / F.sum("n").cast("double")).alias(
+            "risk_rate"
+        ),
+    )
+
+
+ORACLE_L_DIVERSITY = f"""
+WITH g AS (
+  SELECT source, CAST(floor(n_chars / 100.0) AS BIGINT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN n_langs < {L_DIVERSITY} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low_div_groups,
+       CAST(SUM(CASE WHEN n_langs < {L_DIVERSITY} THEN n ELSE 0 END)
+            AS BIGINT) AS n_risky_rows,
+       CAST(SUM(CASE WHEN n_langs < {L_DIVERSITY} THEN n ELSE 0 END)
+            AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS risk_rate
+FROM g GROUP BY source
+"""
+
+
 QUERIES = {
     "q_curation_funnel": q_curation_funnel,
     "q_global_shuffle": q_global_shuffle,
     "q_dataset_card": q_dataset_card,
     "q_k_anonymity": q_k_anonymity,
+    "q_l_diversity": q_l_diversity,
 }
 
 ORACLES = {
@@ -311,4 +371,5 @@ ORACLES = {
     "q_global_shuffle": _oracle_global_shuffle(),
     "q_dataset_card": _oracle_dataset_card(),
     "q_k_anonymity": ORACLE_K_ANONYMITY,
+    "q_l_diversity": ORACLE_L_DIVERSITY,
 }
