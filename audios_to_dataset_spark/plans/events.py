@@ -802,6 +802,79 @@ GROUP BY tb.event_type
 """
 
 
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per event type (Goh & Barabási 2008's
+    B = (σ-μ)/(σ+μ) over inter-arrival times): B→-1 is a metronome,
+    0 is Poisson, →1 is heavy-tailed bursts — the signal that decides
+    whether a streaming ingest needs burst capacity. Gaps are integer
+    SECONDS between consecutive same-type events within a calendar day
+    (epoch-day partitioned, so the window key scales with time and the
+    squared sums stay in bigint range); mean/variance come from exact
+    integer moment sums, and the only doubles are three fixed-order
+    divisions, one guarded sqrt, and the final ratio.
+
+    100 TB shape: windows partition on (type, epoch-day) — bounded
+    per-partition work forever — then one map-side-combinable rollup."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    day = F.floor(us / F.lit(86_400_000_000)).cast("bigint")
+    w = Window.partitionBy("event_type", "_day").orderBy("_us", "event_id")
+    gaps = (
+        e.select("event_type", "event_id", us.alias("_us"), day.alias("_day"))
+        .withColumn("_prev", F.lag("_us").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "event_type",
+            F.floor((F.col("_us") - F.col("_prev")) / F.lit(1e6))
+            .cast("bigint")
+            .alias("g"),
+        )
+    )
+    n = F.count("*")
+    mean = F.sum("g").cast("double") / n.cast("double")
+    ex2 = F.sum(F.col("g") * F.col("g")).cast("double") / n.cast("double")
+    var = F.greatest(ex2 - mean * mean, F.lit(0.0))
+    sd = F.sqrt(var)
+    return gaps.groupBy("event_type").agg(
+        n.alias("n_gaps"),
+        sround(mean, 6).alias("mean_gap_s"),
+        sround(sd, 6).alias("sd_gap_s"),
+        sround((sd - mean) / (sd + mean), 6).alias("burstiness"),
+    )
+
+
+_BURST_N = "CAST(COUNT(*) AS DOUBLE)"
+_BURST_MEAN = f"CAST(SUM(g) AS DOUBLE) / {_BURST_N}"
+_BURST_EX2 = f"CAST(SUM(g * g) AS DOUBLE) / {_BURST_N}"
+_BURST_VAR = (
+    f"greatest(({_BURST_EX2}) - ({_BURST_MEAN}) * ({_BURST_MEAN}), 0.0)"
+)
+_BURST_SD = f"sqrt({_BURST_VAR})"
+
+ORACLE_BURSTINESS = f"""
+WITH t AS (
+  SELECT event_type, event_id, epoch_us(ts) AS us,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+  FROM events
+), gaps AS (
+  SELECT event_type,
+         CAST(floor((us - prev) / 1000000.0) AS BIGINT) AS g
+  FROM (
+    SELECT event_type, us,
+           lag(us) OVER (PARTITION BY event_type, day
+                         ORDER BY us, event_id) AS prev
+    FROM t) x
+  WHERE prev IS NOT NULL
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       {sround_sql(_BURST_MEAN, 6)} AS mean_gap_s,
+       {sround_sql(_BURST_SD, 6)} AS sd_gap_s,
+       {sround_sql(f"(({_BURST_SD}) - ({_BURST_MEAN})) / (({_BURST_SD}) + ({_BURST_MEAN}))", 6)}
+         AS burstiness
+FROM gaps GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q_scd2": q_scd2,
     "q_ewma": q_ewma,
@@ -819,6 +892,7 @@ QUERIES = {
     "q_session_window": q_session_window,
     "q_map_funcs": q_map_funcs,
     "q_value_drift": q_value_drift,
+    "q_burstiness": q_burstiness,
 }
 
 ORACLES = {
@@ -838,4 +912,5 @@ ORACLES = {
     "q_session_window": ORACLE_SESSION_WINDOW,
     "q_map_funcs": ORACLE_MAP_FUNCS,
     "q_value_drift": ORACLE_VALUE_DRIFT,
+    "q_burstiness": ORACLE_BURSTINESS,
 }
