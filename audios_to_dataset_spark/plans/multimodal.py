@@ -92,10 +92,61 @@ FROM f ORDER BY doc_id, frame_idx
 """
 
 
+RESIZE_OUT = 8
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL pixel path end-to-end, fully value-hash-oracled: a
+    deterministic grayscale BMP per doc (dims from the id, pixel (x,y)
+    from md5) → actual BMP encode → actual decode → nearest-neighbor
+    resize to 8x8 → re-encode → header decode → exact pixel mean. The
+    oracle never parses BMP bytes: it recomputes the 64 sampled source
+    pixels from the same md5 formula (source coord = (i*dim)//8), so ANY
+    bug in the encoder, decoder, row padding, bottom-up flip, or index
+    map corrupts the sampled values and fails the hash."""
+    from ..functions.multimodal import (
+        resize_images_bmp,
+        with_pixel_mean,
+        with_synth_bmp,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    bmp = with_synth_bmp(d)
+    small = resize_images_bmp(bmp, RESIZE_OUT, RESIZE_OUT)
+    info = with_image_info(small)
+    return with_pixel_mean(info).select(
+        "doc_id",
+        F.col("image.format").alias("img_format"),
+        F.col("image.width").cast("long").alias("img_width"),
+        F.col("image.height").cast("long").alias("img_height"),
+        "mean_px",
+    )
+
+
+ORACLE_IMAGE_RESIZE = f"""
+WITH g AS (
+  SELECT doc_id, 16 + doc_id % 17 AS w0, 16 + doc_id % 13 AS h0
+  FROM documents
+), px AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('px:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST((i * w0) // {RESIZE_OUT} AS VARCHAR) || ':' ||
+             CAST((j * h0) // {RESIZE_OUT} AS VARCHAR)), 1, 2))::INT AS v
+  FROM g, range({RESIZE_OUT}) ti(i), range({RESIZE_OUT}) tj(j)
+)
+SELECT doc_id, 'bmp' AS img_format,
+       CAST({RESIZE_OUT} AS BIGINT) AS img_width,
+       CAST({RESIZE_OUT} AS BIGINT) AS img_height,
+       CAST(SUM(v) AS DOUBLE) / {float(RESIZE_OUT * RESIZE_OUT)!r} AS mean_px
+FROM px GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q_multimodal_embed": q_multimodal_embed,
     "q_multimodal_decode": q_multimodal_decode,
     "q_frame_sample": q_frame_sample,
+    "q_image_resize": q_image_resize,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -116,3 +167,4 @@ FROM documents
 """,
 }
 ORACLES["q_frame_sample"] = ORACLE_FRAME_SAMPLE
+ORACLES["q_image_resize"] = ORACLE_IMAGE_RESIZE

@@ -101,3 +101,70 @@ def test_partition_by_size_budget(spark):
     out = partition_by_size_budget(df, target_bytes_per_partition=10_000)
     assert out.rdd.getNumPartitions() == 11  # 100kB / 10kB + 1
     assert out.count() == 100
+
+
+def test_bmp_roundtrip_exact():
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(7)
+    # widths 3 and 5 force nonzero row padding; 4 is pad-free
+    for w, h in [(3, 2), (4, 4), (5, 3), (17, 13)]:
+        px = rng.randint(0, 256, size=(h, w, 3)).astype("uint8")
+        out = decode_bmp_pixels(encode_bmp(px))
+        assert out is not None and out.shape == (h, w, 3)
+        assert (out == px).all()
+
+
+def test_bmp_decode_rejects_malformed():
+    import struct
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+    import numpy as np
+
+    good = encode_bmp(np.zeros((2, 2, 3), dtype="uint8"))
+    assert decode_bmp_pixels(None) is None
+    assert decode_bmp_pixels(b"notabmp") is None
+    assert decode_bmp_pixels(good[:30]) is None  # truncated header
+    assert decode_bmp_pixels(good[:-4]) is None  # truncated pixels
+    bad_bpp = bytearray(good)
+    struct.pack_into("<H", bad_bpp, 28, 32)
+    assert decode_bmp_pixels(bytes(bad_bpp)) is None
+
+
+def test_resize_nn_matches_index_rule():
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import resize_nn
+
+    px = np.arange(7 * 5 * 3, dtype="uint8").reshape(5, 7, 3)
+    out = resize_nn(px, 3, 2)
+    for j in range(2):
+        for i in range(3):
+            assert (out[j, i] == px[(j * 5) // 2, (i * 7) // 3]).all()
+
+
+def test_resize_images_bmp_passthrough_and_resize(spark):
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+        resize_images_bmp,
+    )
+
+    px = np.arange(6 * 4 * 3, dtype="uint8").reshape(4, 6, 3)
+    rows = [(1, encode_bmp(px)), (2, b"not an image")]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r.id: bytes(r.content)
+           for r in resize_images_bmp(df, 2, 2).collect()}
+    out = decode_bmp_pixels(got[1])
+    assert out is not None and out.shape == (2, 2, 3)
+    assert got[2] == b"not an image"
