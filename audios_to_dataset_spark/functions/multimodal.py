@@ -340,15 +340,220 @@ def resize_images(
 def sample_video_frames(
     df: DataFrame, every_n_seconds: float = 1.0, content_col: str = "content"
 ) -> DataFrame:
-    """Video frame sampling — requires an ffmpeg binding (not in this
-    container). ``sample_fake_frames`` below exercises the identical
-    Spark-side plumbing (one-to-many mapInPandas, binary out) with a
-    deterministic fake codec."""
+    """Video frame sampling for COMPRESSED codecs — requires an ffmpeg
+    binding (not in this container). ``sample_avi_frames`` below is the
+    REAL codec-free path for raw-RGB AVI; ``sample_fake_frames``
+    exercises the same one-to-many plumbing with a fake codec."""
     raise NotImplementedError(
         "sample_video_frames needs PyAV/ffmpeg, not available here; "
         "signature kept for API parity: returns one row per sampled frame "
-        "with columns (src columns..., frame_idx int, frame binary)"
+        "with columns (src columns..., frame_idx int, frame binary). "
+        "For uncompressed raw-RGB AVI use sample_avi_frames (no codec "
+        "needed)."
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL video frame extraction for uncompressed raw-RGB AVI (no codec)
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_raw(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Encode (h, w, 3) uint8 RGB frames as a minimal uncompressed AVI
+    ('DIB ' video stream; each '00db' chunk is a bottom-up padded BGR
+    bitmap, exactly the BMP pixel layout). RIFF throughout — the same
+    chunk grammar the WAV decoder walks, so no codec is needed on
+    either side."""
+    h, w, _ = frames[0].shape
+    row_size = (w * 3 + 3) & ~3
+    frame_size = row_size * h
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_size * fps, 0, 0x10, len(frames),
+        0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsDIB "
+        + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames),
+            frame_size, 0, 0,
+        )
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl", chunk(b"avih", avih) + lst(
+            b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)
+        )
+    )
+    movi_body = b"".join(
+        chunk(
+            b"00db",
+            _rgb_to_dib_rows(f, row_size),
+        )
+        for f in frames
+    )
+    movi = lst(b"movi", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _rgb_to_dib_rows(px: np.ndarray, row_size: int) -> bytes:
+    h, w, _ = px.shape
+    bgr = px[::-1, :, ::-1]
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return rows.tobytes()
+
+
+def _dib_rows_to_rgb(buf: bytes, w: int, h: int) -> np.ndarray | None:
+    row_size = (w * 3 + 3) & ~3
+    if len(buf) < row_size * h:
+        return None
+    arr = np.frombuffer(buf, dtype=np.uint8, count=row_size * h).reshape(
+        h, row_size
+    )
+    return arr[:, : w * 3].reshape(h, w, 3)[:, :, ::-1][::-1]
+
+
+def decode_avi_frames(data: bytes | None) -> list[np.ndarray] | None:
+    """Decode every frame of an uncompressed raw-RGB AVI (as written by
+    encode_avi_raw / ffmpeg -vcodec rawvideo with a 24-bit DIB stream).
+    Walks RIFF: strf gives (w, h), each movi '00db' chunk is one
+    bottom-up BGR bitmap. Anything unparseable → None (keep-with-
+    fallback, as the WAV and BMP decoders)."""
+    try:
+        if not data or len(data) < 12 or data[:4] != b"RIFF":
+            return None
+        if data[8:12] != b"AVI ":
+            return None
+        w = h = 0
+        frames: list[np.ndarray] = []
+
+        def walk(lo: int, hi: int) -> None:
+            nonlocal w, h
+            pos = lo
+            while pos + 8 <= hi:
+                cid = data[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", data, pos + 4)
+                body = pos + 8
+                end = min(body + size, hi)
+                if cid == b"LIST":
+                    walk(body + 4, end)
+                elif cid == b"strf" and size >= 40:
+                    _sz, bw, bh = struct.unpack_from("<Iii", data, body)
+                    (bpp,) = struct.unpack_from("<H", data, body + 14)
+                    (comp,) = struct.unpack_from("<I", data, body + 16)
+                    if bpp == 24 and comp == 0:
+                        w, h = bw, abs(bh)
+                elif cid == b"00db" and w > 0 and h > 0:
+                    f = _dib_rows_to_rgb(data[body:end], w, h)
+                    if f is not None:
+                        frames.append(f)
+                pos = body + size + (size & 1)
+
+        walk(12, len(data))
+        return frames if frames else None
+    except Exception:
+        return None
+
+
+AVI_FRAME_TYPE = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_w", T.LongType()),
+        T.StructField("frame_h", T.LongType()),
+        T.StructField("mean_px", T.DoubleType()),
+    ]
+)
+
+
+def sample_avi_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL frame extraction: decode a raw-RGB AVI, keep every
+    ``every_n``-th frame, emit (id, frame_idx, dims, exact pixel mean).
+    One-to-many mapInPandas — the identical Spark-side shape a
+    compressed-codec decoder would plug into. Undecodable rows emit
+    nothing (skip-with-fallback)."""
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, means = [], [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                frames = decode_avi_frames(b)
+                if frames is None:
+                    continue
+                for fi in range(0, len(frames), every_n):
+                    f = frames[fi]
+                    ids.append(int(i))
+                    idxs.append(fi)
+                    hs.append(f.shape[0])
+                    ws.append(f.shape[1])
+                    means.append(
+                        int(f.astype(np.int64).sum()) / f.size
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_w": pd.Series(ws, dtype="int64"),
+                    "frame_h": pd.Series(hs, dtype="int64"),
+                    "mean_px": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(go, AVI_FRAME_TYPE)
+
+
+def synth_avi(doc_id: int) -> bytes:
+    """Deterministic raw-RGB AVI fixture: (4 + id%3) grayscale frames,
+    dims (8 + id%5, 8 + id%3), pixel (f, x, y) = first md5 byte of
+    ``fr:{id}:{f}:{x}:{y}`` — oracle-recomputable per coordinate."""
+    w = 8 + doc_id % 5
+    h = 8 + doc_id % 3
+    n = 4 + doc_id % 3
+    frames = []
+    for f in range(n):
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                v = int(
+                    hashlib.md5(
+                        f"fr:{doc_id}:{f}:{x}:{y}".encode()
+                    ).hexdigest()[:2],
+                    16,
+                )
+                px[y, x, :] = v
+        frames.append(px)
+    return encode_avi_raw(frames)
+
+
+def with_synth_avi(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "content"
+) -> DataFrame:
+    """Attach the deterministic AVI fixture bytes for each id."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_avi(int(i)) for i in ids])
+
+    return df.withColumn(out_col, _synth(F.col(id_col)))
 
 
 def sample_fake_frames(

@@ -142,11 +142,52 @@ FROM px GROUP BY doc_id
 """
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction end-to-end, fully value-hash-oracled:
+    a deterministic raw-RGB AVI per doc (frame pixel (f,x,y) from md5)
+    → actual RIFF/AVI encode → actual decode (strf dims, '00db' DIB
+    frames, bottom-up flip) → every-2nd-frame sampling → exact pixel
+    means. As with q_image_resize, the oracle recomputes every sampled
+    pixel from the md5 formula, so any container/unpadding/flip bug
+    fails the hash. The compressed-codec path stays honestly gated
+    (sample_video_frames)."""
+    from ..functions.multimodal import sample_avi_frames, with_synth_avi
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return sample_avi_frames(with_synth_avi(d), every_n=2)
+
+
+ORACLE_VIDEO_FRAMES = """
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+         4 + doc_id % 3 AS n
+  FROM documents
+), fr AS (
+  SELECT doc_id, w, h, unnest(range(0, n, 2)) AS f FROM g
+), fx AS (
+  SELECT doc_id, f, w, h, unnest(range(w)) AS x FROM fr
+), px AS (
+  SELECT doc_id, f, w, h, x, unnest(range(h)) AS y FROM fx
+), v AS (
+  SELECT doc_id, f, w, h,
+         ('0x' || substr(md5('fr:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(f AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' ||
+             CAST(y AS VARCHAR)), 1, 2))::INT AS v
+  FROM px
+)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(w AS BIGINT) AS frame_w, CAST(h AS BIGINT) AS frame_h,
+       CAST(SUM(v) AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_px
+FROM v GROUP BY doc_id, f, w, h
+"""
+
+
 QUERIES = {
     "q_multimodal_embed": q_multimodal_embed,
     "q_multimodal_decode": q_multimodal_decode,
     "q_frame_sample": q_frame_sample,
     "q_image_resize": q_image_resize,
+    "q_video_frames": q_video_frames,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -168,3 +209,4 @@ FROM documents
 }
 ORACLES["q_frame_sample"] = ORACLE_FRAME_SAMPLE
 ORACLES["q_image_resize"] = ORACLE_IMAGE_RESIZE
+ORACLES["q_video_frames"] = ORACLE_VIDEO_FRAMES

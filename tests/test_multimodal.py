@@ -168,3 +168,56 @@ def test_resize_images_bmp_passthrough_and_resize(spark):
     out = decode_bmp_pixels(got[1])
     assert out is not None and out.shape == (2, 2, 3)
     assert got[2] == b"not an image"
+
+
+def test_avi_roundtrip_exact():
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_avi_frames,
+        encode_avi_raw,
+    )
+
+    rng = np.random.RandomState(3)
+    frames = [
+        rng.randint(0, 256, size=(5, 7, 3)).astype("uint8")
+        for _ in range(4)
+    ]
+    out = decode_avi_frames(encode_avi_raw(frames))
+    assert out is not None and len(out) == 4
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+
+
+def test_avi_decode_rejects_malformed():
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_avi_frames,
+        encode_avi_raw,
+    )
+
+    good = encode_avi_raw([np.zeros((2, 2, 3), dtype="uint8")])
+    assert decode_avi_frames(None) is None
+    assert decode_avi_frames(b"RIFFxxxxWAVE") is None
+    assert decode_avi_frames(good[:20]) is None
+
+
+def test_sample_avi_frames_every_n(spark):
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        encode_avi_raw,
+        sample_avi_frames,
+    )
+
+    frames = [
+        np.full((2, 2, 3), v, dtype="uint8") for v in (10, 20, 30, 40, 50)
+    ]
+    rows = [(7, encode_avi_raw(frames)), (8, b"junk")]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = sorted(
+        (r.doc_id, r.frame_idx, r.mean_px)
+        for r in sample_avi_frames(df, every_n=2).collect()
+    )
+    assert got == [(7, 0, 10.0), (7, 2, 30.0), (7, 4, 50.0)]
