@@ -240,15 +240,16 @@ def resize_images_bmp(
 def with_pixel_mean(
     df: DataFrame, content_col: str = "content", out_col: str = "mean_px"
 ) -> DataFrame:
-    """Mean pixel value of a decodable BMP (exact integer sum / count, so
-    the double is engine-reproducible); NULL for undecodable bytes."""
+    """Mean pixel value of a decodable BMP or PNG (exact integer sum /
+    count, so the double is engine-reproducible); NULL for undecodable
+    bytes."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _mean(content: pd.Series) -> pd.Series:
         vals = []
         for b in content:
-            px = decode_bmp_pixels(b)
+            px = decode_image_pixels(b)
             vals.append(
                 int(px.astype(np.int64).sum()) / px.size
                 if px is not None
@@ -257,6 +258,24 @@ def with_pixel_mean(
         return pd.Series(vals, dtype="float64")
 
     return df.withColumn(out_col, _mean(F.col(content_col)))
+
+
+def synth_gray_png(doc_id: int) -> bytes:
+    """Deterministic grayscale PNG fixture with CYCLED row filters: dims
+    from the id, pixel (x, y) = first md5 byte of ``pn:{id}:{x}:{y}`` —
+    the decode must undo zlib + all five PNG filters to reproduce the
+    oracle-recomputable values."""
+    w0 = 12 + doc_id % 9
+    h0 = 12 + doc_id % 7
+    px = np.empty((h0, w0, 3), dtype=np.uint8)
+    for y in range(h0):
+        for x in range(w0):
+            v = int(
+                hashlib.md5(f"pn:{doc_id}:{x}:{y}".encode()).hexdigest()[:2],
+                16,
+            )
+            px[y, x, :] = v
+    return encode_png(px, cycle_filters=True)
 
 
 def synth_gray_bmp(doc_id: int) -> bytes:
@@ -286,6 +305,19 @@ def with_synth_bmp(
     @pandas_udf("binary")
     def _synth(ids: pd.Series) -> pd.Series:
         return pd.Series([synth_gray_bmp(int(i)) for i in ids])
+
+    return df.withColumn(out_col, _synth(F.col(id_col)))
+
+
+def with_synth_png(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "content"
+) -> DataFrame:
+    """Attach the deterministic filter-cycled PNG fixture bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_gray_png(int(i)) for i in ids])
 
     return df.withColumn(out_col, _synth(F.col(id_col)))
 
@@ -351,6 +383,175 @@ def sample_video_frames(
         "For uncompressed raw-RGB AVI use sample_avi_frames (no codec "
         "needed)."
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG decode via stdlib zlib (no PIL) — 8-bit RGB/RGBA, no interlace
+# ---------------------------------------------------------------------------
+
+
+def _png_filter_row(
+    cur: np.ndarray, prev: np.ndarray, bpp: int, ft: int
+) -> np.ndarray:
+    """Apply PNG filter ``ft`` to one raw row (mod-256, per spec §9).
+    ``a``/``b``/``c`` reference RAW neighbors because the decoder's
+    reconstruction equals the raw bytes."""
+    a = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+    b = prev
+    c = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+    if ft == 0:
+        out = cur
+    elif ft == 1:
+        out = cur - a
+    elif ft == 2:
+        out = cur - b
+    elif ft == 3:
+        out = cur - ((a + b) >> 1)
+    elif ft == 4:
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+        )
+        out = cur - pred
+    else:
+        raise ValueError(ft)
+    return out & 0xFF
+
+
+def encode_png(px: np.ndarray, cycle_filters: bool = False) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a non-interlaced 8-bit PNG
+    (one zlib IDAT). stdlib-only. ``cycle_filters`` writes row y with
+    filter y % 5, so a round-trip exercises every filter's decode path
+    against a real zlib stream (the fixture mode q_png_pixels uses)."""
+    import zlib
+
+    h, w, _ = px.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    stride = w * 3
+    flat = px.reshape(h, stride).astype(np.int64)
+    parts = []
+    for y in range(h):
+        ft = (y % 5) if cycle_filters else 0
+        prev = (
+            flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        )
+        filtered = _png_filter_row(flat[y], prev, 3, ft)
+        parts.append(bytes([ft]) + filtered.astype(np.uint8).tobytes())
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(
+    raw: np.ndarray, h: int, stride: int, bpp: int
+) -> np.ndarray:
+    """Undo PNG row filters (spec section 9): rows arrive as
+    (filter_byte, stride bytes). Filters None/Up are vectorized; the
+    sequential Sub/Average/Paeth recurrences run per byte — acceptable
+    for fixture-scale images, and exact per the spec's mod-256 math."""
+    out = np.zeros((h, stride), dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        ft = int(raw[pos])
+        row = raw[pos + 1 : pos + 1 + stride].astype(np.int64)
+        pos += 1 + stride
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        if ft == 0:
+            cur = row
+        elif ft == 2:
+            cur = (row + prev) & 0xFF
+        elif ft == 1:
+            cur = row.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ft == 3:
+            cur = row.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            cur = row.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad filter {ft}")
+        out[y] = cur
+    return out.astype(np.uint8)
+
+
+def decode_png_pixels(data: bytes | None) -> np.ndarray | None:
+    """Decode a non-interlaced 8-bit RGB or RGBA PNG to (h, w, 3) uint8
+    RGB via stdlib zlib — all five row filters implemented per the spec.
+    Palette / 16-bit / interlaced input → None (keep-with-fallback)."""
+    import zlib
+
+    try:
+        if not data or data[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        pos = 8
+        w = h = 0
+        channels = 0
+        idat = b""
+        n = len(data)
+        while pos + 8 <= n:
+            (size,) = struct.unpack_from(">I", data, pos)
+            tag = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + size]
+            if tag == b"IHDR":
+                w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                    ">IIBBBBB", body
+                )
+                if depth != 8 or comp != 0 or filt != 0 or inter != 0:
+                    return None
+                channels = {2: 3, 6: 4}.get(ctype, 0)
+                if channels == 0:
+                    return None
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+            pos += 12 + size
+        if w <= 0 or h <= 0 or not idat:
+            return None
+        stride = w * channels
+        raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+        if raw.size != h * (stride + 1):
+            return None
+        px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+        return np.ascontiguousarray(px[:, :, :3])
+    except Exception:
+        return None
+
+
+def decode_image_pixels(data: bytes | None) -> np.ndarray | None:
+    """Dispatch pixel decode by magic bytes: BMP and PNG are codec-free
+    REAL paths; everything else → None."""
+    if not data or len(data) < 8:
+        return None
+    if data[:2] == b"BM":
+        return decode_bmp_pixels(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(data)
+    return None
 
 
 # ---------------------------------------------------------------------------

@@ -182,12 +182,56 @@ FROM v GROUP BY doc_id, f, w, h
 """
 
 
+def q_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode, stdlib-only: a deterministic PNG
+    per doc whose rows CYCLE through all five PNG filters (None / Sub /
+    Up / Average / Paeth) inside a real zlib IDAT stream → pure-python
+    unfilter → exact pixel mean. The oracle recomputes every pixel from
+    the md5 formula, so a bug in zlib framing, any filter recurrence, or
+    the channel layout fails the value hash. (16-bit / palette /
+    interlaced PNGs still return the NULL fallback — documented.)"""
+    from ..functions.multimodal import with_pixel_mean, with_synth_png
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    info = with_image_info(with_synth_png(d))
+    return with_pixel_mean(info).select(
+        "doc_id",
+        F.col("image.format").alias("img_format"),
+        F.col("image.width").cast("long").alias("img_width"),
+        F.col("image.height").cast("long").alias("img_height"),
+        "mean_px",
+    )
+
+
+ORACLE_PNG_PIXELS = """
+WITH g AS (
+  SELECT doc_id, 12 + doc_id % 9 AS w, 12 + doc_id % 7 AS h
+  FROM documents
+), fx AS (
+  SELECT doc_id, w, h, unnest(range(w)) AS x FROM g
+), px AS (
+  SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM fx
+), v AS (
+  SELECT doc_id, w, h,
+         ('0x' || substr(md5('pn:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(x AS VARCHAR) || ':' ||
+             CAST(y AS VARCHAR)), 1, 2))::INT AS v
+  FROM px
+)
+SELECT doc_id, 'png' AS img_format,
+       CAST(w AS BIGINT) AS img_width, CAST(h AS BIGINT) AS img_height,
+       CAST(SUM(v) AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_px
+FROM v GROUP BY doc_id, w, h
+"""
+
+
 QUERIES = {
     "q_multimodal_embed": q_multimodal_embed,
     "q_multimodal_decode": q_multimodal_decode,
     "q_frame_sample": q_frame_sample,
     "q_image_resize": q_image_resize,
     "q_video_frames": q_video_frames,
+    "q_png_pixels": q_png_pixels,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -210,3 +254,4 @@ FROM documents
 ORACLES["q_frame_sample"] = ORACLE_FRAME_SAMPLE
 ORACLES["q_image_resize"] = ORACLE_IMAGE_RESIZE
 ORACLES["q_video_frames"] = ORACLE_VIDEO_FRAMES
+ORACLES["q_png_pixels"] = ORACLE_PNG_PIXELS

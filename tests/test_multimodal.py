@@ -221,3 +221,38 @@ def test_sample_avi_frames_every_n(spark):
         for r in sample_avi_frames(df, every_n=2).collect()
     )
     assert got == [(7, 0, 10.0), (7, 2, 30.0), (7, 4, 50.0)]
+
+
+def test_png_roundtrip_all_filters():
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    for w, h in [(1, 6), (5, 7), (16, 16)]:
+        px = rng.randint(0, 256, size=(h, w, 3)).astype("uint8")
+        for cyc in (False, True):
+            out = decode_png_pixels(encode_png(px, cycle_filters=cyc))
+            assert out is not None and (out == px).all()
+
+
+def test_png_decode_rejects_unsupported():
+    import struct
+    import zlib
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_png_pixels,
+    )
+
+    assert decode_png_pixels(None) is None
+    assert decode_png_pixels(b"\x89PNG\r\n\x1a\nxxxx") is None
+    # 16-bit depth header -> unsupported
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    body = (
+        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    assert decode_png_pixels(b"\x89PNG\r\n\x1a\n" + body) is None
