@@ -210,6 +210,31 @@ def resize_nn(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return np.ascontiguousarray(px[iy][:, ix])
 
 
+def _resize_images_codec_free(
+    df: DataFrame, width: int, height: int, content_col: str = "content"
+) -> DataFrame:
+    """resize_images fallback when PIL is absent: BMP→BMP and PNG→PNG
+    via the real decode/NN-resize/encode path; other bytes unchanged."""
+    out_schema = df.schema
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[content_col]:
+                px = decode_image_pixels(b)
+                if px is None:
+                    out.append(b)
+                elif bytes(b[:2]) == b"BM":
+                    out.append(encode_bmp(resize_nn(px, width, height)))
+                else:
+                    out.append(encode_png(resize_nn(px, width, height)))
+            pdf = pdf.copy()
+            pdf[content_col] = out
+            yield pdf
+
+    return df.mapInPandas(go, out_schema)
+
+
 def resize_images_bmp(
     df: DataFrame, width: int, height: int, content_col: str = "content"
 ) -> DataFrame:
@@ -333,16 +358,15 @@ def resize_images(
     height: int,
     content_col: str = "content",
 ) -> DataFrame:
-    """Pixel resize — requires PIL. The Spark-side contract (schema,
-    batching) is real; the codec is not in this container."""
+    """Pixel resize. With PIL present, any format PIL reads; without it,
+    falls back to the REAL codec-free path — BMP and non-interlaced
+    8-bit PNG decode via decode_image_pixels, nearest-neighbor resize,
+    re-encode in the source container — and passes other formats
+    through unchanged (JPEG/GIF pixel access genuinely needs a codec)."""
     try:
         from PIL import Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "resize_images needs Pillow, which is not available in this "
-            "container; the mapInPandas plumbing is exercised via "
-            "with_image_info/with_content_embedding instead"
-        ) from e
+    except ImportError:
+        return _resize_images_codec_free(df, width, height, content_col)
 
     import io
 

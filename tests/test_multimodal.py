@@ -256,3 +256,28 @@ def test_png_decode_rejects_unsupported():
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
     assert decode_png_pixels(b"\x89PNG\r\n\x1a\n" + body) is None
+
+
+def test_resize_images_codec_free_fallback(spark):
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_image_pixels,
+        encode_bmp,
+        encode_png,
+        resize_images,
+    )
+
+    px = np.arange(6 * 4 * 3, dtype="uint8").reshape(4, 6, 3)
+    rows = [
+        (1, encode_bmp(px)),
+        (2, encode_png(px, cycle_filters=True)),
+        (3, b"\xff\xd8 not really jpeg"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r.id: bytes(r.content) for r in resize_images(df, 3, 2).collect()}
+    for i, magic in ((1, b"BM"), (2, b"\x89PNG\r\n\x1a\n")):
+        out = decode_image_pixels(got[i])
+        assert out is not None and out.shape == (2, 3, 3)
+        assert got[i][: len(magic)] == magic
+    assert got[3] == b"\xff\xd8 not really jpeg"
