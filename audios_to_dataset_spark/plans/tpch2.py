@@ -432,6 +432,58 @@ FROM monthly CROSS JOIN total ORDER BY mth
 """
 
 
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped top supplier: revenue per supplier over one
+    quarter (decimal sums), then the supplier(s) whose revenue EQUALS
+    the global maximum — the correlated-max view shape, not a top-k
+    sort. The 1-row max frame rides a broadcast cross join; equality on
+    the decimal-summed doubles is engine-stable by the dsum discipline.
+
+    100 TB shape: one pushed-filter scan + (suppkey) partial/final agg;
+    nothing wider than the supplier dimension ever shuffles."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    DEC
+                )
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(sup, rev.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+ORACLE_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
 QUERIES = {
     "q_forecast_revenue": q_forecast_revenue,
     "q_priority_wait": q_priority_wait,
@@ -442,6 +494,7 @@ QUERIES = {
     "q_supplier_concentration": q_supplier_concentration,
     "q_purchase_intervals": q_purchase_intervals,
     "q_seasonality": q_seasonality,
+    "q_top_supplier": q_top_supplier,
 }
 
 ORACLES = {
@@ -454,4 +507,5 @@ ORACLES = {
     "q_supplier_concentration": ORACLE_SUPPLIER_CONCENTRATION,
     "q_purchase_intervals": ORACLE_PURCHASE_INTERVALS,
     "q_seasonality": ORACLE_SEASONALITY,
+    "q_top_supplier": ORACLE_TOP_SUPPLIER,
 }
