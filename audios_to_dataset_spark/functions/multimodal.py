@@ -567,15 +567,177 @@ def decode_png_pixels(data: bytes | None) -> np.ndarray | None:
 
 
 def decode_image_pixels(data: bytes | None) -> np.ndarray | None:
-    """Dispatch pixel decode by magic bytes: BMP and PNG are codec-free
-    REAL paths; everything else → None."""
+    """Dispatch pixel decode by magic bytes: BMP, PNG, and GIF are
+    codec-free REAL paths; JPEG (DCT) → None."""
     if not data or len(data) < 8:
         return None
     if data[:2] == b"BM":
         return decode_bmp_pixels(data)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(data)
     return None
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF decode (pure-python LZW) — 8-bit global palette, no interlace
+# ---------------------------------------------------------------------------
+
+
+def encode_gif_gray(px2d: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 grayscale array as a GIF89a with a 256-gray
+    global palette. The LZW stream uses literal 9-bit codes with a CLEAR
+    every 250 symbols (valid per spec; the decoder must still run full
+    LZW bookkeeping to read it)."""
+    h, w = px2d.shape
+    hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    # LZW: min code size 8 → codes are 9-bit until the table grows
+    out_bits: list[int] = []
+
+    def emit(code: int, nbits: int) -> None:
+        for k in range(nbits):
+            out_bits.append((code >> k) & 1)
+
+    CLEAR, _EOI = 256, 257
+    emit(CLEAR, 9)
+    for idx, v in enumerate(px2d.flatten()):
+        if idx and idx % 250 == 0:
+            emit(CLEAR, 9)
+        emit(int(v), 9)
+    emit(_EOI, 9)
+    data = bytearray()
+    for i in range(0, len(out_bits), 8):
+        byte = 0
+        for k, bit in enumerate(out_bits[i : i + 8]):
+            byte |= bit << k
+        data.append(byte)
+    blocks = b"".join(
+        bytes([min(255, len(data) - i)]) + bytes(data[i : i + 255])
+        for i in range(0, len(data), 255)
+    )
+    return hdr + palette + img_desc + b"\x08" + blocks + b"\x00" + b"\x3b"
+
+
+def decode_gif_pixels(data: bytes | None) -> np.ndarray | None:
+    """Decode the first image of a non-interlaced GIF with a global
+    color table to (h, w, 3) uint8 RGB — full LZW (variable code width,
+    CLEAR/EOI, table growth), pure python. Local palettes, interlace,
+    and transparency extensions → None (keep-with-fallback)."""
+    try:
+        if not data or len(data) < 13 or data[:6] not in (
+            b"GIF87a",
+            b"GIF89a",
+        ):
+            return None
+        w, h, packed = struct.unpack_from("<HHB", data, 6)
+        if not packed & 0x80:
+            return None
+        gct_size = 2 << (packed & 0x07)
+        pos = 13
+        palette = np.frombuffer(
+            data, dtype=np.uint8, count=gct_size * 3, offset=pos
+        ).reshape(gct_size, 3)
+        pos += gct_size * 3
+        # skip extensions until the image descriptor
+        while pos < len(data) and data[pos] == 0x21:
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        if pos >= len(data) or data[pos] != 0x2C:
+            return None
+        _x, _y, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+        if ipacked & 0xC0:  # local palette or interlaced
+            return None
+        pos += 10
+        min_code = data[pos]
+        pos += 1
+        stream = bytearray()
+        while pos < len(data) and data[pos]:
+            n = data[pos]
+            stream += data[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        CLEAR, EOI = 1 << min_code, (1 << min_code) + 1
+        table: list[bytes] = []
+
+        def reset() -> int:
+            table.clear()
+            table.extend(bytes([i]) for i in range(1 << min_code))
+            table.append(b"")  # CLEAR
+            table.append(b"")  # EOI
+            return min_code + 1
+
+        width = reset()
+        acc = 0
+        nbits = 0
+        prev: bytes | None = None
+        out = bytearray()
+        for byte in stream:
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= width:
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
+                if code == CLEAR:
+                    width = reset()
+                    prev = None
+                    continue
+                if code == EOI:
+                    nbits = 0
+                    acc = 0
+                    break
+                if code < len(table):
+                    entry = table[code]
+                elif code == len(table) and prev is not None:
+                    entry = prev + prev[:1]
+                else:
+                    return None
+                out += entry
+                if prev is not None:
+                    table.append(prev + entry[:1])
+                    if len(table) == (1 << width) and width < 12:
+                        width += 1
+                prev = entry
+        if len(out) < iw * ih:
+            return None
+        idx = np.frombuffer(bytes(out[: iw * ih]), dtype=np.uint8)
+        if int(idx.max(initial=0)) >= gct_size:
+            return None
+        return palette[idx].reshape(ih, iw, 3)
+    except Exception:
+        return None
+
+
+def synth_gray_gif(doc_id: int) -> bytes:
+    """Deterministic grayscale GIF fixture: dims from the id, pixel
+    (x, y) = first md5 byte of ``gf:{id}:{x}:{y}``."""
+    w0 = 10 + doc_id % 7
+    h0 = 10 + doc_id % 5
+    px = np.empty((h0, w0), dtype=np.uint8)
+    for y in range(h0):
+        for x in range(w0):
+            px[y, x] = int(
+                hashlib.md5(f"gf:{doc_id}:{x}:{y}".encode()).hexdigest()[:2],
+                16,
+            )
+    return encode_gif_gray(px)
+
+
+def with_synth_gif(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "content"
+) -> DataFrame:
+    """Attach the deterministic GIF fixture bytes for each id."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_gray_gif(int(i)) for i in ids])
+
+    return df.withColumn(out_col, _synth(F.col(id_col)))
 
 
 # ---------------------------------------------------------------------------

@@ -225,6 +225,48 @@ FROM v GROUP BY doc_id, w, h
 """
 
 
+def q_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, pure-python LZW: a deterministic grayscale GIF
+    per doc (256-gray global palette; the LZW stream forces full
+    variable-width bookkeeping with CLEAR codes) → decode → exact pixel
+    mean. Oracle recomputes every pixel from the md5 formula — LZW,
+    sub-block framing, or palette bugs fail the value hash. With this,
+    only DCT-based JPEG remains genuinely codec-bound."""
+    from ..functions.multimodal import with_pixel_mean, with_synth_gif
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    info = with_image_info(with_synth_gif(d))
+    return with_pixel_mean(info).select(
+        "doc_id",
+        F.col("image.format").alias("img_format"),
+        F.col("image.width").cast("long").alias("img_width"),
+        F.col("image.height").cast("long").alias("img_height"),
+        "mean_px",
+    )
+
+
+ORACLE_GIF_PIXELS = """
+WITH g AS (
+  SELECT doc_id, 10 + doc_id % 7 AS w, 10 + doc_id % 5 AS h
+  FROM documents
+), fx AS (
+  SELECT doc_id, w, h, unnest(range(w)) AS x FROM g
+), px AS (
+  SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM fx
+), v AS (
+  SELECT doc_id, w, h,
+         ('0x' || substr(md5('gf:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(x AS VARCHAR) || ':' ||
+             CAST(y AS VARCHAR)), 1, 2))::INT AS v
+  FROM px
+)
+SELECT doc_id, 'gif' AS img_format,
+       CAST(w AS BIGINT) AS img_width, CAST(h AS BIGINT) AS img_height,
+       CAST(SUM(v) AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_px
+FROM v GROUP BY doc_id, w, h
+"""
+
+
 QUERIES = {
     "q_multimodal_embed": q_multimodal_embed,
     "q_multimodal_decode": q_multimodal_decode,
@@ -232,6 +274,7 @@ QUERIES = {
     "q_image_resize": q_image_resize,
     "q_video_frames": q_video_frames,
     "q_png_pixels": q_png_pixels,
+    "q_gif_pixels": q_gif_pixels,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -255,3 +298,4 @@ ORACLES["q_frame_sample"] = ORACLE_FRAME_SAMPLE
 ORACLES["q_image_resize"] = ORACLE_IMAGE_RESIZE
 ORACLES["q_video_frames"] = ORACLE_VIDEO_FRAMES
 ORACLES["q_png_pixels"] = ORACLE_PNG_PIXELS
+ORACLES["q_gif_pixels"] = ORACLE_GIF_PIXELS

@@ -281,3 +281,31 @@ def test_resize_images_codec_free_fallback(spark):
         assert out is not None and out.shape == (2, 3, 3)
         assert got[i][: len(magic)] == magic
     assert got[3] == b"\xff\xd8 not really jpeg"
+
+
+def test_gif_roundtrip_exact():
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_gif_pixels,
+        encode_gif_gray,
+    )
+
+    rng = np.random.RandomState(9)
+    # > 250 pixels forces the encoder's mid-stream CLEAR codes
+    for w, h in [(4, 3), (17, 19), (30, 20)]:
+        px = rng.randint(0, 256, size=(h, w)).astype("uint8")
+        out = decode_gif_pixels(encode_gif_gray(px))
+        assert out is not None and out.shape == (h, w, 3)
+        assert (out[:, :, 0] == px).all()
+        assert (out == out[:, :, :1]).all()  # gray palette -> equal channels
+
+
+def test_gif_decode_rejects_malformed():
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_gif_pixels,
+    )
+
+    assert decode_gif_pixels(None) is None
+    assert decode_gif_pixels(b"GIF89a" + b"\x00" * 5) is None
+    assert decode_gif_pixels(b"JFIFxxxxxxxxxx") is None
