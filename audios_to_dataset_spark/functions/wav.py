@@ -295,3 +295,30 @@ def segment_wavs(
     return df.select(path_col, content_col).mapInPandas(
         gen, SEGMENT_SCHEMA
     )
+
+
+def synth_wav_md5(doc_id: int) -> bytes:
+    """Deterministic 16-bit PCM WAV fixture whose SAMPLES are
+    oracle-recomputable: sample i = (first two md5 bytes of
+    ``au:{id}:{i}``) - 32768, n = 64 + id % 37 samples, rate
+    8000/12000/16000 by id. Feeds q_audio_stats: the real RIFF parse +
+    numpy PCM stats must reproduce values a SQL oracle derives from the
+    same formula, so header-walk or scaling bugs fail the value hash."""
+    import hashlib
+
+    n = 64 + doc_id % 37
+    sr = 8000 + (doc_id % 3) * 4000
+    body = b"".join(
+        struct.pack(
+            "<h",
+            int(
+                hashlib.md5(f"au:{doc_id}:{i}".encode()).hexdigest()[:4], 16
+            )
+            - 32768,
+        )
+        for i in range(n)
+    )
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+    data = b"data" + struct.pack("<I", len(body))
+    return hdr + fmt + data + body

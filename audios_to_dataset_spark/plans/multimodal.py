@@ -267,6 +267,70 @@ FROM v GROUP BY doc_id, w, h
 """
 
 
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own domain, driver-checked end-to-end with a full
+    value-hash oracle: a deterministic 16-bit PCM WAV per doc (sample i
+    from md5, synth_wav_md5) → the REAL RIFF header walk (wav_info,
+    the P4 decoder) → numpy PCM signal stats (wav_stats). The oracle
+    recomputes every sample from the same formula; duration, rms, peak,
+    and clipped_frac are exact or 6-rounded, so chunk-walk, block-align,
+    or int16-scaling bugs fail the hash. (Every arithmetic step is
+    exact-in-double: v/32768 and its square are dyadic rationals, and
+    the sums stay under 53 bits — see test_audio_stats_oracle_parity.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.wav import synth_wav_md5, with_wav_info, with_wav_stats
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_wav_md5(int(i)) for i in ids])
+
+    wav = d.withColumn("content", _synth(F.col("doc_id")))
+    out = wav.select(
+        "doc_id",
+        with_wav_info(F.col("content")).alias("info"),
+        with_wav_stats(F.col("content")).alias("stats"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("info.sampling_rate").alias("sampling_rate"),
+        F.col("info.duration").alias("duration"),
+        F.col("stats.n_samples").alias("n_samples"),
+        sround(F.col("stats.rms"), 6).alias("rms"),
+        F.col("stats.peak").alias("peak"),
+        F.col("stats.clipped_frac").alias("clipped_frac"),
+    )
+
+
+ORACLE_AUDIO_STATS = """
+WITH g AS (
+  SELECT doc_id, 64 + doc_id % 37 AS n,
+         8000 + (doc_id % 3) * 4000 AS sr
+  FROM documents
+), ix AS (
+  SELECT doc_id, n, sr, unnest(range(n)) AS i FROM g
+), s AS (
+  SELECT doc_id, n, sr,
+         CAST(('0x' || substr(md5('au:' || CAST(doc_id AS VARCHAR) || ':'
+              || CAST(i AS VARCHAR)), 1, 4))::INT - 32768 AS DOUBLE)
+           / 32768.0 AS p
+  FROM ix
+)
+SELECT doc_id, CAST(sr AS INT) AS sampling_rate,
+       CAST(n AS DOUBLE) / CAST(sr AS DOUBLE) AS duration,
+       CAST(n AS BIGINT) AS n_samples,
+       (round(sqrt(SUM(p * p) / n) * 1000000.0) / 1000000.0) + 0.0 AS rms,
+       MAX(abs(p)) AS peak,
+       CAST(SUM(CASE WHEN abs(p) >= 32767.0 / 32768.0 THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(n AS DOUBLE) AS clipped_frac
+FROM s GROUP BY doc_id, n, sr
+"""
+
+
 QUERIES = {
     "q_multimodal_embed": q_multimodal_embed,
     "q_multimodal_decode": q_multimodal_decode,
@@ -275,6 +339,7 @@ QUERIES = {
     "q_video_frames": q_video_frames,
     "q_png_pixels": q_png_pixels,
     "q_gif_pixels": q_gif_pixels,
+    "q_audio_stats": q_audio_stats,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -299,3 +364,4 @@ ORACLES["q_image_resize"] = ORACLE_IMAGE_RESIZE
 ORACLES["q_video_frames"] = ORACLE_VIDEO_FRAMES
 ORACLES["q_png_pixels"] = ORACLE_PNG_PIXELS
 ORACLES["q_gif_pixels"] = ORACLE_GIF_PIXELS
+ORACLES["q_audio_stats"] = ORACLE_AUDIO_STATS

@@ -135,3 +135,33 @@ def test_wav_stats_silence_and_garbage(spark):
     assert rows[0].rms == 0.0 and rows[0].n_samples == 1000
     assert rows[1] == rows[2]  # both degrade to all-zeros
     assert rows[1].n_samples == 0
+
+
+def test_audio_stats_oracle_parity():
+    """The exact-in-double argument behind q_audio_stats: every sample's
+    (v/32768)^2 is a dyadic rational and the sums stay under 53 bits, so
+    a sequential python replay must reproduce wav_pcm_stats bit-for-bit
+    regardless of numpy's pairwise summation order."""
+    import hashlib
+    import math
+
+    from audios_to_dataset_spark.functions.wav import (
+        synth_wav_md5,
+        wav_pcm_stats,
+    )
+
+    for doc_id in (0, 5, 36, 123):
+        n = 64 + doc_id % 37
+        vals = [
+            int(
+                hashlib.md5(f"au:{doc_id}:{i}".encode()).hexdigest()[:4], 16
+            )
+            - 32768
+            for i in range(n)
+        ]
+        rms, peak, clipped, n_out = wav_pcm_stats(synth_wav_md5(doc_id))
+        assert n_out == n
+        ps = [v / 32768.0 for v in vals]
+        assert rms == math.sqrt(sum(p * p for p in ps) / n)
+        assert peak == max(abs(p) for p in ps)
+        assert clipped == sum(abs(v) >= 32767 for v in vals) / n
