@@ -88,14 +88,40 @@ WAV_STATS_TYPE = T.StructType(
 )
 
 
-def wav_pcm_stats(data: bytes | None) -> tuple[float, float, float, int]:
-    """Signal-level QA stats from 16-bit PCM WAV bytes: RMS and peak
-    (normalized to [0, 1]) and the fraction of full-scale (clipped)
-    samples — the silence/clipping screens an audio-dataset curation
-    pass runs before training. Non-PCM16 or malformed input → zeros.
+def _mulaw_decode_byte(c: int) -> int:
+    """G.711 µ-law expansion of one code byte to a linear 16-bit sample
+    (public ITU-T formula: complement, 3-bit exponent, 4-bit mantissa,
+    0x84 bias). Pure integer math — the same expression a SQL oracle
+    replays bit-for-bit."""
+    c = 255 - c
+    mag = (((c & 0x0F) * 8 + 0x84) << ((c >> 4) & 7)) - 0x84
+    return -mag if c & 0x80 else mag
 
-    Vectorized: the PCM payload is reinterpreted as one int16 numpy
-    array, so cost is memory-bandwidth, not a Python loop.
+
+_MULAW_TABLE = None
+
+
+def _mulaw_table():
+    import numpy as np
+
+    global _MULAW_TABLE
+    if _MULAW_TABLE is None:
+        _MULAW_TABLE = np.array(
+            [_mulaw_decode_byte(c) for c in range(256)], dtype=np.int16
+        )
+    return _MULAW_TABLE
+
+
+def wav_pcm_stats(data: bytes | None) -> tuple[float, float, float, int]:
+    """Signal-level QA stats from WAV bytes — 16-bit linear PCM (format
+    tag 1) or 8-bit G.711 µ-law (tag 7, expanded through the integer
+    table): RMS and peak (normalized to [0, 1]) and the fraction of
+    full-scale (clipped) samples — the silence/clipping screens an
+    audio-dataset curation pass runs before training. Other formats or
+    malformed input → zeros.
+
+    Vectorized: the payload is reinterpreted (or table-expanded) as one
+    numpy array, so cost is memory-bandwidth, not a Python loop.
     """
     import numpy as np
 
@@ -105,6 +131,7 @@ def wav_pcm_stats(data: bytes | None) -> tuple[float, float, float, int]:
         if data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
             return 0.0, 0.0, 0.0, 0
         pos = 12
+        tag = 0
         bits = 0
         body_off = -1
         body_len = 0
@@ -114,18 +141,27 @@ def wav_pcm_stats(data: bytes | None) -> tuple[float, float, float, int]:
             (chunk_size,) = struct.unpack_from("<I", data, pos + 4)
             body = pos + 8
             if chunk_id == b"fmt " and body + 16 <= n:
-                (_tag, _ch, _sr, _br, _ba, bits) = struct.unpack_from(
+                (tag, _ch, _sr, _br, _ba, bits) = struct.unpack_from(
                     "<HHIIHH", data, body
                 )
             elif chunk_id == b"data":
                 body_off = body
                 body_len = min(chunk_size, n - body)
             pos = body + chunk_size + (chunk_size & 1)
-        if bits != 16 or body_off < 0 or body_len < 2:
+        if body_off < 0 or body_len < 1:
             return 0.0, 0.0, 0.0, 0
-        pcm = np.frombuffer(
-            data, dtype="<i2", count=body_len // 2, offset=body_off
-        ).astype(np.float64) / 32768.0
+        if tag == 1 and bits == 16 and body_len >= 2:
+            ints = np.frombuffer(
+                data, dtype="<i2", count=body_len // 2, offset=body_off
+            ).astype(np.float64)
+        elif tag == 7 and bits == 8:
+            codes = np.frombuffer(
+                data, dtype=np.uint8, count=body_len, offset=body_off
+            )
+            ints = _mulaw_table()[codes].astype(np.float64)
+        else:
+            return 0.0, 0.0, 0.0, 0
+        pcm = ints / 32768.0
         rms = float(np.sqrt(np.mean(pcm * pcm)))
         peak = float(np.max(np.abs(pcm)))
         clipped = float(np.mean(np.abs(pcm) >= 32767.0 / 32768.0))
@@ -320,5 +356,24 @@ def synth_wav_md5(doc_id: int) -> bytes:
     )
     hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
     fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+    data = b"data" + struct.pack("<I", len(body))
+    return hdr + fmt + data + body
+
+
+def synth_wav_md5_ulaw(doc_id: int) -> bytes:
+    """Deterministic µ-law WAV fixture (format tag 7, 8-bit codes,
+    block_align 1): code i = first md5 byte of ``ul:{id}:{i}``,
+    n = 48 + id % 29 samples at 8 kHz. Drives the G.711 expansion
+    through q_audio_ulaw's value-hash oracle."""
+    import hashlib
+
+    n = 48 + doc_id % 29
+    sr = 8000
+    body = bytes(
+        int(hashlib.md5(f"ul:{doc_id}:{i}".encode()).hexdigest()[:2], 16)
+        for i in range(n)
+    )
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 7, 1, sr, sr, 1, 8)
     data = b"data" + struct.pack("<I", len(body))
     return hdr + fmt + data + body

@@ -331,6 +331,72 @@ FROM s GROUP BY doc_id, n, sr
 """
 
 
+def q_audio_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 µ-law decode driven through the driver gate: an 8-bit
+    µ-law WAV per doc (code i from md5) → the real RIFF walk (format
+    tag 7 dispatch) → integer-table expansion → signal stats. The
+    oracle replays the ITU-T expansion formula per code with SQL bit
+    ops, so a wrong complement, exponent shift, or bias breaks the
+    value hash."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.wav import (
+        synth_wav_md5_ulaw,
+        with_wav_info,
+        with_wav_stats,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_wav_md5_ulaw(int(i)) for i in ids])
+
+    wav = d.withColumn("content", _synth(F.col("doc_id")))
+    out = wav.select(
+        "doc_id",
+        with_wav_info(F.col("content")).alias("info"),
+        with_wav_stats(F.col("content")).alias("stats"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("info.sampling_rate").alias("sampling_rate"),
+        F.col("info.duration").alias("duration"),
+        F.col("stats.n_samples").alias("n_samples"),
+        sround(F.col("stats.rms"), 6).alias("rms"),
+        F.col("stats.peak").alias("peak"),
+    )
+
+
+_ULAW_MAG = "((((c & 15) * 8 + 132) << ((c >> 4) & 7)) - 132)"
+
+ORACLE_AUDIO_ULAW = f"""
+WITH g AS (
+  SELECT doc_id, 48 + doc_id % 29 AS n FROM documents
+), ix AS (
+  SELECT doc_id, n, unnest(range(n)) AS i FROM g
+), cc AS (
+  SELECT doc_id, n,
+         255 - ('0x' || substr(md5('ul:' || CAST(doc_id AS VARCHAR) || ':'
+               || CAST(i AS VARCHAR)), 1, 2))::INT AS c
+  FROM ix
+), s AS (
+  SELECT doc_id, n,
+         CAST(CASE WHEN (c & 128) != 0 THEN -{_ULAW_MAG}
+              ELSE {_ULAW_MAG} END AS DOUBLE) / 32768.0 AS p
+  FROM cc
+)
+SELECT doc_id, CAST(8000 AS INT) AS sampling_rate,
+       CAST(n AS DOUBLE) / 8000.0 AS duration,
+       CAST(n AS BIGINT) AS n_samples,
+       (round(sqrt(SUM(p * p) / n) * 1000000.0) / 1000000.0) + 0.0 AS rms,
+       MAX(abs(p)) AS peak
+FROM s GROUP BY doc_id, n
+"""
+
+
 QUERIES = {
     "q_multimodal_embed": q_multimodal_embed,
     "q_multimodal_decode": q_multimodal_decode,
@@ -340,6 +406,7 @@ QUERIES = {
     "q_png_pixels": q_png_pixels,
     "q_gif_pixels": q_gif_pixels,
     "q_audio_stats": q_audio_stats,
+    "q_audio_ulaw": q_audio_ulaw,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -365,3 +432,4 @@ ORACLES["q_video_frames"] = ORACLE_VIDEO_FRAMES
 ORACLES["q_png_pixels"] = ORACLE_PNG_PIXELS
 ORACLES["q_gif_pixels"] = ORACLE_GIF_PIXELS
 ORACLES["q_audio_stats"] = ORACLE_AUDIO_STATS
+ORACLES["q_audio_ulaw"] = ORACLE_AUDIO_ULAW

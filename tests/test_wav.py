@@ -165,3 +165,41 @@ def test_audio_stats_oracle_parity():
         assert rms == math.sqrt(sum(p * p for p in ps) / n)
         assert peak == max(abs(p) for p in ps)
         assert clipped == sum(abs(v) >= 32767 for v in vals) / n
+
+
+def test_mulaw_decode_known_values():
+    """ITU-T G.711 spot values: code 0x00 -> -32124 (max negative),
+    0xFF -> 0, 0x7F -> 0, symmetry between sign halves."""
+    from audios_to_dataset_spark.functions.wav import _mulaw_decode_byte
+
+    assert _mulaw_decode_byte(0x00) == -32124
+    assert _mulaw_decode_byte(0x80) == 32124
+    assert _mulaw_decode_byte(0xFF) == 0
+    assert _mulaw_decode_byte(0x7F) == 0
+    for c in range(128):
+        assert _mulaw_decode_byte(c) == -_mulaw_decode_byte(c + 128)
+
+
+def test_wav_stats_mulaw_vs_python():
+    import hashlib
+
+    from audios_to_dataset_spark.functions.wav import (
+        _mulaw_decode_byte,
+        synth_wav_md5_ulaw,
+        wav_pcm_stats,
+    )
+
+    doc_id = 11
+    n = 48 + doc_id % 29
+    codes = [
+        int(hashlib.md5(f"ul:{doc_id}:{i}".encode()).hexdigest()[:2], 16)
+        for i in range(n)
+    ]
+    ps = [_mulaw_decode_byte(c) / 32768.0 for c in codes]
+    rms, peak, clipped, n_out = wav_pcm_stats(synth_wav_md5_ulaw(doc_id))
+    import math
+
+    assert n_out == n
+    assert rms == math.sqrt(sum(p * p for p in ps) / n)
+    assert peak == max(abs(p) for p in ps)
+    assert clipped == 0.0  # mu-law max magnitude 32124 < 32767
