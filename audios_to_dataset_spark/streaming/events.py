@@ -554,6 +554,108 @@ ORDER BY win_start
 """
 
 
+def _drift_rollup(spark: SparkSession, sf_dir: str, wins: DataFrame) -> DataFrame:
+    """Dashboard-side scoring shared by q_stream_drift and its batch
+    twin: join the windowed (type, bin) counts against the static
+    full-corpus histogram and score each (window, type) with the
+    triangular-discrimination divergence (q_value_drift's rational
+    formula). Every window bin is necessarily present in the corpus
+    baseline (window events ⊂ corpus), so a left join covers the bin
+    union exactly."""
+    from ..plans._util import sround
+
+    e = load(spark, sf_dir, "events")
+    binc = F.floor(F.col("value") / F.lit(50.0)).cast("bigint")
+    base = e.groupBy("event_type", binc.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    bt = base.groupBy("event_type").agg(F.sum("n_b").alias("t_b"))
+    wt = wins.groupBy("win_start", "event_type").agg(
+        F.sum("n").alias("t_w")
+    )
+    sp = (
+        wt.join(base, "event_type")
+        .join(bt, "event_type")
+        .join(
+            wins.withColumnRenamed("n", "_n"),
+            ["win_start", "event_type", "bin"],
+            "left",
+        )
+        .fillna(0, ["_n"])
+    )
+    p_w = F.col("_n").cast("double") / F.col("t_w").cast("double")
+    p_b = F.col("n_b").cast("double") / F.col("t_b").cast("double")
+    term = (p_w - p_b) * (p_w - p_b) / (p_w + p_b)
+    return (
+        sp.select(
+            "win_start",
+            "event_type",
+            "t_w",
+            sround(term * 1e6, 6).alias("_t"),
+        )
+        .groupBy("win_start", "event_type")
+        .agg(
+            F.max("t_w").alias("n_events"),
+            F.sum(F.col("_t").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("drift_ppm"),
+        )
+    )
+
+
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor — the production shape of q_value_drift:
+    the STREAM holds only watermarked 6-hour-window (type, bin) counts
+    (bounded state: types × bins per open window, never raw events);
+    each closed window's histogram is then scored against the static
+    full-corpus baseline batch-side, exactly how a monitoring dashboard
+    reads the sink. Divergence is the same transcendental-free
+    triangular discrimination as the batch drift query."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "6 hours").alias("w"),
+            "event_type",
+            F.floor(F.col("value") / F.lit(50.0))
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "bin", "n")
+    )
+    # the memory-sink table is referenced on BOTH sides of the rollup's
+    # self-join (per-window totals vs per-bin counts); checkpoint it into
+    # a plain materialized frame first — re-planning the sink relation
+    # twice trips an internal analyzer error on streaming-sourced tables
+    wins = _run_available_now(agg, "drift").localCheckpoint(eager=True)
+    return _drift_rollup(spark, sf_dir, wins)
+
+
+def _twin_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    wmax = e.agg(F.max("ts").alias("_mx"))
+    wb = (
+        e.groupBy(
+            F.window("ts", "6 hours").alias("w"),
+            "event_type",
+            F.floor(F.col("value") / F.lit(50.0))
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"),
+                F.col("w.end").alias("_we"), "event_type", "bin", "n")
+        .crossJoin(F.broadcast(wmax))
+        .filter(
+            F.unix_micros("_we")
+            <= F.unix_micros("_mx") - 2 * 3600 * 1_000_000
+        )
+        .select("win_start", "event_type", "bin", "n")
+    )
+    return _drift_rollup(spark, sf_dir, wb)
+
+
 QUERIES = {
     "q_stream_hll": q_stream_hll,
     "q_stream_topk": q_stream_topk,
@@ -566,6 +668,7 @@ QUERIES = {
     "q_stream_sessions": q_stream_sessions,
     "q_stream_bloom_dedup": q_stream_bloom_dedup,
     "q_stream_anomaly": q_stream_anomaly,
+    "q_stream_drift": q_stream_drift,
 }
 
 # q_stream_dedup's SURVIVORS are arrival-order dependent, but the
@@ -600,6 +703,44 @@ FROM ranked WHERE rk <= 3 ORDER BY win_start, rk
     "q_stream_dedup": """
 SELECT user_id, COUNT(DISTINCT event_type) AS n_types
 FROM events GROUP BY user_id
+""",
+    "q_stream_drift": """
+WITH wb AS (
+  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start, event_type,
+         CAST(floor(value / 50.0) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+  HAVING time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR
+         <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+), wt AS (
+  SELECT win_start, event_type, CAST(SUM(n) AS BIGINT) AS t_w
+  FROM wb GROUP BY 1, 2
+), base AS (
+  SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_b
+  FROM events GROUP BY 1, 2
+), bt AS (
+  SELECT event_type, CAST(SUM(n_b) AS BIGINT) AS t_b FROM base GROUP BY 1
+), sp AS (
+  SELECT wt.win_start, wt.event_type, base.bin, base.n_b, bt.t_b, wt.t_w,
+         COALESCE(wb.n, 0) AS n
+  FROM wt JOIN base USING (event_type) JOIN bt USING (event_type)
+  LEFT JOIN wb ON wb.win_start = wt.win_start
+              AND wb.event_type = wt.event_type AND wb.bin = base.bin
+), terms AS (
+  SELECT win_start, event_type, t_w,
+         (round((((CAST(n AS DOUBLE) / CAST(t_w AS DOUBLE))
+                 - (CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE)))
+               * ((CAST(n AS DOUBLE) / CAST(t_w AS DOUBLE))
+                 - (CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE)))
+               / ((CAST(n AS DOUBLE) / CAST(t_w AS DOUBLE))
+                 + (CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE)))
+               * 1000000.0) * 1000000.0) / 1000000.0) + 0.0 AS t
+  FROM sp
+)
+SELECT win_start, event_type, CAST(MAX(t_w) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(t AS DECIMAL(28,6))) AS DOUBLE) AS drift_ppm
+FROM terms GROUP BY win_start, event_type
 """,
     "q_stream_tumbling": """
 SELECT date_trunc('hour', ts) AS win_start, event_type,
@@ -952,6 +1093,7 @@ def _twin_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_TWINS = {
+    "q_stream_drift": _twin_drift,
     "q_stream_hll": _twin_hll,
     "q_stream_topk": _twin_topk,
     "q_stream_tumbling": _twin_tumbling,
