@@ -225,3 +225,20 @@ def test_stream_outer_join_matches_batch_twin(spark, sf_dir):
     assert got == want
     assert len(got) > 0
     assert any(r[2] is None for r in got)  # unconverted views present
+
+
+def test_stream_drift_matches_batch_twin(spark, sf_dir):
+    from audios_to_dataset_spark.streaming.events import (
+        _twin_drift,
+        q_stream_drift,
+    )
+
+    got = {
+        (r.win_start, r.event_type): (r.n_events, r.drift_ppm)
+        for r in q_stream_drift(spark, sf_dir).collect()
+    }
+    want = {
+        (r.win_start, r.event_type): (r.n_events, r.drift_ppm)
+        for r in _twin_drift(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
