@@ -215,14 +215,147 @@ GROUP BY version, kept ORDER BY version, kept
 """.format(m=UPD_MOD)
 
 
+NOVELTY_SPLIT = 250
+
+
+def q_ingest_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest novelty: for every document in the NEW batch
+    (doc_id >= 250), did yesterday's corpus (doc_id < 250) already
+    near-contain it? Cross-set MinHash-LSH banding (the q_contamination
+    discipline — one shuffle per side, never N×M), then the per-doc
+    DECISION: has_prior_dup flag and the best signature-agreement
+    estimate among prior-corpus candidates (-1.0 when novel). This is
+    the nightly dedup gate of a continuously-crawled corpus: the prior
+    side's signatures are precomputed once per release; each new batch
+    pays only its own signature pass plus the band equi-join."""
+    from .dedup import BAND_SIZE, NGRAM_N, NUM_HASHES
+    from ..operators import dedup as D
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < NOVELTY_SPLIT)
+    batch = d.filter(F.col("doc_id") >= NOVELTY_SPLIT)
+    sa = D.minhash_signatures(corpus, num_hashes=NUM_HASHES, n=NGRAM_N)
+    sb = D.minhash_signatures(batch, num_hashes=NUM_HASHES, n=NGRAM_N)
+    cand = D.cross_lsh_candidates(
+        sa, sb, num_hashes=NUM_HASHES, band_size=BAND_SIZE
+    )
+    a = sa.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    b = sb.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    est = matches.cast("double") / float(NUM_HASHES)
+    best = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .groupBy("id_b")
+        .agg(F.max(est).alias("best_est"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(best, batch.doc_id == best.id_b, "left")
+        .select(
+            "doc_id",
+            F.when(F.col("id_b").isNull(), 0).otherwise(1).alias(
+                "has_prior_dup"
+            ),
+            F.coalesce("best_est", F.lit(-1.0)).alias("best_est"),
+        )
+    )
+
+
+def _oracle_ingest_novelty() -> str:
+    from .dedup import BAND_SIZE, NGRAM_N, NUM_HASHES
+
+    mins = ",\n         ".join(
+        f"MIN(substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8)) AS mh{i}"
+        for i in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+
+    def band_rows(sig: str) -> str:
+        return "\n  UNION ALL\n".join(
+            f"  SELECT doc_id, {bb} AS band, md5({key}) AS band_key"
+            f" FROM {sig}"
+            for bb, key in (
+                (
+                    bb,
+                    " || '|' || ".join(
+                        f"mh{bb * BAND_SIZE + j}" for j in range(BAND_SIZE)
+                    ),
+                )
+                for bb in range(n_bands)
+            )
+        )
+
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES)
+    )
+    shingle = (
+        "SELECT DISTINCT doc_id, s FROM (\n"
+        "    SELECT doc_id,\n"
+        "           unnest(list_transform(\n"
+        f"             range(1, greatest(len(t) - {NGRAM_N - 1}, 0) + 1),\n"
+        "             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s\n"
+        "    FROM {toks}) u"
+    )
+    return f"""
+WITH toksA AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  WHERE doc_id < {NOVELTY_SPLIT}
+), toksB AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  WHERE doc_id >= {NOVELTY_SPLIT}
+), shA AS (
+  {shingle.format(toks="toksA")}
+), shB AS (
+  {shingle.format(toks="toksB")}
+), sigA AS (
+  SELECT doc_id, {mins} FROM shA GROUP BY doc_id
+), sigB AS (
+  SELECT doc_id, {mins} FROM shB GROUP BY doc_id
+), bandsA AS (
+{band_rows("sigA")}
+), bandsB AS (
+{band_rows("sigB")}
+), cand AS (
+  SELECT DISTINCT ba.doc_id AS id_a, bb.doc_id AS id_b
+  FROM bandsA ba
+  JOIN bandsB bb ON ba.band = bb.band AND ba.band_key = bb.band_key
+), best AS (
+  SELECT id_b, MAX(CAST(({agree}) AS DOUBLE) / {float(NUM_HASHES)!r})
+           AS best_est
+  FROM cand
+  JOIN sigA a ON a.doc_id = cand.id_a
+  JOIN sigB b ON b.doc_id = cand.id_b
+  GROUP BY id_b
+)
+SELECT d.doc_id,
+       CASE WHEN best.id_b IS NULL THEN 0 ELSE 1 END AS has_prior_dup,
+       COALESCE(best.best_est, -1.0) AS best_est
+FROM documents d LEFT JOIN best ON best.id_b = d.doc_id
+WHERE d.doc_id >= {NOVELTY_SPLIT}
+"""
+
+
 QUERIES = {
     "q_upsert_latest": q_upsert_latest,
     "q_snapshot_diff": q_snapshot_diff,
     "q_version_retention": q_version_retention,
+    "q_ingest_novelty": q_ingest_novelty,
 }
 
 ORACLES = {
     "q_upsert_latest": ORACLE_UPSERT_LATEST,
     "q_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "q_version_retention": ORACLE_VERSION_RETENTION,
+    "q_ingest_novelty": _oracle_ingest_novelty(),
 }
