@@ -161,3 +161,48 @@ def test_kcore_matches_python_peel(spark, edge_list, k, rounds):
         for r in k_core_peel(df, k=k, rounds=rounds).collect()
     }
     assert got == expected
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=200, deadline=None)
+def test_image_decoders_never_raise(data):
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_avi_frames,
+        decode_bmp_pixels,
+        decode_gif_pixels,
+        decode_image_pixels,
+        decode_png_pixels,
+    )
+
+    for fn in (
+        decode_bmp_pixels,
+        decode_png_pixels,
+        decode_gif_pixels,
+        decode_image_pixels,
+    ):
+        out = fn(data)
+        assert out is None or out.ndim == 3
+    frames = decode_avi_frames(data)
+    assert frames is None or all(f.ndim == 3 for f in frames)
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=200, deadline=None)
+def test_image_decoders_never_raise_with_magic(data):
+    """Adversarial variant: prepend each format's magic so the parsers
+    walk deep into malformed chunk structures."""
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_avi_frames,
+        decode_bmp_pixels,
+        decode_gif_pixels,
+        decode_png_pixels,
+    )
+
+    for out in (
+        decode_bmp_pixels(b"BM" + data),
+        decode_png_pixels(b"\x89PNG\r\n\x1a\n" + data),
+        decode_gif_pixels(b"GIF89a" + data),
+    ):
+        assert out is None or out.ndim == 3
+    frames = decode_avi_frames(b"RIFF\xff\xff\x00\x00AVI " + data)
+    assert frames is None or all(f.ndim == 3 for f in frames)
