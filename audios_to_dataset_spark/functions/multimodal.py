@@ -213,8 +213,10 @@ def resize_nn(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 def _resize_images_codec_free(
     df: DataFrame, width: int, height: int, content_col: str = "content"
 ) -> DataFrame:
-    """resize_images fallback when PIL is absent: BMP→BMP and PNG→PNG
-    via the real decode/NN-resize/encode path; other bytes unchanged."""
+    """resize_images fallback when PIL is absent: BMP→BMP, PNG→PNG, and
+    GIF→PNG (decoded truecolor pixels re-encode losslessly as PNG — our
+    GIF encoder is palette-bound) via the real decode/NN-resize/encode
+    path; other bytes unchanged."""
     out_schema = df.schema
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

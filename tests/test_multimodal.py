@@ -309,3 +309,25 @@ def test_gif_decode_rejects_malformed():
     assert decode_gif_pixels(None) is None
     assert decode_gif_pixels(b"GIF89a" + b"\x00" * 5) is None
     assert decode_gif_pixels(b"JFIFxxxxxxxxxx") is None
+
+
+def test_resize_images_gif_input_reencodes_png(spark):
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_image_pixels,
+        encode_gif_gray,
+        resize_images,
+    )
+
+    px = np.arange(6 * 4, dtype="uint8").reshape(4, 6)
+    df = spark.createDataFrame(
+        [(1, encode_gif_gray(px))], "id long, content binary"
+    )
+    out = bytes(resize_images(df, 3, 2).collect()[0].content)
+    assert out[:8] == b"\x89PNG\r\n\x1a\n"
+    dec = decode_image_pixels(out)
+    assert dec is not None and dec.shape == (2, 3, 3)
+    for j in range(2):
+        for i in range(3):
+            assert dec[j, i, 0] == px[(j * 4) // 2, (i * 6) // 3]
