@@ -470,11 +470,15 @@ def sparse_cosine_pairs(
     from ..plans._util import sround
 
     sh = shingle_arrays(df, id_col, text_col, n)
+    # localCheckpoint, not cache(): tf feeds five consumers but a plain
+    # cache() here would pin block-manager memory for the session
+    # lifetime (nobody can unpersist a lazily-returned plan); the
+    # checkpoint RDD is dropped by the ContextCleaner once unreferenced.
     tf = (
         sh.select("id", F.explode("grams").alias("g"))
         .groupBy("id", "g")
         .agg(F.count("*").alias("tf"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     nrm = tf.groupBy("id").agg(
         F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")

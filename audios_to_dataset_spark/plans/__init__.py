@@ -37,23 +37,53 @@ def _modules():
     )
 
     # Order matters: the driver's correctness gate samples queries in
-    # iteration order. Rounds 1-3 covered the relational + dedup/
-    # similarity/multimodal/streaming families plus the first nine text
-    # queries (100 unique); round 4 rotates never-driver-checked queries
-    # into the first-50 window: sketches (HLL/count-min/pagerank, plus
-    # the new kcore/weighted-sample), analytics (asof/skyline/dedup
-    # clusters/funnel), then the unseen textops tail (led by
-    # q_inverted_index, flagged absent from every CORRECTNESS_r* in the
-    # r3 review). ROUND 5: move events, tpch2, versioning, textops2
-    # (q_bm25) and the new similarity PQ queries to the front — they
-    # will then be the only families without a driver row.
-    # WINDOW FREEZE (r4): q_inverted_index sits at position 49 of the
-    # 50-query driver window — do NOT add queries to sketches/analytics/
-    # textops until the r4 CORRECTNESS file lands; register new work in
-    # the later modules (events, tpch2, …, curation) instead.
+    # iteration order. Module order is no longer the window mechanism:
+    # ``all_queries`` reorders by ``_ROTATION_FIRST`` (below), which
+    # front-loads every query that has never produced a CORRECTNESS row.
     return (sketches, analytics, textops, events, tpch2, versioning, paths,
             textops2, dedup, similarity, multimodal, streaming_events,
             curation, relational, relational2)
+
+
+# ROUND 5 rotation (VERDICT r4 item 1): the 89 queries absent from every
+# CORRECTNESS_r01..r04 file, front-loaded so the driver's first-50 window
+# finally covers them. Priority within the list: the round-4 flagship
+# families first (multimodal media decoders, textops2/q_bm25, tpch2,
+# versioning, the PQ similarity family), then events and the rest — the
+# 39 past position 50 are the frozen ROUND 6 window; do not reorder or
+# insert ahead of them until CORRECTNESS_r05.json lands.
+_ROTATION_FIRST = (
+    # --- r5 driver window (positions 1-50) ---
+    "q_image_resize", "q_video_frames", "q_png_pixels", "q_gif_pixels",
+    "q_audio_stats", "q_audio_ulaw",
+    "q_rarity_score", "q_bpe_merges", "q_source_cap", "q_seq_pack",
+    "q_source_lang_bias", "q_next_word", "q_text_chunks", "q_lm_score",
+    "q_bm25", "q_bpe_apply", "q_dsir_select", "q_fertility",
+    "q_forecast_revenue", "q_priority_wait", "q_market_share", "q_profit",
+    "q_supplier_variety", "q_disjunctive_filter", "q_supplier_concentration",
+    "q_purchase_intervals", "q_seasonality", "q_top_supplier",
+    "q_upsert_latest", "q_snapshot_diff", "q_version_retention",
+    "q_ingest_novelty",
+    "q_pq_codes", "q_ann_pq", "q_ann_pq_recall", "q_pq_distortion",
+    "q_ann_multiprobe", "q_ann_ivf_kmeans", "q_dedup_semantic",
+    "q_ann_lsh_recall", "q_cluster_purity", "q_semdedup_keep",
+    "q_scd2", "q_ewma", "q_lateness", "q_concurrency",
+    "q_behavior_diversity", "q_tumbling_window", "q_session_gap",
+    "q_sliding_window",
+    # --- r6 window (positions 51-89) ---
+    "q_gap_fill", "q_anomaly_zscore", "q_rolling_sum", "q_event_sequence",
+    "q_transitions", "q_session_window", "q_map_funcs", "q_value_drift",
+    "q_burstiness", "q_stream_hll", "q_stream_outer_join", "q_stream_drift",
+    "q_text_redact", "q_stopword_strip", "q_vocab", "q_tfidf",
+    "q_token_diversity", "q_bigram_pmi", "q_chunk_dedup", "q_quality_filter",
+    "q_source_dedup", "q_mixture_plan",
+    "q_dup_spans", "q_cdc_chunks", "q_ngram_novelty", "q_sparse_cosine",
+    "q_lsh_recall_text",
+    "q_global_shuffle", "q_dataset_card", "q_k_anonymity", "q_l_diversity",
+    "q_full_outer", "q_dense_rank", "q_variant_extract", "q_large_orders",
+    "q_window_dist", "q_unpivot",
+    "q_common_prefix", "q_path_rewrite",
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -63,7 +93,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if overlap:
             raise ValueError(f"duplicate query ids: {overlap}")
         merged.update(mod.QUERIES)
-    return merged
+    front = {n: merged[n] for n in _ROTATION_FIRST if n in merged}
+    front.update((n, fn) for n, fn in merged.items() if n not in front)
+    return front
 
 
 def all_oracles() -> dict[str, str]:

@@ -278,10 +278,12 @@ KNN_K = 3
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN graph over the embedding table (top-3 neighbors
     per vector among LSH bucket-mates) — see operators/similarity.
-    knn_graph. The build step every graph-ANN index runs. Uses the
-    fine-grained KNN_PLANES (8 planes/table → 256 buckets): the all-pairs
-    graph build must keep bucket SIZE bounded (candidates ~ sum(bucket²)),
-    unlike the per-query serving probe which keeps the coarser PLANES."""
+    knn_graph. The build step every graph-ANN index runs. Uses KNN_PLANES
+    = _make_planes(n_tables=8, n_planes=5) → 32 buckets per table across
+    8 tables (deliberately tuned in commit 9d921cb — 5 planes, not 8):
+    the all-pairs graph build must keep bucket SIZE bounded (candidates
+    ~ sum(bucket²) per table), unlike the per-query serving probe which
+    keeps the coarser PLANES."""
     from ..operators.similarity import knn_graph
     from .dedup import KNN_PLANES
 

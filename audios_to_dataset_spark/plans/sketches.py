@@ -870,14 +870,25 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # Zero-weight replicas (every Poisson draw = 0, probability e^-n —
+    # real for tiny types) are dropped on BOTH engine and oracle: Spark
+    # would yield NULL for 0/0 while DuckDB yields NaN, and the two
+    # engines also rank NULLs differently, so the rank-2 CI would
+    # diverge. Dropping is also the statistically standard treatment
+    # (an empty resample estimates nothing).
     est = (
         base.select("event_type", "r", k.alias("k"), "value")
         .groupBy("event_type", "r")
         .agg(
-            (
-                F.sum((F.col("k") * F.col("value")).cast(DEC)).cast("double")
-                / F.sum("k").cast("double")
-            ).alias("est")
+            F.sum((F.col("k") * F.col("value")).cast(DEC)).alias("_num"),
+            F.sum("k").alias("_den"),
+        )
+        .filter(F.col("_den") > 0)
+        .select(
+            "event_type",
+            "r",
+            (F.col("_num").cast("double") / F.col("_den").cast("double"))
+            .alias("est"),
         )
     )
     lo_w = Window.partitionBy("event_type").orderBy("est", "r")
@@ -921,6 +932,7 @@ WITH base AS (
          CAST(SUM(CAST(k * value AS {DEC_SQL})) AS DOUBLE)
            / CAST(SUM(k) AS DOUBLE) AS est
   FROM w GROUP BY 1, 2
+  HAVING SUM(k) > 0
 ), ranked AS (
   SELECT *,
          row_number() OVER (PARTITION BY event_type
