@@ -16,14 +16,17 @@ What is REAL here:
 - the mapInPandas iterator protocol, spill-safe batching, NULL handling
 
 - REAL pixel decode + nearest-neighbor resize + pixel stats for
-  uncompressed 24-bit BMP (encode_bmp/decode_bmp_pixels/resize_nn) —
-  the BMP container needs no codec, so this path runs end-to-end and is
-  value-hash-oracled via q_image_resize
+  uncompressed 24-bit BMP (encode_bmp/decode_bmp_pixels/resize_nn),
+  stdlib-zlib PNG (all five row filters), pure-python-LZW GIF, baseline
+  JPEG (functions.jpeg: Huffman + numpy IDCT), raw-RGB AVI, and
+  MJPEG-in-AVI frames — each value-hash-oracled (q_image_resize /
+  q_png_pixels / q_gif_pixels / q_jpeg_pixels / q_video_frames /
+  q_mjpeg_frames)
 
 What is STUBBED (no PIL/ffmpeg in the container):
-- pixel-level resize for COMPRESSED formats (PNG/JPEG) → raises
-  NotImplementedError unless PIL importable
-- video frame extraction → raises NotImplementedError unless av/ffmpeg
+- pixel decode for progressive/arithmetic JPEG → None (baseline only)
+- frame extraction for compressed codecs OTHER than MJPEG-in-AVI →
+  raises NotImplementedError unless av/ffmpeg importable
 
 Scale notes: media rows are large (MBs); transforms repartition by
 byte-size budget, not row count, so a 1000-executor cluster gets balanced
@@ -214,9 +217,12 @@ def _resize_images_codec_free(
     df: DataFrame, width: int, height: int, content_col: str = "content"
 ) -> DataFrame:
     """resize_images fallback when PIL is absent: BMP→BMP, PNG→PNG, and
-    GIF→PNG (decoded truecolor pixels re-encode losslessly as PNG — our
-    GIF encoder is palette-bound) via the real decode/NN-resize/encode
-    path; other bytes unchanged."""
+    GIF/baseline-JPEG→PNG (decoded truecolor pixels re-encode losslessly
+    as PNG — our GIF encoder is palette-bound and our JPEG encoder is a
+    fixture writer, not a compressor) via the real decode/NN-resize/
+    encode path; other bytes unchanged. Known narrowing vs the PIL path:
+    RGBA PNG input is re-encoded as RGB (``decode_png_pixels`` drops the
+    alpha plane; the PIL path preserves the source mode)."""
     out_schema = df.schema
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -267,9 +273,9 @@ def resize_images_bmp(
 def with_pixel_mean(
     df: DataFrame, content_col: str = "content", out_col: str = "mean_px"
 ) -> DataFrame:
-    """Mean pixel value of a decodable BMP or PNG (exact integer sum /
-    count, so the double is engine-reproducible); NULL for undecodable
-    bytes."""
+    """Mean pixel value of any decode_image_pixels-decodable image
+    (BMP/PNG/GIF/baseline JPEG; exact integer sum / count, so the double
+    is engine-reproducible); NULL for undecodable bytes."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -361,10 +367,12 @@ def resize_images(
     content_col: str = "content",
 ) -> DataFrame:
     """Pixel resize. With PIL present, any format PIL reads; without it,
-    falls back to the REAL codec-free path — BMP and non-interlaced
-    8-bit PNG decode via decode_image_pixels, nearest-neighbor resize,
-    re-encode in the source container — and passes other formats
-    through unchanged (JPEG/GIF pixel access genuinely needs a codec)."""
+    falls back to the REAL codec-free path — BMP, non-interlaced 8-bit
+    PNG, GIF, and baseline JPEG decode via decode_image_pixels,
+    nearest-neighbor resize, re-encode (BMP→BMP, PNG/GIF/JPEG→PNG) —
+    and passes other formats through unchanged. Codec-free narrowing:
+    RGBA PNGs come back RGB (alpha dropped), unlike the PIL path which
+    preserves source mode."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError:
@@ -396,19 +404,20 @@ def resize_images(
 
 
 def sample_video_frames(
-    df: DataFrame, every_n_seconds: float = 1.0, content_col: str = "content"
+    df: DataFrame,
+    every_n: int = 2,
+    id_col: str = "doc_id",
+    content_col: str = "content",
 ) -> DataFrame:
-    """Video frame sampling for COMPRESSED codecs — requires an ffmpeg
-    binding (not in this container). ``sample_avi_frames`` below is the
-    REAL codec-free path for raw-RGB AVI; ``sample_fake_frames``
-    exercises the same one-to-many plumbing with a fake codec."""
-    raise NotImplementedError(
-        "sample_video_frames needs PyAV/ffmpeg, not available here; "
-        "signature kept for API parity: returns one row per sampled frame "
-        "with columns (src columns..., frame_idx int, frame binary). "
-        "For uncompressed raw-RGB AVI use sample_avi_frames (no codec "
-        "needed)."
-    )
+    """Video frame sampling — REAL for AVI containers: raw-RGB '00db'
+    streams and MJPEG '00dc' streams (each frame a baseline JPEG,
+    decoded by functions.jpeg) both run codec-free end-to-end via
+    ``sample_avi_frames``. Containers this build genuinely cannot decode
+    (MP4/MKV, H.264/VP9/AV1 — they need an ffmpeg binding) emit no rows
+    for that input (the same skip-with-fallback contract as every other
+    decoder here); wire PyAV in place of decode_avi_frames to widen
+    coverage."""
+    return sample_avi_frames(df, every_n, id_col, content_col)
 
 
 # ---------------------------------------------------------------------------
@@ -569,8 +578,9 @@ def decode_png_pixels(data: bytes | None) -> np.ndarray | None:
 
 
 def decode_image_pixels(data: bytes | None) -> np.ndarray | None:
-    """Dispatch pixel decode by magic bytes: BMP, PNG, and GIF are
-    codec-free REAL paths; JPEG (DCT) → None."""
+    """Dispatch pixel decode by magic bytes: BMP, PNG, GIF, and baseline
+    JPEG (functions.jpeg: pure-python Huffman + numpy IDCT) are all REAL
+    codec-free paths; progressive/arithmetic JPEG → None."""
     if not data or len(data) < 8:
         return None
     if data[:2] == b"BM":
@@ -579,6 +589,10 @@ def decode_image_pixels(data: bytes | None) -> np.ndarray | None:
         return decode_png_pixels(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(data)
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(data)
     return None
 
 
@@ -677,7 +691,12 @@ def decode_gif_pixels(data: bytes | None) -> np.ndarray | None:
         nbits = 0
         prev: bytes | None = None
         out = bytearray()
+        done = False  # EOI ends the whole stream, not just the inner loop:
+        # trailing padding bytes after EOI must not re-enter the decoder
+        # (they would hit the invalid-code branch and reject the image).
         for byte in stream:
+            if done:
+                break
             acc |= byte << nbits
             nbits += 8
             while nbits >= width:
@@ -691,6 +710,7 @@ def decode_gif_pixels(data: bytes | None) -> np.ndarray | None:
                 if code == EOI:
                     nbits = 0
                     acc = 0
+                    done = True
                     break
                 if code < len(table):
                     entry = table[code]
@@ -727,6 +747,22 @@ def synth_gray_gif(doc_id: int) -> bytes:
                 16,
             )
     return encode_gif_gray(px)
+
+
+def with_synth_jpeg(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "content"
+) -> DataFrame:
+    """Attach the deterministic DC-exact baseline-JPEG fixture bytes
+    (functions.jpeg.synth_gray_jpeg) for each id."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .jpeg import synth_gray_jpeg
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_gray_jpeg(int(i)) for i in ids])
+
+    return df.withColumn(out_col, _synth(F.col(id_col)))
 
 
 def with_synth_gif(
@@ -816,10 +852,12 @@ def _dib_rows_to_rgb(buf: bytes, w: int, h: int) -> np.ndarray | None:
 
 
 def decode_avi_frames(data: bytes | None) -> list[np.ndarray] | None:
-    """Decode every frame of an uncompressed raw-RGB AVI (as written by
-    encode_avi_raw / ffmpeg -vcodec rawvideo with a 24-bit DIB stream).
-    Walks RIFF: strf gives (w, h), each movi '00db' chunk is one
-    bottom-up BGR bitmap. Anything unparseable → None (keep-with-
+    """Decode every frame of a codec-free AVI: raw-RGB '00db' chunks
+    (as written by encode_avi_raw / ffmpeg -vcodec rawvideo, 24-bit DIB
+    stream) AND MJPEG '00dc' chunks (each one a baseline JPEG, decoded
+    via functions.jpeg — the convention ffmpeg -vcodec mjpeg writes).
+    Walks RIFF: strf gives (w, h) for the DIB path; MJPEG frames carry
+    their own dimensions. Anything unparseable → None (keep-with-
     fallback, as the WAV and BMP decoders)."""
     try:
         if not data or len(data) < 12 or data[:4] != b"RIFF":
@@ -847,6 +885,12 @@ def decode_avi_frames(data: bytes | None) -> list[np.ndarray] | None:
                         w, h = bw, abs(bh)
                 elif cid == b"00db" and w > 0 and h > 0:
                     f = _dib_rows_to_rgb(data[body:end], w, h)
+                    if f is not None:
+                        frames.append(f)
+                elif cid == b"00dc" and data[body : body + 2] == b"\xff\xd8":
+                    from .jpeg import decode_jpeg_pixels
+
+                    f = decode_jpeg_pixels(data[body:end])
                     if f is not None:
                         frames.append(f)
                 pos = body + size + (size & 1)
@@ -941,6 +985,88 @@ def with_synth_avi(
     @pandas_udf("binary")
     def _synth(ids: pd.Series) -> pd.Series:
         return pd.Series([synth_avi(int(i)) for i in ids])
+
+    return df.withColumn(out_col, _synth(F.col(id_col)))
+
+
+def encode_avi_mjpg(jpeg_frames: list[bytes], w: int, h: int,
+                    fps: int = 10) -> bytes:
+    """Wrap already-encoded baseline JPEGs as an MJPEG AVI ('MJPG'
+    codec; each '00dc' chunk is one complete JPEG — the layout ffmpeg
+    -vcodec mjpeg produces). Same RIFF grammar as encode_avi_raw."""
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    max_size = max(len(f) for f in jpeg_frames)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, max_size * fps, 0, 0x10, len(jpeg_frames),
+        0, 1, max_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(jpeg_frames),
+            max_size, 0, 0,
+        )
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", max_size * 3,
+        2835, 2835, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl", chunk(b"avih", avih) + lst(
+            b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)
+        )
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def synth_mjpg_avi(doc_id: int) -> bytes:
+    """Deterministic MJPEG AVI fixture: (3 + id%3) DC-exact grayscale
+    JPEG frames, dims (11 + id%6, 9 + id%6); frame f's 8x8 block
+    (bx, by) has pixel value = first md5 byte of ``mj:{id}:{f}:{bx}:{by}``
+    — fully oracle-recomputable (see functions.jpeg.synth_gray_jpeg for
+    why DC-only blocks decode float-exactly)."""
+    from .jpeg import encode_jpeg_gray
+
+    w = 11 + doc_id % 6
+    h = 9 + doc_id % 6
+    n = 3 + doc_id % 3
+    bx = -(-w // 8)
+    by = -(-h // 8)
+    frames = []
+    for f in range(n):
+        blocks = np.zeros((by, bx, 64), dtype=np.int64)
+        for yb in range(by):
+            for xb in range(bx):
+                v = int(
+                    hashlib.md5(
+                        f"mj:{doc_id}:{f}:{xb}:{yb}".encode()
+                    ).hexdigest()[:2],
+                    16,
+                )
+                blocks[yb, xb, 0] = v - 128
+        frames.append(encode_jpeg_gray(blocks, w, h))
+    return encode_avi_mjpg(frames, w, h)
+
+
+def with_synth_mjpg_avi(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "content"
+) -> DataFrame:
+    """Attach the deterministic MJPEG-AVI fixture bytes for each id."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_mjpg_avi(int(i)) for i in ids])
 
     return df.withColumn(out_col, _synth(F.col(id_col)))
 

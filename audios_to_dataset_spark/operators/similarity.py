@@ -662,10 +662,15 @@ def knn_graph(
     # norms — 3 interpreted array aggregates down to 1 on the C >> N
     # candidate rows (measured 2× on the scoring stage at sf0.1). The
     # DuckDB oracle normalizes with the identical per-element division,
-    # so rounded scores stay bit-equal.
+    # so rounded scores stay bit-equal. Zero-norm vectors have no
+    # defined cosine and are dropped here rather than crashing the job
+    # with DIVIDE_BY_ZERO under ANSI mode (one dirty row in 100 TB
+    # must not kill the build; found by the candidate-budget
+    # hypothesis test).
     un = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
         .withColumn("_n", _norm(F.col("_v")))
+        .filter(F.col("_n") > 0)
         .select(
             "id",
             F.transform(

@@ -1,10 +1,13 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: min_of_2_sec}, "cold": {name: first_run_sec},
+"sf": ...}.
 
 Execution is forced through the noop sink (full computation, no driver
-collect) so we measure the engine, not result transfer.
+collect) so we measure the engine, not result transfer. Each query is
+timed twice and reported as min-of-2 (see the comment at the timing
+loop); pass --single for the legacy one-run cold numbers.
 """
 
 from __future__ import annotations
@@ -149,31 +152,44 @@ def main() -> None:
         "noop"
     ).save()
 
-    # Default measures COLD times (first execution incl. codegen) for
-    # round-over-round comparability. --warm runs each query once to
-    # JIT/cache, then reports the second execution — the steady-state
-    # number a long-running cluster actually sees.
-    warm = "--warm" in sys.argv
+    # Each query runs TWICE and reports the min (r4 postmortem: the same
+    # untouched q_knn_graph plan measured 7.6 s one round and 10.6 s the
+    # next purely from run/session state — a 1.7x cold-vs-warm spread
+    # that masqueraded as a regression). min-of-2 keeps per-plan codegen
+    # in run 1 out of the reported figure while staying cheap; the raw
+    # first-run times ride along under "cold" so a real plan regression
+    # (both runs slow) is distinguishable from run-state noise (run 1
+    # slow, run 2 not). --single restores the old one-run cold mode.
+    single = "--single" in sys.argv
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        if warm:
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        t1 = round(time.perf_counter() - t0, 3)
+        cold[name] = t1
+        if single:
+            timings[name] = t1
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        t2 = round(time.perf_counter() - t0, 3)
+        timings[name] = min(t1, t2)
 
     timings["audio_pipeline_400wav"] = bench_audio_pipeline(spark)
+    cold["audio_pipeline_400wav"] = timings["audio_pipeline_400wav"]
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total"
-                + ("_warm" if warm else ""),
+                + ("_cold" if single else "_min2"),
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold": cold,
                 "sf": sf,
             }
         )

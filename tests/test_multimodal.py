@@ -87,10 +87,11 @@ def test_fake_embedding_deterministic_and_normalized(spark):
     assert got["b"] is not None  # NULL content → embedding of b""
 
 
-def test_stubbed_ops_raise_clearly(spark):
-    df = spark.createDataFrame([("a", b"x")], "id string, content binary")
-    with pytest.raises(NotImplementedError, match="PyAV|ffmpeg"):
-        sample_video_frames(df)
+def test_sample_video_frames_skips_undecodable(spark):
+    """sample_video_frames is real for AVI (raw + MJPEG); non-AVI bytes
+    follow the skip-with-fallback contract: zero rows, no exception."""
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, content binary")
+    assert sample_video_frames(df).count() == 0
 
 
 def test_partition_by_size_budget(spark):
@@ -299,6 +300,30 @@ def test_gif_roundtrip_exact():
         assert out is not None and out.shape == (h, w, 3)
         assert (out[:, :, 0] == px).all()
         assert (out == out[:, :, :1]).all()  # gray palette -> equal channels
+
+
+def test_gif_decode_ignores_bytes_after_eoi():
+    """Trailing bytes inside the data sub-blocks after the EOI code must
+    not re-enter the LZW decoder (ADVICE r4: the EOI break only exited
+    the inner loop, so post-EOI padding could hit the invalid-code
+    branch and reject a valid image)."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_gif_pixels,
+        encode_gif_gray,
+    )
+
+    px = np.arange(7 * 5, dtype="uint8").reshape(5, 7)
+    enc = encode_gif_gray(px)
+    # enc ends with: ...blocks + b"\x00" (terminator) + b"\x3b" (trailer).
+    # Splice a junk sub-block (0xFF bytes decode to garbage codes) after
+    # the real LZW data, before the terminator.
+    assert enc[-2:] == b"\x00\x3b"
+    tampered = enc[:-2] + b"\x03\xff\xff\xff" + b"\x00\x3b"
+    out = decode_gif_pixels(tampered)
+    assert out is not None and out.shape == (5, 7, 3)
+    assert (out[:, :, 0] == px).all()
 
 
 def test_gif_decode_rejects_malformed():

@@ -163,6 +163,97 @@ def test_kcore_matches_python_peel(spark, edge_list, k, rounds):
     assert got == expected
 
 
+def _py_buckets(vectors, tables):
+    """Python replay of multitable_buckets' sign-bit hash (same
+    left-to-right double fold as operators.similarity._dot)."""
+    out = []
+    for vid, v in enumerate(vectors):
+        for t, planes in enumerate(tables):
+            bits = ""
+            for plane in planes:
+                acc = 0.0
+                for x, p in zip(v, plane):
+                    acc += float(x) * p
+                bits += "1" if acc >= 0 else "0"
+            out.append((vid, f"{t}:{bits}"))
+    return out
+
+
+def _expected_candidates(buckets):
+    """Directed distinct candidate pairs + the sum-of-bucket^2 budget."""
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for vid, b in buckets:
+        members[b].append(vid)
+    pairs = set()
+    budget = 0
+    for ids in members.values():
+        budget += len(ids) * (len(ids) - 1)
+        for a in ids:
+            for b in ids:
+                if a != b:
+                    pairs.add((a, b))
+    return pairs, budget
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-5, max_value=5), min_size=4, max_size=4
+        ),
+        min_size=2,
+        max_size=14,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_knn_graph_candidate_budget(spark, vectors):
+    """VERDICT r4 item 5: the knn_graph candidate set must equal the
+    per-table bucket self-join replayed in python, and stay within the
+    sum-of-bucket^2 budget — a future plane-count change that silently
+    explodes candidates fails here. k is set above any possible degree
+    so every surviving candidate pair is observable in the output."""
+    from audios_to_dataset_spark.operators.similarity import knn_graph
+    from audios_to_dataset_spark.plans.dedup import _make_planes
+
+    tables = _make_planes(n_tables=2, n_planes=2, dim=4, seed=5)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.src, r.dst)
+        for r in knn_graph(df, tables, k=10**6).collect()
+    }
+    expected, budget = _expected_candidates(
+        _py_buckets(vectors, tables)
+    )
+    # zero-norm vectors have no defined cosine: the operator drops them
+    # (instead of DIVIDE_BY_ZERO under ANSI) — mirror that here
+    nonzero = {i for i, v in enumerate(vectors) if any(x != 0 for x in v)}
+    expected = {(a, b) for a, b in expected
+                if a in nonzero and b in nonzero}
+    assert got == expected
+    assert len(got) <= budget <= len(tables) * len(vectors) ** 2
+
+
+def test_knn_graph_pathological_identical_vectors(spark):
+    """All vectors identical -> one bucket per table; the candidate set
+    must collapse to exactly n(n-1) directed pairs (cross-table dedup),
+    pinned against the REAL 8-table x 5-plane KNN_PLANES config."""
+    from audios_to_dataset_spark.operators.similarity import knn_graph
+    from audios_to_dataset_spark.plans.dedup import EMB_DIM, KNN_PLANES
+
+    n = 12
+    v = [1.0] * EMB_DIM
+    df = spark.createDataFrame(
+        [(i, v) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    assert len(KNN_PLANES) == 8 and all(len(t) == 5 for t in KNN_PLANES)
+    cand = knn_graph(df, KNN_PLANES, k=10**6).count()
+    assert cand == n * (n - 1)
+
+
 @given(st.binary(max_size=4096))
 @settings(max_examples=200, deadline=None)
 def test_image_decoders_never_raise(data):
@@ -198,10 +289,13 @@ def test_image_decoders_never_raise_with_magic(data):
         decode_png_pixels,
     )
 
+    from audios_to_dataset_spark.functions.jpeg import decode_jpeg_pixels
+
     for out in (
         decode_bmp_pixels(b"BM" + data),
         decode_png_pixels(b"\x89PNG\r\n\x1a\n" + data),
         decode_gif_pixels(b"GIF89a" + data),
+        decode_jpeg_pixels(b"\xff\xd8" + data),
     ):
         assert out is None or out.ndim == 3
     frames = decode_avi_frames(b"RIFF\xff\xff\x00\x00AVI " + data)
