@@ -180,7 +180,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
     from .dedup import MAX_SHINGLE_FREQ
 
-    d = load(spark, sf_dir, "documents")
+    # components are keyed on doc_id: NULL ids can't carry a cluster
+    # label (min over NULLs and NULL-group collapse behave differently
+    # across engines) — drop id-less docs on both sides (--nulls sweep)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     pairs = ngram_jaccard_pairs(
         d, threshold=0.2, max_shingle_freq=MAX_SHINGLE_FREQ
     ).select("doc_a", "doc_b")
@@ -194,6 +197,7 @@ def _oracle_dedup_clusters() -> str:
     return f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  WHERE doc_id IS NOT NULL
 ), sh0 AS (
   SELECT DISTINCT doc_id, s FROM (
     SELECT doc_id,
@@ -222,7 +226,7 @@ WITH RECURSIVE toks AS (
   UNION
   SELECT doc_b AS a, doc_a AS b FROM jpairs
 ), reach(id, r) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT doc_id, doc_id FROM documents WHERE doc_id IS NOT NULL
   UNION
   SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
 )

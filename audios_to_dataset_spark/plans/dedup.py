@@ -240,15 +240,30 @@ PLANES = _make_planes()
 KNN_PLANES = _make_planes(n_tables=8, n_planes=5, seed=11)
 
 
+# Plane set for the embedding-DEDUP path (q_dedup_embedding + its
+# recall gate), distinct from the serving-probe PLANES: a pair at the
+# cos >= 0.35 boundary (theta ~ 69.5 deg) collides per plane with
+# p ~ 1 - theta/pi ~ 0.61, per 4-plane table with p^4 ~ 0.14 — the 4x4
+# serving config tops out near recall 0.46 on boundary pairs (measured
+# 0.467 when the r5 gate first ran). 12 tables keeps bucket size bounded
+# (4 planes -> 16 buckets/table) while lifting pair recall to
+# 1 - (1 - 0.14)^12 ~ 0.84; the gate below pins >= 0.8 so a retune that
+# silently drops coverage fails the hash, not just a vibe check.
+DEDUP_PLANES = _make_planes(n_tables=12, n_planes=4, seed=13)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via the LSH-bucketed scale path:
     candidates only from hyperplane-sign buckets (equi-join shuffle, no
-    cross join), exact rounded re-score, threshold on the rounded value."""
+    cross join), exact rounded re-score, threshold on the rounded value.
+    Uses DEDUP_PLANES (12x4): pair-finding needs recall on BOTH sides of
+    a pair, so it takes more tables than the per-query serving probes
+    (see q_dedup_embedding_recall, the gate that keeps this honest)."""
     from ..operators import similarity as S
 
     em = load(spark, sf_dir, "embeddings")
     return S.lsh_bucketed_neardup_pairs(
-        em, PLANES, threshold=EMB_THRESHOLD
+        em, DEDUP_PLANES, threshold=EMB_THRESHOLD
     )
 
 
@@ -258,7 +273,7 @@ def _plane_sql(plane: list[float]) -> str:
 
 def _oracle_dedup_embedding() -> str:
     bucket_rows = []
-    for t, planes in enumerate(PLANES):
+    for t, planes in enumerate(DEDUP_PLANES):
         bits = " || ".join(
             "(CASE WHEN list_sum(list_transform(range(1, len(e) + 1), "
             f"i -> e[i] * ({_plane_sql(p)})[i])) >= 0 "
@@ -323,6 +338,71 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE round((list_sum(list_transform(range(1, len(a.e) + 1),
                                      i -> a.e[i] * b.e[i]))
              / (a.nrm * b.nrm)) * 10000.0) / 10000.0 >= {EMB_THRESHOLD}
+"""
+
+
+EMB_RECALL_GATE = 0.8
+
+
+def q_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the DECLARED embedding-dedup path (VERDICT r4
+    item 7): q_dedup_embedding's LSH-bucketed pair set against
+    q_dedup_embedding_exact's brute-force pair set at the same rounded
+    threshold, with a pass flag at recall ≥ {gate}. The LSH path
+    re-scores candidates exactly, so found ⊆ exact and recall is a
+    pure candidate-coverage measure — the number this gate exists to
+    watch when someone retunes PLANES.
+
+    Scale shape: the exact side is O(N²) and stays gate-only — at
+    100 TB you run this on a sampled slice (the recall estimate is a
+    ratio of counts, unbiased under uniform sampling), never the full
+    corpus; the production pair set is the LSH side alone.
+    """.format(gate=EMB_RECALL_GATE)
+    from ..operators import similarity as S
+
+    em = load(spark, sf_dir, "embeddings")
+    exact = S.cosine_neardup_pairs(em, threshold=EMB_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    lsh = S.lsh_bucketed_neardup_pairs(
+        em, DEDUP_PLANES, threshold=EMB_THRESHOLD
+    ).select("id_a", "id_b")
+    found = exact.join(lsh, ["id_a", "id_b"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    n_found = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+    recall = F.col("n_found").cast("double") / F.col("n_exact").cast(
+        "double"
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_found))
+        .select(
+            "n_exact",
+            "n_found",
+            recall.alias("recall"),
+            (recall >= EMB_RECALL_GATE).alias("gate_pass"),
+        )
+    )
+
+
+def _oracle_dedup_embedding_recall() -> str:
+    lsh = _oracle_dedup_embedding().strip()
+    return f"""
+WITH exact AS (
+{ORACLE_DEDUP_EMBEDDING_EXACT.strip()}
+), lsh AS (
+{lsh}
+), found AS (
+  SELECT exact.id_a, exact.id_b FROM exact
+  WHERE EXISTS (SELECT 1 FROM lsh
+                WHERE lsh.id_a = exact.id_a AND lsh.id_b = exact.id_b)
+)
+SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+       (SELECT COUNT(*) FROM found) AS n_found,
+       CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE) AS recall,
+       CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE)
+         >= {EMB_RECALL_GATE} AS gate_pass
 """
 
 
@@ -1264,6 +1344,7 @@ QUERIES = {
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embedding": q_dedup_embedding,
     "q_dedup_embedding_exact": q_dedup_embedding_exact,
+    "q_dedup_embedding_recall": q_dedup_embedding_recall,
     "q_entity_match": q_entity_match,
     "q_entity_match_verified": q_entity_match_verified,
     "q_source_overlap": q_source_overlap,
@@ -1287,6 +1368,7 @@ ORACLES = {
     "q_dedup_simhash": _oracle_simhash(),
     "q_dedup_embedding": _oracle_dedup_embedding(),
     "q_dedup_embedding_exact": ORACLE_DEDUP_EMBEDDING_EXACT,
+    "q_dedup_embedding_recall": _oracle_dedup_embedding_recall(),
     "q_entity_match": ORACLE_ENTITY_MATCH,
     "q_entity_match_verified": ORACLE_ENTITY_MATCH_VERIFIED,
     "q_source_overlap": _oracle_source_overlap(),

@@ -21,8 +21,13 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling window aggregation via F.window (epoch-aligned, so
     equivalent to date_trunc('hour') in SQL)."""
     e = load(spark, sf_dir, "events")
+    # NULL-ts events cannot be windowed: Spark's F.window silently drops
+    # them while date_trunc groups them into a NULL bucket — filter
+    # explicitly on BOTH sides so the semantics are pinned, not
+    # incidental (caught by the --nulls sweep).
     return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
         .select(
             F.col("w.start").alias("win_start"),
@@ -36,7 +41,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TUMBLING_WINDOW = f"""
 SELECT date_trunc('hour', ts) AS win_start, event_type,
        COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 
@@ -46,7 +51,10 @@ def q_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact integer microsecond arithmetic keeps both engines bit-identical.
     """
-    e = load(spark, sf_dir, "events")
+    # Unstamped events can't be placed on a timeline — drop NULL ts on
+    # both sides (Spark orders NULLs first ASC, DuckDB last, so leaving
+    # them in makes session boundaries engine-dependent; --nulls sweep).
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros("ts")
     gap = us - F.lag(us).over(w)
@@ -73,7 +81,7 @@ WITH g AS (
                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
                       > {SESSION_GAP_US}
               THEN 1 ELSE 0 END AS is_new
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts,
@@ -276,7 +284,9 @@ def q_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy lifting is one user_id shuffle — the same profile as
     sessionization, with the pattern logic free on top.
     """
-    e = load(spark, sf_dir, "events")
+    # timeline op: drop unstamped events on both sides (--nulls sweep;
+    # NULL-ts ordering differs between engines)
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -302,7 +312,7 @@ WITH seq AS (
   SELECT user_id,
          string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
            AS journey
-  FROM events GROUP BY user_id
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id
 )
 SELECT user_id, CAST(length(journey) AS BIGINT) AS n_events,
        regexp_matches(journey, '{SEQ_PATTERN}') AS converted
@@ -316,7 +326,8 @@ def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional probability — the behavioral-model fit step. Integer
     counts; one double division against the broadcast-size from-totals.
     """
-    e = load(spark, sf_dir, "events")
+    # timeline op: drop unstamped events on both sides (--nulls sweep)
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         e.withColumn("prev", F.lag("event_type").over(w))
@@ -344,7 +355,7 @@ WITH pairs AS (
   SELECT lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS from_type,
          event_type AS to_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), c AS (
   SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
   FROM pairs WHERE from_type IS NOT NULL
@@ -370,7 +381,9 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side partial merging, strictly cheaper than the two window
     passes of the manual formulation.
     """
-    e = load(spark, sf_dir, "events")
+    # timeline op: drop unstamped events on both sides (--nulls sweep;
+    # session_window silently drops NULL ts, the oracle must match)
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(
             "user_id",
@@ -397,7 +410,7 @@ WITH g AS (
                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
                       > {SESSION_GAP_US}
               THEN 1 ELSE 0 END AS is_new
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts,
@@ -633,7 +646,8 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     no rounding discipline is needed at all. Windows partition by
     user_id (one shuffle, no global sort); the {EWMA_TERMS}-term
     expression stays inside whole-stage codegen."""
-    ev = load(spark, sf_dir, "events")
+    # timeline op: drop unstamped events on both sides (--nulls sweep)
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     us = F.unix_micros("ts")
     w = Window.partitionBy("user_id").orderBy(us, "event_id")
     num = F.col("value") * F.lit(1.0)
@@ -664,7 +678,7 @@ def _oracle_ewma() -> str:
     return f"""
 SELECT user_id, event_id, epoch_us(ts) AS ts_us,
        ({" + ".join(num)}) / ({" + ".join(den)}) AS ewma
-FROM events
+FROM events WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 ORDER BY user_id, ts_us, event_id
 """
@@ -679,7 +693,8 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     All windows partition by user_id (scale-safe: one shuffle on the
     dimension key, no global sort); timestamps stay integer
     microseconds end to end (unix_micros ↔ epoch_us)."""
-    ev = load(spark, sf_dir, "events")
+    # timeline op: drop unstamped events on both sides (--nulls sweep)
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     us = F.unix_micros("ts")
     w = Window.partitionBy("user_id").orderBy(us, "event_id")
     marked = ev.select(
@@ -708,7 +723,7 @@ WITH marked AS (
   SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
          (lag(event_type) OVER w IS NULL
           OR lag(event_type) OVER w <> event_type) AS is_start
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
 starts AS (SELECT * FROM marked WHERE is_start)
 SELECT user_id, event_type, ts_us AS valid_from_us,

@@ -775,7 +775,11 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by corpus language balance (salt or sub-rank within source
     if one language dominates).
     """
-    d = load(spark, sf_dir, "documents")
+    # the rank tie-break is doc_id: a NULL id sorts first in Spark but
+    # last in DuckDB, shifting every rank below the tie — id-less docs
+    # can't enter an id-keyed selection, so drop them on both sides
+    # (--nulls sweep)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     toks = F.split(F.lower("text"), " ")
     q = F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast(
         "double"
@@ -800,7 +804,7 @@ WITH scored AS (
   SELECT doc_id, lang,
          CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
            / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS q
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ), r AS (
   SELECT doc_id, lang, q,
          CAST(row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id)

@@ -125,7 +125,10 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     The window partitions by source, so each source's lottery is an
     independent partition-local sort — no global shuffle beyond the
     groupBy."""
-    d = load(spark, sf_dir, "documents")
+    # the lottery is keyed on doc_id (md5 + tie-break): an id-less doc
+    # has no deterministic lottery ticket, and engines order the NULL
+    # key differently — drop on both sides (--nulls sweep)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     lottery = F.md5(F.col("doc_id").cast("string"))
     w = Window.partitionBy("source").orderBy(lottery, "doc_id")
     ranked = d.select(
@@ -158,7 +161,7 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY source
                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
            AS rn
-  FROM documents)
+  FROM documents WHERE doc_id IS NOT NULL)
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN rn <= {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
          AS n_kept,
@@ -412,7 +415,11 @@ def q_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
     that seeds autocomplete and data-synthesis checks. One explode
     pass builds bigrams via a partitioned lead window; ties break
     lexicographically."""
-    d = load(spark, sf_dir, "documents")
+    # adjacency is per-document: all NULL-id docs would collapse into
+    # ONE window partition, interleaving unrelated texts with an
+    # engine-dependent tie order — drop them on both sides
+    # (--nulls sweep)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     toks = d.select(
         "doc_id", F.posexplode(_tokens()).alias("pos", "w")
     )
@@ -462,7 +469,8 @@ ORACLE_NEXT_WORD = """
 WITH toks AS (
   SELECT doc_id, i AS pos, t[i] AS w, t[i + 1] AS nxt
   FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
-        FROM documents) d, unnest(range(1, len(t) + 1)) AS u(i)),
+        FROM documents WHERE doc_id IS NOT NULL) d,
+       unnest(range(1, len(t) + 1)) AS u(i)),
 bigrams AS (
   SELECT w, nxt, CAST(COUNT(*) AS BIGINT) AS n_bi
   FROM toks

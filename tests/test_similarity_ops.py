@@ -125,6 +125,23 @@ def test_ann_lsh_recall_shape_and_bounds(spark, sf_dir):
         assert abs(r.recall - r.n_hit / r.n_exact) < 1e-12
 
 
+def test_dedup_embedding_recall_gate_passes(spark, sf_dir):
+    """The declared embedding-dedup path (DEDUP_PLANES) must keep pair
+    recall >= 0.8 vs the brute-force baseline at the declared threshold
+    (VERDICT r4 item 7). The first run of this gate caught the shared
+    4x4 serving PLANES at recall 0.467 — this is the regression tripwire
+    for any future plane retune."""
+    from audios_to_dataset_spark.plans.dedup import (
+        EMB_RECALL_GATE,
+        q_dedup_embedding_recall,
+    )
+
+    (row,) = q_dedup_embedding_recall(spark, sf_dir).collect()
+    assert row.n_found <= row.n_exact
+    assert row.recall >= EMB_RECALL_GATE
+    assert row.gate_pass is True
+
+
 def test_multiprobe_candidates_superset_of_single_probe(spark, sf_dir):
     """Multi-probe's probe set contains the exact query buckets (j=0), so
     its candidate ids — and therefore the quality of its top-k — dominate
