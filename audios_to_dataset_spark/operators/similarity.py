@@ -386,6 +386,12 @@ def kmeans_centroids(
     """
     from ..plans._util import DEC
 
+    # Unindexable rows (NULL id or NULL vector) must not reach training:
+    # the seed is orderBy(id).limit(k) and Spark sorts NULLs FIRST, so a
+    # single NULL-id row would become a seed and a NULL-vector seed
+    # NULLs every distance — one dirty row in 100 TB would empty the
+    # whole clustering (found by the --nulls sweep).
+    df = df.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
     cents = (
         df.select(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
@@ -437,7 +443,9 @@ def kmeans_assignments(
     """Deterministic seeded KMeans on cosine similarity → (id, cid): the
     assignment of every vector against :func:`kmeans_centroids`'s final
     centroids. At 100 TB: per-iteration cost is one broadcast + one
-    (cid, pos) shuffle; centroids (k×dim doubles) stay driver-small."""
+    (cid, pos) shuffle; centroids (k×dim doubles) stay driver-small.
+    NULL-id / NULL-vector rows are dropped (see kmeans_centroids)."""
+    df = df.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
     cents = kmeans_centroids(df, k, iters, id_col, vec_col)
     return _kmeans_assign(df, cents, id_col, vec_col).select(id_col, "cid")
 
@@ -507,6 +515,9 @@ def pq_codebooks(
     the same DuckDB replay oracle applies."""
     from ..plans._util import DEC
 
+    # same dirty-row discipline as kmeans_centroids: NULL ids/vectors
+    # can't seed or train (Spark sorts NULL ids first in the seed scan)
+    df = df.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
     sub = pq_subvectors(df, m, subdim, id_col, vec_col)
     seed_ids = df.select(id_col).orderBy(id_col).limit(k)
     cents = sub.join(F.broadcast(seed_ids), id_col).select(
@@ -572,7 +583,9 @@ def pq_codes(
     subvector table (:func:`pq_codebooks`) — one scan + one (id, s)
     window per assignment, one (s, cid, pos) shuffle per recompute,
     regardless of m; the final per-vector code row is a pivot-free
-    max(CASE) aggregate keyed on the id."""
+    max(CASE) aggregate keyed on the id. NULL-id / NULL-vector rows are
+    dropped (see kmeans_centroids — they cannot be coded)."""
+    df = df.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
     sub = pq_subvectors(df, m, subdim, id_col, vec_col)
     cents = pq_codebooks(df, m, subdim, k, iters, id_col, vec_col)
     a = _pq_assign(sub, cents, id_col).select(id_col, "s", "cid")

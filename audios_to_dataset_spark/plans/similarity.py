@@ -312,13 +312,16 @@ def _knn_graph_sql_body() -> str:
     cos = "list_sum(list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i]))"
     return f"""
 WITH v AS (
+  -- dirty-row exclusion mirrors knn_graph: NULL ids/vectors and
+  -- zero-norm vectors are dropped (operator filters _n > 0)
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
 ), vn AS (
   SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
   FROM v
 ), vu AS (
   SELECT vec_id, list_transform(e, x -> x / nrm) AS u FROM vn
+  WHERE nrm > 0
 ), buckets AS (
 {buckets}
 ), cand AS (
@@ -559,10 +562,14 @@ def _kmeans_ctes(
     ctes = []
     if src is None:
         src = "v"
+        # NULL-id / NULL-vector rows are excluded, mirroring the
+        # operator-side dirty-row guard in kmeans_centroids (no-op on
+        # clean data; pinned by the --nulls sweep)
         ctes.append(
             "v AS (SELECT vec_id,"
             " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
-            " FROM embeddings)"
+            " FROM embeddings"
+            " WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)"
         )
     ctes.append(
         f"{prefix}c0 AS (SELECT vec_id AS cid, e AS ce FROM {src}"
@@ -1104,10 +1111,12 @@ def _pq_ctes() -> tuple[list[str], list[str]]:
     ctes, cfins = [], []
     for s in range(PQ_M):
         lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        # same dirty-row exclusion as _kmeans_ctes' v (matches pq_codes)
         ctes.append(
             f"v{s} AS (SELECT vec_id,"
             f" list_transform(embedding[{lo}:{hi}],"
-            " x -> CAST(x AS DOUBLE)) AS e FROM embeddings)"
+            " x -> CAST(x AS DOUBLE)) AS e FROM embeddings"
+            " WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)"
         )
         sub, cfin = _kmeans_ctes(
             PQ_K, PQ_ITERS, src=f"v{s}", prefix=f"s{s}_"
@@ -1156,8 +1165,13 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     em = load(spark, sf_dir, "embeddings")
-    sub = pq_subvectors(em, PQ_M, PQ_SUBDIM)
-    cents = pq_codebooks(em, PQ_M, PQ_SUBDIM, k=PQ_K, iters=PQ_ITERS)
+    # only indexable vectors get codes — same dirty-row guard as
+    # pq_codes (NULL id/vector; pinned by the --nulls sweep)
+    emc = em.filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    sub = pq_subvectors(emc, PQ_M, PQ_SUBDIM)
+    cents = pq_codebooks(emc, PQ_M, PQ_SUBDIM, k=PQ_K, iters=PQ_ITERS)
     codes = _pq_assign(sub, cents, "vec_id").select("vec_id", "s", "cid")
     qdf = em.filter(F.col("vec_id") == QUERY_ID)
     qsubs = pq_subvectors(qdf, PQ_M, PQ_SUBDIM).select(

@@ -56,6 +56,14 @@ _NULL_RULES = {
             ("ts", "event_id % 23 = 11"),
         ),
     ),
+    "embeddings": (
+        "vec_id",
+        (
+            ("vec_id", "vec_id % 29 = 3"),
+            ("embedding", "vec_id % 31 = 7"),
+            ("label", "vec_id % 13 = 5"),
+        ),
+    ),
 }
 
 # Join/agg families over the injected tables. Excluded by design: the
@@ -81,6 +89,12 @@ NULLS_QUERIES = [
     "q_stickiness", "q_windowed_distinct", "q_approx_distinct",
     "q_hll_union", "q_bootstrap_ci", "q_heavy_hitters", "q_exact_median",
     "q_gap_fill",
+    # embeddings: ANN/dedup/cluster families on dirty vectors (NULL
+    # vec_id / NULL embedding / NULL label)
+    "q_embed_norm_stats", "q_cosine_scores", "q_ann_topk", "q_ann_lsh",
+    "q_knn_graph", "q_dedup_embedding", "q_dedup_embedding_exact",
+    "q_dedup_embedding_recall", "q_kmeans", "q_label_centroids",
+    "q_pq_codes", "q_ann_pq", "q_cluster_purity", "q_semdedup_keep",
 ]
 
 
