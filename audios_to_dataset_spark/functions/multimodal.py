@@ -454,11 +454,15 @@ def _png_filter_row(
     return out & 0xFF
 
 
-def encode_png(px: np.ndarray, cycle_filters: bool = False) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a non-interlaced 8-bit PNG
-    (one zlib IDAT). stdlib-only. ``cycle_filters`` writes row y with
-    filter y % 5, so a round-trip exercises every filter's decode path
-    against a real zlib stream (the fixture mode q_png_pixels uses)."""
+def encode_png(
+    px: np.ndarray, cycle_filters: bool = False, interlace: bool = False
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit PNG (one zlib
+    IDAT). stdlib-only. ``cycle_filters`` writes row y with filter
+    y % 5, so a round-trip exercises every filter's decode path against
+    a real zlib stream (the fixture mode q_png_pixels uses);
+    ``interlace`` writes the Adam7 layout (7 independently-filtered
+    pass sub-images)."""
     import zlib
 
     h, w, _ = px.shape
@@ -471,17 +475,28 @@ def encode_png(px: np.ndarray, cycle_filters: bool = False) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    stride = w * 3
-    flat = px.reshape(h, stride).astype(np.int64)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
     parts = []
-    for y in range(h):
-        ft = (y % 5) if cycle_filters else 0
-        prev = (
-            flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
-        )
-        filtered = _png_filter_row(flat[y], prev, 3, ft)
-        parts.append(bytes([ft]) + filtered.astype(np.uint8).tobytes())
+
+    def emit(img: np.ndarray) -> None:
+        ph, pw, _ = img.shape
+        stride = pw * 3
+        flat = img.reshape(ph, stride).astype(np.int64)
+        for y in range(ph):
+            ft = (y % 5) if cycle_filters else 0
+            prev = (
+                flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+            )
+            filtered = _png_filter_row(flat[y], prev, 3, ft)
+            parts.append(bytes([ft]) + filtered.astype(np.uint8).tobytes())
+
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.size:
+                emit(np.ascontiguousarray(sub))
+    else:
+        emit(px)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -533,10 +548,21 @@ def _png_unfilter(
     return out.astype(np.uint8)
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec section 8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png_pixels(data: bytes | None) -> np.ndarray | None:
-    """Decode a non-interlaced 8-bit RGB or RGBA PNG to (h, w, 3) uint8
-    RGB via stdlib zlib — all five row filters implemented per the spec.
-    Palette / 16-bit / interlaced input → None (keep-with-fallback)."""
+    """Decode an 8-bit PNG to (h, w, 3) uint8 RGB via stdlib zlib —
+    truecolor (ctype 2), truecolor+alpha (6, alpha dropped), and
+    PALETTE (3, mapped through PLTE; tRNS transparency dropped like
+    alpha), each in both progressive-scan and Adam7-INTERLACED layout
+    (each of the 7 passes is an independently-filtered sub-image,
+    scattered back on the pass grid). All five row filters per the
+    spec. 16-bit depth → None (keep-with-fallback)."""
     import zlib
 
     try:
@@ -545,6 +571,9 @@ def decode_png_pixels(data: bytes | None) -> np.ndarray | None:
         pos = 8
         w = h = 0
         channels = 0
+        interlaced = False
+        palette: np.ndarray | None = None
+        ctype = -1
         idat = b""
         n = len(data)
         while pos + 8 <= n:
@@ -555,11 +584,16 @@ def decode_png_pixels(data: bytes | None) -> np.ndarray | None:
                 w, h, depth, ctype, comp, filt, inter = struct.unpack(
                     ">IIBBBBB", body
                 )
-                if depth != 8 or comp != 0 or filt != 0 or inter != 0:
+                if depth != 8 or comp != 0 or filt != 0 or inter > 1:
                     return None
-                channels = {2: 3, 6: 4}.get(ctype, 0)
+                interlaced = inter == 1
+                channels = {2: 3, 3: 1, 6: 4}.get(ctype, 0)
                 if channels == 0:
                     return None
+            elif tag == b"PLTE":
+                if len(body) % 3 or not body:
+                    return None
+                palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
             elif tag == b"IDAT":
                 idat += body
             elif tag == b"IEND":
@@ -567,14 +601,90 @@ def decode_png_pixels(data: bytes | None) -> np.ndarray | None:
             pos += 12 + size
         if w <= 0 or h <= 0 or not idat:
             return None
-        stride = w * channels
-        raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-        if raw.size != h * (stride + 1):
+        if ctype == 3 and palette is None:
             return None
-        px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+        raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+        if interlaced:
+            px = np.zeros((h, w, channels), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                stride = pw * channels
+                need = ph * (stride + 1)
+                sub = _png_unfilter(
+                    raw[off : off + need], ph, stride, channels
+                ).reshape(ph, pw, channels)
+                off += need
+                px[y0::dy, x0::dx] = sub
+            if off != raw.size:
+                return None
+        else:
+            stride = w * channels
+            if raw.size != h * (stride + 1):
+                return None
+            px = _png_unfilter(raw, h, stride, channels).reshape(
+                h, w, channels
+            )
+        if ctype == 3:
+            idx = px[:, :, 0]
+            if int(idx.max(initial=0)) >= palette.shape[0]:
+                return None
+            return np.ascontiguousarray(palette[idx])
         return np.ascontiguousarray(px[:, :, :3])
     except Exception:
         return None
+
+
+def encode_png_palette(
+    idx2d: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """Encode an (h, w) uint8 index array + (n, 3) palette as an 8-bit
+    indexed PNG (ctype 3), progressive or Adam7-interlaced; every row
+    (or pass-row) cycles the five filters like encode_png's fixture
+    mode, so the decode exercises the full filter set per pass."""
+    import zlib
+
+    h, w = idx2d.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 1 if interlace else 0)
+    parts = []
+
+    def emit(img: np.ndarray) -> None:
+        ph, pw = img.shape
+        flat = img.reshape(ph, pw).astype(np.int64)
+        for y in range(ph):
+            ft = y % 5
+            prev = (
+                flat[y - 1] if y > 0 else np.zeros(pw, dtype=np.int64)
+            )
+            filtered = _png_filter_row(flat[y], prev, 1, ft)
+            parts.append(bytes([ft]) + filtered.astype(np.uint8).tobytes())
+
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = idx2d[y0::dy, x0::dx]
+            if sub.size:
+                emit(sub)
+    else:
+        emit(idx2d)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_image_pixels(data: bytes | None) -> np.ndarray | None:
@@ -747,6 +857,48 @@ def synth_gray_gif(doc_id: int) -> bytes:
                 16,
             )
     return encode_gif_gray(px)
+
+
+def synth_pal_png(doc_id: int) -> bytes:
+    """Deterministic Adam7-INTERLACED palette PNG fixture: dims
+    (9 + id%12, 7 + id%10) — odd sizes leave some passes empty —
+    64-entry palette with entry j = first three md5 byte-pairs of
+    ``pc:{id}:{j}``, pixel index (x, y) = (first md5 byte of
+    ``pi:{id}:{x}:{y}``) % 64. One fixture covers palette mapping,
+    the 7-pass scatter, and the per-pass filter cycle; every channel
+    value is oracle-recomputable."""
+    w0 = 9 + doc_id % 12
+    h0 = 7 + doc_id % 10
+    pal = np.empty((64, 3), dtype=np.uint8)
+    for j in range(64):
+        hx = hashlib.md5(f"pc:{doc_id}:{j}".encode()).hexdigest()
+        pal[j] = [int(hx[0:2], 16), int(hx[2:4], 16), int(hx[4:6], 16)]
+    idx = np.empty((h0, w0), dtype=np.uint8)
+    for y in range(h0):
+        for x in range(w0):
+            idx[y, x] = (
+                int(
+                    hashlib.md5(
+                        f"pi:{doc_id}:{x}:{y}".encode()
+                    ).hexdigest()[:2],
+                    16,
+                )
+                % 64
+            )
+    return encode_png_palette(idx, pal, interlace=True)
+
+
+def with_synth_pal_png(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "content"
+) -> DataFrame:
+    """Attach the deterministic interlaced-palette-PNG fixture bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_pal_png(int(i)) for i in ids])
+
+    return df.withColumn(out_col, _synth(F.col(id_col)))
 
 
 def with_synth_jpeg(

@@ -112,13 +112,45 @@ def _mulaw_table():
     return _MULAW_TABLE
 
 
+def _alaw_decode_byte(c: int) -> int:
+    """G.711 A-law expansion of one code byte to a linear 16-bit sample
+    (public ITU-T formula / CCITT reference implementation: XOR 0x55,
+    3-bit segment, 4-bit quantization; segment 0/1 special-cased; the
+    SIGN bit SET means positive). Pure integer math — SQL-replayable."""
+    c ^= 0x55
+    t = (c & 0x0F) << 4
+    seg = (c & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if c & 0x80 else -t
+
+
+_ALAW_TABLE = None
+
+
+def _alaw_table():
+    import numpy as np
+
+    global _ALAW_TABLE
+    if _ALAW_TABLE is None:
+        _ALAW_TABLE = np.array(
+            [_alaw_decode_byte(c) for c in range(256)], dtype=np.int16
+        )
+    return _ALAW_TABLE
+
+
 def wav_pcm_stats(data: bytes | None) -> tuple[float, float, float, int]:
     """Signal-level QA stats from WAV bytes — 16-bit linear PCM (format
-    tag 1) or 8-bit G.711 µ-law (tag 7, expanded through the integer
-    table): RMS and peak (normalized to [0, 1]) and the fraction of
-    full-scale (clipped) samples — the silence/clipping screens an
-    audio-dataset curation pass runs before training. Other formats or
-    malformed input → zeros.
+    tag 1/16), 8-bit unsigned linear PCM (tag 1/8, widened <<8), 32-bit
+    IEEE float (tag 3/32), G.711 µ-law (tag 7/8) or A-law (tag 6/8,
+    both expanded through integer tables): RMS and peak (normalized to
+    [0, 1]) and the fraction of full-scale (clipped) samples — the
+    silence/clipping screens an audio-dataset curation pass runs before
+    training. Other formats or malformed input → zeros.
 
     Vectorized: the payload is reinterpreted (or table-expanded) as one
     numpy array, so cost is memory-bandwidth, not a Python loop.
@@ -154,11 +186,28 @@ def wav_pcm_stats(data: bytes | None) -> tuple[float, float, float, int]:
             ints = np.frombuffer(
                 data, dtype="<i2", count=body_len // 2, offset=body_off
             ).astype(np.float64)
+        elif tag == 1 and bits == 8:
+            # unsigned 8-bit PCM: midpoint 128, widened to 16-bit range
+            codes = np.frombuffer(
+                data, dtype=np.uint8, count=body_len, offset=body_off
+            )
+            ints = (codes.astype(np.float64) - 128.0) * 256.0
         elif tag == 7 and bits == 8:
             codes = np.frombuffer(
                 data, dtype=np.uint8, count=body_len, offset=body_off
             )
             ints = _mulaw_table()[codes].astype(np.float64)
+        elif tag == 6 and bits == 8:
+            codes = np.frombuffer(
+                data, dtype=np.uint8, count=body_len, offset=body_off
+            )
+            ints = _alaw_table()[codes].astype(np.float64)
+        elif tag == 3 and bits == 32 and body_len >= 4:
+            # IEEE float samples are already normalized; scale up so the
+            # shared /32768 below is a no-op (exact power-of-two scaling)
+            ints = np.frombuffer(
+                data, dtype="<f4", count=body_len // 4, offset=body_off
+            ).astype(np.float64) * 32768.0
         else:
             return 0.0, 0.0, 0.0, 0
         pcm = ints / 32768.0
@@ -356,6 +405,74 @@ def synth_wav_md5(doc_id: int) -> bytes:
     )
     hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
     fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+    data = b"data" + struct.pack("<I", len(body))
+    return hdr + fmt + data + body
+
+
+def synth_wav_md5_alaw(doc_id: int) -> bytes:
+    """Deterministic A-law WAV fixture (format tag 6, 8-bit codes,
+    block_align 1): code i = first md5 byte of ``al:{id}:{i}``,
+    n = 40 + id % 23 samples at 8 kHz. Drives the G.711 A-law expansion
+    through q_audio_alaw's value-hash oracle."""
+    import hashlib
+
+    n = 40 + doc_id % 23
+    sr = 8000
+    body = bytes(
+        int(hashlib.md5(f"al:{doc_id}:{i}".encode()).hexdigest()[:2], 16)
+        for i in range(n)
+    )
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 6, 1, sr, sr, 1, 8)
+    data = b"data" + struct.pack("<I", len(body))
+    return hdr + fmt + data + body
+
+
+def synth_wav_md5_pcm8(doc_id: int) -> bytes:
+    """Deterministic unsigned-8-bit PCM WAV fixture (tag 1, bits 8):
+    sample i = first md5 byte of ``p8:{id}:{i}``, n = 56 + id % 31 at
+    11025 Hz. The decoder must recentre on 128 and widen <<8; the
+    oracle replays (v - 128) * 256 / 32768 exactly."""
+    import hashlib
+
+    n = 56 + doc_id % 31
+    sr = 11025
+    body = bytes(
+        int(hashlib.md5(f"p8:{doc_id}:{i}".encode()).hexdigest()[:2], 16)
+        for i in range(n)
+    )
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr, 1, 8)
+    data = b"data" + struct.pack("<I", len(body))
+    return hdr + fmt + data + body
+
+
+def synth_wav_md5_f32(doc_id: int) -> bytes:
+    """Deterministic IEEE-float WAV fixture (tag 3, bits 32): sample i =
+    ((first two md5 bytes of ``f3:{id}:{i}``) - 32768) / 32768 — a
+    16-bit dyadic rational, so the float32 write and float64 read are
+    both EXACT and the SQL oracle needs no float32 rounding model.
+    n = 32 + id % 19 samples at 16 kHz."""
+    import hashlib
+
+    n = 32 + doc_id % 19
+    sr = 16000
+    body = b"".join(
+        struct.pack(
+            "<f",
+            (
+                int(
+                    hashlib.md5(f"f3:{doc_id}:{i}".encode()).hexdigest()[:4],
+                    16,
+                )
+                - 32768
+            )
+            / 32768.0,
+        )
+        for i in range(n)
+    )
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, sr, sr * 4, 4, 32)
     data = b"data" + struct.pack("<I", len(body))
     return hdr + fmt + data + body
 

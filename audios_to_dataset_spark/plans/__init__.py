@@ -83,6 +83,11 @@ _ROTATION_FIRST = (
     "q_full_outer", "q_dense_rank", "q_variant_extract", "q_large_orders",
     "q_window_dist", "q_unpivot",
     "q_common_prefix", "q_path_rewrite",
+    # --- r5-session additions (positions 90+, still inside the r6
+    # window of 51-100): never driver-checked, appended after the
+    # frozen 51-89 block rather than inserted ahead of it ---
+    "q_jpeg_pixels", "q_mjpeg_frames", "q_dedup_embedding_recall",
+    "q_audio_alaw", "q_audio_pcm8", "q_audio_float32", "q_png_palette",
 )
 
 

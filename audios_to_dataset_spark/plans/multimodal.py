@@ -188,8 +188,9 @@ def q_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     Up / Average / Paeth) inside a real zlib IDAT stream → pure-python
     unfilter → exact pixel mean. The oracle recomputes every pixel from
     the md5 formula, so a bug in zlib framing, any filter recurrence, or
-    the channel layout fails the value hash. (16-bit / palette /
-    interlaced PNGs still return the NULL fallback — documented.)"""
+    the channel layout fails the value hash. (Palette and Adam7
+    interlace are covered by q_png_palette; only 16-bit depth keeps the
+    NULL fallback — documented.)"""
     from ..functions.multimodal import with_pixel_mean, with_synth_png
 
     d = load(spark, sf_dir, "documents").select("doc_id")
@@ -263,6 +264,58 @@ WITH g AS (
 SELECT doc_id, 'gif' AS img_format,
        CAST(w AS BIGINT) AS img_width, CAST(h AS BIGINT) AS img_height,
        CAST(SUM(v) AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_px
+FROM v GROUP BY doc_id, w, h
+"""
+
+
+def q_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palette PNG + Adam7 interlace decode in one gate: a deterministic
+    INDEXED, INTERLACED PNG per doc (64-entry md5 palette, md5 pixel
+    indices, odd dims so some passes are empty, per-pass filter cycle)
+    → the 7-pass unfilter/scatter + PLTE mapping → exact pixel mean.
+    The oracle recomputes every channel value from the two md5
+    formulas, so a wrong pass grid, pass-boundary filter reset, or
+    palette lookup fails the value hash."""
+    from ..functions.multimodal import with_pixel_mean, with_synth_pal_png
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    info = with_image_info(with_synth_pal_png(d))
+    return with_pixel_mean(info).select(
+        "doc_id",
+        F.col("image.format").alias("img_format"),
+        F.col("image.width").cast("long").alias("img_width"),
+        F.col("image.height").cast("long").alias("img_height"),
+        "mean_px",
+    )
+
+
+ORACLE_PNG_PALETTE = """
+WITH g AS (
+  SELECT doc_id, 9 + doc_id % 12 AS w, 7 + doc_id % 10 AS h
+  FROM documents
+), fx AS (
+  SELECT doc_id, w, h, unnest(range(w)) AS x FROM g
+), px AS (
+  SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM fx
+), ix AS (
+  SELECT doc_id, w, h,
+         ('0x' || substr(md5('pi:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(x AS VARCHAR) || ':' ||
+             CAST(y AS VARCHAR)), 1, 2))::INT % 64 AS j
+  FROM px
+), v AS (
+  SELECT doc_id, w, h,
+         ('0x' || substr(pc, 1, 2))::INT
+         + ('0x' || substr(pc, 3, 2))::INT
+         + ('0x' || substr(pc, 5, 2))::INT AS rgb_sum
+  FROM (SELECT doc_id, w, h,
+               md5('pc:' || CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(j AS VARCHAR)) AS pc
+        FROM ix) t
+)
+SELECT doc_id, 'png' AS img_format,
+       CAST(w AS BIGINT) AS img_width, CAST(h AS BIGINT) AS img_height,
+       CAST(SUM(rgb_sum) AS DOUBLE) / CAST(w * h * 3 AS DOUBLE) AS mean_px
 FROM v GROUP BY doc_id, w, h
 """
 
@@ -455,6 +508,142 @@ def q_audio_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _audio_stats_query(synth_name: str):
+    """Factory for the audio fixture queries: synth WAV per doc → real
+    RIFF walk (wav_info) + vectorized signal stats (wav_stats) →
+    (rate, duration, n, rms, peak). Shared by the µ-law/A-law/PCM8/f32
+    format queries; q_audio_stats keeps its own richer projection."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+
+        from ..functions import wav as W
+
+        synth = getattr(W, synth_name)
+        d = load(spark, sf_dir, "documents").select("doc_id")
+
+        @pandas_udf("binary")
+        def _synth(ids):  # type: ignore[no-untyped-def]
+            import pandas as pd
+
+            return pd.Series([synth(int(i)) for i in ids])
+
+        wav = d.withColumn("content", _synth(F.col("doc_id")))
+        out = wav.select(
+            "doc_id",
+            W.with_wav_info(F.col("content")).alias("info"),
+            W.with_wav_stats(F.col("content")).alias("stats"),
+        )
+        return out.select(
+            "doc_id",
+            F.col("info.sampling_rate").alias("sampling_rate"),
+            F.col("info.duration").alias("duration"),
+            F.col("stats.n_samples").alias("n_samples"),
+            sround(F.col("stats.rms"), 6).alias("rms"),
+            F.col("stats.peak").alias("peak"),
+        )
+
+    return q
+
+
+def q_audio_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 A-law decode end-to-end: an 8-bit A-law WAV per doc (code i
+    from md5) → the real RIFF walk (format tag 6 dispatch) →
+    integer-table expansion → signal stats. The oracle replays the
+    ITU-T/CCITT expansion (XOR 0x55, 3-bit segment, SIGN-set-positive)
+    per code in SQL bit ops — completing the G.711 pair next to
+    q_audio_ulaw."""
+    return _audio_stats_query("synth_wav_md5_alaw")(spark, sf_dir)
+
+
+def q_audio_pcm8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsigned 8-bit PCM decode (tag 1, bits 8 — the classic telephony/
+    retro sample format): the decoder must recentre on 128 and widen
+    <<8 before the shared normalization; the oracle replays
+    (v - 128) * 256 / 32768 exactly."""
+    return _audio_stats_query("synth_wav_md5_pcm8")(spark, sf_dir)
+
+
+def q_audio_float32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IEEE-float WAV decode (tag 3, bits 32 — what DAWs and ML export
+    pipelines write): fixture samples are 16-bit dyadic rationals so
+    float32 storage is exact and the oracle needs no rounding model;
+    a wrong byte order, stride, or normalization fails the hash."""
+    return _audio_stats_query("synth_wav_md5_f32")(spark, sf_dir)
+
+
+_ALAW_MAG = (
+    "(CASE WHEN (xor(c, 85) & 112) = 0 THEN ((xor(c, 85) & 15) << 4) + 8 "
+    "WHEN (xor(c, 85) & 112) = 16 THEN ((xor(c, 85) & 15) << 4) + 264 "
+    "ELSE (((xor(c, 85) & 15) << 4) + 264)"
+    " << (((xor(c, 85) & 112) >> 4) - 1) END)"
+)
+
+ORACLE_AUDIO_ALAW = f"""
+WITH g AS (
+  SELECT doc_id, 40 + doc_id % 23 AS n FROM documents
+), ix AS (
+  SELECT doc_id, n, unnest(range(n)) AS i FROM g
+), cc AS (
+  SELECT doc_id, n,
+         ('0x' || substr(md5('al:' || CAST(doc_id AS VARCHAR) || ':'
+               || CAST(i AS VARCHAR)), 1, 2))::INT AS c
+  FROM ix
+), s AS (
+  SELECT doc_id, n,
+         CAST(CASE WHEN (xor(c, 85) & 128) != 0 THEN {_ALAW_MAG}
+              ELSE -{_ALAW_MAG} END AS DOUBLE) / 32768.0 AS p
+  FROM cc
+)
+SELECT doc_id, CAST(8000 AS INT) AS sampling_rate,
+       CAST(n AS DOUBLE) / 8000.0 AS duration,
+       CAST(n AS BIGINT) AS n_samples,
+       (round(sqrt(SUM(p * p) / n) * 1000000.0) / 1000000.0) + 0.0 AS rms,
+       MAX(abs(p)) AS peak
+FROM s GROUP BY doc_id, n
+"""
+
+ORACLE_AUDIO_PCM8 = """
+WITH g AS (
+  SELECT doc_id, 56 + doc_id % 31 AS n FROM documents
+), ix AS (
+  SELECT doc_id, n, unnest(range(n)) AS i FROM g
+), s AS (
+  SELECT doc_id, n,
+         CAST((('0x' || substr(md5('p8:' || CAST(doc_id AS VARCHAR) || ':'
+               || CAST(i AS VARCHAR)), 1, 2))::INT - 128) * 256 AS DOUBLE)
+           / 32768.0 AS p
+  FROM ix
+)
+SELECT doc_id, CAST(11025 AS INT) AS sampling_rate,
+       CAST(n AS DOUBLE) / 11025.0 AS duration,
+       CAST(n AS BIGINT) AS n_samples,
+       (round(sqrt(SUM(p * p) / n) * 1000000.0) / 1000000.0) + 0.0 AS rms,
+       MAX(abs(p)) AS peak
+FROM s GROUP BY doc_id, n
+"""
+
+ORACLE_AUDIO_FLOAT32 = """
+WITH g AS (
+  SELECT doc_id, 32 + doc_id % 19 AS n FROM documents
+), ix AS (
+  SELECT doc_id, n, unnest(range(n)) AS i FROM g
+), s AS (
+  SELECT doc_id, n,
+         CAST(('0x' || substr(md5('f3:' || CAST(doc_id AS VARCHAR) || ':'
+              || CAST(i AS VARCHAR)), 1, 4))::INT - 32768 AS DOUBLE)
+           / 32768.0 AS p
+  FROM ix
+)
+SELECT doc_id, CAST(16000 AS INT) AS sampling_rate,
+       CAST(n AS DOUBLE) / 16000.0 AS duration,
+       CAST(n AS BIGINT) AS n_samples,
+       (round(sqrt(SUM(p * p) / n) * 1000000.0) / 1000000.0) + 0.0 AS rms,
+       MAX(abs(p)) AS peak
+FROM s GROUP BY doc_id, n
+"""
+
+
 _ULAW_MAG = "((((c & 15) * 8 + 132) << ((c >> 4) & 7)) - 132)"
 
 ORACLE_AUDIO_ULAW = f"""
@@ -489,11 +678,15 @@ QUERIES = {
     "q_image_resize": q_image_resize,
     "q_video_frames": q_video_frames,
     "q_png_pixels": q_png_pixels,
+    "q_png_palette": q_png_palette,
     "q_gif_pixels": q_gif_pixels,
     "q_jpeg_pixels": q_jpeg_pixels,
     "q_mjpeg_frames": q_mjpeg_frames,
     "q_audio_stats": q_audio_stats,
     "q_audio_ulaw": q_audio_ulaw,
+    "q_audio_alaw": q_audio_alaw,
+    "q_audio_pcm8": q_audio_pcm8,
+    "q_audio_float32": q_audio_float32,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -517,8 +710,12 @@ ORACLES["q_frame_sample"] = ORACLE_FRAME_SAMPLE
 ORACLES["q_image_resize"] = ORACLE_IMAGE_RESIZE
 ORACLES["q_video_frames"] = ORACLE_VIDEO_FRAMES
 ORACLES["q_png_pixels"] = ORACLE_PNG_PIXELS
+ORACLES["q_png_palette"] = ORACLE_PNG_PALETTE
 ORACLES["q_gif_pixels"] = ORACLE_GIF_PIXELS
 ORACLES["q_jpeg_pixels"] = ORACLE_JPEG_PIXELS
 ORACLES["q_mjpeg_frames"] = ORACLE_MJPEG_FRAMES
 ORACLES["q_audio_stats"] = ORACLE_AUDIO_STATS
 ORACLES["q_audio_ulaw"] = ORACLE_AUDIO_ULAW
+ORACLES["q_audio_alaw"] = ORACLE_AUDIO_ALAW
+ORACLES["q_audio_pcm8"] = ORACLE_AUDIO_PCM8
+ORACLES["q_audio_float32"] = ORACLE_AUDIO_FLOAT32

@@ -240,6 +240,35 @@ def test_png_roundtrip_all_filters():
             assert out is not None and (out == px).all()
 
 
+def test_png_palette_and_interlace_roundtrip():
+    """ctype-3 (PLTE) and Adam7 layouts, both encoders cycling filters;
+    odd sizes leave some interlace passes empty."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_png_pixels,
+        encode_png,
+        encode_png_palette,
+    )
+
+    rng = np.random.RandomState(4)
+    for w, h in [(1, 1), (7, 5), (8, 8), (13, 11), (1, 9), (31, 2)]:
+        px = rng.randint(0, 256, size=(h, w, 3)).astype("uint8")
+        out = decode_png_pixels(
+            encode_png(px, cycle_filters=True, interlace=True)
+        )
+        assert out is not None and (out == px).all()
+        pal = rng.randint(0, 256, size=(64, 3)).astype("uint8")
+        idx = rng.randint(0, 64, size=(h, w)).astype("uint8")
+        for il in (False, True):
+            out = decode_png_pixels(encode_png_palette(idx, pal, il))
+            assert out is not None and (out == pal[idx]).all()
+    # out-of-range palette index -> keep-with-fallback None
+    pal8 = rng.randint(0, 256, size=(8, 3)).astype("uint8")
+    bad = np.full((4, 4), 9, dtype="uint8")
+    assert decode_png_pixels(encode_png_palette(bad, pal8)) is None
+
+
 def test_png_decode_rejects_unsupported():
     import struct
     import zlib

@@ -203,3 +203,79 @@ def test_wav_stats_mulaw_vs_python():
     assert rms == math.sqrt(sum(p * p for p in ps) / n)
     assert peak == max(abs(p) for p in ps)
     assert clipped == 0.0  # mu-law max magnitude 32124 < 32767
+
+
+def test_alaw_decode_known_values():
+    """CCITT G.711 A-law reference pairs: 0x55/0xD5 are -8/+8 (segment
+    0), 0x2A/0xAA are the +/- full-scale 32256 codes."""
+    from audios_to_dataset_spark.functions.wav import _alaw_decode_byte
+
+    assert _alaw_decode_byte(0x55) == -8
+    assert _alaw_decode_byte(0xD5) == 8
+    assert _alaw_decode_byte(0x2A) == -32256
+    assert _alaw_decode_byte(0xAA) == 32256
+
+
+def test_wav_stats_alaw_pcm8_f32_vs_python():
+    """The three r5 format paths (A-law tag 6, unsigned PCM8 tag 1/8,
+    IEEE float tag 3/32) against literal python replays of their md5
+    fixture formulas."""
+    import hashlib
+    import math
+    import struct as _s
+
+    from audios_to_dataset_spark.functions.wav import (
+        _alaw_decode_byte,
+        synth_wav_md5_alaw,
+        synth_wav_md5_f32,
+        synth_wav_md5_pcm8,
+        wav_pcm_stats,
+    )
+
+    doc_id = 7
+    # A-law
+    n = 40 + doc_id % 23
+    ps = [
+        _alaw_decode_byte(
+            int(hashlib.md5(f"al:{doc_id}:{i}".encode()).hexdigest()[:2], 16)
+        )
+        / 32768.0
+        for i in range(n)
+    ]
+    rms, peak, _c, n_out = wav_pcm_stats(synth_wav_md5_alaw(doc_id))
+    assert n_out == n
+    assert rms == math.sqrt(sum(p * p for p in ps) / n)
+    assert peak == max(abs(p) for p in ps)
+    # PCM8
+    n = 56 + doc_id % 31
+    ps = [
+        (
+            int(hashlib.md5(f"p8:{doc_id}:{i}".encode()).hexdigest()[:2], 16)
+            - 128
+        )
+        * 256
+        / 32768.0
+        for i in range(n)
+    ]
+    rms, peak, clipped, n_out = wav_pcm_stats(synth_wav_md5_pcm8(doc_id))
+    assert n_out == n
+    assert rms == math.sqrt(sum(p * p for p in ps) / n)
+    assert peak == max(abs(p) for p in ps)
+    # code 0x00 widens to -32768 (|p| = 1.0), which counts as clipped
+    assert clipped == sum(abs(p) >= 32767 / 32768 for p in ps) / n
+    # float32 — fixture samples are 16-bit dyadic rationals: exact in f32
+    n = 32 + doc_id % 19
+    ps = [
+        (
+            int(hashlib.md5(f"f3:{doc_id}:{i}".encode()).hexdigest()[:4], 16)
+            - 32768
+        )
+        / 32768.0
+        for i in range(n)
+    ]
+    enc = synth_wav_md5_f32(doc_id)
+    assert _s.unpack_from("<f", enc, 44)[0] == ps[0]
+    rms, peak, _c, n_out = wav_pcm_stats(enc)
+    assert n_out == n
+    assert rms == math.sqrt(sum(p * p for p in ps) / n)
+    assert peak == max(abs(p) for p in ps)
