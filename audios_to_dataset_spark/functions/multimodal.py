@@ -562,7 +562,9 @@ def decode_png_pixels(data: bytes | None) -> np.ndarray | None:
     alpha), each in both progressive-scan and Adam7-INTERLACED layout
     (each of the 7 passes is an independently-filtered sub-image,
     scattered back on the pass grid). All five row filters per the
-    spec. 16-bit depth → None (keep-with-fallback)."""
+    spec. 16-bit depth decodes by taking each sample's high byte (the
+    libpng strip_16 / PIL convention). Sub-8-bit depths → None
+    (keep-with-fallback)."""
     import zlib
 
     try:
@@ -571,6 +573,7 @@ def decode_png_pixels(data: bytes | None) -> np.ndarray | None:
         pos = 8
         w = h = 0
         channels = 0
+        depth = 0
         interlaced = False
         palette: np.ndarray | None = None
         ctype = -1
@@ -584,8 +587,11 @@ def decode_png_pixels(data: bytes | None) -> np.ndarray | None:
                 w, h, depth, ctype, comp, filt, inter = struct.unpack(
                     ">IIBBBBB", body
                 )
-                if depth != 8 or comp != 0 or filt != 0 or inter > 1:
+                if depth not in (8, 16) or comp != 0 or filt != 0 \
+                        or inter > 1:
                     return None
+                if depth == 16 and ctype == 3:
+                    return None  # spec: palette depth is <= 8
                 interlaced = inter == 1
                 channels = {2: 3, 3: 1, 6: 4}.get(ctype, 0)
                 if channels == 0:
@@ -604,30 +610,31 @@ def decode_png_pixels(data: bytes | None) -> np.ndarray | None:
         if ctype == 3 and palette is None:
             return None
         raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+        bpp = channels * (depth // 8)  # filter unit = bytes per pixel
         if interlaced:
-            px = np.zeros((h, w, channels), dtype=np.uint8)
+            px = np.zeros((h, w, bpp), dtype=np.uint8)
             off = 0
             for x0, y0, dx, dy in _ADAM7:
                 pw = (w - x0 + dx - 1) // dx
                 ph = (h - y0 + dy - 1) // dy
                 if pw <= 0 or ph <= 0:
                     continue
-                stride = pw * channels
+                stride = pw * bpp
                 need = ph * (stride + 1)
                 sub = _png_unfilter(
-                    raw[off : off + need], ph, stride, channels
-                ).reshape(ph, pw, channels)
+                    raw[off : off + need], ph, stride, bpp
+                ).reshape(ph, pw, bpp)
                 off += need
                 px[y0::dy, x0::dx] = sub
             if off != raw.size:
                 return None
         else:
-            stride = w * channels
+            stride = w * bpp
             if raw.size != h * (stride + 1):
                 return None
-            px = _png_unfilter(raw, h, stride, channels).reshape(
-                h, w, channels
-            )
+            px = _png_unfilter(raw, h, stride, bpp).reshape(h, w, bpp)
+        if depth == 16:
+            px = px[:, :, 0::2]  # network byte order: MSB first
         if ctype == 3:
             idx = px[:, :, 0]
             if int(idx.max(initial=0)) >= palette.shape[0]:
@@ -636,6 +643,84 @@ def decode_png_pixels(data: bytes | None) -> np.ndarray | None:
         return np.ascontiguousarray(px[:, :, :3])
     except Exception:
         return None
+
+
+def encode_png16(px16: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode an (h, w, 3) uint16 array as a 16-bit truecolor PNG
+    (network byte order, filter unit 6 bytes/pixel, rows cycling the
+    five filters), progressive or Adam7."""
+    import zlib
+
+    h, w, _ = px16.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 1 if interlace else 0)
+    parts = []
+
+    def emit(img: np.ndarray) -> None:
+        ph, pw, _ = img.shape
+        stride = pw * 6
+        flat = np.frombuffer(
+            img.astype(">u2").tobytes(), dtype=np.uint8
+        ).reshape(ph, stride).astype(np.int64)
+        for y in range(ph):
+            ft = y % 5
+            prev = (
+                flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+            )
+            filtered = _png_filter_row(flat[y], prev, 6, ft)
+            parts.append(bytes([ft]) + filtered.astype(np.uint8).tobytes())
+
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px16[y0::dy, x0::dx]
+            if sub.size:
+                emit(np.ascontiguousarray(sub))
+    else:
+        emit(px16)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png16(doc_id: int) -> bytes:
+    """Deterministic 16-bit truecolor PNG fixture: dims (6 + id%9,
+    5 + id%8), channel c of pixel (x, y) = hex chars [4c, 4c+4) of
+    md5(``p6:{id}:{x}:{y}``) as a 16-bit value. The decoder's MSB
+    downconversion makes the expected 8-bit value the FIRST hex pair of
+    each channel's quad — oracle-recomputable."""
+    w0 = 6 + doc_id % 9
+    h0 = 5 + doc_id % 8
+    px = np.empty((h0, w0, 3), dtype=np.uint16)
+    for y in range(h0):
+        for x in range(w0):
+            hx = hashlib.md5(f"p6:{doc_id}:{x}:{y}".encode()).hexdigest()
+            for c in range(3):
+                px[y, x, c] = int(hx[4 * c : 4 * c + 4], 16)
+    return encode_png16(px, interlace=False)
+
+
+def with_synth_png16(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "content"
+) -> DataFrame:
+    """Attach the deterministic 16-bit-PNG fixture bytes for each id."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_png16(int(i)) for i in ids])
+
+    return df.withColumn(out_col, _synth(F.col(id_col)))
 
 
 def encode_png_palette(

@@ -320,6 +320,52 @@ FROM v GROUP BY doc_id, w, h
 """
 
 
+def q_png_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit-depth PNG decode (the last PNG variant): a deterministic
+    16-bit truecolor PNG per doc (channel value = an md5 hex quad,
+    filter unit 6 bytes/pixel, rows cycling all five filters) → MSB
+    downconversion (the libpng strip_16 convention) → exact pixel mean.
+    The oracle recomputes each channel's high byte as the first hex
+    pair of its quad, so a wrong byte order, filter unit, or stride
+    fails the value hash."""
+    from ..functions.multimodal import with_pixel_mean, with_synth_png16
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    info = with_image_info(with_synth_png16(d))
+    return with_pixel_mean(info).select(
+        "doc_id",
+        F.col("image.format").alias("img_format"),
+        F.col("image.width").cast("long").alias("img_width"),
+        F.col("image.height").cast("long").alias("img_height"),
+        "mean_px",
+    )
+
+
+ORACLE_PNG_16BIT = """
+WITH g AS (
+  SELECT doc_id, 6 + doc_id % 9 AS w, 5 + doc_id % 8 AS h
+  FROM documents
+), fx AS (
+  SELECT doc_id, w, h, unnest(range(w)) AS x FROM g
+), px AS (
+  SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM fx
+), v AS (
+  SELECT doc_id, w, h,
+         ('0x' || substr(hx, 1, 2))::INT
+         + ('0x' || substr(hx, 5, 2))::INT
+         + ('0x' || substr(hx, 9, 2))::INT AS rgb_sum
+  FROM (SELECT doc_id, w, h,
+               md5('p6:' || CAST(doc_id AS VARCHAR) || ':' ||
+                   CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)) AS hx
+        FROM px) t
+)
+SELECT doc_id, 'png' AS img_format,
+       CAST(w AS BIGINT) AS img_width, CAST(h AS BIGINT) AS img_height,
+       CAST(SUM(rgb_sum) AS DOUBLE) / CAST(w * h * 3 AS DOUBLE) AS mean_px
+FROM v GROUP BY doc_id, w, h
+"""
+
+
 def q_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode, pure python + numpy (functions.jpeg:
     canonical Huffman, zigzag, dequant, vectorized IDCT): a
@@ -679,6 +725,7 @@ QUERIES = {
     "q_video_frames": q_video_frames,
     "q_png_pixels": q_png_pixels,
     "q_png_palette": q_png_palette,
+    "q_png_16bit": q_png_16bit,
     "q_gif_pixels": q_gif_pixels,
     "q_jpeg_pixels": q_jpeg_pixels,
     "q_mjpeg_frames": q_mjpeg_frames,
@@ -711,6 +758,7 @@ ORACLES["q_image_resize"] = ORACLE_IMAGE_RESIZE
 ORACLES["q_video_frames"] = ORACLE_VIDEO_FRAMES
 ORACLES["q_png_pixels"] = ORACLE_PNG_PIXELS
 ORACLES["q_png_palette"] = ORACLE_PNG_PALETTE
+ORACLES["q_png_16bit"] = ORACLE_PNG_16BIT
 ORACLES["q_gif_pixels"] = ORACLE_GIF_PIXELS
 ORACLES["q_jpeg_pixels"] = ORACLE_JPEG_PIXELS
 ORACLES["q_mjpeg_frames"] = ORACLE_MJPEG_FRAMES

@@ -269,6 +269,25 @@ def test_png_palette_and_interlace_roundtrip():
     assert decode_png_pixels(encode_png_palette(bad, pal8)) is None
 
 
+def test_png_16bit_msb_downconversion():
+    """Depth-16 decode takes each sample's high byte (libpng strip_16),
+    with the 6-byte filter unit, in both scan layouts."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_png_pixels,
+        encode_png16,
+    )
+
+    rng = np.random.RandomState(6)
+    for w, h in [(1, 1), (7, 5), (13, 11)]:
+        px16 = rng.randint(0, 65536, size=(h, w, 3)).astype(np.uint16)
+        for il in (False, True):
+            out = decode_png_pixels(encode_png16(px16, interlace=il))
+            assert out is not None
+            assert (out == (px16 >> 8).astype("uint8")).all()
+
+
 def test_png_decode_rejects_unsupported():
     import struct
     import zlib
@@ -279,13 +298,20 @@ def test_png_decode_rejects_unsupported():
 
     assert decode_png_pixels(None) is None
     assert decode_png_pixels(b"\x89PNG\r\n\x1a\nxxxx") is None
-    # 16-bit depth header -> unsupported
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    # sub-8-bit depth header -> unsupported (16-bit decodes since r5)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 3, 0, 0, 0)
     body = (
         struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
     assert decode_png_pixels(b"\x89PNG\r\n\x1a\n" + body) is None
+    # 16-bit palette violates the spec -> rejected
+    ihdr16p = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    body16p = (
+        struct.pack(">I", len(ihdr16p)) + b"IHDR" + ihdr16p
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr16p) & 0xFFFFFFFF)
+    )
+    assert decode_png_pixels(b"\x89PNG\r\n\x1a\n" + body16p) is None
 
 
 def test_resize_images_codec_free_fallback(spark):
