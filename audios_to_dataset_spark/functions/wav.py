@@ -143,6 +143,63 @@ def _alaw_table():
     return _ALAW_TABLE
 
 
+# IMA/DVI ADPCM tables (public: IMA Digital Audio Pack, Intel/DVI spec)
+IMA_STEP = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def ima_adpcm_step(pred: int, idx: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (pred, idx) + 4-bit code → next
+    (pred, idx). Integer-exact; the SQL oracle replays it as a
+    recursive CTE joined to the step/index tables."""
+    step = IMA_STEP[idx]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + IMA_INDEX[nibble]))
+    return pred, idx
+
+
+def _ima_decode(
+    data: bytes, body_off: int, body_len: int, block_align: int
+) -> list[int]:
+    """Decode mono IMA ADPCM WAV data: each block is a 4-byte header
+    (int16 predictor = sample 0, uint8 step index, reserved) followed by
+    4-bit codes, low nibble first. Sequential by construction (each
+    sample's state feeds the next) — a python loop, fixture-scale."""
+    samples: list[int] = []
+    bo = body_off
+    end = body_off + body_len
+    while bo + 4 <= end and block_align >= 5:
+        pred = int.from_bytes(data[bo : bo + 2], "little", signed=True)
+        idx = data[bo + 2]
+        if idx > 88:
+            return []
+        samples.append(pred)
+        nbytes = min(block_align, end - bo) - 4
+        for k in range(nbytes * 2):
+            byte = data[bo + 4 + k // 2]
+            nibble = (byte & 0x0F) if k % 2 == 0 else (byte >> 4)
+            pred, idx = ima_adpcm_step(pred, idx, nibble)
+            samples.append(pred)
+        bo += block_align
+    return samples
+
+
 def wav_pcm_stats(data: bytes | None) -> tuple[float, float, float, int]:
     """Signal-level QA stats from WAV bytes — 16-bit linear PCM (format
     tag 1/16), 8-bit unsigned linear PCM (tag 1/8, widened <<8), 32-bit
@@ -165,6 +222,7 @@ def wav_pcm_stats(data: bytes | None) -> tuple[float, float, float, int]:
         pos = 12
         tag = 0
         bits = 0
+        balign = 0
         body_off = -1
         body_len = 0
         n = len(data)
@@ -173,7 +231,7 @@ def wav_pcm_stats(data: bytes | None) -> tuple[float, float, float, int]:
             (chunk_size,) = struct.unpack_from("<I", data, pos + 4)
             body = pos + 8
             if chunk_id == b"fmt " and body + 16 <= n:
-                (tag, _ch, _sr, _br, _ba, bits) = struct.unpack_from(
+                (tag, _ch, _sr, _br, balign, bits) = struct.unpack_from(
                     "<HHIIHH", data, body
                 )
             elif chunk_id == b"data":
@@ -202,6 +260,12 @@ def wav_pcm_stats(data: bytes | None) -> tuple[float, float, float, int]:
                 data, dtype=np.uint8, count=body_len, offset=body_off
             )
             ints = _alaw_table()[codes].astype(np.float64)
+        elif tag == 0x11 and bits == 4:
+            # IMA/DVI ADPCM (mono): sequential nibble state machine
+            decoded = _ima_decode(data, body_off, body_len, balign)
+            if not decoded:
+                return 0.0, 0.0, 0.0, 0
+            ints = np.array(decoded, dtype=np.float64)
         elif tag == 3 and bits == 32 and body_len >= 4:
             # IEEE float samples are already normalized; scale up so the
             # shared /32768 below is a no-op (exact power-of-two scaling)
@@ -475,6 +539,37 @@ def synth_wav_md5_f32(doc_id: int) -> bytes:
     fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, sr, sr * 4, 4, 32)
     data = b"data" + struct.pack("<I", len(body))
     return hdr + fmt + data + body
+
+
+def synth_wav_md5_adpcm(doc_id: int) -> bytes:
+    """Deterministic IMA ADPCM WAV fixture (tag 0x11, 4-bit codes,
+    mono, ONE block): header predictor = (md5 of ``ap:{id}``) - 32768,
+    step index = (md5 of ``ai:{id}``) % 89, nibble k = first hex digit
+    of md5(``ad:{id}:{k}``); n_nibbles = 24 + 2*(id % 11) (even, so no
+    padding nibble). The SQL oracle replays the decode recurrence as a
+    recursive CTE against the same md5 formulas."""
+    import hashlib
+
+    n_nib = 24 + 2 * (doc_id % 11)
+    sr = 8000
+    pred0 = int(hashlib.md5(f"ap:{doc_id}".encode()).hexdigest()[:4], 16) - 32768
+    idx0 = int(hashlib.md5(f"ai:{doc_id}".encode()).hexdigest()[:2], 16) % 89
+    nibbles = [
+        int(hashlib.md5(f"ad:{doc_id}:{k}".encode()).hexdigest()[0], 16)
+        for k in range(n_nib)
+    ]
+    payload = bytearray(struct.pack("<hBB", pred0, idx0, 0))
+    for j in range(0, n_nib, 2):
+        payload.append(nibbles[j] | (nibbles[j + 1] << 4))
+    block_align = len(payload)
+    spb = 1 + n_nib
+    hdr = b"RIFF" + struct.pack("<I", 40 + len(payload)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHHHH", 20, 0x11, 1, sr,
+        sr * block_align // spb, block_align, 4, 2, spb,
+    )
+    data = b"data" + struct.pack("<I", len(payload))
+    return hdr + fmt + data + bytes(payload)
 
 
 def synth_wav_md5_ulaw(doc_id: int) -> bytes:

@@ -618,6 +618,66 @@ def q_audio_float32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audio_stats_query("synth_wav_md5_f32")(spark, sf_dir)
 
 
+def q_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA/DVI ADPCM decode (tag 0x11, 4-bit codes) — the classic
+    compressed-WAV codec, a genuinely SEQUENTIAL state machine (each
+    sample's predictor/step-index feeds the next). The oracle replays
+    the exact recurrence as a RECURSIVE CTE joined against the
+    public step/index tables as list literals — clamps, shifts, and
+    sign handling all bit-for-bit, so any drift in the state machine
+    fails the value hash."""
+    return _audio_stats_query("synth_wav_md5_adpcm")(spark, sf_dir)
+
+
+def _oracle_audio_adpcm() -> str:
+    from ..functions.wav import IMA_INDEX, IMA_STEP
+
+    steps = "[" + ", ".join(str(s) for s in IMA_STEP) + "]"
+    idxs = "[" + ", ".join(str(d) for d in IMA_INDEX) + "]"
+    return f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, 24 + 2 * (doc_id % 11) AS n_nib,
+         ('0x' || substr(md5('ap:' || CAST(doc_id AS VARCHAR)), 1, 4))::INT
+           - 32768 AS pred0,
+         ('0x' || substr(md5('ai:' || CAST(doc_id AS VARCHAR)), 1, 2))::INT
+           % 89 AS idx0
+  FROM documents
+), st(doc_id, k, pred, idx) AS (
+  SELECT doc_id, 0, pred0, idx0 FROM g
+  UNION ALL
+  SELECT doc_id, k + 1,
+         GREATEST(-32768, LEAST(32767,
+           pred + CASE WHEN (nib & 8) != 0 THEN -diff ELSE diff END)),
+         GREATEST(0, LEAST(88, idx + ({idxs})[nib + 1]))
+  FROM (
+    SELECT doc_id, k, pred, idx, nib,
+           (s >> 3)
+           + CASE WHEN (nib & 4) != 0 THEN s ELSE 0 END
+           + CASE WHEN (nib & 2) != 0 THEN s >> 1 ELSE 0 END
+           + CASE WHEN (nib & 1) != 0 THEN s >> 2 ELSE 0 END AS diff
+    FROM (
+      SELECT st.doc_id, st.k, st.pred, st.idx,
+             ('0x' || substr(md5('ad:' || CAST(st.doc_id AS VARCHAR)
+                 || ':' || CAST(st.k AS VARCHAR)), 1, 1))::INT AS nib,
+             ({steps})[st.idx + 1] AS s
+      FROM st JOIN g USING (doc_id)
+      WHERE st.k < g.n_nib
+    ) y
+  ) x
+), s AS (
+  SELECT doc_id, CAST(pred AS DOUBLE) / 32768.0 AS p FROM st
+)
+SELECT s.doc_id, CAST(8000 AS INT) AS sampling_rate,
+       1.0 / 8000.0 AS duration,
+       CAST(g.n_nib + 1 AS BIGINT) AS n_samples,
+       (round(sqrt(SUM(p * p) / (g.n_nib + 1)) * 1000000.0)
+        / 1000000.0) + 0.0 AS rms,
+       MAX(abs(p)) AS peak
+FROM s JOIN g ON g.doc_id = s.doc_id
+GROUP BY s.doc_id, g.n_nib
+"""
+
+
 _ALAW_MAG = (
     "(CASE WHEN (xor(c, 85) & 112) = 0 THEN ((xor(c, 85) & 15) << 4) + 8 "
     "WHEN (xor(c, 85) & 112) = 16 THEN ((xor(c, 85) & 15) << 4) + 264 "
@@ -734,6 +794,7 @@ QUERIES = {
     "q_audio_alaw": q_audio_alaw,
     "q_audio_pcm8": q_audio_pcm8,
     "q_audio_float32": q_audio_float32,
+    "q_audio_adpcm": q_audio_adpcm,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -767,3 +828,4 @@ ORACLES["q_audio_ulaw"] = ORACLE_AUDIO_ULAW
 ORACLES["q_audio_alaw"] = ORACLE_AUDIO_ALAW
 ORACLES["q_audio_pcm8"] = ORACLE_AUDIO_PCM8
 ORACLES["q_audio_float32"] = ORACLE_AUDIO_FLOAT32
+ORACLES["q_audio_adpcm"] = _oracle_audio_adpcm()

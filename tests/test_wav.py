@@ -279,3 +279,40 @@ def test_wav_stats_alaw_pcm8_f32_vs_python():
     assert n_out == n
     assert rms == math.sqrt(sum(p * p for p in ps) / n)
     assert peak == max(abs(p) for p in ps)
+
+
+def test_wav_stats_ima_adpcm_vs_python():
+    """The IMA ADPCM state machine against a literal python replay of
+    the fixture recurrence (the same recurrence the SQL oracle runs as
+    a recursive CTE)."""
+    import hashlib
+    import math
+
+    from audios_to_dataset_spark.functions.wav import (
+        ima_adpcm_step,
+        parse_wav_header,
+        synth_wav_md5_adpcm,
+        wav_pcm_stats,
+    )
+
+    for doc in (0, 3, 7, 10):
+        n_nib = 24 + 2 * (doc % 11)
+        pred = (
+            int(hashlib.md5(f"ap:{doc}".encode()).hexdigest()[:4], 16)
+            - 32768
+        )
+        idx = int(hashlib.md5(f"ai:{doc}".encode()).hexdigest()[:2], 16) % 89
+        ps = [pred / 32768.0]
+        for k in range(n_nib):
+            nib = int(
+                hashlib.md5(f"ad:{doc}:{k}".encode()).hexdigest()[0], 16
+            )
+            pred, idx = ima_adpcm_step(pred, idx, nib)
+            assert -32768 <= pred <= 32767 and 0 <= idx <= 88
+            ps.append(pred / 32768.0)
+        rms, peak, _c, n_out = wav_pcm_stats(synth_wav_md5_adpcm(doc))
+        assert n_out == 1 + n_nib
+        assert rms == math.sqrt(sum(p * p for p in ps) / len(ps))
+        assert peak == max(abs(p) for p in ps)
+        _d, sr = parse_wav_header(synth_wav_md5_adpcm(doc))
+        assert sr == 8000
