@@ -796,15 +796,42 @@ def decode_image_pixels(data: bytes | None) -> np.ndarray | None:
 # ---------------------------------------------------------------------------
 
 
-def encode_gif_gray(px2d: np.ndarray) -> bytes:
+def encode_gif_gray(
+    px2d: np.ndarray,
+    interlace: bool = False,
+    local_palette: bool = False,
+) -> bytes:
     """Encode an (h, w) uint8 grayscale array as a GIF89a with a 256-gray
-    global palette. The LZW stream uses literal 9-bit codes with a CLEAR
-    every 250 symbols (valid per spec; the decoder must still run full
-    LZW bookkeeping to read it)."""
+    palette — GLOBAL by default, or a LOCAL color table on the image
+    descriptor (``local_palette``; the screen descriptor then carries no
+    GCT). ``interlace`` writes rows in the 4-pass GIF order. The LZW
+    stream uses literal 9-bit codes with a CLEAR every 250 symbols
+    (valid per spec; the decoder must still run full LZW bookkeeping to
+    read it)."""
     h, w = px2d.shape
-    hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
     palette = bytes(v for i in range(256) for v in (i, i, i))
-    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    if local_palette:
+        hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x77, 0, 0)
+        ipacked = (0x40 if interlace else 0) | 0x87
+        img_desc = (
+            b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked) + palette
+        )
+    else:
+        hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0) + palette
+        ipacked = 0x40 if interlace else 0
+        img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+    if interlace:
+        import numpy as _np
+
+        order = _np.concatenate(
+            [
+                _np.arange(0, h, 8),
+                _np.arange(4, h, 8),
+                _np.arange(2, h, 4),
+                _np.arange(1, h, 2),
+            ]
+        )
+        px2d = px2d[order]
     # LZW: min code size 8 → codes are 9-bit until the table grows
     out_bits: list[int] = []
 
@@ -829,14 +856,16 @@ def encode_gif_gray(px2d: np.ndarray) -> bytes:
         bytes([min(255, len(data) - i)]) + bytes(data[i : i + 255])
         for i in range(0, len(data), 255)
     )
-    return hdr + palette + img_desc + b"\x08" + blocks + b"\x00" + b"\x3b"
+    return hdr + img_desc + b"\x08" + blocks + b"\x00" + b"\x3b"
 
 
 def decode_gif_pixels(data: bytes | None) -> np.ndarray | None:
-    """Decode the first image of a non-interlaced GIF with a global
-    color table to (h, w, 3) uint8 RGB — full LZW (variable code width,
-    CLEAR/EOI, table growth), pure python. Local palettes, interlace,
-    and transparency extensions → None (keep-with-fallback)."""
+    """Decode the first image of a GIF to (h, w, 3) uint8 RGB — full
+    LZW (variable code width, CLEAR/EOI, table growth), pure python.
+    Global AND local color tables, and the 4-pass GIF interlace row
+    order, are all handled; transparency extensions are skipped (no
+    alpha in the RGB contract). No palette at all → None
+    (keep-with-fallback)."""
     try:
         if not data or len(data) < 13 or data[:6] not in (
             b"GIF87a",
@@ -844,14 +873,14 @@ def decode_gif_pixels(data: bytes | None) -> np.ndarray | None:
         ):
             return None
         w, h, packed = struct.unpack_from("<HHB", data, 6)
-        if not packed & 0x80:
-            return None
-        gct_size = 2 << (packed & 0x07)
         pos = 13
-        palette = np.frombuffer(
-            data, dtype=np.uint8, count=gct_size * 3, offset=pos
-        ).reshape(gct_size, 3)
-        pos += gct_size * 3
+        palette = None
+        if packed & 0x80:
+            gct_size = 2 << (packed & 0x07)
+            palette = np.frombuffer(
+                data, dtype=np.uint8, count=gct_size * 3, offset=pos
+            ).reshape(gct_size, 3)
+            pos += gct_size * 3
         # skip extensions until the image descriptor
         while pos < len(data) and data[pos] == 0x21:
             pos += 2
@@ -861,9 +890,17 @@ def decode_gif_pixels(data: bytes | None) -> np.ndarray | None:
         if pos >= len(data) or data[pos] != 0x2C:
             return None
         _x, _y, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
-        if ipacked & 0xC0:  # local palette or interlaced
-            return None
+        interlaced = bool(ipacked & 0x40)
         pos += 10
+        if ipacked & 0x80:  # local color table overrides the global one
+            lct_size = 2 << (ipacked & 0x07)
+            palette = np.frombuffer(
+                data, dtype=np.uint8, count=lct_size * 3, offset=pos
+            ).reshape(lct_size, 3)
+            pos += lct_size * 3
+        if palette is None:
+            return None
+        gct_size = palette.shape[0]
         min_code = data[pos]
         pos += 1
         stream = bytearray()
@@ -924,7 +961,21 @@ def decode_gif_pixels(data: bytes | None) -> np.ndarray | None:
         idx = np.frombuffer(bytes(out[: iw * ih]), dtype=np.uint8)
         if int(idx.max(initial=0)) >= gct_size:
             return None
-        return palette[idx].reshape(ih, iw, 3)
+        rows = palette[idx].reshape(ih, iw, 3)
+        if interlaced:
+            # 4-pass row order: 0,8,16… then 4,12… then 2,6,10… then odd
+            order = np.concatenate(
+                [
+                    np.arange(0, ih, 8),
+                    np.arange(4, ih, 8),
+                    np.arange(2, ih, 4),
+                    np.arange(1, ih, 2),
+                ]
+            )
+            px = np.empty_like(rows)
+            px[order] = rows
+            return px
+        return rows
     except Exception:
         return None
 
@@ -998,6 +1049,36 @@ def with_synth_jpeg(
     @pandas_udf("binary")
     def _synth(ids: pd.Series) -> pd.Series:
         return pd.Series([synth_gray_jpeg(int(i)) for i in ids])
+
+    return df.withColumn(out_col, _synth(F.col(id_col)))
+
+
+def synth_gray_gif_interlaced(doc_id: int) -> bytes:
+    """Deterministic grayscale GIF fixture in the 4-pass INTERLACED row
+    order with a LOCAL color table (no GCT on the screen descriptor):
+    dims from the id, pixel (x, y) = first md5 byte of
+    ``gi:{id}:{x}:{y}``."""
+    w0 = 8 + doc_id % 9
+    h0 = 9 + doc_id % 11
+    px = np.empty((h0, w0), dtype=np.uint8)
+    for y in range(h0):
+        for x in range(w0):
+            px[y, x] = int(
+                hashlib.md5(f"gi:{doc_id}:{x}:{y}".encode()).hexdigest()[:2],
+                16,
+            )
+    return encode_gif_gray(px, interlace=True, local_palette=True)
+
+
+def with_synth_gif_interlaced(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "content"
+) -> DataFrame:
+    """Attach the interlaced/local-palette GIF fixture bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_gray_gif_interlaced(int(i)) for i in ids])
 
     return df.withColumn(out_col, _synth(F.col(id_col)))
 

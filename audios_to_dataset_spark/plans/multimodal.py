@@ -451,6 +451,51 @@ FROM v GROUP BY doc_id, f, w, h
 """
 
 
+def q_gif_interlace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF interlace + local-color-table decode: a deterministic
+    grayscale GIF per doc written in the 4-pass interlaced row order
+    with its palette on the IMAGE descriptor (no global table at all) →
+    decode (pass-order de-scatter + LCT mapping) → exact pixel mean.
+    The oracle recomputes every pixel from the md5 formula, so a wrong
+    pass stride or palette source fails the value hash."""
+    from ..functions.multimodal import (
+        with_pixel_mean,
+        with_synth_gif_interlaced,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    info = with_image_info(with_synth_gif_interlaced(d))
+    return with_pixel_mean(info).select(
+        "doc_id",
+        F.col("image.format").alias("img_format"),
+        F.col("image.width").cast("long").alias("img_width"),
+        F.col("image.height").cast("long").alias("img_height"),
+        "mean_px",
+    )
+
+
+ORACLE_GIF_INTERLACE = """
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 9 + doc_id % 11 AS h
+  FROM documents
+), fx AS (
+  SELECT doc_id, w, h, unnest(range(w)) AS x FROM g
+), px AS (
+  SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM fx
+), v AS (
+  SELECT doc_id, w, h,
+         ('0x' || substr(md5('gi:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(x AS VARCHAR) || ':' ||
+             CAST(y AS VARCHAR)), 1, 2))::INT AS v
+  FROM px
+)
+SELECT doc_id, 'gif' AS img_format,
+       CAST(w AS BIGINT) AS img_width, CAST(h AS BIGINT) AS img_height,
+       CAST(SUM(v) AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_px
+FROM v GROUP BY doc_id, w, h
+"""
+
+
 def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's own domain, driver-checked end-to-end with a full
     value-hash oracle: a deterministic 16-bit PCM WAV per doc (sample i
@@ -787,6 +832,7 @@ QUERIES = {
     "q_png_palette": q_png_palette,
     "q_png_16bit": q_png_16bit,
     "q_gif_pixels": q_gif_pixels,
+    "q_gif_interlace": q_gif_interlace,
     "q_jpeg_pixels": q_jpeg_pixels,
     "q_mjpeg_frames": q_mjpeg_frames,
     "q_audio_stats": q_audio_stats,
@@ -821,6 +867,7 @@ ORACLES["q_png_pixels"] = ORACLE_PNG_PIXELS
 ORACLES["q_png_palette"] = ORACLE_PNG_PALETTE
 ORACLES["q_png_16bit"] = ORACLE_PNG_16BIT
 ORACLES["q_gif_pixels"] = ORACLE_GIF_PIXELS
+ORACLES["q_gif_interlace"] = ORACLE_GIF_INTERLACE
 ORACLES["q_jpeg_pixels"] = ORACLE_JPEG_PIXELS
 ORACLES["q_mjpeg_frames"] = ORACLE_MJPEG_FRAMES
 ORACLES["q_audio_stats"] = ORACLE_AUDIO_STATS

@@ -411,3 +411,25 @@ def test_resize_images_gif_input_reencodes_png(spark):
     for j in range(2):
         for i in range(3):
             assert dec[j, i, 0] == px[(j * 4) // 2, (i * 6) // 3]
+
+
+def test_gif_interlace_and_local_palette_roundtrip():
+    """All four encoder modes (interlace x local/global palette) decode
+    back to the source pixels, including 1-row/1-col edge shapes."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_gif_pixels,
+        encode_gif_gray,
+    )
+
+    rng = np.random.RandomState(8)
+    for w, h in [(1, 1), (4, 3), (17, 19), (9, 1), (1, 13)]:
+        px = rng.randint(0, 256, size=(h, w)).astype("uint8")
+        for il in (False, True):
+            for lp in (False, True):
+                out = decode_gif_pixels(
+                    encode_gif_gray(px, interlace=il, local_palette=lp)
+                )
+                assert out is not None and out.shape == (h, w, 3)
+                assert (out[:, :, 0] == px).all()
