@@ -463,8 +463,10 @@ SELECT s_nationkey AS k FROM supplier
 
 def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value/last_value over an unbounded frame with a
-    deterministic (ts, event_id) order."""
-    e = load(spark, sf_dir, "events")
+    deterministic (ts, event_id) order. Timeline op: unstamped events
+    are dropped on both sides (--nulls sweep; NULL-ts ordering differs
+    between engines)."""
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -481,7 +483,7 @@ ORACLE_FIRST_LAST = """
 SELECT DISTINCT user_id,
        first_value(event_type) OVER w AS first_type,
        last_value(event_type) OVER w AS last_type
-FROM events
+FROM events WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
@@ -538,7 +540,13 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — inherent to the operator, not this plan. When only the
     quantile VALUES are needed, use the mergeable histogram sketch
     (``q_approx_percentile``) which has no such constraint."""
-    o = load(spark, sf_dir, "orders")
+    # a NULL price has no place in a price distribution, and the two
+    # engines order NULLs oppositely (Spark first ASC, DuckDB last),
+    # which would shift every percent_rank — drop unpriced orders on
+    # both sides (--nulls sweep)
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
     return o.select(
         F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
@@ -558,7 +566,7 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
        cume_dist() OVER w AS price_cume_dist,
        CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
          AS class_size
-FROM orders
+FROM orders WHERE o_totalprice IS NOT NULL
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
 """
 

@@ -64,6 +64,26 @@ _NULL_RULES = {
             ("label", "vec_id % 13 = 5"),
         ),
     ),
+    # TPC-H side: primary keys stay clean (lineitem references them);
+    # dirty FKs, measures, group keys, and date keys are the realistic
+    # dirty-warehouse scenario
+    "orders": (
+        "o_orderkey",
+        (
+            ("o_custkey", "o_orderkey % 17 = 3"),
+            ("o_totalprice", "o_orderkey % 19 = 7"),
+            ("o_orderpriority", "o_orderkey % 13 = 5"),
+            ("o_orderdate", "o_orderkey % 23 = 11"),
+        ),
+    ),
+    "customer": (
+        "c_custkey",
+        (
+            ("c_nationkey", "c_custkey % 17 = 3"),
+            ("c_acctbal", "c_custkey % 19 = 7"),
+            ("c_mktsegment", "c_custkey % 13 = 5"),
+        ),
+    ),
 }
 
 # Join/agg families over the injected tables. Excluded by design: the
@@ -95,6 +115,17 @@ NULLS_QUERIES = [
     "q_knn_graph", "q_dedup_embedding", "q_dedup_embedding_exact",
     "q_dedup_embedding_recall", "q_kmeans", "q_label_centroids",
     "q_pq_codes", "q_ann_pq", "q_cluster_purity", "q_semdedup_keep",
+    # orders/customer: joins, group-bys, windows, TPC-H shapes on
+    # dirty FKs / measures / group keys / dates
+    "q_join_inner", "q_join_left", "q_join_semi_anti", "q_agg_group",
+    "q_agg_minmax", "q_rollup", "q_sort_limit", "q_window_rank",
+    "q_window_lag", "q_cube", "q_grouping_sets", "q_having", "q_pivot",
+    "q_case_agg", "q_string_agg", "q_topk_per_group", "q_moment_stats",
+    "q_percentile", "q_dense_rank", "q_window_dist", "q_first_last",
+    "q_large_orders", "q_full_outer", "q_exists_subquery",
+    "q_market_share", "q_profit", "q_top_supplier", "q_priority_wait",
+    "q_seasonality", "q_forecast_revenue", "q_purchase_intervals",
+    "q_cust_distribution", "q_cohort_ltv", "q_above_avg_customers",
 ]
 
 
