@@ -161,7 +161,11 @@ def ivf_assignments(
     :func:`kmeans_centroids`) to swap in a trained quantizer. Each
     vector is assigned to its max-cosine centroid via a broadcast cross
     join + argmax — the big side streams once, no shuffle.
+    NULL-id / NULL-vector rows are dropped at entry: Spark sorts NULL
+    ids FIRST, so one dirty row would otherwise become a NULL centroid
+    whose NULL cosines poison every assignment (--nulls sweep).
     """
+    df = df.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
     if centroids is None:
         centroids = (
             df.select(

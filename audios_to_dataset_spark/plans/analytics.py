@@ -241,8 +241,18 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery formulation, so the two implementations cross-check."""
     from ..operators.asof import as_of_join
 
-    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    o = load(spark, sf_dir, "orders")
+    # as-of semantics need a key and a time on both sides: the
+    # union+window trick groups NULL keys together while SQL `=` never
+    # matches them, and NULL times order differently — drop unkeyed/
+    # unstamped rows identically on both engines (--nulls sweep)
+    e = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
     joined = as_of_join(
         e, o,
         left_key="user_id", right_key="o_custkey",
@@ -260,7 +270,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ASOF_JOIN = """
 SELECT e.event_id, e.user_id,
        (SELECT max(o.o_orderkey) FROM orders o
-        WHERE o.o_custkey = e.user_id
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate IS NOT NULL
           AND o.o_orderdate = (SELECT max(o2.o_orderdate) FROM orders o2
                                WHERE o2.o_custkey = e.user_id
                                  AND o2.o_orderdate <= e.ts))
@@ -269,6 +279,7 @@ SELECT e.event_id, e.user_id,
         WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts)
          AS asof_orderdate
 FROM events e
+WHERE e.user_id IS NOT NULL AND e.ts IS NOT NULL
 """
 
 
@@ -923,7 +934,11 @@ def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup."""
     from pyspark.sql import Window
 
-    o = load(spark, sf_dir, "orders")
+    # an undated order belongs to no month, and the lag chain's NULL
+    # position differs between engines — drop on both sides
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     monthly = o.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).alias("month")
     ).agg(dsum("o_totalprice").alias("revenue"))
@@ -941,7 +956,7 @@ ORACLE_PERIOD_OVER_PERIOD = f"""
 WITH monthly AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
          {dsum_sql('o_totalprice')} AS revenue
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
 )
 SELECT month, revenue,
        lag(revenue) OVER (ORDER BY month) AS prev_revenue,
@@ -971,7 +986,12 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    c = load(spark, sf_dir, "customer")
+    # a customer with unknown balance has no position on the
+    # (balance, orders) plane — drop NULL balances on both sides
+    # (--nulls sweep; NULL x also breaks the bucket grid)
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull()
+    )
     o = load(spark, sf_dir, "orders")
     pts = (
         c.join(o, c.c_custkey == o.o_custkey, "left")
@@ -1021,6 +1041,7 @@ WITH pts AS (
   SELECT c_custkey, c_acctbal AS x,
          CAST(COUNT(o_orderkey) AS BIGINT) AS y
   FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  WHERE c_acctbal IS NOT NULL
   GROUP BY c_custkey, c_acctbal
 )
 SELECT p.c_custkey, p.x AS acctbal, p.y AS n_orders

@@ -26,8 +26,16 @@ CAP = 10
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage-by-stage survivor counts of the full curation pass
     (curate.py stages, parameters pinned: MinHash agreement ≥ 0.5
-    drops the younger doc; top-half quality per lang; cap 10/source)."""
-    docs = load(spark, sf_dir, "documents")
+    drops the younger doc; top-half quality per lang; cap 10/source).
+    The pipeline's output is a set of doc ids and every stage
+    fingerprints text, so id-less and text-less docs are dropped at
+    intake on both sides (--nulls sweep: a NULL id would win
+    first-wins windows in Spark but never match the oracle's min-id
+    join, and sha256(NULL) groups in Spark but never equi-joins in
+    SQL)."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
     stages = [("0_input", docs)]
     d1 = exact_dedup(docs)
     stages.append(("1_exact_dedup", d1))
@@ -64,9 +72,11 @@ def _oracle_curation_funnel() -> str:
   JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
               AND a.doc_id < b.doc_id
 ), d1 AS (
-  SELECT d.* FROM documents d
+  SELECT d.* FROM (SELECT * FROM documents
+                   WHERE doc_id IS NOT NULL AND text IS NOT NULL) d
   JOIN (SELECT sha256(text) AS h, MIN(doc_id) AS keep
-        FROM documents GROUP BY sha256(text)) k
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        GROUP BY sha256(text)) k
     ON sha256(d.text) = k.h AND d.doc_id = k.keep
 ), drops AS (
   SELECT DISTINCT cand.doc_b AS doc_id
@@ -100,7 +110,7 @@ def _oracle_curation_funnel() -> str:
 )
 SELECT stage, n_docs FROM (
   SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
   UNION ALL
   SELECT '1_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM d1
   UNION ALL

@@ -430,8 +430,12 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a map (map_from_entries over a sorted entry array), consumed with
     map_values + a HOF sum, and serialized via to_json for the
     cross-engine comparison (map key order is pinned by the sort, so
-    the JSON string is canonical)."""
-    e = load(spark, sf_dir, "events")
+    the JSON string is canonical). A NULL event_type cannot be a map
+    key (Spark raises NULL_MAP_KEY — one dirty row would kill the whole
+    job) — untyped events are dropped on BOTH sides (--nulls sweep)."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     per = e.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
@@ -457,7 +461,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MAP_FUNCS = """
 WITH per AS (
   SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
-  FROM events GROUP BY user_id, event_type
+  FROM events WHERE event_type IS NOT NULL GROUP BY user_id, event_type
 )
 SELECT user_id,
        '{' || string_agg('"' || event_type || '":' || n, ','

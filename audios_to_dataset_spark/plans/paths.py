@@ -10,13 +10,21 @@ from ..functions.paths import rewrite_paths
 
 _SYNTH_PATH = "concat('data/', source, '/f', doc_id, '.wav')"
 
+# a path can't be synthesized from missing fields — and the engines
+# disagree on NULL concat args (Spark NULLs the result, DuckDB skips
+# the NULL), so both path queries filter them identically
+# (--nulls sweep)
+_SYNTH_OK = "doc_id IS NOT NULL AND source IS NOT NULL"
+
 
 def q_common_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest-common-dir-prefix via the min/max extremes trick (A2,
     scripts/csv_path_rewriter.py:72-79): the LCP of all strings equals the
     LCP of the lexicographic min and max — one aggregation, no full fold."""
-    d = load(spark, sf_dir, "documents").select(
-        F.expr(_SYNTH_PATH).alias("p")
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.expr(_SYNTH_OK))
+        .select(F.expr(_SYNTH_PATH).alias("p"))
     )
     mm = d.agg(F.min("p").alias("lo"), F.max("p").alias("hi"))
     lcp_len = F.expr(
@@ -34,7 +42,7 @@ def q_common_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_COMMON_PREFIX = f"""
-WITH p AS (SELECT {_SYNTH_PATH} AS p FROM documents),
+WITH p AS (SELECT {_SYNTH_PATH} AS p FROM documents WHERE {_SYNTH_OK}),
 mm AS (SELECT min(p) AS lo, max(p) AS hi FROM p),
 l AS (
   SELECT lo, hi,
@@ -54,9 +62,13 @@ FROM l
 def q_path_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """csv_path_rewriter transform (scripts/csv_path_rewriter.py:105-136):
     basename + relative path against a base dir, fixed column order."""
-    d = load(spark, sf_dir, "documents").select(
-        F.expr(_SYNTH_PATH).alias("file_name"),
-        F.substring("text", 1, 20).alias("transcription"),
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.expr(_SYNTH_OK))
+        .select(
+            F.expr(_SYNTH_PATH).alias("file_name"),
+            F.substring("text", 1, 20).alias("transcription"),
+        )
     )
     return rewrite_paths(d, base_dir="data")
 
@@ -65,7 +77,7 @@ ORACLE_PATH_REWRITE = f"""
 SELECT (string_split({_SYNTH_PATH}, '/'))[-1] AS file_name,
        substr({_SYNTH_PATH}, length('data/') + 1) AS relative_path,
        substr(text, 1, 20) AS transcription
-FROM documents
+FROM documents WHERE {_SYNTH_OK}
 """
 
 

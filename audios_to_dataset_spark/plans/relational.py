@@ -248,9 +248,11 @@ def q_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DEDUP_FIRST = """
 SELECT user_id, event_id AS first_event_id,
-       event_type AS first_event_type, ts AS first_ts
+       first_event_type, ts AS first_ts
 FROM (
-  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  SELECT user_id, event_id, event_type AS first_event_type, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts NULLS FIRST, event_id) AS rn
   FROM events
 ) t WHERE rn = 1
 """
@@ -271,9 +273,13 @@ def q_window_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NULLS FIRST pins DuckDB to Spark's ascending default: a row-id
+# assignment must COVER unstamped rows (unlike the timeline ops, which
+# drop them), so the NULL position is pinned instead (--nulls sweep)
 ORACLE_WINDOW_ROWNUM = """
 SELECT event_id, user_id,
-       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts NULLS FIRST, event_id) AS rn
 FROM events
 """
 

@@ -115,9 +115,12 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NULLS FIRST pins DuckDB to Spark's ascending default: decile
+# assignment must cover balance-less customers, so the NULL position is
+# pinned rather than the rows dropped (--nulls sweep)
 ORACLE_WINDOW_NTILE = """
 SELECT c_custkey,
-       ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+       ntile(10) OVER (ORDER BY c_acctbal NULLS FIRST, c_custkey) AS decile
 FROM customer
 """
 

@@ -114,8 +114,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ANN_IVF = f"""
 WITH v AS (
+  -- dirty-row exclusion mirrors ivf_assignments (--nulls sweep)
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
 ), nn AS (
   SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
   FROM v
@@ -1275,8 +1276,12 @@ def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     em = load(spark, sf_dir, "embeddings")
-    sub = pq_subvectors(em, PQ_M, PQ_SUBDIM)
-    cents = pq_codebooks(em, PQ_M, PQ_SUBDIM, k=PQ_K, iters=PQ_ITERS)
+    # same dirty-row guard as pq_codes / q_ann_pq (--nulls sweep)
+    emc = em.filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    sub = pq_subvectors(emc, PQ_M, PQ_SUBDIM)
+    cents = pq_codebooks(emc, PQ_M, PQ_SUBDIM, k=PQ_K, iters=PQ_ITERS)
     a = _pq_assign(sub, cents, "vec_id")
     cos = _dot(F.col("sub"), F.col("cvec")) / (
         _norm(F.col("sub")) * _norm(F.col("cvec"))

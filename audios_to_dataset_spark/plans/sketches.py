@@ -279,7 +279,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer→supplier order graph (directed edge per
     distinct (o_custkey, l_suppkey) pair; suppliers are all dangling, so
     the dangling-mass path is genuinely exercised)."""
-    o = load(spark, sf_dir, "orders")
+    # an order with no customer key contributes no edge — a NULL
+    # endpoint isn't a graph node (--nulls sweep; both sides filter)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
     li = load(spark, sf_dir, "lineitem")
     edges = (
         o.join(li, o.o_orderkey == li.l_orderkey)
@@ -305,7 +307,8 @@ def _oracle_pagerank() -> str:
     ctes = [
         "e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,"
         f" CAST(l_suppkey AS BIGINT) + {PR_SUPP_OFFSET} AS dst"
-        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+        " WHERE o_custkey IS NOT NULL)",
         "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
         "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",
@@ -768,8 +771,11 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition keeps its local top-k and only k rows per partition reach
     the driver-side merge — the distributed reservoir, no shuffle of the
     corpus and no single-partition window."""
+    # id-less docs have no lottery ticket (md5(NULL) -> NULL race key,
+    # which the engines order oppositely) — drop them on both sides
     d = load(spark, sf_dir, "documents").filter(
-        F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+        F.col("doc_id").isNotNull()
+        & F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
     )
     h = F.conv(
         F.substring(
@@ -805,7 +811,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(n_chars AS BIGINT) AS n_chars,
        {sround_sql(key, 12)} AS priority
 FROM documents
-WHERE n_chars IS NOT NULL AND n_chars > 0
+WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
 ORDER BY priority, doc_id
 LIMIT {WSAMPLE_K}
 """
@@ -970,8 +976,11 @@ def q_weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered-per-stratum variant is a groupBy(lang) + min_by-k.)"""
     from pyspark.sql import Window
 
+    # id-less docs have no lottery ticket (md5(NULL) -> NULL race key,
+    # which the engines order oppositely) — drop them on both sides
     d = load(spark, sf_dir, "documents").filter(
-        F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+        F.col("doc_id").isNotNull()
+        & F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
     )
     h = F.conv(
         F.substring(
@@ -1011,7 +1020,7 @@ WITH scored AS (
          CAST(n_chars AS BIGINT) AS n_chars,
          {sround_sql(key, 12)} AS priority
   FROM documents
-  WHERE n_chars IS NOT NULL AND n_chars > 0
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
 )
 SELECT doc_id, lang, n_chars, priority FROM (
   SELECT *, row_number() OVER (PARTITION BY lang
@@ -1184,7 +1193,9 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "events")
+    # NULL values have no rank in a value distribution and the engines
+    # order them oppositely — drop them on both sides (--nulls sweep)
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     ranked = e.select(
         "event_type", "value",
@@ -1230,7 +1241,7 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS rnk,
          COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), bounds AS (
   SELECT event_type,
          MIN(CASE WHEN rnk = CAST(ceil(n * 0.05) AS BIGINT)
@@ -1245,6 +1256,7 @@ WITH ranked AS (
 SELECT event_id, e.event_type, value,
        greatest(least(value, p95), p05) AS value_clipped, p05, p95
 FROM events e JOIN bounds b ON e.event_type = b.event_type
+WHERE value IS NOT NULL
 """
 
 COMPACT_TARGET_CHARS = 50_000

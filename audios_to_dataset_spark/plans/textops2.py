@@ -876,7 +876,9 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, bucket). Totals ride a 1-row broadcast cross join, the same
     pattern as PageRank's dangling-mass frame."""
     B = DSIR_BUCKETS
-    d = load(spark, sf_dir, "documents")
+    # selection emits per-doc decisions keyed on doc_id — id-less docs
+    # can't be selected and are dropped on both sides (--nulls sweep)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     tb = (
         d.select(
             "doc_id",
@@ -953,7 +955,7 @@ ORACLE_DSIR_SELECT = f"""
 WITH tk AS (
   SELECT doc_id, lang, tok FROM (
     SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
-    FROM documents) u
+    FROM documents WHERE doc_id IS NOT NULL) u
   WHERE tok <> ''
 ), tb AS (
   SELECT doc_id, lang,

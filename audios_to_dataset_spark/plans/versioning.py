@@ -131,23 +131,30 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# concat_ws on BOTH sides: Spark's concat_ws SKIPS NULL parts, and a
+# plain || chain would NULL the whole fingerprint and misclassify the
+# row as added/removed (--nulls sweep)
 ORACLE_SNAPSHOT_DIFF = f"""
 WITH a AS (
   SELECT CAST(o_orderkey AS BIGINT) AS k,
-         md5(CAST(CAST(round(o_totalprice * 10000) AS BIGINT) AS VARCHAR) || '|' || o_orderstatus)
-           AS fp_a
+         md5(concat_ws('|',
+             CAST(CAST(round(o_totalprice * 10000) AS BIGINT) AS VARCHAR),
+             o_orderstatus)) AS fp_a
   FROM orders
 ), b AS (
   SELECT CAST(o_orderkey AS BIGINT) AS k,
-         md5(CAST(CAST(round(
+         md5(concat_ws('|',
+             CAST(CAST(round(
                     (CASE WHEN o_orderkey % {UPD_MOD} = 0
                           THEN o_totalprice * 1.1
                           ELSE o_totalprice END) * 10000) AS BIGINT)
-                  AS VARCHAR) || '|' || o_orderstatus) AS fp_b
+                  AS VARCHAR), o_orderstatus)) AS fp_b
   FROM orders WHERE o_orderpriority <> '5-LOW'
   UNION ALL
   SELECT CAST(o_orderkey AS BIGINT) + 100000000 AS k,
-         md5(CAST(CAST(round(o_totalprice * 10000) AS BIGINT) AS VARCHAR) || '|' || 'NEW') AS fp_b
+         md5(concat_ws('|',
+             CAST(CAST(round(o_totalprice * 10000) AS BIGINT) AS VARCHAR),
+             'NEW')) AS fp_b
   FROM orders WHERE o_orderkey % 13 = 0
 )
 SELECT CASE WHEN fp_a IS NULL THEN 'added'

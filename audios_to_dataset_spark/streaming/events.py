@@ -182,7 +182,15 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         GroupStateTimeout,
     )
 
-    ev = _stream_events(spark, sf_dir).select("user_id", "ts")
+    # sessionization needs a user and a timestamp: a NULL user_id key
+    # reaches the state fn as None (int(None) kills the task — one
+    # dirty row must not fail the stream), and NULL ts can't be
+    # ordered. Dropped on both sides (--nulls sweep).
+    ev = (
+        _stream_events(spark, sf_dir)
+        .select("user_id", "ts")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    )
 
     def sessionize(key, pdfs, state: GroupState):
         rows = pd.concat(list(pdfs)).sort_values("ts")
@@ -291,12 +299,23 @@ def q_stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    ev = _stream_events(spark, sf_dir).select(
-        "event_id",
-        "event_type",
-        F.date_trunc("hour", F.col("ts")).alias("win_start"),
-        "ts",
-        "user_id",
+    # the bloom signature is int(user_id) and the window key needs ts:
+    # NULL rows would crash the state fn (int(None)) — dropped on both
+    # sides (--nulls sweep)
+    ev = (
+        _stream_events(spark, sf_dir)
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("win_start"),
+            "ts",
+            "user_id",
+        )
     )
     out = ev.groupBy("event_type", "win_start").applyInPandasWithState(
         dedup,
@@ -323,6 +342,7 @@ WITH e AS (
   SELECT event_id, event_type, user_id, ts,
          date_trunc('hour', ts) AS win_start
   FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
 ), ord AS (
   SELECT *, row_number() OVER (PARTITION BY event_type, win_start
                                ORDER BY ts, event_id) AS rn
@@ -337,7 +357,10 @@ WITH e AS (
 )
 SELECT b.event_id, b.event_type, b.win_start, MIN(b.user_id) AS user_id
 FROM bits b
-JOIN first_set f ON f.event_type = b.event_type
+-- NULL-safe on event_type: the untyped bucket is a legitimate window
+-- key for the stream (groupBy keeps NULL groups) but plain = would
+-- never match it here (--nulls sweep)
+JOIN first_set f ON f.event_type IS NOT DISTINCT FROM b.event_type
                 AND f.win_start = b.win_start AND f.pos = b.pos
 GROUP BY b.event_id, b.event_type, b.win_start
 HAVING SUM(CASE WHEN b.rn = f.first_rn THEN 1 ELSE 0 END) > 0
@@ -514,7 +537,12 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregate on window key — no single-partition sort."""
     from pyspark.sql import Window
 
-    ev = _stream_events(spark, sf_dir)
+    # "trending types" excludes the untyped bucket: NULL event_type
+    # also breaks the rank tie (the engines order NULLs oppositely) —
+    # dropped on both sides (--nulls sweep)
+    ev = _stream_events(spark, sf_dir).filter(
+        F.col("event_type").isNotNull()
+    )
     agg = (
         ev.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -685,7 +713,7 @@ ORACLES: dict[str, str] = {
 WITH counts AS (
   SELECT date_trunc('hour', ts) AS win_start, event_type,
          COUNT(*) AS n_events
-  FROM events GROUP BY 1, 2
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
   HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
          <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR),
 ranked AS (
@@ -811,7 +839,7 @@ WITH s AS (
          CASE WHEN lag(ts) OVER w IS NULL
               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS brk
-  FROM events
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), g AS (
   SELECT user_id, ts,

@@ -86,10 +86,10 @@ _NULL_RULES = {
     ),
 }
 
-# Join/agg families over the injected tables. Excluded by design: the
-# multimodal/audio fixture queries (their synth UDFs key on doc_id and a
-# NULL id has no fixture), and streaming replays (rate source, not these
-# tables).
+# --nulls covers EVERY declared query except NULLS_EXCLUDE (below):
+# NULL-robustness is a repo-wide contract, not a per-family opt-in.
+# NULLS_QUERIES survives as the historical first-wave list (kept for
+# targeted reruns); the default sweep is all_queries() - NULLS_EXCLUDE.
 NULLS_QUERIES = [
     # documents: text/agg/join families
     "q_text_stats", "q_lang_id", "q_token_count", "q_repetition",
@@ -126,7 +126,21 @@ NULLS_QUERIES = [
     "q_market_share", "q_profit", "q_top_supplier", "q_priority_wait",
     "q_seasonality", "q_forecast_revenue", "q_purchase_intervals",
     "q_cust_distribution", "q_cohort_ltv", "q_above_avg_customers",
+    # streaming: watermarked event-time over NULL-ts rows (Structured
+    # Streaming drops them; the closed-window replay oracles must agree)
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_hll",
+    "q_stream_dedup",
 ]
+
+
+def nulls_excluded() -> set[str]:
+    """Queries exempt from the NULL sweep: the multimodal/audio FIXTURE
+    queries synthesize their inputs from doc_id via pandas UDFs
+    (int(NULL) has no fixture) — their decode paths are NULL-fuzzed in
+    pytest instead (decoders return None/zeros on malformed bytes)."""
+    from audios_to_dataset_spark.plans import multimodal
+
+    return set(multimodal.QUERIES)
 
 
 def build_nulls_dir(sf_dir: str) -> str:
@@ -204,7 +218,9 @@ def main() -> int:
     if nulls:
         sf_dir = build_nulls_dir(sf_dir)
         if not only:
-            only = set(NULLS_QUERIES)
+            from audios_to_dataset_spark.plans import all_queries
+
+            only = set(all_queries()) - nulls_excluded()
         print(f"NULL-injected copy: {sf_dir} ({len(only)} queries)")
 
     import __spark_entry__ as entrymod
