@@ -541,6 +541,35 @@ def synth_wav_md5_f32(doc_id: int) -> bytes:
     return hdr + fmt + data + body
 
 
+def resample_linear(
+    samples, sr_in: int, sr_out: int
+):
+    """Linear-interpolation resample of a 1-D sample array (float64 in,
+    float64 out). The interpolation is the EXPLICIT two-term form
+    ``x0 + f * (x1 - x0)`` (NOT numpy.interp's (1-f)x0 + f x1 — a
+    different expression tree rounds differently), evaluated with the
+    same IEEE ops a SQL oracle writes, so fixture ratios whose
+    positions are dyadic rationals (8k/12k/16k -> 16k) reproduce
+    bit-exactly across engines. Output sample j sits at position
+    j * (sr_in / sr_out); j runs while the position stays within the
+    input."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    n = x.size
+    if n == 0 or sr_in <= 0 or sr_out <= 0:
+        return np.empty(0, dtype=np.float64)
+    r = sr_in / sr_out
+    n_out = int(np.floor((n - 1) / r)) + 1 if r > 0 else 0
+    j = np.arange(n_out, dtype=np.float64)
+    pos = j * r
+    i0 = np.floor(pos).astype(np.int64)
+    i0 = np.minimum(i0, n - 1)
+    f = pos - i0
+    i1 = np.minimum(i0 + 1, n - 1)
+    return x[i0] + f * (x[i1] - x[i0])
+
+
 def synth_wav_md5_adpcm(doc_id: int) -> bytes:
     """Deterministic IMA ADPCM WAV fixture (tag 0x11, 4-bit codes,
     mono, ONE block): header predictor = (md5 of ``ap:{id}``) - 32768,

@@ -88,7 +88,7 @@ _ROTATION_FIRST = (
     # frozen 51-89 block rather than inserted ahead of it ---
     "q_jpeg_pixels", "q_mjpeg_frames", "q_dedup_embedding_recall",
     "q_audio_alaw", "q_audio_pcm8", "q_audio_float32", "q_png_palette",
-    "q_png_16bit", "q_audio_adpcm", "q_gif_interlace",
+    "q_png_16bit", "q_audio_adpcm", "q_gif_interlace", "q_audio_resample",
 )
 
 

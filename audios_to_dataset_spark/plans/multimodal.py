@@ -663,6 +663,122 @@ def q_audio_float32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audio_stats_query("synth_wav_md5_f32")(spark, sf_dir)
 
 
+RESAMPLE_SR = 16_000
+
+
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample-to-16kHz — the normalization pass every speech-training
+    pipeline runs before batching: decode the PCM fixture (rates 8/12/
+    16 kHz by id), linear-interpolate to 16 kHz with the explicit
+    ``x0 + f*(x1-x0)`` form, report output length and exact signal
+    stats. The fixture rates make every interpolation position a dyadic
+    rational, so the oracle replays the interpolation arithmetic
+    bit-for-bit in SQL — no tolerance anywhere."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    from ..functions import wav as W
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    out_t = T.StructType(
+        [
+            T.StructField("sr_in", T.IntegerType()),
+            T.StructField("n_in", T.LongType()),
+            T.StructField("n_out", T.LongType()),
+            T.StructField("rms_out", T.DoubleType()),
+            T.StructField("peak_out", T.DoubleType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _rs(ids):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for i in ids:
+            data = W.synth_wav_md5(int(i))
+            _dur, sr = W.parse_wav_header(data)
+            _r, _p, _c, n_in = W.wav_pcm_stats(data)
+            # re-decode the raw ints for the interpolation (stats are
+            # normalized; interp runs on the [-1, 1) samples)
+            import struct as _s
+
+            body = data[44:]
+            x = np.frombuffer(body, dtype="<i2").astype(np.float64) / 32768.0
+            y = W.resample_linear(x, sr, RESAMPLE_SR)
+            rows.append(
+                (
+                    int(sr),
+                    int(x.size),
+                    int(y.size),
+                    float(np.sqrt(np.mean(y * y))) if y.size else 0.0,
+                    float(np.max(np.abs(y))) if y.size else 0.0,
+                )
+            )
+        return pd.DataFrame(
+            {
+                "sr_in": pd.Series([r[0] for r in rows], dtype="int32"),
+                "n_in": pd.Series([r[1] for r in rows], dtype="int64"),
+                "n_out": pd.Series([r[2] for r in rows], dtype="int64"),
+                "rms_out": pd.Series([r[3] for r in rows], dtype="float64"),
+                "peak_out": pd.Series([r[4] for r in rows], dtype="float64"),
+            }
+        )
+
+    out = d.withColumn("r", _rs(F.col("doc_id")))
+    return out.select(
+        "doc_id",
+        F.col("r.sr_in").alias("sr_in"),
+        F.col("r.n_in").alias("n_in"),
+        F.col("r.n_out").alias("n_out"),
+        sround(F.col("r.rms_out"), 6).alias("rms_out"),
+        F.col("r.peak_out").alias("peak_out"),
+    )
+
+
+ORACLE_AUDIO_RESAMPLE = f"""
+WITH g AS (
+  SELECT doc_id, 64 + doc_id % 37 AS n,
+         8000 + (doc_id % 3) * 4000 AS sr
+  FROM documents
+), ix AS (
+  SELECT doc_id, n, sr, unnest(range(n)) AS i FROM g
+), s AS (
+  SELECT doc_id, n, sr, i,
+         CAST(('0x' || substr(md5('au:' || CAST(doc_id AS VARCHAR) || ':'
+              || CAST(i AS VARCHAR)), 1, 4))::INT - 32768 AS DOUBLE)
+           / 32768.0 AS p
+  FROM ix
+), jx AS (
+  SELECT doc_id, n, sr,
+         CAST(sr AS DOUBLE) / {RESAMPLE_SR}.0 AS r,
+         unnest(range(CAST(floor((n - 1)
+             / (CAST(sr AS DOUBLE) / {RESAMPLE_SR}.0)) AS BIGINT) + 1))
+           AS j
+  FROM g
+), pos AS (
+  SELECT doc_id, n, sr, j,
+         CAST(j AS DOUBLE) * r AS pos,
+         LEAST(CAST(floor(CAST(j AS DOUBLE) * r) AS BIGINT), n - 1) AS i0
+  FROM jx
+), y AS (
+  SELECT p0.doc_id, p0.n, p0.sr,
+         a.p + (p0.pos - p0.i0) * (b.p - a.p) AS yv
+  FROM pos p0
+  JOIN s a ON a.doc_id = p0.doc_id AND a.i = p0.i0
+  JOIN s b ON b.doc_id = p0.doc_id
+          AND b.i = LEAST(p0.i0 + 1, p0.n - 1)
+)
+SELECT doc_id, CAST(sr AS INT) AS sr_in, CAST(n AS BIGINT) AS n_in,
+       CAST(COUNT(*) AS BIGINT) AS n_out,
+       (round(sqrt(SUM(yv * yv) / COUNT(*)) * 1000000.0)
+        / 1000000.0) + 0.0 AS rms_out,
+       MAX(abs(yv)) AS peak_out
+FROM y GROUP BY doc_id, sr, n
+"""
+
+
 def q_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMA/DVI ADPCM decode (tag 0x11, 4-bit codes) — the classic
     compressed-WAV codec, a genuinely SEQUENTIAL state machine (each
@@ -841,6 +957,7 @@ QUERIES = {
     "q_audio_pcm8": q_audio_pcm8,
     "q_audio_float32": q_audio_float32,
     "q_audio_adpcm": q_audio_adpcm,
+    "q_audio_resample": q_audio_resample,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -876,3 +993,4 @@ ORACLES["q_audio_alaw"] = ORACLE_AUDIO_ALAW
 ORACLES["q_audio_pcm8"] = ORACLE_AUDIO_PCM8
 ORACLES["q_audio_float32"] = ORACLE_AUDIO_FLOAT32
 ORACLES["q_audio_adpcm"] = _oracle_audio_adpcm()
+ORACLES["q_audio_resample"] = ORACLE_AUDIO_RESAMPLE

@@ -316,3 +316,24 @@ def test_wav_stats_ima_adpcm_vs_python():
         assert peak == max(abs(p) for p in ps)
         _d, sr = parse_wav_header(synth_wav_md5_adpcm(doc))
         assert sr == 8000
+
+
+def test_resample_linear_exact_and_identity():
+    """Identity at equal rates; 2x upsample inserts exact midpoints;
+    expression parity with the SQL oracle (x0 + f*(x1-x0))."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.wav import resample_linear
+
+    x = np.array([0.0, 1.0, -0.5, 0.25], dtype=np.float64)
+    same = resample_linear(x, 16000, 16000)
+    assert same.size == 4 and (same == x).all()
+    up = resample_linear(x, 8000, 16000)
+    # positions 0, .5, 1, 1.5, 2, 2.5, 3 -> 7 samples
+    assert up.size == 7
+    assert up[0] == 0.0 and up[2] == 1.0 and up[6] == 0.25
+    assert up[1] == 0.0 + 0.5 * (1.0 - 0.0)
+    assert up[3] == 1.0 + 0.5 * (-0.5 - 1.0)
+    down = resample_linear(x, 16000, 8000)
+    assert down.size == 2 and down[0] == 0.0 and down[1] == -0.5
+    assert resample_linear(np.empty(0), 8000, 16000).size == 0
