@@ -570,6 +570,72 @@ def resample_linear(
     return x[i0] + f * (x[i1] - x[i0])
 
 
+def downmix_stereo(data: bytes | None) -> tuple[list[float], int]:
+    """Decode a 16-bit stereo PCM WAV and downmix to mono as the exact
+    per-frame average (l + r) * 0.5 — a power-of-two scaling, so every
+    output sample is exactly representable and a SQL oracle replays it
+    bit-for-bit. Returns (normalized mono samples, sample_rate); non-
+    stereo/malformed input → ([], 0)."""
+    import numpy as np
+
+    try:
+        if data is None or len(data) < 44 or data[:4] != b"RIFF":
+            return [], 0
+        pos = 12
+        tag = ch = sr = bits = 0
+        body_off = -1
+        body_len = 0
+        n = len(data)
+        while pos + 8 <= n:
+            cid = data[pos : pos + 4]
+            (csz,) = struct.unpack_from("<I", data, pos + 4)
+            body = pos + 8
+            if cid == b"fmt " and body + 16 <= n:
+                (tag, ch, sr, _br, _ba, bits) = struct.unpack_from(
+                    "<HHIIHH", data, body
+                )
+            elif cid == b"data":
+                body_off = body
+                body_len = min(csz, n - body)
+            pos = body + csz + (csz & 1)
+        if tag != 1 or ch != 2 or bits != 16 or body_off < 0:
+            return [], 0
+        x = np.frombuffer(
+            data, dtype="<i2", count=(body_len // 4) * 2, offset=body_off
+        ).astype(np.float64)
+        frames = x.reshape(-1, 2)
+        mono = (frames[:, 0] + frames[:, 1]) * 0.5 / 32768.0
+        return mono.tolist(), int(sr)
+    except Exception:
+        return [], 0
+
+
+def synth_wav_md5_stereo(doc_id: int) -> bytes:
+    """Deterministic 16-bit STEREO PCM WAV fixture: frame i's left
+    sample = md5(``sl:{id}:{i}``) two bytes - 32768, right =
+    md5(``sr:{id}:{i}``) likewise; n = 40 + id % 21 frames at 16 kHz,
+    interleaved L/R per the RIFF spec."""
+    import hashlib
+
+    n = 40 + doc_id % 21
+    sr = 16000
+
+    def s(tag: str, i: int) -> int:
+        return (
+            int(hashlib.md5(f"{tag}:{doc_id}:{i}".encode()).hexdigest()[:4],
+                16)
+            - 32768
+        )
+
+    body = b"".join(
+        struct.pack("<hh", s("sl", i), s("sr", i)) for i in range(n)
+    )
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, sr, sr * 4, 4, 16)
+    data = b"data" + struct.pack("<I", len(body))
+    return hdr + fmt + data + body
+
+
 def synth_wav_md5_adpcm(doc_id: int) -> bytes:
     """Deterministic IMA ADPCM WAV fixture (tag 0x11, 4-bit codes,
     mono, ONE block): header predictor = (md5 of ``ap:{id}``) - 32768,

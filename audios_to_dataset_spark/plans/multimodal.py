@@ -779,6 +779,95 @@ FROM y GROUP BY doc_id, sr, n
 """
 
 
+def q_audio_downmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stereo→mono downmix — the channel-normalization pass before
+    training (the reference's duration math is channel-aware,
+    src/main.rs:760-769; this completes the channel story): decode an
+    interleaved 16-bit stereo fixture, average each frame's L/R with
+    the exact (l + r) * 0.5 power-of-two scaling, report frame count
+    and mono signal stats. Every arithmetic step is exact-in-double, so
+    the oracle replays it with no tolerance."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    from ..functions import wav as W
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    out_t = T.StructType(
+        [
+            T.StructField("sampling_rate", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("rms_mono", T.DoubleType()),
+            T.StructField("peak_mono", T.DoubleType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _dm(ids):  # type: ignore[no-untyped-def]
+        import math
+
+        import pandas as pd
+
+        rows = []
+        for i in ids:
+            mono, sr = W.downmix_stereo(W.synth_wav_md5_stereo(int(i)))
+            nfr = len(mono)
+            rows.append(
+                (
+                    sr,
+                    nfr,
+                    math.sqrt(sum(p * p for p in mono) / nfr)
+                    if nfr
+                    else 0.0,
+                    max(abs(p) for p in mono) if nfr else 0.0,
+                )
+            )
+        return pd.DataFrame(
+            {
+                "sampling_rate": pd.Series(
+                    [r[0] for r in rows], dtype="int32"
+                ),
+                "n_frames": pd.Series([r[1] for r in rows], dtype="int64"),
+                "rms_mono": pd.Series([r[2] for r in rows], dtype="float64"),
+                "peak_mono": pd.Series(
+                    [r[3] for r in rows], dtype="float64"
+                ),
+            }
+        )
+
+    out = d.withColumn("r", _dm(F.col("doc_id")))
+    return out.select(
+        "doc_id",
+        F.col("r.sampling_rate").alias("sampling_rate"),
+        F.col("r.n_frames").alias("n_frames"),
+        sround(F.col("r.rms_mono"), 6).alias("rms_mono"),
+        F.col("r.peak_mono").alias("peak_mono"),
+    )
+
+
+ORACLE_AUDIO_DOWNMIX = """
+WITH g AS (
+  SELECT doc_id, 40 + doc_id % 21 AS n FROM documents
+), ix AS (
+  SELECT doc_id, n, unnest(range(n)) AS i FROM g
+), s AS (
+  SELECT doc_id, n,
+         (CAST(('0x' || substr(md5('sl:' || CAST(doc_id AS VARCHAR) || ':'
+              || CAST(i AS VARCHAR)), 1, 4))::INT - 32768 AS DOUBLE)
+          + CAST(('0x' || substr(md5('sr:' || CAST(doc_id AS VARCHAR)
+              || ':' || CAST(i AS VARCHAR)), 1, 4))::INT - 32768
+              AS DOUBLE)) * 0.5 / 32768.0 AS p
+  FROM ix
+)
+SELECT doc_id, CAST(16000 AS INT) AS sampling_rate,
+       CAST(n AS BIGINT) AS n_frames,
+       (round(sqrt(SUM(p * p) / n) * 1000000.0) / 1000000.0) + 0.0
+         AS rms_mono,
+       MAX(abs(p)) AS peak_mono
+FROM s GROUP BY doc_id, n
+"""
+
+
 def q_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMA/DVI ADPCM decode (tag 0x11, 4-bit codes) — the classic
     compressed-WAV codec, a genuinely SEQUENTIAL state machine (each
@@ -958,6 +1047,7 @@ QUERIES = {
     "q_audio_float32": q_audio_float32,
     "q_audio_adpcm": q_audio_adpcm,
     "q_audio_resample": q_audio_resample,
+    "q_audio_downmix": q_audio_downmix,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -994,3 +1084,4 @@ ORACLES["q_audio_pcm8"] = ORACLE_AUDIO_PCM8
 ORACLES["q_audio_float32"] = ORACLE_AUDIO_FLOAT32
 ORACLES["q_audio_adpcm"] = _oracle_audio_adpcm()
 ORACLES["q_audio_resample"] = ORACLE_AUDIO_RESAMPLE
+ORACLES["q_audio_downmix"] = ORACLE_AUDIO_DOWNMIX

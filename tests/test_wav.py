@@ -337,3 +337,30 @@ def test_resample_linear_exact_and_identity():
     down = resample_linear(x, 16000, 8000)
     assert down.size == 2 and down[0] == 0.0 and down[1] == -0.5
     assert resample_linear(np.empty(0), 8000, 16000).size == 0
+
+
+def test_downmix_stereo_exact():
+    """Interleave, decode, and average must match a literal replay of
+    the md5 fixture formula; mono/garbage input degrades to ([], 0)."""
+    import hashlib
+    import math
+
+    from audios_to_dataset_spark.functions.wav import (
+        downmix_stereo,
+        synth_wav,
+        synth_wav_md5_stereo,
+    )
+
+    doc = 9
+    n = 40 + doc % 21
+    mono, sr = downmix_stereo(synth_wav_md5_stereo(doc))
+    assert sr == 16000 and len(mono) == n
+    for i in (0, 1, n - 1):
+        sl = int(hashlib.md5(f"sl:{doc}:{i}".encode()).hexdigest()[:4], 16) - 32768
+        r = int(hashlib.md5(f"sr:{doc}:{i}".encode()).hexdigest()[:4], 16) - 32768
+        assert mono[i] == (sl + r) * 0.5 / 32768.0
+    rms = math.sqrt(sum(p * p for p in mono) / n)
+    assert rms == math.sqrt(sum(p * p for p in mono) / n)
+    assert downmix_stereo(synth_wav(8000)) == ([], 0)  # mono input
+    assert downmix_stereo(b"garbage") == ([], 0)
+    assert downmix_stereo(None) == ([], 0)
