@@ -714,8 +714,11 @@ WITH counts AS (
   SELECT date_trunc('hour', ts) AS win_start, event_type,
          COUNT(*) AS n_events
   FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+  -- the watermark advances on the FILTERED stream's own max event time
+  -- (same class as the q_stream_outer_join --skew find)
   HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
-         <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR),
+         <= (SELECT max(ts) FROM events WHERE event_type IS NOT NULL)
+            - INTERVAL 2 HOUR),
 ranked AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY win_start
               ORDER BY n_events DESC, event_type) AS BIGINT) AS rk
@@ -821,9 +824,18 @@ WITH v AS (
 SELECT CAST(user_id AS BIGINT) AS user_id, view_ts, purchase_ts,
        purchase_value
 FROM j
+-- the GLOBAL watermark of a stream-stream join is the MIN of the two
+-- inputs' watermarks, each computed from that stream's own max event
+-- time AFTER its filter — not max(ts) over all events (the --skew
+-- sweep exposed the difference: when another event type carries the
+-- corpus max ts, the old bound over-advanced the watermark and
+-- evicted one view Spark still held in state)
 WHERE purchase_ts IS NOT NULL
    OR view_ts + INTERVAL 1 HOUR
-      < (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+      < LEAST(
+          (SELECT max(ts) FROM events WHERE event_type = 'view'),
+          (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+        ) - INTERVAL 2 HOUR
 """,
     "q_stream_stream_join": """
 SELECT CAST(v.user_id AS BIGINT) AS user_id, v.ts AS view_ts,

@@ -7,6 +7,7 @@ fine; looser is not.
 
 Usage: python tools/check.py [sf_dir] [query ...]
        python tools/check.py --nulls [sf_dir] [query ...]
+       python tools/check.py --skew [sf_dir] [query ...]
 
 ``--nulls`` rewrites documents/events into a temp copy with NULLs
 injected into join/group keys and value columns (doc_id, lang, text,
@@ -143,6 +144,56 @@ def nulls_excluded() -> set[str]:
     return set(multimodal.QUERIES)
 
 
+# Skew rules for --skew: funnel a majority of rows onto ONE hot key per
+# dimension — the 100 TB failure mode where a single user/source/
+# customer dominates a partition. Both engines read the same skewed
+# copy, so failures are real divergences (e.g. an AQE skew-split or
+# salting bug changing results), and gate-scale runs prove no
+# hot-partition OOM/stall.
+_SKEW_RULES = {
+    "events": (
+        ("user_id", "CASE WHEN event_id % 2 = 0 THEN 7 ELSE user_id END"),
+        ("event_type",
+         "CASE WHEN event_id % 10 < 9 THEN 'click' ELSE event_type END"),
+    ),
+    "documents": (
+        ("source",
+         "CASE WHEN doc_id % 10 < 8 THEN 'src0' ELSE source END"),
+        ("lang", "CASE WHEN doc_id % 4 < 3 THEN 'en' ELSE lang END"),
+    ),
+    "orders": (
+        ("o_custkey",
+         "CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE o_custkey END"),
+    ),
+}
+
+
+def build_skew_dir(sf_dir: str) -> str:
+    """Materialize a temp copy of sf_dir with heavy key skew."""
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="spark_graft_skew_")
+    con = duckdb.connect()
+    for t in TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if t in _SKEW_RULES:
+            repl = ", ".join(
+                f"{expr} AS {col}" for col, expr in _SKEW_RULES[t]
+            )
+            con.execute(
+                f"COPY (SELECT * REPLACE ({repl}) FROM '{src}') "
+                f"TO '{dst}' (FORMAT PARQUET)"
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}') TO '{dst}' (FORMAT PARQUET)"
+            )
+    con.close()
+    return out
+
+
 def build_nulls_dir(sf_dir: str) -> str:
     """Materialize a temp copy of sf_dir with NULL-injected keys."""
     import os
@@ -211,8 +262,9 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--nulls"]
+    args = [a for a in sys.argv[1:] if a not in ("--nulls", "--skew")]
     nulls = "--nulls" in sys.argv[1:]
+    skew = "--skew" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     if nulls:
@@ -222,6 +274,9 @@ def main() -> int:
 
             only = set(all_queries()) - nulls_excluded()
         print(f"NULL-injected copy: {sf_dir} ({len(only)} queries)")
+    elif skew:
+        sf_dir = build_skew_dir(sf_dir)
+        print(f"Skew-injected copy: {sf_dir}")
 
     import __spark_entry__ as entrymod
     from audios_to_dataset_spark.session import get_session
