@@ -73,6 +73,48 @@ def parse_image_header(data: bytes | None) -> tuple[str | None, int, int]:
         if data[:2] == b"BM":
             w, h = struct.unpack("<ii", data[18:26])
             return "bmp", w, abs(h)
+        if data[:4] in (b"II*\x00", b"MM\x00*"):  # TIFF: walk IFD0
+            little = data[:2] == b"II"
+            e = "<" if little else ">"
+            (ifd,) = struct.unpack_from(e + "I", data, 4)
+            if ifd + 2 > len(data):
+                return "tiff", 0, 0
+            (n_ent,) = struct.unpack_from(e + "H", data, ifd)
+            w = h = 0
+            for k in range(n_ent):
+                off = ifd + 2 + 12 * k
+                if off + 12 > len(data):
+                    break
+                tag_id, typ = struct.unpack_from(e + "HH", data, off)
+                if typ == 3:  # SHORT, value inline in first 2 bytes
+                    (val,) = struct.unpack_from(e + "H", data, off + 8)
+                elif typ == 4:  # LONG
+                    (val,) = struct.unpack_from(e + "I", data, off + 8)
+                else:
+                    continue
+                if tag_id == 256:
+                    w = val
+                elif tag_id == 257:
+                    h = val
+            return "tiff", w, h
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            fourcc = data[12:16]
+            if fourcc == b"VP8L" and len(data) >= 25 and data[20] == 0x2F:
+                bits = struct.unpack_from("<I", data, 21)[0]
+                return "webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+            if fourcc == b"VP8X" and len(data) >= 30:
+                w = int.from_bytes(data[24:27], "little") + 1
+                h = int.from_bytes(data[27:30], "little") + 1
+                return "webp", w, h
+            if (
+                fourcc == b"VP8 "
+                and len(data) >= 30
+                and data[23:26] == b"\x9d\x01\x2a"
+            ):
+                (w,) = struct.unpack_from("<H", data, 26)
+                (h,) = struct.unpack_from("<H", data, 28)
+                return "webp", w & 0x3FFF, h & 0x3FFF
+            return "webp", 0, 0
         if data[:2] == b"\xff\xd8":  # JPEG: scan for a SOF marker
             pos = 2
             n = len(data)

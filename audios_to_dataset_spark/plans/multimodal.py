@@ -663,6 +663,101 @@ def q_audio_float32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audio_stats_query("synth_wav_md5_f32")(spark, sf_dir)
 
 
+def q_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only dimension decode for the codec-bound container
+    formats (S4-class breadth): a minimal TIFF (IFD walk, both byte
+    orders by id parity, SHORT entries) and a WebP VP8L (14-bit packed
+    dims) per doc, dims derived from the id — the real parse runs on
+    real bytes, the oracle recomputes the dims from the id formulas."""
+    import struct as _s
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    from ..functions.multimodal import parse_image_header
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    out_t = T.StructType(
+        [
+            T.StructField("tiff_fmt", T.StringType()),
+            T.StructField("tiff_w", T.LongType()),
+            T.StructField("tiff_h", T.LongType()),
+            T.StructField("webp_fmt", T.StringType()),
+            T.StructField("webp_w", T.LongType()),
+            T.StructField("webp_h", T.LongType()),
+        ]
+    )
+
+    def _tiff(w: int, h: int, little: bool) -> bytes:
+        e = "<" if little else ">"
+        hdr = (b"II*\x00" if little else b"MM\x00*") + _s.pack(e + "I", 8)
+
+        def ent(tag: int, val: int) -> bytes:
+            return (
+                _s.pack(e + "HHI", tag, 3, 1)
+                + _s.pack(e + "H", val)
+                + b"\x00\x00"
+            )
+
+        return (
+            hdr + _s.pack(e + "H", 2) + ent(256, w) + ent(257, h)
+            + _s.pack(e + "I", 0)
+        )
+
+    def _vp8l(w: int, h: int) -> bytes:
+        bits = (w - 1) | ((h - 1) << 14)
+        body = b"VP8L" + _s.pack("<I", 5) + b"\x2f" + _s.pack("<I", bits)
+        return b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+    @pandas_udf(out_t)
+    def _hdr(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        rows = []
+        for i in ids:
+            i = int(i)
+            tw, th = 100 + i % 41, 50 + i % 29
+            ww, wh = 1 + i % 1000, 1 + i % 777
+            tf, tpw, tph = parse_image_header(
+                _tiff(tw, th, little=i % 2 == 0)
+            )
+            wf, wpw, wph = parse_image_header(_vp8l(ww, wh))
+            rows.append((tf, tpw, tph, wf, wpw, wph))
+        return pd.DataFrame(
+            {
+                "tiff_fmt": [r[0] for r in rows],
+                "tiff_w": pd.Series([r[1] for r in rows], dtype="int64"),
+                "tiff_h": pd.Series([r[2] for r in rows], dtype="int64"),
+                "webp_fmt": [r[3] for r in rows],
+                "webp_w": pd.Series([r[4] for r in rows], dtype="int64"),
+                "webp_h": pd.Series([r[5] for r in rows], dtype="int64"),
+            }
+        )
+
+    out = d.withColumn("r", _hdr(F.col("doc_id")))
+    return out.select(
+        "doc_id",
+        F.col("r.tiff_fmt").alias("tiff_fmt"),
+        F.col("r.tiff_w").alias("tiff_w"),
+        F.col("r.tiff_h").alias("tiff_h"),
+        F.col("r.webp_fmt").alias("webp_fmt"),
+        F.col("r.webp_w").alias("webp_w"),
+        F.col("r.webp_h").alias("webp_h"),
+    )
+
+
+ORACLE_IMAGE_HEADERS = """
+SELECT doc_id,
+       'tiff' AS tiff_fmt,
+       CAST(100 + doc_id % 41 AS BIGINT) AS tiff_w,
+       CAST(50 + doc_id % 29 AS BIGINT) AS tiff_h,
+       'webp' AS webp_fmt,
+       CAST(1 + doc_id % 1000 AS BIGINT) AS webp_w,
+       CAST(1 + doc_id % 777 AS BIGINT) AS webp_h
+FROM documents
+"""
+
+
 RESAMPLE_SR = 16_000
 
 
@@ -1048,6 +1143,7 @@ QUERIES = {
     "q_audio_adpcm": q_audio_adpcm,
     "q_audio_resample": q_audio_resample,
     "q_audio_downmix": q_audio_downmix,
+    "q_image_headers": q_image_headers,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -1085,3 +1181,4 @@ ORACLES["q_audio_float32"] = ORACLE_AUDIO_FLOAT32
 ORACLES["q_audio_adpcm"] = _oracle_audio_adpcm()
 ORACLES["q_audio_resample"] = ORACLE_AUDIO_RESAMPLE
 ORACLES["q_audio_downmix"] = ORACLE_AUDIO_DOWNMIX
+ORACLES["q_image_headers"] = ORACLE_IMAGE_HEADERS

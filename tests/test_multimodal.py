@@ -433,3 +433,73 @@ def test_gif_interlace_and_local_palette_roundtrip():
                 )
                 assert out is not None and out.shape == (h, w, 3)
                 assert (out[:, :, 0] == px).all()
+
+
+def test_parse_tiff_webp_headers():
+    """TIFF IFD walk (both byte orders, SHORT and LONG entries) and the
+    three WebP variants (VP8L lossless, VP8X extended, VP8 lossy)."""
+    import struct
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        parse_image_header,
+    )
+
+    def tiff(w, h, little=True, typ=3):
+        e = "<" if little else ">"
+        hdr = (b"II*\x00" if little else b"MM\x00*") + struct.pack(
+            e + "I", 8
+        )
+
+        def ent(tag, val):
+            if typ == 3:
+                return (
+                    struct.pack(e + "HHI", tag, 3, 1)
+                    + struct.pack(e + "H", val)
+                    + b"\x00\x00"
+                )
+            return struct.pack(e + "HHI", tag, 4, 1) + struct.pack(
+                e + "I", val
+            )
+
+        return (
+            hdr + struct.pack(e + "H", 2) + ent(256, w) + ent(257, h)
+            + struct.pack(e + "I", 0)
+        )
+
+    def vp8l(w, h):
+        bits = (w - 1) | ((h - 1) << 14)
+        body = b"VP8L" + struct.pack("<I", 5) + b"\x2f" + struct.pack(
+            "<I", bits
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+    def vp8x(w, h):
+        body = (
+            b"VP8X" + struct.pack("<I", 10) + b"\x00" * 4
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+            + b"\x00" * 4
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+    def vp8(w, h):
+        body = (
+            b"VP8 " + struct.pack("<I", 16) + b"\x00" * 3
+            + b"\x9d\x01\x2a" + struct.pack("<HH", w, h) + b"\x00" * 4
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+    assert parse_image_header(tiff(640, 480)) == ("tiff", 640, 480)
+    assert parse_image_header(tiff(123, 77, little=False)) == (
+        "tiff", 123, 77,
+    )
+    assert parse_image_header(tiff(70000, 5, typ=4)) == ("tiff", 70000, 5)
+    assert parse_image_header(vp8l(320, 200)) == ("webp", 320, 200)
+    assert parse_image_header(vp8x(1920, 1080)) == ("webp", 1920, 1080)
+    assert parse_image_header(vp8(352, 288)) == ("webp", 352, 288)
+    assert parse_image_header(b"RIFF\x04\x00\x00\x00WEBPXXXX") == (
+        "webp", 0, 0,
+    )
+    # RIFF AVI must not be claimed as webp
+    assert parse_image_header(
+        b"RIFF\x10\x00\x00\x00AVI " + b"\x00" * 16
+    ) == (None, 0, 0)
