@@ -1,11 +1,13 @@
 """Multimodal plans: binary-column transforms through mapInPandas.
 
-The documents table carries no media bytes, so content is the UTF-8
-encoding of ``text`` — the point is the *plumbing*: binary columns in,
-Arrow-batched Python transforms, typed struct/array columns out. These
-are rows-only checks (the md5-seeded fake encoder is not SQL-expressible;
-the driver records the weaker rows+schema check, SURVEY.md §2.9).
-"""
+The documents table carries no media bytes, so every media query
+synthesizes REAL container bytes per doc from md5 formulas (WAV / BMP /
+PNG / GIF / JPEG / AVI / TIFF / WebP fixtures), runs the real decoder,
+and compares against a DuckDB oracle that recomputes the pixel/sample
+values from the same formulas — full value-hash checks for all of
+them, including the stateful IMA-ADPCM decode (recursive-CTE replay).
+Nothing in this module is rows-only (the fake-embedding query pins its
+unit-norm output contract as the oracle)."""
 
 from __future__ import annotations
 
