@@ -89,7 +89,7 @@ _ROTATION_FIRST = (
     "q_jpeg_pixels", "q_mjpeg_frames", "q_dedup_embedding_recall",
     "q_audio_alaw", "q_audio_pcm8", "q_audio_float32", "q_png_palette",
     "q_png_16bit", "q_audio_adpcm", "q_gif_interlace", "q_audio_resample",
-    "q_audio_downmix", "q_image_headers",
+    "q_audio_downmix", "q_image_headers", "q_audio_trim",
 )
 
 

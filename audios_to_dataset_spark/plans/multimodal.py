@@ -760,6 +760,95 @@ FROM documents
 """
 
 
+TRIM_THRESHOLD = 24_576  # |raw int16| at/above this counts as signal
+
+
+def q_audio_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading/trailing silence trim — the first pass of every speech
+    curation pipeline: find the first and last sample whose |amplitude|
+    clears the threshold and report the kept span. Pure integer
+    comparisons on the decoded PCM (threshold on the RAW int16 value),
+    so the oracle replays it exactly; docs whose fixture never clears
+    the threshold report an empty span (-1, -1, 0)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    from ..functions import wav as W
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    out_t = T.StructType(
+        [
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("first_loud", T.LongType()),
+            T.StructField("last_loud", T.LongType()),
+            T.StructField("n_kept", T.LongType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _tr(ids):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for i in ids:
+            data = W.synth_wav_md5(int(i))
+            x = np.frombuffer(data[44:], dtype="<i2").astype(np.int64)
+            loud = np.abs(x) >= TRIM_THRESHOLD
+            idx = np.flatnonzero(loud)
+            if idx.size:
+                rows.append(
+                    (x.size, int(idx[0]), int(idx[-1]),
+                     int(idx[-1] - idx[0] + 1))
+                )
+            else:
+                rows.append((x.size, -1, -1, 0))
+        return pd.DataFrame(
+            {
+                "n_samples": pd.Series([r[0] for r in rows], dtype="int64"),
+                "first_loud": pd.Series(
+                    [r[1] for r in rows], dtype="int64"
+                ),
+                "last_loud": pd.Series([r[2] for r in rows], dtype="int64"),
+                "n_kept": pd.Series([r[3] for r in rows], dtype="int64"),
+            }
+        )
+
+    out = d.withColumn("r", _tr(F.col("doc_id")))
+    return out.select(
+        "doc_id",
+        F.col("r.n_samples").alias("n_samples"),
+        F.col("r.first_loud").alias("first_loud"),
+        F.col("r.last_loud").alias("last_loud"),
+        F.col("r.n_kept").alias("n_kept"),
+    )
+
+
+ORACLE_AUDIO_TRIM = f"""
+WITH g AS (
+  SELECT doc_id, 64 + doc_id % 37 AS n FROM documents
+), ix AS (
+  SELECT doc_id, n, unnest(range(n)) AS i FROM g
+), s AS (
+  SELECT doc_id, n, i,
+         abs(('0x' || substr(md5('au:' || CAST(doc_id AS VARCHAR) || ':'
+              || CAST(i AS VARCHAR)), 1, 4))::INT - 32768)
+           >= {TRIM_THRESHOLD} AS loud
+  FROM ix
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+       CAST(COALESCE(MIN(CASE WHEN loud THEN i END), -1) AS BIGINT)
+         AS first_loud,
+       CAST(COALESCE(MAX(CASE WHEN loud THEN i END), -1) AS BIGINT)
+         AS last_loud,
+       CAST(CASE WHEN COUNT(CASE WHEN loud THEN 1 END) = 0 THEN 0
+            ELSE MAX(CASE WHEN loud THEN i END)
+                 - MIN(CASE WHEN loud THEN i END) + 1 END AS BIGINT)
+         AS n_kept
+FROM s GROUP BY doc_id, n
+"""
+
+
 RESAMPLE_SR = 16_000
 
 
@@ -1146,6 +1235,7 @@ QUERIES = {
     "q_audio_resample": q_audio_resample,
     "q_audio_downmix": q_audio_downmix,
     "q_image_headers": q_image_headers,
+    "q_audio_trim": q_audio_trim,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -1184,3 +1274,4 @@ ORACLES["q_audio_adpcm"] = _oracle_audio_adpcm()
 ORACLES["q_audio_resample"] = ORACLE_AUDIO_RESAMPLE
 ORACLES["q_audio_downmix"] = ORACLE_AUDIO_DOWNMIX
 ORACLES["q_image_headers"] = ORACLE_IMAGE_HEADERS
+ORACLES["q_audio_trim"] = ORACLE_AUDIO_TRIM
