@@ -450,6 +450,8 @@ def sample_video_frames(
     every_n: int = 2,
     id_col: str = "doc_id",
     content_col: str = "content",
+    *,
+    every_n_seconds: float | None = None,
 ) -> DataFrame:
     """Video frame sampling — REAL for AVI containers: raw-RGB '00db'
     streams and MJPEG '00dc' streams (each frame a baseline JPEG,
@@ -458,7 +460,17 @@ def sample_video_frames(
     (MP4/MKV, H.264/VP9/AV1 — they need an ffmpeg binding) emit no rows
     for that input (the same skip-with-fallback contract as every other
     decoder here); wire PyAV in place of decode_avi_frames to widen
-    coverage."""
+    coverage.
+
+    ``every_n_seconds`` was the pre-r5 time-based parameter; the sampler
+    is now frame-index based (``every_n``). Passing the old keyword
+    raises rather than silently re-interpreting the value (ADVICE r5)."""
+    if every_n_seconds is not None:
+        raise TypeError(
+            "sample_video_frames(every_n_seconds=...) was replaced by the"
+            " frame-index parameter every_n=<int>; convert with"
+            " every_n = round(every_n_seconds * fps) for your stream"
+        )
     return sample_avi_frames(df, every_n, id_col, content_col)
 
 

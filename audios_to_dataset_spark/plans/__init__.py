@@ -45,32 +45,25 @@ def _modules():
             curation, relational, relational2)
 
 
-# ROUND 5 rotation (VERDICT r4 item 1): the 89 queries absent from every
-# CORRECTNESS_r01..r04 file, front-loaded so the driver's first-50 window
-# finally covers them. Priority within the list: the round-4 flagship
-# families first (multimodal media decoders, textops2/q_bm25, tpch2,
-# versioning, the PQ similarity family), then events and the rest — the
-# 39 past position 50 are the frozen ROUND 6 window; do not reorder or
-# insert ahead of them until CORRECTNESS_r05.json lands.
+# ROUND 6 rotation (VERDICT r5 item 1): the 53 queries absent from every
+# CORRECTNESS_r01..r05 file, front-loaded so the driver's first-50 window
+# finally covers them. Positions 1-50 are the frozen r6 window — the
+# round-5 flagship media/codec additions first (q_jpeg_pixels,
+# q_mjpeg_frames, the q_audio_* codec family, the PNG/GIF variants,
+# q_image_headers, q_dedup_embedding_recall), then the events / textops /
+# relational remainder. Positions 51-53 are the three stragglers
+# carried to the ROUND 7 head — chosen because each has an already
+# driver-checked analog (q_common_prefix ~ q_agg_minmax r1,
+# q_path_rewrite ~ q_project_normalize r1, q_dense_rank ~
+# q_window_rownum r1). New round-6 queries append AFTER the stragglers
+# (they join the r7 head); do not reorder or insert ahead of position 53
+# until CORRECTNESS_r06.json lands.
 _ROTATION_FIRST = (
-    # --- r5 driver window (positions 1-50) ---
-    "q_image_resize", "q_video_frames", "q_png_pixels", "q_gif_pixels",
-    "q_audio_stats", "q_audio_ulaw",
-    "q_rarity_score", "q_bpe_merges", "q_source_cap", "q_seq_pack",
-    "q_source_lang_bias", "q_next_word", "q_text_chunks", "q_lm_score",
-    "q_bm25", "q_bpe_apply", "q_dsir_select", "q_fertility",
-    "q_forecast_revenue", "q_priority_wait", "q_market_share", "q_profit",
-    "q_supplier_variety", "q_disjunctive_filter", "q_supplier_concentration",
-    "q_purchase_intervals", "q_seasonality", "q_top_supplier",
-    "q_upsert_latest", "q_snapshot_diff", "q_version_retention",
-    "q_ingest_novelty",
-    "q_pq_codes", "q_ann_pq", "q_ann_pq_recall", "q_pq_distortion",
-    "q_ann_multiprobe", "q_ann_ivf_kmeans", "q_dedup_semantic",
-    "q_ann_lsh_recall", "q_cluster_purity", "q_semdedup_keep",
-    "q_scd2", "q_ewma", "q_lateness", "q_concurrency",
-    "q_behavior_diversity", "q_tumbling_window", "q_session_gap",
-    "q_sliding_window",
-    # --- r6 window (positions 51-89) ---
+    # --- r6 driver window (positions 1-50) ---
+    "q_jpeg_pixels", "q_mjpeg_frames", "q_dedup_embedding_recall",
+    "q_audio_alaw", "q_audio_pcm8", "q_audio_float32", "q_png_palette",
+    "q_png_16bit", "q_audio_adpcm", "q_gif_interlace", "q_audio_resample",
+    "q_audio_downmix", "q_image_headers", "q_audio_trim",
     "q_gap_fill", "q_anomaly_zscore", "q_rolling_sum", "q_event_sequence",
     "q_transitions", "q_session_window", "q_map_funcs", "q_value_drift",
     "q_burstiness", "q_stream_hll", "q_stream_outer_join", "q_stream_drift",
@@ -80,16 +73,11 @@ _ROTATION_FIRST = (
     "q_dup_spans", "q_cdc_chunks", "q_ngram_novelty", "q_sparse_cosine",
     "q_lsh_recall_text",
     "q_global_shuffle", "q_dataset_card", "q_k_anonymity", "q_l_diversity",
-    "q_full_outer", "q_dense_rank", "q_variant_extract", "q_large_orders",
+    "q_full_outer", "q_variant_extract", "q_large_orders",
     "q_window_dist", "q_unpivot",
-    "q_common_prefix", "q_path_rewrite",
-    # --- r5-session additions (positions 90+, still inside the r6
-    # window of 51-100): never driver-checked, appended after the
-    # frozen 51-89 block rather than inserted ahead of it ---
-    "q_jpeg_pixels", "q_mjpeg_frames", "q_dedup_embedding_recall",
-    "q_audio_alaw", "q_audio_pcm8", "q_audio_float32", "q_png_palette",
-    "q_png_16bit", "q_audio_adpcm", "q_gif_interlace", "q_audio_resample",
-    "q_audio_downmix", "q_image_headers", "q_audio_trim",
+    # --- r7 head (positions 51+): the three stragglers, then any
+    # round-6 additions appended below ---
+    "q_common_prefix", "q_path_rewrite", "q_dense_rank",
 )
 
 

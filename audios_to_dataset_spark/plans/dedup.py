@@ -343,6 +343,14 @@ WHERE round((list_sum(list_transform(range(1, len(a.e) + 1),
 
 EMB_RECALL_GATE = 0.8
 
+# The recall gate's exact side is O(N²); cap its input with a
+# deterministic stride sample (vec_id % ceil(N / cap) = 0) so the gate
+# stays a fixed-cost health check at any sf (ADVICE r5). At the sf dirs
+# in testdata (≤2000 vectors) the stride is 1 — full corpus, unchanged
+# results; at 100 TB the recall estimate is a ratio of counts and stays
+# unbiased under the uniform stride.
+EMB_RECALL_MAX_N = 5000
+
 
 def q_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall gate for the DECLARED embedding-dedup path (VERDICT r4
@@ -353,14 +361,30 @@ def q_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure candidate-coverage measure — the number this gate exists to
     watch when someone retunes PLANES.
 
-    Scale shape: the exact side is O(N²) and stays gate-only — at
-    100 TB you run this on a sampled slice (the recall estimate is a
-    ratio of counts, unbiased under uniform sampling), never the full
-    corpus; the production pair set is the LSH side alone.
-    """.format(gate=EMB_RECALL_GATE)
+    Scale shape: the exact side is O(N²) and stays gate-only — the
+    query ENFORCES that with a deterministic stride sample capping the
+    gate's input at ~{max_n} vectors (``vec_id % ceil(N / {max_n}) = 0``,
+    identical on the oracle side), so running it against a large sf dir
+    costs O(cap²), not O(N²); the recall estimate is a ratio of counts,
+    unbiased under the uniform stride. The production pair set is the
+    LSH side alone.
+    """.format(gate=EMB_RECALL_GATE, max_n=EMB_RECALL_MAX_N)
     from ..operators import similarity as S
 
     em = load(spark, sf_dir, "embeddings")
+    stride = em.agg(
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(
+                F.count(F.lit(1)) / F.lit(float(EMB_RECALL_MAX_N))
+            ).cast("bigint"),
+        ).alias("_stride")
+    )
+    em = (
+        em.crossJoin(F.broadcast(stride))
+        .filter(F.col("vec_id") % F.col("_stride") == 0)
+        .drop("_stride")
+    )
     exact = S.cosine_neardup_pairs(em, threshold=EMB_THRESHOLD).select(
         "id_a", "id_b"
     )
@@ -385,10 +409,23 @@ def q_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_dedup_embedding_recall() -> str:
-    lsh = _oracle_dedup_embedding().strip()
+    # Mirror the engine's deterministic stride cap: both inner pair
+    # queries read the sampled emb_s instead of the full table.
+    sampled = "FROM emb_s"
+    exact = ORACLE_DEDUP_EMBEDDING_EXACT.strip().replace(
+        "FROM embeddings", sampled
+    )
+    lsh = _oracle_dedup_embedding().strip().replace(
+        "FROM embeddings", sampled
+    )
     return f"""
-WITH exact AS (
-{ORACLE_DEDUP_EMBEDDING_EXACT.strip()}
+WITH emb_s AS (
+  SELECT * FROM embeddings
+  WHERE vec_id % (SELECT GREATEST(1, CAST(CEIL(COUNT(*)
+                    / {float(EMB_RECALL_MAX_N)}) AS BIGINT))
+                  FROM embeddings) = 0
+), exact AS (
+{exact}
 ), lsh AS (
 {lsh}
 ), found AS (

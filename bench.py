@@ -177,8 +177,16 @@ def main() -> None:
         t2 = round(time.perf_counter() - t0, 3)
         timings[name] = min(t1, t2)
 
-    timings["audio_pipeline_400wav"] = bench_audio_pipeline(spark)
-    cold["audio_pipeline_400wav"] = timings["audio_pipeline_400wav"]
+    # The audio pipeline follows the same min-of-2 protocol as the
+    # declared queries (VERDICT r5 item 5): run twice, report the min,
+    # keep the first run under "cold".
+    a1 = bench_audio_pipeline(spark)
+    cold["audio_pipeline_400wav"] = a1
+    if single:
+        timings["audio_pipeline_400wav"] = a1
+    else:
+        a2 = bench_audio_pipeline(spark)
+        timings["audio_pipeline_400wav"] = min(a1, a2)
 
     total = round(sum(timings.values()), 3)
     print(

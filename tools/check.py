@@ -168,12 +168,23 @@ _SKEW_RULES = {
 }
 
 
+def _tmp_sweep_dir(prefix: str) -> str:
+    """mkdtemp that self-cleans at interpreter exit (ADVICE r5: repeated
+    sweeps were accumulating full-dataset parquet copies in /tmp)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    return out
+
+
 def build_skew_dir(sf_dir: str) -> str:
     """Materialize a temp copy of sf_dir with heavy key skew."""
     import os
-    import tempfile
 
-    out = tempfile.mkdtemp(prefix="spark_graft_skew_")
+    out = _tmp_sweep_dir("spark_graft_skew_")
     con = duckdb.connect()
     for t in TABLES:
         src = os.path.join(sf_dir, f"{t}.parquet")
@@ -197,9 +208,8 @@ def build_skew_dir(sf_dir: str) -> str:
 def build_nulls_dir(sf_dir: str) -> str:
     """Materialize a temp copy of sf_dir with NULL-injected keys."""
     import os
-    import tempfile
 
-    out = tempfile.mkdtemp(prefix="spark_graft_nulls_")
+    out = _tmp_sweep_dir("spark_graft_nulls_")
     con = duckdb.connect()
     for t in TABLES:
         src = os.path.join(sf_dir, f"{t}.parquet")
@@ -265,6 +275,12 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if a not in ("--nulls", "--skew")]
     nulls = "--nulls" in sys.argv[1:]
     skew = "--skew" in sys.argv[1:]
+    if nulls and skew:
+        # The sweeps build different injected copies of the dataset; a
+        # combined run would silently drop one of them (ADVICE r5).
+        print("error: --nulls and --skew are separate sweeps; "
+              "run them one at a time", file=sys.stderr)
+        return 2
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     if nulls:

@@ -43,9 +43,6 @@ ALLOW: dict[tuple[str, str], str] = {
     ("q_skyline", "SinglePartitionWindow"):
         "suffix-max window runs over the bucket grid — size fixed by"
         " the value range, not the data volume",
-    ("q_exact_median", "SinglePartitionWindow"):
-        "cumulative window runs over the bucket histogram (value-range"
-        " sized); the data-sized pass is a partitioned in-bucket rank",
 }
 
 # Deliberate crossJoins (scalar aggregates, tiny spines) appear as
