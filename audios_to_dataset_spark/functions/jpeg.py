@@ -7,13 +7,17 @@ dequantization + an 8x8 IDCT + YCbCr→RGB — all expressible with stdlib
 
 Decoder scope (``decode_jpeg_pixels``):
 - baseline DCT (SOF0) and extended-sequential Huffman (SOF1)
+- PROGRESSIVE DCT (SOF2, T.81 §G.2): multi-scan spectral selection +
+  successive approximation — interleaved/non-interleaved DC first and
+  refinement scans, per-band AC first scans with cross-block EOB runs,
+  AC refinement with correction bits, per-scan restart state resets
 - grayscale and 3-component YCbCr with sampling factors 1 or 2
   (4:4:4 / 4:2:2 / 4:2:0), nearest-neighbor chroma upsampling
 - 8- and 16-bit-precision quantization tables, multiple DQT/DHT
   segments, restart intervals (DRI + RSTn), 0xFF00 byte unstuffing
 - missing DHT falls back to the ITU T.81 Annex K typical tables (the
   MJPEG convention — MJPG AVI frames routinely omit them)
-- progressive (SOF2), arithmetic, hierarchical, 12-bit → ``None``
+- arithmetic, hierarchical, lossless, 12-bit → ``None``
   (keep-with-fallback, same contract as the PNG/GIF/BMP decoders)
 
 Encoder scope (fixtures + MJPEG synthesis, NOT a general compressor):
@@ -259,11 +263,285 @@ class _BitWriter:
 
 
 def decode_jpeg_pixels(data: bytes | None) -> np.ndarray | None:
-    """Decode a baseline JPEG to (h, w, 3) uint8 RGB, or None."""
+    """Decode a baseline or progressive JPEG to (h, w, 3) uint8 RGB,
+    or None."""
     try:
         return _decode(data)
     except Exception:
         return None
+
+
+def _scan_baseline(data: bytes, start: int, scan_comps: list[dict],
+                   huff: dict, ri: int, mcus_x: int, mcus_y: int) -> bool:
+    """Decode the single sequential-DCT scan (T.81 §F.2) into each
+    component's ``coef`` array. Returns False on a malformed stream."""
+    reader = _BitReader(data, start)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if ri and mcu_count and mcu_count % ri == 0:
+                if not reader.restart():
+                    return False
+                for c in scan_comps:
+                    c["pred"] = 0
+            mcu_count += 1
+            for c in scan_comps:
+                dc_t = huff[(0, c["td"])]
+                ac_t = huff[(1, c["ta"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        block = c["coef"][row * c["bx"] + col]
+                        s = reader.huff(dc_t)
+                        if s is None or s > 15:
+                            return False
+                        extra = reader.read(s) if s else 0
+                        if extra is None:
+                            return False
+                        c["pred"] += _extend(extra, s)
+                        block[0] = c["pred"]
+                        k = 1
+                        while k <= 63:
+                            rs = reader.huff(ac_t)
+                            if rs is None:
+                                return False
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return False
+                            extra = reader.read(sz)
+                            if extra is None:
+                                return False
+                            block[ZIGZAG[k]] = _extend(extra, sz)
+                            k += 1
+    return True
+
+
+def _prog_dc_first(reader: _BitReader, block, c: dict, huff: dict,
+                   al: int) -> bool:
+    s = reader.huff(huff[(0, c["td"])])
+    if s is None or s > 15:
+        return False
+    extra = reader.read(s) if s else 0
+    if extra is None:
+        return False
+    c["pred"] += _extend(extra, s)
+    block[0] = c["pred"] << al
+    return True
+
+
+def _prog_dc_refine(reader: _BitReader, block, al: int) -> bool:
+    bit = reader.read(1)
+    if bit is None:
+        return False
+    if bit:
+        block[0] = int(block[0]) | (1 << al)
+    return True
+
+
+def _prog_ac_first(reader: _BitReader, block, ac_t: dict, ss: int,
+                   se: int, al: int, state: dict) -> bool:
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return True
+    k = ss
+    while k <= se:
+        rs = reader.huff(ac_t)
+        if rs is None:
+            return False
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:  # EOBn: run of 2^r + ext blocks ending here
+                eobrun = 1 << r
+                if r:
+                    extra = reader.read(r)
+                    if extra is None:
+                        return False
+                    eobrun += extra
+                state["eobrun"] = eobrun - 1
+                break
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                return False
+            extra = reader.read(s)
+            if extra is None:
+                return False
+            block[ZIGZAG[k]] = _extend(extra, s) << al
+            k += 1
+    return True
+
+
+def _prog_ac_refine(reader: _BitReader, block, ac_t: dict, ss: int,
+                    se: int, al: int, state: dict) -> bool:
+    """Successive-approximation AC refinement (T.81 §G.2, the
+    correction-bit algorithm): newly-significant coefficients arrive as
+    ±2^Al; every already-nonzero coefficient visited consumes one
+    correction bit that may add 2^Al toward its sign."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.huff(ac_t)
+            if rs is None:
+                return False
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:  # EOBn — tail corrections handled below
+                    eobrun = 1 << r
+                    if r:
+                        extra = reader.read(r)
+                        if extra is None:
+                            return False
+                        eobrun += extra
+                    state["eobrun"] = eobrun
+                    break
+                s_val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    return False
+                bit = reader.read(1)
+                if bit is None:
+                    return False
+                s_val = p1 if bit else m1
+            while k <= se:
+                z = ZIGZAG[k]
+                coef = int(block[z])
+                if coef != 0:
+                    bit = reader.read(1)
+                    if bit is None:
+                        return False
+                    if bit and not (coef & p1):
+                        block[z] = coef + (p1 if coef >= 0 else m1)
+                else:
+                    if r == 0:
+                        if s_val:
+                            block[z] = s_val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            coef = int(block[z])
+            if coef != 0:
+                bit = reader.read(1)
+                if bit is None:
+                    return False
+                if bit and not (coef & p1):
+                    block[z] = coef + (p1 if coef >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+    return True
+
+
+def _next_marker(data: bytes, pos: int) -> int | None:
+    """Byte offset of the next real marker (not stuffing, not RSTn) at
+    or after ``pos`` — the end of a scan's entropy-coded data."""
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = data[pos + 1]
+        if nxt == 0x00 or nxt == 0xFF or 0xD0 <= nxt <= 0xD7:
+            pos += 2 if nxt != 0xFF else 1
+            continue
+        return pos
+    return None
+
+
+def _scan_progressive(data: bytes, start: int, scan_comps: list[dict],
+                      huff: dict, ri: int, ss: int, se: int, ah: int,
+                      al: int, w: int, h: int, hmax: int, vmax: int,
+                      mcus_x: int, mcus_y: int) -> int | None:
+    """Decode one progressive scan (T.81 §G.2) into the shared per-
+    component coefficient arrays; returns the offset of the marker
+    after the entropy-coded data, or None on a malformed stream.
+
+    DC scans (Ss=Se=0) may be interleaved; AC scans cover one component
+    and one spectral band, non-interleaved in the component's own block
+    raster order. Ah=0 scans deliver new bits ``<< Al``; Ah>0 scans
+    refine one bit per coefficient."""
+    dc_scan = ss == 0
+    if dc_scan and (se != 0 or (ah and ah != al + 1)):
+        return None
+    if not dc_scan and (len(scan_comps) != 1 or ss > se or se > 63
+                        or (ah and ah != al + 1)):
+        return None
+    for c in scan_comps:
+        if dc_scan and ah == 0 and (0, c["td"]) not in huff:
+            return None
+        if not dc_scan and (1, c["ta"]) not in huff:
+            return None
+        c["pred"] = 0
+    reader = _BitReader(data, start)
+    state = {"eobrun": 0}
+
+    def at_restart() -> bool:
+        if not reader.restart():
+            return False
+        for c in scan_comps:
+            c["pred"] = 0
+        state["eobrun"] = 0
+        return True
+
+    if len(scan_comps) == 1:
+        # Non-interleaved: the component's own block grid (not MCU-padded)
+        c = scan_comps[0]
+        nbx = -(-(-(-w * c["h"] // hmax)) // 8)
+        nby = -(-(-(-h * c["v"] // vmax)) // 8)
+        ac_t = huff.get((1, c["ta"]))
+        n = 0
+        for row in range(nby):
+            for col in range(nbx):
+                if ri and n and n % ri == 0 and not at_restart():
+                    return None
+                n += 1
+                block = c["coef"][row * c["bx"] + col]
+                if dc_scan:
+                    ok = (_prog_dc_first(reader, block, c, huff, al)
+                          if ah == 0 else
+                          _prog_dc_refine(reader, block, al))
+                elif ah == 0:
+                    ok = _prog_ac_first(reader, block, ac_t, ss, se, al,
+                                        state)
+                else:
+                    ok = _prog_ac_refine(reader, block, ac_t, ss, se, al,
+                                         state)
+                if not ok:
+                    return None
+    else:
+        if not dc_scan:
+            return None  # AC scans are single-component by spec
+        n = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if ri and n and n % ri == 0 and not at_restart():
+                    return None
+                n += 1
+                for c in scan_comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            row = my * c["v"] + by
+                            col = mx * c["h"] + bx
+                            block = c["coef"][row * c["bx"] + col]
+                            ok = (_prog_dc_first(reader, block, c, huff,
+                                                 al)
+                                  if ah == 0 else
+                                  _prog_dc_refine(reader, block, al))
+                            if not ok:
+                                return None
+    end = _next_marker(data, reader.pos)
+    return end if end is not None else len(data)
 
 
 def _decode(data: bytes | None) -> np.ndarray | None:
@@ -274,9 +552,10 @@ def _decode(data: bytes | None) -> np.ndarray | None:
     comps: list[dict] = []
     w = h = 0
     ri = 0
+    prog = False
+    hmax = vmax = mcus_x = mcus_y = 0
+    nscans = 0
     pos = 2
-    scan_start = -1
-    scan_comps: list[dict] = []
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             return None
@@ -284,8 +563,8 @@ def _decode(data: bytes | None) -> np.ndarray | None:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
-        if marker == 0xD9:
-            return None  # EOI before any scan
+        if marker == 0xD9:  # EOI — done (fails below if no scan decoded)
+            break
         if pos + 4 > len(data):
             return None
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
@@ -315,7 +594,8 @@ def _decode(data: bytes | None) -> np.ndarray | None:
                 vals = tuple(seg[i + 17 : i + 17 + n])
                 huff[(tc, th)] = _canonical_codes(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # baseline / ext. sequential Huffman
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            prog = marker == 0xC2
             prec = seg[0]
             if prec != 8:
                 return None
@@ -332,12 +612,24 @@ def _decode(data: bytes | None) -> np.ndarray | None:
             if any(c["h"] not in (1, 2) or c["v"] not in (1, 2)
                    for c in comps):
                 return None
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                c["bx"] = mcus_x * c["h"]
+                c["by"] = mcus_y * c["v"]
+                c["coef"] = np.zeros((c["by"] * c["bx"], 64),
+                                     dtype=np.int32)
+                c["pred"] = 0
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+            return None  # lossless / arithmetic / hierarchical
         elif marker == 0xDD:  # DRI
             (ri,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
+            if not comps or w <= 0 or h <= 0:
+                return None
             ns = seg[0]
             scan_comps = []
             for s in range(ns):
@@ -345,84 +637,47 @@ def _decode(data: bytes | None) -> np.ndarray | None:
                 comp = next((c for c in comps if c["id"] == cs), None)
                 if comp is None:
                     return None
-                scan_comps.append(
-                    {**comp, "td": tt >> 4, "ta": tt & 15}
-                )
-            scan_start = pos + 2 + seglen
-            break
+                comp["td"], comp["ta"] = tt >> 4, tt & 15
+                scan_comps.append(comp)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            start = pos + 2 + seglen
+            if not prog:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    return None
+                if len(scan_comps) != len(comps):
+                    return None  # multi-scan sequential not supported
+                # MJPEG convention: tables omitted -> Annex K typical
+                if not huff:
+                    huff[(0, 0)] = _canonical_codes(*DC_LUMA)
+                    huff[(1, 0)] = _canonical_codes(*AC_LUMA)
+                    huff[(0, 1)] = _canonical_codes(*DC_CHROMA)
+                    huff[(1, 1)] = _canonical_codes(*AC_CHROMA)
+                for c in scan_comps:
+                    if (0, c["td"]) not in huff or (1, c["ta"]) not in huff:
+                        return None
+                if not _scan_baseline(data, start, scan_comps, huff, ri,
+                                      mcus_x, mcus_y):
+                    return None
+                nscans += 1
+                break  # one scan holds all components
+            end = _scan_progressive(data, start, scan_comps, huff, ri,
+                                    ss, se, ah, al, w, h, hmax, vmax,
+                                    mcus_x, mcus_y)
+            if end is None:
+                return None
+            nscans += 1
+            pos = end
+            continue
         pos += 2 + seglen
-    if scan_start < 0 or not comps or w <= 0 or h <= 0:
+    if nscans == 0 or not comps or w <= 0 or h <= 0:
         return None
-    if len(scan_comps) != len(comps):
-        return None  # multi-scan sequential not supported
-    if not huff:  # MJPEG convention: tables omitted -> Annex K typical
-        huff[(0, 0)] = _canonical_codes(*DC_LUMA)
-        huff[(1, 0)] = _canonical_codes(*AC_LUMA)
-        huff[(0, 1)] = _canonical_codes(*DC_CHROMA)
-        huff[(1, 1)] = _canonical_codes(*AC_CHROMA)
-
-    hmax = max(c["h"] for c in scan_comps)
-    vmax = max(c["v"] for c in scan_comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    for c in scan_comps:
-        c["bx"] = mcus_x * c["h"]
-        c["by"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["by"] * c["bx"], 64), dtype=np.int32)
-        c["pred"] = 0
+    for c in comps:
         if c["tq"] not in qt:
             return None
-        if (0, c["td"]) not in huff or (1, c["ta"]) not in huff:
-            return None
-
-    reader = _BitReader(data, scan_start)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if ri and mcu_count and mcu_count % ri == 0:
-                if not reader.restart():
-                    return None
-                for c in scan_comps:
-                    c["pred"] = 0
-            mcu_count += 1
-            for c in scan_comps:
-                dc_t = huff[(0, c["td"])]
-                ac_t = huff[(1, c["ta"])]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        row = my * c["v"] + by
-                        col = mx * c["h"] + bx
-                        block = c["coef"][row * c["bx"] + col]
-                        s = reader.huff(dc_t)
-                        if s is None or s > 15:
-                            return None
-                        extra = reader.read(s) if s else 0
-                        if extra is None:
-                            return None
-                        c["pred"] += _extend(extra, s)
-                        block[0] = c["pred"]
-                        k = 1
-                        while k <= 63:
-                            rs = reader.huff(ac_t)
-                            if rs is None:
-                                return None
-                            r, sz = rs >> 4, rs & 15
-                            if sz == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                return None
-                            extra = reader.read(sz)
-                            if extra is None:
-                                return None
-                            block[ZIGZAG[k]] = _extend(extra, sz)
-                            k += 1
 
     planes = []
-    for c in scan_comps:
+    for c in comps:
         z = (c["coef"].astype(np.float64) * qt[c["tq"]]).reshape(-1, 8, 8)
         s = np.einsum("ux,nuv,vy->nxy", _M, z, _M)
         px = np.clip(np.round(s) + 128.0, 0, 255).astype(np.uint8)
@@ -544,6 +799,265 @@ def encode_jpeg_gray(
             pred = _encode_block(wtr, coef_blocks[yb, xb], pred, dc_enc, ac_enc)
     wtr.align()
     return bytes(out) + bytes(wtr.out) + b"\xff\xd9"
+
+
+# Custom AC Huffman table for PROGRESSIVE scans: the Annex K tables are
+# sequential-only (no EOBn symbols with r>0), so the progressive encoder
+# carries its own — every symbol a progressive AC scan can emit (EOBn
+# r=0..14, ZRL, and (run, size) for run 0..15 / size 1..10), all coded
+# at 8 bits (176 codes < 256; the all-ones code stays unused as T.81
+# recommends). Wasteful as compression, fully valid as a bitstream.
+_PROG_AC_SYMS = tuple(sorted(
+    {r << 4 for r in range(15)}
+    | {0xF0}
+    | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+))
+PROG_AC = ((0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMS), 0, 0, 0, 0, 0, 0,
+            0, 0), _PROG_AC_SYMS)
+
+
+def _emit_rst(wtr: _BitWriter, rst: int) -> int:
+    wtr.align()
+    wtr.out += bytes([0xFF, 0xD0 + rst % 8])
+    return rst + 1
+
+
+def _enc_scan_dc(blocks, dc_enc, ah: int, al: int, ri: int) -> bytes:
+    """DC scan: first (Ah=0) codes diff(dc >> Al); refinement sends bit
+    Al of each DC coefficient."""
+    wtr = _BitWriter()
+    pred = 0
+    rst = 0
+    for i, b in enumerate(blocks):
+        if ri and i and i % ri == 0:
+            rst = _emit_rst(wtr, rst)
+            pred = 0
+        dc = int(b[0]) >> al  # arithmetic shift: the DC point transform
+        if ah == 0:
+            diff = dc - pred
+            pred = dc
+            s = abs(diff).bit_length()
+            code, n = dc_enc[s]
+            wtr.write(code, n)
+            if s:
+                wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        else:
+            wtr.write(dc & 1, 1)
+    wtr.align()
+    return bytes(wtr.out)
+
+
+def _enc_scan_ac_first(blocks, ac_enc, ss: int, se: int, al: int,
+                       ri: int) -> bytes:
+    """First AC scan of a band: sequential-style run/size coding of the
+    point-transformed magnitudes, with cross-block EOB runs."""
+    wtr = _BitWriter()
+    eobrun = 0
+    rst = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        while eobrun > 0:
+            chunk = min(eobrun, 0x7FFF)
+            r = chunk.bit_length() - 1
+            code, n = ac_enc[r << 4]
+            wtr.write(code, n)
+            if r:
+                wtr.write(chunk - (1 << r), r)
+            eobrun -= chunk
+
+    for i, b in enumerate(blocks):
+        if ri and i and i % ri == 0:
+            flush_eob()
+            rst = _emit_rst(wtr, rst)
+        vals = []
+        for k in range(ss, se + 1):
+            t = int(b[ZIGZAG[k]])
+            tv = abs(t) >> al
+            vals.append(tv if t >= 0 else -tv)
+        last = max((j for j, v in enumerate(vals) if v), default=-1)
+        if last < 0:
+            eobrun += 1
+            continue
+        flush_eob()
+        run = 0
+        for j in range(last + 1):
+            v = vals[j]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, n = ac_enc[0xF0]
+                wtr.write(code, n)
+                run -= 16
+            s = abs(v).bit_length()
+            code, n = ac_enc[(run << 4) | s]
+            wtr.write(code, n)
+            wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < len(vals) - 1:
+            eobrun += 1
+    flush_eob()
+    wtr.align()
+    return bytes(wtr.out)
+
+
+def _enc_scan_ac_refine(blocks, ac_enc, ss: int, se: int, al: int,
+                        ri: int) -> bytes:
+    """AC refinement scan: newly-significant coefficients (|coef|>>Al
+    == 1) emit (run, 1) symbols; already-nonzero ones ride as buffered
+    correction bits flushed after the next symbol; blocks with no new
+    coefficients fold into cross-block EOB runs carrying their
+    correction bits."""
+    wtr = _BitWriter()
+    eobrun = 0
+    tail_bits: list[int] = []  # corrections of EOB-covered blocks
+    rst = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun, tail_bits
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1
+            code, n = ac_enc[r << 4]
+            wtr.write(code, n)
+            if r:
+                wtr.write(eobrun - (1 << r), r)
+            eobrun = 0
+        for bit in tail_bits:
+            wtr.write(bit, 1)
+        tail_bits = []
+
+    for i, b in enumerate(blocks):
+        if ri and i and i % ri == 0:
+            flush_eob()
+            rst = _emit_rst(wtr, rst)
+        absv = []
+        sign = []
+        for k in range(ss, se + 1):
+            t = int(b[ZIGZAG[k]])
+            absv.append(abs(t) >> al)
+            sign.append(t >= 0)
+        eobpos = max((j for j, v in enumerate(absv) if v == 1), default=-1)
+        if eobpos < 0:
+            # no newly-significant coefficient: the whole band rides an
+            # EOB run; nonzero-history corrections go to the run's bits
+            tail_bits.extend(v & 1 for v in absv if v > 1)
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        pending: list[int] = []
+
+        def flush_pending() -> None:
+            for bit in pending:
+                wtr.write(bit, 1)
+            pending.clear()
+
+        for j in range(eobpos + 1):
+            v = absv[j]
+            if v == 0:
+                run += 1
+                continue
+            # lazy ZRL: emitted on reaching a nonzero position, so the
+            # buffered corrections line up with the decoder's skip walk
+            while run > 15:
+                code, n = ac_enc[0xF0]
+                wtr.write(code, n)
+                flush_pending()
+                run -= 16
+            if v > 1:
+                pending.append(v & 1)
+                continue
+            code, n = ac_enc[(run << 4) | 1]
+            wtr.write(code, n)
+            wtr.write(1 if sign[j] else 0, 1)
+            flush_pending()
+            run = 0
+        if eobpos < len(absv) - 1:
+            tail_bits.extend(
+                absv[j] & 1
+                for j in range(eobpos + 1, len(absv))
+                if absv[j] > 1
+            )
+            eobrun += 1
+    flush_eob()
+    wtr.align()
+    return bytes(wtr.out)
+
+
+def encode_jpeg_gray_progressive(
+    coef_blocks: np.ndarray,
+    w: int,
+    h: int,
+    q_nat: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Grayscale PROGRESSIVE (SOF2) JPEG from (by, bx, 64) QUANTIZED
+    natural-order coefficient blocks, encoded as the canonical 4-scan
+    successive-approximation script:
+
+      1. DC first       (Ss=0 Se=0  Ah=0 Al=1)
+      2. DC refinement  (Ss=0 Se=0  Ah=1 Al=0)
+      3. AC first       (Ss=1 Se=63 Ah=0 Al=1)
+      4. AC refinement  (Ss=1 Se=63 Ah=1 Al=0)
+
+    so a decoder must run every progressive code path (DC/AC x
+    first/refine, EOB runs, correction bits) to reconstruct the exact
+    coefficients ``coef_blocks`` — the decoded image is bit-identical
+    to the baseline encoding of the same blocks."""
+    if q_nat is None:
+        q_nat = _Q_FIX
+    by, bx, _ = coef_blocks.shape
+    dc_enc = _encode_codes(*DC_LUMA)
+    ac_enc = _encode_codes(*PROG_AC)
+    blocks = [coef_blocks[yb, xb] for yb in range(by) for xb in range(bx)]
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_seg(0, q_nat)
+    out += _seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _dht_seg(0, 0, DC_LUMA)
+    out += _dht_seg(1, 0, PROG_AC)
+    ri = restart_interval
+    if ri:
+        out += _seg(0xDD, struct.pack(">H", ri))
+    scans = (
+        (0, 0, 0, 1, _enc_scan_dc(blocks, dc_enc, 0, 1, ri)),
+        (0, 0, 1, 0, _enc_scan_dc(blocks, dc_enc, 1, 0, ri)),
+        (1, 63, 0, 1, _enc_scan_ac_first(blocks, ac_enc, 1, 63, 1, ri)),
+        (1, 63, 1, 0, _enc_scan_ac_refine(blocks, ac_enc, 1, 63, 0, ri)),
+    )
+    for ss, se, ah, al, payload in scans:
+        out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += payload
+    return bytes(out) + b"\xff\xd9"
+
+
+def synth_gray_jpeg_progressive(doc_id: int) -> bytes:
+    """Deterministic grayscale PROGRESSIVE JPEG: same non-MCU-aligned
+    dims as the baseline fixture, and each 8x8 block carries a DC value
+    plus one AC coefficient at (u, v) = (4, 4) — the one AC basis whose
+    product M[4,x]*M[4,y] is exactly ±1/8, so with q=8 the IDCT stays
+    integer-exact: pixel (x, y) = clip(v + a*s(x%8)*s(y%8)) with
+    s(t) = +1 for t in {0,3,4,7} else -1, v = first md5 byte of
+    ``jq:{id}:{bx}:{by}`` and a = (second md5 byte % 7) - 3. |a| <= 3
+    spans every refinement path: a = ±1 arrives newly-significant in
+    the refine scan, |a| in {2,3} exercises correction bits 0 and 1,
+    a = 0 blocks fold into EOB runs. Restart markers every 3 blocks
+    exercise per-scan restart state resets."""
+    import hashlib
+
+    w = 11 + doc_id % 10
+    h = 9 + doc_id % 8
+    bx = -(-w // 8)
+    by = -(-h // 8)
+    blocks = np.zeros((by, bx, 64), dtype=np.int64)
+    for yb in range(by):
+        for xb in range(bx):
+            hx = hashlib.md5(f"jq:{doc_id}:{xb}:{yb}".encode()).hexdigest()
+            blocks[yb, xb, 0] = int(hx[:2], 16) - 128
+            blocks[yb, xb, 4 * 8 + 4] = int(hx[2:4], 16) % 7 - 3
+    return encode_jpeg_gray_progressive(blocks, w, h, restart_interval=3)
 
 
 def encode_jpeg_ycbcr(

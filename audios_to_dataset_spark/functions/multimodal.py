@@ -18,13 +18,14 @@ What is REAL here:
 - REAL pixel decode + nearest-neighbor resize + pixel stats for
   uncompressed 24-bit BMP (encode_bmp/decode_bmp_pixels/resize_nn),
   stdlib-zlib PNG (all five row filters), pure-python-LZW GIF, baseline
-  JPEG (functions.jpeg: Huffman + numpy IDCT), raw-RGB AVI, and
-  MJPEG-in-AVI frames — each value-hash-oracled (q_image_resize /
-  q_png_pixels / q_gif_pixels / q_jpeg_pixels / q_video_frames /
+  AND progressive JPEG (functions.jpeg: Huffman + numpy IDCT +
+  T.81 §G successive approximation), raw-RGB AVI, and MJPEG-in-AVI
+  frames — each value-hash-oracled (q_image_resize / q_png_pixels /
+  q_gif_pixels / q_jpeg_pixels / q_jpeg_progressive / q_video_frames /
   q_mjpeg_frames)
 
 What is STUBBED (no PIL/ffmpeg in the container):
-- pixel decode for progressive/arithmetic JPEG → None (baseline only)
+- pixel decode for arithmetic/hierarchical/lossless JPEG → None
 - frame extraction for compressed codecs OTHER than MJPEG-in-AVI →
   raises NotImplementedError unless av/ffmpeg importable
 
@@ -1103,6 +1104,22 @@ def with_synth_jpeg(
     @pandas_udf("binary")
     def _synth(ids: pd.Series) -> pd.Series:
         return pd.Series([synth_gray_jpeg(int(i)) for i in ids])
+
+    return df.withColumn(out_col, _synth(F.col(id_col)))
+
+
+def with_synth_jpeg_progressive(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "content"
+) -> DataFrame:
+    """Attach the deterministic 4-scan PROGRESSIVE-JPEG fixture bytes
+    (functions.jpeg.synth_gray_jpeg_progressive) for each id."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .jpeg import synth_gray_jpeg_progressive
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_gray_jpeg_progressive(int(i)) for i in ids])
 
     return df.withColumn(out_col, _synth(F.col(id_col)))
 

@@ -78,6 +78,8 @@ _ROTATION_FIRST = (
     # --- r7 head (positions 51+): the three stragglers, then any
     # round-6 additions appended below ---
     "q_common_prefix", "q_path_rewrite", "q_dense_rank",
+    # round-6 additions (never driver-checked yet):
+    "q_jpeg_progressive",
 )
 
 

@@ -117,12 +117,88 @@ def test_rejects_unsupported_variants():
     enc = bytearray(encode_jpeg_gray(blocks, 8, 8))
     sof = enc.find(b"\xff\xc0")
     assert sof > 0
-    enc[sof + 1] = 0xC2  # progressive
+    enc[sof + 1] = 0xC3  # lossless sequential
+    assert decode_jpeg_pixels(bytes(enc)) is None
+    enc[sof + 1] = 0xC9  # arithmetic extended sequential
+    assert decode_jpeg_pixels(bytes(enc)) is None
+    # SOF2 marker on a BASELINE-framed scan (Ss=0, Se=63) is malformed
+    # progressive — a DC scan must have Se=0
+    enc[sof + 1] = 0xC2
     assert decode_jpeg_pixels(bytes(enc)) is None
     assert decode_jpeg_pixels(None) is None
     assert decode_jpeg_pixels(b"") is None
     assert decode_jpeg_pixels(b"\xff\xd8") is None
     assert decode_jpeg_pixels(b"\x89PNG\r\n\x1a\n") is None
+
+
+def test_progressive_roundtrip_matches_baseline():
+    """The 4-scan successive-approximation encoding of random sparse
+    blocks decodes to the SAME pixels as the baseline encoding — every
+    progressive path (DC first/refine, AC first with EOB runs, AC
+    refine correction bits, ZRL, restart resets) must reconstruct the
+    exact coefficients for this to hold."""
+    from audios_to_dataset_spark.functions.jpeg import (
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.RandomState(11)
+    for trial in range(25):
+        w = rng.randint(1, 40)
+        h = rng.randint(1, 40)
+        bx, by = -(-w // 8), -(-h // 8)
+        blocks = np.zeros((by, bx, 64), dtype=np.int64)
+        blocks[:, :, 0] = rng.randint(-128, 128, size=(by, bx))
+        for _ in range(rng.randint(0, 12)):
+            blocks[rng.randint(by), rng.randint(bx),
+                   rng.randint(1, 64)] = rng.randint(-40, 41)
+        ri = int(rng.choice([0, 1, 2, 3, 5]))
+        base = decode_jpeg_pixels(encode_jpeg_gray(blocks, w, h))
+        prog = decode_jpeg_pixels(
+            encode_jpeg_gray_progressive(blocks, w, h, restart_interval=ri)
+        )
+        assert base is not None and prog is not None
+        assert (base == prog).all(), (trial, w, h, ri)
+
+
+def test_progressive_fixture_matches_closed_form():
+    """synth_gray_jpeg_progressive decodes to the exact clip(v + a*s*s)
+    formula the DuckDB oracle replays (the AC(4,4) basis is ±1/8, so
+    the IDCT is integer-exact)."""
+    from audios_to_dataset_spark.functions.jpeg import (
+        synth_gray_jpeg_progressive,
+    )
+
+    def s(t):
+        return 1 if t % 8 in (0, 3, 4, 7) else -1
+
+    for doc in range(8):
+        w, h = 11 + doc % 10, 9 + doc % 8
+        px = decode_jpeg_pixels(synth_gray_jpeg_progressive(doc))
+        assert px is not None and px.shape == (h, w, 3)
+        for y in range(h):
+            for x in range(w):
+                hx = hashlib.md5(
+                    f"jq:{doc}:{x // 8}:{y // 8}".encode()
+                ).hexdigest()
+                v = int(hx[:2], 16)
+                a = int(hx[2:4], 16) % 7 - 3
+                exp = min(255, max(0, v + a * s(x) * s(y)))
+                assert (px[y, x] == exp).all(), (doc, x, y)
+
+
+def test_progressive_eob_run_spans_blocks():
+    """An all-zero-AC image produces cross-block EOBn runs (run length
+    > 1) in the AC-first scan; the decoder's EOBRUN bookkeeping must
+    skip exactly that many blocks."""
+    from audios_to_dataset_spark.functions.jpeg import (
+        encode_jpeg_gray_progressive,
+    )
+
+    blocks = np.zeros((4, 4, 64), dtype=np.int64)
+    blocks[:, :, 0] = np.arange(16).reshape(4, 4) * 8 - 64
+    px = decode_jpeg_pixels(encode_jpeg_gray_progressive(blocks, 32, 32))
+    ref = decode_jpeg_pixels(encode_jpeg_gray(blocks, 32, 32))
+    assert px is not None and ref is not None and (px == ref).all()
 
 
 def test_dispatch_and_resize_path(spark):
