@@ -1108,6 +1108,41 @@ def with_synth_jpeg(
     return df.withColumn(out_col, _synth(F.col(id_col)))
 
 
+def with_synth_media_or_null(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "content"
+) -> DataFrame:
+    """Attach a media fixture cycling the decoder families by
+    ``doc_id % 5`` (1=PNG, 2=GIF, 3=baseline JPEG, 4=progressive JPEG)
+    with NULL bytes for ``doc_id % 5 == 0`` AND for NULL ids — the
+    dirty-corpus shape where a fetch failed or a row lost its key.
+    Exists for q_media_null_content, the one fixture query that stays
+    eligible for the ``--nulls`` sweep: every decoder must map NULL
+    content to NULL outputs instead of crashing the batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .jpeg import synth_gray_jpeg, synth_gray_jpeg_progressive
+
+    fams = {
+        1: synth_gray_png,
+        2: synth_gray_gif,
+        3: synth_gray_jpeg,
+        4: synth_gray_jpeg_progressive,
+    }
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            fn = fams.get(int(i) % 5)
+            out.append(fn(int(i)) if fn else None)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _synth(F.col(id_col)))
+
+
 def with_synth_jpeg_progressive(
     df: DataFrame, id_col: str = "doc_id", out_col: str = "content"
 ) -> DataFrame:

@@ -79,7 +79,7 @@ _ROTATION_FIRST = (
     # round-6 additions appended below ---
     "q_common_prefix", "q_path_rewrite", "q_dense_rank",
     # round-6 additions (never driver-checked yet):
-    "q_jpeg_progressive",
+    "q_jpeg_progressive", "q_media_null_content",
 )
 
 

@@ -473,6 +473,90 @@ FROM v GROUP BY doc_id, w, h
 """
 
 
+def q_media_null_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-content propagation across every image decoder family
+    (VERDICT r5 item 6): content cycles PNG / GIF / baseline JPEG /
+    progressive JPEG by doc_id % 5, with NULL bytes for doc_id % 5 == 0
+    and for NULL doc_ids. Header parse yields a NULL format (width and
+    height 0, the documented undecodable contract) and the pixel-mean
+    UDF yields NULL for the NULL-content rows, while every real row
+    still hash-matches its family's md5 closed form. Unlike the other
+    fixture queries this one STAYS in the --nulls sweep: a NULL-injected
+    doc_id must flow through the fixture UDF, both mapInPandas decoders,
+    and the projection without poisoning the batch."""
+    from ..functions.multimodal import (
+        with_pixel_mean,
+        with_synth_media_or_null,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    info = with_image_info(with_synth_media_or_null(d))
+    return with_pixel_mean(info).select(
+        "doc_id",
+        F.col("image.format").alias("img_format"),
+        F.col("image.width").cast("long").alias("img_width"),
+        F.col("image.height").cast("long").alias("img_height"),
+        "mean_px",
+    )
+
+
+def _media_family_sql(tag: str, fam: int, fmt: str, w_expr: str,
+                      h_expr: str, px_expr: str) -> str:
+    """One UNION branch of the media-null oracle: the family's fixture
+    dims and per-pixel md5 closed form, aggregated to the mean."""
+    return f"""
+SELECT doc_id, '{fmt}' AS img_format,
+       CAST(w AS BIGINT) AS img_width, CAST(h AS BIGINT) AS img_height,
+       CAST(SUM(v) AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_px
+FROM (
+  SELECT doc_id, w, h, x, ({px_expr}) AS v
+  FROM (
+    SELECT doc_id, w, h, x, unnest(range(h)) AS y
+    FROM (
+      SELECT doc_id, w, h, unnest(range(w)) AS x
+      FROM (SELECT doc_id, {w_expr} AS w, {h_expr} AS h
+            FROM documents WHERE doc_id % 5 = {fam}) {tag}_g
+    ) {tag}_fx
+  ) {tag}_px
+) {tag}_v
+GROUP BY doc_id, w, h"""
+
+
+_MD5_PX = ("('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR) || ':'"
+           " || CAST({xe} AS VARCHAR) || ':' || CAST({ye} AS VARCHAR)),"
+           " 1, 2))::INT")
+
+_JQ_PX = """LEAST(255, GREATEST(0,
+  ('0x' || substr(md5('jq:' || CAST(doc_id AS VARCHAR) || ':' ||
+      CAST(x // 8 AS VARCHAR) || ':' || CAST(y // 8 AS VARCHAR)),
+      1, 2))::INT
+  + (('0x' || substr(md5('jq:' || CAST(doc_id AS VARCHAR) || ':' ||
+      CAST(x // 8 AS VARCHAR) || ':' || CAST(y // 8 AS VARCHAR)),
+      3, 2))::INT % 7 - 3)
+    * (CASE WHEN x % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+    * (CASE WHEN y % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END)))"""
+
+ORACLE_MEDIA_NULL_CONTENT = (
+    _media_family_sql(
+        "pn", 1, "png", "12 + doc_id % 9", "12 + doc_id % 7",
+        _MD5_PX.format(salt="pn", xe="x", ye="y"))
+    + "\nUNION ALL" + _media_family_sql(
+        "gf", 2, "gif", "10 + doc_id % 7", "10 + doc_id % 5",
+        _MD5_PX.format(salt="gf", xe="x", ye="y"))
+    + "\nUNION ALL" + _media_family_sql(
+        "jp", 3, "jpeg", "11 + doc_id % 10", "9 + doc_id % 8",
+        _MD5_PX.format(salt="jp", xe="x // 8", ye="y // 8"))
+    + "\nUNION ALL" + _media_family_sql(
+        "jq", 4, "jpeg", "11 + doc_id % 10", "9 + doc_id % 8", _JQ_PX)
+    + """
+UNION ALL
+SELECT doc_id, NULL AS img_format, CAST(0 AS BIGINT) AS img_width,
+       CAST(0 AS BIGINT) AS img_height, NULL AS mean_px
+FROM documents WHERE doc_id IS NULL OR doc_id % 5 = 0
+"""
+)
+
+
 def q_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPRESSED-video frame extraction end-to-end — the q_video_frames
     twin for the MJPEG codec: a deterministic MJPEG AVI per doc (each
@@ -1286,6 +1370,7 @@ QUERIES = {
     "q_gif_interlace": q_gif_interlace,
     "q_jpeg_pixels": q_jpeg_pixels,
     "q_jpeg_progressive": q_jpeg_progressive,
+    "q_media_null_content": q_media_null_content,
     "q_mjpeg_frames": q_mjpeg_frames,
     "q_audio_stats": q_audio_stats,
     "q_audio_ulaw": q_audio_ulaw,
@@ -1326,6 +1411,7 @@ ORACLES["q_gif_pixels"] = ORACLE_GIF_PIXELS
 ORACLES["q_gif_interlace"] = ORACLE_GIF_INTERLACE
 ORACLES["q_jpeg_pixels"] = ORACLE_JPEG_PIXELS
 ORACLES["q_jpeg_progressive"] = ORACLE_JPEG_PROGRESSIVE
+ORACLES["q_media_null_content"] = ORACLE_MEDIA_NULL_CONTENT
 ORACLES["q_mjpeg_frames"] = ORACLE_MJPEG_FRAMES
 ORACLES["q_audio_stats"] = ORACLE_AUDIO_STATS
 ORACLES["q_audio_ulaw"] = ORACLE_AUDIO_ULAW

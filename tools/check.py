@@ -138,10 +138,13 @@ def nulls_excluded() -> set[str]:
     """Queries exempt from the NULL sweep: the multimodal/audio FIXTURE
     queries synthesize their inputs from doc_id via pandas UDFs
     (int(NULL) has no fixture) — their decode paths are NULL-fuzzed in
-    pytest instead (decoders return None/zeros on malformed bytes)."""
+    pytest instead (decoders return None/zeros on malformed bytes).
+    q_media_null_content is the deliberate exception: its fixture UDF
+    maps NULL ids to NULL content, so it proves the decoder family
+    propagates NULLs under the sweep itself."""
     from audios_to_dataset_spark.plans import multimodal
 
-    return set(multimodal.QUERIES)
+    return set(multimodal.QUERIES) - {"q_media_null_content"}
 
 
 # Skew rules for --skew: funnel a majority of rows onto ONE hot key per
