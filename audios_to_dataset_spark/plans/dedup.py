@@ -498,6 +498,63 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_N = 3        # token n-gram length (13 at production text lengths;
+                   # 3 at the short synthetic texts so overlap is nonempty)
+DECON_MOD = 41     # doc_id % 41 == 0 -> the stand-in benchmark/eval set
+
+
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram decontamination — the GPT-3/Llama-style counterpart
+    to q_contamination's probabilistic MinHash pass: a training doc is
+    flagged when it shares ANY exact token {n}-gram with any benchmark
+    doc, reporting the distinct-overlapping-gram count. The benchmark
+    side is docs with doc_id % {m} == 0 (a stand-in eval suite).
+
+    Scale shape: the benchmark side of the join is the distinct shingle
+    set of the EVAL suite — small by nature (benchmarks are MBs while
+    the corpus is TBs) — so it broadcasts, and the 100 TB training side
+    is one shingle projection + map-side hash join + per-doc groupBy:
+    no shuffle of the corpus at all. Same zip_with shingle kernel as
+    the dedup family (operators/dedup.shingles).
+    """.format(n=DECON_N, m=DECON_MOD)
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingles(d, n=DECON_N)
+    bench = (
+        sh.filter(F.col("id") % DECON_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    train = sh.filter(F.col("id") % DECON_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .select(F.col("id").cast("bigint").alias("doc_id"), "n_shared")
+    )
+
+
+def _oracle_decontaminate() -> str:
+    gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(DECON_N))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(t) - {DECON_N - 1}, 0) + 1),
+             i -> {gram})) AS s
+    FROM toks) u
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {DECON_MOD} = 0
+)
+SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM sh JOIN bench ON sh.s = bench.s
+WHERE sh.doc_id % {DECON_MOD} <> 0
+GROUP BY sh.doc_id
+"""
+
+
 def _oracle_contamination() -> str:
     mins = ",\n         ".join(
         f"MIN(substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8)) AS mh{i}"
@@ -1374,6 +1431,7 @@ GROUP BY 1
 QUERIES = {
     "q_minhash_jaccard": q_minhash_jaccard,
     "q_contamination": q_contamination,
+    "q_decontaminate_ngram": q_decontaminate_ngram,
     "q_simhash_pairs": q_simhash_pairs,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram": q_dedup_ngram,
@@ -1398,6 +1456,7 @@ QUERIES = {
 ORACLES = {
     "q_minhash_jaccard": _oracle_minhash_jaccard(),
     "q_contamination": _oracle_contamination(),
+    "q_decontaminate_ngram": _oracle_decontaminate(),
     "q_simhash_pairs": _oracle_simhash_pairs(),
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
     "q_dedup_ngram": ORACLE_DEDUP_NGRAM,

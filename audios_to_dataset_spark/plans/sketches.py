@@ -339,6 +339,102 @@ def _oracle_pagerank() -> str:
     )
 
 
+BFS_ROUNDS = 3
+BFS_SEED_MOD = 97
+
+
+def _order_graph_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected customer-supplier order graph: the pagerank edge set
+    plus its reverse (customer ids < PR_SUPP_OFFSET <= supplier ids)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey").isNotNull()
+    )
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("src"),
+            (F.col("l_suppkey").cast("bigint") + PR_SUPP_OFFSET).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS: hop distance from a seed set (customer
+    nodes with custkey % {m} == 1) over the undirected customer-supplier
+    order graph, {r} synchronous rounds — the reachability /
+    neighborhood-expansion primitive under influence propagation and
+    provenance tracing.
+
+    Scale shape: each round is one frontier equi-join on src plus one
+    left-anti join against the visited set — node-id shuffles only, the
+    frontier localCheckpoint'ed per round so lineage stays {r}-deep, the
+    same iterative-join discipline as pagerank/k-core. No windows, no
+    collects; the visited accumulator is a union of bounded frontiers.
+    """.format(m=BFS_SEED_MOD, r=BFS_ROUNDS)
+    ud = _order_graph_undirected(spark, sf_dir).localCheckpoint(eager=True)
+    seeds = (
+        ud.select("src")
+        .filter(
+            (F.col("src") < PR_SUPP_OFFSET)
+            & (F.col("src") % BFS_SEED_MOD == 1)
+        )
+        .distinct()
+        .select(F.col("src").alias("id"))
+    )
+    visited = seeds.withColumn("hops", F.lit(0))
+    frontier = seeds
+    for r in range(1, BFS_ROUNDS + 1):
+        nxt = (
+            ud.join(frontier.select(F.col("id").alias("src")), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt.withColumn("hops", F.lit(r)))
+        frontier = nxt
+    return visited.select(
+        F.col("id").cast("bigint").alias("node_id"),
+        F.col("hops").cast("int").alias("hops"),
+    )
+
+
+def _oracle_bfs_hops() -> str:
+    ctes = [
+        "e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,"
+        f" CAST(l_suppkey AS BIGINT) + {PR_SUPP_OFFSET} AS dst"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+        " WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL)",
+        "ud AS (SELECT src, dst FROM e"
+        " UNION ALL SELECT dst, src FROM e)",
+        "f0 AS (SELECT DISTINCT src AS id FROM ud"
+        f" WHERE src < {PR_SUPP_OFFSET} AND src % {BFS_SEED_MOD} = 1)",
+        "v0 AS (SELECT id FROM f0)",
+    ]
+    for r in range(1, BFS_ROUNDS + 1):
+        ctes.append(
+            f"f{r} AS (SELECT DISTINCT ud.dst AS id FROM ud"
+            f" JOIN f{r - 1} ON ud.src = f{r - 1}.id"
+            f" EXCEPT SELECT id FROM v{r - 1})"
+        )
+        ctes.append(
+            f"v{r} AS (SELECT id FROM v{r - 1}"
+            f" UNION ALL SELECT id FROM f{r})"
+        )
+    layers = "\nUNION ALL ".join(
+        f"SELECT CAST(id AS BIGINT) AS node_id, {r} AS hops FROM f{r}"
+        for r in range(BFS_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + layers
+
+
 LP_ITERS = 2
 
 
@@ -1739,6 +1835,7 @@ QUERIES = {
     "q_zorder": q_zorder,
     "q_profile": q_profile,
     "q_pagerank": q_pagerank,
+    "q_bfs_hops": q_bfs_hops,
     "q_label_prop": q_label_prop,
     "q_hits": q_hits,
     "q_kcore": q_kcore,
@@ -1768,6 +1865,7 @@ ORACLES = {
     "q_zorder": _oracle_zorder(),
     "q_profile": _oracle_profile(),
     "q_pagerank": _oracle_pagerank(),
+    "q_bfs_hops": _oracle_bfs_hops(),
     "q_label_prop": _oracle_label_prop(),
     "q_hits": _oracle_hits(),
     "q_kcore": _oracle_kcore(),

@@ -1,0 +1,313 @@
+"""x10 scale-up smoke for the iterative heavies (VERDICT r5 item 3).
+
+The largest local testdata is sf0.1; this tool materializes a ~sf1
+dataset — 10 DECORRELATED replicas of sf0.1 — once in a temp dir and
+answers the question the plans otherwise answer only on paper: do the
+pair-finding stages grow linearly with the data, or is there a hidden
+quadratic candidate blowup?
+
+Replica decorrelation (without it the measurement is meaningless —
+10 identical copies share LSH buckets by construction and any scheme
+goes quadratic):
+
+- ``documents.text``: per-replica rotation of the 10 most common
+  letters (``translate(text, 'etaoinshrd', rot_i)``), so replica
+  shingle sets are mutually disjoint while length/shape distributions
+  are preserved; replica 0 keeps the original bytes.
+- ``embeddings.embedding``: cyclic rotation of the 16-dim vector by
+  the replica index — norm and coordinate distribution preserved,
+  hyperplane buckets decorrelated.
+- ``orders``/``lineitem``: key columns shifted by replica *
+  (max_key + 1), giving 10 disjoint order graphs of identical shape.
+
+What is measured and asserted:
+
+- ``q_dedup_minhash_lsh`` (declared query, as-is): MinHash band keys
+  are md5 hashes, so bucket CARDINALITY grows with N and candidate
+  pairs must stay ~linear. Asserted: cand(x10) <= 2 * 10 * cand(sf0.1).
+- ``q_pagerank`` (declared query, as-is): per-iteration shuffle rows =
+  the edge count. Asserted exactly 10x (disjoint replicas).
+- ``knn_graph`` / ``k_core_peel``: the hyperplane plane sets have a
+  FIXED bucket count (KNN_PLANES: 8 tables x 32 buckets), so at fixed
+  planes candidates/N grow ~linearly with N — that is the documented
+  scale dial in plans/dedup.py ("planes per table must scale
+  ~log2(N / target_bucket_size)"). The smoke measures the fixed-plane
+  blowup analytically (cheap groupBy, no scoring), then runs the graph
+  build + peel END-TO-END with the scaled plane set (+4 planes/table =
+  16x buckets) and asserts candidates-per-row returns to the sf0.1
+  level (<= 2x) and the pipeline completes.
+
+Usage: python tools/scale_smoke.py [sf_dir] [--keep]
+Prints one JSON summary line; exit 0 = all assertions hold.
+The x10 dir is cached at /tmp/spark_graft_scale10 across runs (delete
+to rebuild, or pass --keep to skip the atexit cleanup of a fresh one).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+FACTOR = 10
+CACHE_DIR = "/tmp/spark_graft_scale10"
+ROT = "etaoinshrd"
+
+
+def build_scale_dir(sf_dir: str, keep: bool) -> str:
+    """Materialize the x10 parquet dir (documents, embeddings, orders,
+    lineitem — the tables the four heavies read)."""
+    if os.path.isdir(CACHE_DIR) and os.path.exists(
+        os.path.join(CACHE_DIR, "lineitem.parquet")
+    ):
+        print(f"reusing cached x10 dir {CACHE_DIR}", file=sys.stderr)
+        return CACHE_DIR
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    if not keep:
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, CACHE_DIR, ignore_errors=True)
+    con = duckdb.connect()
+    t0 = time.perf_counter()
+
+    def shift(src: str, out: str, parts: list[str]) -> None:
+        # One file PER REPLICA inside a <table>.parquet directory — the
+        # layout real ingest produces (many files), and what keeps the
+        # Spark scan parallel: a single sub-128MB file scans as ONE
+        # task, which serialized the whole 6M-row lineitem probe of
+        # pagerank_edges onto one core in the first cut of this tool.
+        d = os.path.join(CACHE_DIR, out)
+        os.makedirs(d, exist_ok=True)
+        for i, part in enumerate(parts):
+            con.execute(
+                f"COPY ({part}) TO '{os.path.join(d, f'part-{i}.parquet')}'"
+                " (FORMAT PARQUET)"
+            )
+
+    doc = os.path.join(sf_dir, "documents.parquet")
+    (dmax,) = con.execute(
+        f"SELECT MAX(doc_id) + 1 FROM '{doc}'"
+    ).fetchone()
+    parts = []
+    for i in range(FACTOR):
+        rot = ROT[i:] + ROT[:i]
+        parts.append(
+            f"SELECT doc_id + {i * dmax} AS doc_id,"
+            f" translate(text, '{ROT}', '{rot}') AS text,"
+            f" lang, source, n_chars FROM '{doc}'"
+        )
+    shift(doc, "documents.parquet", parts)
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    (vmax,) = con.execute(
+        f"SELECT MAX(vec_id) + 1 FROM '{emb}'"
+    ).fetchone()
+    parts = []
+    for i in range(FACTOR):
+        rot_e = (
+            "embedding" if i == 0
+            else f"list_concat(embedding[{i + 1}:16], embedding[1:{i}])"
+        )
+        parts.append(
+            f"SELECT vec_id + {i * vmax} AS vec_id,"
+            f" {rot_e} AS embedding, label FROM '{emb}'"
+        )
+    shift(emb, "embeddings.parquet", parts)
+
+    orders = os.path.join(sf_dir, "orders.parquet")
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    (omax, cmax) = con.execute(
+        f"SELECT MAX(o_orderkey) + 1, MAX(o_custkey) + 1 FROM '{orders}'"
+    ).fetchone()
+    (smax,) = con.execute(
+        f"SELECT MAX(l_suppkey) + 1 FROM '{li}'"
+    ).fetchone()
+    shift(orders, "orders.parquet", [
+        f"SELECT * REPLACE (o_orderkey + {i * omax} AS o_orderkey,"
+        f" o_custkey + {i * cmax} AS o_custkey) FROM '{orders}'"
+        for i in range(FACTOR)
+    ])
+    shift(li, "lineitem.parquet", [
+        f"SELECT * REPLACE (l_orderkey + {i * omax} AS l_orderkey,"
+        f" l_suppkey + {i * smax} AS l_suppkey) FROM '{li}'"
+        for i in range(FACTOR)
+    ])
+    con.close()
+    print(
+        f"built x10 dir in {time.perf_counter() - t0:.1f}s", file=sys.stderr
+    )
+    return CACHE_DIR
+
+
+def _pairs(counts_df) -> int:
+    """sum over buckets of n*(n-1)/2 — the candidate-pair count of an
+    equi-self-join on the bucket key."""
+    row = counts_df.agg(
+        F.sum((F.col("count") * (F.col("count") - 1) / 2).cast("bigint"))
+    ).first()
+    return int(row[0] or 0)
+
+
+def minhash_candidates(spark, sf_dir: str) -> int:
+    from audios_to_dataset_spark.catalog import load
+    from audios_to_dataset_spark.operators import dedup as D
+    from audios_to_dataset_spark.plans.dedup import (
+        BAND_SIZE,
+        NGRAM_N,
+        NUM_HASHES,
+    )
+
+    sigs = D.minhash_signatures(
+        load(spark, sf_dir, "documents"), num_hashes=NUM_HASHES, n=NGRAM_N
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+    bands = []
+    for b in range(n_bands):
+        cols = [f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE)]
+        key = F.md5(F.concat_ws("|", *[F.col(c) for c in cols]))
+        bands.append(
+            sigs.select(F.lit(b).alias("band"), key.alias("band_key"))
+        )
+    exploded = bands[0]
+    for extra in bands[1:]:
+        exploded = exploded.unionByName(extra)
+    return _pairs(exploded.groupBy("band", "band_key").count())
+
+
+def knn_candidates(spark, sf_dir: str, planes) -> int:
+    from audios_to_dataset_spark.catalog import load
+    from audios_to_dataset_spark.operators.similarity import (
+        multitable_buckets,
+    )
+
+    em = load(spark, sf_dir, "embeddings")
+    return _pairs(multitable_buckets(em, planes).groupBy("bucket").count())
+
+
+def pagerank_edges(spark, sf_dir: str) -> int:
+    from audios_to_dataset_spark.catalog import load
+    from audios_to_dataset_spark.plans.sketches import PR_SUPP_OFFSET
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + PR_SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+        .count()
+    )
+
+
+def run_query(fn, spark, sf_dir: str) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = fn(spark, sf_dir).count()
+    return round(time.perf_counter() - t0, 1), n
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    keep = "--keep" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+
+    from audios_to_dataset_spark.plans import all_queries
+    from audios_to_dataset_spark.plans.dedup import _make_planes
+    from audios_to_dataset_spark.session import get_session
+
+    x10 = build_scale_dir(sf_dir, keep)
+    spark = get_session("scale_smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    q = all_queries()
+    planes_fixed = _make_planes(n_tables=8, n_planes=5, seed=11)
+    # +4 planes/table = 16x buckets for 10x data: the documented dial
+    planes_scaled = _make_planes(n_tables=8, n_planes=9, seed=11)
+
+    out: dict = {"sf_dir": sf_dir, "x10_dir": x10, "factor": FACTOR}
+    failures: list[str] = []
+
+    # --- candidate growth, measured analytically ---
+    mh1 = minhash_candidates(spark, sf_dir)
+    mh10 = minhash_candidates(spark, x10)
+    out["minhash_cand"] = {"sf0.1": mh1, "x10": mh10,
+                           "ratio": round(mh10 / max(mh1, 1), 2)}
+    if mh10 > 2 * FACTOR * mh1:
+        failures.append(
+            f"minhash candidates superlinear: {mh10} > 2*10*{mh1}"
+        )
+
+    kf1 = knn_candidates(spark, sf_dir, planes_fixed)
+    kf10 = knn_candidates(spark, x10, planes_fixed)
+    ks10 = knn_candidates(spark, x10, planes_scaled)
+    out["knn_cand"] = {
+        "sf0.1_fixed_planes": kf1,
+        "x10_fixed_planes": kf10,
+        "x10_scaled_planes": ks10,
+        "fixed_ratio": round(kf10 / max(kf1, 1), 2),
+        "scaled_ratio": round(ks10 / max(kf1, 1), 2),
+    }
+    # fixed planes: expected ~x100 (the anti-pattern, reported not
+    # asserted); scaled planes must bring candidates back to ~linear
+    if ks10 > 2 * FACTOR * kf1:
+        failures.append(
+            f"knn candidates superlinear at scaled planes: {ks10}"
+        )
+
+    pe1 = pagerank_edges(spark, sf_dir)
+    pe10 = pagerank_edges(spark, x10)
+    out["pagerank_edges"] = {"sf0.1": pe1, "x10": pe10}
+    if pe10 != FACTOR * pe1:
+        failures.append(f"pagerank edges not exactly 10x: {pe10} vs {pe1}")
+
+    # --- end-to-end completion at x10 ---
+    e2e: dict = {}
+    for name in ("q_dedup_minhash_lsh", "q_pagerank"):
+        secs, rows = run_query(q[name], spark, x10)
+        e2e[name] = {"sec": secs, "rows": rows}
+        if rows <= 0:
+            failures.append(f"{name} empty at x10")
+
+    # knn graph + k-core peel at the scaled operating point (the same
+    # operator code path as q_knn_graph / q_kcore, planes widened per
+    # the scale rule)
+    from audios_to_dataset_spark.catalog import load
+    from audios_to_dataset_spark.operators.graph import k_core_peel
+    from audios_to_dataset_spark.operators.similarity import knn_graph
+    from audios_to_dataset_spark.plans.similarity import KNN_K
+    from audios_to_dataset_spark.plans.sketches import KCORE_K, KCORE_ROUNDS
+
+    em = load(spark, x10, "embeddings")
+    t0 = time.perf_counter()
+    g = knn_graph(em, planes_scaled, k=KNN_K).localCheckpoint(eager=True)
+    n_edges = g.count()
+    e2e["knn_graph_scaled"] = {
+        "sec": round(time.perf_counter() - t0, 1), "rows": n_edges
+    }
+    if n_edges <= 0:
+        failures.append("knn_graph empty at x10")
+    t0 = time.perf_counter()
+    mutual = g.select("src", "dst").join(
+        g.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+    )
+    surv = k_core_peel(mutual, k=KCORE_K, rounds=KCORE_ROUNDS).count()
+    e2e["kcore_scaled"] = {
+        "sec": round(time.perf_counter() - t0, 1), "rows": surv
+    }
+    out["e2e_x10"] = e2e
+    out["failures"] = failures
+    print(json.dumps(out))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
