@@ -188,20 +188,39 @@ def main() -> None:
         a2 = bench_audio_pipeline(spark)
         timings["audio_pipeline_400wav"] = min(a1, a2)
 
+    # sf1 section (VERDICT r5 item 8): when the ×10 dir built by
+    # tools/scale_smoke.py is present, time the 5 heaviest queries at
+    # ~sf1 too, so the scaling exponent is readable directly from one
+    # BENCH file. Single-run (these are minutes-scale; min-of-2 would
+    # double a cost the cross-sf comparison doesn't need). q_knn_graph
+    # and q_kcore run their DECLARED fixed-plane configs — at ×10 their
+    # candidates are ~100× (see scale_smoke / COVERAGE.md), which is
+    # exactly the exponent this section exists to expose; the scaled-
+    # plane operating point is measured in scale_smoke's own output.
+    sf1: dict[str, float] = {}
+    x10_dir = "/tmp/spark_graft_scale10"
+    if os.path.isdir(os.path.join(x10_dir, "lineitem.parquet")):
+        for name in ("q_dedup_minhash_lsh", "q_pagerank",
+                     "q_sparse_cosine", "q_knn_graph", "q_kcore"):
+            t0 = time.perf_counter()
+            queries[name](spark, x10_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            sf1[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total"
-                + ("_cold" if single else "_min2"),
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold": cold,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total"
+        + ("_cold" if single else "_min2"),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold": cold,
+        "sf": sf,
+    }
+    if sf1:
+        out["sf1"] = sf1
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

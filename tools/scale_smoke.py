@@ -14,9 +14,13 @@ goes quadratic):
   letters (``translate(text, 'etaoinshrd', rot_i)``), so replica
   shingle sets are mutually disjoint while length/shape distributions
   are preserved; replica 0 keeps the original bytes.
-- ``embeddings.embedding``: cyclic rotation of the 16-dim vector by
+- ``embeddings.embedding``: cyclic rotation of the (64-dim) vector by
   the replica index — norm and coordinate distribution preserved,
-  hyperplane buckets decorrelated.
+  hyperplane buckets decorrelated. (An earlier cut sliced ``[i+1:16]``,
+  silently truncating replicas to 16 dims; the degenerate sign bits
+  then funneled everything into a handful of mega-buckets and the
+  candidate count read 2470x. Moral for the real pipeline: validate
+  vector LENGTH at ingest — dimension drift corrupts LSH silently.)
 - ``orders``/``lineitem``: key columns shifted by replica *
   (max_key + 1), giving 10 disjoint order graphs of identical shape.
 
@@ -114,7 +118,7 @@ def build_scale_dir(sf_dir: str, keep: bool) -> str:
     for i in range(FACTOR):
         rot_e = (
             "embedding" if i == 0
-            else f"list_concat(embedding[{i + 1}:16], embedding[1:{i}])"
+            else f"list_concat(embedding[{i + 1}:], embedding[1:{i}])"
         )
         parts.append(
             f"SELECT vec_id + {i * vmax} AS vec_id,"
