@@ -19,15 +19,18 @@ What is REAL here:
   uncompressed 24-bit BMP (encode_bmp/decode_bmp_pixels/resize_nn),
   stdlib-zlib PNG (all five row filters), pure-python-LZW GIF, baseline
   AND progressive JPEG (functions.jpeg: Huffman + numpy IDCT +
-  T.81 §G successive approximation), raw-RGB AVI, and MJPEG-in-AVI
-  frames — each value-hash-oracled (q_image_resize / q_png_pixels /
-  q_gif_pixels / q_jpeg_pixels / q_jpeg_progressive / q_video_frames /
-  q_mjpeg_frames)
+  T.81 §G successive approximation), raw-RGB AVI, MJPEG-in-AVI frames,
+  and MS-RLE8 INTER-FRAME video (BI_RLE8: delta frames over a
+  persistent framebuffer — the cross-frame state machine) — each
+  value-hash-oracled (q_image_resize / q_png_pixels / q_gif_pixels /
+  q_jpeg_pixels / q_jpeg_progressive / q_video_frames /
+  q_mjpeg_frames / q_rle_frames)
 
 What is STUBBED (no PIL/ffmpeg in the container):
 - pixel decode for arithmetic/hierarchical/lossless JPEG → None
-- frame extraction for compressed codecs OTHER than MJPEG-in-AVI →
-  raises NotImplementedError unless av/ffmpeg importable
+- frame extraction for motion-compensated codecs (H.264/VP9/AV1 —
+  they need an ffmpeg binding) → raises NotImplementedError unless
+  av/ffmpeg importable
 
 Scale notes: media rows are large (MBs); transforms repartition by
 byte-size budget, not row count, so a 1000-executor cluster gets balanced
@@ -1275,24 +1278,76 @@ def _dib_rows_to_rgb(buf: bytes, w: int, h: int) -> np.ndarray | None:
     return arr[:, : w * 3].reshape(h, w, 3)[:, :, ::-1][::-1]
 
 
+def _decode_rle8_into(buf: bytes, fb: np.ndarray) -> bool:
+    """Apply one MS-RLE8 encoded frame (BI_RLE8, the Windows 'MRLE' AVI
+    codec — public spec, Windows Metafile/BMP documentation) to the
+    persistent bottom-up framebuffer ``fb``. Pixels the opcodes skip
+    (end-of-line, delta moves, early end-of-bitmap) KEEP the previous
+    frame's values — this is a true inter-frame codec. Returns False on
+    a malformed stream (fb may be partially written; caller discards).
+
+    Opcodes: (n>0, c) = run of n pixels of index c; (0,0) = end of
+    line; (0,1) = end of bitmap; (0,2) then (dx,dy) = move right dx /
+    up dy keeping old pixels; (0,n>=3) = n literal pixels, word-padded.
+    """
+    h, w = fb.shape
+    x = y = 0
+    i = 0
+    while i + 2 <= len(buf):
+        n, c = buf[i], buf[i + 1]
+        i += 2
+        if n > 0:
+            if y >= h or x + n > w:
+                return False
+            fb[y, x : x + n] = c
+            x += n
+        elif c == 0:  # EOL
+            x = 0
+            y += 1
+            if y > h:
+                return False
+        elif c == 1:  # EOB
+            return True
+        elif c == 2:  # delta
+            if i + 2 > len(buf):
+                return False
+            x += buf[i]
+            y += buf[i + 1]
+            i += 2
+            if x > w or y > h:
+                return False
+        else:  # absolute mode: c literal pixels
+            if y >= h or x + c > w or i + c > len(buf):
+                return False
+            fb[y, x : x + c] = np.frombuffer(buf, np.uint8, c, i)
+            x += c
+            i += c + (c & 1)
+    return True  # tolerate a missing EOB at buffer end
+
+
 def decode_avi_frames(data: bytes | None) -> list[np.ndarray] | None:
     """Decode every frame of a codec-free AVI: raw-RGB '00db' chunks
     (as written by encode_avi_raw / ffmpeg -vcodec rawvideo, 24-bit DIB
-    stream) AND MJPEG '00dc' chunks (each one a baseline JPEG, decoded
-    via functions.jpeg — the convention ffmpeg -vcodec mjpeg writes).
-    Walks RIFF: strf gives (w, h) for the DIB path; MJPEG frames carry
-    their own dimensions. Anything unparseable → None (keep-with-
-    fallback, as the WAV and BMP decoders)."""
+    stream), MJPEG '00dc' chunks (each one a baseline JPEG, decoded
+    via functions.jpeg — the convention ffmpeg -vcodec mjpeg writes),
+    AND MS-RLE8 '00dc' streams (BI_RLE8 — a real INTER-FRAME codec:
+    delta frames only encode changed runs, skipped pixels persist from
+    the previous frame's framebuffer, ffmpeg -vcodec msrle). Walks
+    RIFF: strf gives (w, h) + compression (and the palette for RLE8);
+    MJPEG frames carry their own dimensions. Anything unparseable →
+    None (keep-with-fallback, as the WAV and BMP decoders)."""
     try:
         if not data or len(data) < 12 or data[:4] != b"RIFF":
             return None
         if data[8:12] != b"AVI ":
             return None
         w = h = 0
+        rle_fb: np.ndarray | None = None
+        rle_pal: np.ndarray | None = None
         frames: list[np.ndarray] = []
 
         def walk(lo: int, hi: int) -> None:
-            nonlocal w, h
+            nonlocal w, h, rle_fb, rle_pal
             pos = lo
             while pos + 8 <= hi:
                 cid = data[pos : pos + 4]
@@ -1307,6 +1362,19 @@ def decode_avi_frames(data: bytes | None) -> list[np.ndarray] | None:
                     (comp,) = struct.unpack_from("<I", data, body + 16)
                     if bpp == 24 and comp == 0:
                         w, h = bw, abs(bh)
+                    elif bpp == 8 and comp == 1:  # BI_RLE8
+                        w, h = bw, abs(bh)
+                        (clr_used,) = struct.unpack_from(
+                            "<I", data, body + 32
+                        )
+                        n_pal = clr_used or 256
+                        raw = np.frombuffer(
+                            data, np.uint8, n_pal * 4, body + 40
+                        ).reshape(n_pal, 4)
+                        pal = np.zeros((256, 3), dtype=np.uint8)
+                        pal[:n_pal] = raw[:, [2, 1, 0]]  # BGRx -> RGB
+                        rle_pal = pal
+                        rle_fb = np.zeros((h, w), dtype=np.uint8)
                 elif cid == b"00db" and w > 0 and h > 0:
                     f = _dib_rows_to_rgb(data[body:end], w, h)
                     if f is not None:
@@ -1317,6 +1385,10 @@ def decode_avi_frames(data: bytes | None) -> list[np.ndarray] | None:
                     f = decode_jpeg_pixels(data[body:end])
                     if f is not None:
                         frames.append(f)
+                elif cid == b"00dc" and rle_fb is not None:
+                    if _decode_rle8_into(data[body:end], rle_fb):
+                        # bottom-up fb -> top-down RGB via the palette
+                        frames.append(rle_pal[rle_fb][::-1])
                 pos = body + size + (size & 1)
 
         walk(12, len(data))
@@ -1491,6 +1563,147 @@ def with_synth_mjpg_avi(
     @pandas_udf("binary")
     def _synth(ids: pd.Series) -> pd.Series:
         return pd.Series([synth_mjpg_avi(int(i)) for i in ids])
+
+    return df.withColumn(out_col, _synth(F.col(id_col)))
+
+
+def _rle8_row(row: bytes, absolute: bool) -> bytes:
+    """Encode one row's pixel indices: absolute-mode literal blocks or
+    (run, color) pairs — both spec-legal; the fixture alternates by row
+    parity so the decoder must handle each."""
+    out = bytearray()
+    w = len(row)
+    x = 0
+    if absolute and w >= 3:
+        while x < w:
+            n = min(255, w - x)
+            if n >= 3:
+                out += bytes([0, n]) + row[x : x + n]
+                if n & 1:
+                    out += b"\x00"  # word-align per spec
+            else:
+                for j in range(n):
+                    out += bytes([1, row[x + j]])
+            x += n
+    else:
+        while x < w:
+            c = row[x]
+            n = 1
+            while x + n < w and n < 255 and row[x + n] == c:
+                n += 1
+            out += bytes([n, c])
+            x += n
+    return bytes(out)
+
+
+def encode_avi_mrle(frames: list[np.ndarray], w: int, h: int,
+                    fps: int = 10) -> bytes:
+    """MS-RLE8 ('MRLE' / BI_RLE8) AVI from (h, w) uint8 palette-index
+    frames (top-down), with a 256-gray identity palette and REAL
+    inter-frame delta encoding: frame k>0 only encodes rows that differ
+    from frame k-1 — unchanged row runs become (0,2) delta jumps (or a lone
+    EOL), trailing unchanged rows fall to an early end-of-bitmap, so
+    the decoder must carry its framebuffer across frames to reconstruct
+    the video. Same RIFF grammar as encode_avi_raw/encode_avi_mjpg."""
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    payloads: list[bytes] = []
+    prev: np.ndarray | None = None
+    for fr in frames:
+        bu = fr[::-1]  # encode bottom-up, the BMP/RLE row order
+        prev_bu = prev[::-1] if prev is not None else None
+        ops = bytearray()
+        skip = 0
+        for y in range(h):
+            if prev_bu is not None and np.array_equal(bu[y], prev_bu[y]):
+                skip += 1
+                continue
+            if skip == 1:
+                ops += b"\x00\x00"  # EOL skips one row, keeps pixels
+            else:
+                while skip > 0:
+                    d = min(skip, 255)
+                    ops += bytes([0, 2, 0, d])  # delta: dy rows down
+                    skip -= d
+            skip = 0
+            ops += _rle8_row(bu[y].tobytes(), absolute=(y % 2 == 0))
+            ops += b"\x00\x00"  # EOL
+        ops += b"\x00\x01"  # EOB — trailing skipped rows persist
+        payloads.append(bytes(ops))
+        prev = fr
+    max_size = max(len(p) for p in payloads)
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))  # BGRx grays
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, max_size * fps, 0, 0x10, len(payloads),
+        0, 1, max_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMRLE"
+        + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(payloads),
+            max_size, 0, 0,
+        )
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = (
+        struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 1, max_size, 2835, 2835,
+            256, 0,
+        )
+        + pal
+    )
+    hdrl = lst(
+        b"hdrl", chunk(b"avih", avih) + lst(
+            b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)
+        )
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def synth_mrle_avi(doc_id: int) -> bytes:
+    """Deterministic MS-RLE8 AVI fixture exercising the INTER-FRAME
+    path: dims (8 + id%9, 6 + id%7), (3 + id%3) frames. Row y is
+    (re)painted at frame f iff f == 0 or (y + f) % 3 == 0, with pixel
+    (x, y) = first md5 byte of ``mr:{id}:{f}:{x}:{y}``; other rows
+    persist from the previous frame. So the decoded pixel at frame f is
+    md5('mr:{id}:{g}:{x}:{y}') with g = f - ((f + y) % 3) when that is
+    >= 1 else 0 — the closed form the DuckDB oracle replays."""
+    w = 8 + doc_id % 9
+    h = 6 + doc_id % 7
+    n = 3 + doc_id % 3
+    fr = np.zeros((h, w), dtype=np.uint8)
+    frames = []
+    for f in range(n):
+        for y in range(h):
+            if f == 0 or (y + f) % 3 == 0:
+                for x in range(w):
+                    fr[y, x] = int(
+                        hashlib.md5(
+                            f"mr:{doc_id}:{f}:{x}:{y}".encode()
+                        ).hexdigest()[:2],
+                        16,
+                    )
+        frames.append(fr.copy())
+    return encode_avi_mrle(frames, w, h)
+
+
+def with_synth_mrle_avi(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "content"
+) -> DataFrame:
+    """Attach the deterministic MS-RLE8 AVI fixture bytes for each id."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_mrle_avi(int(i)) for i in ids])
 
     return df.withColumn(out_col, _synth(F.col(id_col)))
 

@@ -80,7 +80,7 @@ _ROTATION_FIRST = (
     "q_common_prefix", "q_path_rewrite", "q_dense_rank",
     # round-6 additions (never driver-checked yet):
     "q_jpeg_progressive", "q_media_null_content",
-    "q_decontaminate_ngram", "q_bfs_hops",
+    "q_decontaminate_ngram", "q_bfs_hops", "q_rle_frames",
 )
 
 

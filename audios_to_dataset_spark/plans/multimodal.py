@@ -597,6 +597,51 @@ FROM v GROUP BY doc_id, f, w, h
 """
 
 
+def q_rle_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-FRAME video decode end-to-end — MS-RLE8 (BI_RLE8/'MRLE',
+    the Windows RLE codec, public spec): delta frames encode only
+    changed rows (run/absolute modes, EOL skips, (0,2) delta jumps,
+    early end-of-bitmap), so the decoder must carry a persistent
+    framebuffer across frames — the state machine every inter-frame
+    codec shares, previously the one gated video path. A deterministic
+    MRLE AVI per doc (row y repainted at frame f iff f == 0 or
+    (y+f) % 3 == 0, md5 pixels) → the real RIFF walk + RLE8 state
+    machine → every-2nd-frame sampling → exact pixel means. The oracle
+    replays persistence in closed form: pixel (x,y,f) comes from paint
+    generation g = f - ((f+y) % 3) when >= 1 else 0."""
+    from ..functions.multimodal import sample_video_frames, with_synth_mrle_avi
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return sample_video_frames(with_synth_mrle_avi(d), every_n=2)
+
+
+ORACLE_RLE_FRAMES = """
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+         3 + doc_id % 3 AS n
+  FROM documents
+), fr AS (
+  SELECT doc_id, w, h, unnest(range(0, n, 2)) AS f FROM g
+), fx AS (
+  SELECT doc_id, f, w, h, unnest(range(w)) AS x FROM fr
+), px AS (
+  SELECT doc_id, f, w, h, x, unnest(range(h)) AS y FROM fx
+), v AS (
+  SELECT doc_id, f, w, h,
+         ('0x' || substr(md5('mr:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(CASE WHEN f - ((f + y) % 3) >= 1
+                       THEN f - ((f + y) % 3) ELSE 0 END AS VARCHAR)
+             || ':' || CAST(x AS VARCHAR) || ':' ||
+             CAST(y AS VARCHAR)), 1, 2))::INT AS v
+  FROM px
+)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(w AS BIGINT) AS frame_w, CAST(h AS BIGINT) AS frame_h,
+       CAST(SUM(v) AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_px
+FROM v GROUP BY doc_id, f, w, h
+"""
+
+
 def q_gif_interlace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GIF interlace + local-color-table decode: a deterministic
     grayscale GIF per doc written in the 4-pass interlaced row order
@@ -1372,6 +1417,7 @@ QUERIES = {
     "q_jpeg_progressive": q_jpeg_progressive,
     "q_media_null_content": q_media_null_content,
     "q_mjpeg_frames": q_mjpeg_frames,
+    "q_rle_frames": q_rle_frames,
     "q_audio_stats": q_audio_stats,
     "q_audio_ulaw": q_audio_ulaw,
     "q_audio_alaw": q_audio_alaw,
@@ -1413,6 +1459,7 @@ ORACLES["q_jpeg_pixels"] = ORACLE_JPEG_PIXELS
 ORACLES["q_jpeg_progressive"] = ORACLE_JPEG_PROGRESSIVE
 ORACLES["q_media_null_content"] = ORACLE_MEDIA_NULL_CONTENT
 ORACLES["q_mjpeg_frames"] = ORACLE_MJPEG_FRAMES
+ORACLES["q_rle_frames"] = ORACLE_RLE_FRAMES
 ORACLES["q_audio_stats"] = ORACLE_AUDIO_STATS
 ORACLES["q_audio_ulaw"] = ORACLE_AUDIO_ULAW
 ORACLES["q_audio_alaw"] = ORACLE_AUDIO_ALAW

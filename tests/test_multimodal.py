@@ -503,3 +503,32 @@ def test_parse_tiff_webp_headers():
     assert parse_image_header(
         b"RIFF\x10\x00\x00\x00AVI " + b"\x00" * 16
     ) == (None, 0, 0)
+
+
+def test_mrle_interframe_persistence_and_robustness():
+    """MS-RLE8: skipped rows persist across frames (true inter-frame
+    state); malformed opcode streams fail closed instead of throwing."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        _decode_rle8_into,
+        decode_avi_frames,
+        encode_avi_mrle,
+    )
+
+    f0 = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    f1 = f0.copy()
+    f1[1] = 200  # only row 1 changes
+    frames = decode_avi_frames(encode_avi_mrle([f0, f1], 6, 4))
+    assert frames is not None and len(frames) == 2
+    # frame 1 keeps rows 0/2/3 from frame 0, repaints row 1
+    assert (frames[1][1, :, 0] == 200).all()
+    assert (frames[1][0] == frames[0][0]).all()
+    assert (frames[1][3] == frames[0][3]).all()
+
+    fb = np.zeros((4, 6), dtype=np.uint8)
+    assert _decode_rle8_into(b"\x09\x01", fb) is False      # run off row
+    assert _decode_rle8_into(b"\x00\x05\x01\x02", fb) is False  # abs trunc
+    assert _decode_rle8_into(b"\x00\x02\xff\xff", fb) is False  # delta oob
+    assert _decode_rle8_into(b"\x02\x07\x00\x01", fb) is True
+    assert (fb[0, :2] == 7).all()

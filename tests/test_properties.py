@@ -300,3 +300,30 @@ def test_image_decoders_never_raise_with_magic(data):
         assert out is None or out.ndim == 3
     frames = decode_avi_frames(b"RIFF\xff\xff\x00\x00AVI " + data)
     assert frames is None or all(f.ndim == 3 for f in frames)
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=200, deadline=None)
+def test_jpeg_decoder_total_on_garbage(data):
+    """decode_jpeg_pixels never throws on arbitrary bytes — returns a
+    well-formed RGB array or None (the skip-with-fallback contract)."""
+    from audios_to_dataset_spark.functions.jpeg import decode_jpeg_pixels
+
+    px = decode_jpeg_pixels(data)
+    assert px is None or (px.ndim == 3 and px.shape[2] == 3)
+
+
+@given(st.binary(min_size=0, max_size=256), st.integers(0, 400))
+@settings(max_examples=200, deadline=None)
+def test_jpeg_decoder_corrupt_tail_and_truncation(tail, cut):
+    """A valid progressive JPEG with truncated scans or appended garbage
+    never throws; truncation mid-scan returns None or a decode of the
+    scans that survived (both acceptable under skip-with-fallback)."""
+    from audios_to_dataset_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        synth_gray_jpeg_progressive,
+    )
+
+    base = synth_gray_jpeg_progressive(7)
+    px = decode_jpeg_pixels(base[: max(2, len(base) - cut)] + tail)
+    assert px is None or (px.ndim == 3 and px.shape[2] == 3)
