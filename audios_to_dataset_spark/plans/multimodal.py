@@ -1038,6 +1038,95 @@ FROM s GROUP BY doc_id, n
 """
 
 
+def q_audio_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak (loudness) normalization — the gain pass speech pipelines
+    run after trim/resample: scale every sample so the clip's peak hits
+    full scale (32767). Gain is applied in INTEGER arithmetic —
+    s' = sign(s) * floor(|s| * 32767 / peak) — so the oracle replays it
+    exactly with no float rounding model; all-silent clips (peak 0) are
+    passed through unchanged. Reports the clip's original peak, the
+    post-gain peak (32767 unless silent), and the exact post-gain
+    absolute sum (the energy figure a curation filter thresholds)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions import wav as W
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    out_t = T.StructType(
+        [
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("peak", T.LongType()),
+            T.StructField("norm_peak", T.LongType()),
+            T.StructField("norm_abs_sum", T.LongType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _nm(ids):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for i in ids:
+            data = W.synth_wav_md5(int(i))
+            x = np.frombuffer(data[44:], dtype="<i2").astype(np.int64)
+            peak = int(np.abs(x).max()) if x.size else 0
+            if peak == 0:
+                y = x
+            else:
+                y = np.sign(x) * (np.abs(x) * 32767 // peak)
+            rows.append(
+                (x.size, peak, int(np.abs(y).max()) if y.size else 0,
+                 int(np.abs(y).sum()))
+            )
+        return pd.DataFrame(
+            {
+                "n_samples": pd.Series([r[0] for r in rows], dtype="int64"),
+                "peak": pd.Series([r[1] for r in rows], dtype="int64"),
+                "norm_peak": pd.Series([r[2] for r in rows], dtype="int64"),
+                "norm_abs_sum": pd.Series(
+                    [r[3] for r in rows], dtype="int64"
+                ),
+            }
+        )
+
+    out = d.withColumn("r", _nm(F.col("doc_id")))
+    return out.select(
+        "doc_id",
+        F.col("r.n_samples").alias("n_samples"),
+        F.col("r.peak").alias("peak"),
+        F.col("r.norm_peak").alias("norm_peak"),
+        F.col("r.norm_abs_sum").alias("norm_abs_sum"),
+    )
+
+
+ORACLE_AUDIO_NORMALIZE = """
+WITH g AS (
+  SELECT doc_id, 64 + doc_id % 37 AS n FROM documents
+), ix AS (
+  SELECT doc_id, n, unnest(range(n)) AS i FROM g
+), s AS (
+  SELECT doc_id, n,
+         ('0x' || substr(md5('au:' || CAST(doc_id AS VARCHAR) || ':'
+           || CAST(i AS VARCHAR)), 1, 4))::BIGINT - 32768 AS v
+  FROM ix
+), pk AS (
+  SELECT doc_id, n, MAX(abs(v)) AS peak FROM s GROUP BY doc_id, n
+), nm AS (
+  SELECT s.doc_id, s.n, pk.peak,
+         CASE WHEN pk.peak = 0 THEN abs(s.v)
+              ELSE (abs(s.v) * 32767) // pk.peak END AS a
+  FROM s JOIN pk ON s.doc_id = pk.doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+       CAST(peak AS BIGINT) AS peak,
+       CAST(MAX(a) AS BIGINT) AS norm_peak,
+       CAST(SUM(a) AS BIGINT) AS norm_abs_sum
+FROM nm GROUP BY doc_id, n, peak
+"""
+
+
 RESAMPLE_SR = 16_000
 
 
@@ -1418,6 +1507,7 @@ QUERIES = {
     "q_media_null_content": q_media_null_content,
     "q_mjpeg_frames": q_mjpeg_frames,
     "q_rle_frames": q_rle_frames,
+    "q_audio_normalize": q_audio_normalize,
     "q_audio_stats": q_audio_stats,
     "q_audio_ulaw": q_audio_ulaw,
     "q_audio_alaw": q_audio_alaw,
@@ -1460,6 +1550,7 @@ ORACLES["q_jpeg_progressive"] = ORACLE_JPEG_PROGRESSIVE
 ORACLES["q_media_null_content"] = ORACLE_MEDIA_NULL_CONTENT
 ORACLES["q_mjpeg_frames"] = ORACLE_MJPEG_FRAMES
 ORACLES["q_rle_frames"] = ORACLE_RLE_FRAMES
+ORACLES["q_audio_normalize"] = ORACLE_AUDIO_NORMALIZE
 ORACLES["q_audio_stats"] = ORACLE_AUDIO_STATS
 ORACLES["q_audio_ulaw"] = ORACLE_AUDIO_ULAW
 ORACLES["q_audio_alaw"] = ORACLE_AUDIO_ALAW

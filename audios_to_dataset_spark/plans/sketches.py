@@ -786,6 +786,99 @@ def _oracle_kcore() -> str:
     )
 
 
+LINK_MIN_COMMON = 2
+
+
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (Jaccard coefficient, the
+    classic Liben-Nowell/Kleinberg baseline) over the undirected k-NN
+    similarity graph: for every NON-edge pair (a, b) sharing >=
+    {mc} neighbors, score = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the
+    "these two documents should probably be linked/merged" signal a
+    curation pipeline uses to densify its similarity graph.
+
+    Scale shape: a wedge join through the shared neighbor (the graph
+    has bounded degree <= 2k after the kNN build, so wedges are O(N·k²),
+    never all-pairs), one degree groupBy, and a left-anti join to keep
+    only NON-edges — node-id shuffles only, same discipline as
+    q_triangle_count's wedge walk.
+    """.format(mc=LINK_MIN_COMMON)
+    from ..operators.similarity import knn_graph
+    from .dedup import KNN_PLANES
+    from .similarity import KNN_K
+
+    em = load(spark, sf_dir, "embeddings")
+    g = (
+        knn_graph(em, KNN_PLANES, k=KNN_K)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    und = g.unionByName(
+        g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # wedge through the shared neighbor: (a -nb- b), a < b
+    l = und.select(F.col("src").alias("a"), F.col("dst").alias("nb"))
+    r = und.select(F.col("src").alias("b"), F.col("dst").alias("nb"))
+    common = (
+        l.join(r, "nb")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= LINK_MIN_COMMON)
+    )
+    non_edges = common.join(
+        und.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        ),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("db"))
+    jac = F.col("common").cast("double") / (
+        F.col("da") + F.col("db") - F.col("common")
+    ).cast("double")
+    return (
+        non_edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").cast("bigint").alias("id_a"),
+            F.col("b").cast("bigint").alias("id_b"),
+            F.col("common").cast("bigint").alias("n_common"),
+            sround(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def _oracle_link_predict() -> str:
+    from .similarity import _knn_graph_sql_body
+
+    return f"""
+WITH knn AS MATERIALIZED ({_knn_graph_sql_body()}),
+und AS MATERIALIZED (
+  SELECT src, dst FROM knn UNION SELECT dst, src FROM knn
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
+common AS (
+  SELECT l.src AS a, r.src AS b, COUNT(*) AS c
+  FROM und l JOIN und r ON l.dst = r.dst AND l.src < r.src
+  GROUP BY l.src, r.src
+  HAVING COUNT(*) >= {LINK_MIN_COMMON}
+),
+ne AS (
+  SELECT common.a, common.b, common.c FROM common
+  WHERE NOT EXISTS (SELECT 1 FROM und
+                    WHERE und.src = common.a AND und.dst = common.b)
+)
+SELECT CAST(ne.a AS BIGINT) AS id_a, CAST(ne.b AS BIGINT) AS id_b,
+       CAST(ne.c AS BIGINT) AS n_common,
+       {sround_sql('CAST(ne.c AS DOUBLE) / CAST(x.deg + y.deg - ne.c'
+                   ' AS DOUBLE)', 6)} AS jaccard
+FROM ne JOIN deg x ON x.src = ne.a JOIN deg y ON y.src = ne.b
+"""
+
+
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers that *may* have orders per a 4096-bit/3-hash bloom of
     order custkeys — the pre-shuffle probe-pruning pattern; the result is
@@ -1836,6 +1929,7 @@ QUERIES = {
     "q_profile": q_profile,
     "q_pagerank": q_pagerank,
     "q_bfs_hops": q_bfs_hops,
+    "q_link_predict": q_link_predict,
     "q_label_prop": q_label_prop,
     "q_hits": q_hits,
     "q_kcore": q_kcore,
@@ -1866,6 +1960,7 @@ ORACLES = {
     "q_profile": _oracle_profile(),
     "q_pagerank": _oracle_pagerank(),
     "q_bfs_hops": _oracle_bfs_hops(),
+    "q_link_predict": _oracle_link_predict(),
     "q_label_prop": _oracle_label_prop(),
     "q_hits": _oracle_hits(),
     "q_kcore": _oracle_kcore(),
