@@ -135,6 +135,122 @@ FROM est ORDER BY source
 """
 
 
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source overlap estimation by HLL
+    inclusion-exclusion — |A∩B| ≈ est(A) + est(B) - est(A∪B), the union
+    estimated by max-merging the two sources' register tables. This is
+    the sketch-only way to answer "how much does source X duplicate
+    source Y" across a 100 TB corpus: per-source registers are m rows
+    each, every pairwise union is a register-level merge, and the raw
+    data is scanned exactly once. The exact intersection rides along
+    (distinct-text equi-join) so the estimate's error is readable in
+    the result; at scale you keep the sketch columns and drop the exact
+    join. Registers and estimates use the repo's integer-exact HLL
+    pipeline, so the oracle replays everything bit-identically."""
+    from ..operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    regs = hll_registers(d, "text", ["source"], m=HLL_M).cache()
+    est = hll_estimate_from_registers(regs, ["source"], m=HLL_M)
+    s = d.select("source").distinct()
+    pairs = (
+        s.select(F.col("source").alias("src_a"))
+        .crossJoin(F.broadcast(s.select(F.col("source").alias("src_b"))))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    pair_regs = (
+        pairs.join(
+            regs.select(F.col("source").alias("src_a"), "reg", "m_j"),
+            "src_a",
+        )
+        .unionByName(
+            pairs.join(
+                regs.select(F.col("source").alias("src_b"), "reg", "m_j"),
+                "src_b",
+            ).select("src_a", "src_b", "reg", "m_j")
+        )
+        .groupBy("src_a", "src_b", "reg")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    est_u = hll_estimate_from_registers(
+        pair_regs, ["src_a", "src_b"], m=HLL_M
+    ).select("src_a", "src_b", F.col("hll_estimate").alias("est_union"))
+    ea = est.select(
+        F.col("source").alias("src_a"), F.col("hll_estimate").alias("est_a")
+    )
+    eb = est.select(
+        F.col("source").alias("src_b"), F.col("hll_estimate").alias("est_b")
+    )
+    st = d.select("source", "text").distinct()
+    exact = (
+        st.select(F.col("source").alias("src_a"), "text")
+        .join(st.select(F.col("source").alias("src_b"), "text"), "text")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count_distinct("text").cast("bigint").alias("exact_overlap"))
+    )
+    return (
+        est_u.join(F.broadcast(ea), "src_a")
+        .join(F.broadcast(eb), "src_b")
+        .join(exact, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            sround(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_overlap"),
+            sround(F.col("est_union"), 4).alias("est_union"),
+            F.coalesce(F.col("exact_overlap"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_overlap"),
+        )
+    )
+
+
+def _oracle_hll_overlap() -> str:
+    from ..operators.sketch import hll_final_sql, hll_regs_sql
+
+    return f"""
+WITH srcregs AS (
+  {hll_regs_sql('documents', 'text', ['source'], HLL_M)}
+), est1 AS (
+  SELECT source, registers_hit, hll_estimate
+  FROM ({hll_final_sql(['source'], HLL_M).replace('FROM regs',
+                                                  'FROM srcregs')}) z
+), s AS (
+  SELECT DISTINCT source FROM documents
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM s a JOIN s b ON a.source < b.source
+), regs AS (
+  SELECT p.src_a, p.src_b, r.reg, MAX(r.m_j) AS m_j
+  FROM pairs p JOIN srcregs r
+    ON r.source = p.src_a OR r.source = p.src_b
+  GROUP BY p.src_a, p.src_b, r.reg
+), estu AS (
+  {hll_final_sql(['src_a', 'src_b'], HLL_M)}
+), ex AS (
+  SELECT a.src_a, b.src_b, COUNT(DISTINCT a.text) AS exact_overlap
+  FROM (SELECT DISTINCT source AS src_a, text FROM documents) a
+  JOIN (SELECT DISTINCT source AS src_b, text FROM documents) b
+    ON a.text = b.text AND a.src_a < b.src_b
+  GROUP BY a.src_a, b.src_b
+)
+SELECT estu.src_a, estu.src_b,
+       {sround_sql('ea.hll_estimate + eb.hll_estimate - estu.hll_estimate',
+                   4)} AS est_overlap,
+       {sround_sql('estu.hll_estimate', 4)} AS est_union,
+       CAST(COALESCE(ex.exact_overlap, 0) AS BIGINT) AS exact_overlap
+FROM estu
+JOIN est1 ea ON ea.source = estu.src_a
+JOIN est1 eb ON eb.source = estu.src_b
+LEFT JOIN ex ON ex.src_a = estu.src_a AND ex.src_b = estu.src_b
+"""
+
+
 def q_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch × event-time window composition: approx distinct users per
     1-hour window via the same md5-register HLL — the "uniques per hour"
@@ -1930,6 +2046,7 @@ QUERIES = {
     "q_pagerank": q_pagerank,
     "q_bfs_hops": q_bfs_hops,
     "q_link_predict": q_link_predict,
+    "q_hll_overlap": q_hll_overlap,
     "q_label_prop": q_label_prop,
     "q_hits": q_hits,
     "q_kcore": q_kcore,
@@ -1961,6 +2078,7 @@ ORACLES = {
     "q_pagerank": _oracle_pagerank(),
     "q_bfs_hops": _oracle_bfs_hops(),
     "q_link_predict": _oracle_link_predict(),
+    "q_hll_overlap": _oracle_hll_overlap(),
     "q_label_prop": _oracle_label_prop(),
     "q_hits": _oracle_hits(),
     "q_kcore": _oracle_kcore(),
