@@ -82,6 +82,7 @@ _ROTATION_FIRST = (
     "q_jpeg_progressive", "q_media_null_content",
     "q_decontaminate_ngram", "q_bfs_hops", "q_rle_frames",
     "q_audio_normalize", "q_link_predict", "q_hll_overlap",
+    "q_stream_record_high",
 )
 
 

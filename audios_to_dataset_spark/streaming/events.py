@@ -684,7 +684,183 @@ def _twin_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drift_rollup(spark, sf_dir, wb)
 
 
+def _tws_available() -> bool:
+    """transformWithStateInPandas ships with PySpark 4 but its state
+    protocol runs over protobuf; this container has no google.protobuf
+    (and no pip), so the new API is import-gated with an
+    applyInPandasWithState fallback producing identical output."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_RECORD_HIGH_OUT = (
+    "user_id bigint, event_id bigint, ts timestamp, value double"
+)
+
+
+def _record_high_emit(pdf, mx):
+    """Shared kernel: rows breaking the running max, in (ts, event_id)
+    order; returns (DataFrame, new_max)."""
+    import pandas as pd
+
+    keep = []
+    for r in pdf.sort_values(["ts", "event_id"]).itertuples(index=False):
+        v = float(r.value)
+        if mx is None or v > mx:
+            keep.append(r)
+            mx = v
+    return (
+        pd.DataFrame(
+            {
+                "user_id": pd.Series(
+                    [int(r.user_id) for r in keep], dtype="int64"
+                ),
+                "event_id": pd.Series(
+                    [int(r.event_id) for r in keep], dtype="int64"
+                ),
+                "ts": pd.Series(
+                    [r.ts for r in keep], dtype="datetime64[us]"
+                ),
+                "value": pd.Series(
+                    [float(r.value) for r in keep], dtype="float64"
+                ),
+            }
+        ),
+        mx,
+    )
+
+
+def q_stream_record_high(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user record-breaking events — the streaming "new high-water
+    alert" primitive (latency spike, spend record, quality ceiling):
+    emit every event whose value strictly exceeds the user's running
+    maximum in (ts, event_id) order; state is one double per user.
+
+    Runs on ``transformWithStateInPandas`` (the Spark 4 arbitrary-state
+    API: typed ValueState replacing applyInPandasWithState's single
+    tuple) when its protobuf dependency is importable, else on
+    ``applyInPandasWithState`` — both drive the same
+    ``_record_high_emit`` kernel, so the emitted set is identical.
+
+    Determinism: availableNow over one parquet = one micro-batch, and
+    the kernel orders each user's rows by the total (ts, event_id)
+    key, so the emitted set equals the batch window formulation
+    ``value > max(value) OVER (... ROWS UNBOUNDED PRECEDING TO 1
+    PRECEDING)`` — a full DuckDB oracle, not a rows-only check. NULL
+    key/ts/value rows are dropped on both sides (--nulls sweep; a NULL
+    in the state fn would poison the task)."""
+    import pandas as pd
+
+    ev = (
+        _stream_events(spark, sf_dir)
+        .select("user_id", "event_id", "ts", "value")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+    )
+
+    if _tws_available():
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class RecordHigh(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._mx = handle.getValueState("mx", "mx double")
+
+            def handleInputRows(self, key, rows, timerValues):
+                pdf = pd.concat(list(rows))
+                mx = self._mx.get()[0] if self._mx.exists() else None
+                out, mx = _record_high_emit(pdf, mx)
+                self._mx.update((mx,))
+                yield out
+
+            def close(self) -> None:
+                pass
+
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RecordHigh(),
+            outputStructType=_RECORD_HIGH_OUT,
+            outputMode="append",
+            timeMode="none",
+        )
+    else:
+        from pyspark.sql.streaming.state import (
+            GroupState,
+            GroupStateTimeout,
+        )
+
+        def record_high(key, pdfs, state: GroupState):
+            pdf = pd.concat(list(pdfs))
+            mx = state.get[0] if state.exists else None
+            out, mx = _record_high_emit(pdf, mx)
+            state.update((mx,))
+            yield out
+
+        out = ev.groupBy("user_id").applyInPandasWithState(
+            record_high,
+            outputStructType=_RECORD_HIGH_OUT,
+            stateStructType="mx double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    return _run_available_now(out, "record_high")
+
+
+ORACLE_STREAM_RECORD_HIGH = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+    AND ts IS NOT NULL AND value IS NOT NULL
+), m AS (
+  SELECT user_id, event_id, ts, value,
+         MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM e
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id, ts,
+       CAST(value AS DOUBLE) AS value
+FROM m WHERE prev_max IS NULL OR value > prev_max
+"""
+
+
+def _twin_record_high(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin (plan audit): the window formulation of the same
+    record-high filter — identical shuffle key (user_id) and per-user
+    ordering as the stateful processor."""
+    from pyspark.sql import Window
+
+    e = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return e.withColumn("prev_max", F.max("value").over(w)).filter(
+        F.col("prev_max").isNull() | (F.col("value") > F.col("prev_max"))
+    ).drop("prev_max")
+
+
 QUERIES = {
+    "q_stream_record_high": q_stream_record_high,
     "q_stream_hll": q_stream_hll,
     "q_stream_topk": q_stream_topk,
     "q_stream_tumbling": q_stream_tumbling,
@@ -708,6 +884,7 @@ QUERIES = {
 # passed the final watermark max(ts) - delay (verified empirically:
 # 3370/3370 rows equal at sf0.01).
 ORACLES: dict[str, str] = {
+    "q_stream_record_high": ORACLE_STREAM_RECORD_HIGH,
     "q_stream_hll": _oracle_stream_hll(),
     "q_stream_topk": """
 WITH counts AS (
@@ -1133,6 +1310,7 @@ def _twin_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_TWINS = {
+    "q_stream_record_high": _twin_record_high,
     "q_stream_drift": _twin_drift,
     "q_stream_hll": _twin_hll,
     "q_stream_topk": _twin_topk,
