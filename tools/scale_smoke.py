@@ -65,20 +65,22 @@ CACHE_DIR = "/tmp/spark_graft_scale10"
 ROT = "etaoinshrd"
 
 
-def build_scale_dir(sf_dir: str, keep: bool) -> str:
-    """Materialize the x10 parquet dir (documents, embeddings, orders,
+def build_scale_dir(sf_dir: str, keep: bool,
+                    cache_dir: str = CACHE_DIR,
+                    factor: int = FACTOR) -> str:
+    """Materialize the xN parquet dir (documents, embeddings, orders,
     lineitem — the tables the four heavies read)."""
-    if os.path.isdir(CACHE_DIR) and os.path.exists(
-        os.path.join(CACHE_DIR, "lineitem.parquet")
+    if os.path.isdir(cache_dir) and os.path.exists(
+        os.path.join(cache_dir, "lineitem.parquet")
     ):
-        print(f"reusing cached x10 dir {CACHE_DIR}", file=sys.stderr)
-        return CACHE_DIR
-    os.makedirs(CACHE_DIR, exist_ok=True)
+        print(f"reusing cached x{factor} dir {cache_dir}", file=sys.stderr)
+        return cache_dir
+    os.makedirs(cache_dir, exist_ok=True)
     if not keep:
         import atexit
         import shutil
 
-        atexit.register(shutil.rmtree, CACHE_DIR, ignore_errors=True)
+        atexit.register(shutil.rmtree, cache_dir, ignore_errors=True)
     con = duckdb.connect()
     t0 = time.perf_counter()
 
@@ -88,7 +90,7 @@ def build_scale_dir(sf_dir: str, keep: bool) -> str:
         # Spark scan parallel: a single sub-128MB file scans as ONE
         # task, which serialized the whole 6M-row lineitem probe of
         # pagerank_edges onto one core in the first cut of this tool.
-        d = os.path.join(CACHE_DIR, out)
+        d = os.path.join(cache_dir, out)
         os.makedirs(d, exist_ok=True)
         for i, part in enumerate(parts):
             con.execute(
@@ -101,7 +103,7 @@ def build_scale_dir(sf_dir: str, keep: bool) -> str:
         f"SELECT MAX(doc_id) + 1 FROM '{doc}'"
     ).fetchone()
     parts = []
-    for i in range(FACTOR):
+    for i in range(factor):
         rot = ROT[i:] + ROT[:i]
         parts.append(
             f"SELECT doc_id + {i * dmax} AS doc_id,"
@@ -115,7 +117,7 @@ def build_scale_dir(sf_dir: str, keep: bool) -> str:
         f"SELECT MAX(vec_id) + 1 FROM '{emb}'"
     ).fetchone()
     parts = []
-    for i in range(FACTOR):
+    for i in range(factor):
         rot_e = (
             "embedding" if i == 0
             else f"list_concat(embedding[{i + 1}:], embedding[1:{i}])"
@@ -137,18 +139,18 @@ def build_scale_dir(sf_dir: str, keep: bool) -> str:
     shift(orders, "orders.parquet", [
         f"SELECT * REPLACE (o_orderkey + {i * omax} AS o_orderkey,"
         f" o_custkey + {i * cmax} AS o_custkey) FROM '{orders}'"
-        for i in range(FACTOR)
+        for i in range(factor)
     ])
     shift(li, "lineitem.parquet", [
         f"SELECT * REPLACE (l_orderkey + {i * omax} AS l_orderkey,"
         f" l_suppkey + {i * smax} AS l_suppkey) FROM '{li}'"
-        for i in range(FACTOR)
+        for i in range(factor)
     ])
     con.close()
     print(
-        f"built x10 dir in {time.perf_counter() - t0:.1f}s", file=sys.stderr
+        f"built x{factor} dir in {time.perf_counter() - t0:.1f}s", file=sys.stderr
     )
-    return CACHE_DIR
+    return cache_dir
 
 
 def _pairs(counts_df) -> int:
