@@ -1782,3 +1782,110 @@ def partition_by_size_budget(
     total = df.agg(F.sum(length_col).alias("s")).first()["s"] or 0
     n = max(1, int(total // target_bytes_per_partition) + 1)
     return df.repartition(n)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + near-duplicate image fixtures
+# ---------------------------------------------------------------------------
+
+# Near-dup fixture family: documents in the same GROUP (doc_id %
+# PHASH_GROUPS) share one md5-derived base image; each doc perturbs a
+# single pixel. Same-group images therefore hash within a few bits of
+# each other (exact dups + near dups), while cross-group images are
+# effectively random — the distribution an image-dedup pass actually
+# faces. All formulas are integer/md5 so a DuckDB oracle can recompute
+# every sampled pixel (the q_image_resize discipline,
+# /root/reference/src/main.rs keeps media opaque bytes + typed metadata,
+# which is the layout these columns mirror).
+PHASH_GROUPS = 37
+PHASH_SHIFT = 96
+DHASH_W = 9  # dHash samples a 9x8 luma grid -> 64 horizontal-gradient bits
+DHASH_H = 8
+
+
+def synth_group_bmp(doc_id: int) -> bytes:
+    """Deterministic near-dup BMP fixture: dims + base pixels from the
+    GROUP id (doc_id % PHASH_GROUPS), plus one doc-specific perturbed
+    pixel ((base + PHASH_SHIFT) % 256 at index (doc_id // groups) %
+    (w0*h0)) — so same-group images are near-identical and the oracle
+    can replay both the base formula and the perturbation."""
+    g = doc_id % PHASH_GROUPS
+    w0 = 12 + g % 5
+    h0 = 12 + g % 3
+    p = (doc_id // PHASH_GROUPS) % (w0 * h0)
+    pcol, prow = p % w0, p // w0
+    px = np.empty((h0, w0, 3), dtype=np.uint8)
+    for y in range(h0):
+        for x in range(w0):
+            v = int(
+                hashlib.md5(f"ph:{g}:{x}:{y}".encode()).hexdigest()[:2],
+                16,
+            )
+            if x == pcol and y == prow:
+                v = (v + PHASH_SHIFT) % 256
+            px[y, x, :] = v
+    return encode_bmp(px)
+
+
+def with_synth_group_bmp(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "content"
+) -> DataFrame:
+    """Attach the deterministic near-dup BMP fixture bytes for each id."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_group_bmp(int(i)) for i in ids])
+
+    return df.withColumn(out_col, _synth(F.col(id_col)))
+
+
+def dhash64(px: np.ndarray) -> tuple[int, int]:
+    """64-bit difference hash (dHash, public algorithm: Krawetz,
+    "Kind of Like That", hackerfactor 2013): nearest-neighbor resample
+    the integer luma (r+g+b)//3 to a 9x8 grid, then bit (j*8+i) = 1 iff
+    grid[j,i] > grid[j,i+1]. Returned as two NON-NEGATIVE 32-bit halves
+    (hi = bits 0..31, lo = bits 32..63) so both Spark and DuckDB can do
+    sign-free xor/bit_count arithmetic on BIGINTs."""
+    small = resize_nn(px, DHASH_W, DHASH_H)
+    luma = (
+        small[:, :, 0].astype(np.int64)
+        + small[:, :, 1].astype(np.int64)
+        + small[:, :, 2].astype(np.int64)
+    ) // 3
+    bits = (luma[:, :-1] > luma[:, 1:]).astype(np.int64).reshape(-1)
+    weights = 1 << (np.arange(64, dtype=np.int64) % 32)
+    hi = int((bits[:32] * weights[:32]).sum())
+    lo = int((bits[32:] * weights[32:]).sum())
+    return hi, lo
+
+
+def with_dhash(
+    df: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """Attach dhash_hi / dhash_lo (each a 32-bit half of the 64-bit
+    dHash) computed by the REAL decode→resize→gradient path. Undecodable
+    or NULL content yields NULL halves (keep-with-fallback, the WAV
+    contract)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<dhash_hi: long, dhash_lo: long>")
+    def _dh(content: pd.Series) -> pd.DataFrame:
+        his: list[int | None] = []
+        los: list[int | None] = []
+        for data in content:
+            px = decode_image_pixels(
+                bytes(data) if data is not None else None
+            )
+            if px is None:
+                his.append(None)
+                los.append(None)
+            else:
+                hi, lo = dhash64(px)
+                his.append(hi)
+                los.append(lo)
+        return pd.DataFrame({"dhash_hi": his, "dhash_lo": los})
+
+    return df.withColumn("_dh", _dh(F.col(content_col))).select(
+        "*", "_dh.dhash_hi", "_dh.dhash_lo"
+    ).drop("_dh")

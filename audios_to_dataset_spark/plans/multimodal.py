@@ -1491,6 +1491,171 @@ FROM s GROUP BY doc_id, n
 """
 
 
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash (dHash, Krawetz 2013 — public algorithm)
+    over the REAL decode path: near-dup BMP fixture (same-group docs
+    share a base image + one perturbed pixel) → actual BMP decode →
+    nearest-neighbor 9x8 luma resample → 64 horizontal-gradient bits as
+    two non-negative 32-bit halves. The oracle recomputes every sampled
+    luma from the md5 formula (including the perturbation) and re-packs
+    the bits, so any decoder / resize / bit-order bug fails the hash.
+    At 100 TB the hash is one mapInPandas pass — no shuffle at all."""
+    from ..functions.multimodal import with_dhash, with_synth_group_bmp
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return with_dhash(with_synth_group_bmp(d)).select(
+        "doc_id", "dhash_hi", "dhash_lo"
+    )
+
+
+# Shared hash-recompute CTE: sampled source coord (i*w0)//9, (j*h0)//8
+# (the resize_nn rule), base luma = first md5 byte of ph:{g}:{x}:{y},
+# +96 %256 at the doc's perturbed pixel; bit (j*8+i) = grid[j,i] >
+# grid[j,i+1], packed into two 32-bit halves.
+_DHASH_CTE = """
+d AS (
+  SELECT doc_id, doc_id % 37 AS g FROM documents
+), dims AS (
+  SELECT doc_id, g, 12 + g % 5 AS w0, 12 + g % 3 AS h0 FROM d
+), pert AS (
+  SELECT doc_id, g, w0, h0,
+         ((doc_id // 37) % (w0 * h0)) % w0 AS pcol,
+         ((doc_id // 37) % (w0 * h0)) // w0 AS prow
+  FROM dims
+), px AS (
+  SELECT doc_id, j, i,
+     (('0x' || substr(md5('ph:' || CAST(g AS VARCHAR) || ':' ||
+         CAST((i * w0) // 9 AS VARCHAR) || ':' ||
+         CAST((j * h0) // 8 AS VARCHAR)), 1, 2))::INT
+      + CASE WHEN (i * w0) // 9 = pcol AND (j * h0) // 8 = prow
+             THEN 96 ELSE 0 END) % 256 AS v
+  FROM pert, range(8) tj(j), range(9) ti(i)
+), bits AS (
+  SELECT a.doc_id, a.j * 8 + a.i AS b,
+         CASE WHEN a.v > c.v THEN 1 ELSE 0 END AS bit
+  FROM px a
+  JOIN px c ON c.doc_id = a.doc_id AND c.j = a.j AND c.i = a.i + 1
+  WHERE a.i < 8
+), hashes AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN b < 32 THEN bit * (1::BIGINT << b)
+             ELSE 0 END) AS BIGINT) AS dhash_hi,
+    CAST(SUM(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32))
+             ELSE 0 END) AS BIGINT) AS dhash_lo
+  FROM bits GROUP BY doc_id
+)
+"""
+
+ORACLE_IMAGE_DHASH = f"""
+WITH {_DHASH_CTE}
+SELECT doc_id, dhash_hi, dhash_lo FROM hashes
+"""
+
+
+NEARDUP_MAX_DIST = 6
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection — the missing modality next to
+    text (MinHash/SimHash) and embedding dedup: dHash each image, band
+    the 64 bits into 4×16-bit LSH keys, equi-join within bands (never
+    all-pairs), then exact Hamming distance ≤ {NEARDUP_MAX_DIST} via
+    xor + bit_count, all JVM-side after the one decode pass. At 100 TB
+    this is the same shape as MinHash-LSH dedup: one shuffle on band
+    keys, candidate set linear in the true-dup count, pair dedup by
+    (a_id, b_id). Any pair within 4 bits agrees on ≥1 of the 4 bands
+    (pigeonhole), so banding loses nothing at the fixture's distances."""
+    from ..functions.multimodal import with_dhash, with_synth_group_bmp
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    h = with_dhash(with_synth_group_bmp(d)).select(
+        "doc_id", "dhash_hi", "dhash_lo"
+    )
+    lit16 = F.lit(65535)
+    bands = h.select(
+        "doc_id",
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.shiftright("dhash_hi", 16).alias("key"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.col("dhash_hi").bitwiseAND(lit16).alias("key"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band"),
+                    F.shiftright("dhash_lo", 16).alias("key"),
+                ),
+                F.struct(
+                    F.lit(3).alias("band"),
+                    F.col("dhash_lo").bitwiseAND(lit16).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id", "dhash_hi", "dhash_lo", "bk.band", "bk.key"
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("dhash_hi").alias("ahi"),
+        F.col("dhash_lo").alias("alo"),
+        "band",
+        "key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("dhash_hi").alias("bhi"),
+        F.col("dhash_lo").alias("blo"),
+        "band",
+        "key",
+    )
+    pairs = (
+        a.join(b, on=["band", "key"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "ahi", "alo", "bhi", "blo")
+        .distinct()
+    )
+    dist = (
+        F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
+        + F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
+    ).cast("long")
+    return pairs.select("a_id", "b_id", dist.alias("dist")).where(
+        F.col("dist") <= NEARDUP_MAX_DIST
+    )
+
+
+ORACLE_IMAGE_NEARDUP = f"""
+WITH {_DHASH_CTE}
+, bands AS (
+  SELECT doc_id, dhash_hi, dhash_lo, t.band,
+         CASE t.band
+           WHEN 0 THEN dhash_hi // 65536
+           WHEN 1 THEN dhash_hi % 65536
+           WHEN 2 THEN dhash_lo // 65536
+           ELSE dhash_lo % 65536
+         END AS key
+  FROM hashes, (VALUES (0), (1), (2), (3)) t(band)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.dhash_hi AS ahi, a.dhash_lo AS alo,
+         b.dhash_hi AS bhi, b.dhash_lo AS blo
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key
+              AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id,
+       CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo))
+            AS BIGINT) AS dist
+FROM pairs
+WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo))
+      <= {NEARDUP_MAX_DIST}
+"""
+
+
 QUERIES = {
     "q_multimodal_embed": q_multimodal_embed,
     "q_multimodal_decode": q_multimodal_decode,
@@ -1518,6 +1683,8 @@ QUERIES = {
     "q_audio_downmix": q_audio_downmix,
     "q_image_headers": q_image_headers,
     "q_audio_trim": q_audio_trim,
+    "q_image_dhash": q_image_dhash,
+    "q_image_neardup": q_image_neardup,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -1561,3 +1728,5 @@ ORACLES["q_audio_resample"] = ORACLE_AUDIO_RESAMPLE
 ORACLES["q_audio_downmix"] = ORACLE_AUDIO_DOWNMIX
 ORACLES["q_image_headers"] = ORACLE_IMAGE_HEADERS
 ORACLES["q_audio_trim"] = ORACLE_AUDIO_TRIM
+ORACLES["q_image_dhash"] = ORACLE_IMAGE_DHASH
+ORACLES["q_image_neardup"] = ORACLE_IMAGE_NEARDUP

@@ -532,3 +532,73 @@ def test_mrle_interframe_persistence_and_robustness():
     assert _decode_rle8_into(b"\x00\x02\xff\xff", fb) is False  # delta oob
     assert _decode_rle8_into(b"\x02\x07\x00\x01", fb) is True
     assert (fb[0, :2] == 7).all()
+
+
+def test_dhash_contract_and_banding_recall():
+    """dHash: null-safe halves, 32-bit range, perturbation locality, and
+    the pigeonhole banding guarantee (any pair within 4 bits shares at
+    least one of the 4 16-bit bands — the recall basis q_image_neardup
+    relies on)."""
+    import itertools
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        PHASH_GROUPS,
+        decode_bmp_pixels,
+        dhash64,
+        synth_group_bmp,
+    )
+
+    hashes = {
+        d: dhash64(decode_bmp_pixels(synth_group_bmp(d)))
+        for d in range(120)
+    }
+    for hi, lo in hashes.values():
+        assert 0 <= hi < 1 << 32 and 0 <= lo < 1 << 32
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    def bandkeys(h):
+        return {
+            (0, h[0] >> 16), (1, h[0] & 65535),
+            (2, h[1] >> 16), (3, h[1] & 65535),
+        }
+
+    same = [
+        ham(hashes[a], hashes[b])
+        for a, b in itertools.combinations(hashes, 2)
+        if a % PHASH_GROUPS == b % PHASH_GROUPS
+    ]
+    cross = [
+        ham(hashes[a], hashes[b])
+        for a, b in itertools.combinations(hashes, 2)
+        if a % PHASH_GROUPS != b % PHASH_GROUPS
+    ]
+    # one perturbed pixel flips at most 2 of the 64 gradient bits per
+    # image -> same-group pairs stay within 4 bits; cross-group images
+    # are md5-random and must separate cleanly
+    assert same and max(same) <= 4
+    assert sum(1 for d in cross if d <= 6) == 0
+    # pigeonhole: <=4 differing bits cannot cover all 4 bands differently
+    # here (and in general the banding equi-join must recall every pair
+    # the fixture family produces)
+    for a, b in itertools.combinations(hashes, 2):
+        if ham(hashes[a], hashes[b]) <= 4:
+            assert bandkeys(hashes[a]) & bandkeys(hashes[b])
+
+
+def test_dhash_null_and_undecodable(spark):
+    """NULL / non-image content must yield NULL hash halves (the WAV
+    keep-with-fallback contract)."""
+    import pandas as pd
+
+    from audios_to_dataset_spark.functions.multimodal import with_dhash
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "content": [None, b"not an image"]}
+        )
+    )
+    rows = {r["doc_id"]: r for r in with_dhash(df).collect()}
+    assert rows[1]["dhash_hi"] is None and rows[1]["dhash_lo"] is None
+    assert rows[2]["dhash_hi"] is None and rows[2]["dhash_lo"] is None
