@@ -271,7 +271,11 @@ def _plane_sql(plane: list[float]) -> str:
     return "CAST([" + ", ".join(repr(v) for v in plane) + "] AS DOUBLE[])"
 
 
-def _oracle_dedup_embedding() -> str:
+def _emb_pairs_ctes() -> str:
+    """CTE chain (v/buckets/cand/n/pairs) that recomputes the
+    DEDUP_PLANES LSH-bucketed near-dup pairs in DuckDB — shared by the
+    dedup-embedding oracle and the split-leakage oracle so the two
+    never drift."""
     bucket_rows = []
     for t, planes in enumerate(DEDUP_PLANES):
         bits = " || ".join(
@@ -284,8 +288,7 @@ def _oracle_dedup_embedding() -> str:
             f"  SELECT vec_id, '{t}:' || {bits} AS bucket FROM v"
         )
     buckets = "\n  UNION ALL\n".join(bucket_rows)
-    return f"""
-WITH v AS (
+    return f"""v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
 ), buckets AS (
@@ -298,17 +301,25 @@ WITH v AS (
   SELECT vec_id, e,
          sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
   FROM v
-)
-SELECT cand.id_a, cand.id_b,
-       round((list_sum(list_transform(range(1, len(a.e) + 1),
-                                      i -> a.e[i] * b.e[i]))
-              / (a.nrm * b.nrm)) * 10000.0) / 10000.0 + 0.0 AS cos_sim
-FROM cand
-JOIN n a ON a.vec_id = cand.id_a
-JOIN n b ON b.vec_id = cand.id_b
-WHERE round((list_sum(list_transform(range(1, len(a.e) + 1),
-                                     i -> a.e[i] * b.e[i]))
-             / (a.nrm * b.nrm)) * 10000.0) / 10000.0 >= {EMB_THRESHOLD}
+), pairs AS (
+  SELECT cand.id_a, cand.id_b,
+         round((list_sum(list_transform(range(1, len(a.e) + 1),
+                                        i -> a.e[i] * b.e[i]))
+                / (a.nrm * b.nrm)) * 10000.0) / 10000.0 + 0.0 AS cos_sim
+  FROM cand
+  JOIN n a ON a.vec_id = cand.id_a
+  JOIN n b ON b.vec_id = cand.id_b
+  WHERE round((list_sum(list_transform(range(1, len(a.e) + 1),
+                                       i -> a.e[i] * b.e[i]))
+               / (a.nrm * b.nrm)) * 10000.0) / 10000.0
+        >= {EMB_THRESHOLD}
+)"""
+
+
+def _oracle_dedup_embedding() -> str:
+    return f"""
+WITH {_emb_pairs_ctes()}
+SELECT id_a, id_b, cos_sim FROM pairs
 """
 
 
@@ -1428,6 +1439,175 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Train/val/test split leakage audit
+# ---------------------------------------------------------------------------
+
+SPLIT_MOD = 10
+SPLIT_TRAIN_LT = 8  # buckets 0-7 train, 8 val, 9 test
+
+
+def _split_bucket(col):
+    """Deterministic 0..9 split bucket from the first 4 md5 hex chars of
+    the id string — the same formula DuckDB replays with
+    ('0x' || substr(md5(...), 1, 4))::INT % 10."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10)
+        .cast("long") % SPLIT_MOD
+    )
+
+
+def _split_label(bucket):
+    return (
+        F.when(bucket < SPLIT_TRAIN_LT, "train")
+        .when(bucket == SPLIT_TRAIN_LT, "val")
+        .otherwise("test")
+    )
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split LEAKAGE audit — the step between dedup and
+    training that naive pipelines skip: hash-splitting individual items
+    puts near-duplicate pairs on both sides of the split (val contamination).
+    Compares two split policies over the embedding near-dup graph
+    (DEDUP_PLANES LSH pairs, the q_dedup_embedding path):
+
+      * naive  — split by md5(vec_id): leaks every pair whose members
+        hash apart (~1 - 1/SPLIT_MOD-ish of near-dup pairs);
+      * group  — split by md5(connected-component representative):
+        provably zero crossing pairs, because a whole near-dup cluster
+        moves together.
+
+    Returns one row per method: crossing pair count + split sizes. At
+    100 TB this is the LSH pair shuffle + the iterative CC (both already
+    scale-shaped) + one broadcast-size aggregate; no new scale risk."""
+    from ..operators import similarity as S
+    from ..operators.graph import connected_components
+
+    em = load(spark, sf_dir, "embeddings")
+    pairs = S.lsh_bucketed_neardup_pairs(
+        em, DEDUP_PLANES, threshold=EMB_THRESHOLD
+    ).select("id_a", "id_b")
+    # membership = every identifiable vector (vectors with NULL/zero
+    # embeddings can't pair but still need a split assignment)
+    ids = em.filter(F.col("vec_id").isNotNull()).select(
+        F.col("vec_id").alias("id")
+    )
+    cc = connected_components(ids, pairs, src="id_a", dst="id_b")
+    m = cc.select(
+        "id",
+        _split_label(_split_bucket(F.col("id"))).alias("naive_s"),
+        _split_label(_split_bucket(F.col("cluster_id"))).alias("group_s"),
+    )
+    counts = m.agg(
+        *[
+            F.sum(F.when(F.col(c) == lab, 1).otherwise(0)).alias(
+                f"{pre}_{lab}"
+            )
+            for c, pre in (("naive_s", "naive"), ("group_s", "group"))
+            for lab in ("train", "val", "test")
+        ]
+    )
+    pj = (
+        pairs.join(
+            m.select(
+                F.col("id").alias("id_a"),
+                F.col("naive_s").alias("na"),
+                F.col("group_s").alias("ga"),
+            ),
+            "id_a",
+        )
+        .join(
+            m.select(
+                F.col("id").alias("id_b"),
+                F.col("naive_s").alias("nb"),
+                F.col("group_s").alias("gb"),
+            ),
+            "id_b",
+        )
+    )
+    cross = pj.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("na") != F.col("nb"), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("naive_cross"),
+        F.coalesce(
+            F.sum(F.when(F.col("ga") != F.col("gb"), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("group_cross"),
+    )
+    one = counts.crossJoin(cross)  # two 1-row frames
+    out = []
+    for pre in ("naive", "group"):
+        out.append(
+            one.select(
+                F.lit(pre).alias("method"),
+                F.col(f"{pre}_cross").cast("long").alias("crossing_pairs"),
+                F.col(f"{pre}_train").cast("long").alias("n_train"),
+                F.col(f"{pre}_val").cast("long").alias("n_val"),
+                F.col(f"{pre}_test").cast("long").alias("n_test"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+def _oracle_split_leakage() -> str:
+    return f"""
+WITH RECURSIVE {_emb_pairs_ctes()},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings WHERE vec_id IS NOT NULL
+  UNION
+  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+), cc AS (
+  SELECT id, MIN(r) AS rep FROM reach GROUP BY id
+), m AS (
+  SELECT id,
+    CASE WHEN ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 4))::INT
+              % {SPLIT_MOD} < {SPLIT_TRAIN_LT} THEN 'train'
+         WHEN ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 4))::INT
+              % {SPLIT_MOD} = {SPLIT_TRAIN_LT} THEN 'val'
+         ELSE 'test' END AS naive_s,
+    CASE WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 4))::INT
+              % {SPLIT_MOD} < {SPLIT_TRAIN_LT} THEN 'train'
+         WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 4))::INT
+              % {SPLIT_MOD} = {SPLIT_TRAIN_LT} THEN 'val'
+         ELSE 'test' END AS group_s
+  FROM cc
+), pj AS (
+  SELECT a.naive_s AS na, b.naive_s AS nb, a.group_s AS ga,
+         b.group_s AS gb
+  FROM pairs JOIN m a ON a.id = pairs.id_a JOIN m b ON b.id = pairs.id_b
+), agg AS (
+  SELECT
+    (SELECT COALESCE(SUM(CASE WHEN na <> nb THEN 1 ELSE 0 END), 0)
+     FROM pj) AS naive_cross,
+    (SELECT COALESCE(SUM(CASE WHEN ga <> gb THEN 1 ELSE 0 END), 0)
+     FROM pj) AS group_cross,
+    SUM(CASE WHEN naive_s = 'train' THEN 1 ELSE 0 END) AS naive_train,
+    SUM(CASE WHEN naive_s = 'val' THEN 1 ELSE 0 END) AS naive_val,
+    SUM(CASE WHEN naive_s = 'test' THEN 1 ELSE 0 END) AS naive_test,
+    SUM(CASE WHEN group_s = 'train' THEN 1 ELSE 0 END) AS group_train,
+    SUM(CASE WHEN group_s = 'val' THEN 1 ELSE 0 END) AS group_val,
+    SUM(CASE WHEN group_s = 'test' THEN 1 ELSE 0 END) AS group_test
+  FROM m
+)
+SELECT 'naive' AS method, CAST(naive_cross AS BIGINT) AS crossing_pairs,
+       CAST(naive_train AS BIGINT) AS n_train,
+       CAST(naive_val AS BIGINT) AS n_val,
+       CAST(naive_test AS BIGINT) AS n_test
+FROM agg
+UNION ALL
+SELECT 'group', CAST(group_cross AS BIGINT),
+       CAST(group_train AS BIGINT), CAST(group_val AS BIGINT),
+       CAST(group_test AS BIGINT)
+FROM agg
+"""
+
+
 QUERIES = {
     "q_minhash_jaccard": q_minhash_jaccard,
     "q_contamination": q_contamination,
@@ -1451,6 +1631,7 @@ QUERIES = {
     "q_ngram_novelty": q_ngram_novelty,
     "q_sparse_cosine": q_sparse_cosine,
     "q_lsh_recall_text": q_lsh_recall_text,
+    "q_split_leakage": q_split_leakage,
 }
 
 ORACLES = {
@@ -1476,4 +1657,5 @@ ORACLES = {
     "q_ngram_novelty": ORACLE_NGRAM_NOVELTY,
     "q_sparse_cosine": ORACLE_SPARSE_COSINE,
     "q_lsh_recall_text": _oracle_lsh_recall_text(),
+    "q_split_leakage": _oracle_split_leakage(),
 }
