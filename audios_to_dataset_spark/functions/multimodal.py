@@ -20,11 +20,12 @@ What is REAL here:
   stdlib-zlib PNG (all five row filters), pure-python-LZW GIF, baseline
   AND progressive JPEG (functions.jpeg: Huffman + numpy IDCT +
   T.81 §G successive approximation), raw-RGB AVI, MJPEG-in-AVI frames,
-  and MS-RLE8 INTER-FRAME video (BI_RLE8: delta frames over a
-  persistent framebuffer — the cross-frame state machine) — each
+  and TWO INTER-FRAME video codecs — MS-RLE8 (BI_RLE8: row-granular
+  delta frames over a persistent framebuffer) and MS Video 1
+  ('CRAM': 4x4 block skip runs + 1/2/8-color opcodes) — each
   value-hash-oracled (q_image_resize / q_png_pixels / q_gif_pixels /
   q_jpeg_pixels / q_jpeg_progressive / q_video_frames /
-  q_mjpeg_frames / q_rle_frames)
+  q_mjpeg_frames / q_rle_frames / q_msvc_frames)
 
 What is STUBBED (no PIL/ffmpeg in the container):
 - pixel decode for arithmetic/hierarchical/lossless JPEG → None
@@ -1344,10 +1345,14 @@ def decode_avi_frames(data: bytes | None) -> list[np.ndarray] | None:
         w = h = 0
         rle_fb: np.ndarray | None = None
         rle_pal: np.ndarray | None = None
+        msvc_fb: np.ndarray | None = None
+        msvc_pal: np.ndarray | None = None
         frames: list[np.ndarray] = []
+        _cram = struct.unpack("<I", b"CRAM")[0]
+        _msvc = struct.unpack("<I", b"MSVC")[0]
 
         def walk(lo: int, hi: int) -> None:
-            nonlocal w, h, rle_fb, rle_pal
+            nonlocal w, h, rle_fb, rle_pal, msvc_fb, msvc_pal
             pos = lo
             while pos + 8 <= hi:
                 cid = data[pos : pos + 4]
@@ -1375,6 +1380,24 @@ def decode_avi_frames(data: bytes | None) -> list[np.ndarray] | None:
                         pal[:n_pal] = raw[:, [2, 1, 0]]  # BGRx -> RGB
                         rle_pal = pal
                         rle_fb = np.zeros((h, w), dtype=np.uint8)
+                    elif (
+                        bpp == 8
+                        and comp in (_cram, _msvc)
+                        and bw % 4 == 0
+                        and abs(bh) % 4 == 0
+                    ):  # MS Video 1
+                        w, h = bw, abs(bh)
+                        (clr_used,) = struct.unpack_from(
+                            "<I", data, body + 32
+                        )
+                        n_pal = clr_used or 256
+                        raw = np.frombuffer(
+                            data, np.uint8, n_pal * 4, body + 40
+                        ).reshape(n_pal, 4)
+                        pal = np.zeros((256, 3), dtype=np.uint8)
+                        pal[:n_pal] = raw[:, [2, 1, 0]]
+                        msvc_pal = pal
+                        msvc_fb = np.zeros((h, w), dtype=np.uint8)
                 elif cid == b"00db" and w > 0 and h > 0:
                     f = _dib_rows_to_rgb(data[body:end], w, h)
                     if f is not None:
@@ -1389,6 +1412,9 @@ def decode_avi_frames(data: bytes | None) -> list[np.ndarray] | None:
                     if _decode_rle8_into(data[body:end], rle_fb):
                         # bottom-up fb -> top-down RGB via the palette
                         frames.append(rle_pal[rle_fb][::-1])
+                elif cid == b"00dc" and msvc_fb is not None:
+                    if _decode_msvc_into(data[body:end], msvc_fb):
+                        frames.append(msvc_pal[msvc_fb][::-1])
                 pos = body + size + (size & 1)
 
         walk(12, len(data))
@@ -1889,3 +1915,265 @@ def with_dhash(
     return df.withColumn("_dh", _dh(F.col(content_col))).select(
         "*", "_dh.dhash_hi", "_dh.dhash_lo"
     ).drop("_dh")
+
+
+# ---------------------------------------------------------------------------
+# MS Video 1 ('CRAM'/'MSVC') — 4x4 block inter-frame codec, 8-bit variant
+# ---------------------------------------------------------------------------
+# Public spec: Microsoft Video 1 (multimedia.cx wiki / MSDN CRAM docs).
+# Stream = 16-bit LE words per 4x4 block, blocks traversed bottom-up row
+# by row (the BMP heritage all the Windows AVI codecs share), pixels
+# within a block bottom-up rows left-to-right, flag bit k (LSB first) =
+# pixel k in that order:
+#   b1 in 0x84..0x87            -> skip ((b1-0x84)<<8)+b0 blocks (KEEP
+#                                  previous-frame pixels: inter-frame)
+#   b1 <  0x80                  -> flags word; 2 colors follow; if
+#                                  colors[0] bit7 set -> 8-color block
+#                                  (2 colors per 2x2 quadrant, selector
+#                                  ((py&2)<<1)+(px&2)+(flag^1)) else
+#                                  2-color block (flag -> colors[0])
+#   otherwise                   -> 1-color block, color = b0
+
+
+def _decode_msvc_into(buf: bytes, fb: np.ndarray) -> bool:
+    """Apply one MS Video 1 frame to the persistent bottom-up palette
+    framebuffer ``fb``. Skipped blocks keep the previous frame's pixels;
+    a truncated stream leaves the remaining blocks untouched (legal —
+    trailing skips may be omitted). Returns False on malformed data."""
+    h, w = fb.shape
+    bw, bh = w // 4, h // 4
+    total = bw * bh
+    i = 0
+    blk = 0
+    skip = 0
+    while blk < total:
+        if skip:
+            skip -= 1
+            blk += 1
+            continue
+        if i + 2 > len(buf):
+            return True  # remaining blocks persist
+        b0, b1 = buf[i], buf[i + 1]
+        i += 2
+        by, bx = divmod(blk, bw)
+        ys, xs = by * 4, bx * 4
+        if (b1 & 0xFC) == 0x84:
+            n = ((b1 - 0x84) << 8) + b0
+            if n == 0:
+                return False
+            skip = n - 1
+            blk += 1
+            continue
+        if b1 < 0x80:
+            flags = (b1 << 8) | b0
+            if i + 2 > len(buf):
+                return False
+            c0, c1 = buf[i], buf[i + 1]
+            i += 2
+            if c0 & 0x80:  # 8-color: 2 per 2x2 quadrant
+                if i + 6 > len(buf):
+                    return False
+                cols = [c0, c1] + list(buf[i : i + 6])
+                i += 6
+                for py in range(4):
+                    for px in range(4):
+                        sel = ((py & 2) << 1) + (px & 2) + (
+                            (flags & 1) ^ 1
+                        )
+                        fb[ys + py, xs + px] = cols[sel]
+                        flags >>= 1
+            else:  # 2-color
+                for py in range(4):
+                    for px in range(4):
+                        fb[ys + py, xs + px] = c0 if flags & 1 else c1
+                        flags >>= 1
+        else:  # 1-color
+            fb[ys : ys + 4, xs : xs + 4] = b0
+        blk += 1
+    return True
+
+
+def _msvc_block(blk: np.ndarray) -> bytes:
+    """Encode one 4x4 bottom-up block losslessly, picking the cheapest
+    legal mode. Raises ValueError when no mode can represent the block
+    exactly (MSVC is lossy in general; fixtures are built encodable)."""
+    pix = [int(blk[k // 4, k % 4]) for k in range(16)]
+    uniq = sorted(set(pix))
+    if len(uniq) == 1:
+        return bytes([uniq[0], 0x80])
+    if len(uniq) == 2:
+        # flag=1 color is colors[0]: needs bit7 clear (else read as
+        # 8-color) and pixel 15 must be the flag=0 color (else the
+        # flags high byte >= 0x80 and the word reads as 1-color/skip)
+        for cf1, cf0 in ((uniq[0], uniq[1]), (uniq[1], uniq[0])):
+            if cf1 < 0x80 and pix[15] == cf0:
+                flags = sum(1 << k for k in range(16) if pix[k] == cf1)
+                return bytes([flags & 0xFF, flags >> 8, cf1, cf0])
+    # 8-color: quadrant bases 0/2/4/6 per ((py&2)<<1)+(px&2)
+    cols = [0] * 8
+    flags = 0
+    for base, (py0, px0) in (
+        (0, (0, 0)), (2, (0, 2)), (4, (2, 0)), (6, (2, 2)),
+    ):
+        ks = [
+            (py0 + dy) * 4 + (px0 + dx)
+            for dy in range(2)
+            for dx in range(2)
+        ]
+        qc = sorted({pix[k] for k in ks})
+        if len(qc) > 2:
+            raise ValueError("quadrant has >2 colors")
+        if base == 0:
+            hi = [c for c in qc if c & 0x80]
+            if not hi:
+                raise ValueError("quadrant 0 needs a bit7 color")
+            cf1 = hi[0]
+            cf0 = (qc[0] if qc[0] != cf1 else qc[-1]) if len(qc) == 2 \
+                else cf1
+        elif base == 6:
+            cf0 = pix[15]
+            cf1 = (qc[0] if qc[0] != cf0 else qc[-1]) if len(qc) == 2 \
+                else cf0
+        else:
+            cf1, cf0 = qc[-1], qc[0]
+        cols[base], cols[base + 1] = cf1, cf0
+        for k in ks:
+            if pix[k] == cf1 and cf1 != cf0:
+                flags |= 1 << k
+    if not cols[0] & 0x80 or flags >> 8 >= 0x80:
+        raise ValueError("unencodable 8-color block")
+    return bytes([flags & 0xFF, flags >> 8] + cols)
+
+
+def encode_avi_msvc(frames: list[np.ndarray], w: int, h: int,
+                    fps: int = 10) -> bytes:
+    """MS Video 1 ('CRAM') AVI from (h, w) uint8 palette-index frames
+    (top-down, dims multiples of 4), 256-gray identity palette, REAL
+    inter-frame encoding: blocks equal to the previous frame become
+    skip runs the decoder must fill from its persistent framebuffer.
+    Same RIFF grammar as encode_avi_raw/encode_avi_mrle."""
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    payloads: list[bytes] = []
+    prev: np.ndarray | None = None
+    for fr in frames:
+        bu = fr[::-1]
+        prev_bu = prev[::-1] if prev is not None else None
+        ops = bytearray()
+        skip = 0
+        for by in range(h // 4):
+            for bx in range(w // 4):
+                blk = bu[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
+                if prev_bu is not None and np.array_equal(
+                    blk, prev_bu[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
+                ):
+                    skip += 1
+                    continue
+                while skip:
+                    d = min(skip, 0x3FF)
+                    ops += bytes([d & 0xFF, 0x84 + (d >> 8)])
+                    skip -= d
+                ops += _msvc_block(blk)
+        while skip:  # trailing skips persist via the framebuffer
+            d = min(skip, 0x3FF)
+            ops += bytes([d & 0xFF, 0x84 + (d >> 8)])
+            skip -= d
+        payloads.append(bytes(ops))
+        prev = fr
+    max_size = max(len(p) for p in payloads)
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, max_size * fps, 0, 0x10, len(payloads),
+        0, 1, max_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsCRAM"
+        + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(payloads),
+            max_size, 0, 0,
+        )
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = (
+        struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8,
+            struct.unpack("<I", b"CRAM")[0], max_size, 2835, 2835,
+            256, 0,
+        )
+        + pal
+    )
+    hdrl = lst(
+        b"hdrl", chunk(b"avih", avih) + lst(
+            b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)
+        )
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def synth_msvc_avi(doc_id: int) -> bytes:
+    """Deterministic MS Video 1 AVI fixture exercising all four block
+    opcodes: dims (4*(2+id%3), 4*(2+id%2)), (3+id%3) frames. Block
+    (bx, by) is repainted at frame f iff f == 0 or (bx+by+f) % 3 == 0
+    (else it persists -> skip runs); a painted block uses mode
+    m = (bx + 2*by + f) % 3: 0 = 1-color md5 fill, 1 = 2-color global
+    checkerboard (both colors %128, so the 2-color opcode is always
+    legal), 2 = 8-color per-quadrant checkerboard (top-down quadrant 2
+    = stream quadrant 0 gets its flag-1 color bit7-forced, the mode
+    signal). Closed form for the oracle: paint generation
+    g = f - ((bx+by+f) % 3) when >= 1 else 0."""
+    w = 4 * (2 + doc_id % 3)
+    h = 4 * (2 + doc_id % 2)
+    n = 3 + doc_id % 3
+
+    def hx(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:2], 16)
+
+    fr = np.zeros((h, w), dtype=np.uint8)
+    frames = []
+    for f in range(n):
+        for by in range(h // 4):
+            for bx in range(w // 4):
+                if f != 0 and (bx + by + f) % 3 != 0:
+                    continue
+                base = f"mv:{doc_id}:{f}:{bx}:{by}"
+                m = (bx + 2 * by + f) % 3
+                for yy in range(4):
+                    for xx in range(4):
+                        y, x = by * 4 + yy, bx * 4 + xx
+                        if m == 0:
+                            v = hx(base + ":c")
+                        elif m == 1:
+                            c0 = hx(base + ":0") % 128
+                            c1 = hx(base + ":1") % 128
+                            v = c1 if (x + y + f) % 2 == 0 else c0
+                        else:
+                            q = 2 * (yy // 2) + xx // 2
+                            a = hx(f"{base}:q{q}:1") % 128
+                            b = hx(f"{base}:q{q}:0") % 128
+                            if q == 2:
+                                a += 128
+                            v = a if x % 2 == y % 2 else b
+                        fr[y, x] = v
+        frames.append(fr.copy())
+    return encode_avi_msvc(frames, w, h)
+
+
+def with_synth_msvc_avi(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "content"
+) -> DataFrame:
+    """Attach the deterministic MS Video 1 AVI fixture bytes per id."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_msvc_avi(int(i)) for i in ids])
+
+    return df.withColumn(out_col, _synth(F.col(id_col)))

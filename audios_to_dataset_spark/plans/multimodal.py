@@ -642,6 +642,82 @@ FROM v GROUP BY doc_id, f, w, h
 """
 
 
+def q_msvc_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND inter-frame video codec — MS Video 1 ('CRAM'/'MSVC',
+    public Microsoft spec): 4x4 vector-quantized blocks with skip runs
+    (persist from the previous frame), 1-color, 2-color-flags and
+    8-color-per-quadrant opcodes. Where MS-RLE8 exercises row-granular
+    persistence, MSVC exercises block-granular persistence + mode
+    dispatch from the bit patterns of the color bytes themselves
+    (colors[0] bit7 selects 8-color mode). A deterministic CRAM AVI per
+    doc (block repainted at frame f iff f == 0 or (bx+by+f) % 3 == 0;
+    mode = (bx+2*by+f) % 3 cycling all three paint opcodes) → the real
+    RIFF walk + block state machine → every-2nd-frame sampling → exact
+    pixel means. The oracle replays paint generation
+    g = f - ((bx+by+f) % 3) (>=1 else 0) and every mode's md5 color
+    formula, so a wrong skip count, flag order, quadrant map, or
+    framebuffer carry fails the value hash."""
+    from ..functions.multimodal import (
+        sample_video_frames,
+        with_synth_msvc_avi,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return sample_video_frames(with_synth_msvc_avi(d), every_n=2)
+
+
+def _oracle_msvc_frames() -> str:
+    base = (
+        "'mv:' || CAST(doc_id AS VARCHAR) || ':' || CAST(gg AS VARCHAR)"
+        " || ':' || CAST(bx AS VARCHAR) || ':' || CAST(by AS VARCHAR)"
+    )
+
+    def hx(expr: str) -> str:
+        return f"('0x' || substr(md5({expr}), 1, 2))::INT"
+
+    return f"""
+WITH g AS (
+  SELECT doc_id, 4 * (2 + doc_id % 3) AS w, 4 * (2 + doc_id % 2) AS h,
+         3 + doc_id % 3 AS n
+  FROM documents
+), fr AS (
+  SELECT doc_id, w, h, unnest(range(0, n, 2)) AS f FROM g
+), fx AS (
+  SELECT doc_id, f, w, h, unnest(range(w)) AS x FROM fr
+), px AS (
+  SELECT doc_id, f, w, h, x, unnest(range(h)) AS y FROM fx
+), blk AS (
+  SELECT doc_id, f, w, h, x, y, x // 4 AS bx, y // 4 AS by FROM px
+), gen AS (
+  SELECT *, CASE WHEN f - ((bx + by + f) % 3) >= 1
+                 THEN f - ((bx + by + f) % 3) ELSE 0 END AS gg
+  FROM blk
+), modes AS (
+  SELECT *, (bx + 2 * by + gg) % 3 AS m,
+         2 * ((y % 4) // 2) + (x % 4) // 2 AS q
+  FROM gen
+), v AS (
+  SELECT doc_id, f, w, h,
+    CASE m
+      WHEN 0 THEN {hx(base + " || ':c'")}
+      WHEN 1 THEN CASE WHEN (x + y + gg) % 2 = 0
+                       THEN {hx(base + " || ':1'")} % 128
+                       ELSE {hx(base + " || ':0'")} % 128 END
+      ELSE CASE WHEN (x % 2) = (y % 2)
+                THEN {hx(base + " || ':q' || CAST(q AS VARCHAR) || ':1'")}
+                     % 128 + CASE WHEN q = 2 THEN 128 ELSE 0 END
+                ELSE {hx(base + " || ':q' || CAST(q AS VARCHAR) || ':0'")}
+                     % 128 END
+    END AS v
+  FROM modes
+)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(w AS BIGINT) AS frame_w, CAST(h AS BIGINT) AS frame_h,
+       CAST(SUM(v) AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_px
+FROM v GROUP BY doc_id, f, w, h
+"""
+
+
 def q_gif_interlace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GIF interlace + local-color-table decode: a deterministic
     grayscale GIF per doc written in the 4-pass interlaced row order
@@ -1672,6 +1748,7 @@ QUERIES = {
     "q_media_null_content": q_media_null_content,
     "q_mjpeg_frames": q_mjpeg_frames,
     "q_rle_frames": q_rle_frames,
+    "q_msvc_frames": q_msvc_frames,
     "q_audio_normalize": q_audio_normalize,
     "q_audio_stats": q_audio_stats,
     "q_audio_ulaw": q_audio_ulaw,
@@ -1717,6 +1794,7 @@ ORACLES["q_jpeg_progressive"] = ORACLE_JPEG_PROGRESSIVE
 ORACLES["q_media_null_content"] = ORACLE_MEDIA_NULL_CONTENT
 ORACLES["q_mjpeg_frames"] = ORACLE_MJPEG_FRAMES
 ORACLES["q_rle_frames"] = ORACLE_RLE_FRAMES
+ORACLES["q_msvc_frames"] = _oracle_msvc_frames()
 ORACLES["q_audio_normalize"] = ORACLE_AUDIO_NORMALIZE
 ORACLES["q_audio_stats"] = ORACLE_AUDIO_STATS
 ORACLES["q_audio_ulaw"] = ORACLE_AUDIO_ULAW

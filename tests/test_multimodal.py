@@ -602,3 +602,63 @@ def test_dhash_null_and_undecodable(spark):
     rows = {r["doc_id"]: r for r in with_dhash(df).collect()}
     assert rows[1]["dhash_hi"] is None and rows[1]["dhash_lo"] is None
     assert rows[2]["dhash_hi"] is None and rows[2]["dhash_lo"] is None
+
+
+def test_msvc_codec_roundtrip_and_skip_persistence():
+    """MS Video 1: exact round trip through every opcode, block-granular
+    inter-frame persistence (skipped blocks keep frame k-1 pixels), and
+    malformed-stream rejection."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        _decode_msvc_into,
+        decode_avi_frames,
+        encode_avi_msvc,
+    )
+
+    w, h = 8, 8
+    f0 = np.zeros((h, w), dtype=np.uint8)
+    f0[:4, :4] = 10                       # 1-color block
+    f0[:4, 4:] = np.tile([20, 30], (4, 2))  # 2-color block
+    f0[4:, :4] = 200                      # 1-color, bit7 color
+    q = np.array([[1, 2], [2, 1]], dtype=np.uint8)
+    f0[4:, 4:] = np.kron(np.ones((2, 2), np.uint8), q) * 40  # 2-color
+    f1 = f0.copy()
+    f1[:4, :4] = 99                       # only one block changes
+    avi = encode_avi_msvc([f0, f1], w, h)
+    frames = decode_avi_frames(avi)
+    assert frames is not None and len(frames) == 2
+    assert np.array_equal(frames[0][:, :, 0], f0)
+    assert np.array_equal(frames[1][:, :, 0], f1)  # 3 blocks persisted
+
+    # frame 1 payload must be small: 1 block painted + skips
+    # malformed: skip count 0 is rejected
+    fb = np.zeros((8, 8), dtype=np.uint8)
+    assert _decode_msvc_into(bytes([0, 0x84]), fb) is False
+    # truncated stream leaves remaining blocks persistent (legal)
+    fb[:] = 7
+    assert _decode_msvc_into(bytes([5, 0x80]), fb) is True
+    assert fb[0, 0] == 5 and fb[4, 4] == 7
+
+
+def test_msvc_eight_color_block():
+    """8-color blocks reconstruct per-quadrant colors exactly, including
+    the bit7 mode-signal constraint on the stream's quadrant 0."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_avi_frames,
+        encode_avi_msvc,
+    )
+
+    blk = np.zeros((4, 4), dtype=np.uint8)
+    # top-down quadrants; stream quadrant 0 = bottom-left (rows 2:4,
+    # cols 0:2) needs one bit7 color
+    blk[0:2, 0:2] = [[1, 2], [2, 1]]
+    blk[0:2, 2:4] = [[3, 4], [4, 3]]
+    blk[2:4, 0:2] = [[200, 5], [5, 200]]
+    blk[2:4, 2:4] = [[6, 7], [7, 6]]
+    avi = encode_avi_msvc([blk], 4, 4)
+    frames = decode_avi_frames(avi)
+    assert frames is not None
+    assert np.array_equal(frames[0][:, :, 0], blk)
