@@ -684,3 +684,121 @@ def synth_wav_md5_ulaw(doc_id: int) -> bytes:
     fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 7, 1, sr, sr, 1, 8)
     data = b"data" + struct.pack("<I", len(body))
     return hdr + fmt + data + body
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting (energy-gradient hash) + near-dup fixtures
+# ---------------------------------------------------------------------------
+
+# Near-dup WAV fixture family: docs in the same GROUP (doc_id %
+# AFP_GROUPS) share one md5-derived base signal; each doc re-synthesizes
+# ONE 16-sample window. Same-group clips fingerprint within a few bits,
+# cross-group clips are random — the audio analog of the image-dHash
+# fixtures. The fingerprint itself is the Haitsma-Kalker-style
+# energy-gradient bit scheme (public: "A Highly Robust Audio
+# Fingerprinting System", ISMIR 2002), simplified to one band.
+AFP_GROUPS = 29
+AFP_WIN = 16           # samples per energy window
+AFP_WINDOWS = 33       # windows -> 32 gradient bits
+AFP_SAMPLES = AFP_WIN * AFP_WINDOWS
+
+
+def _afp_sample(key: str) -> int:
+    """First 4 md5 hex digits % 40000 - 20000 (int16-safe)."""
+    import hashlib
+
+    return int(hashlib.md5(key.encode()).hexdigest()[:4], 16) % 40000 \
+        - 20000
+
+
+def synth_wav_group(doc_id: int) -> bytes:
+    """Deterministic near-dup PCM16 WAV: 528 samples, base sample i =
+    md5('af:{g}:{i}') with g = doc_id % AFP_GROUPS; the doc's one
+    perturbed window ((doc_id // groups) % 33) is re-synthesized from
+    md5('afp:{doc_id}:{i}') — both formulas a DuckDB oracle replays."""
+    g = doc_id % AFP_GROUPS
+    pwin = (doc_id // AFP_GROUPS) % AFP_WINDOWS
+    body = b"".join(
+        struct.pack(
+            "<h",
+            _afp_sample(
+                f"afp:{doc_id}:{i}" if i // AFP_WIN == pwin
+                else f"af:{g}:{i}"
+            ),
+        )
+        for i in range(AFP_SAMPLES)
+    )
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16
+    )
+    data = b"data" + struct.pack("<I", len(body))
+    return hdr + fmt + data + body
+
+
+def wav_pcm16_samples(data: bytes | None):
+    """Extract int16 PCM samples from a 16-bit linear PCM WAV (RIFF
+    chunk walk, mono or interleaved as-is). Other formats / malformed
+    input -> None (keep-with-fallback)."""
+    import numpy as np
+
+    try:
+        if data is None or len(data) < 12 or data[0:4] != b"RIFF" \
+                or data[8:12] != b"WAVE":
+            return None
+        pos = 12
+        tag = bits = 0
+        body_off = -1
+        body_len = 0
+        n = len(data)
+        while pos + 8 <= n:
+            cid = data[pos : pos + 4]
+            (csize,) = struct.unpack_from("<I", data, pos + 4)
+            body = pos + 8
+            if cid == b"fmt " and body + 16 <= n:
+                (tag, _ch, _sr, _br, _ba, bits) = struct.unpack_from(
+                    "<HHIIHH", data, body
+                )
+            elif cid == b"data":
+                body_off = body
+                body_len = min(csize, n - body)
+            pos = body + csize + (csize & 1)
+        if tag != 1 or bits != 16 or body_off < 0 or body_len < 2:
+            return None
+        return np.frombuffer(
+            data, dtype="<i2", count=body_len // 2, offset=body_off
+        )
+    except Exception:
+        return None
+
+
+def audio_fingerprint(data: bytes | None) -> int | None:
+    """32-bit energy-gradient fingerprint: windowed sum of |sample|
+    (integer-exact), bit w = energy[w] > energy[w+1]. Needs the full
+    AFP_SAMPLES frame count; anything else -> None."""
+    import numpy as np
+
+    s = wav_pcm16_samples(data)
+    if s is None or s.size < AFP_SAMPLES:
+        return None
+    e = (
+        np.abs(s[:AFP_SAMPLES].astype(np.int64))
+        .reshape(AFP_WINDOWS, AFP_WIN)
+        .sum(axis=1)
+    )
+    bits = (e[:-1] > e[1:]).astype(np.int64)
+    return int((bits << np.arange(32, dtype=np.int64)).sum())
+
+
+def with_audio_fingerprint(df, content_col: str = "content"):
+    """Attach ``fp`` (32-bit energy-gradient fingerprint, NULL for
+    undecodable content) via one Arrow-batched pandas UDF."""
+    from pyspark.sql import functions as F
+
+    @pandas_udf("long")
+    def _fp(content: pd.Series) -> pd.Series:
+        return pd.Series(
+            [audio_fingerprint(b) for b in content], dtype="object"
+        )
+
+    return df.withColumn("fp", _fp(F.col(content_col)))

@@ -1732,6 +1732,160 @@ WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo))
 """
 
 
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint (Haitsma-Kalker-style energy-gradient bits,
+    ISMIR 2002, one-band simplification) over the REAL WAV path:
+    near-dup PCM16 fixture (group base signal + one re-synthesized
+    window) → RIFF chunk walk → integer |sample| window energies → 32
+    gradient bits. The oracle recomputes every sample from the md5
+    formulas (group base + per-doc perturbed window) and re-packs the
+    bits — integer-exact on both sides. One mapInPandas pass, no
+    shuffle at 100 TB."""
+    from ..functions.wav import synth_wav_group, with_audio_fingerprint
+    from pyspark.sql.functions import pandas_udf
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_wav_group(int(i)) for i in ids])
+
+    wav = d.withColumn("content", _synth(F.col("doc_id")))
+    return with_audio_fingerprint(wav).select("doc_id", "fp")
+
+
+# Shared fingerprint-recompute CTE: base window energies per GROUP
+# (29 x 33 windows), the doc's one perturbed-window energy, then the
+# 32 gradient bits packed into a non-negative BIGINT.
+_AFP_CTE = """
+d AS (
+  SELECT doc_id, doc_id % 29 AS g,
+         (doc_id // 29) % 33 AS pwin
+  FROM documents
+), gi AS (
+  SELECT DISTINCT g FROM d
+), bs AS (
+  SELECT g, i,
+         CAST(('0x' || substr(md5('af:' || CAST(g AS VARCHAR) || ':' ||
+              CAST(i AS VARCHAR)), 1, 4))::INT % 40000 - 20000
+              AS BIGINT) AS s
+  FROM gi, range(528) t(i)
+), be AS (
+  SELECT g, i // 16 AS w, SUM(abs(s)) AS e FROM bs GROUP BY 1, 2
+), pe AS (
+  SELECT doc_id,
+         SUM(abs(CAST(('0x' || substr(md5('afp:' ||
+              CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+              1, 4))::INT % 40000 - 20000 AS BIGINT))) AS e
+  FROM d, range(528) t(i)
+  WHERE i // 16 = pwin
+  GROUP BY doc_id
+), en AS (
+  SELECT d.doc_id, be.w,
+         CASE WHEN be.w = d.pwin THEN pe.e ELSE be.e END AS e
+  FROM d JOIN be ON be.g = d.g JOIN pe ON pe.doc_id = d.doc_id
+), fpbits AS (
+  SELECT a.doc_id, a.w AS b,
+         CASE WHEN a.e > c.e THEN 1 ELSE 0 END AS bit
+  FROM en a JOIN en c ON c.doc_id = a.doc_id AND c.w = a.w + 1
+  WHERE a.w < 32
+), fps AS (
+  SELECT doc_id,
+         CAST(SUM(bit * (1::BIGINT << b)) AS BIGINT) AS fp
+  FROM fpbits GROUP BY doc_id
+)
+"""
+
+ORACLE_AUDIO_FINGERPRINT = f"""
+WITH {_AFP_CTE}
+SELECT doc_id, fp FROM fps
+"""
+
+
+AFP_NEARDUP_MAX_DIST = 4
+
+
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO detection — the audio leg of the dedup
+    modality set (text MinHash / embedding LSH / image dHash): 32-bit
+    energy-gradient fingerprints banded into 4x8-bit LSH keys, pair
+    candidates from band equi-joins only, exact Hamming distance
+    <= {AFP_NEARDUP_MAX_DIST} via xor + bit_count. Banding guarantees
+    recall for pairs within 3 bits (pigeonhole over 4 bands); the
+    fixture's perturbation flips at most 2 bits per clip. Scale shape =
+    MinHash-LSH: one shuffle on band keys, candidates linear in true
+    dups."""
+    from ..functions.wav import synth_wav_group, with_audio_fingerprint
+    from pyspark.sql.functions import pandas_udf
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_wav_group(int(i)) for i in ids])
+
+    wav = d.withColumn("content", _synth(F.col("doc_id")))
+    h = with_audio_fingerprint(wav).select("doc_id", "fp")
+    bands = h.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright("fp", 8 * k)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp", "bk.band", "bk.key")
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("fp").alias("afp"),
+        "band", "key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("fp").alias("bfp"),
+        "band", "key",
+    )
+    pairs = (
+        a.join(b, on=["band", "key"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "afp", "bfp")
+        .distinct()
+    )
+    dist = F.bit_count(F.col("afp").bitwiseXOR(F.col("bfp"))).cast("long")
+    return pairs.select("a_id", "b_id", dist.alias("dist")).where(
+        F.col("dist") <= AFP_NEARDUP_MAX_DIST
+    )
+
+
+ORACLE_AUDIO_NEARDUP = f"""
+WITH {_AFP_CTE}
+, bands AS (
+  SELECT doc_id, fp, t.band, (fp // (1::BIGINT << (8 * t.band))) % 256
+         AS key
+  FROM fps, (VALUES (0), (1), (2), (3)) t(band)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.fp AS afp, b.fp AS bfp
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key
+              AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST(bit_count(xor(afp, bfp)) AS BIGINT) AS dist
+FROM pairs
+WHERE bit_count(xor(afp, bfp)) <= {AFP_NEARDUP_MAX_DIST}
+"""
+
+
 QUERIES = {
     "q_multimodal_embed": q_multimodal_embed,
     "q_multimodal_decode": q_multimodal_decode,
@@ -1762,6 +1916,8 @@ QUERIES = {
     "q_audio_trim": q_audio_trim,
     "q_image_dhash": q_image_dhash,
     "q_image_neardup": q_image_neardup,
+    "q_audio_fingerprint": q_audio_fingerprint,
+    "q_audio_neardup": q_audio_neardup,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -1808,3 +1964,5 @@ ORACLES["q_image_headers"] = ORACLE_IMAGE_HEADERS
 ORACLES["q_audio_trim"] = ORACLE_AUDIO_TRIM
 ORACLES["q_image_dhash"] = ORACLE_IMAGE_DHASH
 ORACLES["q_image_neardup"] = ORACLE_IMAGE_NEARDUP
+ORACLES["q_audio_fingerprint"] = ORACLE_AUDIO_FINGERPRINT
+ORACLES["q_audio_neardup"] = ORACLE_AUDIO_NEARDUP

@@ -111,3 +111,42 @@ def test_fuzz_never_raises():
         assert sr >= 0 and dur >= 0.0 and isinstance(est, bool)
 
     run()
+
+
+def test_audio_fingerprint_contract():
+    """Fingerprint: 32-bit range, NULL/short/non-PCM16 -> None, and the
+    4x8-bit banding recalls every pair within 3 bits (pigeonhole)."""
+    import itertools
+
+    from audios_to_dataset_spark.functions.wav import (
+        AFP_GROUPS,
+        audio_fingerprint,
+        synth_wav,
+        synth_wav_group,
+    )
+
+    fps = {
+        d: audio_fingerprint(synth_wav_group(d)) for d in range(100)
+    }
+    assert all(0 <= f < 1 << 32 for f in fps.values())
+    assert audio_fingerprint(None) is None
+    assert audio_fingerprint(b"RIFFxxxxWAVE") is None
+    # full-length sine WAV fingerprints fine; 100-sample one is too short
+    assert audio_fingerprint(synth_wav(n_samples=528)) is not None
+    assert audio_fingerprint(synth_wav(n_samples=100)) is None
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    def bandkeys(f):
+        return {(k, (f >> (8 * k)) & 255) for k in range(4)}
+
+    same = [
+        ham(fps[a], fps[b])
+        for a, b in itertools.combinations(fps, 2)
+        if a % AFP_GROUPS == b % AFP_GROUPS
+    ]
+    assert same and max(same) <= 4  # one window flips <= 2 bits per clip
+    for a, b in itertools.combinations(fps, 2):
+        if ham(fps[a], fps[b]) <= 3:
+            assert bandkeys(fps[a]) & bandkeys(fps[b])
