@@ -17,6 +17,7 @@ from ..curate import (
     quality_gate,
     source_cap,
 )
+from ._util import sround, sround_sql
 from .dedup import NUM_HASHES, _oracle_minhash
 
 EST_THRESHOLD = 0.5
@@ -368,12 +369,114 @@ FROM g GROUP BY source
 """
 
 
+# t-closeness (Li, Li & Venkatasubramanian 2007): a QI group passes
+# only if its sensitive-attribute distribution stays within distance t
+# of the GLOBAL distribution. Distance = total variation, computed on
+# exact integers: TV = sum_l |n_gl*N - N_l*n_g| / (2*n_g*N), with the
+# absent-language terms folded in closed form (sum over absent l of
+# N_l*n_g = n_g*N - sum over present l of N_l*n_g), so no group x lang
+# cartesian is ever built. Threshold t = 0.6 compared integer-exactly:
+# TV > 0.6  <=>  5*num_present > n_g*N (after folding).
+T_CLOSENESS_NUM = 5  # TV > 0.6 <=> 5*s > n_g*N; see derivation above
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third privacy leg after k-anonymity and
+    l-diversity: a big, diverse QI group still leaks when its sensitive
+    distribution DIFFERS from the corpus (e.g. one source+length band
+    is 90% one language while the corpus is uniform). QI = (source,
+    100-char band), sensitive = lang (NULL folded to a sentinel so both
+    engines bucket it identically). All counts exact integers; the
+    threshold test is integer-only; doubles appear just in the reported
+    rounded ratios. BIGINT products stay safe to ~3e9 rows; past that
+    swap the two products to DECIMAL(38,0) — noted, not needed here.
+
+    100 TB shape: one (QI, lang) groupBy, two partitioned window sums
+    over that small rollup, one broadcast 1-row total — no join on
+    nullable keys, no cartesian."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    g3 = d.groupBy(
+        "source",
+        F.floor(F.col("n_chars") / 100.0).cast("bigint").alias("band"),
+        F.coalesce("lang", F.lit("__null__")).alias("lang"),
+    ).agg(F.count("*").cast("bigint").alias("n_gl"))
+    w_g = Window.partitionBy("source", "band")
+    w_l = Window.partitionBy("lang")
+    tot = d.agg(F.count("*").cast("bigint").alias("n_tot"))
+    t = (
+        g3.withColumn("n_g", F.sum("n_gl").over(w_g))
+        .withColumn("n_l", F.sum("n_gl").over(w_l))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "term",
+            F.abs(F.col("n_gl") * F.col("n_tot")
+                  - F.col("n_l") * F.col("n_g"))
+            - F.col("n_l") * F.col("n_g"),
+        )
+    )
+    grp = t.groupBy("source", "band").agg(
+        F.max("n_g").alias("n_g"),
+        F.max("n_tot").alias("n_tot"),
+        F.sum("term").alias("s"),
+    )
+    viol = F.col("s") * T_CLOSENESS_NUM > F.col("n_g") * F.col("n_tot")
+    tv = (
+        (F.col("s") + F.col("n_g") * F.col("n_tot")).cast("double")
+        / (2.0 * (F.col("n_g") * F.col("n_tot")).cast("double"))
+    )
+    return grp.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        sround(F.max(tv), 4).alias("max_tv"),
+        F.sum(F.when(viol, 1).otherwise(0)).cast("bigint").alias(
+            "n_far_groups"
+        ),
+        sround(
+            F.sum(F.when(viol, F.col("n_g")).otherwise(0)).cast("double")
+            / F.sum("n_g").cast("double"),
+            4,
+        ).alias("risk_rate"),
+    )
+
+
+ORACLE_T_CLOSENESS = f"""
+WITH g3 AS (
+  SELECT source, CAST(floor(n_chars / 100.0) AS BIGINT) AS band,
+         COALESCE(lang, '__null__') AS lang,
+         CAST(COUNT(*) AS BIGINT) AS n_gl
+  FROM documents GROUP BY 1, 2, 3
+), t AS (
+  SELECT source, band, n_gl,
+         SUM(n_gl) OVER (PARTITION BY source, band) AS n_g,
+         SUM(n_gl) OVER (PARTITION BY lang) AS n_l,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_tot
+  FROM g3
+), grp AS (
+  SELECT source, band, MAX(n_g) AS n_g, MAX(n_tot) AS n_tot,
+         SUM(abs(n_gl * n_tot - n_l * n_g) - n_l * n_g) AS s
+  FROM t GROUP BY source, band
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       {sround_sql("MAX(CAST(s + n_g * n_tot AS DOUBLE)"
+                   " / (2.0 * CAST(n_g * n_tot AS DOUBLE)))", 4)}
+         AS max_tv,
+       CAST(SUM(CASE WHEN s * {T_CLOSENESS_NUM} > n_g * n_tot
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_far_groups,
+       {sround_sql("CAST(SUM(CASE WHEN s * " + str(T_CLOSENESS_NUM)
+                   + " > n_g * n_tot THEN n_g ELSE 0 END) AS DOUBLE)"
+                   " / CAST(SUM(n_g) AS DOUBLE)", 4)} AS risk_rate
+FROM grp GROUP BY source
+"""
+
+
 QUERIES = {
     "q_curation_funnel": q_curation_funnel,
     "q_global_shuffle": q_global_shuffle,
     "q_dataset_card": q_dataset_card,
     "q_k_anonymity": q_k_anonymity,
     "q_l_diversity": q_l_diversity,
+    "q_t_closeness": q_t_closeness,
 }
 
 ORACLES = {
@@ -382,4 +485,5 @@ ORACLES = {
     "q_dataset_card": _oracle_dataset_card(),
     "q_k_anonymity": ORACLE_K_ANONYMITY,
     "q_l_diversity": ORACLE_L_DIVERSITY,
+    "q_t_closeness": ORACLE_T_CLOSENESS,
 }
