@@ -1,0 +1,198 @@
+"""Audio container header walks — MP3 (MPEG-1 Layer III frames +
+ID3v2 skip), FLAC (STREAMINFO), and Ogg Opus (OpusHead) — the S4-class
+metadata breadth for the formats an audio-dataset scan actually meets
+next to WAV (the reference ingests WAV only, src/main.rs:760-769; these
+extend the same keep-with-fallback header-walk contract to the
+compressed containers WITHOUT needing a codec: sample rate, channels,
+and duration all live in headers).
+
+Public specs: ISO/IEC 11172-3 (MPEG-1 audio framing), id3.org (ID3v2
+syncsafe sizes), xiph.org FLAC format (METADATA_BLOCK_STREAMINFO), and
+RFC 7845 (Ogg encapsulation for Opus). All parsing is pure
+struct/integer arithmetic; malformed input -> the (None, 0, 0, 0)
+fallback shared with parse_wav_header.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# MPEG-1 Layer III bitrates (kbps) and sample rates by header index
+MP3_BITRATES = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+MP3_RATES = (44100, 48000, 32000)
+MP3_SAMPLES_PER_FRAME = 1152
+
+
+def _skip_id3v2(data: bytes) -> int:
+    """Return the offset past an ID3v2 tag (syncsafe 28-bit size), or 0
+    when none is present."""
+    if len(data) >= 10 and data[:3] == b"ID3":
+        size = (
+            ((data[6] & 0x7F) << 21)
+            | ((data[7] & 0x7F) << 14)
+            | ((data[8] & 0x7F) << 7)
+            | (data[9] & 0x7F)
+        )
+        return 10 + size
+    return 0
+
+
+def parse_mp3_header(
+    data: bytes | None,
+) -> tuple[str | None, int, int, int]:
+    """Walk MPEG-1 Layer III frames: (fmt, sample_rate, channels,
+    duration_ms). Duration = frames * 1152 / rate — exact integer
+    milliseconds (floor). Stops at the first invalid header; needs at
+    least one whole valid frame, and all frames must agree on rate and
+    mode (a real CBR/ABR stream does)."""
+    try:
+        if not data:
+            return None, 0, 0, 0
+        pos = _skip_id3v2(data)
+        n = len(data)
+        frames = 0
+        rate = 0
+        channels = 0
+        while pos + 4 <= n:
+            b0, b1, b2, b3 = data[pos : pos + 4]
+            if b0 != 0xFF or (b1 & 0xFE) != 0xFA:  # sync + MPEG-1 L3
+                break
+            bi = b2 >> 4
+            sri = (b2 >> 2) & 0x3
+            pad = (b2 >> 1) & 0x1
+            mode = b3 >> 6
+            if bi in (0, 15) or sri == 3:
+                break
+            sr = MP3_RATES[sri]
+            ch = 1 if mode == 3 else 2
+            if frames and (sr != rate or ch != channels):
+                break
+            fsize = (144_000 * MP3_BITRATES[bi]) // sr + pad
+            if fsize < 4 or pos + fsize > n:
+                break
+            rate, channels = sr, ch
+            frames += 1
+            pos += fsize
+        if frames == 0:
+            return None, 0, 0, 0
+        dur_ms = frames * MP3_SAMPLES_PER_FRAME * 1000 // rate
+        return "mp3", rate, channels, dur_ms
+    except Exception:
+        return None, 0, 0, 0
+
+
+def parse_flac_header(
+    data: bytes | None,
+) -> tuple[str | None, int, int, int]:
+    """FLAC STREAMINFO: (fmt, sample_rate, channels, duration_ms) from
+    the fixed 34-byte first metadata block (rate 20 bits, channels-1
+    3 bits, bps-1 5 bits, total samples 36 bits)."""
+    try:
+        if not data or len(data) < 4 + 4 + 34 or data[:4] != b"fLaC":
+            return None, 0, 0, 0
+        btype = data[4] & 0x7F
+        (blen,) = struct.unpack(">I", b"\x00" + data[5:8])
+        if btype != 0 or blen != 34:
+            return None, 0, 0, 0
+        si = data[8 : 8 + 34]
+        packed = int.from_bytes(si[10:18], "big")
+        rate = packed >> 44
+        channels = ((packed >> 41) & 0x7) + 1
+        total = packed & ((1 << 36) - 1)
+        if rate == 0:
+            return None, 0, 0, 0
+        return "flac", rate, channels, total * 1000 // rate
+    except Exception:
+        return None, 0, 0, 0
+
+
+def parse_opus_header(
+    data: bytes | None,
+) -> tuple[str | None, int, int, int]:
+    """Ogg Opus: (fmt, input_sample_rate, channels, 0) from the
+    OpusHead packet on the first Ogg page (RFC 7845 §5.1; duration
+    lives on the LAST page's granule, so header-only reports 0)."""
+    try:
+        if not data or len(data) < 28 or data[:4] != b"OggS":
+            return None, 0, 0, 0
+        nsegs = data[26]
+        off = 27 + nsegs
+        if len(data) < off + 19 or data[off : off + 8] != b"OpusHead":
+            return None, 0, 0, 0
+        channels = data[off + 9]
+        (rate,) = struct.unpack_from("<I", data, off + 12)
+        return "opus", rate, channels, 0
+    except Exception:
+        return None, 0, 0, 0
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixtures (oracle-recomputable by construction)
+# ---------------------------------------------------------------------------
+
+
+def synth_mp3(doc_id: int) -> bytes:
+    """ID3v2-prefixed MPEG-1 Layer III stream: rate index doc_id % 3,
+    mono iff doc_id odd, 3 + doc_id % 5 frames with bitrate index
+    1 + (doc_id + j) % 9 and padding j % 2 — frame sizes vary, so the
+    walk must compute each one from the header it just read."""
+    tag_pad = doc_id % 17
+    id3 = b"ID3\x03\x00\x00" + bytes(
+        [0, 0, (tag_pad >> 7) & 0x7F, tag_pad & 0x7F]
+    ) + b"\x00" * tag_pad
+    sri = doc_id % 3
+    sr = MP3_RATES[sri]
+    mode = 3 if doc_id % 2 else 0  # mono / stereo
+    out = bytearray(id3)
+    for j in range(3 + doc_id % 5):
+        bi = 1 + (doc_id + j) % 9
+        pad = j % 2
+        fsize = (144_000 * MP3_BITRATES[bi]) // sr + pad
+        hdr = bytes(
+            [0xFF, 0xFB, (bi << 4) | (sri << 2) | (pad << 1), mode << 6]
+        )
+        out += hdr + b"\x00" * (fsize - 4)
+    return bytes(out)
+
+
+def synth_flac(doc_id: int) -> bytes:
+    """fLaC + STREAMINFO: rate 8000 + (doc_id % 5) * 4000, channels
+    1 + doc_id % 2, 16-bit, 1000 + doc_id % 997 total samples."""
+    rate = 8000 + (doc_id % 5) * 4000
+    channels = 1 + doc_id % 2
+    total = 1000 + doc_id % 997
+    packed = (rate << 44) | ((channels - 1) << 41) | (15 << 36) | total
+    si = (
+        struct.pack(">HH", 4096, 4096)
+        + b"\x00" * 6
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16
+    )
+    assert len(si) == 34
+    return b"fLaC" + b"\x80" + struct.pack(">I", 34)[1:] + si
+
+
+def synth_opus(doc_id: int) -> bytes:
+    """One BOS Ogg page carrying OpusHead: channels 1 + doc_id % 2,
+    input rate 16000 + (doc_id % 4) * 8000."""
+    head = (
+        b"OpusHead"
+        + bytes([1, 1 + doc_id % 2])
+        + struct.pack("<H", 312)
+        + struct.pack("<I", 16000 + (doc_id % 4) * 8000)
+        + struct.pack("<h", 0)
+        + b"\x00"
+    )
+    assert len(head) == 19
+    page = (
+        b"OggS\x00\x02"
+        + b"\x00" * 8
+        + struct.pack("<I", doc_id & 0xFFFFFFFF)
+        + struct.pack("<I", 0)
+        + b"\x00" * 4
+        + bytes([1, len(head)])
+        + head
+    )
+    return page

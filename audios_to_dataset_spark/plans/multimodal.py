@@ -1025,6 +1025,96 @@ FROM documents
 """
 
 
+def q_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only metadata decode for the compressed audio containers
+    (S4-class breadth, the audio twin of q_image_headers): an
+    ID3v2-prefixed MPEG-1 Layer III stream (variable per-frame bitrate
+    + padding, so the walk must size every frame from its own header),
+    a FLAC STREAMINFO block (20/3/5/36-bit packed fields), and an Ogg
+    Opus BOS page (OpusHead) per doc — real parses over real bytes; the
+    oracle recomputes rates/channels/durations from the id formulas
+    (durations are exact integer-floor milliseconds)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    from ..functions.audio_headers import (
+        parse_flac_header,
+        parse_mp3_header,
+        parse_opus_header,
+        synth_flac,
+        synth_mp3,
+        synth_opus,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    out_t = T.StructType(
+        [
+            T.StructField("mp3_sr", T.LongType()),
+            T.StructField("mp3_ch", T.LongType()),
+            T.StructField("mp3_ms", T.LongType()),
+            T.StructField("flac_sr", T.LongType()),
+            T.StructField("flac_ch", T.LongType()),
+            T.StructField("flac_ms", T.LongType()),
+            T.StructField("opus_sr", T.LongType()),
+            T.StructField("opus_ch", T.LongType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _hdr(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        rows = []
+        for i in ids:
+            i = int(i)
+            _mf, msr, mch, mms = parse_mp3_header(synth_mp3(i))
+            _ff, fsr, fch, fms = parse_flac_header(synth_flac(i))
+            _of, osr, och, _oms = parse_opus_header(synth_opus(i))
+            rows.append((msr, mch, mms, fsr, fch, fms, osr, och))
+        cols = [
+            "mp3_sr", "mp3_ch", "mp3_ms", "flac_sr", "flac_ch",
+            "flac_ms", "opus_sr", "opus_ch",
+        ]
+        return pd.DataFrame(
+            {
+                c: pd.Series([r[k] for r in rows], dtype="int64")
+                for k, c in enumerate(cols)
+            }
+        )
+
+    out = d.withColumn("r", _hdr(F.col("doc_id")))
+    return out.select(
+        "doc_id", *[F.col(f"r.{c}").alias(c) for c in (
+            "mp3_sr", "mp3_ch", "mp3_ms", "flac_sr", "flac_ch",
+            "flac_ms", "opus_sr", "opus_ch",
+        )]
+    )
+
+
+ORACLE_AUDIO_HEADERS = """
+WITH p AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                         ELSE 32000 END AS mp3_sr,
+         8000 + (doc_id % 5) * 4000 AS flac_sr,
+         1000 + doc_id % 997 AS flac_total,
+         3 + doc_id % 5 AS mp3_frames
+  FROM documents
+)
+SELECT doc_id,
+       CAST(mp3_sr AS BIGINT) AS mp3_sr,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS BIGINT)
+         AS mp3_ch,
+       CAST(mp3_frames * 1152 * 1000 // mp3_sr AS BIGINT) AS mp3_ms,
+       CAST(flac_sr AS BIGINT) AS flac_sr,
+       CAST(1 + doc_id % 2 AS BIGINT) AS flac_ch,
+       CAST(flac_total * 1000 // flac_sr AS BIGINT) AS flac_ms,
+       CAST(16000 + (doc_id % 4) * 8000 AS BIGINT) AS opus_sr,
+       CAST(1 + doc_id % 2 AS BIGINT) AS opus_ch
+FROM p
+"""
+
+
 TRIM_THRESHOLD = 24_576  # |raw int16| at/above this counts as signal
 
 
@@ -1918,6 +2008,7 @@ QUERIES = {
     "q_image_neardup": q_image_neardup,
     "q_audio_fingerprint": q_audio_fingerprint,
     "q_audio_neardup": q_audio_neardup,
+    "q_audio_headers": q_audio_headers,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -1966,3 +2057,4 @@ ORACLES["q_image_dhash"] = ORACLE_IMAGE_DHASH
 ORACLES["q_image_neardup"] = ORACLE_IMAGE_NEARDUP
 ORACLES["q_audio_fingerprint"] = ORACLE_AUDIO_FINGERPRINT
 ORACLES["q_audio_neardup"] = ORACLE_AUDIO_NEARDUP
+ORACLES["q_audio_headers"] = ORACLE_AUDIO_HEADERS

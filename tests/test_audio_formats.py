@@ -150,3 +150,37 @@ def test_audio_fingerprint_contract():
     for a, b in itertools.combinations(fps, 2):
         if ham(fps[a], fps[b]) <= 3:
             assert bandkeys(fps[a]) & bandkeys(fps[b])
+
+
+def test_audio_container_headers_malformed():
+    """MP3/FLAC/Opus header walks: keep-with-fallback on malformed
+    input, ID3v2 skip, and mixed-frame MP3 walks."""
+    from audios_to_dataset_spark.functions.audio_headers import (
+        parse_flac_header,
+        parse_mp3_header,
+        parse_opus_header,
+        synth_flac,
+        synth_mp3,
+        synth_opus,
+    )
+
+    assert parse_mp3_header(None) == (None, 0, 0, 0)
+    assert parse_flac_header(b"") == (None, 0, 0, 0)
+    assert parse_opus_header(b"OggS" + bytes(40)) == (None, 0, 0, 0)
+    # truncated mid-frame: only the whole frames count
+    full = synth_mp3(4)
+    fmt, sr, ch, ms = parse_mp3_header(full)
+    assert fmt == "mp3" and ms > 0
+    cut = parse_mp3_header(full[: len(full) - 10])
+    assert cut[0] == "mp3" and cut[3] < ms
+    # free-format bitrate index and reserved sample-rate index rejected
+    assert parse_mp3_header(b"\xff\xfb\x00\x00") == (None, 0, 0, 0)
+    assert parse_mp3_header(b"\xff\xfb\x1c\x00") == (None, 0, 0, 0)
+    # FLAC with a non-STREAMINFO first block rejected
+    bad = bytearray(synth_flac(3))
+    bad[4] = 0x84  # type 4 (VORBIS_COMMENT)
+    assert parse_flac_header(bytes(bad)) == (None, 0, 0, 0)
+    # Opus page whose packet is not OpusHead rejected
+    bado = bytearray(synth_opus(3))
+    bado[29:37] = b"NotOpus!"
+    assert parse_opus_header(bytes(bado)) == (None, 0, 0, 0)
