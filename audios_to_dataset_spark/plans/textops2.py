@@ -1048,6 +1048,84 @@ FROM per GROUP BY lang
 """
 
 
+MIX_BUDGET_TOKENS = 1_000_000
+# alpha = 0.5 -> weight = sqrt(n_tokens). sqrt is the ONE transcendental
+# allowed here: IEEE 754 REQUIRES correctly-rounded sqrt (unlike
+# exp/log/pow), so Spark and DuckDB produce bit-identical doubles; the
+# weight is then snapped to an integer (round(sqrt(n) * 1e6)) so the
+# normalizing SUM is exact bigint arithmetic, not an order-dependent
+# double sum.
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (p_i ∝ n_i^alpha, alpha = 0.5 —
+    the multilingual-corpus upsampling rule of Conneau & Lample 2019 /
+    mBERT, complementing q_mixture_plan's budget-capped weights): per
+    source, token mass, sampling probability, expected epochs over that
+    source under the token budget, and the upsampling factor vs
+    proportional sampling. Low-resource sources get > 1 boost, dominant
+    sources < 1 — the table a curriculum launcher reads.
+
+    100 TB shape: one map-side-combinable groupBy(source) + one
+    broadcast 1-row total; integer weights make the normalization
+    shuffle-order-independent."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower("text"), " ")).cast("bigint"))
+        .alias("n_tokens")
+    )
+    wgt = F.round(
+        F.sqrt(F.col("n_tokens").cast("double")) * 1e6
+    ).cast("bigint")
+    w = s.withColumn("wgt", wgt)
+    tot = w.agg(
+        F.sum("wgt").alias("wtot"), F.sum("n_tokens").alias("ntot")
+    )
+    j = w.crossJoin(F.broadcast(tot))
+    p = F.col("wgt").cast("double") / F.col("wtot").cast("double")
+    prop = F.col("n_tokens").cast("double") / F.col("ntot").cast("double")
+    return j.select(
+        "source",
+        "n_tokens",
+        sround(p, 6).alias("p_sample"),
+        sround(
+            p * float(MIX_BUDGET_TOKENS)
+            / F.col("n_tokens").cast("double"),
+            4,
+        ).alias("epochs"),
+        sround(p / prop, 4).alias("upsample_vs_prop"),
+    )
+
+
+ORACLE_MIXTURE_TEMPERATURE = f"""
+WITH s AS (
+  SELECT source,
+         CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_tokens,
+         CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+              AS BIGINT) AS wgt
+  FROM s
+), t AS (
+  SELECT SUM(wgt) AS wtot, SUM(n_tokens) AS ntot FROM w
+)
+SELECT source, n_tokens,
+       {sround_sql("CAST(wgt AS DOUBLE) / CAST(wtot AS DOUBLE)", 6)}
+         AS p_sample,
+       {sround_sql(
+           "CAST(wgt AS DOUBLE) / CAST(wtot AS DOUBLE) * "
+           + str(float(MIX_BUDGET_TOKENS))
+           + " / CAST(n_tokens AS DOUBLE)", 4)} AS epochs,
+       {sround_sql(
+           "(CAST(wgt AS DOUBLE) / CAST(wtot AS DOUBLE)) / "
+           "(CAST(n_tokens AS DOUBLE) / CAST(ntot AS DOUBLE))", 4)}
+         AS upsample_vs_prop
+FROM w, t
+"""
+
+
 QUERIES = {
     "q_rarity_score": q_rarity_score,
     "q_bpe_merges": q_bpe_merges,
@@ -1061,6 +1139,7 @@ QUERIES = {
     "q_bpe_apply": q_bpe_apply,
     "q_dsir_select": q_dsir_select,
     "q_fertility": q_fertility,
+    "q_mixture_temperature": q_mixture_temperature,
 }
 
 ORACLES = {
@@ -1076,4 +1155,5 @@ ORACLES = {
     "q_bpe_apply": _oracle_bpe_apply(),
     "q_dsir_select": ORACLE_DSIR_SELECT,
     "q_fertility": _oracle_fertility(),
+    "q_mixture_temperature": ORACLE_MIXTURE_TEMPERATURE,
 }
