@@ -83,6 +83,10 @@ _ROTATION_FIRST = (
     "q_decontaminate_ngram", "q_bfs_hops", "q_rle_frames",
     "q_audio_normalize", "q_link_predict", "q_hll_overlap",
     "q_stream_record_high",
+    "q_image_dhash", "q_image_neardup", "q_split_leakage",
+    "q_msvc_frames", "q_audio_fingerprint", "q_audio_neardup",
+    "q_t_closeness", "q_audio_headers", "q_mixture_temperature",
+    "q_robust_outliers",
 )
 
 

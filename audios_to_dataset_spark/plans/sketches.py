@@ -2039,6 +2039,110 @@ FROM counts CROSS JOIN total ORDER BY digit
 """
 
 
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source outlier screen (median/MAD, the
+    Hampel-identifier rule): classic z-scores break when the outliers
+    themselves inflate the mean/stddev; median ± 3·MAD does not. Both
+    statistics use the DISCRETE lower median (rank ⌈n/2⌉ element — the
+    q_exact_median convention, no interpolation), so every comparison
+    is exact integer arithmetic; the only double is the reported rate.
+
+    Plan: two partitioned window passes over the slim (source, n_chars)
+    projection — rank to locate the median element, a partition MAX to
+    broadcast it within the window (no join on the nullable source
+    key), same again for MAD — then one groupBy. Windows are
+    PARTITIONED by source; nothing global. n_chars/doc_id NULLs are
+    dropped on both sides (engines order NULLs oppositely)."""
+    from pyspark.sql import Window
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull() & F.col("doc_id").isNotNull())
+        .select("source", "doc_id", F.col("n_chars").alias("v"))
+    )
+    wsrc = Window.partitionBy("source")
+    w1 = wsrc.orderBy("v", "doc_id")
+    t = (
+        d.withColumn("rn", F.row_number().over(w1))
+        .withColumn("n", F.count(F.lit(1)).over(wsrc))
+        .withColumn(
+            "med",
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") / 2).cast("int"),
+                    F.col("v"),
+                )
+            ).over(wsrc),
+        )
+        .withColumn("dev", F.abs(F.col("v") - F.col("med")))
+    )
+    w2 = wsrc.orderBy("dev", "doc_id")
+    t2 = (
+        t.withColumn("rn2", F.row_number().over(w2))
+        .withColumn(
+            "mad",
+            F.max(
+                F.when(
+                    F.col("rn2") == F.ceil(F.col("n") / 2).cast("int"),
+                    F.col("dev"),
+                )
+            ).over(wsrc),
+        )
+    )
+    out = F.col("dev") > 3 * F.col("mad")
+    return t2.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("med").cast("bigint").alias("median_chars"),
+        F.max("mad").cast("bigint").alias("mad_chars"),
+        F.sum(F.when(out, 1).otherwise(0)).cast("bigint").alias(
+            "n_outliers"
+        ),
+        sround(
+            F.sum(F.when(out, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("outlier_rate"),
+    )
+
+
+ORACLE_ROBUST_OUTLIERS = f"""
+WITH d AS (
+  SELECT source, doc_id, n_chars AS v FROM documents
+  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+), t AS (
+  SELECT source, doc_id, v,
+         row_number() OVER (PARTITION BY source ORDER BY v, doc_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM d
+), m AS (
+  SELECT *, MAX(CASE WHEN rn = CAST(ceil(n / 2.0) AS INT) THEN v END)
+              OVER (PARTITION BY source) AS med
+  FROM t
+), dv AS (
+  SELECT source, doc_id, v, n, med, abs(v - med) AS dev FROM m
+), r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY dev, doc_id)
+              AS rn2
+  FROM dv
+), m2 AS (
+  SELECT *, MAX(CASE WHEN rn2 = CAST(ceil(n / 2.0) AS INT) THEN dev END)
+              OVER (PARTITION BY source) AS mad
+  FROM r2
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(med) AS BIGINT) AS median_chars,
+       CAST(MAX(mad) AS BIGINT) AS mad_chars,
+       CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       {sround_sql(
+           "CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END)"
+           " AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 4)}
+         AS outlier_rate
+FROM m2 GROUP BY source
+"""
+
+
 QUERIES = {
     "q_benford": q_benford,
     "q_ref_integrity": q_ref_integrity,
@@ -2065,6 +2169,7 @@ QUERIES = {
     "q_bootstrap_ci": q_bootstrap_ci,
     "q_modularity": q_modularity,
     "q_winsorize": q_winsorize,
+    "q_robust_outliers": q_robust_outliers,
     "q_compaction_plan": q_compaction_plan,
     "q_heavy_hitters": q_heavy_hitters,
     "q_cms_merge": q_cms_merge,
@@ -2097,6 +2202,7 @@ ORACLES = {
     "q_bootstrap_ci": _oracle_bootstrap_ci(),
     "q_modularity": _oracle_modularity(),
     "q_winsorize": ORACLE_WINSORIZE,
+    "q_robust_outliers": ORACLE_ROBUST_OUTLIERS,
     "q_compaction_plan": ORACLE_COMPACTION_PLAN,
     "q_heavy_hitters": _oracle_heavy_hitters(),
     "q_cms_merge": _oracle_cms_merge(),
