@@ -894,6 +894,103 @@ FROM gaps GROUP BY event_type
 """
 
 
+KS_ALERT_20TH = 20  # drifted iff ks > 1/20 (0.05), tested integer-only
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per event type — the
+    UNBINNED complement of q_value_drift (no bin-width parameter to
+    tune, and sensitive to location shifts binning can hide): split the
+    month at DRIFT_SPLIT_US, then KS = sup over pooled values of
+    |ECDF_a - ECDF_b|. The sup is computed entirely in integers:
+    max |c_a*N_b - c_b*N_a| over the pooled distinct values, divided by
+    N_a*N_b once at the end; the drift alert compares integer products
+    only. BIGINT products are safe to ~3e9 rows per type; past that,
+    lift the two products to DECIMAL(38,0).
+
+    100 TB shape: one groupBy on (type, value) with conditional counts
+    (the period predicate is a pushed integer-µs filter), then windows
+    PARTITIONED by event_type over the distinct-value table — scales
+    with distinct (type, value), not rows; no global window."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    isa = F.unix_micros("ts") < DRIFT_SPLIT_US
+    g = e.groupBy("event_type", "value").agg(
+        F.sum(F.when(isa, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(isa, 0).otherwise(1)).cast("bigint").alias("n_b"),
+    )
+    wt = Window.partitionBy("event_type")
+    wc = wt.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = (
+        g.withColumn("c_a", F.sum("n_a").over(wc))
+        .withColumn("c_b", F.sum("n_b").over(wc))
+        .withColumn("t_a", F.sum("n_a").over(wt))
+        .withColumn("t_b", F.sum("n_b").over(wt))
+        .withColumn(
+            "d",
+            F.abs(F.col("c_a") * F.col("t_b") - F.col("c_b") * F.col("t_a")),
+        )
+    )
+    return t.groupBy("event_type").agg(
+        F.max("t_a").alias("n_a"),
+        F.max("t_b").alias("n_b"),
+        sround(
+            F.when(
+                F.max("t_a") * F.max("t_b") > 0,
+                F.max("d").cast("double")
+                / (F.max("t_a") * F.max("t_b")).cast("double"),
+            ),
+            6,
+        ).alias("ks"),
+        F.when(
+            F.max("d") * KS_ALERT_20TH > F.max("t_a") * F.max("t_b"),
+            True,
+        ).otherwise(False).alias("drifted"),
+    )
+
+
+ORACLE_KS_DRIFT = f"""
+WITH e AS (
+  SELECT event_type, value,
+         CASE WHEN epoch_us(ts) < {DRIFT_SPLIT_US} THEN 1 ELSE 0 END
+           AS in_a
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), g AS (
+  SELECT event_type, value,
+         CAST(SUM(in_a) AS BIGINT) AS n_a,
+         CAST(SUM(1 - in_a) AS BIGINT) AS n_b
+  FROM e GROUP BY 1, 2
+), t AS (
+  SELECT event_type,
+         SUM(n_a) OVER (PARTITION BY event_type ORDER BY value
+                        ROWS UNBOUNDED PRECEDING) AS c_a,
+         SUM(n_b) OVER (PARTITION BY event_type ORDER BY value
+                        ROWS UNBOUNDED PRECEDING) AS c_b,
+         SUM(n_a) OVER (PARTITION BY event_type) AS t_a,
+         SUM(n_b) OVER (PARTITION BY event_type) AS t_b
+  FROM g
+), d AS (
+  SELECT event_type, t_a, t_b,
+         abs(c_a * t_b - c_b * t_a) AS d
+  FROM t
+)
+SELECT event_type, CAST(MAX(t_a) AS BIGINT) AS n_a,
+       CAST(MAX(t_b) AS BIGINT) AS n_b,
+       {sround_sql(
+           "CASE WHEN MAX(t_a) * MAX(t_b) > 0 THEN "
+           "CAST(MAX(d) AS DOUBLE) / CAST(MAX(t_a) * MAX(t_b) AS DOUBLE)"
+           " END", 6)} AS ks,
+       CASE WHEN MAX(d) * {KS_ALERT_20TH} > MAX(t_a) * MAX(t_b)
+            THEN TRUE ELSE FALSE END AS drifted
+FROM d GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q_scd2": q_scd2,
     "q_ewma": q_ewma,
@@ -911,6 +1008,7 @@ QUERIES = {
     "q_session_window": q_session_window,
     "q_map_funcs": q_map_funcs,
     "q_value_drift": q_value_drift,
+    "q_ks_drift": q_ks_drift,
     "q_burstiness": q_burstiness,
 }
 
@@ -931,5 +1029,6 @@ ORACLES = {
     "q_session_window": ORACLE_SESSION_WINDOW,
     "q_map_funcs": ORACLE_MAP_FUNCS,
     "q_value_drift": ORACLE_VALUE_DRIFT,
+    "q_ks_drift": ORACLE_KS_DRIFT,
     "q_burstiness": ORACLE_BURSTINESS,
 }
