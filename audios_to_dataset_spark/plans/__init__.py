@@ -86,7 +86,7 @@ _ROTATION_FIRST = (
     "q_image_dhash", "q_image_neardup", "q_split_leakage",
     "q_msvc_frames", "q_audio_fingerprint", "q_audio_neardup",
     "q_t_closeness", "q_audio_headers", "q_mixture_temperature",
-    "q_robust_outliers", "q_ks_drift",
+    "q_robust_outliers", "q_ks_drift", "q_cms_join_estimate",
 )
 
 

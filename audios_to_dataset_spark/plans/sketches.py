@@ -1803,6 +1803,110 @@ ORDER BY top.n DESC, top.token
 """
 
 
+def q_cms_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation by count-min INNER PRODUCT (Cormode &
+    Muthukrishnan 2005 §4.2) — the planner statistic that decides
+    broadcast vs shuffle before running the join: |events ⋈ orders on
+    user=cust| = Σ_k e_k·o_k, estimated as min over hash rows of
+    Σ_b cms_e[b]·cms_o[b]. The estimate never undershoots (every
+    CMS row overcounts), so a planner using it errs toward shuffle —
+    the safe direction. Exact value rides along for the error column;
+    everything is bigint arithmetic (deterministic).
+
+    100 TB shape: each side reduces to d·w counters (map-side
+    combinable; d·w rows shuffled per side, independent of row count);
+    the exact baseline is a per-key count join that scales with
+    DISTINCT keys, not rows. NULL keys never join — excluded from both
+    the sketch and the exact count on both sides."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ne"))
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("no"))
+    )
+    from ..operators.bloom import _position
+
+    exact = (
+        e.join(o, "k")
+        .agg(F.sum(F.col("ne") * F.col("no")).cast("bigint").alias("x"))
+        .select(F.coalesce("x", F.lit(0)).alias("exact_pairs"))
+    )
+    est = None
+    out = exact
+    for s in range(CMS_D):
+        ce = e.groupBy(_position(F.col("k"), s, CMS_W).alias("b")).agg(
+            F.sum("ne").cast("bigint").alias("ce")
+        )
+        co = o.groupBy(_position(F.col("k"), s, CMS_W).alias("b")).agg(
+            F.sum("no").cast("bigint").alias("co")
+        )
+        dot = (
+            ce.join(co, "b")
+            .agg(
+                F.sum(F.col("ce") * F.col("co")).cast("bigint").alias("d")
+            )
+            .select(F.coalesce("d", F.lit(0)).alias(f"d{s}"))
+        )
+        out = out.crossJoin(F.broadcast(dot))  # 1-row frames
+        c = F.col(f"d{s}")
+        est = c if est is None else F.least(est, c)
+    return out.select(
+        "exact_pairs",
+        est.alias("cms_est"),
+        (est - F.col("exact_pairs")).alias("overcount"),
+        sround(
+            F.when(
+                F.col("exact_pairs") > 0,
+                (est - F.col("exact_pairs")).cast("double")
+                / F.col("exact_pairs").cast("double"),
+            ),
+            6,
+        ).alias("rel_overcount"),
+    )
+
+
+def _oracle_cms_join_estimate() -> str:
+    from ..operators.bloom import bloom_positions_sql
+
+    dots = ",\n".join(
+        f"dot{s} AS (SELECT COALESCE(SUM(ce.c * co.c), 0) AS d{s} FROM ("
+        f"SELECT {bloom_positions_sql('k', s, CMS_W)} AS b,"
+        f" CAST(SUM(ne) AS BIGINT) AS c FROM e GROUP BY 1) ce JOIN ("
+        f"SELECT {bloom_positions_sql('k', s, CMS_W)} AS b,"
+        f" CAST(SUM(no) AS BIGINT) AS c FROM o GROUP BY 1) co"
+        f" ON ce.b = co.b)"
+        for s in range(CMS_D)
+    )
+    least = "least(" + ", ".join(f"d{s}" for s in range(CMS_D)) + ")"
+    return f"""
+WITH e AS (
+  SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS ne FROM events
+  WHERE user_id IS NOT NULL GROUP BY 1
+), o AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS no FROM orders
+  WHERE o_custkey IS NOT NULL GROUP BY 1
+), exact AS (
+  SELECT COALESCE(SUM(e.ne * o.no), 0) AS exact_pairs
+  FROM e JOIN o ON e.k = o.k
+),
+{dots}
+SELECT CAST(exact_pairs AS BIGINT) AS exact_pairs,
+       CAST({least} AS BIGINT) AS cms_est,
+       CAST({least} - exact_pairs AS BIGINT) AS overcount,
+       {sround_sql(
+           "CASE WHEN exact_pairs > 0 THEN "
+           "CAST(" + least + " - exact_pairs AS DOUBLE)"
+           " / CAST(exact_pairs AS DOUBLE) END", 6)} AS rel_overcount
+FROM exact, {", ".join(f"dot{s}" for s in range(CMS_D))}
+"""
+
+
 MEDIAN_BUCKET_W = 1000.0  # value-range grid for the selection pass
 
 
@@ -2170,6 +2274,7 @@ QUERIES = {
     "q_modularity": q_modularity,
     "q_winsorize": q_winsorize,
     "q_robust_outliers": q_robust_outliers,
+    "q_cms_join_estimate": q_cms_join_estimate,
     "q_compaction_plan": q_compaction_plan,
     "q_heavy_hitters": q_heavy_hitters,
     "q_cms_merge": q_cms_merge,
@@ -2203,6 +2308,7 @@ ORACLES = {
     "q_modularity": _oracle_modularity(),
     "q_winsorize": ORACLE_WINSORIZE,
     "q_robust_outliers": ORACLE_ROBUST_OUTLIERS,
+    "q_cms_join_estimate": _oracle_cms_join_estimate(),
     "q_compaction_plan": ORACLE_COMPACTION_PLAN,
     "q_heavy_hitters": _oracle_heavy_hitters(),
     "q_cms_merge": _oracle_cms_merge(),
