@@ -662,3 +662,25 @@ def test_msvc_eight_color_block():
     frames = decode_avi_frames(avi)
     assert frames is not None
     assert np.array_equal(frames[0][:, :, 0], blk)
+
+
+def test_msvc_decoder_fuzz():
+    """Garbage byte streams must never crash or hang the MSVC block
+    state machine — worst case it returns False or leaves the
+    framebuffer partially painted."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        _decode_msvc_into,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=200))
+    def run(buf):
+        fb = np.zeros((8, 12), dtype=np.uint8)
+        r = _decode_msvc_into(buf, fb)
+        assert r in (True, False)
+
+    run()
