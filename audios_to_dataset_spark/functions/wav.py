@@ -699,7 +699,7 @@ def synth_wav_md5_ulaw(doc_id: int) -> bytes:
 # Fingerprinting System", ISMIR 2002), simplified to one band.
 AFP_GROUPS = 29
 AFP_WIN = 16           # samples per energy window
-AFP_WINDOWS = 33       # windows -> 32 gradient bits
+AFP_WINDOWS = 65       # windows -> 64 gradient bits (two 32-bit halves)
 AFP_SAMPLES = AFP_WIN * AFP_WINDOWS
 
 
@@ -712,7 +712,7 @@ def _afp_sample(key: str) -> int:
 
 
 def synth_wav_group(doc_id: int) -> bytes:
-    """Deterministic near-dup PCM16 WAV: 528 samples, base sample i =
+    """Deterministic near-dup PCM16 WAV: 1040 samples, base sample i =
     md5('af:{g}:{i}') with g = doc_id % AFP_GROUPS; the doc's one
     perturbed window ((doc_id // groups) % 33) is re-synthesized from
     md5('afp:{doc_id}:{i}') — both formulas a DuckDB oracle replays."""
@@ -772,10 +772,16 @@ def wav_pcm16_samples(data: bytes | None):
         return None
 
 
-def audio_fingerprint(data: bytes | None) -> int | None:
-    """32-bit energy-gradient fingerprint: windowed sum of |sample|
-    (integer-exact), bit w = energy[w] > energy[w+1]. Needs the full
-    AFP_SAMPLES frame count; anything else -> None."""
+def audio_fingerprint(data: bytes | None) -> tuple[int, int] | None:
+    """64-bit energy-gradient fingerprint as two NON-NEGATIVE 32-bit
+    halves (hi = bits 0..31, lo = bits 32..63, the dHash convention):
+    windowed sum of |sample| (integer-exact), bit w = energy[w] >
+    energy[w+1]. 64 bits (not 32) so LSH bands can be 16 bits wide —
+    the band KEY SPACE is the scale dial: an equi-join on w-bit band
+    values costs ~N^2/2^w per band, so fingerprint width must grow
+    with corpus size exactly like the hyperplane count in
+    tools/scale_smoke. Needs the full AFP_SAMPLES frame count;
+    anything else -> None."""
     import numpy as np
 
     s = wav_pcm16_samples(data)
@@ -787,18 +793,26 @@ def audio_fingerprint(data: bytes | None) -> int | None:
         .sum(axis=1)
     )
     bits = (e[:-1] > e[1:]).astype(np.int64)
-    return int((bits << np.arange(32, dtype=np.int64)).sum())
+    w = 1 << (np.arange(64, dtype=np.int64) % 32)
+    return int((bits[:32] * w[:32]).sum()), int((bits[32:] * w[32:]).sum())
 
 
 def with_audio_fingerprint(df, content_col: str = "content"):
-    """Attach ``fp`` (32-bit energy-gradient fingerprint, NULL for
-    undecodable content) via one Arrow-batched pandas UDF."""
+    """Attach ``fp_hi`` / ``fp_lo`` (the 64-bit energy-gradient
+    fingerprint halves, NULL for undecodable content) via one
+    Arrow-batched pandas UDF."""
     from pyspark.sql import functions as F
 
-    @pandas_udf("long")
-    def _fp(content: pd.Series) -> pd.Series:
-        return pd.Series(
-            [audio_fingerprint(b) for b in content], dtype="object"
-        )
+    @pandas_udf("struct<fp_hi: long, fp_lo: long>")
+    def _fp(content: pd.Series) -> pd.DataFrame:
+        his: list[int | None] = []
+        los: list[int | None] = []
+        for b in content:
+            r = audio_fingerprint(b)
+            his.append(None if r is None else r[0])
+            los.append(None if r is None else r[1])
+        return pd.DataFrame({"fp_hi": his, "fp_lo": los})
 
-    return df.withColumn("fp", _fp(F.col(content_col)))
+    return df.withColumn("_fp", _fp(F.col(content_col))).select(
+        "*", "_fp.fp_hi", "_fp.fp_lo"
+    ).drop("_fp")

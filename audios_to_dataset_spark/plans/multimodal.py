@@ -1726,11 +1726,15 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     text (MinHash/SimHash) and embedding dedup: dHash each image, band
     the 64 bits into 4×16-bit LSH keys, equi-join within bands (never
     all-pairs), then exact Hamming distance ≤ {NEARDUP_MAX_DIST} via
-    xor + bit_count, all JVM-side after the one decode pass. At 100 TB
-    this is the same shape as MinHash-LSH dedup: one shuffle on band
-    keys, candidate set linear in the true-dup count, pair dedup by
-    (a_id, b_id). Any pair within 4 bits agrees on ≥1 of the 4 bands
-    (pigeonhole), so banding loses nothing at the fixture's distances."""
+    xor + bit_count, all JVM-side after the one decode pass. One
+    shuffle on band keys, candidate set linear in the true-dup count,
+    pair dedup by (a_id, b_id). Any pair within 4 bits agrees on ≥1 of
+    the 4 bands (pigeonhole), so banding loses nothing at the
+    fixture's distances. SCALE DIAL: unlike MinHash band keys (full
+    hashes), perceptual band keys live in a FIXED 2^w space, so the
+    band equi-join costs ~N²/2^w per band — growth is absorbed by
+    widening the hash (larger dHash grid → more/wider bands), the same
+    log2(N) dial tools/scale_smoke pins for hyperplanes."""
     from ..functions.multimodal import with_dhash, with_synth_group_bmp
 
     d = load(spark, sf_dir, "documents").select("doc_id")
@@ -1826,8 +1830,9 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio fingerprint (Haitsma-Kalker-style energy-gradient bits,
     ISMIR 2002, one-band simplification) over the REAL WAV path:
     near-dup PCM16 fixture (group base signal + one re-synthesized
-    window) → RIFF chunk walk → integer |sample| window energies → 32
-    gradient bits. The oracle recomputes every sample from the md5
+    window) → RIFF chunk walk → integer |sample| window energies → 64
+    gradient bits as two non-negative 32-bit halves (the dHash
+    convention). The oracle recomputes every sample from the md5
     formulas (group base + per-doc perturbed window) and re-packs the
     bits — integer-exact on both sides. One mapInPandas pass, no
     shuffle at 100 TB."""
@@ -1843,16 +1848,16 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series([synth_wav_group(int(i)) for i in ids])
 
     wav = d.withColumn("content", _synth(F.col("doc_id")))
-    return with_audio_fingerprint(wav).select("doc_id", "fp")
+    return with_audio_fingerprint(wav).select("doc_id", "fp_hi", "fp_lo")
 
 
 # Shared fingerprint-recompute CTE: base window energies per GROUP
-# (29 x 33 windows), the doc's one perturbed-window energy, then the
-# 32 gradient bits packed into a non-negative BIGINT.
+# (29 x 65 windows), the doc's one perturbed-window energy, then the
+# 64 gradient bits packed into two non-negative 32-bit halves.
 _AFP_CTE = """
 d AS (
   SELECT doc_id, doc_id % 29 AS g,
-         (doc_id // 29) % 33 AS pwin
+         (doc_id // 29) % 65 AS pwin
   FROM documents
 ), gi AS (
   SELECT DISTINCT g FROM d
@@ -1861,7 +1866,7 @@ d AS (
          CAST(('0x' || substr(md5('af:' || CAST(g AS VARCHAR) || ':' ||
               CAST(i AS VARCHAR)), 1, 4))::INT % 40000 - 20000
               AS BIGINT) AS s
-  FROM gi, range(528) t(i)
+  FROM gi, range(1040) t(i)
 ), be AS (
   SELECT g, i // 16 AS w, SUM(abs(s)) AS e FROM bs GROUP BY 1, 2
 ), pe AS (
@@ -1869,7 +1874,7 @@ d AS (
          SUM(abs(CAST(('0x' || substr(md5('afp:' ||
               CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
               1, 4))::INT % 40000 - 20000 AS BIGINT))) AS e
-  FROM d, range(528) t(i)
+  FROM d, range(1040) t(i)
   WHERE i // 16 = pwin
   GROUP BY doc_id
 ), en AS (
@@ -1880,17 +1885,20 @@ d AS (
   SELECT a.doc_id, a.w AS b,
          CASE WHEN a.e > c.e THEN 1 ELSE 0 END AS bit
   FROM en a JOIN en c ON c.doc_id = a.doc_id AND c.w = a.w + 1
-  WHERE a.w < 32
+  WHERE a.w < 64
 ), fps AS (
   SELECT doc_id,
-         CAST(SUM(bit * (1::BIGINT << b)) AS BIGINT) AS fp
+         CAST(SUM(CASE WHEN b < 32 THEN bit * (1::BIGINT << b)
+                  ELSE 0 END) AS BIGINT) AS fp_hi,
+         CAST(SUM(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32))
+                  ELSE 0 END) AS BIGINT) AS fp_lo
   FROM fpbits GROUP BY doc_id
 )
 """
 
 ORACLE_AUDIO_FINGERPRINT = f"""
 WITH {_AFP_CTE}
-SELECT doc_id, fp FROM fps
+SELECT doc_id, fp_hi, fp_lo FROM fps
 """
 
 
@@ -1899,14 +1907,16 @@ AFP_NEARDUP_MAX_DIST = 4
 
 def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate AUDIO detection — the audio leg of the dedup
-    modality set (text MinHash / embedding LSH / image dHash): 32-bit
-    energy-gradient fingerprints banded into 4x8-bit LSH keys, pair
+    modality set (text MinHash / embedding LSH / image dHash): 64-bit
+    energy-gradient fingerprints banded into 4x16-bit LSH keys, pair
     candidates from band equi-joins only, exact Hamming distance
-    <= {AFP_NEARDUP_MAX_DIST} via xor + bit_count. Banding guarantees
-    recall for pairs within 3 bits (pigeonhole over 4 bands); the
-    fixture's perturbation flips at most 2 bits per clip. Scale shape =
-    MinHash-LSH: one shuffle on band keys, candidates linear in true
-    dups."""
+    <= 4 via xor + bit_count. Banding guarantees recall for pairs
+    within 3 bits (pigeonhole over 4 bands); the fixture's perturbation
+    flips at most 2 bits per clip. SCALE DIAL: an equi-join on w-bit
+    band values costs ~N^2/2^w per band — 16-bit bands are the
+    64-bit-fingerprint operating point, and corpus growth is absorbed
+    by widening the fingerprint (more windows -> more bands), the same
+    log2(N) dial tools/scale_smoke pins for hyperplanes."""
     from ..functions.wav import synth_wav_group, with_audio_fingerprint
     from pyspark.sql.functions import pandas_udf
 
@@ -1919,39 +1929,51 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series([synth_wav_group(int(i)) for i in ids])
 
     wav = d.withColumn("content", _synth(F.col("doc_id")))
-    h = with_audio_fingerprint(wav).select("doc_id", "fp")
+    h = with_audio_fingerprint(wav).select("doc_id", "fp_hi", "fp_lo")
+    lit16 = F.lit(65535)
     bands = h.select(
         "doc_id",
-        "fp",
+        "fp_hi",
+        "fp_lo",
         F.explode(
             F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band"),
-                        F.shiftright("fp", 8 * k)
-                        .bitwiseAND(F.lit(255))
-                        .alias("key"),
-                    )
-                    for k in range(4)
-                ]
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.shiftright("fp_hi", 16).alias("key"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.col("fp_hi").bitwiseAND(lit16).alias("key"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band"),
+                    F.shiftright("fp_lo", 16).alias("key"),
+                ),
+                F.struct(
+                    F.lit(3).alias("band"),
+                    F.col("fp_lo").bitwiseAND(lit16).alias("key"),
+                ),
             )
         ).alias("bk"),
-    ).select("doc_id", "fp", "bk.band", "bk.key")
+    ).select("doc_id", "fp_hi", "fp_lo", "bk.band", "bk.key")
     a = bands.select(
-        F.col("doc_id").alias("a_id"), F.col("fp").alias("afp"),
-        "band", "key",
+        F.col("doc_id").alias("a_id"), F.col("fp_hi").alias("ahi"),
+        F.col("fp_lo").alias("alo"), "band", "key",
     )
     b = bands.select(
-        F.col("doc_id").alias("b_id"), F.col("fp").alias("bfp"),
-        "band", "key",
+        F.col("doc_id").alias("b_id"), F.col("fp_hi").alias("bhi"),
+        F.col("fp_lo").alias("blo"), "band", "key",
     )
     pairs = (
         a.join(b, on=["band", "key"])
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "afp", "bfp")
+        .select("a_id", "b_id", "ahi", "alo", "bhi", "blo")
         .distinct()
     )
-    dist = F.bit_count(F.col("afp").bitwiseXOR(F.col("bfp"))).cast("long")
+    dist = (
+        F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
+        + F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
+    ).cast("long")
     return pairs.select("a_id", "b_id", dist.alias("dist")).where(
         F.col("dist") <= AFP_NEARDUP_MAX_DIST
     )
@@ -1960,21 +1982,28 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_AUDIO_NEARDUP = f"""
 WITH {_AFP_CTE}
 , bands AS (
-  SELECT doc_id, fp, t.band, (fp // (1::BIGINT << (8 * t.band))) % 256
-         AS key
+  SELECT doc_id, fp_hi, fp_lo, t.band,
+         CASE t.band
+           WHEN 0 THEN fp_hi // 65536
+           WHEN 1 THEN fp_hi % 65536
+           WHEN 2 THEN fp_lo // 65536
+           ELSE fp_lo % 65536
+         END AS key
   FROM fps, (VALUES (0), (1), (2), (3)) t(band)
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-         a.fp AS afp, b.fp AS bfp
+         a.fp_hi AS ahi, a.fp_lo AS alo, b.fp_hi AS bhi, b.fp_lo AS blo
   FROM bands a
   JOIN bands b ON a.band = b.band AND a.key = b.key
               AND a.doc_id < b.doc_id
 )
-SELECT a_id, b_id, CAST(bit_count(xor(afp, bfp)) AS BIGINT) AS dist
+SELECT a_id, b_id,
+       CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo))
+            AS BIGINT) AS dist
 FROM pairs
-WHERE bit_count(xor(afp, bfp)) <= {AFP_NEARDUP_MAX_DIST}
+WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo))
+      <= {AFP_NEARDUP_MAX_DIST}
 """
-
 
 QUERIES = {
     "q_multimodal_embed": q_multimodal_embed,

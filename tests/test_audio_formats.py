@@ -114,8 +114,8 @@ def test_fuzz_never_raises():
 
 
 def test_audio_fingerprint_contract():
-    """Fingerprint: 32-bit range, NULL/short/non-PCM16 -> None, and the
-    4x8-bit banding recalls every pair within 3 bits (pigeonhole)."""
+    """Fingerprint: two 32-bit halves, NULL/short/non-PCM16 -> None, and
+    the 4x16-bit banding recalls every pair within 3 bits (pigeonhole)."""
     import itertools
 
     from audios_to_dataset_spark.functions.wav import (
@@ -128,18 +128,24 @@ def test_audio_fingerprint_contract():
     fps = {
         d: audio_fingerprint(synth_wav_group(d)) for d in range(100)
     }
-    assert all(0 <= f < 1 << 32 for f in fps.values())
+    assert all(
+        0 <= hi < 1 << 32 and 0 <= lo < 1 << 32
+        for hi, lo in fps.values()
+    )
     assert audio_fingerprint(None) is None
     assert audio_fingerprint(b"RIFFxxxxWAVE") is None
     # full-length sine WAV fingerprints fine; 100-sample one is too short
-    assert audio_fingerprint(synth_wav(n_samples=528)) is not None
+    assert audio_fingerprint(synth_wav(n_samples=1040)) is not None
     assert audio_fingerprint(synth_wav(n_samples=100)) is None
 
     def ham(a, b):
-        return bin(a ^ b).count("1")
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
 
     def bandkeys(f):
-        return {(k, (f >> (8 * k)) & 255) for k in range(4)}
+        return {
+            (0, f[0] >> 16), (1, f[0] & 65535),
+            (2, f[1] >> 16), (3, f[1] & 65535),
+        }
 
     same = [
         ham(fps[a], fps[b])
