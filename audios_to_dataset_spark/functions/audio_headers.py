@@ -196,3 +196,61 @@ def synth_opus(doc_id: int) -> bytes:
         + head
     )
     return page
+
+
+def parse_aiff_header(
+    data: bytes | None,
+) -> tuple[str | None, int, int, int]:
+    """AIFF COMM chunk: (fmt, sample_rate, channels, duration_ms).
+    AIFF is big-endian IFF (FORM/AIFF) and stores the sample rate as an
+    80-bit IEEE 754 extended float — decoded here with pure integer
+    arithmetic: rate = mantissa >> (16383 + 63 - exponent) for the
+    integral rates audio uses. duration = frames * 1000 // rate."""
+    try:
+        if not data or len(data) < 12 or data[:4] != b"FORM" \
+                or data[8:12] != b"AIFF":
+            return None, 0, 0, 0
+        pos = 12
+        n = len(data)
+        while pos + 8 <= n:
+            cid = data[pos : pos + 4]
+            (csize,) = struct.unpack_from(">I", data, pos + 4)
+            body = pos + 8
+            if cid == b"COMM" and csize >= 18 and body + 18 <= n:
+                channels, frames, _bits = struct.unpack_from(
+                    ">hIh", data, body
+                )
+                exp = int.from_bytes(data[body + 8 : body + 10], "big")
+                mant = int.from_bytes(data[body + 10 : body + 18], "big")
+                if exp & 0x8000 or mant == 0:
+                    return None, 0, 0, 0
+                shift = 16383 + 63 - exp
+                if not 0 <= shift < 64:
+                    return None, 0, 0, 0
+                rate = mant >> shift
+                if rate <= 0 or channels <= 0:
+                    return None, 0, 0, 0
+                return "aiff", rate, channels, frames * 1000 // rate
+            pos = body + csize + (csize & 1)
+        return None, 0, 0, 0
+    except Exception:
+        return None, 0, 0, 0
+
+
+def synth_aiff(doc_id: int) -> bytes:
+    """FORM/AIFF with one COMM chunk: rate 8000 + (doc_id % 3) * 4000,
+    channels 1 + doc_id % 2, 2000 + doc_id % 499 sample frames; the
+    rate is encoded as a true 80-bit extended float."""
+    rate = 8000 + (doc_id % 3) * 4000
+    channels = 1 + doc_id % 2
+    frames = 2000 + doc_id % 499
+    e = rate.bit_length() - 1  # floor(log2(rate))
+    exp = 16383 + e
+    mant = rate << (63 - e)
+    comm = (
+        struct.pack(">hIh", channels, frames, 16)
+        + exp.to_bytes(2, "big")
+        + mant.to_bytes(8, "big")
+    )
+    body = b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+    return b"FORM" + struct.pack(">I", len(body)) + body

@@ -1030,17 +1030,21 @@ def q_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (S4-class breadth, the audio twin of q_image_headers): an
     ID3v2-prefixed MPEG-1 Layer III stream (variable per-frame bitrate
     + padding, so the walk must size every frame from its own header),
-    a FLAC STREAMINFO block (20/3/5/36-bit packed fields), and an Ogg
-    Opus BOS page (OpusHead) per doc — real parses over real bytes; the
+    a FLAC STREAMINFO block (20/3/5/36-bit packed fields), an Ogg
+    Opus BOS page (OpusHead), and an AIFF COMM chunk (80-bit extended-
+    float sample rate decoded with integer shifts) per doc — real
+    parses over real bytes; the
     oracle recomputes rates/channels/durations from the id formulas
     (durations are exact integer-floor milliseconds)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql import types as T
 
     from ..functions.audio_headers import (
+        parse_aiff_header,
         parse_flac_header,
         parse_mp3_header,
         parse_opus_header,
+        synth_aiff,
         synth_flac,
         synth_mp3,
         synth_opus,
@@ -1057,6 +1061,9 @@ def q_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("flac_ms", T.LongType()),
             T.StructField("opus_sr", T.LongType()),
             T.StructField("opus_ch", T.LongType()),
+            T.StructField("aiff_sr", T.LongType()),
+            T.StructField("aiff_ch", T.LongType()),
+            T.StructField("aiff_ms", T.LongType()),
         ]
     )
 
@@ -1070,10 +1077,14 @@ def q_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
             _mf, msr, mch, mms = parse_mp3_header(synth_mp3(i))
             _ff, fsr, fch, fms = parse_flac_header(synth_flac(i))
             _of, osr, och, _oms = parse_opus_header(synth_opus(i))
-            rows.append((msr, mch, mms, fsr, fch, fms, osr, och))
+            _af, asr, ach, ams = parse_aiff_header(synth_aiff(i))
+            rows.append(
+                (msr, mch, mms, fsr, fch, fms, osr, och, asr, ach, ams)
+            )
         cols = [
             "mp3_sr", "mp3_ch", "mp3_ms", "flac_sr", "flac_ch",
-            "flac_ms", "opus_sr", "opus_ch",
+            "flac_ms", "opus_sr", "opus_ch", "aiff_sr", "aiff_ch",
+            "aiff_ms",
         ]
         return pd.DataFrame(
             {
@@ -1086,7 +1097,8 @@ def q_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", *[F.col(f"r.{c}").alias(c) for c in (
             "mp3_sr", "mp3_ch", "mp3_ms", "flac_sr", "flac_ch",
-            "flac_ms", "opus_sr", "opus_ch",
+            "flac_ms", "opus_sr", "opus_ch", "aiff_sr", "aiff_ch",
+            "aiff_ms",
         )]
     )
 
@@ -1110,7 +1122,11 @@ SELECT doc_id,
        CAST(1 + doc_id % 2 AS BIGINT) AS flac_ch,
        CAST(flac_total * 1000 // flac_sr AS BIGINT) AS flac_ms,
        CAST(16000 + (doc_id % 4) * 8000 AS BIGINT) AS opus_sr,
-       CAST(1 + doc_id % 2 AS BIGINT) AS opus_ch
+       CAST(1 + doc_id % 2 AS BIGINT) AS opus_ch,
+       CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS aiff_sr,
+       CAST(1 + doc_id % 2 AS BIGINT) AS aiff_ch,
+       CAST((2000 + doc_id % 499) * 1000 // (8000 + (doc_id % 3) * 4000)
+            AS BIGINT) AS aiff_ms
 FROM p
 """
 

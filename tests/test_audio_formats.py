@@ -190,3 +190,23 @@ def test_audio_container_headers_malformed():
     bado = bytearray(synth_opus(3))
     bado[29:37] = b"NotOpus!"
     assert parse_opus_header(bytes(bado)) == (None, 0, 0, 0)
+
+
+def test_aiff_header_extended_float():
+    """AIFF: 80-bit extended-float rate decodes by integer shifts;
+    denormal/negative exponents and missing COMM reject."""
+    from audios_to_dataset_spark.functions.audio_headers import (
+        parse_aiff_header,
+        synth_aiff,
+    )
+
+    fmt, sr, ch, ms = parse_aiff_header(synth_aiff(7))
+    assert (fmt, sr, ch) == ("aiff", 12000, 2)
+    # negative sign bit in the exponent field rejects
+    bad = bytearray(synth_aiff(7))
+    comm = bytes(bad).index(b"COMM") + 8 + 8
+    bad[comm] |= 0x80
+    assert parse_aiff_header(bytes(bad)) == (None, 0, 0, 0)
+    assert parse_aiff_header(b"FORM\x00\x00\x00\x04AIFF") == (
+        None, 0, 0, 0,
+    )
