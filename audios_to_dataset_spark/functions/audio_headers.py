@@ -254,3 +254,84 @@ def synth_aiff(doc_id: int) -> bytes:
     )
     body = b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
     return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO BMFF) — video container header walk
+# ---------------------------------------------------------------------------
+
+
+def parse_mp4_header(
+    data: bytes | None,
+) -> tuple[str | None, int, int, int]:
+    """ISO BMFF (MP4/MOV) box walk: (fmt, timescale, n_tracks,
+    duration_ms) from moov/mvhd (version 0: 32-bit timescale +
+    duration; version 1: 64-bit duration) plus a count of trak boxes.
+    Public spec: ISO/IEC 14496-12. Malformed -> (None, 0, 0, 0)."""
+    try:
+        if not data or len(data) < 16 or data[4:8] != b"ftyp":
+            return None, 0, 0, 0
+        n = len(data)
+
+        def boxes(lo: int, hi: int):
+            pos = lo
+            while pos + 8 <= hi:
+                (size,) = struct.unpack_from(">I", data, pos)
+                btype = data[pos + 4 : pos + 8]
+                if size < 8 or pos + size > hi:
+                    return
+                yield btype, pos + 8, pos + size
+                pos += size
+
+        for btype, body, end in boxes(0, n):
+            if btype != b"moov":
+                continue
+            timescale = duration = 0
+            n_tracks = 0
+            for ctype, cbody, _cend in boxes(body, end):
+                if ctype == b"mvhd" and _cend - cbody >= 20:
+                    ver = data[cbody]
+                    if ver == 1 and _cend - cbody >= 28:
+                        (timescale,) = struct.unpack_from(
+                            ">I", data, cbody + 20
+                        )
+                        (duration,) = struct.unpack_from(
+                            ">Q", data, cbody + 24
+                        )
+                    else:
+                        timescale, duration = struct.unpack_from(
+                            ">II", data, cbody + 12
+                        )
+                elif ctype == b"trak":
+                    n_tracks += 1
+            if timescale == 0:
+                return None, 0, 0, 0
+            return "mp4", timescale, n_tracks, duration * 1000 // timescale
+        return None, 0, 0, 0
+    except Exception:
+        return None, 0, 0, 0
+
+
+def synth_mp4(doc_id: int) -> bytes:
+    """ftyp + moov(mvhd v0 + N empty trak stubs): timescale from
+    {600, 1000, 90000} by id, duration units 10000 + id % 9999,
+    1 + id % 3 tracks."""
+    ts = (600, 1000, 90000)[doc_id % 3]
+    dur = 10000 + doc_id % 9999
+    n_tracks = 1 + doc_id % 3
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"           # version 0 + flags
+        + b"\x00" * 8                 # ctime, mtime
+        + struct.pack(">II", ts, dur)
+        + b"\x00" * 80,               # rate..next_track_id
+    )
+    traks = b"".join(
+        box(b"trak", box(b"tkhd", b"\x00" * 84)) for _ in range(n_tracks)
+    )
+    return ftyp + box(b"moov", mvhd + traks)

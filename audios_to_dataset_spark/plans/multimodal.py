@@ -1131,6 +1131,65 @@ FROM p
 """
 
 
+def q_video_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only metadata decode for the MP4/ISO-BMFF video container
+    (ISO/IEC 14496-12 box walk: ftyp gate, moov/mvhd timescale +
+    duration, trak count) — the video twin of q_audio_headers, pure
+    integer arithmetic end-to-end (duration is exact floor
+    milliseconds). Real parse over real bytes; the oracle recomputes
+    every field from the id formulas."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    from ..functions.audio_headers import parse_mp4_header, synth_mp4
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    out_t = T.StructType(
+        [
+            T.StructField("mp4_timescale", T.LongType()),
+            T.StructField("mp4_tracks", T.LongType()),
+            T.StructField("mp4_ms", T.LongType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _hdr(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        rows = []
+        for i in ids:
+            _f, ts, nt, ms = parse_mp4_header(synth_mp4(int(i)))
+            rows.append((ts, nt, ms))
+        return pd.DataFrame(
+            {
+                c: pd.Series([r[k] for r in rows], dtype="int64")
+                for k, c in enumerate(
+                    ["mp4_timescale", "mp4_tracks", "mp4_ms"]
+                )
+            }
+        )
+
+    out = d.withColumn("r", _hdr(F.col("doc_id")))
+    return out.select(
+        "doc_id",
+        F.col("r.mp4_timescale").alias("mp4_timescale"),
+        F.col("r.mp4_tracks").alias("mp4_tracks"),
+        F.col("r.mp4_ms").alias("mp4_ms"),
+    )
+
+
+ORACLE_VIDEO_HEADERS = """
+SELECT doc_id,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                            ELSE 90000 END AS BIGINT) AS mp4_timescale,
+       CAST(1 + doc_id % 3 AS BIGINT) AS mp4_tracks,
+       CAST((10000 + doc_id % 9999) * 1000 //
+            (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                             ELSE 90000 END) AS BIGINT) AS mp4_ms
+FROM documents
+"""
+
+
 TRIM_THRESHOLD = 24_576  # |raw int16| at/above this counts as signal
 
 
@@ -2054,6 +2113,7 @@ QUERIES = {
     "q_audio_fingerprint": q_audio_fingerprint,
     "q_audio_neardup": q_audio_neardup,
     "q_audio_headers": q_audio_headers,
+    "q_video_headers": q_video_headers,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -2103,3 +2163,4 @@ ORACLES["q_image_neardup"] = ORACLE_IMAGE_NEARDUP
 ORACLES["q_audio_fingerprint"] = ORACLE_AUDIO_FINGERPRINT
 ORACLES["q_audio_neardup"] = ORACLE_AUDIO_NEARDUP
 ORACLES["q_audio_headers"] = ORACLE_AUDIO_HEADERS
+ORACLES["q_video_headers"] = ORACLE_VIDEO_HEADERS

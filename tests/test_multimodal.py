@@ -684,3 +684,32 @@ def test_msvc_decoder_fuzz():
         assert r in (True, False)
 
     run()
+
+
+def test_mp4_header_malformed():
+    """MP4 box walk: version-1 mvhd (64-bit duration), missing moov,
+    zero timescale, and truncated box sizes all behave."""
+    import struct
+
+    from audios_to_dataset_spark.functions.audio_headers import (
+        parse_mp4_header,
+        synth_mp4,
+    )
+
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    # version-1 mvhd: 64-bit duration at a different offset
+    mvhd1 = box(
+        b"mvhd",
+        b"\x01\x00\x00\x00" + b"\x00" * 16
+        + struct.pack(">I", 1000) + struct.pack(">Q", 7_000)
+        + b"\x00" * 80,
+    )
+    data = box(b"ftyp", b"isom") + box(b"moov", mvhd1)
+    assert parse_mp4_header(data) == ("mp4", 1000, 0, 7000)
+    # no moov
+    assert parse_mp4_header(box(b"ftyp", b"isom")) == (None, 0, 0, 0)
+    # box size overruns the buffer -> walk stops cleanly
+    trunc = synth_mp4(5)[:40]
+    assert parse_mp4_header(trunc) == (None, 0, 0, 0)
