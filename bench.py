@@ -208,6 +208,28 @@ def main() -> None:
             ).save()
             sf1[name] = round(time.perf_counter() - t0, 3)
 
+    # Round-6 capability families, timed OUTSIDE the headline total so
+    # BENCH files stay round-over-round comparable on the identical
+    # 40-entry set. Single-run: these are informational, not the
+    # regression gate. The perceptual near-dup queries are deliberately
+    # absent: their fixtures keep a FIXED group count, so at sf0.1 the
+    # pair density is a fixture artifact (100x pairs for 10x docs),
+    # not an operator cost — their scale story lives in the docstring
+    # band-width dial and the sf0.01 differential gate.
+    extras: dict[str, float] = {}
+    for name in (
+        "q_t_closeness", "q_ks_drift", "q_cms_join_estimate",
+        "q_robust_outliers", "q_mixture_temperature",
+        "q_audio_headers", "q_video_headers",
+    ):
+        if name not in queries:
+            continue
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        extras[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total"
@@ -220,6 +242,8 @@ def main() -> None:
     }
     if sf1:
         out["sf1"] = sf1
+    if extras:
+        out["extras"] = extras
     print(json.dumps(out))
 
 
