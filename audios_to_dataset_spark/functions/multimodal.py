@@ -2177,3 +2177,157 @@ def with_synth_msvc_avi(
         return pd.Series([synth_msvc_avi(int(i)) for i in ids])
 
     return df.withColumn(out_col, _synth(F.col(id_col)))
+
+
+# ---------------------------------------------------------------------------
+# Truevision TGA — type 2 (uncompressed) + type 10 (RLE) true-color
+# ---------------------------------------------------------------------------
+
+
+def decode_tga_pixels(data: bytes | None) -> np.ndarray | None:
+    """Decode a 24-bit Truevision TGA (public spec: TGA 1.0/2.0 file
+    format): image types 2 (uncompressed BGR) and 10 (RLE packets —
+    bit7 of the packet header selects a run of (n&127)+1 copies of one
+    pixel vs (n&127)+1 literal pixels), honoring the descriptor's
+    origin bit (bit 5: 0 = bottom-up rows, 1 = top-down). Anything
+    else -> None (keep-with-fallback)."""
+    try:
+        if not data or len(data) < 18:
+            return None
+        idlen, cmap_type, img_type = data[0], data[1], data[2]
+        w, h = struct.unpack_from("<HH", data, 12)
+        bpp, desc = data[16], data[17]
+        if cmap_type != 0 or bpp != 24 or w <= 0 or h <= 0:
+            return None
+        pos = 18 + idlen
+        npx = w * h
+        if img_type == 2:
+            need = npx * 3
+            if len(data) < pos + need:
+                return None
+            arr = np.frombuffer(
+                data, np.uint8, need, pos
+            ).reshape(h, w, 3)
+        elif img_type == 10:
+            out = np.empty(npx * 3, dtype=np.uint8)
+            filled = 0
+            i = pos
+            while filled < npx * 3:
+                if i >= len(data):
+                    return None
+                hdr = data[i]
+                i += 1
+                cnt = (hdr & 0x7F) + 1
+                if hdr & 0x80:  # run packet
+                    if i + 3 > len(data):
+                        return None
+                    px = data[i : i + 3]
+                    i += 3
+                    chunk = np.frombuffer(px, np.uint8)
+                    end = filled + cnt * 3
+                    if end > npx * 3:
+                        return None
+                    out[filled:end] = np.tile(chunk, cnt)
+                    filled = end
+                else:  # literal packet
+                    nbytes = cnt * 3
+                    if i + nbytes > len(data):
+                        return None
+                    end = filled + nbytes
+                    if end > npx * 3:
+                        return None
+                    out[filled:end] = np.frombuffer(
+                        data, np.uint8, nbytes, i
+                    )
+                    i += nbytes
+                    filled = end
+            arr = out.reshape(h, w, 3)
+        else:
+            return None
+        rgb = arr[:, :, ::-1]  # BGR -> RGB
+        return np.ascontiguousarray(
+            rgb if desc & 0x20 else rgb[::-1]
+        )
+    except Exception:
+        return None
+
+
+def encode_tga_rle(px: np.ndarray, top_down: bool = True) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a type-10 RLE TGA (BGR pixel
+    order, run packets for repeats >= 2, literal packets otherwise,
+    max 128 per packet, packets never span rows — the spec's
+    recommendation)."""
+    h, w, _ = px.shape
+    img = px if top_down else px[::-1]
+    bgr = img[:, :, ::-1]
+    out = bytearray(
+        struct.pack(
+            "<BBBHHBHHHHBB",
+            0, 0, 10, 0, 0, 0, 0, 0, w, h, 24,
+            0x20 if top_down else 0,
+        )
+    )
+    for y in range(h):
+        row = bgr[y]
+        x = 0
+        while x < w:
+            run = 1
+            while (
+                x + run < w
+                and run < 128
+                and np.array_equal(row[x + run], row[x])
+            ):
+                run += 1
+            if run >= 2:
+                out += bytes([0x80 | (run - 1)]) + row[x].tobytes()
+                x += run
+            else:
+                lit = 1
+                while (
+                    x + lit < w
+                    and lit < 128
+                    and not (
+                        x + lit + 1 < w
+                        and np.array_equal(
+                            row[x + lit], row[x + lit + 1]
+                        )
+                    )
+                ):
+                    lit += 1
+                out += bytes([lit - 1]) + row[x : x + lit].tobytes()
+                x += lit
+    return bytes(out)
+
+
+def synth_gray_tga(doc_id: int) -> bytes:
+    """Deterministic RLE TGA fixture: dims from the id, pixel (x, y) =
+    first md5 byte of ``tg:{id}:{x // 4}:{y}`` — the x//4 blocking
+    creates real runs so the RLE path (not just literals) is
+    exercised; origin alternates by id parity so both row orders
+    decode."""
+    w0 = 12 + doc_id % 11
+    h0 = 10 + doc_id % 7
+    px = np.empty((h0, w0, 3), dtype=np.uint8)
+    for y in range(h0):
+        for x in range(w0):
+            v = int(
+                hashlib.md5(
+                    f"tg:{doc_id}:{x // 4}:{y}".encode()
+                ).hexdigest()[:2],
+                16,
+            )
+            px[y, x, :] = v
+    return encode_tga_rle(px, top_down=doc_id % 2 == 0)
+
+
+def with_synth_tga(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "content"
+) -> DataFrame:
+    """Attach the deterministic RLE-TGA fixture bytes for each id."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_gray_tga(int(i)) for i in ids])
+
+    return df.withColumn(out_col, _synth(F.col(id_col)))

@@ -1131,6 +1131,82 @@ FROM p
 """
 
 
+def q_tga_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truevision TGA RLE decode (public TGA 1.0/2.0 spec) — the
+    run-length true-color cousin of the BMP path: a deterministic
+    type-10 TGA per doc (x//4-blocked md5 pixels so real run packets
+    appear, origin bit alternating by id parity) → the real RLE packet
+    walk + BGR->RGB + origin flip → exact pixel mean. The oracle
+    recomputes every pixel from the md5 formula, so a wrong packet
+    count, BGR order, or row origin fails the value hash. (TGA has NO
+    magic bytes, so it stays out of the generic decode_image_pixels
+    sniffing path — a dedicated decoder UDF, the same isolation the
+    spec's ambiguity forces on every real pipeline.)"""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.multimodal import decode_tga_pixels, with_synth_tga
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    img = with_synth_tga(d)
+    out_t = T.StructType(
+        [
+            T.StructField("img_width", T.LongType()),
+            T.StructField("img_height", T.LongType()),
+            T.StructField("mean_px", T.DoubleType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _dec(content):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        ws, hs, ms = [], [], []
+        for b in content:
+            px = decode_tga_pixels(bytes(b) if b is not None else None)
+            if px is None:
+                ws.append(None)
+                hs.append(None)
+                ms.append(None)
+            else:
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                ms.append(int(px.astype(np.int64).sum()) / px.size)
+        return pd.DataFrame(
+            {"img_width": ws, "img_height": hs, "mean_px": ms}
+        )
+
+    return img.withColumn("r", _dec(F.col("content"))).select(
+        "doc_id",
+        F.col("r.img_width").alias("img_width"),
+        F.col("r.img_height").alias("img_height"),
+        F.col("r.mean_px").alias("mean_px"),
+    )
+
+
+ORACLE_TGA_PIXELS = """
+WITH g AS (
+  SELECT doc_id, 12 + doc_id % 11 AS w0, 10 + doc_id % 7 AS h0
+  FROM documents
+), fx AS (
+  SELECT doc_id, w0, h0, unnest(range(w0)) AS x FROM g
+), px AS (
+  SELECT doc_id, w0, h0, x, unnest(range(h0)) AS y FROM fx
+), v AS (
+  SELECT doc_id, w0, h0,
+         ('0x' || substr(md5('tg:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(x // 4 AS VARCHAR) || ':' ||
+             CAST(y AS VARCHAR)), 1, 2))::INT AS v
+  FROM px
+)
+SELECT doc_id, CAST(w0 AS BIGINT) AS img_width,
+       CAST(h0 AS BIGINT) AS img_height,
+       CAST(SUM(v) AS DOUBLE) / CAST(w0 * h0 AS DOUBLE) AS mean_px
+FROM v GROUP BY doc_id, w0, h0
+"""
+
+
 def q_video_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only metadata decode for the MP4/ISO-BMFF video container
     (ISO/IEC 14496-12 box walk: ftyp gate, moov/mvhd timescale +
@@ -2114,6 +2190,7 @@ QUERIES = {
     "q_audio_neardup": q_audio_neardup,
     "q_audio_headers": q_audio_headers,
     "q_video_headers": q_video_headers,
+    "q_tga_pixels": q_tga_pixels,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -2164,3 +2241,4 @@ ORACLES["q_audio_fingerprint"] = ORACLE_AUDIO_FINGERPRINT
 ORACLES["q_audio_neardup"] = ORACLE_AUDIO_NEARDUP
 ORACLES["q_audio_headers"] = ORACLE_AUDIO_HEADERS
 ORACLES["q_video_headers"] = ORACLE_VIDEO_HEADERS
+ORACLES["q_tga_pixels"] = ORACLE_TGA_PIXELS

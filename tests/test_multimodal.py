@@ -713,3 +713,38 @@ def test_mp4_header_malformed():
     # box size overruns the buffer -> walk stops cleanly
     trunc = synth_mp4(5)[:40]
     assert parse_mp4_header(trunc) == (None, 0, 0, 0)
+
+
+def test_tga_codec():
+    """TGA: RLE + literal packets, both row origins, type-2 path,
+    malformed rejection, and run-boundary handling at 128."""
+    import struct
+
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_tga_pixels,
+        encode_tga_rle,
+    )
+
+    # a 130-wide solid row forces a 128-run + 2-run split
+    px = np.full((2, 130, 3), 77, dtype=np.uint8)
+    px[1, ::2] = 10  # alternating row -> literal packets
+    for td in (True, False):
+        got = decode_tga_pixels(encode_tga_rle(px, top_down=td))
+        assert got is not None and np.array_equal(got, px)
+    # type 2 uncompressed
+    raw = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    hdr = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, 4, 2, 24, 0x20
+    )
+    assert np.array_equal(
+        decode_tga_pixels(hdr + raw[:, :, ::-1].tobytes()), raw
+    )
+    # malformed: truncated RLE stream, unknown type, wrong bpp
+    good = encode_tga_rle(px)
+    assert decode_tga_pixels(good[:30]) is None
+    bad = bytearray(good)
+    bad[2] = 3  # unknown image type
+    assert decode_tga_pixels(bytes(bad)) is None
+    assert decode_tga_pixels(None) is None
