@@ -859,7 +859,92 @@ def _twin_record_high(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("prev_max")
 
 
+def _with_mp3_duration(df: DataFrame) -> DataFrame:
+    """Attach ``dur_ms`` decoded by the REAL MP3 frame walk over the
+    per-event fixture bytes — an Arrow-batched pandas UDF inside the
+    STREAMING plan (the shape a production pipeline uses to enrich a
+    stream of media blobs with header metadata)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.audio_headers import parse_mp3_header, synth_mp3
+
+    @pandas_udf("long")
+    def _dur(ids):  # type: ignore[no-untyped-def]
+        out = []
+        for i in ids:
+            _f, _sr, _ch, ms = parse_mp3_header(synth_mp3(int(i)))
+            out.append(ms)
+        return pd.Series(out, dtype="int64")
+
+    return df.withColumn("dur_ms", _dur(F.col("event_id")))
+
+
+def q_stream_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MEDIA-METADATA enrichment — the bridge between the
+    streaming and multimodal pillars: each event carries a media blob
+    (deterministic MP3 fixture keyed on event_id), a pandas UDF inside
+    the stream runs the real ID3v2-skip + MPEG frame walk, and a
+    watermarked hourly window aggregates clip count + total decoded
+    duration per event type. Append mode emits exactly the closed
+    windows; the oracle recomputes every duration from the id formula
+    (integer-floor ms) with the watermark bound on the FILTERED
+    stream's own max ts. id-less / unstamped events are dropped on
+    both sides (the fixture needs an id; F.window needs a ts)."""
+    ev = _stream_events(spark, sf_dir).filter(
+        F.col("event_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    enriched = _with_mp3_duration(ev)
+    agg = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("dur_ms").cast("bigint").alias("sum_ms"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_clips",
+            "sum_ms",
+        )
+    )
+    return _run_available_now(agg, "media_meta")
+
+
+def _twin_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    return (
+        _with_mp3_duration(e)
+        .groupBy(F.date_trunc("hour", "ts").alias("win_start"),
+                 "event_type")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum("dur_ms").cast("bigint").alias("sum_ms"),
+        )
+    )
+
+
+ORACLE_STREAM_MEDIA_META = """
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       COUNT(*) AS n_clips,
+       CAST(SUM((3 + event_id % 5) * 1152 * 1000 //
+                (CASE event_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                                   ELSE 32000 END)) AS BIGINT) AS sum_ms
+FROM events
+WHERE event_id IS NOT NULL AND ts IS NOT NULL
+GROUP BY 1, 2
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+       <= (SELECT max(ts) FROM events
+           WHERE event_id IS NOT NULL AND ts IS NOT NULL)
+          - INTERVAL 2 HOUR
+"""
+
+
 QUERIES = {
+    "q_stream_media_meta": q_stream_media_meta,
     "q_stream_record_high": q_stream_record_high,
     "q_stream_hll": q_stream_hll,
     "q_stream_topk": q_stream_topk,
@@ -884,6 +969,7 @@ QUERIES = {
 # passed the final watermark max(ts) - delay (verified empirically:
 # 3370/3370 rows equal at sf0.01).
 ORACLES: dict[str, str] = {
+    "q_stream_media_meta": ORACLE_STREAM_MEDIA_META,
     "q_stream_record_high": ORACLE_STREAM_RECORD_HIGH,
     "q_stream_hll": _oracle_stream_hll(),
     "q_stream_topk": """
@@ -1310,6 +1396,7 @@ def _twin_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_TWINS = {
+    "q_stream_media_meta": _twin_media_meta,
     "q_stream_record_high": _twin_record_high,
     "q_stream_drift": _twin_drift,
     "q_stream_hll": _twin_hll,
