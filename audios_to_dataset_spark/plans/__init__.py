@@ -88,6 +88,7 @@ _ROTATION_FIRST = (
     "q_t_closeness", "q_audio_headers", "q_mixture_temperature",
     "q_robust_outliers", "q_ks_drift", "q_cms_join_estimate",
     "q_video_headers", "q_tga_pixels", "q_stream_media_meta",
+    "q_cdc_merge",
 )
 
 

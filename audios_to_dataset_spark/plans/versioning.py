@@ -353,7 +353,103 @@ WHERE d.doc_id >= {NOVELTY_SPLIT}
 """
 
 
+CDC_INSERT_OFFSET = 10_000_000
+
+
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE apply — the third versioning primitive next to
+    latest-wins upsert and snapshot diff: a change batch with explicit
+    op codes (I = insert, U = update, D = delete tombstone) applied to
+    a base snapshot in ONE full-outer join, the lakehouse MERGE
+    statement expressed as a plan (Delta/Iceberg MERGE INTO semantics:
+    matched+U → new values, matched+D → drop, unmatched-by-base I/U →
+    insert, unmatched-by-batch → carry base row). Deterministic
+    synthetic batch derived from the orders table (op by key residue;
+    inserts shifted past the key space); price updates add an exact
+    power-free constant (+10.0 is exact in binary double at these
+    magnitudes, so both engines agree bit-for-bit).
+
+    100 TB shape: one shuffle on the merge key for the full-outer join
+    (or a broadcast when the change batch is small — AQE decides);
+    keyless rows can't merge and are dropped identically on both
+    sides."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isNotNull())
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    base = o.filter(F.pmod("k", F.lit(4)) != 0)
+    op = (
+        F.when(F.pmod("k", F.lit(9)) < 3, "U")
+        .when(F.pmod("k", F.lit(9)) < 6, "D")
+        .otherwise("I")
+    )
+    batch = (
+        o.filter(F.pmod("k", F.lit(3)) == 0)
+        .select("k", "status", "price", op.alias("op"))
+        .select(
+            F.when(F.col("op") == "I", F.col("k") + CDC_INSERT_OFFSET)
+            .otherwise(F.col("k"))
+            .alias("k"),
+            F.col("status").alias("b_status"),
+            (F.col("price") + 10.0).alias("b_price"),
+            "op",
+        )
+    )
+    m = base.join(batch, "k", "full_outer")
+    return (
+        m.filter((F.col("op").isNull()) | (F.col("op") != "D"))
+        .select(
+            F.col("k").alias("orderkey"),
+            F.coalesce(
+                F.when(F.col("op").isin("U", "I"), F.col("b_status")),
+                F.col("status"),
+            ).alias("status"),
+            F.coalesce(
+                F.when(F.col("op").isin("U", "I"), F.col("b_price")),
+                F.col("price"),
+            ).alias("price"),
+        )
+    )
+
+
+ORACLE_CDC_MERGE = f"""
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         o_totalprice AS price
+  FROM orders WHERE o_orderkey IS NOT NULL
+), base AS (
+  SELECT * FROM o WHERE k % 4 <> 0
+), batch AS (
+  SELECT CASE WHEN op = 'I' THEN k + {CDC_INSERT_OFFSET} ELSE k END
+           AS k,
+         status AS b_status, price + 10.0 AS b_price, op
+  FROM (
+    SELECT k, status, price,
+           CASE WHEN k % 9 < 3 THEN 'U'
+                WHEN k % 9 < 6 THEN 'D'
+                ELSE 'I' END AS op
+    FROM o WHERE k % 3 = 0) t
+), m AS (
+  SELECT COALESCE(base.k, batch.k) AS k, base.status, base.price,
+         batch.b_status, batch.b_price, batch.op
+  FROM base FULL OUTER JOIN batch ON base.k = batch.k
+)
+SELECT k AS orderkey,
+       COALESCE(CASE WHEN op IN ('U', 'I') THEN b_status END, status)
+         AS status,
+       COALESCE(CASE WHEN op IN ('U', 'I') THEN b_price END, price)
+         AS price
+FROM m WHERE op IS NULL OR op <> 'D'
+"""
+
+
 QUERIES = {
+    "q_cdc_merge": q_cdc_merge,
     "q_upsert_latest": q_upsert_latest,
     "q_snapshot_diff": q_snapshot_diff,
     "q_version_retention": q_version_retention,
@@ -361,6 +457,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_cdc_merge": ORACLE_CDC_MERGE,
     "q_upsert_latest": ORACLE_UPSERT_LATEST,
     "q_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "q_version_retention": ORACLE_VERSION_RETENTION,
