@@ -120,6 +120,21 @@ def parse_image_header(data: bytes | None) -> tuple[str | None, int, int]:
                 (h,) = struct.unpack_from("<H", data, 28)
                 return "webp", w & 0x3FFF, h & 0x3FFF
             return "webp", 0, 0
+        if data[:4] == b"\x00\x00\x01\x00":  # ICO: dims from entry 0
+            entry = _ico_entry0(data)
+            if entry is None:
+                return None, 0, 0
+            w, h = data[6], data[7]
+            return "ico", w or 256, h or 256
+        if data[:1] == b"P" and data[1:2] in (b"5", b"6"):  # binary Netpbm
+            px = decode_pnm_pixels(data)
+            if px is None:
+                return "pgm" if data[1:2] == b"5" else "ppm", 0, 0
+            return (
+                "pgm" if data[1:2] == b"5" else "ppm",
+                px.shape[1],
+                px.shape[0],
+            )
         if data[:2] == b"\xff\xd8":  # JPEG: scan for a SOF marker
             pos = 2
             n = len(data)
@@ -832,9 +847,10 @@ def encode_png_palette(
 
 
 def decode_image_pixels(data: bytes | None) -> np.ndarray | None:
-    """Dispatch pixel decode by magic bytes: BMP, PNG, GIF, and baseline
-    JPEG (functions.jpeg: pure-python Huffman + numpy IDCT) are all REAL
-    codec-free paths; progressive/arithmetic JPEG → None."""
+    """Dispatch pixel decode by magic bytes: BMP, PNG, GIF, baseline +
+    progressive JPEG (functions.jpeg: pure-python Huffman + numpy IDCT),
+    ICO (DIB or embedded-PNG payloads), and binary Netpbm (P5/P6) are
+    all REAL codec-free paths; arithmetic-coded JPEG → None."""
     if not data or len(data) < 8:
         return None
     if data[:2] == b"BM":
@@ -847,6 +863,10 @@ def decode_image_pixels(data: bytes | None) -> np.ndarray | None:
         from .jpeg import decode_jpeg_pixels
 
         return decode_jpeg_pixels(data)
+    if data[:4] == b"\x00\x00\x01\x00":
+        return decode_ico_pixels(data)
+    if data[:1] == b"P" and data[1:2] in (b"5", b"6"):
+        return decode_pnm_pixels(data)
     return None
 
 
@@ -2329,5 +2349,216 @@ def with_synth_tga(
     @pandas_udf("binary")
     def _synth(ids: pd.Series) -> pd.Series:
         return pd.Series([synth_gray_tga(int(i)) for i in ids])
+
+    return df.withColumn(out_col, _synth(F.col(id_col)))
+
+
+# ---------------------------------------------------------------------------
+# REAL ICO decode (Windows icon container: DIB-with-doubled-height or
+# embedded-PNG entries, per the documented ICONDIR/ICONDIRENTRY layout)
+# ---------------------------------------------------------------------------
+
+
+def encode_ico(px: np.ndarray, as_png: bool) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a one-entry .ico. The two
+    real-world payload kinds: ``as_png=False`` writes the classic DIB
+    (BITMAPINFOHEADER with biHeight DOUBLED for the XOR+AND masks,
+    24-bpp bottom-up XOR rows, all-zero 1-bpp AND mask padded to 32
+    bits); ``as_png=True`` embeds a whole PNG stream (the Vista+ form)."""
+    h, w, _ = px.shape
+    if as_png:
+        img = encode_png(px)
+        bpp = 32
+    else:
+        row_size = (w * 3 + 3) & ~3
+        bgr = px[::-1, :, ::-1]
+        rows = np.zeros((h, row_size), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        and_row = ((w + 31) // 32) * 4
+        mask = np.zeros((h, and_row), dtype=np.uint8)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, h * 2, 1, 24, 0,
+            row_size * h + and_row * h, 0, 0, 0, 0,
+        )
+        img = dib + rows.tobytes() + mask.tobytes()
+        bpp = 24
+    entry = struct.pack(
+        "<BBBBHHII", w % 256, h % 256, 0, 0, 1, bpp, len(img), 22
+    )
+    return struct.pack("<HHH", 0, 1, 1) + entry + img
+
+
+def _ico_entry0(data: bytes) -> tuple[int, int] | None:
+    """(size, offset) of the first ICONDIR entry, or None if not an ICO."""
+    if not data or len(data) < 22 or data[:4] != b"\x00\x00\x01\x00":
+        return None
+    (count,) = struct.unpack_from("<H", data, 4)
+    if count < 1:
+        return None
+    size, off = struct.unpack_from("<II", data, 14)
+    if off + size > len(data) or size < 8:
+        return None
+    return size, off
+
+
+def decode_ico_pixels(data: bytes | None) -> np.ndarray | None:
+    """Decode entry 0 of a .ico to an (h, w, 3) uint8 RGB array
+    (top-down). Handles both payload kinds — embedded PNG (delegated to
+    the real PNG decoder) and 24-bpp BI_RGB DIB (doubled-height header,
+    bottom-up XOR rows; the AND mask is parsed past, not applied — the
+    fixture mask is all-opaque). Anything else → None (the shared
+    keep-with-fallback contract)."""
+    try:
+        entry = _ico_entry0(data)
+        if entry is None:
+            return None
+        size, off = entry
+        img = data[off : off + size]
+        if img[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png_pixels(img)
+        dib_size, w, h2 = struct.unpack_from("<Iii", img, 0)
+        (bpp,) = struct.unpack_from("<H", img, 14)
+        (comp,) = struct.unpack_from("<I", img, 16)
+        if dib_size != 40 or bpp != 24 or comp != 0 or w <= 0:
+            return None
+        if h2 <= 0 or h2 % 2:
+            return None
+        h = h2 // 2
+        row_size = (w * 3 + 3) & ~3
+        if len(img) < 40 + row_size * h:
+            return None
+        arr = np.frombuffer(
+            img, dtype=np.uint8, count=row_size * h, offset=40
+        ).reshape(h, row_size)
+        rgb = arr[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+        return np.ascontiguousarray(rgb[::-1])
+    except Exception:
+        return None
+
+
+def synth_gray_ico(doc_id: int) -> bytes:
+    """Deterministic grayscale ICO fixture: dims from the id, pixel
+    (x, y) = first md5 byte of ``ic:{id}:{x}:{y}``; EVEN ids carry the
+    classic 24-bpp DIB payload, ODD ids the embedded-PNG payload — one
+    fixture family exercises both container branches."""
+    w0 = 8 + doc_id % 9
+    h0 = 8 + doc_id % 7
+    px = np.empty((h0, w0, 3), dtype=np.uint8)
+    for y in range(h0):
+        for x in range(w0):
+            v = int(
+                hashlib.md5(f"ic:{doc_id}:{x}:{y}".encode()).hexdigest()[:2],
+                16,
+            )
+            px[y, x, :] = v
+    return encode_ico(px, as_png=doc_id % 2 == 1)
+
+
+def with_synth_ico(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "content"
+) -> DataFrame:
+    """Attach the deterministic ICO fixture bytes for each id."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_gray_ico(int(i)) for i in ids])
+
+    return df.withColumn(out_col, _synth(F.col(id_col)))
+
+
+# ---------------------------------------------------------------------------
+# REAL Netpbm decode (P5 PGM / P6 PPM binary rasters, maxval 255)
+# ---------------------------------------------------------------------------
+
+
+def encode_pnm(px: np.ndarray, gray: bool) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as binary Netpbm: P5 (PGM,
+    from the R channel) or P6 (PPM, interleaved RGB). A comment line is
+    always written so decoders must implement ``#`` skipping."""
+    h, w, _ = px.shape
+    if gray:
+        magic, body = b"P5", px[:, :, 0].tobytes()
+    else:
+        magic, body = b"P6", px.tobytes()
+    return magic + b"\n# fixture\n%d %d\n255\n" % (w, h) + body
+
+
+def decode_pnm_pixels(data: bytes | None) -> np.ndarray | None:
+    """Decode binary Netpbm (P5 grayscale / P6 RGB, maxval 255) to an
+    (h, w, 3) uint8 RGB array; P5 gray replicates into all three
+    channels. Header tokens may be separated by any whitespace run and
+    ``#``-to-newline comments (the spec's full lexical rule); exactly
+    one whitespace byte separates maxval from the raster. Anything
+    else — ASCII variants, 16-bit maxval, truncation — returns None."""
+    try:
+        if not data or len(data) < 8 or data[:1] != b"P":
+            return None
+        kind = data[1:2]
+        if kind not in (b"5", b"6"):
+            return None
+        pos = 2
+        vals: list[int] = []
+        n = len(data)
+        while len(vals) < 3 and pos < n:
+            c = data[pos]
+            if c in b" \t\r\n":
+                pos += 1
+            elif c == 0x23:  # '#': comment to end of line
+                while pos < n and data[pos] not in b"\r\n":
+                    pos += 1
+            elif 0x30 <= c <= 0x39:
+                start = pos
+                while pos < n and 0x30 <= data[pos] <= 0x39:
+                    pos += 1
+                vals.append(int(data[start:pos]))
+            else:
+                return None
+        if len(vals) < 3 or pos >= n:
+            return None
+        w, h, maxval = vals
+        if w <= 0 or h <= 0 or maxval != 255:
+            return None
+        pos += 1  # the single whitespace byte after maxval
+        ch = 1 if kind == b"5" else 3
+        need = w * h * ch
+        if n < pos + need:
+            return None
+        arr = np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
+        if ch == 1:
+            return np.ascontiguousarray(
+                np.repeat(arr.reshape(h, w, 1), 3, axis=2)
+            )
+        return np.ascontiguousarray(arr.reshape(h, w, 3))
+    except Exception:
+        return None
+
+
+def synth_gray_pnm(doc_id: int) -> bytes:
+    """Deterministic grayscale Netpbm fixture: dims from the id, pixel
+    (x, y) = first md5 byte of ``pm:{id}:{x}:{y}``; EVEN ids are P5
+    (PGM), ODD ids P6 (PPM) — both lexer + raster branches covered."""
+    w0 = 10 + doc_id % 11
+    h0 = 10 + doc_id % 5
+    px = np.empty((h0, w0, 3), dtype=np.uint8)
+    for y in range(h0):
+        for x in range(w0):
+            v = int(
+                hashlib.md5(f"pm:{doc_id}:{x}:{y}".encode()).hexdigest()[:2],
+                16,
+            )
+            px[y, x, :] = v
+    return encode_pnm(px, gray=doc_id % 2 == 0)
+
+
+def with_synth_pnm(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "content"
+) -> DataFrame:
+    """Attach the deterministic Netpbm fixture bytes for each id."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_gray_pnm(int(i)) for i in ids])
 
     return df.withColumn(out_col, _synth(F.col(id_col)))

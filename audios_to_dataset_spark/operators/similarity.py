@@ -852,3 +852,103 @@ def semantic_dedup_decisions(
         F.coalesce("max_lower_cos", F.lit(-1.0)).alias("max_lower_cos"),
         F.when(F.col("id_b").isNull(), 1).otherwise(0).alias("keep"),
     )
+
+
+def dbscan_clusters(
+    df: DataFrame,
+    tables: list[list[list[float]]],
+    threshold: float,
+    min_pts: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. KDD'96) over an
+    embedding column, with the eps-neighborhood realized as the
+    LSH-bucketed cosine near-dup pair graph.
+
+    Semantics (on the candidate graph): a point is **core** when its
+    eps-neighborhood — itself plus neighbors with rounded cosine >=
+    ``threshold`` — has at least ``min_pts`` members; clusters are the
+    connected components of the core-core neighbor graph (labelled by
+    min core id); a non-core point adjacent to >= 1 core point is a
+    **border** member of its minimum-labelled core neighbor's cluster;
+    everything else is **noise** (NULL cluster_id).
+
+    Approximate in exactly the sense of every bucketed pair-finder in
+    this module: neighborhoods are computed within deterministic LSH
+    candidates (precision 1, recall < 1), and the oracle replays the
+    identical buckets — so the check is exact even though the clustering
+    is approximate relative to all-pairs DBSCAN.
+
+    Scale shape: the pair search is the bucket equi-join
+    (:func:`lsh_bucketed_neardup_pairs` — no cross join), degrees are
+    one groupBy on node ids, core/border splits are semi/anti joins,
+    and the component loop shuffles only (id, label) pairs with
+    loop-invariant frames checkpointed inside
+    :func:`~..operators.graph.connected_components`. At 1000 executors
+    nothing here materializes more than the candidate pairs, which the
+    plane count keeps ~linear in N (see the scale-smoke's
+    log2(N)-bucket dial).
+    """
+    from .graph import connected_components
+
+    # the pair graph feeds degrees, the core-edge subgraph, the border
+    # join AND every component iteration — checkpoint it ONCE so the
+    # LSH bucket join + re-score never re-executes inside the loop
+    # (localCheckpoint over cache: loop lineage must be CUT, not merely
+    # cached, or the 20-iteration plan growth dominates; see
+    # operators/dedup.py:473 for the ContextCleaner rationale)
+    pairs = (
+        lsh_bucketed_neardup_pairs(
+            df, tables, threshold, id_col, vec_col, decimals
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    und = pairs.unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    ).select(F.col("id_a").alias("id"), F.col("id_b").alias("nb"))
+
+    deg = und.groupBy("id").agg(F.count("*").alias("n_nb"))
+    core = deg.filter(F.col("n_nb") + 1 >= min_pts).select("id")
+
+    core_edges = (
+        pairs.join(core.select(F.col("id").alias("id_a")), "id_a", "semi")
+        .join(core.select(F.col("id").alias("id_b")), "id_b", "semi")
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    core_lab = connected_components(
+        core, core_edges, max_iter=max_iter
+    ).select("id", "cluster_id")
+
+    border = (
+        und.join(core, "id", "left_anti")
+        .join(
+            core_lab.select(
+                F.col("id").alias("nb"),
+                F.col("cluster_id").alias("nb_cluster"),
+            ),
+            "nb",
+        )
+        .groupBy("id")
+        .agg(F.min("nb_cluster").alias("cluster_id"))
+    )
+    labeled = core_lab.withColumn("role", F.lit("core")).unionByName(
+        border.withColumn("role", F.lit("border"))
+    )
+    # the pair graph can never label NULL-id / NULL-vector rows (NULL
+    # comparisons drop them before any candidate forms), so the noise
+    # leg must exclude them too or the --nulls sweep diverges
+    all_ids = df.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(F.col(id_col).alias("id"))
+    noise = all_ids.join(labeled, "id", "left_anti").select(
+        "id",
+        F.lit(None).cast("bigint").alias("cluster_id"),
+        F.lit("noise").alias("role"),
+    )
+    return labeled.unionByName(noise)

@@ -930,6 +930,96 @@ def q_audio_float32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audio_stats_query("synth_wav_md5_f32")(spark, sf_dir)
 
 
+def q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-audio decode, pure Python (functions/flac.py): a
+    conforming FLAC stream per doc — STREAMINFO, CRC-8/CRC-16-checked
+    frames, Rice-coded FIXED(0/1/2)/VERBATIM/CONSTANT subframes cycling
+    per frame — decoded back to PCM and reduced to the audio family's
+    signal stats. Samples come from the same centered 16-bit md5
+    formula as the WAV fixtures (``fl:`` prefix), so the oracle
+    recomputes every sample: a wrong predictor reconstruction, Rice
+    zigzag, bit-reader slip, or CRC acceptance of a bad frame fails the
+    value hash. dyadic v/32768 arithmetic keeps rms/peak
+    engine-exact (see test_audio_stats_oracle_parity)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.flac import decode_flac, synth_flac_md5
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    out_t = T.StructType(
+        [
+            T.StructField("sampling_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+        ]
+    )
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_flac_md5(int(i)) for i in ids])
+
+    @pandas_udf(out_t)
+    def _dec(content):  # type: ignore[no-untyped-def]
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for b in content:
+            got = decode_flac(bytes(b) if b is not None else None)
+            if got is None:
+                rows.append((None, None, None, None))
+                continue
+            sr, s = got
+            p = s.astype(np.float64) / 32768.0
+            rms = (
+                math.sqrt(float((p * p).sum()) / p.size) if p.size else 0.0
+            )
+            rows.append(
+                (sr, p.size, rms, float(np.abs(p).max()) if p.size else 0.0)
+            )
+        return pd.DataFrame(
+            rows, columns=["sampling_rate", "n_samples", "rms", "peak"]
+        )
+
+    out = d.withColumn("r", _dec(_synth(F.col("doc_id"))))
+    return out.select(
+        "doc_id",
+        F.col("r.sampling_rate").alias("sampling_rate"),
+        F.col("r.n_samples").alias("n_samples"),
+        sround(F.col("r.rms"), 6).alias("rms"),
+        F.col("r.peak").alias("peak"),
+    )
+
+
+ORACLE_FLAC_DECODE = """
+WITH g AS (
+  SELECT doc_id, 64 + doc_id % 37 AS n,
+         8000 + (doc_id % 3) * 4000 AS sr
+  FROM documents
+), ix AS (
+  SELECT doc_id, n, sr, unnest(range(n)) AS i FROM g
+), s AS (
+  SELECT doc_id, n, sr,
+         CAST(('0x' || substr(md5('fl:' || CAST(doc_id AS VARCHAR) || ':'
+              || CAST(i AS VARCHAR)), 1, 4))::INT - 32768 AS DOUBLE)
+           / 32768.0 AS p
+  FROM ix
+)
+SELECT doc_id, CAST(sr AS INT) AS sampling_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       (round(sqrt(SUM(p * p) / n) * 1000000.0) / 1000000.0) + 0.0 AS rms,
+       MAX(abs(p)) AS peak
+FROM s GROUP BY doc_id, n, sr
+"""
+
+
 def q_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only dimension decode for the codec-bound container
     formats (S4-class breadth): a minimal TIFF (IFD walk, both byte
@@ -1183,6 +1273,97 @@ def q_tga_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.img_height").alias("img_height"),
         F.col("r.mean_px").alias("mean_px"),
     )
+
+
+def q_ico_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windows ICO container decode (ICONDIR/ICONDIRENTRY layout), both
+    real-world payload branches in one fixture family: EVEN docs carry
+    the classic 24-bpp DIB (biHeight DOUBLED for the XOR+AND masks,
+    bottom-up rows, 32-bit-padded AND mask parsed past), ODD docs the
+    Vista+ embedded-PNG stream (delegated to the real zlib/filter PNG
+    decoder). Oracle recomputes every pixel from the md5 formula, so a
+    doubled-height slip, mask misparse, or entry-offset bug fails the
+    value hash. Header surface (with_image_info) reports entry-0 dims
+    from ICONDIR itself — the 0-means-256 rule included."""
+    from ..functions.multimodal import with_pixel_mean, with_synth_ico
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    info = with_image_info(with_synth_ico(d))
+    return with_pixel_mean(info).select(
+        "doc_id",
+        F.col("image.format").alias("img_format"),
+        F.col("image.width").cast("long").alias("img_width"),
+        F.col("image.height").cast("long").alias("img_height"),
+        "mean_px",
+    )
+
+
+ORACLE_ICO_PIXELS = """
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w0, 8 + doc_id % 7 AS h0
+  FROM documents
+), fx AS (
+  SELECT doc_id, w0, h0, unnest(range(w0)) AS x FROM g
+), px AS (
+  SELECT doc_id, w0, h0, x, unnest(range(h0)) AS y FROM fx
+), v AS (
+  SELECT doc_id, w0, h0,
+         ('0x' || substr(md5('ic:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(x AS VARCHAR) || ':' ||
+             CAST(y AS VARCHAR)), 1, 2))::INT AS v
+  FROM px
+)
+SELECT doc_id, 'ico' AS img_format,
+       CAST(w0 AS BIGINT) AS img_width,
+       CAST(h0 AS BIGINT) AS img_height,
+       CAST(SUM(v) AS DOUBLE) / CAST(w0 * h0 AS DOUBLE) AS mean_px
+FROM v GROUP BY doc_id, w0, h0
+"""
+
+
+def q_pnm_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary Netpbm decode (P5 PGM / P6 PPM, maxval 255) — the
+    interchange raster every image tool emits: EVEN docs P5 (gray
+    raster replicated to RGB), ODD docs P6 (interleaved RGB), headers
+    always carrying a ``#`` comment so the spec's full lexer (arbitrary
+    whitespace runs + comment-to-newline) is exercised, not just the
+    happy path. Oracle recomputes every pixel from the md5 formula;
+    the format column pins the P5/P6 dispatch itself."""
+    from ..functions.multimodal import with_pixel_mean, with_synth_pnm
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    info = with_image_info(with_synth_pnm(d))
+    return with_pixel_mean(info).select(
+        "doc_id",
+        F.col("image.format").alias("img_format"),
+        F.col("image.width").cast("long").alias("img_width"),
+        F.col("image.height").cast("long").alias("img_height"),
+        "mean_px",
+    )
+
+
+ORACLE_PNM_PIXELS = """
+WITH g AS (
+  SELECT doc_id, 10 + doc_id % 11 AS w0, 10 + doc_id % 5 AS h0,
+         CASE WHEN doc_id % 2 = 0 THEN 'pgm' ELSE 'ppm' END AS fmt
+  FROM documents
+), fx AS (
+  SELECT doc_id, w0, h0, fmt, unnest(range(w0)) AS x FROM g
+), px AS (
+  SELECT doc_id, w0, h0, fmt, x, unnest(range(h0)) AS y FROM fx
+), v AS (
+  SELECT doc_id, w0, h0, fmt,
+         ('0x' || substr(md5('pm:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(x AS VARCHAR) || ':' ||
+             CAST(y AS VARCHAR)), 1, 2))::INT AS v
+  FROM px
+)
+SELECT doc_id, fmt AS img_format,
+       CAST(w0 AS BIGINT) AS img_width,
+       CAST(h0 AS BIGINT) AS img_height,
+       CAST(SUM(v) AS DOUBLE) / CAST(w0 * h0 AS DOUBLE) AS mean_px
+FROM v GROUP BY doc_id, w0, h0, fmt
+"""
 
 
 ORACLE_TGA_PIXELS = """
@@ -2191,6 +2372,9 @@ QUERIES = {
     "q_audio_headers": q_audio_headers,
     "q_video_headers": q_video_headers,
     "q_tga_pixels": q_tga_pixels,
+    "q_ico_pixels": q_ico_pixels,
+    "q_pnm_pixels": q_pnm_pixels,
+    "q_flac_decode": q_flac_decode,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -2242,3 +2426,6 @@ ORACLES["q_audio_neardup"] = ORACLE_AUDIO_NEARDUP
 ORACLES["q_audio_headers"] = ORACLE_AUDIO_HEADERS
 ORACLES["q_video_headers"] = ORACLE_VIDEO_HEADERS
 ORACLES["q_tga_pixels"] = ORACLE_TGA_PIXELS
+ORACLES["q_ico_pixels"] = ORACLE_ICO_PIXELS
+ORACLES["q_pnm_pixels"] = ORACLE_PNM_PIXELS
+ORACLES["q_flac_decode"] = ORACLE_FLAC_DECODE

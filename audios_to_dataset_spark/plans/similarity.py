@@ -1502,8 +1502,83 @@ FROM tot JOIN top USING (cid)
 """
 
 
+DBSCAN_MIN_PTS = 3  # sf0.01 degrees: 114 cores / ~197 borders / ~189 noise
+
+
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering (DBSCAN) over the embedding table —
+    the curation move kmeans can't make: clusters of arbitrary shape
+    plus an explicit NOISE label for low-density outliers (the rows a
+    training-data pipeline quarantines rather than force-assigns).
+
+    Eps-neighborhoods are the DEDUP_PLANES LSH-bucketed cosine pairs
+    (same graph as q_dedup_embedding, kept honest by
+    q_dedup_embedding_recall); cores have >= MIN_PTS points in their
+    neighborhood, clusters are components of the core-core graph,
+    borders attach to their min-labelled core neighbor. The oracle
+    replays buckets, degrees, and the component fixpoint (recursive
+    CTE), so the full core/border/noise assignment is value-hashed."""
+    from ..operators.similarity import dbscan_clusters
+    from .dedup import DEDUP_PLANES, EMB_THRESHOLD
+
+    em = load(spark, sf_dir, "embeddings")
+    return dbscan_clusters(
+        em, DEDUP_PLANES, threshold=EMB_THRESHOLD, min_pts=DBSCAN_MIN_PTS
+    ).select(F.col("id").alias("vec_id"), "cluster_id", "role")
+
+
+def _oracle_dbscan() -> str:
+    from .dedup import _emb_pairs_ctes
+
+    # MATERIALIZED hints are load-bearing: DuckDB inlines CTEs per
+    # reference, and `cedges` sits inside the recursive term — without
+    # them the 12-table LSH chain re-executes every fixpoint round
+    # (observed: minutes instead of seconds at sf0.01)
+    return f"""WITH RECURSIVE {_emb_pairs_ctes()},
+p AS MATERIALIZED (
+  SELECT id_a, id_b FROM pairs
+), und AS MATERIALIZED (
+  SELECT id_a AS id, id_b AS nb FROM p
+  UNION ALL
+  SELECT id_b AS id, id_a AS nb FROM p
+), deg AS (
+  SELECT id, COUNT(*) AS n_nb FROM und GROUP BY id
+), core AS MATERIALIZED (
+  SELECT id FROM deg WHERE n_nb + 1 >= {DBSCAN_MIN_PTS}
+), cedges AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM p
+  WHERE id_a IN (SELECT id FROM core) AND id_b IN (SELECT id FROM core)
+  UNION
+  SELECT id_b AS a, id_a AS b FROM p
+  WHERE id_a IN (SELECT id FROM core) AND id_b IN (SELECT id FROM core)
+), reach(id, r) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT reach.id, cedges.b FROM reach JOIN cedges ON reach.r = cedges.a
+), corelab AS (
+  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+), borderlab AS (
+  SELECT u.id, MIN(c.cluster_id) AS cluster_id
+  FROM und u JOIN corelab c ON u.nb = c.id
+  WHERE u.id NOT IN (SELECT id FROM core)
+  GROUP BY u.id
+), lab AS (
+  SELECT id, cluster_id, 'core' AS role FROM corelab
+  UNION ALL
+  SELECT id, cluster_id, 'border' AS role FROM borderlab
+)
+SELECT id AS vec_id, cluster_id, role FROM lab
+UNION ALL
+SELECT vec_id, CAST(NULL AS BIGINT) AS cluster_id, 'noise' AS role
+FROM embeddings
+WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+  AND vec_id NOT IN (SELECT id FROM lab)
+"""
+
+
 QUERIES = {
     "q_ann_batch": q_ann_batch,
+    "q_dbscan": q_dbscan,
     "q_embed_quantize": q_embed_quantize,
     "q_embed_norm_stats": q_embed_norm_stats,
     "q_cosine_scores": q_cosine_scores,
@@ -1530,6 +1605,7 @@ QUERIES = {
 
 ORACLES = {
     "q_ann_batch": _oracle_ann_batch(),
+    "q_dbscan": _oracle_dbscan(),
     "q_embed_quantize": ORACLE_EMBED_QUANTIZE,
     "q_embed_norm_stats": ORACLE_EMBED_NORM_STATS,
     "q_cosine_scores": ORACLE_COSINE_SCORES,

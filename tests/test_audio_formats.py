@@ -210,3 +210,66 @@ def test_aiff_header_extended_float():
     assert parse_aiff_header(b"FORM\x00\x00\x00\x04AIFF") == (
         None, 0, 0, 0,
     )
+
+
+def test_flac_roundtrip_all_subframe_types():
+    """FLAC: encode→decode round-trips across sizes (partial final
+    frame, constant first block, quiet signals hitting small Rice k,
+    full-amplitude signals hitting the raw-residual escape), both CRCs
+    verified."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.flac import (
+        decode_flac,
+        encode_flac,
+        synth_flac_md5,
+    )
+
+    rng = np.random.RandomState(11)
+    for trial in range(25):
+        n = int(rng.randint(0, 300))
+        s = rng.randint(-32768, 32768, n).astype(np.int16)
+        if trial % 5 == 0 and n >= 32:
+            s[:32] = 123  # CONSTANT subframe
+        if trial % 7 == 0:
+            s = (s // 256).astype(np.int16)  # small Rice parameters
+        sr = [8000, 16000, 44100][trial % 3]
+        out = decode_flac(encode_flac(s, sr))
+        assert out is not None
+        assert out[0] == sr and np.array_equal(out[1], s)
+    # fixture contract: n, rate from the id formula
+    for i in (0, 1, 36, 499):
+        out = decode_flac(synth_flac_md5(i))
+        assert out is not None
+        assert out[1].size == 64 + i % 37
+        assert out[0] == 8000 + (i % 3) * 4000
+
+
+def test_flac_rejects_malformed():
+    """FLAC: non-FLAC magic, truncation, out-of-subset layouts and
+    CRC-corrupted frames all return None (never raise)."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(4)
+    good = encode_flac(rng.randint(-100, 100, 64).astype(np.int16), 8000)
+    for junk in (None, b"", b"fLaC", good[:50], b"RIFF" + good[4:]):
+        assert decode_flac(junk) is None
+    # stereo / 24-bit STREAMINFO must be rejected (subset gate)
+    bad = bytearray(good)
+    bad[8 + 12] |= 0x02  # channels-1 = 1
+    assert decode_flac(bytes(bad)) is None
+    # single-bit corruption anywhere must never crash; frame-area
+    # corruption is caught by CRC-8/CRC-16
+    caught = 0
+    for flip in range(len(good)):
+        b = bytearray(good)
+        b[flip] ^= 0x08
+        out = decode_flac(bytes(b))
+        if out is None:
+            caught += 1
+    assert caught > len(good) // 2

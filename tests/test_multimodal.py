@@ -748,3 +748,83 @@ def test_tga_codec():
     bad[2] = 3  # unknown image type
     assert decode_tga_pixels(bytes(bad)) is None
     assert decode_tga_pixels(None) is None
+
+
+def test_ico_codec():
+    """ICO: both payload branches (24-bpp doubled-height DIB, embedded
+    PNG), header surface, and malformed rejection."""
+    import struct
+
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_ico_pixels,
+        encode_ico,
+        parse_image_header,
+        synth_gray_ico,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+    for as_png in (False, True):
+        data = encode_ico(px, as_png)
+        got = decode_ico_pixels(data)
+        assert got is not None and np.array_equal(got, px)
+        assert parse_image_header(data) == ("ico", 7, 5)
+    # 0-in-entry means 256 per spec (header surface only)
+    wide = encode_ico(np.zeros((4, 256, 3), dtype=np.uint8), False)
+    assert parse_image_header(wide)[:2] == ("ico", 256)
+    # fixture branches: even -> DIB, odd -> PNG
+    assert synth_gray_ico(2)[22:26] == struct.pack("<I", 40)
+    assert synth_gray_ico(3)[22:30] == b"\x89PNG\r\n\x1a\n"
+    # malformed: wrong magic, zero entries, truncated payload, odd
+    # doubled height, non-24bpp DIB
+    good = encode_ico(px, False)
+    assert decode_ico_pixels(b"\x00\x00\x02\x00" + good[4:]) is None
+    assert decode_ico_pixels(good[:4] + b"\x00\x00" + good[6:]) is None
+    assert decode_ico_pixels(good[:40]) is None
+    bad = bytearray(good)
+    struct.pack_into("<i", bad, 22 + 4 + 4, 9)  # biHeight odd
+    assert decode_ico_pixels(bytes(bad)) is None
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 22 + 14, 8)  # bpp 8
+    assert decode_ico_pixels(bytes(bad)) is None
+    assert decode_ico_pixels(None) is None
+
+
+def test_pnm_codec():
+    """Netpbm: P5/P6 round-trips, comment + whitespace lexing, and
+    malformed rejection."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_pnm_pixels,
+        encode_pnm,
+        parse_image_header,
+        synth_gray_pnm,
+    )
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, (3, 9, 3), dtype=np.uint8)
+    gray = np.repeat(px[:, :, :1], 3, axis=2)
+    assert np.array_equal(decode_pnm_pixels(encode_pnm(gray, True)), gray)
+    assert np.array_equal(decode_pnm_pixels(encode_pnm(px, False)), px)
+    assert parse_image_header(encode_pnm(px, False)) == ("ppm", 9, 3)
+    assert parse_image_header(encode_pnm(gray, True)) == ("pgm", 9, 3)
+    # exotic-but-legal headers: multiple comments, CRLF, tab runs
+    body = bytes(px[:1, :2].tobytes())
+    assert (
+        decode_pnm_pixels(b"P6 # c1\r\n#c2\n\t 2\t1 \n 255\n" + body)
+        is not None
+    )
+    # fixture branches: even -> P5, odd -> P6
+    assert synth_gray_pnm(2)[:2] == b"P5"
+    assert synth_gray_pnm(3)[:2] == b"P6"
+    # malformed: ASCII variant, maxval 65535, truncated raster, junk
+    # token, negative-free but zero dims
+    assert decode_pnm_pixels(b"P3\n2 1\n255\n1 2 3 4 5 6") is None
+    assert decode_pnm_pixels(b"P6\n2 1\n65535\n" + bytes(12)) is None
+    assert decode_pnm_pixels(b"P6\n2 2\n255\n" + bytes(5)) is None
+    assert decode_pnm_pixels(b"P6\n2 x\n255\n" + bytes(12)) is None
+    assert decode_pnm_pixels(b"P6\n0 1\n255\n") is None
+    assert decode_pnm_pixels(None) is None

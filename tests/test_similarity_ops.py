@@ -229,3 +229,45 @@ def test_semdedup_keep_consistent_with_pair_query(spark, sf_dir):
             assert abs(r.max_lower_cos - best) < 1e-9
         else:
             assert r.max_lower_cos == -1.0
+
+
+def test_dbscan_roles_and_clusters(spark):
+    """DBSCAN on a hand-built angle chain at threshold 0.95 (= 18.2
+    degrees): vectors at 0/18/36/54 degrees in a plane. Adjacent pairs
+    are neighbors (cos 18 = .9511), skips are not (cos 36 = .809), so
+    the interior vertices 2 and 3 reach min_pts=3 (cores, one
+    component labelled min-core-id 2), the endpoints 1 and 4 are
+    borders, the orthogonal point is noise, and the NULL-id row is
+    dropped."""
+    from audios_to_dataset_spark.operators.similarity import (
+        dbscan_clusters,
+    )
+
+    def ang(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg)),
+                0.0]
+
+    rows = [
+        (1, ang(0)),
+        (2, ang(18)),
+        (3, ang(36)),
+        (4, ang(54)),
+        (5, [0.0, 0.0, 1.0]),
+        (None, ang(0)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # one table, one all-zero plane -> every vector hashes to bucket
+    # '0:1': candidates are all pairs, so the test pins DBSCAN
+    # semantics, not LSH recall
+    out = {
+        r["id"]: (r["role"], r["cluster_id"])
+        for r in dbscan_clusters(
+            df, [[[0.0, 0.0, 0.0]]], threshold=0.95, min_pts=3
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[2] == ("core", 2)
+    assert out[3] == ("core", 2)
+    assert out[1] == ("border", 2)
+    assert out[4] == ("border", 2)
+    assert out[5] == ("noise", None)
