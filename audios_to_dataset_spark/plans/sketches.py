@@ -2247,7 +2247,159 @@ FROM m2 GROUP BY source
 """
 
 
+KMV_K = 64
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source overlap by KMV (bottom-k / k-minimum-values)
+    sketches — the ORDER-STATISTIC sibling of q_hll_overlap's register
+    sketch, and the one that gives Jaccard directly: per source keep the
+    K smallest 60-bit token hashes; for a pair, the K smallest of the
+    two sketches' union IS the union's KMV sketch (closure under union
+    is the whole point), distinct-union ≈ (K-1)·2^60 / h_(K), Jaccard ≈
+    |both-sources ∩ merged-k| / K, intersection = J · union. Sources
+    whose merged sketch has fewer than K hashes fall back to exact
+    counts (the estimator's own exact regime).
+
+    Scale shape: one distinct-(source, hash) aggregation, a bottom-K
+    window PARTITIONED by source over that deduped set, then all pair
+    math on ≤ 2K rows per pair — sketches travel, raw tokens don't. At
+    100 TB the per-source window input is the distinct hash set; the
+    production dial is a pre-filter h < t from a coarse per-source count
+    (any t keeping ≥ K survivors is lossless for bottom-K)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("text").isNotNull()
+    )
+    tok = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    hs = tok.select("source", h.alias("h")).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    botk = (
+        hs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("source", "h")
+    )
+    s = hs.select("source").distinct()
+    pairs = (
+        s.select(F.col("source").alias("src_a"))
+        .crossJoin(F.broadcast(s.select(F.col("source").alias("src_b"))))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    merged = (
+        pairs.join(
+            botk.select(F.col("source").alias("src_a"), "h"), "src_a"
+        )
+        .unionByName(
+            pairs.join(
+                botk.select(F.col("source").alias("src_b"), "h"), "src_b"
+            ).select("src_a", "src_b", "h")
+        )
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wp = Window.partitionBy("src_a", "src_b").orderBy("h")
+    wall = Window.partitionBy("src_a", "src_b")
+    mr = merged.withColumn("rn", F.row_number().over(wp)).withColumn(
+        "n_m", F.count("*").over(wall)
+    )
+    agg = mr.groupBy("src_a", "src_b").agg(
+        F.max("n_m").alias("n_m"),
+        F.max(
+            F.when(
+                F.col("rn") == F.least(F.lit(KMV_K), F.col("n_m")),
+                F.col("h"),
+            )
+        ).alias("h_l"),
+        F.sum(
+            F.when((F.col("rn") <= KMV_K) & (F.col("cnt") == 2), 1)
+            .otherwise(0)
+        ).alias("common"),
+    )
+    l_col = F.least(F.lit(KMV_K), F.col("n_m")).cast("double")
+    union_raw = F.when(
+        F.col("n_m") < KMV_K, F.col("n_m").cast("double")
+    ).otherwise(
+        (F.lit(float(KMV_K)) - 1.0)
+        * 1152921504606846976.0
+        / F.col("h_l").cast("double")
+    )
+    jacc_raw = F.col("common").cast("double") / l_col
+    return agg.select(
+        "src_a",
+        "src_b",
+        sround(union_raw, 2).alias("union_est"),
+        sround(jacc_raw, 4).alias("jaccard_est"),
+        sround(jacc_raw * union_raw, 2).alias("inter_est"),
+    ).orderBy("src_a", "src_b")
+
+
+def _oracle_kmv_overlap() -> str:
+    from ._util import sround_sql
+
+    k = KMV_K
+    union_raw = (
+        f"CASE WHEN n_m < {k} THEN CAST(n_m AS DOUBLE) "
+        f"ELSE ({float(k)} - 1.0) * 1152921504606846976.0 "
+        f"/ CAST(h_l AS DOUBLE) END"
+    )
+    jacc_raw = f"CAST(common AS DOUBLE) / CAST(LEAST({k}, n_m) AS DOUBLE)"
+    return f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+), hs AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM tok WHERE tok <> ''
+), botk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hs) t WHERE rn <= {k}
+), s AS (
+  SELECT DISTINCT source FROM hs
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM s a JOIN s b ON a.source < b.source
+), mu AS (
+  SELECT src_a, src_b, h, COUNT(*) AS cnt FROM (
+    SELECT p.src_a, p.src_b, kk.h
+    FROM pairs p JOIN botk kk ON kk.source = p.src_a
+    UNION ALL
+    SELECT p.src_a, p.src_b, kk.h
+    FROM pairs p JOIN botk kk ON kk.source = p.src_b
+  ) u GROUP BY src_a, src_b, h
+), mr AS (
+  SELECT src_a, src_b, h, cnt,
+         row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn,
+         COUNT(*) OVER (PARTITION BY src_a, src_b) AS n_m
+  FROM mu
+), agg AS (
+  SELECT src_a, src_b, MAX(n_m) AS n_m,
+         MAX(CASE WHEN rn = LEAST({k}, n_m) THEN h END) AS h_l,
+         SUM(CASE WHEN rn <= {k} AND cnt = 2 THEN 1 ELSE 0 END) AS common
+  FROM mr GROUP BY src_a, src_b
+)
+SELECT src_a, src_b,
+       {sround_sql(union_raw, 2)} AS union_est,
+       {sround_sql(jacc_raw, 4)} AS jaccard_est,
+       {sround_sql(f"({jacc_raw}) * ({union_raw})", 2)} AS inter_est
+FROM agg ORDER BY src_a, src_b
+"""
+
+
 QUERIES = {
+    "q_kmv_overlap": q_kmv_overlap,
     "q_benford": q_benford,
     "q_ref_integrity": q_ref_integrity,
     "q_degree_dist": q_degree_dist,
@@ -2297,6 +2449,7 @@ ORACLES = {
     "q_bfs_hops": _oracle_bfs_hops(),
     "q_link_predict": _oracle_link_predict(),
     "q_hll_overlap": _oracle_hll_overlap(),
+    "q_kmv_overlap": _oracle_kmv_overlap(),
     "q_label_prop": _oracle_label_prop(),
     "q_hits": _oracle_hits(),
     "q_kcore": _oracle_kcore(),

@@ -309,6 +309,37 @@ def main() -> int:
     e2e["kcore_scaled"] = {
         "sec": round(time.perf_counter() - t0, 1), "rows": surv
     }
+    # DBSCAN at x10: same pair-graph scale rule as the dedup path —
+    # widen DEDUP_PLANES (12x4) by ~log2(10) planes per table so bucket
+    # counts track N; asserts the clustering completes and labels every
+    # surviving vector exactly once
+    from audios_to_dataset_spark.operators.similarity import dbscan_clusters
+    from audios_to_dataset_spark.plans.dedup import EMB_THRESHOLD, _make_planes
+    from audios_to_dataset_spark.plans.similarity import DBSCAN_MIN_PTS
+
+    dbscan_planes = _make_planes(n_tables=12, n_planes=8, seed=13)
+    t0 = time.perf_counter()
+    roles = dict(
+        dbscan_clusters(
+            em, dbscan_planes, EMB_THRESHOLD, DBSCAN_MIN_PTS
+        )
+        .groupBy("role")
+        .count()
+        .collect()
+    )
+    n_labeled = sum(roles.values())
+    e2e["dbscan_scaled"] = {
+        "sec": round(time.perf_counter() - t0, 1),
+        "roles": {k: int(v) for k, v in roles.items()},
+    }
+    n_vec = em.filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    ).count()
+    if n_labeled != n_vec:
+        failures.append(
+            f"dbscan labeled {n_labeled} of {n_vec} vectors at x10"
+        )
+
     out["e2e_x10"] = e2e
     out["failures"] = failures
     print(json.dumps(out))
