@@ -191,11 +191,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(ids, pairs, src="doc_a", dst="doc_b")
 
 
-def _oracle_dedup_clusters() -> str:
+def _cc_ctes() -> str:
+    """The WITH-RECURSIVE chain (toks..reach) that recomputes n-gram
+    Jaccard dup clusters in DuckDB — shared by the dedup-clusters
+    oracle and the cluster-aware split assigner in plans/curation so
+    the two can never drift."""
     from .dedup import MAX_SHINGLE_FREQ, NGRAM_N, NGRAM_THRESHOLD
 
-    return f"""
-WITH RECURSIVE toks AS (
+    return f"""toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
   WHERE doc_id IS NOT NULL
 ), sh0 AS (
@@ -229,7 +232,12 @@ WITH RECURSIVE toks AS (
   SELECT doc_id, doc_id FROM documents WHERE doc_id IS NOT NULL
   UNION
   SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
-)
+)"""
+
+
+def _oracle_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE {_cc_ctes()}
 SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
 """
 

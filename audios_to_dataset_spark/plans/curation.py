@@ -470,7 +470,71 @@ FROM grp GROUP BY source
 """
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster-aware train/val/test assignment — the PREVENTIVE
+    twin of q_split_leakage's audit: split membership is decided by an
+    md5 bucket of the near-dup CLUSTER id (connected components over
+    the n-gram Jaccard pair graph, same fixpoint as q_dedup_clusters),
+    so every member of a dup cluster lands in the same split by
+    construction and no near-duplicate can straddle train/test. 80/10/10
+    by hash bucket — deterministic across runs, engines, partitionings.
+
+    Scale shape: the split decision adds ONE hash projection on top of
+    the component labels; the cost is the CC fixpoint the dedup
+    pipeline already pays, so cluster-safe splits are free at 100 TB."""
+    from .analytics import q_dedup_clusters
+
+    cc = q_dedup_clusters(spark, sf_dir)
+    h = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("split:"),
+                        F.col("cluster_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(100),
+    )
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.when(h < 80, "train")
+        .when(h < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _oracle_split_assign() -> str:
+    from .analytics import _cc_ctes
+
+    return f"""
+WITH RECURSIVE {_cc_ctes()},
+cc AS (
+  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+), hv AS (
+  SELECT id, cluster_id,
+         ('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)),
+                         1, 15))::BIGINT % 100 AS h
+  FROM cc
+)
+SELECT id AS doc_id, cluster_id,
+       CASE WHEN h < 80 THEN 'train'
+            WHEN h < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM hv
+"""
+
+
 QUERIES = {
+    "q_split_assign": q_split_assign,
     "q_curation_funnel": q_curation_funnel,
     "q_global_shuffle": q_global_shuffle,
     "q_dataset_card": q_dataset_card,
@@ -480,6 +544,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_split_assign": _oracle_split_assign(),
     "q_curation_funnel": _oracle_curation_funnel(),
     "q_global_shuffle": _oracle_global_shuffle(),
     "q_dataset_card": _oracle_dataset_card(),
