@@ -444,6 +444,133 @@ GROUP BY e.src ORDER BY e.src
 """
 
 
+MRL_PROBES = 8
+MRL_K = 5
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dimension truncation quality (the Matryoshka/MRL
+    question, Kusupati et al. NeurIPS'22): recall@5 of top-k computed
+    from only the first 32 / 16 of the 64 embedding dims against
+    full-dim exact top-k, over an 8-probe set. The measurement that
+    decides whether you can serve (or near-dup) on truncated vectors —
+    2-4x less ANN memory and bandwidth — before committing the index.
+    Same exact-vs-variant recall-gate shape as q_ann_recall /
+    q_ann_pq_recall; both sides are deterministic brute force on the
+    broadcast probe set (the yardstick, not the scale path), rounded
+    before ranking with id tie-breaks."""
+    from pyspark.sql import Window
+
+    em = load(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = em.select("vec_id", e.alias("e"))
+    probes = v.filter(F.col("vec_id") < MRL_PROBES).select(
+        F.col("vec_id").alias("src"), F.col("e").alias("qe")
+    )
+
+    def topk(dim: int | None, out: str) -> DataFrame:
+        ec = F.col("e") if dim is None else F.slice(F.col("e"), 1, dim)
+        qc = F.col("qe") if dim is None else F.slice(F.col("qe"), 1, dim)
+        dot = F.aggregate(
+            F.zip_with(ec, qc, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        nrm = lambda c: F.sqrt(  # noqa: E731
+            F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.col("cos_sim").desc(), "vec_id"
+        )
+        return (
+            v.crossJoin(F.broadcast(probes))
+            .filter(F.col("vec_id") != F.col("src"))
+            .withColumn("cos_sim", sround(dot / (nrm(ec) * nrm(qc)), 3))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= MRL_K)
+            .select("src", F.col("vec_id").alias(out))
+        )
+
+    exact = topk(None, "dst")
+    hits32 = (
+        exact.join(
+            topk(32, "dst"), ["src", "dst"], "left_semi"
+        ).groupBy("src").agg(F.count(F.lit(1)).alias("h32"))
+    )
+    hits16 = (
+        exact.join(
+            topk(16, "dst"), ["src", "dst"], "left_semi"
+        ).groupBy("src").agg(F.count(F.lit(1)).alias("h16"))
+    )
+    return (
+        exact.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .join(hits32, "src", "left")
+        .join(hits16, "src", "left")
+        .select(
+            "src",
+            "n_exact",
+            F.coalesce("h32", F.lit(0)).cast("bigint").alias("hit_dim32"),
+            F.coalesce("h16", F.lit(0)).cast("bigint").alias("hit_dim16"),
+            (
+                F.coalesce("h32", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall_dim32"),
+            (
+                F.coalesce("h16", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall_dim16"),
+        )
+        .orderBy("src")
+    )
+
+
+def _oracle_matryoshka_recall() -> str:
+    def scored(dim: str, name: str) -> str:
+        if dim == "full":
+            ee, qq = "e", "qe"
+        else:
+            ee, qq = f"e[1:{dim}]", f"qe[1:{dim}]"
+        return f"""{name} AS (
+  SELECT src, dst FROM (
+    SELECT probes.src, v.vec_id AS dst,
+           row_number() OVER (PARTITION BY probes.src ORDER BY
+             round((list_sum(list_transform(range(1, len({ee}) + 1),
+                     i -> ({ee})[i] * ({qq})[i]))
+               / (sqrt(list_sum(list_transform({ee}, x -> x * x)))
+                  * sqrt(list_sum(list_transform({qq}, x -> x * x)))))
+               * 1000.0) / 1000.0 + 0.0 DESC, v.vec_id) AS rk
+    FROM v CROSS JOIN probes WHERE v.vec_id <> probes.src) x
+  WHERE rk <= {MRL_K}
+)"""
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), probes AS (
+  SELECT vec_id AS src, e AS qe FROM v WHERE vec_id < {MRL_PROBES}
+), {scored('full', 'exact')}, {scored('32', 't32')}, {scored('16', 't16')},
+h32 AS (
+  SELECT exact.src, CAST(COUNT(*) AS BIGINT) AS h
+  FROM exact JOIN t32 USING (src, dst) GROUP BY exact.src
+), h16 AS (
+  SELECT exact.src, CAST(COUNT(*) AS BIGINT) AS h
+  FROM exact JOIN t16 USING (src, dst) GROUP BY exact.src
+)
+SELECT e.src, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COALESCE(MAX(a.h), 0) AS BIGINT) AS hit_dim32,
+       CAST(COALESCE(MAX(b.h), 0) AS BIGINT) AS hit_dim16,
+       CAST(COALESCE(MAX(a.h), 0) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS recall_dim32,
+       CAST(COALESCE(MAX(b.h), 0) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS recall_dim16
+FROM exact e LEFT JOIN h32 a ON a.src = e.src
+LEFT JOIN h16 b ON b.src = e.src
+GROUP BY e.src ORDER BY e.src
+"""
+
+
 HYBRID_KEYWORD = "small"
 
 
@@ -1588,6 +1715,7 @@ QUERIES = {
     "q_ann_multiprobe": q_ann_multiprobe,
     "q_knn_graph": q_knn_graph,
     "q_ann_recall": q_ann_recall,
+    "q_matryoshka_recall": q_matryoshka_recall,
     "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
     "q_dedup_semantic": q_dedup_semantic,
     "q_ann_lsh_recall": q_ann_lsh_recall,
@@ -1615,6 +1743,7 @@ ORACLES = {
     "q_ann_multiprobe": _oracle_ann_multiprobe(),
     "q_knn_graph": _oracle_knn_graph(),
     "q_ann_recall": _oracle_ann_recall(),
+    "q_matryoshka_recall": _oracle_matryoshka_recall(),
     "q_ann_ivf_kmeans": _oracle_ann_ivf_kmeans(),
     "q_dedup_semantic": _oracle_dedup_semantic(),
     "q_ann_lsh_recall": _oracle_ann_lsh_recall(),

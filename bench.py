@@ -221,6 +221,7 @@ def main() -> None:
         "q_t_closeness", "q_ks_drift", "q_cms_join_estimate",
         "q_robust_outliers", "q_mixture_temperature",
         "q_audio_headers", "q_video_headers",
+        "q_dbscan", "q_kmv_overlap", "q_split_assign", "q_flac_decode",
     ):
         if name not in queries:
             continue

@@ -8,6 +8,11 @@ fine; looser is not.
 Usage: python tools/check.py [sf_dir] [query ...]
        python tools/check.py --nulls [sf_dir] [query ...]
        python tools/check.py --skew [sf_dir] [query ...]
+       python tools/check.py --nulls --skew [sf_dir] [query ...]
+
+``--nulls --skew`` together build ONE copy with the skew rewrite applied
+first and NULL injection on top (hot keys and NULL keys coexisting, as
+they do in production), over the NULL sweep's eligible query set.
 
 ``--nulls`` rewrites documents/events into a temp copy with NULLs
 injected into join/group keys and value columns (doc_id, lang, text,
@@ -278,15 +283,22 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if a not in ("--nulls", "--skew")]
     nulls = "--nulls" in sys.argv[1:]
     skew = "--skew" in sys.argv[1:]
-    if nulls and skew:
-        # The sweeps build different injected copies of the dataset; a
-        # combined run would silently drop one of them (ADVICE r5).
-        print("error: --nulls and --skew are separate sweeps; "
-              "run them one at a time", file=sys.stderr)
-        return 2
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
-    if nulls:
+    if nulls and skew:
+        # Combined sweep: hot keys AND NULL-injected keys in ONE copy —
+        # the 100 TB reality where both kinds of dirt coexist. Skew is
+        # applied first, NULL injection on top (so some hot-key rows
+        # also go NULL); eligibility is the NULL sweep's (stricter).
+        sf_dir = build_nulls_dir(build_skew_dir(sf_dir))
+        if not only:
+            from audios_to_dataset_spark.plans import all_queries
+
+            only = set(all_queries()) - nulls_excluded()
+        print(
+            f"Skew+NULL-injected copy: {sf_dir} ({len(only)} queries)"
+        )
+    elif nulls:
         sf_dir = build_nulls_dir(sf_dir)
         if not only:
             from audios_to_dataset_spark.plans import all_queries
