@@ -207,6 +207,25 @@ def main() -> None:
                 "noop"
             ).save()
             sf1[name] = round(time.perf_counter() - t0, 3)
+        # the scaled-plane twin, IN the same JSON so the dial is
+        # readable without cross-referencing scale_smoke: same
+        # knn_graph operator, planes widened per the log2(N) rule
+        # (8x5 -> 8x9); the fixed-plane row above IS the documented
+        # anti-pattern at x10
+        from audios_to_dataset_spark.catalog import load as _load
+        from audios_to_dataset_spark.operators.similarity import knn_graph
+        from audios_to_dataset_spark.plans.dedup import _make_planes
+        from audios_to_dataset_spark.plans.similarity import KNN_K
+
+        planes_scaled = _make_planes(n_tables=8, n_planes=9, seed=11)
+        em10 = _load(spark, x10_dir, "embeddings")
+        t0 = time.perf_counter()
+        knn_graph(em10, planes_scaled, k=KNN_K).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        sf1["q_knn_graph_scaled_planes"] = round(
+            time.perf_counter() - t0, 3
+        )
 
     # Round-6 capability families, timed OUTSIDE the headline total so
     # BENCH files stay round-over-round comparable on the identical
