@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ._util import dsum, sround
 
 # Synthetic-but-deterministic update set: every 7th order gets a
 # "correction" bumping its price by 10% and advancing its version.
@@ -448,7 +449,131 @@ FROM m WHERE op IS NULL OR op <> 'D'
 """
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the materialized-view
+    counterpart of q_cdc_merge: a per-customer (count, revenue) view is
+    maintained by applying only the CHANGE BATCH's delta (I: +1/+price;
+    U: count unchanged, revenue + the exact +10.0 correction; D:
+    -1/-old price) onto the base view, never rescanning the base fact
+    table. The oracle recomputes the view DIRECTLY from the merged
+    snapshot, so the check proves delta-path == full-recompute — the
+    invariant every incremental pipeline must hold. Decimal sums make
+    both paths order-insensitive and exact; groups whose count reaches
+    0 drop out of the view on both, and a group whose surviving orders
+    are all NULL-priced reports revenue 0 (the additive identity the
+    delta path keeps it at; the oracle COALESCEs its SUM to match).
+
+    100 TB shape: the delta aggregation touches only the batch (one
+    groupBy on the view key), and the merge is one full-outer join on
+    that key — view maintenance cost is O(batch), not O(base)."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderkey").isNotNull()
+            & F.col("o_custkey").isNotNull()
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").cast("bigint").alias("cust"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    base = o.filter(F.pmod("k", F.lit(4)) != 0)
+    base_view = base.groupBy("cust").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum(F.col("price")).alias("rev")
+    )
+    op = (
+        F.when(F.pmod("k", F.lit(9)) < 3, "U")
+        .when(F.pmod("k", F.lit(9)) < 6, "D")
+        .otherwise("I")
+    )
+    batch = o.filter(F.pmod("k", F.lit(3)) == 0).select(
+        "k", "cust", "price", op.alias("op")
+    )
+    # Per-row delta. U and D rows in the batch only act when the key
+    # exists in the base (k % 4 != 0) — same matched-row semantics as
+    # q_cdc_merge's full-outer; an unmatched U inserts (its delta is
+    # the full new row), an unmatched D is a no-op.
+    in_base = F.pmod("k", F.lit(4)) != 0
+    d_cnt = (
+        F.when(F.col("op") == "I", 1)
+        .when((F.col("op") == "D") & in_base, -1)
+        .when((F.col("op") == "U") & ~in_base, 1)
+        .otherwise(0)
+    )
+    d_rev = (
+        F.when(F.col("op") == "I", F.col("price") + 10.0)
+        .when((F.col("op") == "D") & in_base, -F.col("price"))
+        # a NULL old price contributes nothing to either view, so the
+        # matched-update delta is +10.0 only when the price is real
+        # (new - old = NULL - NULL = no change otherwise; --nulls sweep)
+        .when(
+            (F.col("op") == "U") & in_base & F.col("price").isNotNull(),
+            F.lit(10.0),
+        )
+        .when((F.col("op") == "U") & ~in_base, F.col("price") + 10.0)
+        .otherwise(F.lit(0.0))
+    )
+    delta = batch.groupBy("cust").agg(
+        F.sum(d_cnt).alias("d_cnt"), dsum(d_rev).alias("d_rev")
+    )
+    merged = base_view.join(delta, "cust", "full_outer").select(
+        "cust",
+        (F.coalesce("cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0)))
+        .cast("bigint")
+        .alias("n_orders"),
+        sround(
+            F.coalesce("rev", F.lit(0.0))
+            + F.coalesce("d_rev", F.lit(0.0)),
+            2,
+        ).alias("revenue"),
+    )
+    return merged.filter(F.col("n_orders") > 0).select(
+        F.col("cust").alias("custkey"), "n_orders", "revenue"
+    )
+
+
+def _oracle_incremental_agg() -> str:
+    """Direct recompute over the merged snapshot — deliberately NOT the
+    delta path, so the differential check proves the two agree."""
+    from ._util import dsum_sql, sround_sql
+
+    return f"""
+WITH o AS (
+  SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS cust,
+         o_totalprice AS price
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+), base AS (
+  SELECT * FROM o WHERE k % 4 <> 0
+), batch AS (
+  SELECT CASE WHEN op = 'I' THEN k + {CDC_INSERT_OFFSET} ELSE k END AS k,
+         cust, price + 10.0 AS b_price, op
+  FROM (
+    SELECT k, cust, price,
+           CASE WHEN k % 9 < 3 THEN 'U'
+                WHEN k % 9 < 6 THEN 'D'
+                ELSE 'I' END AS op
+    FROM o WHERE k % 3 = 0) t
+), m AS (
+  SELECT COALESCE(base.k, batch.k) AS k,
+         COALESCE(CASE WHEN op IN ('U', 'I') THEN batch.cust END,
+                  base.cust) AS cust,
+         COALESCE(CASE WHEN op IN ('U', 'I') THEN b_price END,
+                  base.price) AS price,
+         op
+  FROM base FULL OUTER JOIN batch ON base.k = batch.k
+), snap AS (
+  SELECT * FROM m WHERE op IS NULL OR op <> 'D'
+)
+SELECT cust AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sround_sql(f"COALESCE({dsum_sql('price')}, 0.0)", 2)} AS revenue
+FROM snap GROUP BY cust
+"""
+
+
 QUERIES = {
+    "q_incremental_agg": q_incremental_agg,
     "q_cdc_merge": q_cdc_merge,
     "q_upsert_latest": q_upsert_latest,
     "q_snapshot_diff": q_snapshot_diff,
@@ -458,6 +583,7 @@ QUERIES = {
 
 ORACLES = {
     "q_cdc_merge": ORACLE_CDC_MERGE,
+    "q_incremental_agg": _oracle_incremental_agg(),
     "q_upsert_latest": ORACLE_UPSERT_LATEST,
     "q_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "q_version_retention": ORACLE_VERSION_RETENTION,
