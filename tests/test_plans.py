@@ -539,3 +539,44 @@ def test_label_prop_no_cartesian_windows_partitioned(spark, sf_dir):
     from plan_audit import _window_on_single_partition
 
     assert not _window_on_single_partition(e)
+
+
+def test_kmv_overlap_no_cartesian_on_data(spark, sf_dir):
+    """The KMV pair math must join sketches (<= 2K rows per pair), not
+    raw hashes: the only cartesian in the plan is the broadcast
+    source-pair frame (20x20), and the bottom-k window is partitioned
+    by source — never a single global partition."""
+    from audios_to_dataset_spark.plans.sketches import q_kmv_overlap
+
+    e = _explain(q_kmv_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in e
+    assert "BroadcastNestedLoopJoin" in e  # the 20-source pair frame
+
+
+def test_incremental_agg_delta_is_batch_sized(spark, sf_dir):
+    """Incremental view maintenance must aggregate the BATCH before the
+    merge join: the plan carries two pre-join hash aggregates (base
+    view + delta) and one shuffle-keyed full-outer join — no
+    post-union global reaggregation of base+batch rows."""
+    from audios_to_dataset_spark.plans.versioning import q_incremental_agg
+
+    e = _explain(q_incremental_agg(spark, sf_dir))
+    assert "FullOuter" in e
+    assert "CartesianProduct" not in e
+    # both sides aggregate before the join: at least two HashAggregate
+    # pairs appear above the join in the formatted plan
+    assert e.count("HashAggregate") >= 4
+
+
+def test_dbscan_pair_graph_bucketed(spark, sf_dir):
+    """DBSCAN's neighbor search must ride the LSH bucket equi-join —
+    no cross join, no global window — and the component loop runs on a
+    checkpointed pair graph (scan reuse shows as InMemory/Checkpoint
+    scan, not a re-derived bucket join per iteration)."""
+    from audios_to_dataset_spark.plans.similarity import q_dbscan
+
+    df = q_dbscan(spark, sf_dir)
+    e = _explain(df)
+    assert "CartesianProduct" not in e
+    # the checkpointed pair frame surfaces as an ExistingRDD scan
+    assert "ExistingRDD" in e or "InMemoryTableScan" in e
