@@ -444,6 +444,87 @@ GROUP BY e.src ORDER BY e.src
 """
 
 
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen by k-NN vote (the confident-learning move,
+    Northcutt et al. JAIR'21, reduced to its neighborhood form): each
+    labelled vector is compared against the majority label of its
+    k-NN-graph neighbors (the same LSH-bucketed graph as q_knn_graph);
+    a disagreement flags the row as a suspected mislabel — the
+    data-centric curation pass that catches annotation errors before
+    they reach training. Majority ties break by (count desc, label
+    asc), deterministic on both engines; unlabeled rows and neighbors
+    drop out identically.
+
+    Scale shape: the vote adds one groupBy on (src, neighbor-label)
+    and a per-src top-1 window to the existing graph build — nothing
+    beyond the k·N edge frame is ever materialized."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import knn_graph
+    from .dedup import KNN_PLANES
+
+    em = load(spark, sf_dir, "embeddings")
+    lab = em.filter(
+        F.col("vec_id").isNotNull() & F.col("label").isNotNull()
+    ).select("vec_id", F.col("label").cast("int").alias("label"))
+    g = knn_graph(em, KNN_PLANES, k=KNN_K).select("src", "dst")
+    votes = (
+        g.join(
+            lab.select(
+                F.col("vec_id").alias("dst"),
+                F.col("label").alias("nb_label"),
+            ),
+            "dst",
+        )
+        .groupBy("src", "nb_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("n").desc(), "nb_label")
+    top = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("src", "nb_label", "n")
+    )
+    return (
+        top.join(lab.select(F.col("vec_id").alias("src"), "label"), "src")
+        .select(
+            F.col("src").alias("vec_id"),
+            "label",
+            F.col("nb_label").alias("vote_label"),
+            F.col("n").cast("bigint").alias("n_vote"),
+            F.when(F.col("label") != F.col("nb_label"), 1)
+            .otherwise(0)
+            .alias("flagged"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _oracle_label_noise() -> str:
+    return f"""
+WITH knn AS MATERIALIZED ({_knn_graph_sql_body()}),
+lab AS (
+  SELECT vec_id, CAST(label AS INT) AS label FROM embeddings
+  WHERE vec_id IS NOT NULL AND label IS NOT NULL
+), votes AS (
+  SELECT knn.src, lab.label AS nb_label, COUNT(*) AS n
+  FROM knn JOIN lab ON lab.vec_id = knn.dst
+  GROUP BY knn.src, lab.label
+), top AS (
+  SELECT src, nb_label, n FROM (
+    SELECT src, nb_label, n,
+           row_number() OVER (PARTITION BY src
+             ORDER BY n DESC, nb_label) AS rk
+    FROM votes) t WHERE rk = 1
+)
+SELECT top.src AS vec_id, lab.label, top.nb_label AS vote_label,
+       CAST(top.n AS BIGINT) AS n_vote,
+       CASE WHEN lab.label <> top.nb_label THEN 1 ELSE 0 END AS flagged
+FROM top JOIN lab ON lab.vec_id = top.src
+ORDER BY vec_id
+"""
+
+
 MRL_PROBES = 8
 MRL_K = 5
 
@@ -1716,6 +1797,7 @@ QUERIES = {
     "q_knn_graph": q_knn_graph,
     "q_ann_recall": q_ann_recall,
     "q_matryoshka_recall": q_matryoshka_recall,
+    "q_label_noise": q_label_noise,
     "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
     "q_dedup_semantic": q_dedup_semantic,
     "q_ann_lsh_recall": q_ann_lsh_recall,
@@ -1744,6 +1826,7 @@ ORACLES = {
     "q_knn_graph": _oracle_knn_graph(),
     "q_ann_recall": _oracle_ann_recall(),
     "q_matryoshka_recall": _oracle_matryoshka_recall(),
+    "q_label_noise": _oracle_label_noise(),
     "q_ann_ivf_kmeans": _oracle_ann_ivf_kmeans(),
     "q_dedup_semantic": _oracle_dedup_semantic(),
     "q_ann_lsh_recall": _oracle_ann_lsh_recall(),
