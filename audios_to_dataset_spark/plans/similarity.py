@@ -525,6 +525,142 @@ ORDER BY vec_id
 """
 
 
+CORESET_K = 8
+
+
+def q_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal, the
+    2-approximation of Gonzalez'85 — the standard data-pruning /
+    active-learning seed selector): seed with the min vec_id, then K-1
+    times pick the point FARTHEST (rounded cosine distance, id
+    tie-break) from the selected set, maintaining each point's
+    min-distance-to-centers incrementally. Returns (step, vec_id,
+    radius): radius is the chosen point's distance when selected — the
+    coverage bound that tells you how well K centers summarize the
+    corpus (radius_K is the k-center objective).
+
+    Scale shape: each round is one broadcast of a SINGLE center row
+    against the min-distance frame (a map-side LEAST, no shuffle) plus
+    a TakeOrdered(1) argmax; the frame is checkpointed per round so
+    round i never re-derives rounds 1..i-1 (the naive lazy-plan
+    formulation re-evaluates exponentially — same lesson as the
+    oracle's MATERIALIZED hints)."""
+    em = load(spark, sf_dir, "embeddings")
+    un = (
+        em.filter(
+            F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+        )
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "_e"
+            ),
+        )
+        .withColumn(
+            "_n",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("_e", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+        )
+        .filter(F.col("_n") > 0)
+        .select(
+            "vec_id",
+            F.transform("_e", lambda x: x / F.col("_n")).alias("u"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dot = F.aggregate(
+        F.zip_with("u", "cu", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    seed = un.orderBy("vec_id").limit(1)
+    picked = [
+        seed.select(
+            F.lit(1).alias("step"), "vec_id", F.lit(0.0).alias("radius")
+        )
+    ]
+    center = seed.select(F.col("u").alias("cu"))
+    mind = (
+        un.crossJoin(F.broadcast(center))
+        .select("vec_id", "u", sround(1.0 - dot, 4).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    for step in range(2, CORESET_K + 1):
+        far = mind.orderBy(F.col("d").desc(), "vec_id").limit(1)
+        picked.append(
+            far.select(
+                F.lit(step).alias("step"),
+                "vec_id",
+                F.col("d").alias("radius"),
+            )
+        )
+        if step == CORESET_K:
+            break
+        center = far.select(F.col("u").alias("cu"))
+        mind = (
+            mind.crossJoin(F.broadcast(center))
+            .select(
+                "vec_id",
+                "u",
+                F.least(F.col("d"), sround(1.0 - dot, 4)).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("step")
+
+
+def _oracle_coreset() -> str:
+    base = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+), vn AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+), vu AS MATERIALIZED (
+  SELECT vec_id, list_transform(e, x -> x / nrm) AS u FROM vn
+  WHERE nrm > 0
+), s1 AS MATERIALIZED (
+  SELECT vec_id, u FROM vu ORDER BY vec_id LIMIT 1
+)"""
+    dot = "list_sum(list_transform(range(1, len(x.u) + 1), i -> x.u[i] * c.u[i]))"
+    parts = [base]
+    parts.append(f""", d1 AS MATERIALIZED (
+  SELECT x.vec_id, x.u,
+         round((1.0 - ({dot})) * 10000.0) / 10000.0 + 0.0 AS d
+  FROM vu x CROSS JOIN s1 c
+)""")
+    for step in range(2, CORESET_K + 1):
+        prev = step - 1
+        parts.append(f""", s{step} AS MATERIALIZED (
+  SELECT vec_id, u, d FROM d{prev} ORDER BY d DESC, vec_id LIMIT 1
+)""")
+        if step == CORESET_K:
+            break
+        parts.append(f""", d{step} AS MATERIALIZED (
+  SELECT x.vec_id, x.u,
+         LEAST(x.d,
+               round((1.0 - ({dot})) * 10000.0) / 10000.0 + 0.0) AS d
+  FROM d{prev} x CROSS JOIN s{step} c
+)""")
+    sels = [
+        "SELECT 1 AS step, vec_id, 0.0 AS radius FROM s1"
+    ] + [
+        f"SELECT {i} AS step, vec_id, d AS radius FROM s{i}"
+        for i in range(2, CORESET_K + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(sels) + "\nORDER BY step")
+    return "".join(parts)
+
+
 MRL_PROBES = 8
 MRL_K = 5
 

@@ -1586,10 +1586,16 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bytes before it cross the boundary — the greedy first-fit rule.
     One global-order window over (source) partitions: grouping is done
     per source partition so no single-task global sort exists.
+    Compaction is an ORDERED operation: files without an id have no
+    defined pack position (many NULL keys in one partition make the
+    cumsum order-nondeterministic — found by the combined nulls+skew
+    sweep), so they are dropped identically on both engines.
     """
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
@@ -1620,7 +1626,7 @@ WITH planned AS (
            CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
                                    ROWS UNBOUNDED PRECEDING) - n_chars
                 AS DOUBLE) / {COMPACT_TARGET_CHARS}) AS BIGINT) AS grp
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 )
 SELECT source, grp, COUNT(*) AS n_files,
        CAST(SUM(sz) AS BIGINT) AS total_chars,

@@ -181,8 +181,14 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     (those need cross-sequence attention masking).
 
     The running sum windows by lang — each language packs independently,
-    the degenerate single-partition global window never appears."""
-    d = load(spark, sf_dir, "documents")
+    the degenerate single-partition global window never appears.
+    Packing is an ORDERED operation: docs without an id have no defined
+    pack position (many NULL keys in one partition make the cumsum
+    order-nondeterministic — found by the combined nulls+skew sweep),
+    so they are dropped identically on both engines."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     n_tok = F.size(_tokens()).cast("bigint")
     w = (
         Window.partitionBy("lang")
@@ -225,7 +231,7 @@ ORACLE_SEQ_PACK = f"""
 WITH per_doc AS (
   SELECT lang, doc_id,
          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
-  FROM documents),
+  FROM documents WHERE doc_id IS NOT NULL),
 cum AS (
   SELECT lang, n_tok,
          SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
