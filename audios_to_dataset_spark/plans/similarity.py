@@ -1934,6 +1934,7 @@ QUERIES = {
     "q_ann_recall": q_ann_recall,
     "q_matryoshka_recall": q_matryoshka_recall,
     "q_label_noise": q_label_noise,
+    "q_coreset": q_coreset,
     "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
     "q_dedup_semantic": q_dedup_semantic,
     "q_ann_lsh_recall": q_ann_lsh_recall,
@@ -1963,6 +1964,7 @@ ORACLES = {
     "q_ann_recall": _oracle_ann_recall(),
     "q_matryoshka_recall": _oracle_matryoshka_recall(),
     "q_label_noise": _oracle_label_noise(),
+    "q_coreset": _oracle_coreset(),
     "q_ann_ivf_kmeans": _oracle_ann_ivf_kmeans(),
     "q_dedup_semantic": _oracle_dedup_semantic(),
     "q_ann_lsh_recall": _oracle_ann_lsh_recall(),
