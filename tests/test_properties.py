@@ -327,3 +327,45 @@ def test_jpeg_decoder_corrupt_tail_and_truncation(tail, cut):
     base = synth_gray_jpeg_progressive(7)
     px = decode_jpeg_pixels(base[: max(2, len(base) - cut)] + tail)
     assert px is None or (px.ndim == 3 and px.shape[2] == 3)
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=300, deadline=None)
+def test_new_decoders_total_on_garbage(data):
+    """ICO / Netpbm / FLAC decoders never raise on arbitrary bytes —
+    None or a well-shaped result, the repo-wide fallback contract."""
+    from audios_to_dataset_spark.functions.flac import decode_flac
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_ico_pixels,
+        decode_pnm_pixels,
+    )
+
+    px = decode_ico_pixels(data)
+    assert px is None or (px.ndim == 3 and px.shape[2] == 3)
+    px = decode_pnm_pixels(data)
+    assert px is None or (px.ndim == 3 and px.shape[2] == 3)
+    out = decode_flac(data)
+    assert out is None or (out[0] > 0 and out[1].ndim == 1)
+
+
+@given(st.binary(max_size=96), st.integers(min_value=0, max_value=400))
+@settings(max_examples=200, deadline=None)
+def test_flac_truncation_and_tail_garbage(tail, cut):
+    """A valid FLAC stream truncated anywhere, or with garbage
+    appended, decodes to None or to the exact original samples — the
+    CRCs and the total-sample gate admit no third outcome."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.flac import (
+        decode_flac,
+        synth_flac_md5,
+    )
+
+    base = synth_flac_md5(11)
+    ref = decode_flac(base)
+    assert ref is not None
+    mangled = base[: max(4, len(base) - cut)] + tail
+    out = decode_flac(mangled)
+    assert out is None or (
+        out[0] == ref[0] and np.array_equal(out[1], ref[1])
+    )
