@@ -991,7 +991,117 @@ FROM d GROUP BY event_type
 """
 
 
+DAY_US = 86_400_000_000
+
+
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint detection per event type — the drift
+    LOCALIZER next to q_ks_drift's detector: daily event counts, then
+    the classic CUSUM split statistic stat_k = |C_k − (k/n)·C_n| (the
+    deviation of the cumulative count from the constant-rate line);
+    the argmax day is the most likely rate change point, its statistic
+    the evidence. Integer day buckets and counts; the only doubles are
+    the (k/n)·C_n line, identical IEEE on both engines, rounded before
+    the argmax with a day tie-break.
+
+    100 TB shape: one map-side-combinable (type, day) count, then
+    windows over the tiny per-type day series — scales with distinct
+    days, not events. NULL timestamps have no day and NULL types no
+    series; both drop identically on engine and oracle."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    # floor on BOTH engines: a bare cast diverges (Spark truncates a
+    # double->bigint cast, DuckDB rounds it); the division itself is
+    # exact-enough IEEE on both (epoch-us < 2^53)
+    day = F.floor(F.unix_micros("ts") / F.lit(DAY_US)).cast("bigint")
+    daily = e.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "day",
+        F.sum("n").over(wcum).alias("cum"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("k"),
+        F.sum("n").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n_days"),
+    ).select(
+        "event_type",
+        "day",
+        "total",
+        "n_days",
+        sround(
+            F.abs(
+                F.col("cum").cast("double")
+                - F.col("k").cast("double")
+                / F.col("n_days").cast("double")
+                * F.col("total").cast("double")
+            ),
+            6,
+        ).alias("stat"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("stat").desc(), "day"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("total").cast("bigint").alias("total_events"),
+            F.col("day").alias("cp_day"),
+            F.col("stat").alias("cp_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_CHANGEPOINT = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / {DAY_US}) AS BIGINT) AS day,
+         COUNT(*) AS n
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, day,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+         SUM(n) OVER (PARTITION BY event_type) AS total,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily
+), st AS (
+  SELECT event_type, day, total, n_days,
+         {sround_sql(
+             "abs(CAST(cum AS DOUBLE) - CAST(k AS DOUBLE)"
+             " / CAST(n_days AS DOUBLE) * CAST(total AS DOUBLE))", 6)}
+           AS stat
+  FROM scored
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       CAST(total AS BIGINT) AS total_events,
+       day AS cp_day, stat AS cp_stat
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY stat DESC, day) AS rk
+  FROM st) t
+WHERE rk = 1 ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "q_changepoint": q_changepoint,
     "q_scd2": q_scd2,
     "q_ewma": q_ewma,
     "q_lateness": q_lateness,
@@ -1013,6 +1123,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_changepoint": ORACLE_CHANGEPOINT,
     "q_scd2": ORACLE_SCD2,
     "q_ewma": _oracle_ewma(),
     "q_lateness": ORACLE_LATENESS,
