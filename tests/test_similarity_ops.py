@@ -271,3 +271,43 @@ def test_dbscan_roles_and_clusters(spark):
     assert out[1] == ("border", 2)
     assert out[4] == ("border", 2)
     assert out[5] == ("noise", None)
+
+
+def test_coreset_covers_separated_clumps(spark, tmp_path):
+    """Farthest-point traversal on three mutually-orthogonal clumps
+    must pick one center from EACH clump within the first three steps
+    (greedy k-center's 2-approximation guarantee is vacuous only when
+    coverage fails), and radii are non-increasing after step 2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import audios_to_dataset_spark.plans.similarity as sim
+
+    # clumps along e1/e2/e3; ids interleaved so id order != clump order
+    rows = []
+    for i in range(12):
+        axis = i % 3
+        v = [0.0] * 6
+        v[axis] = 1.0
+        v[3 + axis] = 0.01 * (i // 3)  # tiny within-clump spread
+        rows.append((i, v, 0))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    d = tmp_path / "coreset"
+    d.mkdir()
+    pq.write_table(tbl, d / "embeddings.parquet")
+
+    out = sim.q_coreset(spark, str(d)).collect()
+    assert [r["step"] for r in out] == list(range(1, sim.CORESET_K + 1))
+    first3 = out[:3]
+    clumps = {r["vec_id"] % 3 for r in first3}
+    assert clumps == {0, 1, 2}
+    radii = [r["radius"] for r in out[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
