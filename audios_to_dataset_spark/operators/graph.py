@@ -33,9 +33,19 @@ def connected_components(
     (undirected — both directions are added here).
     """
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = fwd.unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
+    # checkpoint the undirected edge frame ONCE: it joins into every
+    # iteration, and without the cut the edge lineage (often an
+    # expensive pair-finding pipeline — n-gram Jaccard, LSH buckets)
+    # re-executes per round. Measured on q_split_assign at sf0.1:
+    # 57 s -> ~8 s. localCheckpoint over cache for the same
+    # ContextCleaner reason as operators/dedup.py:473.
+    und = (
+        fwd.unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     labels = nodes.select("id", F.col("id").alias("label"))
     for _ in range(max_iter):
