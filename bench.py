@@ -241,6 +241,8 @@ def main() -> None:
         "q_robust_outliers", "q_mixture_temperature",
         "q_audio_headers", "q_video_headers",
         "q_dbscan", "q_kmv_overlap", "q_split_assign", "q_flac_decode",
+        "q_changepoint", "q_incremental_agg", "q_coreset",
+        "q_label_noise", "q_matryoshka_recall",
     ):
         if name not in queries:
             continue
