@@ -867,6 +867,8 @@ def decode_image_pixels(data: bytes | None) -> np.ndarray | None:
         return decode_ico_pixels(data)
     if data[:1] == b"P" and data[1:2] in (b"5", b"6"):
         return decode_pnm_pixels(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff_pixels(data)
     return None
 
 
@@ -2560,5 +2562,269 @@ def with_synth_pnm(
     @pandas_udf("binary")
     def _synth(ids: pd.Series) -> pd.Series:
         return pd.Series([synth_gray_pnm(int(i)) for i in ids])
+
+    return df.withColumn(out_col, _synth(F.col(id_col)))
+
+
+# ---------------------------------------------------------------------------
+# REAL TIFF decode (baseline TIFF 6.0: uncompressed + PackBits strips,
+# both byte orders, gray and RGB) — completes the pixel path for the
+# container q_image_headers previously parsed header-only
+# ---------------------------------------------------------------------------
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """PackBits (TIFF 6.0 §9 / Apple) run-length encoding."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(row[i])
+            i += run
+            continue
+        start = i
+        i += 1
+        while (
+            i < n
+            and i - start < 128
+            and not (i + 1 < n and row[i + 1] == row[i])
+        ):
+            i += 1
+        out.append(i - start - 1)
+        out += row[start:i]
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes | None:
+    out = bytearray()
+    i, n = 0, len(data)
+    while len(out) < expected and i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            if i + c + 1 > n:
+                return None
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # 128 = no-op per spec
+    return bytes(out) if len(out) == expected else None
+
+
+def encode_tiff(
+    px: np.ndarray, little: bool = True, packbits: bool = False
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 2-strip baseline TIFF
+    (RGB, 8 bits/sample, chosen byte order, Compression 1 or 32773)."""
+    e = "<" if little else ">"
+    h, w, _ = px.shape
+    # all strips except the last carry RowsPerStrip rows (TIFF 6.0 §3)
+    rows_strip0 = max(1, (h + 1) // 2)
+    strips_px = [px[:rows_strip0], px[rows_strip0:]]
+    strips = []
+    for sp in strips_px:
+        raw = sp.tobytes()
+        strips.append(_packbits_encode(raw) if packbits else raw)
+    n_entries = 10
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + 12 * n_entries + 4
+    bps_off = after_ifd           # 3 SHORTs
+    so_off = bps_off + 6          # 2 LONGs strip offsets
+    sc_off = so_off + 8           # 2 LONGs strip byte counts
+    data_off = sc_off + 8
+    offs = [data_off, data_off + len(strips[0])]
+
+    def ent(tag: int, typ: int, cnt: int, val: int) -> bytes:
+        if typ == 3 and cnt == 1:
+            return struct.pack(e + "HHIHH", tag, typ, cnt, val, 0)
+        return struct.pack(e + "HHII", tag, typ, cnt, val)
+
+    entries = b"".join(
+        [
+            ent(256, 3, 1, w),
+            ent(257, 3, 1, h),
+            ent(258, 3, 3, bps_off),
+            ent(259, 3, 1, 32773 if packbits else 1),
+            ent(262, 3, 1, 2),  # RGB
+            ent(273, 4, 2, so_off),
+            ent(277, 3, 1, 3),
+            ent(278, 3, 1, rows_strip0),
+            ent(279, 4, 2, sc_off),
+            ent(284, 3, 1, 1),  # chunky planar config
+        ]
+    )
+    head = (b"II*\x00" if little else b"MM\x00*") + struct.pack(
+        e + "I", ifd_off
+    )
+    body = (
+        struct.pack(e + "H", n_entries)
+        + entries
+        + struct.pack(e + "I", 0)
+        + struct.pack(e + "HHH", 8, 8, 8)
+        + struct.pack(e + "II", *offs)
+        + struct.pack(e + "II", len(strips[0]), len(strips[1]))
+    )
+    return head + body + strips[0] + strips[1]
+
+
+def decode_tiff_pixels(data: bytes | None) -> np.ndarray | None:
+    """Decode a baseline TIFF 6.0 image to an (h, w, 3) uint8 RGB
+    array: both byte orders, strip layout from
+    StripOffsets/StripByteCounts (inline or offset arrays),
+    Compression 1 (none) or 32773 (PackBits), Photometric 1 (gray,
+    replicated) or 2 (RGB), 8 bits/sample, chunky planar. Anything
+    else — tiles, LZW/JPEG-in-TIFF, 16-bit, planar — returns None."""
+    try:
+        if not data or len(data) < 16:
+            return None
+        if data[:4] == b"II*\x00":
+            e = "<"
+        elif data[:4] == b"MM\x00*":
+            e = ">"
+        else:
+            return None
+        (ifd,) = struct.unpack_from(e + "I", data, 4)
+        if ifd + 2 > len(data):
+            return None
+        (n_ent,) = struct.unpack_from(e + "H", data, ifd)
+        tags: dict[int, tuple[int, int, int]] = {}
+        for k in range(n_ent):
+            off = ifd + 2 + 12 * k
+            if off + 12 > len(data):
+                return None
+            tag, typ, cnt = struct.unpack_from(e + "HHI", data, off)
+            (raw,) = struct.unpack_from(e + "I", data, off + 8)
+            if typ == 3 and cnt == 1:
+                (raw,) = struct.unpack_from(e + "H", data, off + 8)
+            tags[tag] = (typ, cnt, raw)
+
+        def arr(tag: int) -> list[int] | None:
+            if tag not in tags:
+                return None
+            typ, cnt, raw = tags[tag]
+            sz = 2 if typ == 3 else 4
+            if typ not in (3, 4):
+                return None
+            if cnt * sz <= 4:
+                # inline: re-read the value field as an array
+                return [raw] if cnt == 1 else list(
+                    struct.unpack_from(
+                        e + ("H" if typ == 3 else "I") * cnt,
+                        data,
+                        # recompute field offset from the entry table
+                        next(
+                            ifd + 2 + 12 * k + 8
+                            for k in range(n_ent)
+                            if struct.unpack_from(
+                                e + "H", data, ifd + 2 + 12 * k
+                            )[0]
+                            == tag
+                        ),
+                    )
+                )
+            if raw + cnt * sz > len(data):
+                return None
+            return list(
+                struct.unpack_from(
+                    e + ("H" if typ == 3 else "I") * cnt, data, raw
+                )
+            )
+
+        def one(tag: int, default: int | None = None) -> int | None:
+            v = arr(tag)
+            return v[0] if v else default
+
+        w = one(256)
+        h = one(257)
+        comp = one(259, 1)
+        photo = one(262)
+        spp = one(277, 1)
+        rps = one(278, h if h else 0)
+        if not w or not h or comp not in (1, 32773):
+            return None
+        if photo not in (1, 2) or spp not in (1, 3):
+            return None
+        if photo == 2 and spp != 3 or photo == 1 and spp != 1:
+            return None
+        bps = arr(258) or [1]
+        if any(b != 8 for b in bps[:spp]):
+            return None
+        offsets = arr(273)
+        counts = arr(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            return None
+        if not rps:
+            return None
+        raw = bytearray()
+        for i, (so, sc) in enumerate(zip(offsets, counts)):
+            if so + sc > len(data):
+                return None
+            strip = data[so : so + sc]
+            rows = min(rps, h - i * rps)
+            if rows <= 0:
+                if sc == 0:
+                    continue  # trailing empty strip (h == 1 fixtures)
+                return None
+            expected = rows * w * spp
+            if comp == 32773:
+                dec = _packbits_decode(strip, expected)
+                if dec is None:
+                    return None
+                raw += dec
+            else:
+                if sc != expected:
+                    return None
+                raw += strip
+        if len(raw) != h * w * spp:
+            return None
+        px = np.frombuffer(bytes(raw), dtype=np.uint8)
+        if spp == 1:
+            return np.ascontiguousarray(
+                np.repeat(px.reshape(h, w, 1), 3, axis=2)
+            )
+        return np.ascontiguousarray(px.reshape(h, w, 3))
+    except Exception:
+        return None
+
+
+def synth_gray_tiff(doc_id: int) -> bytes:
+    """Deterministic grayscale-in-RGB TIFF fixture: dims from the id,
+    pixel (x, y) = first md5 byte of ``tf:{id}:{x}:{y}``; byte order
+    alternates by id parity and Compression by id % 3 (PackBits for
+    residues 0/1 — the replicated RGB channels give it real runs —
+    uncompressed for 2), so one family covers the four container
+    branches."""
+    w0 = 9 + doc_id % 8
+    h0 = 6 + doc_id % 7
+    px = np.empty((h0, w0, 3), dtype=np.uint8)
+    for y in range(h0):
+        for x in range(w0):
+            v = int(
+                hashlib.md5(f"tf:{doc_id}:{x}:{y}".encode()).hexdigest()[:2],
+                16,
+            )
+            px[y, x, :] = v
+    return encode_tiff(
+        px, little=doc_id % 2 == 0, packbits=doc_id % 3 != 2
+    )
+
+
+def with_synth_tiff(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "content"
+) -> DataFrame:
+    """Attach the deterministic TIFF fixture bytes for each id."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_gray_tiff(int(i)) for i in ids])
 
     return df.withColumn(out_col, _synth(F.col(id_col)))

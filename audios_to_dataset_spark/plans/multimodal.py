@@ -1366,6 +1366,51 @@ FROM v GROUP BY doc_id, w0, h0, fmt
 """
 
 
+def q_tiff_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF 6.0 decode — the container q_image_headers parses
+    header-only now runs the full pixel path: 2-strip RGB rasters,
+    byte order alternating by id parity, Compression alternating
+    between PackBits (32773 — the replicated RGB channels guarantee
+    real runs) and none. The IFD walk, strip assembly, and PackBits
+    expansion all feed the exact pixel mean; the oracle recomputes
+    every pixel from the md5 formula, so a wrong strip split, run
+    expansion, or endianness slip fails the value hash."""
+    from ..functions.multimodal import with_pixel_mean, with_synth_tiff
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    info = with_image_info(with_synth_tiff(d))
+    return with_pixel_mean(info).select(
+        "doc_id",
+        F.col("image.format").alias("img_format"),
+        F.col("image.width").cast("long").alias("img_width"),
+        F.col("image.height").cast("long").alias("img_height"),
+        "mean_px",
+    )
+
+
+ORACLE_TIFF_PIXELS = """
+WITH g AS (
+  SELECT doc_id, 9 + doc_id % 8 AS w0, 6 + doc_id % 7 AS h0
+  FROM documents
+), fx AS (
+  SELECT doc_id, w0, h0, unnest(range(w0)) AS x FROM g
+), px AS (
+  SELECT doc_id, w0, h0, x, unnest(range(h0)) AS y FROM fx
+), v AS (
+  SELECT doc_id, w0, h0,
+         ('0x' || substr(md5('tf:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(x AS VARCHAR) || ':' ||
+             CAST(y AS VARCHAR)), 1, 2))::INT AS v
+  FROM px
+)
+SELECT doc_id, 'tiff' AS img_format,
+       CAST(w0 AS BIGINT) AS img_width,
+       CAST(h0 AS BIGINT) AS img_height,
+       CAST(SUM(v) AS DOUBLE) / CAST(w0 * h0 AS DOUBLE) AS mean_px
+FROM v GROUP BY doc_id, w0, h0
+"""
+
+
 ORACLE_TGA_PIXELS = """
 WITH g AS (
   SELECT doc_id, 12 + doc_id % 11 AS w0, 10 + doc_id % 7 AS h0
@@ -2375,6 +2420,7 @@ QUERIES = {
     "q_ico_pixels": q_ico_pixels,
     "q_pnm_pixels": q_pnm_pixels,
     "q_flac_decode": q_flac_decode,
+    "q_tiff_pixels": q_tiff_pixels,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -2429,3 +2475,4 @@ ORACLES["q_tga_pixels"] = ORACLE_TGA_PIXELS
 ORACLES["q_ico_pixels"] = ORACLE_ICO_PIXELS
 ORACLES["q_pnm_pixels"] = ORACLE_PNM_PIXELS
 ORACLES["q_flac_decode"] = ORACLE_FLAC_DECODE
+ORACLES["q_tiff_pixels"] = ORACLE_TIFF_PIXELS

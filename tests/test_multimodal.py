@@ -828,3 +828,46 @@ def test_pnm_codec():
     assert decode_pnm_pixels(b"P6\n2 x\n255\n" + bytes(12)) is None
     assert decode_pnm_pixels(b"P6\n0 1\n255\n") is None
     assert decode_pnm_pixels(None) is None
+
+
+def test_tiff_codec():
+    """TIFF: both byte orders x both compressions round-trip, PackBits
+    runs and literals, strip split at odd heights, gray replication,
+    malformed rejection."""
+    import struct
+
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+        decode_tiff_pixels,
+        encode_tiff,
+        parse_image_header,
+        synth_gray_tiff,
+    )
+
+    rng = np.random.RandomState(2)
+    for h in (1, 2, 5):
+        px = rng.randint(0, 256, (h, 7, 3), dtype=np.uint8)
+        for little in (True, False):
+            for pb in (True, False):
+                got = decode_tiff_pixels(encode_tiff(px, little, pb))
+                assert got is not None and np.array_equal(got, px)
+    # PackBits edge shapes: long runs (>128), long literals, empty
+    assert _packbits_decode(_packbits_encode(b"\x07" * 300), 300) == b"\x07" * 300
+    lit = bytes(range(200))
+    assert _packbits_decode(_packbits_encode(lit), 200) == lit
+    assert _packbits_decode(b"", 0) == b""
+    # header surface agrees with the full decode
+    data = synth_gray_tiff(9)
+    fmt, w, h = parse_image_header(data)
+    px = decode_tiff_pixels(data)
+    assert fmt == "tiff" and (h, w) == px.shape[:2]
+    # malformed: LZW compression code, 16-bit samples, truncated strip
+    bad = bytearray(encode_tiff(np.zeros((2, 2, 3), np.uint8)))
+    struct.pack_into("<H", bad, 8 + 2 + 12 * 3 + 8, 5)  # comp -> LZW
+    assert decode_tiff_pixels(bytes(bad)) is None
+    good = encode_tiff(np.zeros((4, 4, 3), np.uint8))
+    assert decode_tiff_pixels(good[:40]) is None
+    assert decode_tiff_pixels(None) is None
