@@ -869,6 +869,10 @@ def decode_image_pixels(data: bytes | None) -> np.ndarray | None:
         return decode_pnm_pixels(data)
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff_pixels(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from .vp8l import decode_vp8l_pixels
+
+        return decode_vp8l_pixels(data)
     return None
 
 

@@ -1411,6 +1411,65 @@ FROM v GROUP BY doc_id, w0, h0
 """
 
 
+def q_webp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP (VP8L) decode, pure Python (functions/vp8l):
+    the full entropy layer of the public VP8L spec — LSB-first bit
+    stream, both Huffman stylings (normal form with the 19-entry
+    code-length code incl. degenerate zero-bit codes; simple form for
+    the constant alpha and the never-hit distance code), five-code
+    entropy image, ARGB literal loop. Transforms / color cache /
+    LZ77 / meta-Huffman are explicit subset gates (→ NULL), so
+    real-world files outside the subset are rejected, never
+    mis-decoded. Oracle recomputes every pixel from the md5 formula;
+    the independently-written header parser (q_image_headers' VP8L
+    branch) cross-checks the 14-bit dims of the same stream."""
+    from ..functions.multimodal import with_pixel_mean
+    from ..functions.vp8l import synth_gray_webp
+
+    from pyspark.sql.functions import pandas_udf
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_gray_webp(int(i)) for i in ids])
+
+    img = d.withColumn("content", _synth(F.col("doc_id")))
+    info = with_image_info(img)
+    return with_pixel_mean(info).select(
+        "doc_id",
+        F.col("image.format").alias("img_format"),
+        F.col("image.width").cast("long").alias("img_width"),
+        F.col("image.height").cast("long").alias("img_height"),
+        "mean_px",
+    )
+
+
+ORACLE_WEBP_PIXELS = """
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w0, 7 + doc_id % 6 AS h0
+  FROM documents
+), fx AS (
+  SELECT doc_id, w0, h0, unnest(range(w0)) AS x FROM g
+), px AS (
+  SELECT doc_id, w0, h0, x, unnest(range(h0)) AS y FROM fx
+), v AS (
+  SELECT doc_id, w0, h0,
+         ('0x' || substr(md5('wl:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(x AS VARCHAR) || ':' ||
+             CAST(y AS VARCHAR)), 1, 2))::INT AS v
+  FROM px
+)
+SELECT doc_id, 'webp' AS img_format,
+       CAST(w0 AS BIGINT) AS img_width,
+       CAST(h0 AS BIGINT) AS img_height,
+       CAST(SUM(v) AS DOUBLE) / CAST(w0 * h0 AS DOUBLE) AS mean_px
+FROM v GROUP BY doc_id, w0, h0
+"""
+
+
 ORACLE_TGA_PIXELS = """
 WITH g AS (
   SELECT doc_id, 12 + doc_id % 11 AS w0, 10 + doc_id % 7 AS h0
@@ -2421,6 +2480,7 @@ QUERIES = {
     "q_pnm_pixels": q_pnm_pixels,
     "q_flac_decode": q_flac_decode,
     "q_tiff_pixels": q_tiff_pixels,
+    "q_webp_pixels": q_webp_pixels,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -2476,3 +2536,4 @@ ORACLES["q_ico_pixels"] = ORACLE_ICO_PIXELS
 ORACLES["q_pnm_pixels"] = ORACLE_PNM_PIXELS
 ORACLES["q_flac_decode"] = ORACLE_FLAC_DECODE
 ORACLES["q_tiff_pixels"] = ORACLE_TIFF_PIXELS
+ORACLES["q_webp_pixels"] = ORACLE_WEBP_PIXELS

@@ -871,3 +871,46 @@ def test_tiff_codec():
     good = encode_tiff(np.zeros((4, 4, 3), np.uint8))
     assert decode_tiff_pixels(good[:40]) is None
     assert decode_tiff_pixels(None) is None
+
+
+def test_vp8l_codec():
+    """VP8L: full-alphabet round-trips (normal Huffman form incl. the
+    degenerate zero-bit code-length code), subset gates, container
+    rejection, and agreement with the independent header parser."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        parse_image_header,
+    )
+    from audios_to_dataset_spark.functions.vp8l import (
+        _LSBReader,
+        _LSBWriter,
+        decode_vp8l_pixels,
+        encode_vp8l,
+        synth_gray_webp,
+    )
+
+    rng = np.random.RandomState(6)
+    for h, w in ((1, 1), (3, 17), (10, 4)):
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        data = encode_vp8l(px)
+        got = decode_vp8l_pixels(data)
+        assert got is not None and np.array_equal(got, px)
+        assert parse_image_header(data) == ("webp", w, h)
+    # LSB bit I/O round-trip (ReadBits semantics)
+    bw = _LSBWriter()
+    for v, n in ((5, 3), (0, 1), (1023, 14), (1, 1)):
+        bw.write(v, n)
+    br = _LSBReader(bw.bytes())
+    assert [br.read(n) for n in (3, 1, 14, 1)] == [5, 0, 1023, 1]
+    # subset gates: flipping the transform-present bit rejects; the
+    # bit sits right after the 32-bit dim/version field of the payload
+    good = encode_vp8l(rng.randint(0, 256, (2, 2, 3), dtype=np.uint8))
+    bad = bytearray(good)
+    bad[21 + 4] |= 0x01  # payload byte 4 bit 0 = transform flag
+    assert decode_vp8l_pixels(bytes(bad)) is None
+    # container rejection
+    for junk in (None, b"", good[:25], b"RIFX" + good[4:]):
+        assert decode_vp8l_pixels(junk) is None
+    # fixture determinism
+    assert synth_gray_webp(7) == synth_gray_webp(7)
