@@ -10,7 +10,8 @@ What is REAL here:
 - image header decode (PNG / JPEG / GIF / BMP dimensions) — pure-Python
   header walks, no codec needed (same spirit as the WAV header decode,
   /root/reference/src/main.rs:760-769)
-- audio decode — delegates to functions.wav
+- audio decode — delegates to functions.wav (PCM/G.711/float/ADPCM)
+  and functions.flac (Rice-coded fixed-predictor FLAC)
 - deterministic fake feature extraction (md5-seeded unit vector) — real
   schema ``array<float>``, real batch plumbing, reproducible for tests
 - the mapInPandas iterator protocol, spill-safe batching, NULL handling
@@ -20,12 +21,17 @@ What is REAL here:
   stdlib-zlib PNG (all five row filters), pure-python-LZW GIF, baseline
   AND progressive JPEG (functions.jpeg: Huffman + numpy IDCT +
   T.81 §G successive approximation), raw-RGB AVI, MJPEG-in-AVI frames,
-  and TWO INTER-FRAME video codecs — MS-RLE8 (BI_RLE8: row-granular
-  delta frames over a persistent framebuffer) and MS Video 1
-  ('CRAM': 4x4 block skip runs + 1/2/8-color opcodes) — each
-  value-hash-oracled (q_image_resize / q_png_pixels / q_gif_pixels /
-  q_jpeg_pixels / q_jpeg_progressive / q_video_frames /
-  q_mjpeg_frames / q_rle_frames / q_msvc_frames)
+  Truevision TGA (type 2 + RLE), Windows ICO (DIB and embedded-PNG
+  payloads), binary Netpbm (P5/P6), baseline TIFF (2-strip,
+  PackBits, both byte orders), lossless WebP (functions.vp8l: the
+  full VP8L entropy layer), and TWO INTER-FRAME video codecs —
+  MS-RLE8 (BI_RLE8: row-granular delta frames over a persistent
+  framebuffer) and MS Video 1 ('CRAM': 4x4 block skip runs +
+  1/2/8-color opcodes) — each value-hash-oracled (q_image_resize /
+  q_png_pixels / q_gif_pixels / q_jpeg_pixels / q_jpeg_progressive /
+  q_video_frames / q_mjpeg_frames / q_rle_frames / q_msvc_frames /
+  q_tga_pixels / q_ico_pixels / q_pnm_pixels / q_tiff_pixels /
+  q_webp_pixels)
 
 What is STUBBED (no PIL/ffmpeg in the container):
 - pixel decode for arithmetic/hierarchical/lossless JPEG → None
