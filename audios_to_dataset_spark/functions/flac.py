@@ -366,6 +366,8 @@ def decode_flac(data: bytes | None) -> tuple[int, np.ndarray] | None:
             else:
                 return None
             crc_pos = br.tell()
+            if crc_pos >= len(data):
+                return None  # truncated exactly at the header CRC byte
             if _crc8(data[pos:crc_pos]) != data[crc_pos]:
                 return None
             br = _BitReader(data, crc_pos + 1)
@@ -449,7 +451,7 @@ def decode_flac(data: bytes | None) -> tuple[int, np.ndarray] | None:
         if total is not None and samples.size < total:
             return None
         return rate, samples[: total if total else samples.size]
-    except (EOFError, ValueError, struct.error):
+    except (EOFError, ValueError, IndexError, struct.error):
         return None
 
 
