@@ -1492,6 +1492,99 @@ FROM v GROUP BY doc_id, w0, h0
 """
 
 
+def q_qoi_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI ("Quite OK Image", qoiformat.org 1.0) decode, pure
+    Python (functions/qoi) — the byte-aligned streaming codec modern
+    ML data tooling uses for zero-dependency image interchange. All
+    six chunk ops on both encode and decode (RUN / INDEX / DIFF /
+    LUMA / RGB / RGBA with the spec's 64-entry running-array hash),
+    and the fixture is built so ONE image exercises every family:
+    constant rows → RUN + INDEX, gradient-by-7 rows → LUMA with RGB
+    literals at the wrap, md5-blocked rows with +1 in-block steps →
+    DIFF. The oracle recomputes every pixel from the (doc_id, x, y)
+    formula, so a wrong delta bias, index-hash slip, or run overrun
+    fails the value hash. Decoder is total (malformed → NULL row).
+    QOI files land as opaque byte columns in the reference's scan
+    (src/main.rs whole-file read); pixel decode is engine-side."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.qoi import decode_qoi_pixels, synth_qoi
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_qoi(int(i)) for i in ids])
+
+    img = d.withColumn("content", _synth(F.col("doc_id")))
+    out_t = T.StructType(
+        [
+            T.StructField("img_width", T.LongType()),
+            T.StructField("img_height", T.LongType()),
+            T.StructField("mean_px", T.DoubleType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _dec(content):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        ws, hs, ms = [], [], []
+        for b in content:
+            px = decode_qoi_pixels(bytes(b) if b is not None else None)
+            if px is None:
+                ws.append(None)
+                hs.append(None)
+                ms.append(None)
+            else:
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                ms.append(int(px.astype(np.int64).sum()) / px.size)
+        return pd.DataFrame(
+            {"img_width": ws, "img_height": hs, "mean_px": ms}
+        )
+
+    return img.withColumn("r", _dec(F.col("content"))).select(
+        "doc_id",
+        F.col("r.img_width").alias("img_width"),
+        F.col("r.img_height").alias("img_height"),
+        F.col("r.mean_px").alias("mean_px"),
+    )
+
+
+ORACLE_QOI_PIXELS = """
+WITH g AS (
+  SELECT doc_id, 10 + doc_id % 9 AS w0, 8 + doc_id % 7 AS h0
+  FROM documents
+), fx AS (
+  SELECT doc_id, w0, h0, unnest(range(w0)) AS x FROM g
+), px AS (
+  SELECT doc_id, w0, h0, x, unnest(range(h0)) AS y FROM fx
+), mv AS (
+  SELECT doc_id, w0, h0, x, y,
+         ('0x' || substr(md5('qo:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(x // 3 AS VARCHAR) || ':' ||
+             CAST(y AS VARCHAR)), 1, 2))::INT AS v
+  FROM px
+), s AS (
+  SELECT doc_id, w0, h0,
+         CASE WHEN y % 4 = 0 THEN 27
+              WHEN y % 4 = 2 THEN 3 * ((16 + (x * 7) % 48 + y) % 256)
+              ELSE v + 2 * ((v + x % 3) % 256)
+         END AS psum
+  FROM mv
+)
+SELECT doc_id, CAST(w0 AS BIGINT) AS img_width,
+       CAST(h0 AS BIGINT) AS img_height,
+       CAST(SUM(psum) AS DOUBLE) / CAST(w0 * h0 * 3 AS DOUBLE) AS mean_px
+FROM s GROUP BY doc_id, w0, h0
+"""
+
+
 def q_video_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only metadata decode for the MP4/ISO-BMFF video container
     (ISO/IEC 14496-12 box walk: ftyp gate, moov/mvhd timescale +
@@ -2481,6 +2574,7 @@ QUERIES = {
     "q_flac_decode": q_flac_decode,
     "q_tiff_pixels": q_tiff_pixels,
     "q_webp_pixels": q_webp_pixels,
+    "q_qoi_pixels": q_qoi_pixels,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -2537,3 +2631,4 @@ ORACLES["q_pnm_pixels"] = ORACLE_PNM_PIXELS
 ORACLES["q_flac_decode"] = ORACLE_FLAC_DECODE
 ORACLES["q_tiff_pixels"] = ORACLE_TIFF_PIXELS
 ORACLES["q_webp_pixels"] = ORACLE_WEBP_PIXELS
+ORACLES["q_qoi_pixels"] = ORACLE_QOI_PIXELS

@@ -914,3 +914,62 @@ def test_vp8l_codec():
         assert decode_vp8l_pixels(junk) is None
     # fixture determinism
     assert synth_gray_webp(7) == synth_gray_webp(7)
+
+
+def test_qoi_codec():
+    """QOI (qoiformat.org 1.0): exact round-trips for RGB and RGBA
+    incl. long runs and index hits, fixture op coverage (one image
+    exercises RUN/INDEX/DIFF/LUMA/RGB), and malformed rejection."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.qoi import (
+        decode_qoi_pixels,
+        encode_qoi,
+        synth_qoi,
+    )
+
+    rng = np.random.RandomState(9)
+    px3 = rng.randint(0, 256, (5, 11, 3), dtype=np.uint8)
+    px4 = rng.randint(0, 256, (4, 7, 4), dtype=np.uint8)
+    px3[2, :] = px3[2, 0]  # in-row run
+    px4[:, 3] = px4[0, 3]  # cross-row repeats -> index hits
+    for px in (px3, px4):
+        got = decode_qoi_pixels(encode_qoi(px))
+        assert got is not None and np.array_equal(got, px)
+    # a 200-px constant image forces the 62-run split path
+    const = np.full((10, 20, 3), 77, dtype=np.uint8)
+    got = decode_qoi_pixels(encode_qoi(const))
+    assert got is not None and np.array_equal(got, const)
+    # fixture: every opcode family present in one stream
+    b = synth_qoi(7)
+    ops = set()
+    pos, end = 14, len(b) - 8
+    while pos < end:
+        t = b[pos]
+        if t == 0xFE:
+            ops.add("rgb")
+            pos += 4
+        elif t == 0xFF:
+            ops.add("rgba")
+            pos += 5
+        elif t >> 6 == 0:
+            ops.add("index")
+            pos += 1
+        elif t >> 6 == 1:
+            ops.add("diff")
+            pos += 1
+        elif t >> 6 == 2:
+            ops.add("luma")
+            pos += 2
+        else:
+            ops.add("run")
+            pos += 1
+    assert {"run", "index", "diff", "luma", "rgb"} <= ops
+    # malformed: bad magic, zero dims, run past pixel count, missing
+    # end marker, stream that runs dry
+    assert decode_qoi_pixels(None) is None
+    assert decode_qoi_pixels(b"qoix" + b[4:]) is None
+    zero = b[:4] + b"\x00\x00\x00\x00" + b[8:]
+    assert decode_qoi_pixels(zero) is None
+    assert decode_qoi_pixels(b[:-1]) is None
+    assert decode_qoi_pixels(b[:20]) is None

@@ -369,3 +369,30 @@ def test_flac_truncation_and_tail_garbage(tail, cut):
     assert out is None or (
         out[0] == ref[0] and np.array_equal(out[1], ref[1])
     )
+
+
+@given(st.binary(max_size=2048), st.integers(min_value=0, max_value=300))
+@settings(max_examples=250, deadline=None)
+def test_qoi_total_and_truncation(tail, cut):
+    """QOI decoder totality: arbitrary bytes never raise, pure
+    truncation decodes to None or the exact original (the stream
+    runs dry / the end marker is gone), and appended garbage is
+    rejected by the end-marker check. QOI has no CRC, so unlike the
+    FLAC twin a crafted tail COULD complete a different valid image —
+    the shape contract is all a decoder can promise there."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.qoi import (
+        decode_qoi_pixels,
+        synth_qoi,
+    )
+
+    out = decode_qoi_pixels(tail)
+    assert out is None or (out.ndim == 3 and out.shape[2] in (3, 4))
+    base = synth_qoi(13)
+    ref = decode_qoi_pixels(base)
+    assert ref is not None
+    truncated = decode_qoi_pixels(base[: len(base) - cut])
+    assert truncated is None or np.array_equal(truncated, ref)
+    if tail:
+        assert decode_qoi_pixels(base + tail) is None
