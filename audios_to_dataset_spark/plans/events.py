@@ -1100,8 +1100,124 @@ WHERE rk = 1 ORDER BY event_type
 """
 
 
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1-3) of the per-type daily event
+    series — the periodicity probe next to q_seasonality's calendar
+    profile and q_changepoint's level-shift localizer: a high lag-1
+    ACF means bursty/trending traffic, near-zero means memoryless
+    arrivals. Pearson r over (n_t, n_{t+k}) pairs of the ORDERED day
+    series, from exact decimal moments (daily counts are integers, so
+    every sum is exact and both engines produce the identical double;
+    the only float math is the final identical expression). Constant
+    series (zero variance on either leg) yield NULL, not a 0/0 crash.
+
+    100 TB shape: one map-side-combinable (type, day) count, then the
+    3 leads + moment agg run over the tiny per-type day series —
+    everything after the first agg scales with distinct days, not
+    events. NULL timestamps/types drop identically on both engines."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    day = F.floor(F.unix_micros("ts") / F.lit(DAY_US)).cast("bigint")
+    daily = e.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    led = daily.select(
+        "event_type",
+        "n",
+        F.lead("n", 1).over(w).alias("y1"),
+        F.lead("n", 2).over(w).alias("y2"),
+        F.lead("n", 3).over(w).alias("y3"),
+    )
+    pair = led.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag_k"),
+                        F.col("n").alias("x"),
+                        F.col(f"y{k}").alias("y"),
+                    )
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("p"),
+    ).select("event_type", "p.lag_k", "p.x", "p.y").filter(
+        F.col("y").isNotNull()
+    )
+    m = pair.groupBy("event_type", "lag_k").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    ).filter(F.col("n_pairs") >= 2)
+    md = F.col("n_pairs").cast("double")
+    num = md * F.col("sxy") - F.col("sx") * F.col("sy")
+    va = md * F.col("sxx") - F.col("sx") * F.col("sx")
+    vb = md * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "event_type",
+        F.col("lag_k").cast("bigint").alias("lag_k"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.when(
+            (va > 0) & (vb > 0),
+            sround(num / (F.sqrt(va) * F.sqrt(vb)), 9),
+        ).alias("acf"),
+    ).orderBy("event_type", "lag_k")
+
+
+ORACLE_ACF = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / {DAY_US}) AS BIGINT) AS day,
+         COUNT(*) AS n
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), led AS (
+  SELECT event_type, n,
+         lead(n, 1) OVER w AS y1,
+         lead(n, 2) OVER w AS y2,
+         lead(n, 3) OVER w AS y3
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), pairs AS (
+  SELECT event_type, 1 AS lag_k, n AS x, y1 AS y FROM led
+   WHERE y1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 2, n, y2 FROM led WHERE y2 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 3, n, y3 FROM led WHERE y3 IS NOT NULL
+), m AS (
+  SELECT event_type, lag_k, COUNT(*) AS n_pairs,
+         {dsum_sql('x')} AS sx, {dsum_sql('y')} AS sy,
+         {dsum_sql('x * y')} AS sxy,
+         {dsum_sql('x * x')} AS sxx,
+         {dsum_sql('y * y')} AS syy
+  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), v AS (
+  SELECT event_type, lag_k, n_pairs,
+         CAST(n_pairs AS DOUBLE) * sxy - sx * sy AS num,
+         CAST(n_pairs AS DOUBLE) * sxx - sx * sx AS va,
+         CAST(n_pairs AS DOUBLE) * syy - sy * sy AS vb
+  FROM m
+)
+SELECT event_type, CAST(lag_k AS BIGINT) AS lag_k,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CASE WHEN va > 0 AND vb > 0
+            THEN {sround_sql('num / (sqrt(va) * sqrt(vb))', 9)}
+       END AS acf
+FROM v ORDER BY event_type, lag_k
+"""
+
+
 QUERIES = {
     "q_changepoint": q_changepoint,
+    "q_acf": q_acf,
     "q_scd2": q_scd2,
     "q_ewma": q_ewma,
     "q_lateness": q_lateness,
@@ -1124,6 +1240,7 @@ QUERIES = {
 
 ORACLES = {
     "q_changepoint": ORACLE_CHANGEPOINT,
+    "q_acf": ORACLE_ACF,
     "q_scd2": ORACLE_SCD2,
     "q_ewma": _oracle_ewma(),
     "q_lateness": ORACLE_LATENESS,
