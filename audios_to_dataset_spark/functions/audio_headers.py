@@ -237,6 +237,135 @@ def parse_aiff_header(
         return None, 0, 0, 0
 
 
+def decode_aiff_samples(data: bytes | None):
+    """FULL AIFF sample decode (Apple "Audio IFF" 1.3, the big-endian
+    sibling of RIFF/WAVE): COMM chunk (channels, frames, bits, 80-bit
+    extended-float rate via the same pure-integer expansion as
+    parse_aiff_header) then the SSND chunk (u32 offset + u32 block
+    size, then big-endian PCM). Supports the two PCM widths AIFF
+    ships in the wild: 16-bit signed BE and 8-bit signed (widened
+    <<8 so downstream normalization is uniform, mirroring the WAV
+    pcm8 path). Returns ``(rate, int16 ndarray of frames*channels
+    interleaved samples)`` or ``None`` for anything malformed —
+    missing/short chunks, unsupported widths, an SSND body smaller
+    than COMM's frame count, or a nonsense rate."""
+    import numpy as np
+
+    try:
+        if not data or len(data) < 12 or data[:4] != b"FORM" \
+                or data[8:12] != b"AIFF":
+            return None
+        pos, n = 12, len(data)
+        rate = channels = frames = bits = None
+        ssnd = None
+        while pos + 8 <= n:
+            cid = data[pos : pos + 4]
+            (csize,) = struct.unpack_from(">I", data, pos + 4)
+            body = pos + 8
+            if body + csize > n:
+                return None
+            if cid == b"COMM" and csize >= 18:
+                channels, frames, bits = struct.unpack_from(
+                    ">hIh", data, body
+                )
+                exp = int.from_bytes(data[body + 8 : body + 10], "big")
+                mant = int.from_bytes(data[body + 10 : body + 18], "big")
+                if exp & 0x8000 or mant == 0:
+                    return None
+                shift = 16383 + 63 - exp
+                if not 0 <= shift < 64:
+                    return None
+                rate = mant >> shift
+            elif cid == b"SSND" and csize >= 8:
+                (off,) = struct.unpack_from(">I", data, body)
+                if 8 + off > csize:
+                    return None
+                ssnd = data[body + 8 + off : body + csize]
+            pos = body + csize + (csize & 1)
+        if (rate is None or ssnd is None or rate <= 0 or channels <= 0
+                or frames < 0 or bits not in (8, 16)):
+            return None
+        total = frames * channels
+        width = bits // 8
+        if len(ssnd) < total * width:
+            return None
+        raw = ssnd[: total * width]
+        if bits == 16:
+            s = np.frombuffer(raw, dtype=">i2").astype(np.int16)
+        else:
+            s = (
+                np.frombuffer(raw, dtype=np.int8).astype(np.int16) << 8
+            )
+        return rate, s
+    except Exception:
+        return None
+
+
+def encode_aiff(samples, rate: int, channels: int = 1,
+                bits: int = 16) -> bytes:
+    """Encode interleaved int16 samples as FORM/AIFF with a COMM chunk
+    (true 80-bit extended-float rate) and an SSND chunk (offset 0,
+    block 0). ``bits=16`` writes big-endian PCM16; ``bits=8`` writes
+    signed bytes (the sample's high byte, AIFF's 8-bit convention —
+    unlike WAV's unsigned-biased 8-bit)."""
+    import numpy as np
+
+    assert bits in (8, 16)
+    s = np.asarray(samples, dtype=np.int16)
+    frames = s.size // channels
+    e = rate.bit_length() - 1
+    exp = 16383 + e
+    mant = rate << (63 - e)
+    comm = (
+        struct.pack(">hIh", channels, frames, bits)
+        + exp.to_bytes(2, "big")
+        + mant.to_bytes(8, "big")
+    )
+    if bits == 8:
+        pcm = (s.astype(np.int16) >> 8).astype(np.int8).tobytes()
+    else:
+        pcm = s.astype(">i2").tobytes()
+    ssnd = struct.pack(">II", 0, 0) + pcm
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+        + (b"\x00" if len(ssnd) & 1 else b"")
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def synth_aiff_md5(doc_id: int) -> bytes:
+    """Deterministic AIFF sample fixture: rate from the id, mono/stereo
+    alternating by parity, 48 + id % 41 frames, sample i = the centered
+    16-bit md5 formula shared with the WAV/FLAC families (``af:``
+    prefix over the INTERLEAVED index, so the oracle is one flat
+    formula regardless of channel count). Every 5th doc stores 8-bit
+    signed PCM (samples quantized to their high byte so decode<<8
+    reproduces them exactly and the oracle's formula just masks the
+    low byte)."""
+    import hashlib
+
+    import numpy as np
+
+    rate = 8000 + (doc_id % 3) * 4000
+    channels = 1 + doc_id % 2
+    frames = 48 + doc_id % 41
+    bits = 8 if doc_id % 5 == 0 else 16
+    total = frames * channels
+    vals = np.empty(total, dtype=np.int64)
+    for i in range(total):
+        vals[i] = (
+            int(
+                hashlib.md5(f"af:{doc_id}:{i}".encode()).hexdigest()[:4], 16
+            )
+            - 32768
+        )
+    if bits == 8:
+        vals = (vals >> 8) << 8
+    return encode_aiff(vals.astype(np.int16), rate, channels, bits)
+
+
 def synth_aiff(doc_id: int) -> bytes:
     """FORM/AIFF with one COMM chunk: rate 8000 + (doc_id % 3) * 4000,
     channels 1 + doc_id % 2, 2000 + doc_id % 499 sample frames; the

@@ -1020,6 +1020,106 @@ FROM s GROUP BY doc_id, n, sr
 """
 
 
+def q_audio_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL AIFF sample decode (Apple Audio IFF 1.3 — the big-endian
+    sibling of RIFF/WAVE, closing the uncompressed-container family
+    next to the WAV codecs and FLAC): chunk walk, COMM with the 80-bit
+    extended-float rate expanded by pure integer arithmetic, SSND
+    offset/block header, big-endian PCM16 AND signed 8-bit (every 5th
+    doc; widened <<8 like the WAV pcm8 path but with AIFF's signed —
+    not biased — convention). Mono/stereo alternate by parity; the
+    fixture samples are the shared centered-16-bit md5 formula over
+    the interleaved index, so the oracle recomputes every sample: a
+    byte-order slip, SSND offset bug, or 8-bit sign error fails the
+    value hash."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.audio_headers import (
+        decode_aiff_samples,
+        synth_aiff_md5,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    out_t = T.StructType(
+        [
+            T.StructField("sampling_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+        ]
+    )
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_aiff_md5(int(i)) for i in ids])
+
+    @pandas_udf(out_t)
+    def _dec(content):  # type: ignore[no-untyped-def]
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for b in content:
+            got = decode_aiff_samples(bytes(b) if b is not None else None)
+            if got is None:
+                rows.append((None, None, None, None))
+                continue
+            sr, s = got
+            p = s.astype(np.float64) / 32768.0
+            rms = (
+                math.sqrt(float((p * p).sum()) / p.size) if p.size else 0.0
+            )
+            rows.append(
+                (sr, p.size, rms, float(np.abs(p).max()) if p.size else 0.0)
+            )
+        return pd.DataFrame(
+            rows, columns=["sampling_rate", "n_samples", "rms", "peak"]
+        )
+
+    out = d.withColumn("r", _dec(_synth(F.col("doc_id"))))
+    return out.select(
+        "doc_id",
+        F.col("r.sampling_rate").alias("sampling_rate"),
+        F.col("r.n_samples").alias("n_samples"),
+        sround(F.col("r.rms"), 6).alias("rms"),
+        F.col("r.peak").alias("peak"),
+    )
+
+
+ORACLE_AUDIO_AIFF = """
+WITH g AS (
+  SELECT doc_id,
+         (48 + doc_id % 41) * (1 + doc_id % 2) AS n,
+         8000 + (doc_id % 3) * 4000 AS sr,
+         doc_id % 5 = 0 AS is8
+  FROM documents
+), ix AS (
+  SELECT doc_id, n, sr, is8, unnest(range(n)) AS i FROM g
+), h AS (
+  SELECT doc_id, n, sr, is8,
+         ('0x' || substr(md5('af:' || CAST(doc_id AS VARCHAR) || ':'
+              || CAST(i AS VARCHAR)), 1, 4))::INT AS hv
+  FROM ix
+), s AS (
+  SELECT doc_id, n, sr,
+         CAST(CASE WHEN is8 THEN (hv // 256) * 256 - 32768
+                   ELSE hv - 32768 END AS DOUBLE) / 32768.0 AS p
+  FROM h
+)
+SELECT doc_id, CAST(sr AS INT) AS sampling_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       (round(sqrt(SUM(p * p) / n) * 1000000.0) / 1000000.0) + 0.0 AS rms,
+       MAX(abs(p)) AS peak
+FROM s GROUP BY doc_id, n, sr
+"""
+
+
 def q_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only dimension decode for the codec-bound container
     formats (S4-class breadth): a minimal TIFF (IFD walk, both byte
@@ -2575,6 +2675,7 @@ QUERIES = {
     "q_tiff_pixels": q_tiff_pixels,
     "q_webp_pixels": q_webp_pixels,
     "q_qoi_pixels": q_qoi_pixels,
+    "q_audio_aiff": q_audio_aiff,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -2632,3 +2733,4 @@ ORACLES["q_flac_decode"] = ORACLE_FLAC_DECODE
 ORACLES["q_tiff_pixels"] = ORACLE_TIFF_PIXELS
 ORACLES["q_webp_pixels"] = ORACLE_WEBP_PIXELS
 ORACLES["q_qoi_pixels"] = ORACLE_QOI_PIXELS
+ORACLES["q_audio_aiff"] = ORACLE_AUDIO_AIFF

@@ -273,3 +273,56 @@ def test_flac_rejects_malformed():
         if out is None:
             caught += 1
     assert caught > len(good) // 2
+
+
+def test_aiff_sample_decode():
+    """AIFF full decode: 16-bit BE and signed-8-bit round-trips, both
+    channel counts, SSND offset honoring, and malformed rejection."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.audio_headers import (
+        decode_aiff_samples,
+        encode_aiff,
+        parse_aiff_header,
+        synth_aiff_md5,
+    )
+
+    rng = np.random.RandomState(11)
+    s = rng.randint(-32768, 32768, 180).astype(np.int16)
+    for ch in (1, 2):
+        got = decode_aiff_samples(encode_aiff(s, 12000, ch))
+        n = (180 // ch) * ch
+        assert got is not None and got[0] == 12000
+        assert np.array_equal(got[1], s[:n])
+    # 8-bit: quantized to high byte, decode widens back exactly
+    q = ((s.astype(np.int64) >> 8) << 8).astype(np.int16)
+    got = decode_aiff_samples(encode_aiff(q, 8000, 1, bits=8))
+    assert got is not None and np.array_equal(got[1], q)
+    # SSND offset: 4 junk bytes before the PCM must be skipped
+    b = encode_aiff(s[:4], 8000, 1)
+    idx = b.find(b"SSND")
+    import struct as _s
+
+    (csize,) = _s.unpack_from(">I", b, idx + 4)
+    patched = (
+        b[: idx + 4]
+        + _s.pack(">I", csize + 4)
+        + _s.pack(">II", 4, 0)
+        + b"\xde\xad\xbe\xef"
+        + b[idx + 16 :]
+    )
+    got = decode_aiff_samples(patched)
+    assert got is not None and np.array_equal(got[1], s[:4])
+    # fixture family: every 5th doc is 8-bit, parity sets channels
+    for i in (0, 1, 2, 5, 7, 10):
+        b = synth_aiff_md5(i)
+        got = decode_aiff_samples(b)
+        assert got is not None
+        assert got[1].size == (48 + i % 41) * (1 + i % 2)
+        fmt, r, c, _ = parse_aiff_header(b)
+        assert (fmt, r, c) == ("aiff", 8000 + (i % 3) * 4000, 1 + i % 2)
+    # malformed: truncated SSND, bad width, offset past chunk, garbage
+    full = synth_aiff_md5(1)
+    assert decode_aiff_samples(full[:40]) is None
+    assert decode_aiff_samples(b"FORM\x00\x00\x00\x04AIFF") is None
+    assert decode_aiff_samples(None) is None
