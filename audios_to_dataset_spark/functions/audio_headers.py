@@ -366,6 +366,122 @@ def synth_aiff_md5(doc_id: int) -> bytes:
     return encode_aiff(vals.astype(np.int16), rate, channels, bits)
 
 
+def decode_au_samples(data: bytes | None):
+    """Sun/NeXT AU (.au/.snd) decode — the third classic uncompressed
+    audio container next to RIFF/WAVE and AIFF, and the one µ-law
+    telephony corpora actually ship in. Big-endian header: ``.snd``
+    magic, data offset, data size (0xFFFFFFFF = unknown → read to
+    EOF), encoding, sample rate, channels. Supported encodings (the
+    three that cover real .au corpora): 1 = G.711 µ-law (expanded via
+    the same public ITU-T table as the WAV tag-7 path), 2 = 8-bit
+    signed linear (widened <<8), 3 = 16-bit signed big-endian.
+    Returns ``(rate, int16 ndarray)`` or ``None`` on anything
+    malformed: bad magic, offset under the 24-byte header or past
+    EOF, unsupported encoding, nonsense rate/channels."""
+    import numpy as np
+
+    from .wav import _mulaw_table
+
+    try:
+        if not data or len(data) < 24 or data[:4] != b".snd":
+            return None
+        off, size, enc, rate, channels = struct.unpack_from(">IIIII", data, 4)
+        if off < 24 or off > len(data) or rate <= 0 or rate > 1_000_000 \
+                or channels <= 0 or channels > 16:
+            return None
+        body = data[off:]
+        if size != 0xFFFFFFFF:
+            if size > len(body):
+                return None
+            body = body[:size]
+        if enc == 1:  # µ-law
+            codes = np.frombuffer(body, dtype=np.uint8)
+            s = _mulaw_table()[codes]
+        elif enc == 2:  # 8-bit signed linear
+            s = (
+                np.frombuffer(body, dtype=np.int8).astype(np.int16) << 8
+            )
+        elif enc == 3:  # 16-bit signed BE linear
+            s = np.frombuffer(
+                body[: len(body) // 2 * 2], dtype=">i2"
+            ).astype(np.int16)
+        else:
+            return None
+        if s.size == 0 or s.size % channels:
+            return None
+        return rate, s
+    except Exception:
+        return None
+
+
+def encode_au(samples, rate: int, enc: int = 3,
+              channels: int = 1) -> bytes:
+    """Encode int16 samples as a .au stream. ``enc`` 3 writes 16-bit
+    BE; 2 writes the high bytes as signed 8-bit; 1 compresses through
+    the G.711 µ-law SEGMENT SEARCH (the inverse of the expansion
+    table) so decode(encode(x)) is the table-quantized signal."""
+    import numpy as np
+
+    from .wav import _mulaw_table
+
+    s = np.asarray(samples, dtype=np.int16)
+    if enc == 3:
+        body = s.astype(">i2").tobytes()
+    elif enc == 2:
+        body = (s >> 8).astype(np.int8).tobytes()
+    elif enc == 1:
+        table = _mulaw_table().astype(np.int64)
+        # nearest-code quantization via the decode table (256 entries)
+        idx = np.abs(
+            s.astype(np.int64)[:, None] - table[None, :]
+        ).argmin(axis=1)
+        body = idx.astype(np.uint8).tobytes()
+    else:
+        raise ValueError(enc)
+    hdr = b".snd" + struct.pack(
+        ">IIIII", 24, len(body), enc, rate, channels
+    )
+    return hdr + body
+
+
+def synth_au_md5(doc_id: int) -> bytes:
+    """Deterministic AU fixture cycling all three supported encodings
+    by ``doc_id % 3``: 0 → µ-law (code i = first md5 byte, ``au:``
+    prefix — the exact fixture discipline of the WAV µ-law family),
+    1 → 8-bit signed linear (centered-16-bit samples quantized to
+    their high byte), 2 → 16-bit BE (the full centered md5 value).
+    n = 40 + id % 37 samples, rate 8000/16000 by parity, mono."""
+    import hashlib
+
+    import numpy as np
+
+    n = 40 + doc_id % 37
+    rate = 8000 + (doc_id % 2) * 8000
+    enc_sel = doc_id % 3
+    if enc_sel == 0:
+        body = bytes(
+            int(hashlib.md5(f"au:{doc_id}:{i}".encode()).hexdigest()[:2], 16)
+            for i in range(n)
+        )
+        return (
+            b".snd"
+            + struct.pack(">IIIII", 24, len(body), 1, rate, 1)
+            + body
+        )
+    vals = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        vals[i] = (
+            int(
+                hashlib.md5(f"au:{doc_id}:{i}".encode()).hexdigest()[:4], 16
+            )
+            - 32768
+        )
+    if enc_sel == 1:
+        vals = (vals >> 8) << 8
+        return encode_au(vals.astype(np.int16), rate, enc=2)
+    return encode_au(vals.astype(np.int16), rate, enc=3)
+
+
 def synth_aiff(doc_id: int) -> bytes:
     """FORM/AIFF with one COMM chunk: rate 8000 + (doc_id % 3) * 4000,
     channels 1 + doc_id % 2, 2000 + doc_id % 499 sample frames; the

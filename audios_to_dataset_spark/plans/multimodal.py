@@ -1120,6 +1120,108 @@ FROM s GROUP BY doc_id, n, sr
 """
 
 
+def q_audio_au(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sun/NeXT AU (.au/.snd) decode — the container classic µ-law
+    telephony corpora ship in, completing the uncompressed trio
+    (WAV / AIFF / AU). One fixture family cycles all three supported
+    encodings by ``doc_id % 3``: G.711 µ-law through the same ITU-T
+    expansion as the WAV tag-7 path, 8-bit SIGNED linear (AU, like
+    AIFF and unlike WAV, stores 8-bit signed), and 16-bit big-endian.
+    The oracle replays each branch per sample (µ-law bit ops inline in
+    SQL), so an encoding-dispatch slip, sign error, or BE/LE mixup
+    fails the value hash."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.audio_headers import decode_au_samples, synth_au_md5
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    out_t = T.StructType(
+        [
+            T.StructField("sampling_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+        ]
+    )
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_au_md5(int(i)) for i in ids])
+
+    @pandas_udf(out_t)
+    def _dec(content):  # type: ignore[no-untyped-def]
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for b in content:
+            got = decode_au_samples(bytes(b) if b is not None else None)
+            if got is None:
+                rows.append((None, None, None, None))
+                continue
+            sr, s = got
+            p = s.astype(np.float64) / 32768.0
+            rms = (
+                math.sqrt(float((p * p).sum()) / p.size) if p.size else 0.0
+            )
+            rows.append(
+                (sr, p.size, rms, float(np.abs(p).max()) if p.size else 0.0)
+            )
+        return pd.DataFrame(
+            rows, columns=["sampling_rate", "n_samples", "rms", "peak"]
+        )
+
+    out = d.withColumn("r", _dec(_synth(F.col("doc_id"))))
+    return out.select(
+        "doc_id",
+        F.col("r.sampling_rate").alias("sampling_rate"),
+        F.col("r.n_samples").alias("n_samples"),
+        sround(F.col("r.rms"), 6).alias("rms"),
+        F.col("r.peak").alias("peak"),
+    )
+
+
+_ULAW_MAG = "((((c & 15) * 8 + 132) << ((c >> 4) & 7)) - 132)"
+
+ORACLE_AUDIO_AU = f"""
+WITH g AS (
+  SELECT doc_id, 40 + doc_id % 37 AS n,
+         8000 + (doc_id % 2) * 8000 AS sr,
+         doc_id % 3 AS enc
+  FROM documents
+), ix AS (
+  SELECT doc_id, n, sr, enc, unnest(range(n)) AS i FROM g
+), h AS (
+  SELECT doc_id, n, sr, enc,
+         ('0x' || substr(md5('au:' || CAST(doc_id AS VARCHAR) || ':'
+              || CAST(i AS VARCHAR)), 1, 4))::INT AS hv,
+         255 - ('0x' || substr(md5('au:' || CAST(doc_id AS VARCHAR) || ':'
+              || CAST(i AS VARCHAR)), 1, 2))::INT AS c
+  FROM ix
+), s AS (
+  SELECT doc_id, n, sr,
+         CAST(CASE
+           WHEN enc = 0 THEN CASE WHEN (c & 128) != 0
+                THEN -{_ULAW_MAG} ELSE {_ULAW_MAG} END
+           WHEN enc = 1 THEN (hv // 256) * 256 - 32768
+           ELSE hv - 32768
+         END AS DOUBLE) / 32768.0 AS p
+  FROM h
+)
+SELECT doc_id, CAST(sr AS INT) AS sampling_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       (round(sqrt(SUM(p * p) / n) * 1000000.0) / 1000000.0) + 0.0 AS rms,
+       MAX(abs(p)) AS peak
+FROM s GROUP BY doc_id, n, sr
+"""
+
+
 def q_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only dimension decode for the codec-bound container
     formats (S4-class breadth): a minimal TIFF (IFD walk, both byte
@@ -2259,8 +2361,6 @@ FROM s GROUP BY doc_id, n
 """
 
 
-_ULAW_MAG = "((((c & 15) * 8 + 132) << ((c >> 4) & 7)) - 132)"
-
 ORACLE_AUDIO_ULAW = f"""
 WITH g AS (
   SELECT doc_id, 48 + doc_id % 29 AS n FROM documents
@@ -2676,6 +2776,7 @@ QUERIES = {
     "q_webp_pixels": q_webp_pixels,
     "q_qoi_pixels": q_qoi_pixels,
     "q_audio_aiff": q_audio_aiff,
+    "q_audio_au": q_audio_au,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -2734,3 +2835,4 @@ ORACLES["q_tiff_pixels"] = ORACLE_TIFF_PIXELS
 ORACLES["q_webp_pixels"] = ORACLE_WEBP_PIXELS
 ORACLES["q_qoi_pixels"] = ORACLE_QOI_PIXELS
 ORACLES["q_audio_aiff"] = ORACLE_AUDIO_AIFF
+ORACLES["q_audio_au"] = ORACLE_AUDIO_AU

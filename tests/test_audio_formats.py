@@ -326,3 +326,53 @@ def test_aiff_sample_decode():
     assert decode_aiff_samples(full[:40]) is None
     assert decode_aiff_samples(b"FORM\x00\x00\x00\x04AIFF") is None
     assert decode_aiff_samples(None) is None
+
+
+def test_au_sample_decode():
+    """Sun/NeXT AU: all three encodings round-trip, unknown-size
+    (0xFFFFFFFF) reads to EOF, and malformed streams are rejected."""
+    import struct as _s
+
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.audio_headers import (
+        decode_au_samples,
+        encode_au,
+        synth_au_md5,
+    )
+    from audios_to_dataset_spark.functions.wav import _mulaw_table
+
+    rng = np.random.RandomState(4)
+    s = rng.randint(-32768, 32768, 160).astype(np.int16)
+    got = decode_au_samples(encode_au(s, 16000, 3))
+    assert got is not None and got[0] == 16000
+    assert np.array_equal(got[1], s)
+    got = decode_au_samples(encode_au(s, 8000, 2))
+    assert np.array_equal(
+        got[1], ((s.astype(np.int64) >> 8) << 8).astype(np.int16)
+    )
+    # µ-law: decode(encode(x)) is the nearest table value
+    got = decode_au_samples(encode_au(s, 8000, 1))
+    t = _mulaw_table().astype(np.int64)
+    idx = np.abs(s.astype(np.int64)[:, None] - t[None, :]).argmin(axis=1)
+    assert np.array_equal(got[1], t[idx].astype(np.int16))
+    # unknown data size -> read to EOF
+    b = encode_au(s[:8], 8000, 3)
+    unk = b[:8] + _s.pack(">I", 0xFFFFFFFF) + b[12:]
+    got = decode_au_samples(unk)
+    assert got is not None and np.array_equal(got[1], s[:8])
+    # fixture family cycles encodings; sizes follow the id formula
+    for i in range(12):
+        got = decode_au_samples(synth_au_md5(i))
+        assert got is not None
+        assert got[1].size == 40 + i % 37
+        assert got[0] == 8000 + (i % 2) * 8000
+    # malformed: bad magic, offset < 24, size overrun, bad encoding
+    assert decode_au_samples(b"snd." + b[4:]) is None
+    assert decode_au_samples(b[:4] + _s.pack(">I", 12) + b[8:]) is None
+    assert decode_au_samples(b[:8] + _s.pack(">I", 10_000) + b[12:]) is None
+    assert decode_au_samples(
+        b[:12] + _s.pack(">I", 27) + b[16:]
+    ) is None
+    assert decode_au_samples(b[:20]) is None
+    assert decode_au_samples(None) is None
