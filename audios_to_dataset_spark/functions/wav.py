@@ -200,6 +200,13 @@ def _ima_decode(
     return samples
 
 
+# KSDATAFORMAT_SUBTYPE GUID tail (bytes 2..16): every
+# WAVE_FORMAT_EXTENSIBLE SubFormat is <code u16 LE> + this suffix.
+_KSDATAFORMAT_SUFFIX = (
+    b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+)
+
+
 def wav_pcm_stats(data: bytes | None) -> tuple[float, float, float, int]:
     """Signal-level QA stats from WAV bytes — 16-bit linear PCM (format
     tag 1/16), 8-bit unsigned linear PCM (tag 1/8, widened <<8), 32-bit
@@ -234,6 +241,16 @@ def wav_pcm_stats(data: bytes | None) -> tuple[float, float, float, int]:
                 (tag, _ch, _sr, _br, balign, bits) = struct.unpack_from(
                     "<HHIIHH", data, body
                 )
+                if tag == 0xFFFE and chunk_size >= 40 and body + 40 <= n:
+                    # WAVE_FORMAT_EXTENSIBLE (Microsoft multichannel
+                    # spec): the real format lives in the SubFormat
+                    # GUID's Data1; the rest must be the fixed
+                    # KSDATAFORMAT suffix or the stream is rejected.
+                    guid = data[body + 24 : body + 40]
+                    if guid[2:] == _KSDATAFORMAT_SUFFIX:
+                        (tag,) = struct.unpack_from("<H", guid, 0)
+                    else:
+                        tag = 0
             elif chunk_id == b"data":
                 body_off = body
                 body_len = min(chunk_size, n - body)
@@ -537,6 +554,42 @@ def synth_wav_md5_f32(doc_id: int) -> bytes:
     )
     hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
     fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, sr, sr * 4, 4, 32)
+    data = b"data" + struct.pack("<I", len(body))
+    return hdr + fmt + data + body
+
+
+def synth_wav_md5_ext(doc_id: int) -> bytes:
+    """Deterministic WAVE_FORMAT_EXTENSIBLE fixture (tag 0xFFFE, fmt
+    chunk 40 bytes: cbSize 22, valid-bits, channel mask, SubFormat
+    GUID): even docs wrap PCM16 (SubFormat Data1 = 1), odd docs wrap
+    IEEE float32 (= 3) — the two subformats real multichannel WAVs
+    use. Sample i = the centered 16-bit md5 value of ``wx:{id}:{i}``;
+    dyadic v/32768 storage makes both subformats EXACTLY the same
+    signal, so ONE oracle formula covers the whole family and any
+    GUID-dispatch bug shows up as a zeroed row."""
+    import hashlib
+
+    n = 44 + doc_id % 31
+    sr = 8000 + (doc_id % 3) * 4000
+    is_f32 = doc_id % 2 == 1
+    vals = [
+        int(hashlib.md5(f"wx:{doc_id}:{i}".encode()).hexdigest()[:4], 16)
+        - 32768
+        for i in range(n)
+    ]
+    if is_f32:
+        body = b"".join(struct.pack("<f", v / 32768.0) for v in vals)
+        sub, bits, width = 3, 32, 4
+    else:
+        body = b"".join(struct.pack("<h", v) for v in vals)
+        sub, bits, width = 1, 16, 2
+    guid = struct.pack("<H", sub) + _KSDATAFORMAT_SUFFIX
+    fmt_body = struct.pack(
+        "<HHIIHH", 0xFFFE, 1, sr, sr * width, width, bits
+    ) + struct.pack("<HHI", 22, bits, 0x4) + guid
+    hdr = b"RIFF" + struct.pack("<I", 20 + len(fmt_body) + len(body)) \
+        + b"WAVE"
+    fmt = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
     data = b"data" + struct.pack("<I", len(body))
     return hdr + fmt + data + body
 

@@ -930,6 +930,41 @@ def q_audio_float32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audio_stats_query("synth_wav_md5_f32")(spark, sf_dir)
 
 
+def q_audio_extensible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAVE_FORMAT_EXTENSIBLE decode (tag 0xFFFE — how every >2-channel
+    or >16-bit WAV is actually written per Microsoft's multichannel
+    spec): the real format is resolved from the SubFormat GUID's Data1
+    after validating the fixed KSDATAFORMAT suffix, then dispatched to
+    the PCM16 / float32 paths. Even docs wrap PCM16, odd docs float32;
+    dyadic fixture samples make both subformats the identical signal,
+    so the single oracle formula catches a GUID-dispatch or suffix-
+    validation bug as a zeroed/NaN row on the Spark side only."""
+    return _audio_stats_query("synth_wav_md5_ext")(spark, sf_dir)
+
+
+ORACLE_AUDIO_EXTENSIBLE = """
+WITH g AS (
+  SELECT doc_id, 44 + doc_id % 31 AS n,
+         8000 + (doc_id % 3) * 4000 AS sr
+  FROM documents
+), ix AS (
+  SELECT doc_id, n, sr, unnest(range(n)) AS i FROM g
+), s AS (
+  SELECT doc_id, n, sr,
+         CAST(('0x' || substr(md5('wx:' || CAST(doc_id AS VARCHAR) || ':'
+              || CAST(i AS VARCHAR)), 1, 4))::INT - 32768 AS DOUBLE)
+           / 32768.0 AS p
+  FROM ix
+)
+SELECT doc_id, CAST(sr AS INT) AS sampling_rate,
+       CAST(n AS DOUBLE) / CAST(sr AS DOUBLE) AS duration,
+       CAST(n AS BIGINT) AS n_samples,
+       (round(sqrt(SUM(p * p) / n) * 1000000.0) / 1000000.0) + 0.0 AS rms,
+       MAX(abs(p)) AS peak
+FROM s GROUP BY doc_id, n, sr
+"""
+
+
 def q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossless-audio decode, pure Python (functions/flac.py): a
     conforming FLAC stream per doc — STREAMINFO, CRC-8/CRC-16-checked
@@ -2777,6 +2812,7 @@ QUERIES = {
     "q_qoi_pixels": q_qoi_pixels,
     "q_audio_aiff": q_audio_aiff,
     "q_audio_au": q_audio_au,
+    "q_audio_extensible": q_audio_extensible,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -2836,3 +2872,4 @@ ORACLES["q_webp_pixels"] = ORACLE_WEBP_PIXELS
 ORACLES["q_qoi_pixels"] = ORACLE_QOI_PIXELS
 ORACLES["q_audio_aiff"] = ORACLE_AUDIO_AIFF
 ORACLES["q_audio_au"] = ORACLE_AUDIO_AU
+ORACLES["q_audio_extensible"] = ORACLE_AUDIO_EXTENSIBLE

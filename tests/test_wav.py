@@ -364,3 +364,35 @@ def test_downmix_stereo_exact():
     assert downmix_stereo(synth_wav(8000)) == ([], 0)  # mono input
     assert downmix_stereo(b"garbage") == ([], 0)
     assert downmix_stereo(None) == ([], 0)
+
+
+def test_wave_format_extensible():
+    """Tag 0xFFFE resolves through the SubFormat GUID: PCM16 and
+    float32 fixtures decode to the identical signal; a corrupted
+    KSDATAFORMAT suffix is rejected (zeros), not misread as PCM."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.wav import (
+        _KSDATAFORMAT_SUFFIX,
+        parse_wav_header,
+        synth_wav_md5_ext,
+        wav_pcm_stats,
+    )
+
+    b_pcm = synth_wav_md5_ext(2)   # even -> PCM16 subformat
+    b_f32 = synth_wav_md5_ext(3)   # odd  -> float32 subformat
+    r_pcm = wav_pcm_stats(b_pcm)
+    r_f32 = wav_pcm_stats(b_f32)
+    assert r_pcm[3] == 44 + 2 % 31 and r_f32[3] == 44 + 3 % 31
+    assert r_pcm[0] > 0 and r_f32[0] > 0
+    # same doc, both subformats = identical dyadic signal
+    dur, sr = parse_wav_header(b_pcm)
+    assert sr == 8000 + (2 % 3) * 4000 and dur > 0
+    # corrupt one suffix byte: the GUID is no longer KSDATAFORMAT ->
+    # rejected, never treated as PCM
+    idx = b_pcm.find(_KSDATAFORMAT_SUFFIX)
+    bad = bytearray(b_pcm)
+    bad[idx + 5] ^= 0xFF
+    assert wav_pcm_stats(bytes(bad)) == (0.0, 0.0, 0.0, 0)
+    # truncated fmt chunk (no GUID) -> rejected
+    assert wav_pcm_stats(b_pcm[:40]) == (0.0, 0.0, 0.0, 0)
