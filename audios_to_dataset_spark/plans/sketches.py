@@ -1411,6 +1411,119 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max file-statistics) pruning audit — the
+    quantitative payoff measurement for q_zorder's layout key: lay the
+    orders table out two ways (arrival order = orderkey ranges, vs
+    Morton-clustered zbuckets), build each file's (min, max, rows)
+    zone map for o_custkey, and evaluate a customer-range predicate
+    against the maps alone. Reports files hit, rows a scanner must
+    read, and the read amplification vs the true match count — the
+    number a 100 TB lakehouse uses to decide whether a re-cluster pays
+    for itself (file sizes differ between the layouts, so the
+    row-normalized read_amplification — not files_hit — is the
+    comparable column). Everything is two map-side-combinable aggregations
+    over file ids plus a 2-row broadcast join; the zone evaluation
+    itself is metadata-scale, exactly as it is in a real manifest."""
+    from ..operators.zorder import morton2
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("day"),
+    )
+    arrival = o.select(
+        F.lit("arrival").alias("layout"),
+        (F.col("o_orderkey") / 256).cast("bigint").alias("file_id"),
+        "o_custkey",
+    )
+    zord = o.select(
+        F.lit("zorder").alias("layout"),
+        F.shiftright(morton2(F.col("o_custkey"), F.col("day")), 16)
+        .cast("bigint")
+        .alias("file_id"),
+        "o_custkey",
+    )
+    u = arrival.unionByName(zord)
+    lo, hi = 100, 120
+    zones = u.groupBy("layout", "file_id").agg(
+        F.min("o_custkey").alias("mn"),
+        F.max("o_custkey").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    hit = (F.col("mn") <= hi) & (F.col("mx") >= lo)
+    per_layout = zones.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(hit, 1).otherwise(0)).alias("files_hit"),
+        F.sum(F.when(hit, F.col("n")).otherwise(0)).alias("rows_scanned"),
+    )
+    matching = (
+        u.filter(F.col("o_custkey").between(lo, hi))
+        .groupBy("layout")
+        .agg(F.count(F.lit(1)).alias("rows_matching"))
+    )
+    return (
+        per_layout.join(F.broadcast(matching), "layout")
+        .select(
+            "layout",
+            F.col("n_files").cast("bigint").alias("n_files"),
+            F.col("files_hit").cast("bigint").alias("files_hit"),
+            F.col("rows_scanned").cast("bigint").alias("rows_scanned"),
+            F.col("rows_matching").cast("bigint").alias("rows_matching"),
+            sround(
+                F.col("rows_scanned").cast("double")
+                / F.greatest(F.col("rows_matching"), F.lit(1)).cast(
+                    "double"
+                ),
+                4,
+            ).alias("read_amplification"),
+        )
+        .orderBy("layout")
+    )
+
+
+def _oracle_zone_map() -> str:
+    from ..operators.zorder import morton2_sql
+
+    z = morton2_sql(
+        "o_custkey",
+        "datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
+    )
+    return f"""
+WITH u AS (
+  SELECT 'arrival' AS layout,
+         CAST(o_orderkey // 256 AS BIGINT) AS file_id, o_custkey
+  FROM orders
+  UNION ALL
+  SELECT 'zorder', CAST({z} >> 16 AS BIGINT), o_custkey FROM orders
+), zones AS (
+  SELECT layout, file_id, MIN(o_custkey) AS mn, MAX(o_custkey) AS mx,
+         COUNT(*) AS n
+  FROM u GROUP BY 1, 2
+), per_layout AS (
+  SELECT layout, COUNT(*) AS n_files,
+         SUM(CASE WHEN mn <= 120 AND mx >= 100 THEN 1 ELSE 0 END)
+           AS files_hit,
+         SUM(CASE WHEN mn <= 120 AND mx >= 100 THEN n ELSE 0 END)
+           AS rows_scanned
+  FROM zones GROUP BY 1
+), matching AS (
+  SELECT layout, COUNT(*) AS rows_matching
+  FROM u WHERE o_custkey BETWEEN 100 AND 120 GROUP BY 1
+)
+SELECT p.layout, CAST(n_files AS BIGINT) AS n_files,
+       CAST(files_hit AS BIGINT) AS files_hit,
+       CAST(rows_scanned AS BIGINT) AS rows_scanned,
+       CAST(rows_matching AS BIGINT) AS rows_matching,
+       {sround_sql(
+           "CAST(rows_scanned AS DOUBLE)"
+           " / CAST(greatest(rows_matching, 1) AS DOUBLE)", 4)}
+         AS read_amplification
+FROM per_layout p JOIN matching m ON p.layout = m.layout
+ORDER BY p.layout
+"""
+
+
 def _oracle_zorder() -> str:
     from ..operators.zorder import morton2_sql
 
@@ -2416,6 +2529,7 @@ QUERIES = {
     "q_stickiness": q_stickiness,
     "q_approx_percentile": q_approx_percentile,
     "q_zorder": q_zorder,
+    "q_zone_map": q_zone_map,
     "q_profile": q_profile,
     "q_pagerank": q_pagerank,
     "q_bfs_hops": q_bfs_hops,
@@ -2450,6 +2564,7 @@ ORACLES = {
     "q_stickiness": _oracle_stickiness(),
     "q_approx_percentile": ORACLE_APPROX_PERCENTILE,
     "q_zorder": _oracle_zorder(),
+    "q_zone_map": _oracle_zone_map(),
     "q_profile": _oracle_profile(),
     "q_pagerank": _oracle_pagerank(),
     "q_bfs_hops": _oracle_bfs_hops(),
