@@ -533,8 +533,160 @@ FROM hv
 """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the first dedup pass every
+    web-crawl training pipeline runs BEFORE any content hashing (the
+    same page arrives as http/https, cased hosts, default ports,
+    fragments, utm_* tracking params, unsorted query strings, and
+    trailing slashes). Five messy variants per logical page are
+    synthesized from doc_id; the canonicalizer — entirely JVM-side
+    regexp/array expressions, no UDF — must collapse them: lowercase
+    scheme+host, strip the scheme's default port, drop the fragment,
+    strip utm_* params, byte-sort the surviving params, trim the
+    trailing path slash. Output is the per-canonical-URL dup report
+    with the min-doc_id keeper (the same first-wins rule as the
+    reference's metadata dedup, src/main.rs:618). At 100 TB this is
+    one map-side expression + one count groupBy — the cheapest dedup
+    stage there is, which is why crawls run it first."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") % 37).cast("string")
+    p = (F.col("doc_id") % 11).cast("string")
+    v = F.col("doc_id") % 5
+    base = F.concat(F.lit("example"), g, F.lit(".com"))
+    path = F.concat(F.lit("/path"), p)
+    raw = (
+        F.when(v == 0, F.concat(F.lit("https://"), base, path))
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://"), F.upper(base), path, F.lit("#frag")
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://"), base, F.lit(":443"), path,
+                F.lit("?utm_source=x"),
+            ),
+        )
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("https://"), base, path, F.lit("/?b=2&a=1")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"), base, F.lit(":80"), path,
+                F.lit("?a=1&utm_campaign=y&b=2"),
+            )
+        )
+    )
+    u = d.withColumn("url", raw)
+    nofrag = F.regexp_replace(F.col("url"), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, "^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(nofrag, "://([^/?#]+)", 1))
+    host = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.expr("substring(hostport, 1, length(hostport) - 3)"),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.expr("substring(hostport, 1, length(hostport) - 4)"),
+    ).otherwise(hostport)
+    pathq = F.regexp_extract(nofrag, "://[^/?#]+([^?#]*)", 1)
+    cpath = F.regexp_replace(pathq, "/$", "")
+    query = F.regexp_extract(nofrag, "\\?([^#]*)", 1)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda x: (x != "") & ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        cpath,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        u.select("doc_id", "url")
+        .withColumn("hostport", hostport)
+        .withColumn("canonical_url", canon)
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_variants"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+ORACLE_URL_DEDUP = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 37 AS VARCHAR) AS g,
+         CAST(doc_id % 11 AS VARCHAR) AS p,
+         doc_id % 5 AS v
+  FROM documents
+), u AS (
+  SELECT doc_id,
+    CASE v
+      WHEN 0 THEN 'https://example' || g || '.com/path' || p
+      WHEN 1 THEN 'HTTPS://' || upper('example' || g || '.com')
+                  || '/path' || p || '#frag'
+      WHEN 2 THEN 'https://example' || g || '.com:443/path' || p
+                  || '?utm_source=x'
+      WHEN 3 THEN 'https://example' || g || '.com/path' || p || '/?b=2&a=1'
+      ELSE 'http://example' || g || '.com:80/path' || p
+           || '?a=1&utm_campaign=y&b=2'
+    END AS url
+  FROM d
+), parts AS (
+  SELECT doc_id, url,
+         regexp_replace(url, '#.*$', '') AS nofrag
+  FROM u
+), ext AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+         lower(regexp_extract(nofrag, '://([^/?#]+)', 1)) AS hostport,
+         regexp_extract(nofrag, '://[^/?#]+([^?#]*)', 1) AS pathq,
+         regexp_extract(nofrag, '\\?([^#]*)', 1) AS query
+  FROM parts
+), canon AS (
+  SELECT doc_id, url,
+         scheme || '://'
+         || CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                 THEN substring(hostport, 1, length(hostport) - 3)
+                 WHEN scheme = 'https' AND hostport LIKE '%:443'
+                 THEN substring(hostport, 1, length(hostport) - 4)
+                 ELSE hostport END
+         || regexp_replace(pathq, '/$', '')
+         || CASE WHEN pl != '' THEN '?' || pl ELSE '' END
+           AS canonical_url
+  FROM (
+    SELECT *, array_to_string(list_sort(list_filter(
+             string_split(query, '&'),
+             x -> x != '' AND NOT starts_with(x, 'utm_'))), '&')
+             AS pl
+    FROM ext) t
+)
+SELECT canonical_url, COUNT(*) AS n_docs,
+       COUNT(DISTINCT url) AS n_variants,
+       MIN(doc_id) AS keeper_doc_id
+FROM canon GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q_split_assign": q_split_assign,
+    "q_url_dedup": q_url_dedup,
     "q_curation_funnel": q_curation_funnel,
     "q_global_shuffle": q_global_shuffle,
     "q_dataset_card": q_dataset_card,
@@ -545,6 +697,7 @@ QUERIES = {
 
 ORACLES = {
     "q_split_assign": _oracle_split_assign(),
+    "q_url_dedup": ORACLE_URL_DEDUP,
     "q_curation_funnel": _oracle_curation_funnel(),
     "q_global_shuffle": _oracle_global_shuffle(),
     "q_dataset_card": _oracle_dataset_card(),
