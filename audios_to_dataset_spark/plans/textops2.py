@@ -1132,8 +1132,105 @@ FROM w, t
 """
 
 
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate extraction — the step that turns a crawled
+    page into training text (the trafilatura/jusText role, reduced to
+    its deterministic core): each doc's text is entity-encoded and
+    wrapped in a full page (head/title, script+style blocks, nav and
+    footer boilerplate, h1, paragraph), then the extractor must get
+    the content back out JVM-side with NO UDF — drop script/style
+    subtrees ((?s) non-greedy block regexes), drop nav/footer
+    boilerplate, strip the remaining tags, decode the five standard
+    entities (&amp; LAST, so double-encoded input can't double-
+    decode), collapse whitespace. The oracle rebuilds and re-strips
+    the same page in SQL, so the full extracted string is value-hash
+    compared — a greedy regex, wrong decode order, or whitespace slip
+    fails on every row. At 100 TB this is a pure map stage: one
+    regexp chain inside whole-stage codegen, no shuffle at all."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><script>var x=1;</script>"
+              "<style>.a{color:red}</style></head><body>"
+              "<nav>home | about | contact</nav><h1>Heading "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        enc,
+        F.lit("</p><footer>&copy; 2024 example</footer></body></html>"),
+    )
+    s = F.regexp_replace(page, "(?s)<script.*?</script>", " ")
+    s = F.regexp_replace(s, "(?s)<style.*?</style>", " ")
+    s = F.regexp_replace(s, "(?s)<nav.*?</nav>", " ")
+    s = F.regexp_replace(s, "(?s)<footer.*?</footer>", " ")
+    s = F.regexp_replace(s, "<[^>]+>", " ")
+    s = F.replace(s, F.lit("&lt;"), F.lit("<"))
+    s = F.replace(s, F.lit("&gt;"), F.lit(">"))
+    s = F.replace(s, F.lit("&quot;"), F.lit('"'))
+    s = F.replace(s, F.lit("&#39;"), F.lit("'"))
+    s = F.replace(s, F.lit("&amp;"), F.lit("&"))
+    s = F.trim(F.regexp_replace(s, "\\s+", " "))
+    return d.select(
+        "doc_id",
+        s.alias("clean_text"),
+        F.size(F.split(s, " ")).cast("bigint").alias("n_words"),
+    ).orderBy("doc_id")
+
+
+ORACLE_HTML_STRIP = """
+WITH enc AS (
+  SELECT doc_id,
+         replace(replace(replace(text, '&', '&amp;'),
+                 '<', '&lt;'), '>', '&gt;') AS etext
+  FROM documents
+), page AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><script>var x=1;</script>'
+         || '<style>.a{color:red}</style></head><body>'
+         || '<nav>home | about | contact</nav><h1>Heading '
+         || CAST(doc_id AS VARCHAR) || '</h1><p>' || etext
+         || '</p><footer>&copy; 2024 example</footer></body></html>'
+           AS html
+  FROM enc
+), stripped AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(
+        regexp_replace(
+        regexp_replace(
+        regexp_replace(
+        regexp_replace(
+        regexp_replace(html, '(?s)<script.*?</script>', ' ', 'g'),
+          '(?s)<style.*?</style>', ' ', 'g'),
+          '(?s)<nav.*?</nav>', ' ', 'g'),
+          '(?s)<footer.*?</footer>', ' ', 'g'),
+          '<[^>]+>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        CHR(38) || '#39;', CHR(39)), '&amp;', '&'),
+      '\\s+', ' ', 'g')) AS clean_text
+  FROM page
+)
+SELECT doc_id, clean_text,
+       CAST(length(clean_text)
+            - length(replace(clean_text, ' ', '')) + 1 AS BIGINT)
+         AS n_words
+FROM stripped ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_rarity_score": q_rarity_score,
+    "q_html_strip": q_html_strip,
     "q_bpe_merges": q_bpe_merges,
     "q_source_cap": q_source_cap,
     "q_seq_pack": q_seq_pack,
@@ -1150,6 +1247,7 @@ QUERIES = {
 
 ORACLES = {
     "q_rarity_score": ORACLE_RARITY_SCORE,
+    "q_html_strip": ORACLE_HTML_STRIP,
     "q_bpe_merges": ORACLE_BPE_MERGES,
     "q_source_cap": ORACLE_SOURCE_CAP,
     "q_seq_pack": ORACLE_SEQ_PACK,
