@@ -93,7 +93,8 @@ _ROTATION_FIRST = (
     "q_matryoshka_recall", "q_incremental_agg", "q_label_noise",
     "q_coreset", "q_changepoint", "q_tiff_pixels", "q_webp_pixels",
     "q_qoi_pixels", "q_acf", "q_audio_aiff", "q_audio_au",
-    "q_audio_extensible", "q_zone_map", "q_url_dedup",
+    "q_audio_extensible", "q_zone_map", "q_url_dedup", "q_html_strip",
+    "q_pii_audit",
 )
 
 

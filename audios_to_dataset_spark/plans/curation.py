@@ -684,9 +684,116 @@ FROM canon GROUP BY 1 ORDER BY 1
 """
 
 
+def q_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII prevalence audit per source — the measurement pass that
+    precedes q_text_redact's scrub: class-specific detectors (email,
+    IPv4, phone) counted per document and rolled up per source, the
+    report a release review reads before a corpus ships. Detector
+    hits are guaranteed by construction: each doc gets a
+    deterministic PII suffix by ``doc_id % 4`` (email / IPv4 / phone
+    / none) appended to its REAL text, so the detectors run over
+    organic content plus a known-answer payload and the oracle
+    recomputes exact hit counts. All three detectors are one
+    regexp_count each inside the same codegen stage — at 100 TB this
+    is a single map pass plus a tiny per-source rollup."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    ids = F.col("doc_id").cast("string")
+    suffix = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" contact user"), ids, F.lit("@example.com")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit(" host 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 13).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit(" call +1-555-"),
+                (1000 + F.col("doc_id") % 9000).cast("string"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    t = F.concat(F.col("text"), suffix)
+    email = F.regexp_count(
+        t, F.lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+    )
+    ipv4 = F.regexp_count(t, F.lit("\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"))
+    phone = F.regexp_count(t, F.lit("\\+\\d[\\d-]{7,}\\d"))
+    return (
+        d.select("source", email.alias("e"), ipv4.alias("i"),
+                 phone.alias("p"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("e") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_with_email"),
+            F.sum(F.when(F.col("i") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_with_ip"),
+            F.sum(F.when(F.col("p") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_with_phone"),
+            F.sum(F.col("e") + F.col("i") + F.col("p"))
+            .cast("bigint")
+            .alias("total_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_PII_AUDIT = """
+WITH t AS (
+  SELECT source,
+         text || CASE
+           WHEN doc_id % 4 = 0 THEN ' contact user'
+                || CAST(doc_id AS VARCHAR) || '@example.com'
+           WHEN doc_id % 4 = 1 THEN ' host 10.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.'
+                || CAST(doc_id % 7 AS VARCHAR) || '.'
+                || CAST(doc_id % 13 AS VARCHAR)
+           WHEN doc_id % 4 = 2 THEN ' call +1-555-'
+                || CAST(1000 + doc_id % 9000 AS VARCHAR)
+           ELSE ''
+         END AS txt
+  FROM documents
+), hits AS (
+  SELECT source,
+    len(regexp_extract_all(txt,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS e,
+    len(regexp_extract_all(txt,
+        '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS i,
+    len(regexp_extract_all(txt, '\\+\\d[\\d-]{7,}\\d')) AS p
+  FROM t
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_email,
+       CAST(SUM(CASE WHEN i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_ip,
+       CAST(SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_phone,
+       CAST(SUM(e + i + p) AS BIGINT) AS total_hits
+FROM hits GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q_split_assign": q_split_assign,
     "q_url_dedup": q_url_dedup,
+    "q_pii_audit": q_pii_audit,
     "q_curation_funnel": q_curation_funnel,
     "q_global_shuffle": q_global_shuffle,
     "q_dataset_card": q_dataset_card,
@@ -698,6 +805,7 @@ QUERIES = {
 ORACLES = {
     "q_split_assign": _oracle_split_assign(),
     "q_url_dedup": ORACLE_URL_DEDUP,
+    "q_pii_audit": ORACLE_PII_AUDIT,
     "q_curation_funnel": _oracle_curation_funnel(),
     "q_global_shuffle": _oracle_global_shuffle(),
     "q_dataset_card": _oracle_dataset_card(),
