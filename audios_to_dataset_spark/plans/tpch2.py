@@ -484,7 +484,68 @@ WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
 """
 
 
+def q_sole_offender(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped double-correlated existence test — the hardest
+    decorrelation shape in the suite: suppliers whose returned line is
+    the ONLY return in a multi-supplier finished order (EXISTS another
+    supplier on the order, NOT EXISTS another supplier with a return).
+    The testdata lacks commit/receipt dates, so "kept waiting" becomes
+    "sole returner" — the plan shape (two correlated subqueries over
+    the same fact table, one semi + one anti, then a top-k) is Q21's
+    exactly. Catalyst must decorrelate both into shuffle semi/anti
+    joins on l_orderkey — no per-row subquery execution survives at
+    100 TB. Deterministic top-20: numwait DESC with the unique s_name
+    as tie-break."""
+    for t in ("supplier", "lineitem", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"_q21_{t}")
+    return spark.sql(
+        """
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM _q21_supplier, _q21_lineitem l1, _q21_orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM _q21_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM _q21_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """
+    )
+
+
+ORACLE_SOLE_OFFENDER = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "q_sole_offender": q_sole_offender,
     "q_forecast_revenue": q_forecast_revenue,
     "q_priority_wait": q_priority_wait,
     "q_market_share": q_market_share,
@@ -498,6 +559,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_sole_offender": ORACLE_SOLE_OFFENDER,
     "q_forecast_revenue": ORACLE_FORECAST_REVENUE,
     "q_priority_wait": ORACLE_PRIORITY_WAIT,
     "q_market_share": ORACLE_MARKET_SHARE,
