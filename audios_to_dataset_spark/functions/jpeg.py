@@ -1133,3 +1133,65 @@ def synth_gray_jpeg(doc_id: int) -> bytes:
             )
             blocks[yb, xb, 0] = v - 128
     return encode_jpeg_gray(blocks, w, h)
+
+
+def strip_jpeg_metadata(data: bytes | None):
+    """EXIF/metadata scrub — the privacy pass an image-dataset release
+    runs (JFIF APP segments routinely carry GPS coordinates, serial
+    numbers, and editor history): walk the T.81 segment stream and
+    drop APP1 (EXIF/XMP) and COM segments, copying everything else
+    verbatim; from SOS onward the entropy-coded payload is copied
+    through untouched. Returns ``(scrubbed_bytes, removed_bytes)`` or
+    ``None`` for malformed input (bad SOI, a segment overrunning the
+    buffer). Standalone markers (TEM, RSTn) before SOS are copied
+    as-is. The scrub is structural — pixels are untouched, which the
+    caller can prove by decoding the scrubbed stream."""
+    if data is None or len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    out = bytearray(b"\xff\xd8")
+    removed = 0
+    pos = 2
+    n = len(data)
+    while pos + 2 <= n:
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data follows, copy the rest
+            out += data[pos:]
+            return bytes(out), removed
+        if marker == 0xD9:  # EOI before SOS (no image data)
+            out += data[pos : pos + 2]
+            return bytes(out), removed
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            out += data[pos : pos + 2]
+            pos += 2
+            continue
+        if pos + 4 > n:
+            return None
+        (seg_len,) = struct.unpack_from(">H", data, pos + 2)
+        if seg_len < 2 or pos + 2 + seg_len > n:
+            return None
+        total = 2 + seg_len
+        if marker in (0xE1, 0xFE):  # APP1 (EXIF/XMP) or COM
+            removed += total
+        else:
+            out += data[pos : pos + total]
+        pos += total
+    return None
+
+
+def synth_jpeg_with_exif(doc_id: int) -> bytes:
+    """The q_jpeg_pixels fixture with deterministic metadata injected
+    after SOI: an APP1 Exif segment (``Exif\\0\\0`` + 50 + id % 40
+    padding bytes) and, for even ids, an 18-byte COM segment — so
+    removed_bytes has a closed-form oracle:
+    60 + id % 40 + (id even ? 22 : 0)."""
+    base = synth_gray_jpeg(doc_id)
+    pad = 50 + doc_id % 40
+    payload = b"Exif\x00\x00" + bytes((doc_id + i) % 256 for i in range(pad))
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+    com = b""
+    if doc_id % 2 == 0:
+        body = b"synthetic comment!"
+        com = b"\xff\xfe" + struct.pack(">H", 2 + len(body)) + body
+    return base[:2] + app1 + com + base[2:]

@@ -413,6 +413,94 @@ FROM v GROUP BY doc_id, w, h
 """
 
 
+def q_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG metadata scrub end-to-end — the privacy pass an image
+    release runs (APP1 carries GPS/serial/editor EXIF): the
+    q_jpeg_pixels fixture with a deterministic APP1 Exif segment (and,
+    even ids, a COM segment) injected after SOI → the real T.81
+    segment-walk scrub (functions.jpeg.strip_jpeg_metadata) → decode
+    the SCRUBBED stream. The oracle states removed_bytes in closed
+    form AND recomputes the pixel mean from the md5 formula, so the
+    check proves both halves at once: metadata fully gone, pixels
+    bit-identical (a scrub that clipped one entropy byte fails the
+    mean; one that missed a segment fails removed_bytes)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.jpeg import (
+        decode_jpeg_pixels,
+        strip_jpeg_metadata,
+        synth_jpeg_with_exif,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_jpeg_with_exif(int(i)) for i in ids])
+
+    out_t = T.StructType(
+        [
+            T.StructField("removed_bytes", T.LongType()),
+            T.StructField("mean_px", T.DoubleType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _scrub(content):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        rem, mean = [], []
+        for b in content:
+            got = strip_jpeg_metadata(bytes(b) if b is not None else None)
+            if got is None:
+                rem.append(None)
+                mean.append(None)
+                continue
+            scrubbed, removed = got
+            px = decode_jpeg_pixels(scrubbed)
+            rem.append(removed)
+            mean.append(
+                int(px.astype(np.int64).sum()) / px.size
+                if px is not None
+                else None
+            )
+        return pd.DataFrame({"removed_bytes": rem, "mean_px": mean})
+
+    out = d.withColumn("r", _scrub(_synth(F.col("doc_id"))))
+    return out.select(
+        "doc_id",
+        F.col("r.removed_bytes").alias("removed_bytes"),
+        F.col("r.mean_px").alias("mean_px"),
+    )
+
+
+ORACLE_EXIF_SCRUB = """
+WITH g AS (
+  SELECT doc_id, 11 + doc_id % 10 AS w, 9 + doc_id % 8 AS h,
+         60 + doc_id % 40
+         + CASE WHEN doc_id % 2 = 0 THEN 22 ELSE 0 END AS removed
+  FROM documents
+), fx AS (
+  SELECT doc_id, w, h, removed, unnest(range(w)) AS x FROM g
+), px AS (
+  SELECT doc_id, w, h, removed, x, unnest(range(h)) AS y FROM fx
+), v AS (
+  SELECT doc_id, w, h, removed,
+         ('0x' || substr(md5('jp:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(x // 8 AS VARCHAR) || ':' ||
+             CAST(y // 8 AS VARCHAR)), 1, 2))::INT AS v
+  FROM px
+)
+SELECT doc_id, CAST(removed AS BIGINT) AS removed_bytes,
+       CAST(SUM(v) AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_px
+FROM v GROUP BY doc_id, w, h, removed
+"""
+
+
 def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL progressive-JPEG decode (functions.jpeg T.81 §G.2: 4-scan
     successive approximation — DC first/refine, AC first with EOB runs,
@@ -2813,6 +2901,7 @@ QUERIES = {
     "q_audio_aiff": q_audio_aiff,
     "q_audio_au": q_audio_au,
     "q_audio_extensible": q_audio_extensible,
+    "q_exif_scrub": q_exif_scrub,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -2873,3 +2962,4 @@ ORACLES["q_qoi_pixels"] = ORACLE_QOI_PIXELS
 ORACLES["q_audio_aiff"] = ORACLE_AUDIO_AIFF
 ORACLES["q_audio_au"] = ORACLE_AUDIO_AU
 ORACLES["q_audio_extensible"] = ORACLE_AUDIO_EXTENSIBLE
+ORACLES["q_exif_scrub"] = ORACLE_EXIF_SCRUB

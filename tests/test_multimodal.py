@@ -973,3 +973,40 @@ def test_qoi_codec():
     assert decode_qoi_pixels(zero) is None
     assert decode_qoi_pixels(b[:-1]) is None
     assert decode_qoi_pixels(b[:20]) is None
+
+
+def test_jpeg_metadata_scrub():
+    """strip_jpeg_metadata removes APP1/COM exactly (byte-identical to
+    the pre-injection stream), preserves pixels, and is total on
+    malformed/truncated input."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        strip_jpeg_metadata,
+        synth_gray_jpeg,
+        synth_jpeg_with_exif,
+    )
+
+    for i in (0, 1, 7, 12):
+        withmeta = synth_jpeg_with_exif(i)
+        base = synth_gray_jpeg(i)
+        got = strip_jpeg_metadata(withmeta)
+        assert got is not None
+        scrubbed, removed = got
+        assert scrubbed == base
+        assert removed == 60 + i % 40 + (22 if i % 2 == 0 else 0)
+        assert np.array_equal(
+            decode_jpeg_pixels(scrubbed), decode_jpeg_pixels(withmeta)
+        )
+    # a clean stream loses nothing
+    got = strip_jpeg_metadata(synth_gray_jpeg(5))
+    assert got is not None and got[1] == 0
+    # totality: truncations, bad SOI, segment overrun
+    b = synth_jpeg_with_exif(3)
+    for cut in range(0, len(b)):
+        r = strip_jpeg_metadata(b[:cut])
+        assert r is None or isinstance(r[0], bytes)
+    assert strip_jpeg_metadata(b"\x00" + b[1:]) is None
+    assert strip_jpeg_metadata(b"\xff\xd8\xff\xe1\xff\xff") is None
+    assert strip_jpeg_metadata(None) is None
