@@ -223,6 +223,44 @@ def write_manifest(receipts: list, output_dir: str) -> str:
     return path
 
 
+def read_pruned(
+    spark,
+    output_dir: str,
+    min_duration: float | None = None,
+    max_duration: float | None = None,
+):
+    """Manifest-driven shard pruning — the read-side payoff of
+    ``write_manifest``: select only the shard files whose
+    [min_duration, max_duration] zone overlaps the requested range,
+    then hand THAT file list to the parquet reader. At 100 TB this is
+    the difference between listing+footer-probing every shard and an
+    O(manifest) driver-side decision — the same min/max-statistics
+    skipping a lakehouse manifest provides (measured by q_zone_map on
+    the query side). Returns ``(df, n_selected, n_total)`` so callers
+    can assert the prune actually fired; raises ``FileNotFoundError``
+    when no manifest exists (fall back to a full read + filter — the
+    zones are an optimization, never a correctness gate)."""
+    import json
+
+    path = os.path.join(output_dir, MANIFEST_NAME)
+    with open(path) as f:
+        entries = [json.loads(line) for line in f if line.strip()]
+    lo = float("-inf") if min_duration is None else min_duration
+    hi = float("inf") if max_duration is None else max_duration
+    keep = [
+        e for e in entries
+        if e["max_duration"] >= lo and e["min_duration"] <= hi
+    ]
+    files = [os.path.join(output_dir, e["file"]) for e in keep]
+    if not files:
+        # preserve the shard schema with zero rows: read one file's
+        # schema, filter everything out
+        any_file = os.path.join(output_dir, entries[0]["file"])
+        df = spark.read.parquet(any_file).filter(F.lit(False))
+        return df, 0, len(entries)
+    return spark.read.parquet(*files), len(keep), len(entries)
+
+
 def write_native_sharded(
     df: DataFrame,
     output_dir: str,

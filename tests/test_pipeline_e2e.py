@@ -553,3 +553,48 @@ def test_manifest_merges_across_incremental_runs(spark, tmp_path, audio_dir):
     assert [d["shard"] for d in lines] == shards_on_disk
     total = spark.read.parquet(out).count()
     assert sum(d["n_rows"] for d in lines) == total == 3
+
+
+def test_read_pruned_skips_shards(spark, tmp_path):
+    """read_pruned selects only the shard files whose manifest duration
+    zone overlaps the predicate — the read-side file skipping the
+    manifest exists for. Four 1-file shards with distinct durations:
+    a range hitting one zone must open exactly one file, the full
+    range all four, a miss zero (schema preserved)."""
+    from audios_to_dataset_spark.functions.wav import synth_wav as _sw
+    from audios_to_dataset_spark.sinks.parquet_shards import read_pruned
+
+    d = tmp_path / "aud"
+    d.mkdir()
+    # duration scales with n samples at fixed rate
+    for i, ms in enumerate((100, 300, 500, 700)):
+        (d / f"f{i}.wav").write_bytes(
+            _sw(sample_rate=8_000, n_samples=8 * ms)
+        )
+    out = str(tmp_path / "out")
+    run_pipeline(spark, str(d), out, files_per_shard=1, manifest=True)
+
+    df, n_sel, n_total = read_pruned(
+        spark, out, min_duration=0.25, max_duration=0.35
+    )
+    assert (n_sel, n_total) == (1, 4)
+    assert len(df.inputFiles()) == 1
+    rows = df.collect()
+    assert len(rows) == 1 and abs(rows[0]["duration"] - 0.3) < 1e-9
+
+    df, n_sel, _ = read_pruned(spark, out)
+    assert n_sel == 4 and df.count() == 4
+
+    df, n_sel, _ = read_pruned(
+        spark, out, min_duration=5.0, max_duration=9.0
+    )
+    assert n_sel == 0 and df.count() == 0
+    assert "duration" in df.columns
+
+    # zones are an optimization, never a correctness gate: no manifest
+    # -> FileNotFoundError, caller falls back to a full read
+    import pytest as _pytest
+
+    (tmp_path / "bare").mkdir()
+    with _pytest.raises(FileNotFoundError):
+        read_pruned(spark, str(tmp_path / "bare"))
