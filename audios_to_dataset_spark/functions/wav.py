@@ -869,3 +869,79 @@ def with_audio_fingerprint(df, content_col: str = "content"):
     return df.withColumn("_fp", _fp(F.col(content_col))).select(
         "*", "_fp.fp_hi", "_fp.fp_lo"
     ).drop("_fp")
+
+
+def synth_wav_vad(doc_id: int) -> bytes:
+    """Deterministic VAD fixture: 6 + id % 5 frames of 40 samples each;
+    frame b is VOICED iff the first md5 byte of ``vd:{id}:{b}`` >= 128
+    (a fair coin), in which case sample i of the frame is
+    ±(8192 + h16 % 8192) (alternating sign, |value| in [8192, 16383] —
+    safely above any sane threshold); silent frames are all zeros.
+    The voiced/silent pattern — and therefore every VAD statistic —
+    has a closed-form SQL oracle."""
+    import hashlib
+
+    n_frames = 6 + doc_id % 5
+    samples = []
+    for b in range(n_frames):
+        hb = int(
+            hashlib.md5(f"vd:{doc_id}:{b}".encode()).hexdigest()[:2], 16
+        )
+        if hb >= 128:
+            for i in range(40):
+                h16 = int(
+                    hashlib.md5(
+                        f"vd:{doc_id}:{b}:{i}".encode()
+                    ).hexdigest()[:4],
+                    16,
+                )
+                mag = 8192 + h16 % 8192
+                samples.append(mag if i % 2 == 0 else -mag)
+        else:
+            samples.extend([0] * 40)
+    body = b"".join(struct.pack("<h", s) for s in samples)
+    sr = 8000
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+    data = b"data" + struct.pack("<I", len(body))
+    return hdr + fmt + data + body
+
+
+def vad_segments(
+    data: bytes | None, frame: int = 40, thresh: float = 0.1
+):
+    """Energy-threshold voice-activity segmentation — the pass that
+    turns a long recording into training utterances (the reference
+    ingests whole files only, src/main.rs:760; segmentation is the
+    engine-side extension every speech pipeline needs): decode PCM16,
+    split into ``frame``-sample windows (the trailing partial window
+    is dropped, standard practice), mark a window voiced when its
+    mean |amplitude| (normalized to [0, 1]) exceeds ``thresh``, and
+    merge consecutive voiced windows into segments. Returns
+    ``(n_frames, n_voiced, n_segments, longest_run)`` or ``None`` for
+    undecodable input."""
+    import numpy as np
+
+    s = wav_pcm16_samples(data)
+    if s is None:
+        return None
+    n_frames = s.size // frame
+    if n_frames == 0:
+        return 0, 0, 0, 0
+    w = (
+        np.abs(s[: n_frames * frame].astype(np.float64)) / 32768.0
+    ).reshape(n_frames, frame)
+    voiced = w.mean(axis=1) > thresh
+    n_voiced = int(voiced.sum())
+    n_segments = 0
+    longest = 0
+    run = 0
+    for v in voiced:
+        if v:
+            run += 1
+            if run == 1:
+                n_segments += 1
+            longest = max(longest, run)
+        else:
+            run = 0
+    return n_frames, n_voiced, n_segments, longest

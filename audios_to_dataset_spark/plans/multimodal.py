@@ -1018,6 +1018,90 @@ def q_audio_float32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audio_stats_query("synth_wav_md5_f32")(spark, sf_dir)
 
 
+def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity segmentation — the pass that
+    turns long recordings into training utterances (extends the
+    audio family beyond q_audio_trim's edge-silence strip to INTERIOR
+    structure): a WAV per doc built from 40-sample frames that are
+    loud (|s| ≥ 8192, md5-driven) or silent by a per-frame md5 coin →
+    real PCM decode → windowed mean-|amplitude| threshold → merged
+    voiced segments. The voiced/silent pattern has a closed-form SQL
+    oracle (gaps-and-islands over the per-frame coin), so a windowing
+    off-by-one, threshold slip, or run-merge bug fails the hash."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.wav import synth_wav_vad, vad_segments
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    out_t = T.StructType(
+        [
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_voiced", T.LongType()),
+            T.StructField("n_segments", T.LongType()),
+            T.StructField("longest_run", T.LongType()),
+        ]
+    )
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_wav_vad(int(i)) for i in ids])
+
+    @pandas_udf(out_t)
+    def _vad(content):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        rows = []
+        for b in content:
+            got = vad_segments(bytes(b) if b is not None else None)
+            rows.append(got if got is not None else (None,) * 4)
+        return pd.DataFrame(
+            rows,
+            columns=["n_frames", "n_voiced", "n_segments", "longest_run"],
+        )
+
+    out = d.withColumn("r", _vad(_synth(F.col("doc_id"))))
+    return out.select(
+        "doc_id",
+        F.col("r.n_frames").alias("n_frames"),
+        F.col("r.n_voiced").alias("n_voiced"),
+        F.col("r.n_segments").alias("n_segments"),
+        F.col("r.longest_run").alias("longest_run"),
+    )
+
+
+ORACLE_AUDIO_VAD = """
+WITH g AS (
+  SELECT doc_id, 6 + doc_id % 5 AS nf FROM documents
+), fr AS (
+  SELECT doc_id, nf, unnest(range(nf)) AS b FROM g
+), fl AS (
+  SELECT doc_id, nf, b,
+         ('0x' || substr(md5('vd:' || CAST(doc_id AS VARCHAR) || ':'
+              || CAST(b AS VARCHAR)), 1, 2))::INT >= 128 AS v
+  FROM fr
+), vo AS (
+  SELECT doc_id, b,
+         b - row_number() OVER (PARTITION BY doc_id ORDER BY b) AS grp
+  FROM fl WHERE v
+), seg AS (
+  SELECT doc_id, grp, COUNT(*) AS len FROM vo GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_segments, MAX(len) AS longest,
+         SUM(len) AS n_voiced
+  FROM seg GROUP BY 1
+)
+SELECT f.doc_id, CAST(f.nf AS BIGINT) AS n_frames,
+       CAST(COALESCE(a.n_voiced, 0) AS BIGINT) AS n_voiced,
+       CAST(COALESCE(a.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(a.longest, 0) AS BIGINT) AS longest_run
+FROM g f LEFT JOIN agg a ON f.doc_id = a.doc_id
+"""
+
+
 def q_audio_extensible(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAVE_FORMAT_EXTENSIBLE decode (tag 0xFFFE — how every >2-channel
     or >16-bit WAV is actually written per Microsoft's multichannel
@@ -2902,6 +2986,7 @@ QUERIES = {
     "q_audio_au": q_audio_au,
     "q_audio_extensible": q_audio_extensible,
     "q_exif_scrub": q_exif_scrub,
+    "q_audio_vad": q_audio_vad,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -2963,3 +3048,4 @@ ORACLES["q_audio_aiff"] = ORACLE_AUDIO_AIFF
 ORACLES["q_audio_au"] = ORACLE_AUDIO_AU
 ORACLES["q_audio_extensible"] = ORACLE_AUDIO_EXTENSIBLE
 ORACLES["q_exif_scrub"] = ORACLE_EXIF_SCRUB
+ORACLES["q_audio_vad"] = ORACLE_AUDIO_VAD

@@ -396,3 +396,36 @@ def test_wave_format_extensible():
     assert wav_pcm_stats(bytes(bad)) == (0.0, 0.0, 0.0, 0)
     # truncated fmt chunk (no GUID) -> rejected
     assert wav_pcm_stats(b_pcm[:40]) == (0.0, 0.0, 0.0, 0)
+
+
+def test_vad_segments():
+    """vad_segments: frame windowing, threshold, run merging, trailing
+    partial-window drop, and undecodable fallback."""
+    import struct as _s
+
+    from audios_to_dataset_spark.functions.wav import (
+        synth_wav_vad,
+        vad_segments,
+    )
+
+    # hand-built: 3 frames voiced-silent-voiced + 10 trailing samples
+    def wav(samples):
+        body = b"".join(_s.pack("<h", x) for x in samples)
+        hdr = b"RIFF" + _s.pack("<I", 36 + len(body)) + b"WAVE"
+        fmt = b"fmt " + _s.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        return hdr + fmt + b"data" + _s.pack("<I", len(body)) + body
+
+    loud = [9000 if i % 2 == 0 else -9000 for i in range(40)]
+    sig = loud + [0] * 40 + loud + [9000] * 10  # partial tail dropped
+    assert vad_segments(wav(sig)) == (3, 2, 2, 1)
+    # adjacent voiced frames merge into one segment
+    assert vad_segments(wav(loud * 3)) == (3, 3, 1, 3)
+    # all silent
+    assert vad_segments(wav([0] * 120)) == (3, 0, 0, 0)
+    # below 40 samples -> zero frames
+    assert vad_segments(wav([9000] * 39)) == (0, 0, 0, 0)
+    # fixture round-trip matches the md5 coin
+    got = vad_segments(synth_wav_vad(7))
+    assert got is not None and got[0] == 6 + 7 % 5
+    assert vad_segments(b"nope") is None
+    assert vad_segments(None) is None
