@@ -1411,6 +1411,94 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit — the observability query a 100 TB
+    operator runs BEFORE a join melts an executor (q_skew_join is the
+    mitigation; this is the detector): for each hot join key the
+    engine actually shuffles on (lineitem.l_orderkey, events.user_id,
+    documents.source), the key-cardinality profile — distinct keys,
+    total rows, the heaviest key's row count and identity, mean rows
+    per key, and the max/mean skew factor that decides whether AQE
+    skew-split or salting is needed. One map-side-combinable count per
+    table plus a top-1 window over the (small) per-key frame; NULL
+    keys are excluded (they route to a null-safe partition anyway)."""
+    def profile(df, col, label):
+        per_key = (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(F.col(col).cast("string").alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # deterministic top-1 as TakeOrderedAndProject (distributed
+        # partial top-k per partition), NOT a single-partition window —
+        # per_key is every distinct join key, huge at 100 TB
+        top = (
+            per_key.orderBy(F.col("n").desc(), "k")
+            .limit(1)
+            .select(
+                F.col("k").alias("top_key"),
+                F.col("n").alias("top_rows"),
+            )
+        )
+        agg = per_key.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("n").cast("bigint").alias("total_rows"),
+        )
+        return agg.crossJoin(F.broadcast(top)).select(
+            F.lit(label).alias("shuffle_key"),
+            "n_keys",
+            "total_rows",
+            "top_key",
+            F.col("top_rows").cast("bigint").alias("top_rows"),
+            sround(
+                F.col("top_rows").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("total_rows").cast("double"),
+                6,
+            ).alias("skew_factor"),
+        )
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    ev = load(spark, sf_dir, "events").select("user_id")
+    dc = load(spark, sf_dir, "documents").select("source")
+    return (
+        profile(li, "l_orderkey", "lineitem.l_orderkey")
+        .unionByName(profile(ev, "user_id", "events.user_id"))
+        .unionByName(profile(dc, "source", "documents.source"))
+        .orderBy("shuffle_key")
+    )
+
+
+def _skew_audit_leg(table: str, col: str, label: str) -> str:
+    pk = (
+        f"SELECT CAST({col} AS VARCHAR) AS k, COUNT(*) AS n "
+        f"FROM {table} WHERE {col} IS NOT NULL GROUP BY 1"
+    )
+    return f"""
+SELECT '{label}' AS shuffle_key, ag.n_keys, ag.total_rows,
+       tp.top_key, tp.top_rows,
+       {sround_sql(
+           "CAST(tp.top_rows AS DOUBLE) * CAST(ag.n_keys AS DOUBLE)"
+           " / CAST(ag.total_rows AS DOUBLE)", 6)} AS skew_factor
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n) AS BIGINT) AS total_rows
+  FROM ({pk}) a) ag
+CROSS JOIN (
+  SELECT k AS top_key, CAST(n AS BIGINT) AS top_rows
+  FROM ({pk}) b ORDER BY n DESC, k LIMIT 1) tp
+"""
+
+
+ORACLE_KEY_SKEW_AUDIT = (
+    _skew_audit_leg("lineitem", "l_orderkey", "lineitem.l_orderkey")
+    + "UNION ALL"
+    + _skew_audit_leg("events", "user_id", "events.user_id")
+    + "UNION ALL"
+    + _skew_audit_leg("documents", "source", "documents.source")
+    + "ORDER BY shuffle_key"
+)
+
+
 def q_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map (min/max file-statistics) pruning audit — the
     quantitative payoff measurement for q_zorder's layout key: lay the
@@ -2530,6 +2618,7 @@ QUERIES = {
     "q_approx_percentile": q_approx_percentile,
     "q_zorder": q_zorder,
     "q_zone_map": q_zone_map,
+    "q_key_skew_audit": q_key_skew_audit,
     "q_profile": q_profile,
     "q_pagerank": q_pagerank,
     "q_bfs_hops": q_bfs_hops,
@@ -2565,6 +2654,7 @@ ORACLES = {
     "q_approx_percentile": ORACLE_APPROX_PERCENTILE,
     "q_zorder": _oracle_zorder(),
     "q_zone_map": _oracle_zone_map(),
+    "q_key_skew_audit": ORACLE_KEY_SKEW_AUDIT,
     "q_profile": _oracle_profile(),
     "q_pagerank": _oracle_pagerank(),
     "q_bfs_hops": _oracle_bfs_hops(),
