@@ -81,12 +81,80 @@ FROM documents WHERE {_SYNTH_OK}
 """
 
 
+def q_dir_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical directory rollup (``du -s`` semantics) — the scan
+    summary a dataset ingest prints per source tree (the reference
+    walks exactly such a tree, src/main.rs:718): each doc gets a
+    3-level synthetic path (data/<source>/sub<doc_id%7>/f<id>.txt),
+    every ANCESTOR prefix is generated JVM-side (transform over a
+    sequence + slice + array_join — no UDF, no self-join), and one
+    explode+groupBy yields per-directory file counts and char totals
+    at every depth simultaneously. At 100 TB this is the one-pass
+    alternative to running one aggregation per level: ancestors
+    multiply rows only by the (tiny, bounded) path depth."""
+    d = load(spark, sf_dir, "documents").filter(F.expr(_SYNTH_OK))
+    path = F.concat(
+        F.lit("data/"),
+        F.col("source"),
+        F.lit("/sub"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("/f"),
+        F.col("doc_id").cast("string"),
+        F.lit(".txt"),
+    )
+    parts = F.split(path, "/")
+    ancestors = F.transform(
+        F.sequence(F.lit(1), F.size(parts) - 1),
+        lambda i: F.array_join(F.slice(parts, 1, i), "/"),
+    )
+    return (
+        d.select(
+            F.explode(ancestors).alias("dir"),
+            F.col("n_chars"),
+        )
+        .groupBy("dir")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            "dir",
+            F.size(F.split(F.col("dir"), "/")).cast("bigint").alias(
+                "depth"
+            ),
+            "n_files",
+            "total_chars",
+        )
+        .orderBy("dir")
+    )
+
+
+ORACLE_DIR_ROLLUP = f"""
+WITH p AS (
+  SELECT string_split('data/' || source || '/sub'
+           || CAST(doc_id % 7 AS VARCHAR) || '/f'
+           || CAST(doc_id AS VARCHAR) || '.txt', '/') AS parts,
+         n_chars
+  FROM documents WHERE {_SYNTH_OK}
+), anc AS (
+  SELECT array_to_string(list_slice(parts, 1, i), '/') AS dir, n_chars
+  FROM p, unnest(range(1, len(parts))) AS t(i)
+)
+SELECT dir, CAST(len(string_split(dir, '/')) AS BIGINT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM anc GROUP BY dir ORDER BY dir
+"""
+
+
 QUERIES = {
     "q_common_prefix": q_common_prefix,
     "q_path_rewrite": q_path_rewrite,
+    "q_dir_rollup": q_dir_rollup,
 }
 
 ORACLES = {
     "q_common_prefix": ORACLE_COMMON_PREFIX,
     "q_path_rewrite": ORACLE_PATH_REWRITE,
+    "q_dir_rollup": ORACLE_DIR_ROLLUP,
 }
