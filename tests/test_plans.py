@@ -580,3 +580,53 @@ def test_dbscan_pair_graph_bucketed(spark, sf_dir):
     assert "CartesianProduct" not in e
     # the checkpointed pair frame surfaces as an ExistingRDD scan
     assert "ExistingRDD" in e or "InMemoryTableScan" in e
+
+
+def test_session4_queries_stay_jvm_side(spark, sf_dir):
+    """q_url_dedup / q_html_strip / q_pii_audit are pure JVM expression
+    pipelines: no Python/Arrow eval node may appear — a UDF sneaking
+    into these map-heavy plans is the classic 100x regression."""
+    from audios_to_dataset_spark.plans.curation import (
+        q_pii_audit,
+        q_url_dedup,
+    )
+    from audios_to_dataset_spark.plans.textops2 import q_html_strip
+
+    for fn in (q_url_dedup, q_pii_audit, q_html_strip):
+        e = _explain(fn(spark, sf_dir))
+        assert "EvalPython" not in e, fn.__name__
+        assert "PythonUDF" not in e, fn.__name__
+
+
+def test_key_skew_audit_topk_no_global_sort(spark, sf_dir):
+    """The per-table top-1 must be TakeOrderedAndProject (distributed
+    partial top-k), never a single-partition window or global sort —
+    per_key is every distinct join key, huge at scale."""
+    from audios_to_dataset_spark.plans.sketches import q_key_skew_audit
+
+    e = _explain(q_key_skew_audit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in e
+    assert "Window" not in e
+
+
+def test_sole_offender_decorrelates_to_semi_anti(spark, sf_dir):
+    """Catalyst must rewrite both correlated subqueries into one
+    LeftSemi and one LeftAnti join — a surviving per-row subquery or
+    nested-loop join would re-scan lineitem per row."""
+    from audios_to_dataset_spark.plans.tpch2 import q_sole_offender
+
+    e = _explain(q_sole_offender(spark, sf_dir))
+    assert "LeftSemi" in e
+    assert "LeftAnti" in e
+    assert "BroadcastNestedLoopJoin" not in e
+    assert "CartesianProduct" not in e
+
+
+def test_zone_map_single_scan_shapes(spark, sf_dir):
+    """q_zone_map: two aggregations over a union plus one broadcast
+    join on the 2-row layout frame — no cartesian, no sort-merge."""
+    from audios_to_dataset_spark.plans.sketches import q_zone_map
+
+    e = _explain(q_zone_map(spark, sf_dir))
+    assert "CartesianProduct" not in e
+    assert "BroadcastHashJoin" in e
