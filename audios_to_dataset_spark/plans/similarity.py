@@ -1920,7 +1920,74 @@ WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
 """
 
 
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-distribution audit + balanced reweighting over the
+    embedding table — the class-imbalance report every supervised
+    data pipeline prints, with sklearn's "balanced" class weight
+    n_total / (n_classes * n_c) (public formula) computed from exact
+    integer counts so both engines emit the identical double. Includes
+    each class's share and the majority/minority imbalance ratio
+    repeated per row (readable without a second query). One map-side
+    combinable count + a 1-row broadcast of the totals."""
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()
+    )
+    per = e.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("n").cast("bigint").alias("maxn"),
+        F.min("n").cast("bigint").alias("minn"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "n",
+            sround(
+                F.col("n").cast("double") / F.col("total").cast("double"),
+                9,
+            ).alias("share"),
+            sround(
+                F.col("total").cast("double")
+                / (F.col("k").cast("double") * F.col("n").cast("double")),
+                9,
+            ).alias("balanced_weight"),
+            sround(
+                F.col("maxn").cast("double") / F.col("minn").cast("double"),
+                6,
+            ).alias("imbalance_ratio"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_CLASS_BALANCE = f"""
+WITH per AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings WHERE label IS NOT NULL GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(MAX(n) AS BIGINT) AS maxn, CAST(MIN(n) AS BIGINT) AS minn
+  FROM per
+)
+SELECT label, n,
+       {sround_sql("CAST(n AS DOUBLE) / CAST(total AS DOUBLE)", 9)}
+         AS share,
+       {sround_sql(
+           "CAST(total AS DOUBLE)"
+           " / (CAST(k AS DOUBLE) * CAST(n AS DOUBLE))", 9)}
+         AS balanced_weight,
+       {sround_sql("CAST(maxn AS DOUBLE) / CAST(minn AS DOUBLE)", 6)}
+         AS imbalance_ratio
+FROM per CROSS JOIN tot ORDER BY label
+"""
+
+
 QUERIES = {
+    "q_class_balance": q_class_balance,
     "q_ann_batch": q_ann_batch,
     "q_dbscan": q_dbscan,
     "q_embed_quantize": q_embed_quantize,
@@ -1951,6 +2018,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_class_balance": ORACLE_CLASS_BALANCE,
     "q_ann_batch": _oracle_ann_batch(),
     "q_dbscan": _oracle_dbscan(),
     "q_embed_quantize": ORACLE_EMBED_QUANTIZE,
