@@ -243,6 +243,11 @@ def main() -> None:
         "q_dbscan", "q_kmv_overlap", "q_split_assign", "q_flac_decode",
         "q_changepoint", "q_incremental_agg", "q_coreset",
         "q_label_noise", "q_matryoshka_recall",
+        # session-4 additions (map-heavy curation + codec + layout ops)
+        "q_url_dedup", "q_html_strip", "q_pii_audit", "q_sole_offender",
+        "q_zone_map", "q_key_skew_audit", "q_dir_rollup", "q_acf",
+        "q_qoi_pixels", "q_audio_aiff", "q_audio_au", "q_exif_scrub",
+        "q_audio_vad", "q_class_balance", "q_audio_extensible",
     ):
         if name not in queries:
             continue
