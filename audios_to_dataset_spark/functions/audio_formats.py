@@ -155,6 +155,24 @@ def parse_audio_header(data: bytes | None) -> tuple[str | None, int, float, bool
             if got is not None:
                 fmt, psr, pdur, est = got
                 return fmt, int(psr), float(pdur), est
+        # AIFF (FORM/AIFF COMM chunk) and Sun/NeXT AU — the other two
+        # uncompressed containers the engine decodes (audio_headers)
+        from .audio_headers import parse_aiff_header
+
+        afmt, asr, _ch, ams = parse_aiff_header(data)
+        if afmt is not None:
+            return "aiff", int(asr), ams / 1000.0, False
+        if len(data) >= 24 and data[:4] == b".snd":
+            off, size, enc, rate, ch = struct.unpack_from(">IIIII", data, 4)
+            if (off >= 24 and 0 < rate <= 1_000_000 and 0 < ch <= 16
+                    and enc in (1, 2, 3)):
+                width = 2 if enc == 3 else 1
+                nbytes = (
+                    len(data) - off if size == 0xFFFFFFFF
+                    else min(size, max(0, len(data) - off))
+                )
+                frames = nbytes // (width * ch)
+                return "au", int(rate), frames / rate, False
         return None, 0, 0.0, False
     except Exception:
         return None, 0, 0.0, False

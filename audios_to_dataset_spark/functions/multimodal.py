@@ -127,6 +127,9 @@ def parse_image_header(data: bytes | None) -> tuple[str | None, int, int]:
                 (h,) = struct.unpack_from("<H", data, 28)
                 return "webp", w & 0x3FFF, h & 0x3FFF
             return "webp", 0, 0
+        if data[:4] == b"qoif" and len(data) >= 14:  # QOI
+            w, h = struct.unpack_from(">II", data, 4)
+            return "qoi", w, h
         if data[:4] == b"\x00\x00\x01\x00":  # ICO: dims from entry 0
             entry = _ico_entry0(data)
             if entry is None:

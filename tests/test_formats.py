@@ -56,3 +56,32 @@ def test_jsonl_export_reimport(spark, sf_dir, tmp_path):
         for r in back.select("doc_id", "n_chars").collect()
     }
     assert a == b
+
+
+def test_header_sniffers_new_formats():
+    """parse_audio_header recognizes AIFF and AU; parse_image_header
+    recognizes QOI; the existing sniffs are untouched."""
+    from audios_to_dataset_spark.functions.audio_formats import (
+        parse_audio_header,
+    )
+    from audios_to_dataset_spark.functions.audio_headers import (
+        synth_aiff_md5,
+        synth_au_md5,
+    )
+    from audios_to_dataset_spark.functions.multimodal import (
+        parse_image_header,
+    )
+    from audios_to_dataset_spark.functions.qoi import synth_qoi
+
+    fmt, sr, dur, est = parse_audio_header(synth_aiff_md5(4))
+    assert (fmt, sr, est) == ("aiff", 12000, False) and dur > 0
+    fmt, sr, dur, est = parse_audio_header(synth_au_md5(5))
+    assert (fmt, sr, est) == ("au", 16000, False) and dur > 0
+    # AU duration accounts for the sample width (enc 3 = 2 bytes)
+    n = 40 + 5 % 37
+    assert abs(dur - n / 16000) < 1e-12
+    fmt, w, h = parse_image_header(synth_qoi(9))
+    assert fmt == "qoi" and w == 10 + 9 % 9 and h == 8 + 9 % 7
+    # malformed stays rejected
+    assert parse_audio_header(b".snd" + b"\x00" * 8)[0] is None
+    assert parse_image_header(b"qoif")[0] is None
