@@ -2842,3 +2842,225 @@ def with_synth_tiff(
         return pd.Series([synth_gray_tiff(int(i)) for i in ids])
 
     return df.withColumn(out_col, _synth(F.col(id_col)))
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF (GIF89a multi-frame: Graphic Control Extension disposal
+# compositing — the inter-frame IMAGE case next to the MS-RLE8 / MSVC
+# inter-frame video codecs)
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(flat: np.ndarray) -> bytes:
+    """Literal-9-bit LZW sub-block stream (CLEAR every 250 symbols, the
+    same valid-per-spec scheme as encode_gif_gray) + min-code-size
+    prefix + block terminator."""
+    out_bits: list[int] = []
+
+    def emit(code: int, nbits: int) -> None:
+        for k in range(nbits):
+            out_bits.append((code >> k) & 1)
+
+    CLEAR, EOI = 256, 257
+    emit(CLEAR, 9)
+    for idx, v in enumerate(flat):
+        if idx and idx % 250 == 0:
+            emit(CLEAR, 9)
+        emit(int(v), 9)
+    emit(EOI, 9)
+    data = bytearray()
+    for i in range(0, len(out_bits), 8):
+        byte = 0
+        for k, bit in enumerate(out_bits[i : i + 8]):
+            byte |= bit << k
+        data.append(byte)
+    blocks = b"".join(
+        bytes([min(255, len(data) - i)]) + bytes(data[i : i + 255])
+        for i in range(0, len(data), 255)
+    )
+    return b"\x08" + blocks + b"\x00"
+
+
+def _gif_lzw_decode(stream: bytes, min_code: int) -> bytearray | None:
+    """Full variable-width LZW decode of a GIF image data stream (the
+    same algorithm as decode_gif_pixels' inner loop, shared by the
+    animation decoder)."""
+    CLEAR, EOI = 1 << min_code, (1 << min_code) + 1
+    table: list[bytes] = []
+
+    def reset() -> int:
+        table.clear()
+        table.extend(bytes([i]) for i in range(1 << min_code))
+        table.append(b"")
+        table.append(b"")
+        return min_code + 1
+
+    width = reset()
+    acc = nbits = 0
+    prev: bytes | None = None
+    out = bytearray()
+    for byte in stream:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == CLEAR:
+                width = reset()
+                prev = None
+                continue
+            if code == EOI:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                return None
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def encode_gif_animation(
+    canvas_wh: tuple[int, int],
+    frames: list[tuple[int, int, np.ndarray, int]],
+) -> bytes:
+    """GIF89a animation: ``frames`` is a list of (x, y, gray_patch,
+    disposal); each frame gets a Graphic Control Extension carrying its
+    disposal method (1 = do not dispose, 2 = restore to background —
+    the two methods real animations use) and an image descriptor at the
+    patch offset. Global 256-gray palette; background index 0."""
+    w, h = canvas_wh
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0) + palette
+    for x, y, patch, disposal in frames:
+        fh, fw = patch.shape
+        gce = b"\x21\xf9\x04" + bytes([disposal << 2]) \
+            + struct.pack("<H", 4) + b"\x00\x00"
+        out += gce
+        out += b"\x2c" + struct.pack("<HHHHB", x, y, fw, fh, 0)
+        out += _gif_lzw_encode(patch.flatten())
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes | None) -> list[np.ndarray] | None:
+    """Decode EVERY frame of a GIF89a animation to full-canvas (h, w)
+    gray arrays with real compositing: each patch is drawn at its
+    descriptor offset over the persistent canvas; AFTER a frame is
+    captured, its GCE disposal runs (2 = the patch region reverts to
+    the background palette entry; 0/1 = the canvas persists). The
+    canvas starts at the background color. Grayscale contract (every
+    palette entry r==g==b — our fixtures; color GIFs take the
+    single-frame decode_gif_pixels path). Malformed → None."""
+    try:
+        if not data or len(data) < 13 or data[:6] not in (
+            b"GIF87a",
+            b"GIF89a",
+        ):
+            return None
+        w, h, packed, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+        pos = 13
+        palette = None
+        if packed & 0x80:
+            gct_size = 2 << (packed & 0x07)
+            palette = np.frombuffer(
+                data, dtype=np.uint8, count=gct_size * 3, offset=pos
+            ).reshape(gct_size, 3)
+            pos += gct_size * 3
+        if palette is None or bg >= palette.shape[0]:
+            return None
+        bg_val = int(palette[bg, 0])
+        canvas = np.full((h, w), bg_val, dtype=np.uint8)
+        frames: list[np.ndarray] = []
+        disposal = 0
+        n = len(data)
+        while pos < n:
+            b0 = data[pos]
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension
+                label = data[pos + 1]
+                pos += 2
+                if label == 0xF9 and data[pos] >= 4:
+                    disposal = (data[pos + 1] >> 2) & 0x07
+                while pos < n and data[pos]:
+                    pos += 1 + data[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                return None
+            x, y, fw, fh, ipacked = struct.unpack_from(
+                "<HHHHB", data, pos + 1
+            )
+            pos += 10
+            pal = palette
+            if ipacked & 0x80:
+                lct_size = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(
+                    data, dtype=np.uint8, count=lct_size * 3, offset=pos
+                ).reshape(lct_size, 3)
+                pos += lct_size * 3
+            min_code = data[pos]
+            pos += 1
+            stream = bytearray()
+            while pos < n and data[pos]:
+                ln = data[pos]
+                stream += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            out = _gif_lzw_decode(bytes(stream), min_code)
+            if out is None or len(out) < fw * fh:
+                return None
+            idx = np.frombuffer(bytes(out[: fw * fh]), dtype=np.uint8)
+            if int(idx.max(initial=0)) >= pal.shape[0]:
+                return None
+            if x + fw > w or y + fh > h:
+                return None
+            patch = pal[idx, 0].reshape(fh, fw)
+            canvas[y : y + fh, x : x + fw] = patch
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[y : y + fh, x : x + fw] = bg_val
+            disposal = 0
+        return frames if frames else None
+    except Exception:
+        return None
+
+
+def synth_gray_gif_anim(doc_id: int) -> bytes:
+    """Deterministic 3-frame animation: frame 0 covers the canvas
+    (disposal 1), frame 1 is an interior patch whose region is
+    RESTORED TO BACKGROUND after display (disposal 2), frame 2 a
+    second patch (disposal 1) — so frame 2's composite shows all
+    three regimes at once: fresh pixels, background holes, and frame-0
+    survivors. Pixel (x, y) of frame f = first md5 byte of
+    ``ga:{id}:{f}:{x}:{y}`` in CANVAS coordinates."""
+    import hashlib
+
+    w = 12 + doc_id % 7
+    h = 10 + doc_id % 5
+
+    def patch(f: int, x0: int, y0: int, fw: int, fh: int) -> np.ndarray:
+        p = np.zeros((fh, fw), dtype=np.uint8)
+        for yy in range(fh):
+            for xx in range(fw):
+                p[yy, xx] = int(
+                    hashlib.md5(
+                        f"ga:{doc_id}:{f}:{x0 + xx}:{y0 + yy}".encode()
+                    ).hexdigest()[:2],
+                    16,
+                )
+        return p
+
+    f0 = (0, 0, patch(0, 0, 0, w, h), 1)
+    f1 = (2, 1, patch(1, 2, 1, w - 4, h - 3), 2)
+    f2 = (1, 2, patch(2, 1, 2, w // 2, h // 2), 1)
+    return encode_gif_animation((w, h), [f0, f1, f2])

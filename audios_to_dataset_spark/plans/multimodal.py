@@ -413,6 +413,109 @@ FROM v GROUP BY doc_id, w, h
 """
 
 
+def q_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED-GIF decode with real inter-frame compositing — the
+    image twin of the MS-RLE8/MSVC delta-video paths: a 3-frame GIF89a
+    per doc whose Graphic Control Extensions exercise both real-world
+    disposal methods (1 = persist, 2 = restore-to-background), so
+    frame 2's composite simultaneously contains fresh pixels, a
+    background hole, and frame-0 survivors. The oracle recomputes
+    every composited pixel from the md5 formulas and rectangle
+    membership — a disposal slip, patch-offset bug, or canvas-init
+    error fails the value hash on specific frames."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.multimodal import (
+        decode_gif_frames,
+        synth_gray_gif_anim,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_gray_gif_anim(int(i)) for i in ids])
+
+    out_t = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("frame_idx", T.LongType()),
+                T.StructField("mean_px", T.DoubleType()),
+            ]
+        )
+    )
+
+    @pandas_udf(out_t)
+    def _frames(content):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for b in content:
+            frames = decode_gif_frames(
+                bytes(b) if b is not None else None
+            )
+            if frames is None:
+                rows.append(None)
+                continue
+            rows.append(
+                [
+                    (k, int(f.astype(np.int64).sum()) / f.size)
+                    for k, f in enumerate(frames)
+                ]
+            )
+        return pd.Series(rows)
+
+    return (
+        d.withColumn("fs", _frames(_synth(F.col("doc_id"))))
+        .select("doc_id", F.explode("fs").alias("f"))
+        .select(
+            "doc_id",
+            F.col("f.frame_idx").alias("frame_idx"),
+            F.col("f.mean_px").alias("mean_px"),
+        )
+    )
+
+
+ORACLE_GIF_ANIM = """
+WITH g AS (
+  SELECT doc_id, 12 + doc_id % 7 AS w, 10 + doc_id % 5 AS h
+  FROM documents
+), fx AS (
+  SELECT doc_id, w, h, unnest(range(w)) AS x FROM g
+), px AS (
+  SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM fx
+), v AS (
+  SELECT doc_id, w, h, x, y,
+    ('0x' || substr(md5('ga:' || CAST(doc_id AS VARCHAR) || ':0:'
+        || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2))::INT
+      AS v0,
+    ('0x' || substr(md5('ga:' || CAST(doc_id AS VARCHAR) || ':1:'
+        || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2))::INT
+      AS v1,
+    ('0x' || substr(md5('ga:' || CAST(doc_id AS VARCHAR) || ':2:'
+        || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2))::INT
+      AS v2,
+    x >= 2 AND x < w - 2 AND y >= 1 AND y < h - 2 AS in1,
+    x >= 1 AND x < 1 + w // 2 AND y >= 2 AND y < 2 + h // 2 AS in2
+  FROM px
+), m AS (
+  SELECT doc_id, w, h,
+    SUM(v0) AS s0,
+    SUM(CASE WHEN in1 THEN v1 ELSE v0 END) AS s1,
+    SUM(CASE WHEN in2 THEN v2 WHEN in1 THEN 0 ELSE v0 END) AS s2
+  FROM v GROUP BY doc_id, w, h
+)
+SELECT doc_id, f.frame_idx,
+       CAST(CASE f.frame_idx WHEN 0 THEN s0 WHEN 1 THEN s1 ELSE s2 END
+            AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_px
+FROM m, (SELECT unnest(range(3)) AS frame_idx) f
+"""
+
+
 def q_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JPEG metadata scrub end-to-end — the privacy pass an image
     release runs (APP1 carries GPS/serial/editor EXIF): the
@@ -2987,6 +3090,7 @@ QUERIES = {
     "q_audio_extensible": q_audio_extensible,
     "q_exif_scrub": q_exif_scrub,
     "q_audio_vad": q_audio_vad,
+    "q_gif_anim": q_gif_anim,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -3049,3 +3153,4 @@ ORACLES["q_audio_au"] = ORACLE_AUDIO_AU
 ORACLES["q_audio_extensible"] = ORACLE_AUDIO_EXTENSIBLE
 ORACLES["q_exif_scrub"] = ORACLE_EXIF_SCRUB
 ORACLES["q_audio_vad"] = ORACLE_AUDIO_VAD
+ORACLES["q_gif_anim"] = ORACLE_GIF_ANIM

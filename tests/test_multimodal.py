@@ -1010,3 +1010,47 @@ def test_jpeg_metadata_scrub():
     assert strip_jpeg_metadata(b"\x00" + b[1:]) is None
     assert strip_jpeg_metadata(b"\xff\xd8\xff\xe1\xff\xff") is None
     assert strip_jpeg_metadata(None) is None
+
+
+def test_gif_animation_compositing():
+    """decode_gif_frames: canvas persistence (disposal 1), restore-to-
+    background (disposal 2), patch offsets, and totality."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_gif_frames,
+        decode_gif_pixels,
+        encode_gif_animation,
+        synth_gray_gif_anim,
+    )
+
+    base = np.full((6, 8), 50, dtype=np.uint8)
+    patch = np.full((2, 3), 200, dtype=np.uint8)
+    b = encode_gif_animation(
+        (8, 6), [(0, 0, base, 1), (2, 1, patch, 2), (5, 3, patch, 1)]
+    )
+    frames = decode_gif_frames(b)
+    assert frames is not None and len(frames) == 3
+    assert (frames[0] == 50).all()
+    # frame 1: patch drawn over the persistent canvas
+    assert (frames[1][1:3, 2:5] == 200).all()
+    assert frames[1][0, 0] == 50
+    # frame 2: patch-1 region restored to background (palette[0] = 0),
+    # new patch at (5,3), untouched canvas survives
+    assert (frames[2][1:3, 2:5] == 0).all()
+    assert (frames[2][3:5, 5:8] == 200).all()
+    assert frames[2][0, 0] == 50
+    # the single-frame decoder still reads frame 0
+    assert decode_gif_pixels(b) is not None
+    # fixture shape
+    fs = decode_gif_frames(synth_gray_gif_anim(9))
+    assert fs is not None and len(fs) == 3
+    assert fs[0].shape == (10 + 9 % 5, 12 + 9 % 7)
+    # malformed: truncation anywhere -> None or valid frames, never a
+    # raise; out-of-canvas patch rejected
+    for cut in range(0, len(b), 7):
+        r = decode_gif_frames(b[:cut])
+        assert r is None or isinstance(r, list)
+    bad = encode_gif_animation((8, 6), [(7, 5, patch, 1)])
+    assert decode_gif_frames(bad) is None
+    assert decode_gif_frames(None) is None
