@@ -25,14 +25,17 @@ What is REAL here:
   payloads), binary Netpbm (P5/P6), baseline TIFF (2-strip,
   PackBits, both byte orders), lossless WebP (functions.vp8l: the
   full VP8L entropy layer), QOI (functions.qoi: the complete spec,
-  all six chunk ops), and TWO INTER-FRAME video codecs —
+  all six chunk ops), THREE INTER-FRAME paths —
   MS-RLE8 (BI_RLE8: row-granular delta frames over a persistent
-  framebuffer) and MS Video 1 ('CRAM': 4x4 block skip runs +
-  1/2/8-color opcodes) — each value-hash-oracled (q_image_resize /
-  q_png_pixels / q_gif_pixels / q_jpeg_pixels / q_jpeg_progressive /
+  framebuffer), MS Video 1 ('CRAM': 4x4 block skip runs +
+  1/2/8-color opcodes), and ANIMATED GIF (GCE disposal-method
+  compositing over a persistent canvas) — plus JPEG metadata
+  scrubbing (strip_jpeg_metadata: APP1/COM segment drop with a
+  pixel-preservation proof) — each value-hash-oracled (q_image_resize
+  / q_png_pixels / q_gif_pixels / q_jpeg_pixels / q_jpeg_progressive /
   q_video_frames / q_mjpeg_frames / q_rle_frames / q_msvc_frames /
   q_tga_pixels / q_ico_pixels / q_pnm_pixels / q_tiff_pixels /
-  q_webp_pixels / q_qoi_pixels)
+  q_webp_pixels / q_qoi_pixels / q_gif_anim / q_exif_scrub)
 
 What is STUBBED (no PIL/ffmpeg in the container):
 - pixel decode for arithmetic/hierarchical/lossless JPEG → None
