@@ -396,3 +396,54 @@ def test_qoi_total_and_truncation(tail, cut):
     assert truncated is None or np.array_equal(truncated, ref)
     if tail:
         assert decode_qoi_pixels(base + tail) is None
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=300, deadline=None)
+def test_session4_decoders_total_on_garbage(data):
+    """AIFF / AU / animated-GIF / JPEG-scrub are total on arbitrary
+    bytes — None or a well-shaped result, never a raise."""
+    from audios_to_dataset_spark.functions.audio_headers import (
+        decode_aiff_samples,
+        decode_au_samples,
+    )
+    from audios_to_dataset_spark.functions.jpeg import strip_jpeg_metadata
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_gif_frames,
+    )
+
+    for dec in (decode_aiff_samples, decode_au_samples):
+        out = dec(data)
+        assert out is None or (out[0] > 0 and out[1].ndim == 1)
+    fs = decode_gif_frames(data)
+    assert fs is None or (len(fs) >= 1 and fs[0].ndim == 2)
+    sc = strip_jpeg_metadata(data)
+    assert sc is None or (isinstance(sc[0], bytes) and sc[1] >= 0)
+
+
+@given(st.integers(min_value=0, max_value=200), st.integers(0, 400))
+@settings(max_examples=120, deadline=None)
+def test_aiff_au_truncation(doc_id, cut):
+    """A valid AIFF/AU stream truncated anywhere decodes to None or
+    the exact original samples (COMM/SSND and header size gates admit
+    no third outcome at fixture scale)."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.audio_headers import (
+        decode_aiff_samples,
+        decode_au_samples,
+        synth_aiff_md5,
+        synth_au_md5,
+    )
+
+    for synth, dec in (
+        (synth_aiff_md5, decode_aiff_samples),
+        (synth_au_md5, decode_au_samples),
+    ):
+        base = synth(doc_id)
+        ref = dec(base)
+        assert ref is not None
+        out = dec(base[: max(0, len(base) - cut)])
+        assert out is None or (
+            out[0] == ref[0] and np.array_equal(out[1], ref[1])
+        )
