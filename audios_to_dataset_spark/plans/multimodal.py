@@ -413,6 +413,106 @@ FROM v GROUP BY doc_id, w, h
 """
 
 
+def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image patchify — the vision-training twin of q_text_chunks:
+    decode each BMP and cut it into FULL 8x8 tiles at stride 6
+    (overlap 2, the ViT-style sliding grid; ragged edges are dropped
+    like a tokenizer drops a partial block). Reports the tile count,
+    the mean of per-tile means, and the brightest tile's mean —
+    integer tile sums divided by exact integers, so both engines emit
+    identical doubles with no rounding model. The oracle re-derives
+    every tile sum from the md5 pixel formula, so a stride slip,
+    boundary tile leak, or off-by-one in the grid fails the hash.
+    At 100 TB tiling is a pure map stage (mapInPandas shape)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.multimodal import decode_bmp_pixels, with_synth_bmp
+
+    TILE, STRIDE = 8, 6
+    d = with_synth_bmp(load(spark, sf_dir, "documents").select("doc_id"))
+
+    out_t = T.StructType(
+        [
+            T.StructField("n_tiles", T.LongType()),
+            T.StructField("mean_tile", T.DoubleType()),
+            T.StructField("max_tile", T.DoubleType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _tile(content):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for b in content:
+            px = decode_bmp_pixels(bytes(b) if b is not None else None)
+            if px is None:
+                rows.append((None, None, None))
+                continue
+            g = px[:, :, 0].astype(np.int64)
+            h, w = g.shape
+            sums = [
+                int(g[ty : ty + TILE, tx : tx + TILE].sum())
+                for ty in range(0, h - TILE + 1, STRIDE)
+                for tx in range(0, w - TILE + 1, STRIDE)
+            ]
+            n = len(sums)
+            area = TILE * TILE
+            rows.append(
+                (
+                    n,
+                    sum(sums) / (area * n) if n else 0.0,
+                    max(sums) / area if n else 0.0,
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["n_tiles", "mean_tile", "max_tile"]
+        )
+
+    out = d.withColumn("r", _tile(F.col("content")))
+    return out.select(
+        "doc_id",
+        F.col("r.n_tiles").alias("n_tiles"),
+        F.col("r.mean_tile").alias("mean_tile"),
+        F.col("r.max_tile").alias("max_tile"),
+    )
+
+
+ORACLE_IMAGE_TILES = """
+WITH g AS (
+  SELECT doc_id, 16 + doc_id % 17 AS w0, 16 + doc_id % 13 AS h0
+  FROM documents
+), tg AS (
+  SELECT doc_id, w0, h0,
+         (w0 - 8) // 6 + 1 AS ntx, (h0 - 8) // 6 + 1 AS nty
+  FROM g
+), tx AS (
+  SELECT doc_id, w0, h0, ntx, nty, unnest(range(ntx)) AS tix FROM tg
+), ty AS (
+  SELECT doc_id, ntx, nty, tix, unnest(range(nty)) AS tiy FROM tx
+), dx AS (
+  SELECT doc_id, ntx, nty, tix, tiy, unnest(range(8)) AS ox FROM ty
+), px AS (
+  SELECT doc_id, ntx, nty, tix, tiy, ox, unnest(range(8)) AS oy FROM dx
+), v AS (
+  SELECT doc_id, ntx, nty, tix, tiy,
+         ('0x' || substr(md5('px:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(tix * 6 + ox AS VARCHAR) || ':' ||
+             CAST(tiy * 6 + oy AS VARCHAR)), 1, 2))::INT AS v
+  FROM px
+), tiles AS (
+  SELECT doc_id, ntx * nty AS n, tix, tiy, SUM(v) AS s
+  FROM v GROUP BY doc_id, ntx, nty, tix, tiy
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tiles,
+       CAST(SUM(s) AS DOUBLE) / CAST(64 * n AS DOUBLE) AS mean_tile,
+       CAST(MAX(s) AS DOUBLE) / 64.0 AS max_tile
+FROM tiles GROUP BY doc_id, n
+"""
+
+
 def q_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANIMATED-GIF decode with real inter-frame compositing — the
     image twin of the MS-RLE8/MSVC delta-video paths: a 3-frame GIF89a
@@ -3091,6 +3191,7 @@ QUERIES = {
     "q_exif_scrub": q_exif_scrub,
     "q_audio_vad": q_audio_vad,
     "q_gif_anim": q_gif_anim,
+    "q_image_tiles": q_image_tiles,
 }
 
 # q_multimodal_decode over text bytes always yields the fallback row —
@@ -3154,3 +3255,4 @@ ORACLES["q_audio_extensible"] = ORACLE_AUDIO_EXTENSIBLE
 ORACLES["q_exif_scrub"] = ORACLE_EXIF_SCRUB
 ORACLES["q_audio_vad"] = ORACLE_AUDIO_VAD
 ORACLES["q_gif_anim"] = ORACLE_GIF_ANIM
+ORACLES["q_image_tiles"] = ORACLE_IMAGE_TILES
