@@ -1221,6 +1221,93 @@ def q_audio_float32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audio_stats_query("synth_wav_md5_f32")(spark, sf_dir)
 
 
+def q_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing rate — the classic exact-integer speech feature
+    (voiced/unvoiced discrimination, the cheap half of every VAD
+    cascade next to q_audio_vad's energy gate): decode the PCM16
+    fixture, count strict sign flips (s_i * s_{i-1} < 0 — integer
+    products, no float model), and report the per-second rate as one
+    exact division. The oracle replays the count with a LAG window
+    over the md5 sample formula."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.wav import synth_wav_md5, wav_pcm16_samples
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    out_t = T.StructType(
+        [
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("zero_crossings", T.LongType()),
+            T.StructField("zcr_hz", T.DoubleType()),
+        ]
+    )
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_wav_md5(int(i)) for i in ids])
+
+    @pandas_udf(out_t)
+    def _zcr(content):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        from audios_to_dataset_spark.functions.wav import parse_wav_header
+
+        rows = []
+        for b in content:
+            bb = bytes(b) if b is not None else None
+            s = wav_pcm16_samples(bb)
+            if s is None or s.size < 2:
+                rows.append((None, None, None))
+                continue
+            _dur, sr = parse_wav_header(bb)
+            v = s.astype(np.int64)
+            zc = int(((v[1:] * v[:-1]) < 0).sum())
+            rows.append((s.size, zc, zc * sr / s.size))
+        return pd.DataFrame(
+            rows, columns=["n_samples", "zero_crossings", "zcr_hz"]
+        )
+
+    out = d.withColumn("r", _zcr(_synth(F.col("doc_id"))))
+    return out.select(
+        "doc_id",
+        F.col("r.n_samples").alias("n_samples"),
+        F.col("r.zero_crossings").alias("zero_crossings"),
+        F.col("r.zcr_hz").alias("zcr_hz"),
+    )
+
+
+ORACLE_AUDIO_ZCR = """
+WITH g AS (
+  SELECT doc_id, 64 + doc_id % 37 AS n,
+         8000 + (doc_id % 3) * 4000 AS sr
+  FROM documents
+), ix AS (
+  SELECT doc_id, n, sr, unnest(range(n)) AS i FROM g
+), s AS (
+  SELECT doc_id, n, sr, i,
+         ('0x' || substr(md5('au:' || CAST(doc_id AS VARCHAR) || ':'
+              || CAST(i AS VARCHAR)), 1, 4))::INT - 32768 AS v
+  FROM ix
+), p AS (
+  SELECT doc_id, n, sr, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+       CAST(SUM(CASE WHEN CAST(v AS BIGINT) * CAST(pv AS BIGINT) < 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(SUM(CASE WHEN CAST(v AS BIGINT) * CAST(pv AS BIGINT) < 0
+                THEN 1 ELSE 0 END) AS DOUBLE) * CAST(sr AS DOUBLE)
+         / CAST(n AS DOUBLE) AS zcr_hz
+FROM p GROUP BY doc_id, n, sr
+"""
+
+
 def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Energy-threshold voice-activity segmentation — the pass that
     turns long recordings into training utterances (extends the
@@ -3190,6 +3277,7 @@ QUERIES = {
     "q_audio_extensible": q_audio_extensible,
     "q_exif_scrub": q_exif_scrub,
     "q_audio_vad": q_audio_vad,
+    "q_audio_zcr": q_audio_zcr,
     "q_gif_anim": q_gif_anim,
     "q_image_tiles": q_image_tiles,
 }
@@ -3254,5 +3342,6 @@ ORACLES["q_audio_au"] = ORACLE_AUDIO_AU
 ORACLES["q_audio_extensible"] = ORACLE_AUDIO_EXTENSIBLE
 ORACLES["q_exif_scrub"] = ORACLE_EXIF_SCRUB
 ORACLES["q_audio_vad"] = ORACLE_AUDIO_VAD
+ORACLES["q_audio_zcr"] = ORACLE_AUDIO_ZCR
 ORACLES["q_gif_anim"] = ORACLE_GIF_ANIM
 ORACLES["q_image_tiles"] = ORACLE_IMAGE_TILES
