@@ -405,9 +405,13 @@ def q_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = exact.join(lsh, ["id_a", "id_b"], "left_semi")
     n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     n_found = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
-    recall = F.col("n_found").cast("double") / F.col("n_exact").cast(
-        "double"
-    )
+    # empty exact set (tiny/empty input): recall is vacuously perfect —
+    # guard the division (ANSI mode throws DIVIDE_BY_ZERO; found by the
+    # empty-table sweep) and pass the gate
+    recall = F.when(
+        F.col("n_exact") > 0,
+        F.col("n_found").cast("double") / F.col("n_exact").cast("double"),
+    ).otherwise(F.lit(1.0))
     return (
         n_exact.crossJoin(F.broadcast(n_found))
         .select(
@@ -446,11 +450,14 @@ WITH emb_s AS (
 )
 SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
        (SELECT COUNT(*) FROM found) AS n_found,
-       CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
-         / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE) AS recall,
-       CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
-         / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE)
-         >= {EMB_RECALL_GATE} AS gate_pass
+       CASE WHEN (SELECT COUNT(*) FROM exact) > 0
+            THEN CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE)
+            ELSE 1.0 END AS recall,
+       CASE WHEN (SELECT COUNT(*) FROM exact) > 0
+            THEN CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE)
+            ELSE 1.0 END >= {EMB_RECALL_GATE} AS gate_pass
 """
 
 

@@ -98,7 +98,14 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP over (returnflag, linestatus) — engine-capability breadth."""
+    """ROLLUP over (returnflag, linestatus) — engine-capability breadth.
+
+    Empty-input semantics: Spark emits NO rows for rollup/cube over an
+    empty table, while the SQL standard (and DuckDB) emit the lone
+    grand-total row; the oracle encodes the ENGINE's semantics with
+    ``HAVING COUNT(*) > 0`` — a no-op on any non-empty input (every
+    real group has >= 1 row) that removes only the standard's empty
+    grand row. Found by the empty-table sweep."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
@@ -118,6 +125,7 @@ SELECT COALESCE(l_returnflag, 'ALL') AS rf,
        COUNT(*) AS n_rows,
        {dsum_sql('l_quantity')} AS sum_qty
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0
 """
 
 

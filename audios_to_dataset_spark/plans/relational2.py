@@ -17,7 +17,9 @@ from ._util import dsum, dsum_sql, sround
 
 
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (returnflag, linestatus)."""
+    """CUBE over (returnflag, linestatus). Same empty-input note as
+    q_rollup: the oracle's HAVING COUNT(*) > 0 encodes Spark's
+    no-rows-on-empty grouping-sets semantics (no-op at any scale)."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
@@ -34,6 +36,7 @@ ORACLE_CUBE = """
 SELECT COALESCE(l_returnflag, 'ALL') AS rf,
        COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS n_rows
 FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0
 """
 
 

@@ -9,7 +9,10 @@ Usage: python tools/check.py [sf_dir] [query ...]
        python tools/check.py --nulls [sf_dir] [query ...]
        python tools/check.py --skew [sf_dir] [query ...]
        python tools/check.py --nulls --skew [sf_dir] [query ...]
+       python tools/check.py --empty [sf_dir] [query ...]
 
+``--empty`` runs every query against schema-only zero-row copies of all
+tables (the empty-partition-day regime).
 ``--nulls --skew`` together build ONE copy with the skew rewrite applied
 first and NULL injection on top (hot keys and NULL keys coexisting, as
 they do in production), over the NULL sweep's eligible query set.
@@ -213,6 +216,25 @@ def build_skew_dir(sf_dir: str) -> str:
     return out
 
 
+def build_empty_dir(sf_dir: str) -> str:
+    """Materialize a temp copy of sf_dir with every table's SCHEMA but
+    zero rows — the "empty partition day" a production pipeline stage
+    must survive (its first run found three real divergences: an ANSI
+    DIVIDE_BY_ZERO in the embedding-recall gate, and Spark-vs-standard
+    grand-total semantics for ROLLUP/CUBE over empty input)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = _tmp_sweep_dir("spark_graft_empty_")
+    for t in TABLES:
+        sch = pq.read_schema(os.path.join(sf_dir, f"{t}.parquet"))
+        pq.write_table(
+            sch.empty_table(), os.path.join(out, f"{t}.parquet")
+        )
+    return out
+
+
 def build_nulls_dir(sf_dir: str) -> str:
     """Materialize a temp copy of sf_dir with NULL-injected keys."""
     import os
@@ -280,12 +302,22 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a not in ("--nulls", "--skew")]
+    args = [
+        a for a in sys.argv[1:]
+        if a not in ("--nulls", "--skew", "--empty")
+    ]
     nulls = "--nulls" in sys.argv[1:]
     skew = "--skew" in sys.argv[1:]
+    empty = "--empty" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
-    if nulls and skew:
+    if empty and (nulls or skew):
+        print("--empty cannot be combined with --nulls/--skew")
+        return 2
+    if empty:
+        sf_dir = build_empty_dir(sf_dir)
+        print(f"Empty-table copy: {sf_dir}")
+    elif nulls and skew:
         # Combined sweep: hot keys AND NULL-injected keys in ONE copy —
         # the 100 TB reality where both kinds of dirt coexist. Skew is
         # applied first, NULL injection on top (so some hot-key rows
