@@ -1221,6 +1221,112 @@ def q_audio_float32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audio_stats_query("synth_wav_md5_f32")(spark, sf_dir)
 
 
+def q_audio_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV→FLAC transcode round-trip — THE operation the reference
+    exists for (it repackages audio datasets, src/main.rs:760-795; we
+    add the lossless-compression leg its WAV-only sink lacks): real
+    RIFF parse → functions.flac encoder (Rice-coded fixed predictors,
+    frame CRCs) → real FLAC decode → sample-exact comparison, all
+    engine-side. The hash-checked contract: transcode_ok must be TRUE
+    on every row (the oracle hard-codes it), n_samples and the signal
+    stats must match the md5 sample formula — so a lossy encoder bug,
+    rate mishandling, or CRC slip flips a checked column. (The
+    compressed byte size is deterministic but has no closed form the
+    oracle could derive independently, so it is not a checked column.)
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.flac import decode_flac, encode_flac
+    from ..functions.wav import synth_wav_md5, wav_pcm16_samples
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    out_t = T.StructType(
+        [
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("transcode_ok", T.BooleanType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+        ]
+    )
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_wav_md5(int(i)) for i in ids])
+
+    @pandas_udf(out_t)
+    def _trans(content):  # type: ignore[no-untyped-def]
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        from audios_to_dataset_spark.functions.wav import parse_wav_header
+
+        rows = []
+        for b in content:
+            bb = bytes(b) if b is not None else None
+            s = wav_pcm16_samples(bb)
+            if s is None:
+                rows.append((None, None, None, None))
+                continue
+            _dur, sr = parse_wav_header(bb)
+            flac = encode_flac(s, sr)
+            got = decode_flac(flac)
+            ok = (
+                got is not None
+                and got[0] == sr
+                and np.array_equal(got[1], s)
+            )
+            p = (got[1] if ok else s).astype(np.float64) / 32768.0
+            rms = (
+                math.sqrt(float((p * p).sum()) / p.size) if p.size else 0.0
+            )
+            rows.append(
+                (
+                    int(p.size),
+                    bool(ok),
+                    rms,
+                    float(np.abs(p).max()) if p.size else 0.0,
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["n_samples", "transcode_ok", "rms", "peak"]
+        )
+
+    out = d.withColumn("r", _trans(_synth(F.col("doc_id"))))
+    return out.select(
+        "doc_id",
+        F.col("r.n_samples").alias("n_samples"),
+        F.col("r.transcode_ok").alias("transcode_ok"),
+        sround(F.col("r.rms"), 6).alias("rms"),
+        F.col("r.peak").alias("peak"),
+    )
+
+
+ORACLE_AUDIO_TRANSCODE = """
+WITH g AS (
+  SELECT doc_id, 64 + doc_id % 37 AS n FROM documents
+), ix AS (
+  SELECT doc_id, n, unnest(range(n)) AS i FROM g
+), s AS (
+  SELECT doc_id, n,
+         CAST(('0x' || substr(md5('au:' || CAST(doc_id AS VARCHAR) || ':'
+              || CAST(i AS VARCHAR)), 1, 4))::INT - 32768 AS DOUBLE)
+           / 32768.0 AS p
+  FROM ix
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+       TRUE AS transcode_ok,
+       (round(sqrt(SUM(p * p) / n) * 1000000.0) / 1000000.0) + 0.0 AS rms,
+       MAX(abs(p)) AS peak
+FROM s GROUP BY doc_id, n
+"""
+
+
 def q_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-crossing rate — the classic exact-integer speech feature
     (voiced/unvoiced discrimination, the cheap half of every VAD
@@ -3278,6 +3384,7 @@ QUERIES = {
     "q_exif_scrub": q_exif_scrub,
     "q_audio_vad": q_audio_vad,
     "q_audio_zcr": q_audio_zcr,
+    "q_audio_transcode": q_audio_transcode,
     "q_gif_anim": q_gif_anim,
     "q_image_tiles": q_image_tiles,
 }
@@ -3343,5 +3450,6 @@ ORACLES["q_audio_extensible"] = ORACLE_AUDIO_EXTENSIBLE
 ORACLES["q_exif_scrub"] = ORACLE_EXIF_SCRUB
 ORACLES["q_audio_vad"] = ORACLE_AUDIO_VAD
 ORACLES["q_audio_zcr"] = ORACLE_AUDIO_ZCR
+ORACLES["q_audio_transcode"] = ORACLE_AUDIO_TRANSCODE
 ORACLES["q_gif_anim"] = ORACLE_GIF_ANIM
 ORACLES["q_image_tiles"] = ORACLE_IMAGE_TILES
