@@ -77,6 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
         " parquet run (per-shard rows/bytes/duration commit record;"
         " merged across --incremental runs)",
     )
+    p.add_argument(
+        "--transcode-flac",
+        action="store_true",
+        help="engine extension: losslessly transcode 16-bit PCM WAV"
+        " payloads to FLAC at the sink (bit-exact recovery; paths get"
+        " a .flac extension; non-PCM16 payloads pass through)",
+    )
     return p
 
 
@@ -107,6 +114,7 @@ def main(argv: list[str] | None = None) -> int:
         sniff_formats=args.sniff_formats,
         incremental=args.incremental,
         manifest=args.manifest,
+        transcode_flac=args.transcode_flac,
     )
     total = sum(r.n_rows for r in receipts)
     for r in sorted(receipts, key=lambda r: r.shard):

@@ -190,6 +190,58 @@ def build_dataset(
     )
 
 
+def _transcode_wav_to_flac(df):
+    """Losslessly transcode 16-bit PCM WAV payloads to FLAC at the sink
+    boundary (engine extension — the reference stores original bytes
+    only, src/main.rs:447-450; FLAC typically halves an audio
+    dataset's footprint with bit-exact recovery, proven end-to-end by
+    q_audio_transcode and test_transcode_flac_pipeline). Non-PCM16 or
+    unparseable payloads pass through untouched (keep-with-fallback);
+    transcoded rows get a ``.flac`` path extension so readers dispatch
+    the right decoder. One Arrow-batched map stage — no shuffle."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from .functions.flac import encode_flac
+    from .functions.wav import parse_wav_header, wav_pcm16_samples
+
+    out_t = T.StructType(
+        [
+            T.StructField("content", T.BinaryType()),
+            T.StructField("relative_path", T.StringType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _tc(content, path):  # type: ignore[no-untyped-def]
+        new_c, new_p = [], []
+        for b, p in zip(content, path):
+            bb = bytes(b) if b is not None else None
+            s = wav_pcm16_samples(bb)
+            _dur, sr = parse_wav_header(bb)
+            if s is None or sr <= 0:
+                new_c.append(bb)
+                new_p.append(p)
+                continue
+            new_c.append(encode_flac(s, sr))
+            new_p.append(
+                _re.sub(r"\.wav$", ".flac", p, flags=_re.IGNORECASE)
+                if p is not None
+                else p
+            )
+        return pd.DataFrame({"content": new_c, "relative_path": new_p})
+
+    t = _tc(F.col("content"), F.col("relative_path"))
+    return df.withColumn("_t", t).drop("content", "relative_path").select(
+        "*",
+        F.col("_t.content").alias("content"),
+        F.col("_t.relative_path").alias("relative_path"),
+    ).drop("_t")
+
+
 def run_pipeline(
     spark: SparkSession,
     input_dir: str,
@@ -205,6 +257,7 @@ def run_pipeline(
     sniff_formats: bool = False,
     incremental: bool = False,
     manifest: bool = False,
+    transcode_flac: bool = False,
 ) -> list:
     """Run scan→enrich→join→shard→sink; returns the write receipts.
 
@@ -219,6 +272,11 @@ def run_pipeline(
     """
     exclude = None
     shard_offset = 0
+    if transcode_flac and incremental:
+        # incremental dedup keys on recorded relative paths, which
+        # transcoding rewrites to .flac — a re-run would re-ingest
+        # every input as "new"; refuse instead of silently duplicating
+        raise ValueError("transcode_flac is not supported with incremental")
     if incremental:
         if output_format != "parquet":
             raise ValueError("incremental mode requires parquet output")
@@ -256,6 +314,8 @@ def run_pipeline(
         exclude_relative_paths=exclude,
         shard_offset=shard_offset,
     )
+    if transcode_flac:
+        sharded = _transcode_wav_to_flac(sharded)
     if output_format == "parquet":
         from .sinks.parquet_shards import write_parquet_shards
 

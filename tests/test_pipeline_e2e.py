@@ -598,3 +598,40 @@ def test_read_pruned_skips_shards(spark, tmp_path):
     (tmp_path / "bare").mkdir()
     with _pytest.raises(FileNotFoundError):
         read_pruned(spark, str(tmp_path / "bare"))
+
+
+def test_transcode_flac_pipeline(spark, tmp_path, audio_dir):
+    """--transcode-flac: shards carry FLAC payloads that decode back to
+    the EXACT original PCM, paths are rewritten to .flac, duration and
+    sampling_rate survive, and incremental+transcode is refused."""
+    import numpy as np
+    import pytest as _pytest
+
+    from audios_to_dataset_spark.functions.flac import decode_flac
+    from audios_to_dataset_spark.functions.wav import wav_pcm16_samples
+
+    out = str(tmp_path / "out")
+    run_pipeline(
+        spark, audio_dir, out, files_per_shard=10, transcode_flac=True
+    )
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2
+    originals = {}
+    for root, _dirs, files in os.walk(audio_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            originals[os.path.relpath(p, audio_dir)] = open(p, "rb").read()
+    for r in rows:
+        path = r["audio"]["path"]
+        assert path.endswith(".flac")
+        src = originals[path[: -len(".flac")] + ".wav"]
+        want = wav_pcm16_samples(src)
+        got = decode_flac(bytes(r["audio"]["bytes"]))
+        assert got is not None
+        assert got[0] == r["audio"]["sampling_rate"]
+        assert np.array_equal(got[1], want)
+        assert r["duration"] > 0
+    with _pytest.raises(ValueError, match="incremental"):
+        run_pipeline(
+            spark, audio_dir, out, transcode_flac=True, incremental=True
+        )
