@@ -635,3 +635,54 @@ def test_transcode_flac_pipeline(spark, tmp_path, audio_dir):
         run_pipeline(
             spark, audio_dir, out, transcode_flac=True, incremental=True
         )
+
+
+def test_duckdb_source_roundtrip(spark, tmp_path, audio_dir):
+    """read_duckdb_shards reads the DuckDB sink's output back into
+    Spark with byte-exact audio payloads and identical metadata to the
+    parquet pipeline over the same inputs — the migration path for
+    datasets the reference wrote."""
+    meta = tmp_path / "meta.csv"
+    meta.write_text(
+        "file_name,transcription\n"
+        "sample.wav,hello\n"
+        "nested/with_path.wav,world\n"
+    )
+    duck_out = str(tmp_path / "duck")
+    pq_out = str(tmp_path / "pq")
+    run_pipeline(
+        spark, audio_dir, duck_out, metadata_file=str(meta),
+        output_format="duckdb", files_per_shard=1,
+    )
+    run_pipeline(
+        spark, audio_dir, pq_out, metadata_file=str(meta),
+        files_per_shard=1,
+    )
+    from audios_to_dataset_spark.sources.duckdb_source import (
+        read_duckdb_shards,
+    )
+
+    got = {
+        r["audio"]["path"]: r
+        for r in read_duckdb_shards(spark, duck_out).collect()
+    }
+    want = {
+        r["audio"]["path"]: r
+        for r in spark.read.parquet(pq_out).collect()
+    }
+    assert set(got) == set(want) and len(got) == 2
+    for p, g in got.items():
+        w = want[p]
+        assert bytes(g["audio"]["bytes"]) == bytes(w["audio"]["bytes"])
+        assert g["audio"]["sampling_rate"] == w["audio"]["sampling_rate"]
+        assert g["duration"] == w["duration"]
+        assert g["transcription"] == w["transcription"]
+        assert g["id"] == 0  # files_per_shard=1 -> in-shard index
+    # shard ids come from the file names
+    assert sorted(g["shard"] for g in got.values()) == [0, 1]
+    # empty dir -> explicit error
+    import pytest as _pytest
+
+    (tmp_path / "none").mkdir()
+    with _pytest.raises(FileNotFoundError):
+        read_duckdb_shards(spark, str(tmp_path / "none"))
