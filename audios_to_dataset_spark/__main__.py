@@ -84,6 +84,13 @@ def build_parser() -> argparse.ArgumentParser:
         " payloads to FLAC at the sink (bit-exact recovery; paths get"
         " a .flac extension; non-PCM16 payloads pass through)",
     )
+    p.add_argument(
+        "--from-duckdb",
+        action="store_true",
+        help="engine extension (migration): treat --input as a"
+        " directory of <idx>.duckdb shards (the reference's DuckDB"
+        " output) and convert it to the HF parquet layout",
+    )
     return p
 
 
@@ -99,6 +106,24 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_session
 
     spark = get_session("audios-to-dataset")
+    if args.from_duckdb:
+        if args.format != "parquet":
+            print("error: --from-duckdb converts to parquet only",
+                  file=sys.stderr)
+            return 2
+        from .pipeline import convert_duckdb_to_parquet
+
+        rows = convert_duckdb_to_parquet(
+            spark,
+            args.input,
+            args.output,
+            files_per_shard=args.files_per_db,
+            compression=args.parquet_compression,
+            manifest=args.manifest,
+        )
+        print(f"converted {sum(r.n_rows for r in rows)} rows into "
+              f"{len(rows)} parquet shard(s) at {args.output}")
+        return 0
     receipts = run_pipeline(
         spark,
         args.input,

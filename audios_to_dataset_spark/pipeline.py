@@ -365,6 +365,47 @@ def run_pipeline(
     return rows
 
 
+def convert_duckdb_to_parquet(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    files_per_shard: int = DEFAULT_FILES_PER_SHARD,
+    compression: str = "snappy",
+    manifest: bool = False,
+) -> list:
+    """Migration path: re-shard a directory of reference-written
+    ``<idx>.duckdb`` shards (src/main.rs:797-847 layout) into the HF
+    parquet layout — read through the distributed DuckDB source,
+    re-assign shards deterministically by audio path (the original
+    scan order is not recoverable from the DuckDB layout; path order
+    is the same rule the scanner itself uses), write through the
+    pyarrow HF-footer sink. List-typed metadata arrives as the JSON
+    text the DuckDB sink stored (the reference's own representation)
+    and round-trips as strings. Returns the parquet write receipts."""
+    from .sinks.parquet_shards import write_manifest, write_parquet_shards
+    from .sources.duckdb_source import read_duckdb_shards
+
+    df = read_duckdb_shards(spark, input_dir)
+    meta = [
+        c for c in df.columns if c not in ("shard", "id", "duration", "audio")
+    ]
+    flat = df.select(
+        F.col("audio.path").alias("relative_path"),
+        F.col("audio.bytes").alias("content"),
+        F.col("audio.sampling_rate").alias("sampling_rate"),
+        "duration",
+        *meta,
+    )
+    sharded = assign_shards(flat, files_per_shard)
+    receipts = write_parquet_shards(
+        sharded, output_dir, compression=compression
+    )
+    rows = receipts.collect()
+    if manifest:
+        write_manifest(rows, output_dir)
+    return rows
+
+
 def _read_manifest_rows(output_dir: str) -> list:
     """Prior-manifest lines as receipt-shaped rows ([] if none)."""
     import json

@@ -686,3 +686,36 @@ def test_duckdb_source_roundtrip(spark, tmp_path, audio_dir):
     (tmp_path / "none").mkdir()
     with _pytest.raises(FileNotFoundError):
         read_duckdb_shards(spark, str(tmp_path / "none"))
+
+
+def test_convert_duckdb_to_parquet(spark, tmp_path, audio_dir):
+    """--from-duckdb migration: a DuckDB-shard dataset converts to the
+    HF parquet layout with byte-exact payloads, re-sharded by path,
+    with the HF footer present."""
+    from audios_to_dataset_spark.pipeline import convert_duckdb_to_parquet
+
+    duck_out = str(tmp_path / "duck")
+    run_pipeline(
+        spark, audio_dir, duck_out, output_format="duckdb",
+        files_per_shard=1,
+    )
+    pq_out = str(tmp_path / "pq")
+    rows = convert_duckdb_to_parquet(
+        spark, duck_out, pq_out, files_per_shard=10, manifest=True
+    )
+    assert sum(r.n_rows for r in rows) == 2 and len(rows) == 1
+    back = {
+        r["audio"]["path"]: r for r in spark.read.parquet(pq_out).collect()
+    }
+    assert set(back) == {"sample.wav", "nested/with_path.wav"}
+    originals = {}
+    for root, _dirs, files in os.walk(audio_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            originals[os.path.relpath(p, audio_dir)] = open(p, "rb").read()
+    for p, r in back.items():
+        assert bytes(r["audio"]["bytes"]) == originals[p]
+    # HF footer + manifest made it through
+    meta = _read_shard(pq_out, 0).schema.metadata
+    assert b"huggingface" in meta
+    assert os.path.exists(os.path.join(pq_out, "_manifest.jsonl"))
