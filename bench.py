@@ -248,6 +248,7 @@ def main() -> None:
         "q_zone_map", "q_key_skew_audit", "q_dir_rollup", "q_acf",
         "q_qoi_pixels", "q_audio_aiff", "q_audio_au", "q_exif_scrub",
         "q_audio_vad", "q_class_balance", "q_audio_extensible",
+        "q_gif_anim", "q_image_tiles", "q_audio_zcr", "q_audio_transcode",
     ):
         if name not in queries:
             continue
