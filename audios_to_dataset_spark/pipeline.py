@@ -406,6 +406,32 @@ def convert_duckdb_to_parquet(
     return rows
 
 
+def convert_parquet_to_duckdb(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    files_per_shard: int = DEFAULT_FILES_PER_SHARD,
+) -> list:
+    """The reverse migration: re-shard an HF-parquet dataset (ours or
+    any with the ``audio`` struct + ``duration`` + metadata layout)
+    into the reference's ``<idx>.duckdb`` shard format. Metadata
+    columns are everything beyond (audio, duration); arrays become
+    their JSON text exactly as the reference stores them."""
+    from .sinks.duckdb_sink import write_duckdb_shards
+
+    df = spark.read.parquet(input_dir)
+    meta = [c for c in df.columns if c not in ("audio", "duration")]
+    flat = df.select(
+        F.col("audio.path").alias("relative_path"),
+        F.col("audio.bytes").alias("content"),
+        F.col("audio.sampling_rate").alias("sampling_rate"),
+        "duration",
+        *meta,
+    )
+    sharded = assign_shards(flat, files_per_shard)
+    return write_duckdb_shards(sharded, output_dir).collect()
+
+
 def _read_manifest_rows(output_dir: str) -> list:
     """Prior-manifest lines as receipt-shaped rows ([] if none)."""
     import json

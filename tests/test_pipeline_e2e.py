@@ -719,3 +719,31 @@ def test_convert_duckdb_to_parquet(spark, tmp_path, audio_dir):
     meta = _read_shard(pq_out, 0).schema.metadata
     assert b"huggingface" in meta
     assert os.path.exists(os.path.join(pq_out, "_manifest.jsonl"))
+
+
+def test_convert_parquet_to_duckdb(spark, tmp_path, audio_dir):
+    """Reverse migration: HF parquet shards convert to the reference's
+    DuckDB layout and read back byte-exactly through the source."""
+    from audios_to_dataset_spark.pipeline import convert_parquet_to_duckdb
+    from audios_to_dataset_spark.sources.duckdb_source import (
+        read_duckdb_shards,
+    )
+
+    pq_out = str(tmp_path / "pq")
+    run_pipeline(spark, audio_dir, pq_out, files_per_shard=10)
+    duck_out = str(tmp_path / "duck")
+    rows = convert_parquet_to_duckdb(
+        spark, pq_out, duck_out, files_per_shard=1
+    )
+    assert len(rows) == 2
+    back = {
+        r["audio"]["path"]: r
+        for r in read_duckdb_shards(spark, duck_out).collect()
+    }
+    orig = {
+        r["audio"]["path"]: r for r in spark.read.parquet(pq_out).collect()
+    }
+    assert set(back) == set(orig)
+    for p, r in back.items():
+        assert bytes(r["audio"]["bytes"]) == bytes(orig[p]["audio"]["bytes"])
+        assert r["duration"] == orig[p]["duration"]
