@@ -1215,9 +1215,125 @@ FROM v ORDER BY event_type, lag_k
 """
 
 
+def q_graph_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural health metrics of the behavior-transition graph
+    (the directed event-type graph q_transitions fits probabilities
+    on): RECIPROCITY — the share of directed edges whose reverse edge
+    exists (how two-way the behavior flows are) — and DEGREE
+    ASSORTATIVITY — the Pearson correlation between each edge's
+    source out-degree and target in-degree, from exact decimal
+    moments like q_correlation (degrees are integers, so both engines
+    emit the identical double; constant-degree graphs → NULL, not
+    0/0). Self-loops are excluded (reciprocity is trivially 1 on
+    them). One distinct-edge frame, two tiny degree joins, one
+    semi-join for the reverse-edge test — everything after the first
+    agg scales with the TYPE vocabulary, not events."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev").isNotNull()
+            & (F.col("prev") != F.col("event_type"))
+        )
+        .select(
+            F.col("prev").alias("src"), F.col("event_type").alias("dst")
+        )
+        .distinct()
+    )
+    od = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    idg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("idg"))
+    ed = (
+        edges.join(F.broadcast(od), "src")
+        .join(F.broadcast(idg), "dst")
+    )
+    rev = edges.select(
+        F.col("src").alias("dst"), F.col("dst").alias("src")
+    )
+    n_recip = (
+        edges.join(rev, ["src", "dst"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_reciprocal"))
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        dsum("od").alias("sx"),
+        dsum("idg").alias("sy"),
+        dsum(F.col("od") * F.col("idg")).alias("sxy"),
+        dsum(F.col("od") * F.col("od")).alias("sxx"),
+        dsum(F.col("idg") * F.col("idg")).alias("syy"),
+    )
+    md = F.col("n_edges").cast("double")
+    num = md * F.col("sxy") - F.col("sx") * F.col("sy")
+    va = md * F.col("sxx") - F.col("sx") * F.col("sx")
+    vb = md * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.crossJoin(F.broadcast(n_recip)).select(
+        "n_edges",
+        "n_reciprocal",
+        sround(
+            F.col("n_reciprocal").cast("double")
+            / F.greatest(F.col("n_edges"), F.lit(1)).cast("double"),
+            9,
+        ).alias("reciprocity"),
+        F.when(
+            (va > 0) & (vb > 0),
+            sround(num / (F.sqrt(va) * F.sqrt(vb)), 9),
+        ).alias("assortativity"),
+    )
+
+
+ORACLE_GRAPH_HEALTH = f"""
+WITH p AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+), edges AS (
+  SELECT DISTINCT prev AS src, event_type AS dst
+  FROM p WHERE prev IS NOT NULL AND prev <> event_type
+), od AS (
+  SELECT src, COUNT(*) AS od FROM edges GROUP BY 1
+), idg AS (
+  SELECT dst, COUNT(*) AS idg FROM edges GROUP BY 1
+), ed AS (
+  SELECT e.src, e.dst, od.od, idg.idg
+  FROM edges e JOIN od USING (src) JOIN idg USING (dst)
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         {dsum_sql('od')} AS sx, {dsum_sql('idg')} AS sy,
+         {dsum_sql('od * idg')} AS sxy,
+         {dsum_sql('od * od')} AS sxx,
+         {dsum_sql('idg * idg')} AS syy
+  FROM ed
+), r AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocal
+  FROM edges a
+  WHERE EXISTS (SELECT 1 FROM edges b
+                WHERE b.src = a.dst AND b.dst = a.src)
+), v AS (
+  SELECT n_edges, n_reciprocal,
+         CAST(n_edges AS DOUBLE) * sxy - sx * sy AS num,
+         CAST(n_edges AS DOUBLE) * sxx - sx * sx AS va,
+         CAST(n_edges AS DOUBLE) * syy - sy * sy AS vb
+  FROM m CROSS JOIN r
+)
+SELECT n_edges, n_reciprocal,
+       {sround_sql(
+           "CAST(n_reciprocal AS DOUBLE)"
+           " / CAST(greatest(n_edges, 1) AS DOUBLE)", 9)}
+         AS reciprocity,
+       CASE WHEN va > 0 AND vb > 0
+            THEN {sround_sql('num / (sqrt(va) * sqrt(vb))', 9)}
+       END AS assortativity
+FROM v
+"""
+
+
 QUERIES = {
     "q_changepoint": q_changepoint,
     "q_acf": q_acf,
+    "q_graph_health": q_graph_health,
     "q_scd2": q_scd2,
     "q_ewma": q_ewma,
     "q_lateness": q_lateness,
@@ -1241,6 +1357,7 @@ QUERIES = {
 ORACLES = {
     "q_changepoint": ORACLE_CHANGEPOINT,
     "q_acf": ORACLE_ACF,
+    "q_graph_health": ORACLE_GRAPH_HEALTH,
     "q_scd2": ORACLE_SCD2,
     "q_ewma": _oracle_ewma(),
     "q_lateness": ORACLE_LATENESS,
