@@ -39,6 +39,91 @@ FROM documents GROUP BY sha256(text)
 """
 
 
+def q_dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-induced mixture drift — the audit a data team runs BEFORE
+    shipping a deduped corpus: exact dedup removes rows unevenly
+    across sources (boilerplate-heavy domains lose more), silently
+    reweighting the training mixture. Per source: docs before, min-id
+    keepers after (the q_dedup_exact rule — GLOBAL dedup, so a source
+    keeps a doc only when it holds the minimum id of the duplicate
+    group), shares of the corpus before/after, and the share shift.
+    Shares divide exact integers, identical IEEE on both engines.
+    One hash groupBy + one source groupBy — both map-side combinable;
+    the min-id keeper join moves (hash, keep_id) pairs only."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    keepers = (
+        d.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id")
+    )
+    before = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before")
+    )
+    after = (
+        d.join(keepers, d.doc_id == keepers.keep_id, "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_after"))
+    )
+    tot = before.agg(
+        F.sum("n_before").cast("bigint").alias("tb")
+    )
+    tot_a = after.agg(F.sum("n_after").cast("bigint").alias("ta"))
+    share_b = F.col("n_before").cast("double") / F.col("tb").cast("double")
+    share_a = F.col("n_after").cast("double") / F.col("ta").cast("double")
+    return (
+        before.join(after, "source", "left")
+        .na.fill({"n_after": 0})
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tot_a))
+        .select(
+            "source",
+            "n_before",
+            F.col("n_after").cast("bigint").alias("n_after"),
+            sround(share_b, 9).alias("share_before"),
+            sround(share_a, 9).alias("share_after"),
+            sround(share_a - share_b, 9).alias("share_shift"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DEDUP_MIXTURE_SHIFT = """
+WITH d AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), keep AS (
+  SELECT MIN(doc_id) AS keep_id FROM d GROUP BY sha256(text)
+), b AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before
+  FROM d GROUP BY 1
+), a AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after
+  FROM d WHERE doc_id IN (SELECT keep_id FROM keep)
+  GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n_before) AS BIGINT) AS tb FROM b
+), ta AS (
+  SELECT CAST(SUM(n_after) AS BIGINT) AS ta FROM a
+)
+SELECT b.source, b.n_before,
+       CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+       (round(CAST(b.n_before AS DOUBLE) / CAST(t.tb AS DOUBLE)
+              * 1000000000.0) / 1000000000.0) + 0.0 AS share_before,
+       (round(CAST(COALESCE(a.n_after, 0) AS DOUBLE)
+              / CAST(ta.ta AS DOUBLE)
+              * 1000000000.0) / 1000000000.0) + 0.0 AS share_after,
+       (round((CAST(COALESCE(a.n_after, 0) AS DOUBLE)
+               / CAST(ta.ta AS DOUBLE)
+             - CAST(b.n_before AS DOUBLE) / CAST(t.tb AS DOUBLE))
+              * 1000000000.0) / 1000000000.0) + 0.0 AS share_shift
+FROM b LEFT JOIN a ON b.source = a.source
+CROSS JOIN t CROSS JOIN ta
+ORDER BY b.source
+"""
+
+
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs above 0.2, with the
     stop-shingle frequency cap engaged (the scale guard against
@@ -1621,6 +1706,7 @@ QUERIES = {
     "q_decontaminate_ngram": q_decontaminate_ngram,
     "q_simhash_pairs": q_simhash_pairs,
     "q_dedup_exact": q_dedup_exact,
+    "q_dedup_mixture_shift": q_dedup_mixture_shift,
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_simhash": q_dedup_simhash,
@@ -1647,6 +1733,7 @@ ORACLES = {
     "q_decontaminate_ngram": _oracle_decontaminate(),
     "q_simhash_pairs": _oracle_simhash_pairs(),
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
+    "q_dedup_mixture_shift": ORACLE_DEDUP_MIXTURE_SHIFT,
     "q_dedup_ngram": ORACLE_DEDUP_NGRAM,
     "q_dedup_minhash_lsh": _oracle_minhash(),
     "q_dedup_simhash": _oracle_simhash(),
