@@ -1013,12 +1013,95 @@ FROM per ORDER BY bucket
 """
 
 
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots (doc_id
+    parity split — the deterministic stand-in for old-vs-new ingest
+    batches): per-token chi-square contribution against the pooled
+    expectation, top 15 drifted tokens — the TEXT twin of
+    q_value_drift/q_ks_drift (those watch numeric columns; a text
+    corpus drifts in its vocabulary first). Chi-square needs no
+    logarithms, so every term is IEEE arithmetic on exact integer
+    counts and both engines emit the identical double. One explode +
+    one groupBy with conditional sums (no join between the halves —
+    they are columns of one aggregation), then TakeOrdered top-15."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    toks = d.select(
+        (F.col("doc_id") % 2 == 0).alias("old_half"),
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    per = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("old_half"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(~F.col("old_half"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    tot = per.agg(
+        F.sum("c0").cast("bigint").alias("n0"),
+        F.sum("c1").cast("bigint").alias("n1"),
+    )
+    c0d = F.col("c0").cast("double")
+    c1d = F.col("c1").cast("double")
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    e0 = (c0d + c1d) * n0d / (n0d + n1d)
+    e1 = (c0d + c1d) * n1d / (n0d + n1d)
+    chi2 = (c0d - e0) * (c0d - e0) / e0 + (c1d - e1) * (c1d - e1) / e1
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "c0",
+            "c1",
+            sround(chi2, 6).alias("chi2"),
+        )
+        .orderBy(F.col("chi2").desc(), "token")
+        .limit(15)
+    )
+
+
+ORACLE_TOKEN_DRIFT = """
+WITH toks AS (
+  SELECT doc_id % 2 = 0 AS old_half,
+         unnest(string_split(lower(text), ' ')) AS token
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), per AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN old_half THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN old_half THEN 0 ELSE 1 END) AS BIGINT) AS c1
+  FROM toks WHERE token <> '' GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1
+  FROM per
+), x AS (
+  SELECT token, c0, c1,
+         (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
+           * CAST(n0 AS DOUBLE)
+           / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) AS e0,
+         (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
+           * CAST(n1 AS DOUBLE)
+           / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) AS e1
+  FROM per CROSS JOIN tot
+)
+SELECT token, c0, c1,
+       (round(((CAST(c0 AS DOUBLE) - e0) * (CAST(c0 AS DOUBLE) - e0) / e0
+             + (CAST(c1 AS DOUBLE) - e1) * (CAST(c1 AS DOUBLE) - e1) / e1)
+              * 1000000.0) / 1000000.0) + 0.0 AS chi2
+FROM x
+ORDER BY chi2 DESC, token LIMIT 15
+"""
+
+
 # Iteration order matters: the driver's correctness gate samples the
 # merged query dict in order, so the queries that have never had a
 # driver row (r1-r3 windows covered the first nine) lead —
 # q_inverted_index first (flagged absent from every CORRECTNESS_r* by
 # the r3 review).
 QUERIES = {
+    "q_token_drift": q_token_drift,
     "q_inverted_index": q_inverted_index,
     "q_repetition": q_repetition,
     "q_text_redact": q_text_redact,
@@ -1043,6 +1126,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_token_drift": ORACLE_TOKEN_DRIFT,
     "q_word_count": _oracle_word_count(),
     "q_text_normalize": ORACLE_TEXT_NORMALIZE,
     "q_string_funcs": ORACLE_STRING_FUNCS,
