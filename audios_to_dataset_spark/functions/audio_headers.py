@@ -450,7 +450,13 @@ def synth_au_md5(doc_id: int) -> bytes:
     prefix — the exact fixture discipline of the WAV µ-law family),
     1 → 8-bit signed linear (centered-16-bit samples quantized to
     their high byte), 2 → 16-bit BE (the full centered md5 value).
-    n = 40 + id % 37 samples, rate 8000/16000 by parity, mono."""
+    n = 40 + id % 37 samples, rate 8000/16000 by parity, mono.
+
+    Note: the ``au:`` md5 keyspace is shared with ``wav.synth_wav_md5``
+    (which predates this fixture) — same centered-16-bit value family,
+    different containers and lengths; the oracles each state their own
+    n/rate formulas, so the overlap is harmless and keeps the sample
+    maths uniform across the audio families."""
     import hashlib
 
     import numpy as np
