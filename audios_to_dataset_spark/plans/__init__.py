@@ -98,6 +98,7 @@ _ROTATION_FIRST = (
     "q_key_skew_audit", "q_dir_rollup", "q_class_balance", "q_gif_anim",
     "q_image_tiles", "q_audio_zcr", "q_audio_transcode",
     "q_graph_health", "q_dedup_mixture_shift", "q_token_drift",
+    "q_ab_test",
 )
 
 

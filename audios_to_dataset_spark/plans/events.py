@@ -1330,10 +1330,107 @@ FROM v
 """
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the experiment-readout primitive every
+    product analytics stack runs on event data: users split into arms
+    by id parity (the deterministic stand-in for an assignment
+    service), conversion = "did the user purchase", pooled-variance z
+    statistic and a significance flag at |z| ≥ 1.96. Conversion rates
+    divide exact integers and the z expression is identical IEEE on
+    both engines (sqrt is correctly rounded — the one transcendental
+    this repo trusts); a zero-variance pool (all or none converted)
+    yields NULL, not 0/0. One distinct-user agg per arm, a 2-row
+    broadcast, and scalar math — nothing here scales with events."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    arms = per_user.groupBy(
+        (F.col("user_id") % 2).cast("bigint").alias("arm")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("n0"), F.col("n_converted").alias("c0")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("n1"), F.col("n_converted").alias("c1")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    n0d, c0d = F.col("n0").cast("double"), F.col("c0").cast("double")
+    n1d, c1d = F.col("n1").cast("double"), F.col("c1").cast("double")
+    p0 = c0d / n0d
+    p1 = c1d / n1d
+    pp = (c0d + c1d) / (n0d + n1d)
+    se = F.sqrt(pp * (1.0 - pp) * (1.0 / n0d + 1.0 / n1d))
+    z = F.when(se > 0, (p0 - p1) / se)
+    return j.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        sround(p0, 9).alias("rate_a"),
+        sround(p1, 9).alias("rate_b"),
+        sround(z, 6).alias("z_stat"),
+        # the flag compares the ROUNDED z (same expression the oracle
+        # uses) so no boundary value can flip between engines
+        F.when(se > 0, F.abs(sround(z, 6)) >= 1.96).alias("significant"),
+    )
+
+
+ORACLE_AB_TEST = f"""
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1
+), arms AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM per_user GROUP BY 1
+), j AS (
+  SELECT a.n_users AS n0, a.n_converted AS c0,
+         b.n_users AS n1, b.n_converted AS c1
+  FROM (SELECT * FROM arms WHERE arm = 0) a
+  CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b
+), v AS (
+  SELECT n0, c0, n1, c1,
+         CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+         CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+         (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
+           / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) AS pp
+  FROM j
+), s AS (
+  SELECT *, sqrt(pp * (1.0 - pp)
+                 * (1.0 / CAST(n0 AS DOUBLE)
+                    + 1.0 / CAST(n1 AS DOUBLE))) AS se
+  FROM v
+)
+SELECT n0, c0, n1, c1,
+       {sround_sql('p0', 9)} AS rate_a,
+       {sround_sql('p1', 9)} AS rate_b,
+       CASE WHEN se > 0 THEN {sround_sql('(p0 - p1) / se', 6)} END
+         AS z_stat,
+       CASE WHEN se > 0
+            THEN abs({sround_sql('(p0 - p1) / se', 6)}) >= 1.96 END
+         AS significant
+FROM s
+"""
+
+
 QUERIES = {
     "q_changepoint": q_changepoint,
     "q_acf": q_acf,
     "q_graph_health": q_graph_health,
+    "q_ab_test": q_ab_test,
     "q_scd2": q_scd2,
     "q_ewma": q_ewma,
     "q_lateness": q_lateness,
@@ -1358,6 +1455,7 @@ ORACLES = {
     "q_changepoint": ORACLE_CHANGEPOINT,
     "q_acf": ORACLE_ACF,
     "q_graph_health": ORACLE_GRAPH_HEALTH,
+    "q_ab_test": ORACLE_AB_TEST,
     "q_scd2": ORACLE_SCD2,
     "q_ewma": _oracle_ewma(),
     "q_lateness": ORACLE_LATENESS,
