@@ -1,5 +1,5 @@
-"""Pure-Python FLAC codec (16-bit mono subset of the public FLAC
-format spec, https://xiph.org/flac/format.html).
+"""Pure-Python FLAC codec (16-bit independent-channel subset of the
+public FLAC format spec, https://xiph.org/flac/format.html).
 
 Implemented end-to-end with no third-party codec:
 
@@ -17,9 +17,12 @@ Implemented end-to-end with no third-party codec:
 
 The encoder cycles subframe types per frame (fixed 0/1/2, verbatim) so
 one fixture stream exercises every decode branch; the decoder accepts
-any conforming stream within the subset (mono, 16-bit, constant
-blocksize) and returns ``None`` on anything else — the repo-wide
-keep-with-fallback contract shared with functions/wav.py.
+any conforming stream within the subset (1-8 independent channels,
+16-bit, constant blocksize) and returns ``None`` on anything else —
+the repo-wide keep-with-fallback contract shared with
+functions/wav.py. Stereo decorrelation modes (left/right/mid-side,
+channel codes 8-10) are an optional encoder-side optimization this
+codec neither emits nor accepts.
 
 Analog of the reference's WAV byte-path (``/root/reference/src/main.rs``
 header walk): same decode-don't-trust discipline, applied to the
@@ -185,13 +188,74 @@ def _rice_param(res: np.ndarray) -> int:
 BLOCK = 32  # fixed encoder blocksize — several frames per fixture
 
 
-def encode_flac(samples: np.ndarray, sample_rate: int) -> bytes:
-    """Encode int16 mono samples as a conforming FLAC stream. Frame f's
-    subframe type cycles f % 4: fixed order 0 / 1 / 2 / VERBATIM (a
-    constant-valued block short-circuits to CONSTANT), so multi-frame
-    inputs hit every decode branch."""
+def _write_subframe(bw: _BitWriter, blk: np.ndarray, f: int) -> None:
+    """One int16 channel block as a subframe. Frame f's type cycles
+    f % 4: fixed order 0 / 1 / 2 / VERBATIM (a constant-valued block
+    short-circuits to CONSTANT), so multi-frame inputs hit every
+    decode branch."""
+    if np.all(blk == blk[0]):
+        bw.write(0, 1)
+        bw.write(0b000000, 6)  # CONSTANT
+        bw.write(0, 1)
+        bw.write(int(blk[0]), 16)
+    elif f % 4 == 3:
+        bw.write(0, 1)
+        bw.write(0b000001, 6)  # VERBATIM
+        bw.write(0, 1)
+        for v in blk:
+            bw.write(int(v), 16)
+    else:
+        order = f % 4
+        bw.write(0, 1)
+        bw.write(0b001000 | order, 6)  # FIXED
+        bw.write(0, 1)
+        for v in blk[:order]:
+            bw.write(int(v), 16)
+        res = blk.copy()
+        for _ in range(order):
+            res = np.diff(res)
+        bw.write(0b00, 2)  # Rice method, 4-bit params
+        bw.write(0, 4)  # partition order 0
+        k = _rice_param(res)
+        u = (res << 1) ^ (res >> 63)  # zigzag
+        if int(u.max(initial=0)) >> k > 2 * BLOCK:
+            # escape: raw two's-complement residuals at the
+            # smallest width that fits this block (order-2
+            # residuals reach 19 bits at full 16-bit amplitude)
+            mn = int(res.min(initial=0))
+            mx = int(res.max(initial=0))
+            raw_bits = 1 + max(
+                mx.bit_length(),
+                (-mn - 1).bit_length() if mn < 0 else 0,
+                1,
+            )
+            bw.write(0xF, 4)
+            bw.write(raw_bits, 5)
+            for v in res:
+                bw.write(int(v), raw_bits)
+        else:
+            bw.write(k, 4)
+            for v in u:
+                bw.write_unary(int(v) >> k)
+                bw.write(int(v), k)
+
+
+def encode_flac(
+    samples: np.ndarray, sample_rate: int, channels: int = 1
+) -> bytes:
+    """Encode int16 samples as a conforming FLAC stream. ``samples`` is
+    interleaved for ``channels`` > 1 (the WAV data-chunk layout); each
+    frame carries one independent subframe per channel (channel
+    assignment 0b0000-0b0111 per spec §9.1.3 — no stereo
+    decorrelation, which is an optional encoder optimization). The
+    interleaved length must be a multiple of ``channels``."""
+    if not 1 <= channels <= 8:
+        raise ValueError(f"channels out of range: {channels}")
     s = samples.astype(np.int64)
-    n = s.size
+    if s.size % channels:
+        raise ValueError("interleaved length not a multiple of channels")
+    n = s.size // channels  # inter-channel sample count (spec total)
+    ch = s.reshape(n, channels)
     streaminfo = (
         struct.pack(">HH", BLOCK, BLOCK)
         + b"\x00\x00\x00" * 2  # min/max frame size unknown
@@ -199,9 +263,9 @@ def encode_flac(samples: np.ndarray, sample_rate: int) -> bytes:
             [
                 (sample_rate >> 12) & 0xFF,
                 (sample_rate >> 4) & 0xFF,
-                # 4 low rate bits | 3 bits (channels-1=0) | high bit of
+                # 4 low rate bits | 3 bits (channels-1) | high bit of
                 # (bps-1=15=0b01111) which is 0
-                ((sample_rate & 0xF) << 4) | (0 << 1) | 0,
+                ((sample_rate & 0xF) << 4) | ((channels - 1) << 1) | 0,
                 # 4 low bits of bps-1 | 4 high bits of total samples
                 (0xF << 4) | ((n >> 32) & 0xF),
             ]
@@ -213,64 +277,22 @@ def encode_flac(samples: np.ndarray, sample_rate: int) -> bytes:
     out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
 
     for f, start in enumerate(range(0, n, BLOCK)):
-        blk = s[start : start + BLOCK]
-        bs = blk.size
+        blk = ch[start : start + BLOCK]
+        bs = blk.shape[0]
         hdr = bytearray(b"\xff\xf8")
         # blocksize code 0110 (8-bit-1 follows), rate code 0000 (from
         # STREAMINFO)
         hdr.append(0x60)
-        # channel 0000 (mono), sample size 100 (16-bit), reserved 0
-        hdr.append(0x08)
+        # channel assignment channels-1, sample size 100 (16-bit),
+        # reserved 0
+        hdr.append(((channels - 1) << 4) | 0x08)
         hdr += _utf8_code(f)
         hdr.append(bs - 1)
         hdr.append(_crc8(bytes(hdr)))
 
         bw = _BitWriter()
-        if np.all(blk == blk[0]):
-            bw.write(0, 1)
-            bw.write(0b000000, 6)  # CONSTANT
-            bw.write(0, 1)
-            bw.write(int(blk[0]), 16)
-        elif f % 4 == 3:
-            bw.write(0, 1)
-            bw.write(0b000001, 6)  # VERBATIM
-            bw.write(0, 1)
-            for v in blk:
-                bw.write(int(v), 16)
-        else:
-            order = f % 4
-            bw.write(0, 1)
-            bw.write(0b001000 | order, 6)  # FIXED
-            bw.write(0, 1)
-            for v in blk[:order]:
-                bw.write(int(v), 16)
-            res = blk.copy()
-            for _ in range(order):
-                res = np.diff(res)
-            bw.write(0b00, 2)  # Rice method, 4-bit params
-            bw.write(0, 4)  # partition order 0
-            k = _rice_param(res)
-            u = (res << 1) ^ (res >> 63)  # zigzag
-            if int(u.max(initial=0)) >> k > 2 * BLOCK:
-                # escape: raw two's-complement residuals at the
-                # smallest width that fits this block (order-2
-                # residuals reach 19 bits at full 16-bit amplitude)
-                mn = int(res.min(initial=0))
-                mx = int(res.max(initial=0))
-                raw_bits = 1 + max(
-                    mx.bit_length(),
-                    (-mn - 1).bit_length() if mn < 0 else 0,
-                    1,
-                )
-                bw.write(0xF, 4)
-                bw.write(raw_bits, 5)
-                for v in res:
-                    bw.write(int(v), raw_bits)
-            else:
-                bw.write(k, 4)
-                for v in u:
-                    bw.write_unary(int(v) >> k)
-                    bw.write(int(v), k)
+        for c in range(channels):
+            _write_subframe(bw, blk[:, c], f)
         bw.align()
         frame = bytes(hdr) + bw.bytes()
         out += frame + struct.pack(">H", _crc16(frame))
@@ -288,17 +310,122 @@ _RATE_TBL = {
 }
 
 
+def _read_subframe(br: _BitReader, bs: int) -> np.ndarray | None:
+    """One subframe (CONSTANT / VERBATIM / FIXED 0-4) at 16-bit
+    resolution; None for LPC/reserved types or structural errors."""
+    if br.read(1):
+        return None
+    sub = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.read_unary() + 1
+    if sub == 0:  # CONSTANT
+        v = br.read(16)
+        v -= 1 << 16 if v & 0x8000 else 0
+        blk = np.full(bs, v, dtype=np.int64)
+    elif sub == 1:  # VERBATIM
+        blk = np.empty(bs, dtype=np.int64)
+        for i in range(bs):
+            v = br.read(16)
+            blk[i] = v - (1 << 16) if v & 0x8000 else v
+    elif 8 <= sub <= 12:  # FIXED order 0-4
+        order = sub - 8
+        warm = []
+        for _ in range(order):
+            v = br.read(16)
+            warm.append(v - (1 << 16) if v & 0x8000 else v)
+        method = br.read(2)
+        if method > 1:
+            return None
+        pbits = 4 if method == 0 else 5
+        escape = (1 << pbits) - 1
+        porder = br.read(4)
+        nparts = 1 << porder
+        if bs % nparts or (bs >> porder) <= order and porder:
+            return None
+        res: list[int] = []
+        for p in range(nparts):
+            cnt = (bs >> porder) - (order if p == 0 else 0)
+            k = br.read(pbits)
+            if k == escape:
+                raw_bits = br.read(5)
+                for _ in range(cnt):
+                    v = br.read(raw_bits)
+                    if raw_bits and v & (1 << (raw_bits - 1)):
+                        v -= 1 << raw_bits
+                    res.append(v)
+            else:
+                for _ in range(cnt):
+                    q = br.read_unary()
+                    u = (q << k) | (br.read(k) if k else 0)
+                    res.append((u >> 1) ^ -(u & 1))
+        blk = np.empty(bs, dtype=np.int64)
+        blk[:order] = warm
+        coef = _FIXED_COEF[order]
+        for i in range(order, bs):
+            blk[i] = res[i - order] + sum(
+                c * blk[i - 1 - j] for j, c in enumerate(coef)
+            )
+    else:
+        return None  # LPC and reserved types: out of subset
+    if wasted:
+        blk <<= wasted
+    return blk
+
+
+def flac_stream_info(
+    data: bytes | None,
+) -> tuple[int, int, int, int] | None:
+    """STREAMINFO fields (sample_rate, channels, bits_per_sample,
+    total_inter_channel_samples) from a FLAC stream's mandatory first
+    metadata block; None for non-FLAC/truncated bytes. Pure header
+    walk — no frame decode — so it works on any conforming stream,
+    including ones outside ``decode_flac``'s subset."""
+    try:
+        if not data or len(data) < 42 or data[:4] != b"fLaC":
+            return None
+        pos = 4
+        while True:
+            if pos + 4 > len(data):
+                return None
+            hdr = data[pos]
+            size = int.from_bytes(data[pos + 1 : pos + 4], "big")
+            body = data[pos + 4 : pos + 4 + size]
+            if len(body) < size:
+                return None
+            if hdr & 0x7F == 0:  # STREAMINFO
+                if size < 34:
+                    return None
+                rate = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+                channels = ((body[12] >> 1) & 0x7) + 1
+                bps = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
+                total = ((body[13] & 0xF) << 32) | struct.unpack(
+                    ">I", body[14:18]
+                )[0]
+                return rate, channels, bps, total
+            pos += 4 + size
+            if hdr & 0x80:
+                return None  # last block reached without STREAMINFO
+    except (IndexError, struct.error):
+        return None
+
+
 def decode_flac(data: bytes | None) -> tuple[int, np.ndarray] | None:
-    """Decode a mono 16-bit FLAC stream (constant blocksize) to
-    (sample_rate, int16 samples). Verifies both frame CRCs; returns
-    None for non-FLAC bytes, unsupported layouts (stereo, other bit
-    depths, LPC subframes) or any malformed/truncated structure."""
+    """Decode a 16-bit FLAC stream (constant blocksize, independent
+    channels) to (sample_rate, int16 samples) — interleaved when the
+    stream is multichannel, exactly the WAV data-chunk layout, so
+    ``encode_flac``→``decode_flac`` round-trips bit-exactly for any
+    channel count. Verifies both frame CRCs; returns None for non-FLAC
+    bytes, unsupported layouts (stereo decorrelation modes, other bit
+    depths, LPC subframes) or any malformed/truncated structure. Use
+    ``flac_stream_info`` to recover the channel count."""
     try:
         if not data or len(data) < 42 or data[:4] != b"fLaC":
             return None
         pos = 4
         rate = None
         total = None
+        channels = 1
         # metadata block walk
         while True:
             if pos + 4 > len(data):
@@ -316,7 +443,7 @@ def decode_flac(data: bytes | None) -> tuple[int, np.ndarray] | None:
                 rate = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
                 channels = ((body[12] >> 1) & 0x7) + 1
                 bps = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
-                if channels != 1 or bps != 16:
+                if bps != 16:
                     return None
                 total = ((body[13] & 0xF) << 32) | struct.unpack(
                     ">I", body[14:18]
@@ -343,8 +470,10 @@ def decode_flac(data: bytes | None) -> tuple[int, np.ndarray] | None:
             size_code = br.read(3)
             if br.read(1):
                 return None  # reserved bit must be 0
-            if chan != 0 or size_code != 0b100:
-                return None  # mono 16-bit only
+            if chan != channels - 1 or size_code != 0b100:
+                # independent channels matching STREAMINFO, 16-bit only
+                # (chan codes 8-10 = stereo decorrelation: out of subset)
+                return None
             _read_utf8_code(br)
             if bs_code == 6:
                 bs = br.read(8) + 1
@@ -372,64 +501,18 @@ def decode_flac(data: bytes | None) -> tuple[int, np.ndarray] | None:
                 return None
             br = _BitReader(data, crc_pos + 1)
 
-            # one subframe (mono)
-            if br.read(1):
-                return None
-            sub = br.read(6)
-            wasted = 0
-            if br.read(1):
-                wasted = br.read_unary() + 1
-            if sub == 0:  # CONSTANT
-                v = br.read(16)
-                v -= 1 << 16 if v & 0x8000 else 0
-                blk = np.full(bs, v, dtype=np.int64)
-            elif sub == 1:  # VERBATIM
-                blk = np.empty(bs, dtype=np.int64)
-                for i in range(bs):
-                    v = br.read(16)
-                    blk[i] = v - (1 << 16) if v & 0x8000 else v
-            elif 8 <= sub <= 12:  # FIXED order 0-4
-                order = sub - 8
-                warm = []
-                for _ in range(order):
-                    v = br.read(16)
-                    warm.append(v - (1 << 16) if v & 0x8000 else v)
-                method = br.read(2)
-                if method > 1:
+            # one independent subframe per channel
+            ch_blocks = []
+            for _c in range(channels):
+                blk = _read_subframe(br, bs)
+                if blk is None:
                     return None
-                pbits = 4 if method == 0 else 5
-                escape = (1 << pbits) - 1
-                porder = br.read(4)
-                nparts = 1 << porder
-                if bs % nparts or (bs >> porder) <= order and porder:
-                    return None
-                res: list[int] = []
-                for p in range(nparts):
-                    cnt = (bs >> porder) - (order if p == 0 else 0)
-                    k = br.read(pbits)
-                    if k == escape:
-                        raw_bits = br.read(5)
-                        for _ in range(cnt):
-                            v = br.read(raw_bits)
-                            if raw_bits and v & (1 << (raw_bits - 1)):
-                                v -= 1 << raw_bits
-                            res.append(v)
-                    else:
-                        for _ in range(cnt):
-                            q = br.read_unary()
-                            u = (q << k) | (br.read(k) if k else 0)
-                            res.append((u >> 1) ^ -(u & 1))
-                blk = np.empty(bs, dtype=np.int64)
-                blk[:order] = warm
-                coef = _FIXED_COEF[order]
-                for i in range(order, bs):
-                    blk[i] = res[i - order] + sum(
-                        c * blk[i - 1 - j] for j, c in enumerate(coef)
-                    )
-            else:
-                return None  # LPC and reserved types: out of subset
-            if wasted:
-                blk <<= wasted
+                ch_blocks.append(blk)
+            blk = (
+                np.stack(ch_blocks, axis=1).reshape(-1)
+                if channels > 1
+                else ch_blocks[0]
+            )
 
             br.align()
             end = br.tell()
@@ -448,9 +531,11 @@ def decode_flac(data: bytes | None) -> tuple[int, np.ndarray] | None:
         samples = (
             np.concatenate(out) if out else np.empty(0, dtype=np.int16)
         )
-        if total is not None and samples.size < total:
+        if total is not None and samples.size < total * channels:
             return None
-        return rate, samples[: total if total else samples.size]
+        return rate, samples[
+            : total * channels if total else samples.size
+        ]
     except (EOFError, ValueError, IndexError, struct.error):
         return None
 

@@ -767,7 +767,8 @@ def _afp_sample(key: str) -> int:
 def synth_wav_group(doc_id: int) -> bytes:
     """Deterministic near-dup PCM16 WAV: 1040 samples, base sample i =
     md5('af:{g}:{i}') with g = doc_id % AFP_GROUPS; the doc's one
-    perturbed window ((doc_id // groups) % 33) is re-synthesized from
+    perturbed window ((doc_id // groups) % AFP_WINDOWS (65)) is
+    re-synthesized from
     md5('afp:{doc_id}:{i}') — both formulas a DuckDB oracle replays."""
     g = doc_id % AFP_GROUPS
     pwin = (doc_id // AFP_GROUPS) % AFP_WINDOWS
@@ -821,6 +822,50 @@ def wav_pcm16_samples(data: bytes | None):
         return np.frombuffer(
             data, dtype="<i2", count=body_len // 2, offset=body_off
         )
+    except Exception:
+        return None
+
+
+def wav_pcm16_frames(data: bytes | None):
+    """(interleaved int16 samples, sample_rate, channels) from a
+    16-bit linear PCM WAV, or None. Same RIFF walk as
+    ``wav_pcm16_samples`` but keeps the fmt chunk's channel count and
+    rate so channel-preserving consumers (FLAC transcode) don't
+    collapse multichannel audio to mono. Trailing bytes that don't
+    fill a whole inter-channel frame are dropped."""
+    import numpy as np
+
+    try:
+        if data is None or len(data) < 12 or data[0:4] != b"RIFF" \
+                or data[8:12] != b"WAVE":
+            return None
+        pos = 12
+        tag = bits = ch = sr = 0
+        body_off = -1
+        body_len = 0
+        n = len(data)
+        while pos + 8 <= n:
+            cid = data[pos : pos + 4]
+            (csize,) = struct.unpack_from("<I", data, pos + 4)
+            body = pos + 8
+            if cid == b"fmt " and body + 16 <= n:
+                (tag, ch, sr, _br, _ba, bits) = struct.unpack_from(
+                    "<HHIIHH", data, body
+                )
+            elif cid == b"data":
+                body_off = body
+                body_len = min(csize, n - body)
+            pos = body + csize + (csize & 1)
+        if tag != 1 or bits != 16 or body_off < 0 or body_len < 2 \
+                or not 1 <= ch <= 8 or sr <= 0:
+            return None
+        frames = body_len // (2 * ch)
+        if frames == 0:
+            return None
+        s = np.frombuffer(
+            data, dtype="<i2", count=frames * ch, offset=body_off
+        )
+        return s, sr, ch
     except Exception:
         return None
 

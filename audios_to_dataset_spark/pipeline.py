@@ -197,8 +197,13 @@ def _transcode_wav_to_flac(df):
     dataset's footprint with bit-exact recovery, proven end-to-end by
     q_audio_transcode and test_transcode_flac_pipeline). Non-PCM16 or
     unparseable payloads pass through untouched (keep-with-fallback);
-    transcoded rows get a ``.flac`` path extension so readers dispatch
-    the right decoder. One Arrow-batched map stage — no shuffle."""
+    transcoded rows get a ``.flac`` path extension (replacing a
+    ``.wav``/``.wave`` suffix, appended otherwise) so extension-based
+    reader dispatch always sees the real payload format. Channel
+    count is carried through (interleaved samples + the fmt chunk's
+    channel count into FLAC independent-channel subframes), so stereo
+    and multichannel WAVs round-trip bit-exactly. One Arrow-batched
+    map stage — no shuffle."""
     import re as _re
 
     import pandas as pd
@@ -206,7 +211,7 @@ def _transcode_wav_to_flac(df):
     from pyspark.sql.functions import pandas_udf
 
     from .functions.flac import encode_flac
-    from .functions.wav import parse_wav_header, wav_pcm16_samples
+    from .functions.wav import wav_pcm16_frames
 
     out_t = T.StructType(
         [
@@ -220,18 +225,21 @@ def _transcode_wav_to_flac(df):
         new_c, new_p = [], []
         for b, p in zip(content, path):
             bb = bytes(b) if b is not None else None
-            s = wav_pcm16_samples(bb)
-            _dur, sr = parse_wav_header(bb)
-            if s is None or sr <= 0:
+            parsed = wav_pcm16_frames(bb)
+            if parsed is None:
                 new_c.append(bb)
                 new_p.append(p)
                 continue
-            new_c.append(encode_flac(s, sr))
-            new_p.append(
-                _re.sub(r"\.wav$", ".flac", p, flags=_re.IGNORECASE)
-                if p is not None
-                else p
-            )
+            s, sr, ch = parsed
+            new_c.append(encode_flac(s, sr, channels=ch))
+            if p is None:
+                new_p.append(p)
+            elif _re.search(r"\.wave?$", p, flags=_re.IGNORECASE):
+                new_p.append(
+                    _re.sub(r"\.wave?$", ".flac", p, flags=_re.IGNORECASE)
+                )
+            else:
+                new_p.append(p + ".flac")
         return pd.DataFrame({"content": new_c, "relative_path": new_p})
 
     t = _tc(F.col("content"), F.col("relative_path"))

@@ -45,40 +45,22 @@ def _modules():
             curation, relational, relational2)
 
 
-# ROUND 6 rotation (VERDICT r5 item 1): the 53 queries absent from every
-# CORRECTNESS_r01..r05 file, front-loaded so the driver's first-50 window
-# finally covers them. Positions 1-50 are the frozen r6 window — the
-# round-5 flagship media/codec additions first (q_jpeg_pixels,
-# q_mjpeg_frames, the q_audio_* codec family, the PNG/GIF variants,
-# q_image_headers, q_dedup_embedding_recall), then the events / textops /
-# relational remainder. Positions 51-53 are the three stragglers
-# carried to the ROUND 7 head — chosen because each has an already
-# driver-checked analog (q_common_prefix ~ q_agg_minmax r1,
-# q_path_rewrite ~ q_project_normalize r1, q_dense_rank ~
-# q_window_rownum r1). New round-6 queries append AFTER the stragglers
-# (they join the r7 head); do not reorder or insert ahead of position 53
-# until CORRECTNESS_r06.json lands.
+# ROUND 7 rotation (VERDICT r6 item 1): CORRECTNESS_r01..r06 covers 247 of
+# the 311 declared queries; the 64 never-checked remainders are front-loaded
+# here so the driver's first-50 window covers 50 of them this round.
+# Positions 1-50 are the frozen r7 window — the round-6 flagship codec /
+# analytics additions (q_jpeg_progressive, q_media_null_content,
+# q_flac_decode, q_qoi_pixels, q_gif_anim, q_dbscan, q_split_assign, ...).
+# Positions 51-64 are the 14 stragglers carried to the ROUND 8 head — chosen
+# as the tail because each has an already driver-checked analog or sibling
+# (q_exif_scrub ~ q_jpeg_pixels r6, q_audio_vad/q_audio_zcr ~ the r6
+# q_audio_* family, q_dir_rollup ~ q_agg_count r1, q_token_drift ~
+# q_value_drift r6, ...). New round-7 queries append AFTER position 64
+# (they join the r8 head); do not reorder or insert ahead of position 64
+# until CORRECTNESS_r07.json lands.
 _ROTATION_FIRST = (
-    # --- r6 driver window (positions 1-50) ---
-    "q_jpeg_pixels", "q_mjpeg_frames", "q_dedup_embedding_recall",
-    "q_audio_alaw", "q_audio_pcm8", "q_audio_float32", "q_png_palette",
-    "q_png_16bit", "q_audio_adpcm", "q_gif_interlace", "q_audio_resample",
-    "q_audio_downmix", "q_image_headers", "q_audio_trim",
-    "q_gap_fill", "q_anomaly_zscore", "q_rolling_sum", "q_event_sequence",
-    "q_transitions", "q_session_window", "q_map_funcs", "q_value_drift",
-    "q_burstiness", "q_stream_hll", "q_stream_outer_join", "q_stream_drift",
-    "q_text_redact", "q_stopword_strip", "q_vocab", "q_tfidf",
-    "q_token_diversity", "q_bigram_pmi", "q_chunk_dedup", "q_quality_filter",
-    "q_source_dedup", "q_mixture_plan",
-    "q_dup_spans", "q_cdc_chunks", "q_ngram_novelty", "q_sparse_cosine",
-    "q_lsh_recall_text",
-    "q_global_shuffle", "q_dataset_card", "q_k_anonymity", "q_l_diversity",
-    "q_full_outer", "q_variant_extract", "q_large_orders",
-    "q_window_dist", "q_unpivot",
-    # --- r7 head (positions 51+): the three stragglers, then any
-    # round-6 additions appended below ---
+    # --- r7 driver window (positions 1-50) ---
     "q_common_prefix", "q_path_rewrite", "q_dense_rank",
-    # round-6 additions (never driver-checked yet):
     "q_jpeg_progressive", "q_media_null_content",
     "q_decontaminate_ngram", "q_bfs_hops", "q_rle_frames",
     "q_audio_normalize", "q_link_predict", "q_hll_overlap",
@@ -94,7 +76,10 @@ _ROTATION_FIRST = (
     "q_coreset", "q_changepoint", "q_tiff_pixels", "q_webp_pixels",
     "q_qoi_pixels", "q_acf", "q_audio_aiff", "q_audio_au",
     "q_audio_extensible", "q_zone_map", "q_url_dedup", "q_html_strip",
-    "q_pii_audit", "q_sole_offender", "q_exif_scrub", "q_audio_vad",
+    "q_pii_audit",
+    # --- r8 head (positions 51+): the 14 stragglers, then any
+    # round-7 additions appended below ---
+    "q_sole_offender", "q_exif_scrub", "q_audio_vad",
     "q_key_skew_audit", "q_dir_rollup", "q_class_balance", "q_gif_anim",
     "q_image_tiles", "q_audio_zcr", "q_audio_transcode",
     "q_graph_health", "q_dedup_mixture_shift", "q_token_drift",

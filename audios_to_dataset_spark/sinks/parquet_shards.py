@@ -245,6 +245,10 @@ def read_pruned(
     path = os.path.join(output_dir, MANIFEST_NAME)
     with open(path) as f:
         entries = [json.loads(line) for line in f if line.strip()]
+    if not entries:
+        # zero-entry manifest (zero-shard write): same contract as no
+        # manifest at all — caller falls back to a full read + filter
+        raise FileNotFoundError(f"manifest at {path} has no entries")
     lo = float("-inf") if min_duration is None else min_duration
     hi = float("inf") if max_duration is None else max_duration
     keep = [

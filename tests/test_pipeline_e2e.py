@@ -599,41 +599,86 @@ def test_read_pruned_skips_shards(spark, tmp_path):
     with _pytest.raises(FileNotFoundError):
         read_pruned(spark, str(tmp_path / "bare"))
 
+    # a manifest that exists but has zero entries behaves like no
+    # manifest (FileNotFoundError, not IndexError)
+    (tmp_path / "zero").mkdir()
+    from audios_to_dataset_spark.sinks.parquet_shards import MANIFEST_NAME
+
+    (tmp_path / "zero" / MANIFEST_NAME).write_text("")
+    with _pytest.raises(FileNotFoundError):
+        read_pruned(spark, str(tmp_path / "zero"))
+
 
 def test_transcode_flac_pipeline(spark, tmp_path, audio_dir):
     """--transcode-flac: shards carry FLAC payloads that decode back to
-    the EXACT original PCM, paths are rewritten to .flac, duration and
-    sampling_rate survive, and incremental+transcode is refused."""
+    the EXACT original PCM (interleaved, channel count preserved —
+    stereo declared stereo, not mono-with-doubled-duration), paths are
+    rewritten/appended to .flac for every transcoded payload
+    regardless of input suffix, and incremental+transcode is
+    refused."""
+    import struct as _struct
+
     import numpy as np
     import pytest as _pytest
 
-    from audios_to_dataset_spark.functions.flac import decode_flac
-    from audios_to_dataset_spark.functions.wav import wav_pcm16_samples
+    from audios_to_dataset_spark.functions.flac import (
+        decode_flac,
+        flac_stream_info,
+    )
+    from audios_to_dataset_spark.functions.wav import wav_pcm16_frames
+
+    def _pcm16_wav(sr, ch, frames, seed):
+        rng = np.random.RandomState(seed)
+        body = rng.randint(-32768, 32768, frames * ch).astype("<i2")
+        data = body.tobytes()
+        fmt = _struct.pack("<HHIIHH", 1, ch, sr, sr * 2 * ch, 2 * ch, 16)
+        riff = (
+            b"WAVE"
+            + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + _struct.pack("<I", len(riff)) + riff
+
+    d = tmp_path / "audio_tc"
+    d.mkdir()
+    stereo = _pcm16_wav(8000, 2, 1600, seed=3)  # 0.2 s stereo
+    quad = _pcm16_wav(16000, 4, 800, seed=4)
+    (d / "stereo.wav").write_bytes(stereo)
+    (d / "alt_suffix.wave").write_bytes(quad)
+    # PCM16 payload with a non-audio suffix: still transcoded, and the
+    # .flac suffix is APPENDED so reader dispatch stays truthful
+    (d / "payload.bin").write_bytes(_pcm16_wav(22050, 1, 500, seed=5))
+    mono = synth_wav(sample_rate=16_000)
+    (d / "mono.wav").write_bytes(mono)
 
     out = str(tmp_path / "out")
     run_pipeline(
-        spark, audio_dir, out, files_per_shard=10, transcode_flac=True
+        spark, str(d), out, files_per_shard=10, transcode_flac=True
     )
     rows = spark.read.parquet(out).collect()
-    assert len(rows) == 2
-    originals = {}
-    for root, _dirs, files in os.walk(audio_dir):
-        for f in files:
-            p = os.path.join(root, f)
-            originals[os.path.relpath(p, audio_dir)] = open(p, "rb").read()
-    for r in rows:
-        path = r["audio"]["path"]
-        assert path.endswith(".flac")
-        src = originals[path[: -len(".flac")] + ".wav"]
-        want = wav_pcm16_samples(src)
-        got = decode_flac(bytes(r["audio"]["bytes"]))
+    by_path = {r["audio"]["path"]: r for r in rows}
+    assert set(by_path) == {
+        "stereo.flac", "alt_suffix.flac", "payload.bin.flac", "mono.flac"
+    }
+    originals = {
+        "stereo.flac": stereo,
+        "alt_suffix.flac": quad,
+        "payload.bin.flac": (d / "payload.bin").read_bytes(),
+        "mono.flac": mono,
+    }
+    for path, r in by_path.items():
+        want, sr, ch = wav_pcm16_frames(originals[path])
+        blob = bytes(r["audio"]["bytes"])
+        info = flac_stream_info(blob)
+        assert info is not None and info[1] == ch and info[2] == 16
+        got = decode_flac(blob)
         assert got is not None
-        assert got[0] == r["audio"]["sampling_rate"]
+        assert got[0] == sr == r["audio"]["sampling_rate"]
         assert np.array_equal(got[1], want)
         assert r["duration"] > 0
     with _pytest.raises(ValueError, match="incremental"):
         run_pipeline(
-            spark, audio_dir, out, transcode_flac=True, incremental=True
+            spark, str(d), out, transcode_flac=True, incremental=True
         )
 
 
