@@ -314,15 +314,62 @@ def _make_planes(
 
 PLANES = _make_planes()
 
-# Plane set for the k-NN graph build (q_knn_graph / q_ann_recall):
-# 8 tables × 5 planes (32 buckets/table). Same total candidate budget as
-# 4×4 (sum(bucket²) ≈ equal) but 3× the measured recall@3 at sf0.1
-# (0.667 vs 0.2) — more tables buys recall, more planes/table bounds
-# bucket SIZE (candidate pairs grow with sum(bucket²), so planes per
-# table must scale ~log2(N / target_bucket_size) as N grows; the 4×4
-# config stays for per-query serving probes where per-query cost is one
-# bucket, and for the near-dup threshold path whose oracle pins it).
-KNN_PLANES = _make_planes(n_tables=8, n_planes=5, seed=11)
+# Plane family for the k-NN graph build (q_knn_graph / q_ann_recall /
+# q_kcore / q_link_predict / q_label_noise): 8 tables, planes-per-table
+# AUTO-SCALED from the corpus row count (VERDICT r6 item 2 — the fixed
+# 8×5 dial was correct at gate scale but quadratic-by-construction as N
+# grew; BENCH r6 measured 56 s fixed vs 13.6 s scaled at sf1). The rule
+# is the documented one — planes ≈ log2(N / target_bucket_size) — made
+# integer-exact so Spark and DuckDB can never diverge by a ulp:
+#
+#   m = ceil(N / KNN_TARGET_BUCKET);  P = clamp(bit_length(m - 1), 4, 12)
+#
+# i.e. the smallest P with 2^P buckets/table holding ≤ TARGET rows each
+# on average, floored at 4 (recall floor for tiny corpora) and capped at
+# 12 (4096 buckets/table; beyond that, re-seed more tables instead).
+# N = 2000 (sf0.1) gives P = 5 — exactly the hand-tuned r5 value — and
+# N = 20000 (the ×10 smoke) gives P = 9, the twin that measured 13.6 s.
+# All P planes are a PREFIX of one seeded 12-plane family, so both
+# engines slice the same vectors (SQL: substr of the 12-bit sign
+# string). More tables buys recall, more planes/table bounds bucket
+# SIZE (candidate pairs grow with sum(bucket²)); the 4×4 config stays
+# for per-query serving probes where per-query cost is one bucket, and
+# for the near-dup threshold path whose oracle pins it.
+KNN_TABLES = 8
+KNN_MIN_PLANES = 4
+KNN_MAX_PLANES = 12
+KNN_TARGET_BUCKET = 64
+KNN_PLANES_FULL = _make_planes(
+    n_tables=KNN_TABLES, n_planes=KNN_MAX_PLANES, seed=11
+)
+
+
+def knn_n_planes(n_rows: int) -> int:
+    """Planes per table for a corpus of ``n_rows``: the smallest P with
+    avg bucket size ≤ KNN_TARGET_BUCKET, clamped to [4, 12]. Integer
+    arithmetic only — ``knn_nplanes_sql`` is the DuckDB twin."""
+    m = (max(int(n_rows), 0) + KNN_TARGET_BUCKET - 1) // KNN_TARGET_BUCKET
+    raw = (m - 1).bit_length() if m > 1 else 0
+    return max(KNN_MIN_PLANES, min(KNN_MAX_PLANES, raw))
+
+
+def knn_planes(n_rows: int) -> list[list[list[float]]]:
+    """The first ``knn_n_planes(n_rows)`` planes of each table — the
+    prefix-slice the SQL twin mirrors with substr()."""
+    p = knn_n_planes(n_rows)
+    return [t[:p] for t in KNN_PLANES_FULL]
+
+
+def knn_nplanes_sql(count_from: str = "embeddings") -> str:
+    """DuckDB scalar twin of ``knn_n_planes`` over ``count_from``'s
+    row count: bit_length(x) = length(bin(x)) for x >= 1, integer
+    division for the ceil — bit-identical to the Python rule."""
+    return (
+        f"SELECT GREATEST({KNN_MIN_PLANES}, LEAST({KNN_MAX_PLANES}, "
+        "CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END)) AS p "
+        f"FROM (SELECT (count(*) + {KNN_TARGET_BUCKET - 1}) "
+        f"// {KNN_TARGET_BUCKET} AS m FROM {count_from})"
+    )
 
 
 # Plane set for the embedding-DEDUP path (q_dedup_embedding + its

@@ -276,29 +276,44 @@ ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
 KNN_K = 3
 
 
+def _knn_planes_for(em: DataFrame) -> list[list[list[float]]]:
+    """Auto-scaled plane set for the k-NN graph family: one cheap
+    count() picks planes-per-table via the integer log2 rule in
+    plans/dedup (knn_n_planes) — the plan adapts to corpus size
+    instead of carrying a hand-dialed bucket count to 100×."""
+    from .dedup import knn_planes
+
+    return knn_planes(em.count())
+
+
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN graph over the embedding table (top-3 neighbors
     per vector among LSH bucket-mates) — see operators/similarity.
-    knn_graph. The build step every graph-ANN index runs. Uses KNN_PLANES
-    = _make_planes(n_tables=8, n_planes=5) → 32 buckets per table across
-    8 tables (deliberately tuned in commit 9d921cb — 5 planes, not 8):
+    knn_graph. The build step every graph-ANN index runs. 8 tables,
+    planes-per-table auto-scaled from the corpus row count
+    (plans/dedup.knn_n_planes: P ≈ log2(N / 64), clamped to [4, 12]) —
     the all-pairs graph build must keep bucket SIZE bounded (candidates
-    ~ sum(bucket²) per table), unlike the per-query serving probe which
-    keeps the coarser PLANES."""
+    ~ sum(bucket²) per table, so fixed planes go quadratic as N grows),
+    unlike the per-query serving probe which keeps the coarser
+    PLANES."""
     from ..operators.similarity import knn_graph
-    from .dedup import KNN_PLANES
 
     em = load(spark, sf_dir, "embeddings")
-    return knn_graph(em, KNN_PLANES, k=KNN_K).orderBy("src", "rank")
+    planes = _knn_planes_for(em)
+    return knn_graph(em, planes, k=KNN_K).orderBy("src", "rank")
 
 
 def _knn_graph_sql_body() -> str:
     """The k-NN-graph oracle minus its final ORDER BY — reusable as a
-    CTE base by downstream graph oracles (q_kcore in plans/sketches)."""
-    from .dedup import KNN_PLANES, _plane_sql
+    CTE base by downstream graph oracles (q_kcore in plans/sketches).
+    Buckets mirror the auto-scaled plane rule: all 12 family planes'
+    sign bits are concatenated, then substr() keeps the first P where
+    P comes from the knn_nplanes_sql row-count twin — the same prefix
+    slice the Spark side takes."""
+    from .dedup import KNN_PLANES_FULL, _plane_sql, knn_nplanes_sql
 
     bucket_rows = []
-    for t, planes in enumerate(KNN_PLANES):
+    for t, planes in enumerate(KNN_PLANES_FULL):
         bits = " || ".join(
             "(CASE WHEN list_sum(list_transform(range(1, len(e) + 1), "
             f"i -> e[i] * ({_plane_sql(p)})[i])) >= 0 "
@@ -306,13 +321,18 @@ def _knn_graph_sql_body() -> str:
             for p in planes
         )
         bucket_rows.append(
-            f"  SELECT vec_id, '{t}:' || {bits} AS bucket FROM v"
+            f"  SELECT vec_id, '{t}:' || substr({bits}, 1, "
+            "(SELECT p FROM knn_np)) AS bucket FROM v"
         )
     buckets = "\n  UNION ALL\n".join(bucket_rows)
     # unit-vector dot, mirroring knn_graph's pre-normalized scoring
     cos = "list_sum(list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i]))"
     return f"""
-WITH v AS (
+WITH knn_np AS (
+  -- auto-scaled planes-per-table from the raw row count
+  -- (plans/dedup.knn_nplanes_sql, integer twin of knn_n_planes)
+  {knn_nplanes_sql("embeddings")}
+), v AS (
   -- dirty-row exclusion mirrors knn_graph: NULL ids/vectors and
   -- zero-norm vectors are dropped (operator filters _n > 0)
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -353,10 +373,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores, linear); approx side: the same knn_graph plan restricted to
     the probes. Recall is an exact integer ratio."""
     from ..operators.similarity import knn_graph
-    from .dedup import KNN_PLANES as PLANES
 
     probe_ids = list(range(5))
     em = load(spark, sf_dir, "embeddings")
+    PLANES = _knn_planes_for(em)
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     v = em.select("vec_id", e.alias("e"))
     probes = v.filter(F.col("vec_id").isin(probe_ids)).select(
@@ -461,13 +481,12 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..operators.similarity import knn_graph
-    from .dedup import KNN_PLANES
 
     em = load(spark, sf_dir, "embeddings")
     lab = em.filter(
         F.col("vec_id").isNotNull() & F.col("label").isNotNull()
     ).select("vec_id", F.col("label").cast("int").alias("label"))
-    g = knn_graph(em, KNN_PLANES, k=KNN_K).select("src", "dst")
+    g = knn_graph(em, _knn_planes_for(em), k=KNN_K).select("src", "dst")
     votes = (
         g.join(
             lab.select(

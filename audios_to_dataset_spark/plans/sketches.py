@@ -858,12 +858,11 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join's two branches."""
     from ..operators.graph import k_core_peel
     from ..operators.similarity import knn_graph
-    from .dedup import KNN_PLANES
-    from .similarity import KNN_K
+    from .similarity import KNN_K, _knn_planes_for
 
     em = load(spark, sf_dir, "embeddings")
     g = (
-        knn_graph(em, KNN_PLANES, k=KNN_K)
+        knn_graph(em, _knn_planes_for(em), k=KNN_K)
         .select("src", "dst")
         .localCheckpoint(eager=True)
     )
@@ -928,12 +927,11 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_triangle_count's wedge walk.
     """.format(mc=LINK_MIN_COMMON)
     from ..operators.similarity import knn_graph
-    from .dedup import KNN_PLANES
-    from .similarity import KNN_K
+    from .similarity import KNN_K, _knn_planes_for
 
     em = load(spark, sf_dir, "embeddings")
     g = (
-        knn_graph(em, KNN_PLANES, k=KNN_K)
+        knn_graph(em, _knn_planes_for(em), k=KNN_K)
         .select("src", "dst")
         .localCheckpoint(eager=True)
     )

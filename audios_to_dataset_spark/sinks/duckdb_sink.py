@@ -96,9 +96,13 @@ def write_duckdb_shards(df: DataFrame, output_dir: str) -> DataFrame:
         pdf = pdf.sort_values("row_in_shard").reset_index(drop=True)
         shard = int(pdf["shard"].iloc[0])
         out_path = os.path.join(output_dir, f"{shard}.duckdb")
-        if os.path.exists(out_path):  # S12 idempotent replace
-            os.remove(out_path)
-        con = duckdb.connect(out_path)
+        # S12 idempotent replace, made ATOMIC: build the database at
+        # <name>.tmp and os.replace into place — no reader of a live
+        # output dir ever sees a half-written shard file.
+        tmp_path = out_path + ".tmp"
+        if os.path.exists(tmp_path):
+            os.remove(tmp_path)
+        con = duckdb.connect(tmp_path)
         try:
             con.execute(ddl)
             payload = pdf.rename(columns={"row_in_shard": "id"})
@@ -117,6 +121,11 @@ def write_duckdb_shards(df: DataFrame, output_dir: str) -> DataFrame:
             con.execute("COMMIT")
         finally:
             con.close()
+        try:
+            os.replace(tmp_path, out_path)
+        finally:
+            if os.path.exists(tmp_path):
+                os.remove(tmp_path)
         return pd.DataFrame(
             {"shard": [shard], "n_rows": [len(pdf)], "out_path": [out_path]}
         )

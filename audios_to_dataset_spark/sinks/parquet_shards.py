@@ -79,6 +79,26 @@ def hf_features_json(meta_fields: list[tuple[str, T.DataType]]) -> str:
     return json.dumps({"info": {"features": features}})
 
 
+def atomic_write_table(table: pa.Table, out_path: str, codec: str) -> None:
+    """S12 idempotent shard replace, made ATOMIC: write to
+    ``<name>.tmp`` and ``os.replace`` into place (the same courtesy the
+    manifest gets) — a reader of a live output dir can never observe a
+    torn shard, a failed write leaves the previous shard intact, and a
+    task retry just re-replaces."""
+    tmp_path = out_path + ".tmp"
+    try:
+        pq.write_table(
+            table,
+            tmp_path,
+            compression=codec,
+            row_group_size=ROW_GROUP_SIZE,
+        )
+        os.replace(tmp_path, out_path)
+    finally:
+        if os.path.exists(tmp_path):
+            os.remove(tmp_path)
+
+
 def write_parquet_shards(
     df: DataFrame,
     output_dir: str,
@@ -146,14 +166,7 @@ def write_parquet_shards(
                 pa.array(pdf[n], _arrow_type(dt), from_pandas=True)
             )
         table = pa.Table.from_arrays(cols, schema=arrow_schema)
-        if os.path.exists(out_path):  # S12 idempotent replace
-            os.remove(out_path)
-        pq.write_table(
-            table,
-            out_path,
-            compression=codec,
-            row_group_size=ROW_GROUP_SIZE,
-        )
+        atomic_write_table(table, out_path, codec)
         dur = pdf["duration"].astype("float64")
         return pd.DataFrame(
             {

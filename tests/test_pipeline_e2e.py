@@ -682,6 +682,45 @@ def test_transcode_flac_pipeline(spark, tmp_path, audio_dir):
         )
 
 
+def test_atomic_shard_write_never_torn(tmp_path, monkeypatch):
+    """Kill the parquet write mid-shard: the output dir must never show
+    a torn <idx>.parquet — the previous shard survives untouched, the
+    .tmp is cleaned up, and a retry lands the new bytes atomically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from audios_to_dataset_spark.sinks import parquet_shards as ps
+
+    out = tmp_path / "0.parquet"
+    t_old = pa.table({"x": [1, 2, 3]})
+    ps.atomic_write_table(t_old, str(out), "snappy")
+    old_bytes = out.read_bytes()
+
+    t_new = pa.table({"x": [9, 9, 9, 9]})
+    real_write = pq.write_table
+
+    def _dying_write(table, where, **kw):
+        # write a real (torn) prefix, then die — the half-written bytes
+        # must only ever exist at the .tmp path
+        real_write(table, where, **kw)
+        with open(where, "r+b") as f:
+            f.truncate(10)
+        raise OSError("simulated mid-write crash")
+
+    monkeypatch.setattr(ps.pq, "write_table", _dying_write)
+    with _pytest.raises(OSError, match="simulated"):
+        ps.atomic_write_table(t_new, str(out), "snappy")
+    assert out.read_bytes() == old_bytes  # previous shard intact
+    assert not (tmp_path / "0.parquet.tmp").exists()  # tmp cleaned
+    assert pq.read_table(str(out)).num_rows == 3
+
+    monkeypatch.setattr(ps.pq, "write_table", real_write)
+    ps.atomic_write_table(t_new, str(out), "snappy")
+    assert pq.read_table(str(out)).column("x").to_pylist() == [9, 9, 9, 9]
+    assert not (tmp_path / "0.parquet.tmp").exists()
+
+
 def test_duckdb_source_roundtrip(spark, tmp_path, audio_dir):
     """read_duckdb_shards reads the DuckDB sink's output back into
     Spark with byte-exact audio payloads and identical metadata to the

@@ -240,18 +240,51 @@ def test_knn_graph_candidate_budget(spark, vectors):
 def test_knn_graph_pathological_identical_vectors(spark):
     """All vectors identical -> one bucket per table; the candidate set
     must collapse to exactly n(n-1) directed pairs (cross-table dedup),
-    pinned against the REAL 8-table x 5-plane KNN_PLANES config."""
+    pinned against the REAL auto-scaled KNN plane config."""
     from audios_to_dataset_spark.operators.similarity import knn_graph
-    from audios_to_dataset_spark.plans.dedup import EMB_DIM, KNN_PLANES
+    from audios_to_dataset_spark.plans.dedup import EMB_DIM, knn_planes
 
     n = 12
     v = [1.0] * EMB_DIM
     df = spark.createDataFrame(
         [(i, v) for i in range(n)], "vec_id long, embedding array<double>"
     )
-    assert len(KNN_PLANES) == 8 and all(len(t) == 5 for t in KNN_PLANES)
-    cand = knn_graph(df, KNN_PLANES, k=10**6).count()
+    planes = knn_planes(n)
+    assert len(planes) == 8 and all(len(t) == 4 for t in planes)
+    cand = knn_graph(df, planes, k=10**6).count()
     assert cand == n * (n - 1)
+
+
+def test_knn_planes_autoscale_rule():
+    """The plane-count dial is a deterministic integer function of N:
+    matches the hand-tuned r5 value (5) at sf0.1's N=2000, reaches 9 at
+    the x10 smoke's N=20000, clamps to [4, 12], is monotone, and every
+    plane set is a prefix of the single seeded 12-plane family (the
+    property that lets the DuckDB oracle mirror it with substr)."""
+    from audios_to_dataset_spark.plans.dedup import (
+        KNN_PLANES_FULL,
+        knn_n_planes,
+        knn_planes,
+    )
+
+    assert knn_n_planes(0) == 4
+    assert knn_n_planes(500) == 4      # sf0.001 / sf0.01
+    assert knn_n_planes(2000) == 5     # sf0.1 — the hand-tuned value
+    assert knn_n_planes(20000) == 9    # x10 smoke — the measured twin
+    assert knn_n_planes(10**12) == 12  # hard cap
+    prev = 0
+    for n in (1, 10, 100, 1000, 10**4, 10**5, 10**6):
+        p = knn_n_planes(n)
+        assert p >= prev
+        prev = p
+        assert knn_planes(n) == [t[:p] for t in KNN_PLANES_FULL]
+    # avg bucket bound: 2^P * 64 >= N whenever the cap isn't binding
+    for n in (100, 999, 4096, 65536, 10**5):
+        p = knn_n_planes(n)
+        if p < 12:
+            assert (1 << p) * 64 >= n
+        if p > 4:
+            assert (1 << (p - 1)) * 64 < n
 
 
 @given(st.binary(max_size=4096))

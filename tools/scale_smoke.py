@@ -31,15 +31,14 @@ What is measured and asserted:
   pairs must stay ~linear. Asserted: cand(x10) <= 2 * 10 * cand(sf0.1).
 - ``q_pagerank`` (declared query, as-is): per-iteration shuffle rows =
   the edge count. Asserted exactly 10x (disjoint replicas).
-- ``knn_graph`` / ``k_core_peel``: the hyperplane plane sets have a
-  FIXED bucket count (KNN_PLANES: 8 tables x 32 buckets), so at fixed
-  planes candidates/N grow ~linearly with N — that is the documented
-  scale dial in plans/dedup.py ("planes per table must scale
-  ~log2(N / target_bucket_size)"). The smoke measures the fixed-plane
-  blowup analytically (cheap groupBy, no scoring), then runs the graph
-  build + peel END-TO-END with the scaled plane set (+4 planes/table =
-  16x buckets) and asserts candidates-per-row returns to the sf0.1
-  level (<= 2x) and the pipeline completes.
+- ``knn_graph`` / ``k_core_peel``: planes-per-table is AUTO-SCALED
+  from the corpus row count (plans/dedup.knn_n_planes: P ~ log2(N/64)
+  clamped to [4, 12] — VERDICT r6 item 2 turned the manual dial into
+  the default plan). The smoke measures candidate pairs analytically
+  at both scales UNDER THE DEFAULT RULE and asserts candidates-per-row
+  stays within 2x of the sf0.1 level, reports the frozen-plane blowup
+  as the documented anti-pattern, then runs the graph build + peel
+  END-TO-END at the default x10 operating point.
 
 Usage: python tools/scale_smoke.py [sf_dir] [--keep]
 Prints one JSON summary line; exit 0 = all assertions hold.
@@ -226,17 +225,23 @@ def main() -> int:
     keep = "--keep" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
+    from audios_to_dataset_spark.catalog import load
     from audios_to_dataset_spark.plans import all_queries
-    from audios_to_dataset_spark.plans.dedup import _make_planes
+    from audios_to_dataset_spark.plans.dedup import knn_n_planes, knn_planes
     from audios_to_dataset_spark.session import get_session
 
     x10 = build_scale_dir(sf_dir, keep)
     spark = get_session("scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
     q = all_queries()
-    planes_fixed = _make_planes(n_tables=8, n_planes=5, seed=11)
-    # +4 planes/table = 16x buckets for 10x data: the documented dial
-    planes_scaled = _make_planes(n_tables=8, n_planes=9, seed=11)
+    # The DECLARED plan: planes-per-table derived from the corpus row
+    # count (plans/dedup.knn_n_planes — P ~ log2(N/64) clamped to
+    # [4,12]). r6's separate "scaled twin" is gone; what this smoke
+    # asserts IS the default q_knn_graph operating point at both scales.
+    n1 = load(spark, sf_dir, "embeddings").count()
+    n10 = load(spark, x10, "embeddings").count()
+    planes_base = knn_planes(n1)
+    planes_x10 = knn_planes(n10)
 
     out: dict = {"sf_dir": sf_dir, "x10_dir": x10, "factor": FACTOR}
     failures: list[str] = []
@@ -251,21 +256,25 @@ def main() -> int:
             f"minhash candidates superlinear: {mh10} > 2*10*{mh1}"
         )
 
-    kf1 = knn_candidates(spark, sf_dir, planes_fixed)
-    kf10 = knn_candidates(spark, x10, planes_fixed)
-    ks10 = knn_candidates(spark, x10, planes_scaled)
+    k1 = knn_candidates(spark, sf_dir, planes_base)
+    k10 = knn_candidates(spark, x10, planes_x10)
+    kfixed10 = knn_candidates(spark, x10, planes_base)
     out["knn_cand"] = {
-        "sf0.1_fixed_planes": kf1,
-        "x10_fixed_planes": kf10,
-        "x10_scaled_planes": ks10,
-        "fixed_ratio": round(kf10 / max(kf1, 1), 2),
-        "scaled_ratio": round(ks10 / max(kf1, 1), 2),
+        "sf0.1_auto_planes": {"n": n1, "p": knn_n_planes(n1),
+                              "cand": k1},
+        "x10_auto_planes": {"n": n10, "p": knn_n_planes(n10),
+                            "cand": k10},
+        "x10_frozen_base_planes": kfixed10,  # the anti-pattern, FYI
+        "cand_per_row": {"sf0.1": round(k1 / max(n1, 1), 2),
+                         "x10": round(k10 / max(n10, 1), 2)},
     }
-    # fixed planes: expected ~x100 (the anti-pattern, reported not
-    # asserted); scaled planes must bring candidates back to ~linear
-    if ks10 > 2 * FACTOR * kf1:
+    # the DEFAULT plan must keep candidates-per-row flat across x10
+    # (frozen planes are reported, not asserted — they are the measured
+    # quadratic anti-pattern the auto rule exists to prevent)
+    if k10 * n1 > 2 * k1 * n10:
         failures.append(
-            f"knn candidates superlinear at scaled planes: {ks10}"
+            f"knn candidates-per-row superlinear at default planes: "
+            f"{k10}/{n10} > 2 * {k1}/{n1}"
         )
 
     pe1 = pagerank_edges(spark, sf_dir)
@@ -282,18 +291,17 @@ def main() -> int:
         if rows <= 0:
             failures.append(f"{name} empty at x10")
 
-    # knn graph + k-core peel at the scaled operating point (the same
-    # operator code path as q_knn_graph / q_kcore, planes widened per
-    # the scale rule)
-    from audios_to_dataset_spark.catalog import load
+    # knn graph + k-core peel at the DEFAULT operating point (the same
+    # operator code path as q_knn_graph / q_kcore — the auto rule picks
+    # the planes, no separate scaled twin)
     from audios_to_dataset_spark.operators.graph import k_core_peel
     from audios_to_dataset_spark.operators.similarity import knn_graph
-    from audios_to_dataset_spark.plans.similarity import KNN_K
     from audios_to_dataset_spark.plans.sketches import KCORE_K, KCORE_ROUNDS
+    from audios_to_dataset_spark.plans.similarity import KNN_K
 
     em = load(spark, x10, "embeddings")
     t0 = time.perf_counter()
-    g = knn_graph(em, planes_scaled, k=KNN_K).localCheckpoint(eager=True)
+    g = knn_graph(em, planes_x10, k=KNN_K).localCheckpoint(eager=True)
     n_edges = g.count()
     e2e["knn_graph_scaled"] = {
         "sec": round(time.perf_counter() - t0, 1), "rows": n_edges
