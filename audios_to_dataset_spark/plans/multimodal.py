@@ -2252,6 +2252,66 @@ def q_webp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_webp_lz77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-WebP decode over streams using the FULL VP8L toolbox —
+    color-cache hits, real LZ77 backreferences through the 120-entry
+    close-neighborhood distance map, and (for even ids) the
+    subtract-green transform (functions/vp8l.encode_vp8l_lz77 /
+    decode_vp8l_pixels). The fixture tiles a 4×3 md5 pattern so the
+    greedy encoder genuinely emits backrefs (measured ~2.5-2.9×
+    smaller than the literal coding); the oracle recomputes every
+    pixel from the tile formula, so a decode that mis-copies a single
+    backref pixel or corrupts the cache hash fails the value hash —
+    the wild-file paths q_webp_pixels' literal subset never reached.
+    Same Arrow-batched mapInPandas shape as the rest of the codec
+    family; no shuffle beyond the final orderBy."""
+    from ..functions.multimodal import with_pixel_mean
+    from ..functions.vp8l import synth_tiled_webp
+
+    from pyspark.sql.functions import pandas_udf
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_tiled_webp(int(i)) for i in ids])
+
+    img = d.withColumn("content", _synth(F.col("doc_id")))
+    info = with_image_info(img)
+    return with_pixel_mean(info).select(
+        "doc_id",
+        F.col("image.format").alias("img_format"),
+        F.col("image.width").cast("long").alias("img_width"),
+        F.col("image.height").cast("long").alias("img_height"),
+        "mean_px",
+    )
+
+
+ORACLE_WEBP_LZ77 = """
+WITH g AS (
+  SELECT doc_id, 10 + doc_id % 7 AS w0, 8 + doc_id % 5 AS h0
+  FROM documents
+), fx AS (
+  SELECT doc_id, w0, h0, unnest(range(w0)) AS x FROM g
+), px AS (
+  SELECT doc_id, w0, h0, x, unnest(range(h0)) AS y FROM fx
+), v AS (
+  SELECT doc_id, w0, h0,
+         ('0x' || substr(md5('wz:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(x % 4 AS VARCHAR) || ':' ||
+             CAST(y % 3 AS VARCHAR)), 1, 2))::INT AS v
+  FROM px
+)
+SELECT doc_id, 'webp' AS img_format,
+       CAST(w0 AS BIGINT) AS img_width,
+       CAST(h0 AS BIGINT) AS img_height,
+       CAST(SUM(v) AS DOUBLE) / CAST(w0 * h0 AS DOUBLE) AS mean_px
+FROM v GROUP BY doc_id, w0, h0
+"""
+
+
 ORACLE_WEBP_PIXELS = """
 WITH g AS (
   SELECT doc_id, 8 + doc_id % 9 AS w0, 7 + doc_id % 6 AS h0
@@ -3377,6 +3437,7 @@ QUERIES = {
     "q_flac_decode": q_flac_decode,
     "q_tiff_pixels": q_tiff_pixels,
     "q_webp_pixels": q_webp_pixels,
+    "q_webp_lz77": q_webp_lz77,
     "q_qoi_pixels": q_qoi_pixels,
     "q_audio_aiff": q_audio_aiff,
     "q_audio_au": q_audio_au,
@@ -3443,6 +3504,7 @@ ORACLES["q_pnm_pixels"] = ORACLE_PNM_PIXELS
 ORACLES["q_flac_decode"] = ORACLE_FLAC_DECODE
 ORACLES["q_tiff_pixels"] = ORACLE_TIFF_PIXELS
 ORACLES["q_webp_pixels"] = ORACLE_WEBP_PIXELS
+ORACLES["q_webp_lz77"] = ORACLE_WEBP_LZ77
 ORACLES["q_qoi_pixels"] = ORACLE_QOI_PIXELS
 ORACLES["q_audio_aiff"] = ORACLE_AUDIO_AIFF
 ORACLES["q_audio_au"] = ORACLE_AUDIO_AU
