@@ -663,6 +663,34 @@ def downmix_stereo(data: bytes | None) -> tuple[list[float], int]:
         return [], 0
 
 
+def synth_wav_dropout(doc_id: int) -> bytes:
+    """Deterministic 16-bit PCM WAV with DIGITAL DROPOUTS: sample i is
+    forced to exactly 0 when ``(i // 16) % 7 == doc_id % 7`` (16-sample
+    silent windows recurring every 112 samples — the transient a dead
+    ADC/link produces), else the centered md5 value of ``dr:{id}:{i}``.
+    n = 200 + id % 41 samples at 16 kHz. Feeds q_audio_dropout; the
+    SQL oracle replays the same CASE + md5 formula."""
+    import hashlib
+
+    n = 200 + doc_id % 41
+    sr = 16000
+
+    def s(i: int) -> int:
+        if (i // 16) % 7 == doc_id % 7:
+            return 0
+        return (
+            int(hashlib.md5(f"dr:{doc_id}:{i}".encode()).hexdigest()[:4],
+                16)
+            - 32768
+        )
+
+    body = b"".join(struct.pack("<h", s(i)) for i in range(n))
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+    data = b"data" + struct.pack("<I", len(body))
+    return hdr + fmt + data + body
+
+
 def synth_wav_md5_stereo(doc_id: int) -> bytes:
     """Deterministic 16-bit STEREO PCM WAV fixture: frame i's left
     sample = md5(``sl:{id}:{i}``) two bytes - 32768, right =

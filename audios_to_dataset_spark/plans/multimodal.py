@@ -2252,6 +2252,113 @@ def q_webp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digital-dropout audit over decoded PCM: per document, the count
+    of exactly-zero samples, the longest consecutive zero run, and the
+    number of dropout events (runs >= 8 samples) — the dead-ADC /
+    dead-link detector an audio-curation pass runs before training on
+    found audio (a catastrophically-clipped or silent-gap file passes
+    duration and RMS gates that this catches). Fixture WAVs carry
+    known 16-sample silent windows (functions/wav.synth_wav_dropout);
+    the signal runs through the REAL RIFF decode (wav_pcm16_samples),
+    so a chunk-walk or scaling bug shifts the runs and fails the
+    value hash. The oracle replays the same CASE + md5 sample formula
+    and derives the identical runs with gaps-and-islands SQL.
+
+    Scale shape: one Arrow-batched pandas stage over the audio bytes
+    (per-row numpy run-length, no shuffle); the oracle's window is the
+    verification burden, not the plan's."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.wav import synth_wav_dropout, wav_pcm16_samples
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    out_t = T.StructType(
+        [
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_zero", T.LongType()),
+            T.StructField("max_zero_run", T.LongType()),
+            T.StructField("n_dropouts", T.LongType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _audit(ids):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for i in ids:
+            s = wav_pcm16_samples(synth_wav_dropout(int(i)))
+            z = np.flatnonzero(s == 0)
+            if z.size == 0:
+                rows.append((int(s.size), 0, 0, 0))
+                continue
+            # split the zero-index list into consecutive runs
+            breaks = np.flatnonzero(np.diff(z) > 1)
+            run_lens = np.diff(
+                np.concatenate(([0], breaks + 1, [z.size]))
+            )
+            rows.append(
+                (
+                    int(s.size),
+                    int(z.size),
+                    int(run_lens.max()),
+                    int((run_lens >= 8).sum()),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["n_samples", "n_zero", "max_zero_run", "n_dropouts"],
+        )
+
+    return d.withColumn("audit", _audit(F.col("doc_id"))).select(
+        "doc_id",
+        F.col("audit.n_samples").alias("n_samples"),
+        F.col("audit.n_zero").alias("n_zero"),
+        F.col("audit.max_zero_run").alias("max_zero_run"),
+        F.col("audit.n_dropouts").alias("n_dropouts"),
+    )
+
+
+ORACLE_AUDIO_DROPOUT = """
+WITH g AS (
+  SELECT doc_id, 200 + doc_id % 41 AS n FROM documents
+), s AS (
+  SELECT doc_id, n, unnest(range(n)) AS i FROM g
+), v AS (
+  SELECT doc_id, i,
+         CASE WHEN (i // 16) % 7 = doc_id % 7 THEN 0
+              ELSE ('0x' || substr(md5('dr:' ||
+                     CAST(doc_id AS VARCHAR) || ':' ||
+                     CAST(i AS VARCHAR)), 1, 4))::INT - 32768
+         END AS v
+  FROM s
+), z AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM v WHERE v = 0
+), runs AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM z GROUP BY doc_id, grp
+), agg AS (
+  SELECT doc_id,
+         CAST(SUM(run_len) AS BIGINT) AS n_zero,
+         CAST(MAX(run_len) AS BIGINT) AS max_zero_run,
+         CAST(SUM(CASE WHEN run_len >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropouts
+  FROM runs GROUP BY doc_id
+)
+SELECT g.doc_id, CAST(g.n AS BIGINT) AS n_samples,
+       COALESCE(a.n_zero, 0) AS n_zero,
+       COALESCE(a.max_zero_run, 0) AS max_zero_run,
+       COALESCE(a.n_dropouts, 0) AS n_dropouts
+FROM g LEFT JOIN agg a ON a.doc_id = g.doc_id
+"""
+
+
 def q_webp_lz77(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless-WebP decode over streams using the FULL VP8L toolbox —
     color-cache hits, real LZ77 backreferences through the 120-entry
@@ -3438,6 +3545,7 @@ QUERIES = {
     "q_tiff_pixels": q_tiff_pixels,
     "q_webp_pixels": q_webp_pixels,
     "q_webp_lz77": q_webp_lz77,
+    "q_audio_dropout": q_audio_dropout,
     "q_qoi_pixels": q_qoi_pixels,
     "q_audio_aiff": q_audio_aiff,
     "q_audio_au": q_audio_au,
@@ -3505,6 +3613,7 @@ ORACLES["q_flac_decode"] = ORACLE_FLAC_DECODE
 ORACLES["q_tiff_pixels"] = ORACLE_TIFF_PIXELS
 ORACLES["q_webp_pixels"] = ORACLE_WEBP_PIXELS
 ORACLES["q_webp_lz77"] = ORACLE_WEBP_LZ77
+ORACLES["q_audio_dropout"] = ORACLE_AUDIO_DROPOUT
 ORACLES["q_qoi_pixels"] = ORACLE_QOI_PIXELS
 ORACLES["q_audio_aiff"] = ORACLE_AUDIO_AIFF
 ORACLES["q_audio_au"] = ORACLE_AUDIO_AU

@@ -128,6 +128,46 @@ FROM customer
 """
 
 
+def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist over order totals within each order
+    priority — the two relative-position window functions the surface
+    didn't cover (q_window_ntile buckets, these give the continuous
+    position). Both are tie-aware ((rank-1)/(N-1) and
+    n_peers_at_or_below/N), so the result carries no within-tie order
+    dependence; the dyadic divisions are exact IEEE doubles on both
+    engines, rounded to 6 as belt-and-braces. Partitioned window —
+    parallel across priorities, no single-partition flag."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)).alias(
+            "pct_rank"
+        ),
+        (F.round(F.cume_dist().over(w), 6) + F.lit(0.0)).alias(
+            "cume"
+        ),
+    )
+
+
+# NULLS FIRST pins DuckDB to Spark's ascending default (--nulls sweep:
+# injected NULL o_totalprice rows tie at the front, and both functions
+# are tie-aware so the hash is stable)
+ORACLE_WINDOW_CUME = """
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER
+         (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice NULLS FIRST), 6) + 0.0 AS pct_rank,
+       round(cume_dist() OVER
+         (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice NULLS FIRST), 6) + 0.0 AS cume
+FROM orders
+"""
+
+
 def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group filter: customers with ≥ 15 orders."""
     o = load(spark, sf_dir, "orders")
@@ -737,6 +777,7 @@ QUERIES = {
     "q_exists_subquery": q_exists_subquery,
     "q_topk_per_group": q_topk_per_group,
     "q_window_ntile": q_window_ntile,
+    "q_window_cume": q_window_cume,
     "q_having": q_having,
     "q_case_agg": q_case_agg,
     "q_string_agg": q_string_agg,
@@ -767,6 +808,7 @@ ORACLES = {
     "q_exists_subquery": ORACLE_EXISTS_SUBQUERY,
     "q_topk_per_group": ORACLE_TOPK_PER_GROUP,
     "q_window_ntile": ORACLE_WINDOW_NTILE,
+    "q_window_cume": ORACLE_WINDOW_CUME,
     "q_having": ORACLE_HAVING,
     "q_case_agg": ORACLE_CASE_AGG,
     "q_string_agg": ORACLE_STRING_AGG,

@@ -1318,6 +1318,156 @@ FROM s
 
 
 
+SQ_K = 3
+SQ_PROBES = 5
+
+
+def q_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization RETRIEVAL gate: recall@3 of brute-force
+    search over unit-normalized int8-quantized vectors
+    (q = round(127·x/‖x‖), so the integer dot q_a·q_b IS the quantized
+    cosine ×127² — ranking is pure int64 arithmetic, no float in the
+    ordering) against exact float cosine top-3 for a 5-probe set. The
+    measurement that decides whether the 4× memory/bandwidth cut of
+    q_embed_quantize is safe to SERVE from, not just to store —
+    separating the compression (already oracled) from its retrieval
+    cost. Mirrors q_ann_recall's shape: probes broadcast against the
+    table (5·N scores, linear); quantized ties break by vec_id.
+    Quantization is reproducible cross-engine because /, sqrt, ×, and
+    round are correctly-rounded IEEE doubles on both."""
+    probe_ids = list(range(SQ_PROBES))
+    em = load(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    v = (
+        em.filter(
+            F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+        )
+        .select("vec_id", e.alias("e"), nrm.alias("nrm"))
+        .filter(F.col("nrm") > 0)
+        .select(
+            "vec_id",
+            "e",
+            F.transform(
+                "e",
+                lambda x: F.round(
+                    x * F.lit(127.0) / F.col("nrm")
+                ).cast("long"),
+            ).alias("q8"),
+        )
+    )
+    probes = v.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("src"),
+        F.col("e").alias("qe"),
+        F.col("q8").alias("qq"),
+    )
+    pairs = v.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("src")
+    )
+    fdot = F.aggregate(
+        F.zip_with("e", "qe", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    fn = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    idot = F.aggregate(
+        F.zip_with("q8", "qq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = pairs.select(
+        "src",
+        "vec_id",
+        sround(fdot / (fn(F.col("e")) * fn(F.col("qe"))), 3).alias(
+            "cos_f"
+        ),
+        idot.alias("dot_q"),
+    )
+    w_exact = Window.partitionBy("src").orderBy(
+        F.col("cos_f").desc(), "vec_id"
+    )
+    w_quant = Window.partitionBy("src").orderBy(
+        F.col("dot_q").desc(), "vec_id"
+    )
+    exact = scored.withColumn(
+        "rk", F.row_number().over(w_exact)
+    ).filter(F.col("rk") <= SQ_K).select("src", "vec_id")
+    quant = scored.withColumn(
+        "rk", F.row_number().over(w_quant)
+    ).filter(F.col("rk") <= SQ_K).select("src", "vec_id")
+    hits = exact.join(quant, ["src", "vec_id"], "left_semi")
+    n_hits = hits.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return (
+        exact.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .join(n_hits, "src", "left")
+        .select(
+            "src",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("src")
+    )
+
+
+ORACLE_SQ_RECALL = f"""
+WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+), v AS (
+  SELECT vec_id, e,
+         list_transform(e, x -> CAST(round(x * 127.0 /
+             sqrt(list_sum(list_transform(e, y -> y * y)))) AS BIGINT))
+           AS q8
+  FROM v0
+  WHERE sqrt(list_sum(list_transform(e, y -> y * y))) > 0
+), probes AS (
+  SELECT vec_id AS src, e AS qe, q8 AS qq FROM v
+  WHERE vec_id < {SQ_PROBES}
+), scored AS (
+  SELECT probes.src, v.vec_id,
+         round((list_sum(list_transform(range(1, len(e) + 1),
+                 i -> e[i] * qe[i]))
+           / (sqrt(list_sum(list_transform(e, x -> x * x)))
+              * sqrt(list_sum(list_transform(qe, x -> x * x)))))
+           * 1000.0) / 1000.0 + 0.0 AS cos_f,
+         CAST(list_sum(list_transform(range(1, len(q8) + 1),
+                 i -> q8[i] * qq[i])) AS BIGINT) AS dot_q
+  FROM v CROSS JOIN probes WHERE v.vec_id <> probes.src
+), exact AS (
+  SELECT src, vec_id FROM (
+    SELECT src, vec_id, row_number() OVER (PARTITION BY src
+             ORDER BY cos_f DESC, vec_id) AS rk
+    FROM scored) x WHERE rk <= {SQ_K}
+), quant AS (
+  SELECT src, vec_id FROM (
+    SELECT src, vec_id, row_number() OVER (PARTITION BY src
+             ORDER BY dot_q DESC, vec_id) AS rk
+    FROM scored) x WHERE rk <= {SQ_K}
+), hits AS (
+  SELECT exact.src, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM exact JOIN quant USING (src, vec_id) GROUP BY exact.src
+)
+SELECT e.src, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COALESCE(MAX(h.n_hit), 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(MAX(h.n_hit), 0) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM exact e LEFT JOIN hits h ON h.src = e.src
+GROUP BY e.src ORDER BY e.src
+"""
+
+
 BATCH_QUERY_IDS = [0, 7, 21, 42, 99]
 BATCH_K = 5
 
@@ -2018,6 +2168,7 @@ QUERIES = {
     "q_ann_multiprobe": q_ann_multiprobe,
     "q_knn_graph": q_knn_graph,
     "q_ann_recall": q_ann_recall,
+    "q_sq_recall": q_sq_recall,
     "q_matryoshka_recall": q_matryoshka_recall,
     "q_label_noise": q_label_noise,
     "q_coreset": q_coreset,
@@ -2049,6 +2200,7 @@ ORACLES = {
     "q_ann_multiprobe": _oracle_ann_multiprobe(),
     "q_knn_graph": _oracle_knn_graph(),
     "q_ann_recall": _oracle_ann_recall(),
+    "q_sq_recall": ORACLE_SQ_RECALL,
     "q_matryoshka_recall": _oracle_matryoshka_recall(),
     "q_label_noise": _oracle_label_noise(),
     "q_coreset": _oracle_coreset(),

@@ -1,0 +1,61 @@
+"""Fast partition-invariance contract (VERDICT r6 item 6).
+
+The full sweep — every declared query differentially checked on
+local[1] with ONE shuffle partition (`SPARK_GRAFT_CPUS=1 python
+tools/check.py /root/testdata/sf0.01`) — proves no result depends on
+partition count or merge order, the axis AQE/repartition changes at
+scale. It takes ~45 min, so it runs only when aggregation/window order
+contracts change. This marker pins the ~20 queries whose results
+actually carry an order contract (cumulative packing, rank tie-breaks,
+streaming replays, iterative graph fixpoints, shard assignment) as a
+cheap pre-commit subset: `python -m pytest -m partition_invariance`.
+
+Excluded from the default run via pytest.ini addopts so `pytest
+tests/ -x -q` stays ~90 s.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Every query whose value hash encodes an ORDER contract: if any of
+# these depends on partition count or merge order, one shuffle
+# partition vs 32 flips the hash.
+ORDER_CONTRACT_QUERIES = [
+    # cumulative/ordered packing (NULL-id rows must be dropped, see
+    # CLAUDE.md combined-sweep note)
+    "q_seq_pack", "q_compaction_plan", "q_cdc_chunks", "q_cdc_merge",
+    # rank/row_number tie-breaks
+    "q_window_rownum", "q_window_rank", "q_dense_rank", "q_window_ntile",
+    "q_window_bucket",
+    # event ordering / sessionization
+    "q_event_sequence", "q_rolling_sum", "q_session_gap",
+    "q_tumbling_window",
+    # streaming replays (watermark + state merge order)
+    "q_stream_outer_join", "q_stream_record_high", "q_stream_media_meta",
+    # iterative fixpoints + hash-derived assignment
+    "q_split_assign", "q_knn_graph", "q_kcore",
+    # global shuffle / incremental merge / manifest zones
+    "q_global_shuffle", "q_incremental_agg", "q_zone_map",
+]
+
+
+@pytest.mark.partition_invariance
+def test_order_contract_queries_on_one_partition():
+    """Differential check of the order-contract subset on local[1]
+    with one shuffle partition — must end '0 failures'."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check.py"),
+         "/root/testdata/sf0.01", *ORDER_CONTRACT_QUERIES],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1800,
+    )
+    tail = "\n".join(proc.stdout.strip().splitlines()[-5:])
+    assert proc.returncode == 0, f"check failed:\n{tail}\n{proc.stderr[-2000:]}"
+    assert "0 failures" in proc.stdout, tail
