@@ -2396,6 +2396,122 @@ def q_webp_lz77(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_webp_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-WebP decode through the COLOR-INDEXING transform
+    (functions/vp8l.encode_vp8l_palette / decode_vp8l_pixels): the
+    palette is a delta-coded entropy sub-image and indices are bundled
+    into the green channel at 1/2/4 bits per pixel (fixture palettes
+    span 2..16 colors, every sub-byte packing width). The oracle
+    recomputes each pixel from the palette + index md5 formulas, so a
+    mis-unbundled index or a broken delta accumulation fails the value
+    hash. Paletted images are the most common wild lossless-WebP shape
+    (logos/icons), previously a subset gate."""
+    from ..functions.multimodal import with_pixel_mean
+    from ..functions.vp8l import synth_palette_webp
+
+    from pyspark.sql.functions import pandas_udf
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_palette_webp(int(i)) for i in ids])
+
+    img = d.withColumn("content", _synth(F.col("doc_id")))
+    info = with_image_info(img)
+    return with_pixel_mean(info).select(
+        "doc_id",
+        F.col("image.format").alias("img_format"),
+        F.col("image.width").cast("long").alias("img_width"),
+        F.col("image.height").cast("long").alias("img_height"),
+        "mean_px",
+    )
+
+
+ORACLE_WEBP_PALETTE = """
+WITH g AS (
+  SELECT doc_id, 9 + doc_id % 8 AS w0, 7 + doc_id % 6 AS h0,
+         2 + doc_id % 15 AS k
+  FROM documents
+), fx AS (
+  SELECT doc_id, w0, h0, k, unnest(range(w0)) AS x FROM g
+), px AS (
+  SELECT doc_id, w0, h0, k, x, unnest(range(h0)) AS y FROM fx
+), v AS (
+  SELECT doc_id, w0, h0,
+         ('0x' || substr(md5('wpc:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(('0x' || substr(md5('wp:' ||
+                 CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(x AS VARCHAR) || ':' ||
+                 CAST(y AS VARCHAR)), 1, 2))::INT % k AS VARCHAR)),
+             1, 2))::INT AS v
+  FROM px
+)
+SELECT doc_id, 'webp' AS img_format,
+       CAST(w0 AS BIGINT) AS img_width,
+       CAST(h0 AS BIGINT) AS img_height,
+       CAST(SUM(v) AS DOUBLE) / CAST(w0 * h0 AS DOUBLE) AS mean_px
+FROM v GROUP BY doc_id, w0, h0
+"""
+
+
+def q_webp_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-WebP decode through the 14-mode PREDICTOR transform
+    (functions/vp8l.encode_vp8l_predictor / decode_vp8l_pixels): the
+    block-mode sub-image walks every predictor ((bx + by) % 14), and
+    the residual stream rides the cache/LZ77 machinery. The oracle
+    only knows the original pixel formula — the whole transform must
+    invert to the exact bytes (edge rules, avg2 floors, Select
+    distances, clamp-add-subtract halving) or the value hash fails."""
+    from ..functions.multimodal import with_pixel_mean
+    from ..functions.vp8l import synth_predictor_webp
+
+    from pyspark.sql.functions import pandas_udf
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_predictor_webp(int(i)) for i in ids])
+
+    img = d.withColumn("content", _synth(F.col("doc_id")))
+    info = with_image_info(img)
+    return with_pixel_mean(info).select(
+        "doc_id",
+        F.col("image.format").alias("img_format"),
+        F.col("image.width").cast("long").alias("img_width"),
+        F.col("image.height").cast("long").alias("img_height"),
+        "mean_px",
+    )
+
+
+ORACLE_WEBP_PREDICTOR = """
+WITH g AS (
+  SELECT doc_id, 11 + doc_id % 9 AS w0, 9 + doc_id % 7 AS h0
+  FROM documents
+), fx AS (
+  SELECT doc_id, w0, h0, unnest(range(w0)) AS x FROM g
+), px AS (
+  SELECT doc_id, w0, h0, x, unnest(range(h0)) AS y FROM fx
+), v AS (
+  SELECT doc_id, w0, h0,
+         ('0x' || substr(md5('wq:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(x AS VARCHAR) || ':' ||
+             CAST(y AS VARCHAR)), 1, 2))::INT AS v
+  FROM px
+)
+SELECT doc_id, 'webp' AS img_format,
+       CAST(w0 AS BIGINT) AS img_width,
+       CAST(h0 AS BIGINT) AS img_height,
+       CAST(SUM(v) AS DOUBLE) / CAST(w0 * h0 AS DOUBLE) AS mean_px
+FROM v GROUP BY doc_id, w0, h0
+"""
+
+
 ORACLE_WEBP_LZ77 = """
 WITH g AS (
   SELECT doc_id, 10 + doc_id % 7 AS w0, 8 + doc_id % 5 AS h0
@@ -3545,6 +3661,8 @@ QUERIES = {
     "q_tiff_pixels": q_tiff_pixels,
     "q_webp_pixels": q_webp_pixels,
     "q_webp_lz77": q_webp_lz77,
+    "q_webp_palette": q_webp_palette,
+    "q_webp_predictor": q_webp_predictor,
     "q_audio_dropout": q_audio_dropout,
     "q_qoi_pixels": q_qoi_pixels,
     "q_audio_aiff": q_audio_aiff,
@@ -3613,6 +3731,8 @@ ORACLES["q_flac_decode"] = ORACLE_FLAC_DECODE
 ORACLES["q_tiff_pixels"] = ORACLE_TIFF_PIXELS
 ORACLES["q_webp_pixels"] = ORACLE_WEBP_PIXELS
 ORACLES["q_webp_lz77"] = ORACLE_WEBP_LZ77
+ORACLES["q_webp_palette"] = ORACLE_WEBP_PALETTE
+ORACLES["q_webp_predictor"] = ORACLE_WEBP_PREDICTOR
 ORACLES["q_audio_dropout"] = ORACLE_AUDIO_DROPOUT
 ORACLES["q_qoi_pixels"] = ORACLE_QOI_PIXELS
 ORACLES["q_audio_aiff"] = ORACLE_AUDIO_AIFF

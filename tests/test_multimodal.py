@@ -970,6 +970,55 @@ def test_vp8l_lz77_cache_transform():
     assert synth_tiled_webp(d) == synth_tiled_webp(d)
 
 
+def test_vp8l_predictor_palette_transforms():
+    """VP8L predictor + color-indexing transforms: all 14 modes via the
+    (bx+by)%14 grid, every index-bundling width (1/2/4/8 bpp), delta
+    table accumulation, and exact round-trips for smooth, random, and
+    paletted content."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.vp8l import (
+        decode_vp8l_pixels,
+        encode_vp8l_palette,
+        encode_vp8l_predictor,
+        synth_palette_webp,
+        synth_predictor_webp,
+    )
+
+    rng = np.random.RandomState(13)
+    # predictor over a smooth gradient (predictor-friendly) and noise
+    h, w = 20, 30
+    grad = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            grad[y, x] = ((x * 3 + y) % 256, (x + 2 * y) % 256,
+                          (5 * y + 2 * x) % 256)
+    for sb in (2, 3, 4):
+        out = decode_vp8l_pixels(encode_vp8l_predictor(grad, size_bits=sb))
+        assert out is not None and np.array_equal(out, grad), sb
+    noise = rng.randint(0, 256, (13, 17, 3), dtype=np.uint8)
+    out = decode_vp8l_pixels(encode_vp8l_predictor(noise))
+    assert out is not None and np.array_equal(out, noise)
+    # palette at every packing width + the 256-color boundary
+    for ncolors in (1, 2, 4, 16, 17, 256):
+        colors = rng.randint(0, 256, (ncolors, 3))
+        img = colors[rng.randint(0, ncolors, (9, 21))].astype(np.uint8)
+        for cb in (0, 3):
+            out = decode_vp8l_pixels(encode_vp8l_palette(img, cache_bits=cb))
+            assert out is not None and np.array_equal(out, img), (
+                ncolors, cb,
+            )
+    with __import__("pytest").raises(ValueError, match="palette"):
+        encode_vp8l_palette(
+            rng.randint(0, 256, (30, 30, 3)).astype(np.uint8)
+        )
+    # fixtures decode and are deterministic
+    assert synth_palette_webp(9) == synth_palette_webp(9)
+    assert synth_predictor_webp(9) == synth_predictor_webp(9)
+    assert decode_vp8l_pixels(synth_palette_webp(3)) is not None
+    assert decode_vp8l_pixels(synth_predictor_webp(3)) is not None
+
+
 def test_qoi_codec():
     """QOI (qoiformat.org 1.0): exact round-trips for RGB and RGBA
     incl. long runs and index hits, fixture op coverage (one image
