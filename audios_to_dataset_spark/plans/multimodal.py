@@ -2512,6 +2512,67 @@ FROM v GROUP BY doc_id, w0, h0
 """
 
 
+def q_webp_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-WebP decode through the COLOR (cross-component)
+    transform — the fourth and last VP8L transform (functions/vp8l.
+    encode_vp8l_color_transform / decode_vp8l_pixels): per-block
+    ColorTransformElements walk the signed-int8 range, red/blue carry
+    green- and red-derived (t·c)>>5 deltas, and the inverse must
+    recover red BEFORE blue (spec ordering). Fixture channels come
+    from three distinct md5 formulas so the deltas are non-trivial;
+    the oracle averages the three channel formulas — a sign/shift slip
+    anywhere in the delta math fails the value hash."""
+    from ..functions.multimodal import with_pixel_mean
+    from ..functions.vp8l import synth_color_webp
+
+    from pyspark.sql.functions import pandas_udf
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_color_webp(int(i)) for i in ids])
+
+    img = d.withColumn("content", _synth(F.col("doc_id")))
+    info = with_image_info(img)
+    return with_pixel_mean(info).select(
+        "doc_id",
+        F.col("image.format").alias("img_format"),
+        F.col("image.width").cast("long").alias("img_width"),
+        F.col("image.height").cast("long").alias("img_height"),
+        "mean_px",
+    )
+
+
+ORACLE_WEBP_COLOR = """
+WITH g AS (
+  SELECT doc_id, 10 + doc_id % 8 AS w0, 8 + doc_id % 6 AS h0
+  FROM documents
+), fx AS (
+  SELECT doc_id, w0, h0, unnest(range(w0)) AS x FROM g
+), px AS (
+  SELECT doc_id, w0, h0, x, unnest(range(h0)) AS y FROM fx
+), v AS (
+  SELECT doc_id, w0, h0,
+         ('0x' || substr(md5('wcr:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2))::INT
+         + ('0x' || substr(md5('wcg:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2))::INT
+         + ('0x' || substr(md5('wcb:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2))::INT
+           AS v
+  FROM px
+)
+SELECT doc_id, 'webp' AS img_format,
+       CAST(w0 AS BIGINT) AS img_width,
+       CAST(h0 AS BIGINT) AS img_height,
+       CAST(SUM(v) AS DOUBLE) / CAST(3 * w0 * h0 AS DOUBLE) AS mean_px
+FROM v GROUP BY doc_id, w0, h0
+"""
+
+
 ORACLE_WEBP_LZ77 = """
 WITH g AS (
   SELECT doc_id, 10 + doc_id % 7 AS w0, 8 + doc_id % 5 AS h0
@@ -3663,6 +3724,7 @@ QUERIES = {
     "q_webp_lz77": q_webp_lz77,
     "q_webp_palette": q_webp_palette,
     "q_webp_predictor": q_webp_predictor,
+    "q_webp_color": q_webp_color,
     "q_audio_dropout": q_audio_dropout,
     "q_qoi_pixels": q_qoi_pixels,
     "q_audio_aiff": q_audio_aiff,
@@ -3733,6 +3795,7 @@ ORACLES["q_webp_pixels"] = ORACLE_WEBP_PIXELS
 ORACLES["q_webp_lz77"] = ORACLE_WEBP_LZ77
 ORACLES["q_webp_palette"] = ORACLE_WEBP_PALETTE
 ORACLES["q_webp_predictor"] = ORACLE_WEBP_PREDICTOR
+ORACLES["q_webp_color"] = ORACLE_WEBP_COLOR
 ORACLES["q_audio_dropout"] = ORACLE_AUDIO_DROPOUT
 ORACLES["q_qoi_pixels"] = ORACLE_QOI_PIXELS
 ORACLES["q_audio_aiff"] = ORACLE_AUDIO_AIFF

@@ -1017,6 +1017,20 @@ def test_vp8l_predictor_palette_transforms():
     assert synth_predictor_webp(9) == synth_predictor_webp(9)
     assert decode_vp8l_pixels(synth_palette_webp(3)) is not None
     assert decode_vp8l_pixels(synth_predictor_webp(3)) is not None
+    # color (cross-component) transform: all four transforms now decode
+    from audios_to_dataset_spark.functions.vp8l import (
+        encode_vp8l_color_transform,
+        synth_color_webp,
+    )
+
+    px = rng.randint(0, 256, (18, 25, 3), dtype=np.uint8)
+    for sb in (2, 4):
+        out = decode_vp8l_pixels(
+            encode_vp8l_color_transform(px, size_bits=sb)
+        )
+        assert out is not None and np.array_equal(out, px), sb
+    assert synth_color_webp(7) == synth_color_webp(7)
+    assert decode_vp8l_pixels(synth_color_webp(7)) is not None
 
 
 def test_qoi_codec():
