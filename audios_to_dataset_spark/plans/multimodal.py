@@ -2573,6 +2573,61 @@ FROM v GROUP BY doc_id, w0, h0
 """
 
 
+def q_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-WebP decode through META prefix codes — the last piece
+    of the VP8L format (functions/vp8l.encode_vp8l_meta /
+    decode_vp8l_pixels): a block-index sub-image checkerboards the
+    image across two independently-built five-code groups, and every
+    symbol (including all of a backreference's) is read under the
+    group of its starting pixel. With this the decoder covers the
+    COMPLETE VP8L format. Oracle replays the md5 pixel formula."""
+    from ..functions.multimodal import with_pixel_mean
+    from ..functions.vp8l import synth_meta_webp
+
+    from pyspark.sql.functions import pandas_udf
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_meta_webp(int(i)) for i in ids])
+
+    img = d.withColumn("content", _synth(F.col("doc_id")))
+    info = with_image_info(img)
+    return with_pixel_mean(info).select(
+        "doc_id",
+        F.col("image.format").alias("img_format"),
+        F.col("image.width").cast("long").alias("img_width"),
+        F.col("image.height").cast("long").alias("img_height"),
+        "mean_px",
+    )
+
+
+ORACLE_WEBP_META = """
+WITH g AS (
+  SELECT doc_id, 12 + doc_id % 8 AS w0, 10 + doc_id % 5 AS h0
+  FROM documents
+), fx AS (
+  SELECT doc_id, w0, h0, unnest(range(w0)) AS x FROM g
+), px AS (
+  SELECT doc_id, w0, h0, x, unnest(range(h0)) AS y FROM fx
+), v AS (
+  SELECT doc_id, w0, h0,
+         ('0x' || substr(md5('wm:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(x AS VARCHAR) || ':' ||
+             CAST(y AS VARCHAR)), 1, 2))::INT AS v
+  FROM px
+)
+SELECT doc_id, 'webp' AS img_format,
+       CAST(w0 AS BIGINT) AS img_width,
+       CAST(h0 AS BIGINT) AS img_height,
+       CAST(SUM(v) AS DOUBLE) / CAST(w0 * h0 AS DOUBLE) AS mean_px
+FROM v GROUP BY doc_id, w0, h0
+"""
+
+
 ORACLE_WEBP_LZ77 = """
 WITH g AS (
   SELECT doc_id, 10 + doc_id % 7 AS w0, 8 + doc_id % 5 AS h0
@@ -3725,6 +3780,7 @@ QUERIES = {
     "q_webp_palette": q_webp_palette,
     "q_webp_predictor": q_webp_predictor,
     "q_webp_color": q_webp_color,
+    "q_webp_meta": q_webp_meta,
     "q_audio_dropout": q_audio_dropout,
     "q_qoi_pixels": q_qoi_pixels,
     "q_audio_aiff": q_audio_aiff,
@@ -3796,6 +3852,7 @@ ORACLES["q_webp_lz77"] = ORACLE_WEBP_LZ77
 ORACLES["q_webp_palette"] = ORACLE_WEBP_PALETTE
 ORACLES["q_webp_predictor"] = ORACLE_WEBP_PREDICTOR
 ORACLES["q_webp_color"] = ORACLE_WEBP_COLOR
+ORACLES["q_webp_meta"] = ORACLE_WEBP_META
 ORACLES["q_audio_dropout"] = ORACLE_AUDIO_DROPOUT
 ORACLES["q_qoi_pixels"] = ORACLE_QOI_PIXELS
 ORACLES["q_audio_aiff"] = ORACLE_AUDIO_AIFF

@@ -1031,6 +1031,25 @@ def test_vp8l_predictor_palette_transforms():
         assert out is not None and np.array_equal(out, px), sb
     assert synth_color_webp(7) == synth_color_webp(7)
     assert decode_vp8l_pixels(synth_color_webp(7)) is not None
+    # meta prefix codes: two groups, backrefs crossing group borders
+    from audios_to_dataset_spark.functions.vp8l import (
+        encode_vp8l_meta,
+        synth_meta_webp,
+    )
+
+    for mb in (2, 4):
+        for sg in (False, True):
+            q = rng.randint(0, 256, (15, 22, 3), dtype=np.uint8)
+            out = decode_vp8l_pixels(
+                encode_vp8l_meta(q, meta_bits=mb, subtract_green=sg)
+            )
+            assert out is not None and np.array_equal(out, q), (mb, sg)
+    tiled = np.tile(rng.randint(0, 256, (3, 4, 3), dtype=np.uint8),
+                    (6, 7, 1))
+    out = decode_vp8l_pixels(encode_vp8l_meta(tiled, meta_bits=2))
+    assert out is not None and np.array_equal(out, tiled)
+    assert synth_meta_webp(6) == synth_meta_webp(6)
+    assert decode_vp8l_pixels(synth_meta_webp(6)) is not None
 
 
 def test_qoi_codec():
