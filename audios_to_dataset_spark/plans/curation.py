@@ -790,6 +790,121 @@ FROM hits GROUP BY source ORDER BY source
 """
 
 
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, app. A —
+    the published heuristics most LLM corpora start from), audited
+    rule-by-rule per document: word-count band [50, 100k], mean word
+    length band [3, 10], symbol-to-word ratio (# / ellipsis) < 0.1,
+    >= 80% of words alphabetic, and >= 2 distinct stop words from the
+    canonical 8. The bullet-/ellipsis-line rules are omitted: this
+    corpus is single-line (no newlines in documents.text), so they
+    pass vacuously and pin nothing. Every comparison is
+    integer-cross-multiplied (3n <= sum_len <= 10n, 5·alpha >= 4·n,
+    10·symbols < n), so no float threshold can flip a boundary doc
+    between engines; mean word length is emitted rounded as evidence.
+
+    Scale shape: one codegen projection over tokens — no shuffle, no
+    UDF; the filter a 100 TB curation pass runs first."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    toks = F.filter(
+        F.split(F.col("text"), " "), lambda x: F.length(x) > 0
+    )
+    d = d.select("doc_id", toks.alias("toks"), "text")
+    n = F.size("toks").cast("long")
+    sum_len = F.aggregate(
+        F.transform("toks", lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_alpha = F.size(
+        F.filter("toks", lambda x: x.rlike("[A-Za-z]"))
+    ).cast("long")
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform("toks", F.lower)), stops
+        )
+    ).cast("long")
+    n_hash = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    ).cast("long")
+    n_ell = (
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("...")))
+        )
+        / 3
+    ).cast("long")
+    sym = n_hash + n_ell
+    wc_ok = (n >= 50) & (n <= 100_000)
+    wlen_ok = (3 * n <= sum_len) & (sum_len <= 10 * n)
+    sym_ok = 10 * sym < n
+    alpha_ok = 5 * n_alpha >= 4 * n
+    stop_ok = n_stop >= 2
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        (F.round(sum_len / n, 6) + F.lit(0.0)).alias("mean_wlen"),
+        n_stop.alias("n_stopwords"),
+        wc_ok.alias("wc_ok"),
+        wlen_ok.alias("wlen_ok"),
+        sym_ok.alias("sym_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (wc_ok & wlen_ok & sym_ok & alpha_ok & stop_ok).alias("keep"),
+    )
+
+
+ORACLE_GOPHER_RULES = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> length(x) > 0)
+           AS toks,
+         text
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n,
+         CAST(COALESCE(list_sum(
+             list_transform(toks, x -> length(x))), 0) AS BIGINT)
+           AS sum_len,
+         CAST(len(list_filter(
+             toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+           AS n_alpha,
+         CAST(len(list_intersect(
+             list_distinct(list_transform(toks, x -> lower(x))),
+             {list(GOPHER_STOPS)!r})) AS BIGINT) AS n_stop,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           AS n_hash,
+         CAST((length(text) - length(replace(text, '...', ''))) // 3
+           AS BIGINT) AS n_ell
+  FROM d
+)
+SELECT doc_id,
+       n AS n_words,
+       round(CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
+         AS mean_wlen,
+       n_stop AS n_stopwords,
+       (n >= 50 AND n <= 100000) AS wc_ok,
+       (3 * n <= sum_len AND sum_len <= 10 * n) AS wlen_ok,
+       (10 * (n_hash + n_ell) < n) AS sym_ok,
+       (5 * n_alpha >= 4 * n) AS alpha_ok,
+       (n_stop >= 2) AS stop_ok,
+       ((n >= 50 AND n <= 100000)
+        AND (3 * n <= sum_len AND sum_len <= 10 * n)
+        AND (10 * (n_hash + n_ell) < n)
+        AND (5 * n_alpha >= 4 * n)
+        AND (n_stop >= 2)) AS keep
+FROM m
+"""
+
+
 QUERIES = {
     "q_split_assign": q_split_assign,
     "q_url_dedup": q_url_dedup,
@@ -800,6 +915,7 @@ QUERIES = {
     "q_k_anonymity": q_k_anonymity,
     "q_l_diversity": q_l_diversity,
     "q_t_closeness": q_t_closeness,
+    "q_gopher_rules": q_gopher_rules,
 }
 
 ORACLES = {
@@ -812,4 +928,5 @@ ORACLES = {
     "q_k_anonymity": ORACLE_K_ANONYMITY,
     "q_l_diversity": ORACLE_L_DIVERSITY,
     "q_t_closeness": ORACLE_T_CLOSENESS,
+    "q_gopher_rules": ORACLE_GOPHER_RULES,
 }
