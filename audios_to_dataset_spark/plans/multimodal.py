@@ -2628,6 +2628,114 @@ FROM v GROUP BY doc_id, w0, h0
 """
 
 
+def q_webp_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED WebP decode with real inter-frame compositing — the
+    extended-container (VP8X/ANIM/ANMF) twin of q_gif_anim
+    (functions/vp8l.decode_webp_anim_frames): three VP8L frames per
+    doc, frame 1 disposing to background, so frame 2's composite
+    carries fresh patch pixels, a background hole, and frame-0
+    survivors at once. The oracle recomputes every composited pixel
+    from the md5 formulas and rectangle membership — an ANMF offset
+    slip (the ×2 coordinate rule), a disposal bug, or a canvas-init
+    error fails the hash on specific frames."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.vp8l import decode_webp_anim_frames, synth_anim_webp
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_anim_webp(int(i)) for i in ids])
+
+    out_t = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("frame_idx", T.LongType()),
+                T.StructField("mean_px", T.DoubleType()),
+            ]
+        )
+    )
+
+    @pandas_udf(out_t)
+    def _frames(content):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for b in content:
+            frames = decode_webp_anim_frames(
+                bytes(b) if b is not None else None
+            )
+            if frames is None:
+                rows.append(None)
+                continue
+            rows.append(
+                [
+                    (k, int(f.astype(np.int64).sum()) / f.size)
+                    for k, f in enumerate(frames)
+                ]
+            )
+        return pd.Series(rows)
+
+    return (
+        d.withColumn("fs", _frames(_synth(F.col("doc_id"))))
+        .select("doc_id", F.explode("fs").alias("f"))
+        .select(
+            "doc_id",
+            F.col("f.frame_idx").alias("frame_idx"),
+            F.col("f.mean_px").alias("mean_px"),
+        )
+    )
+
+
+ORACLE_WEBP_ANIM = """
+WITH g AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('wab:' || CAST(doc_id AS VARCHAR)),
+            1, 2))::INT AS bg,
+         2 * (doc_id % 5) AS x1, 2 * (doc_id % 3) AS y1,
+         2 * ((doc_id + 2) % 5) AS x2, 2 * ((doc_id + 1) % 4) AS y2
+  FROM documents
+), fx AS (
+  SELECT *, unnest(range(16)) AS x FROM g
+), px AS (
+  SELECT *, unnest(range(12)) AS y FROM fx
+), v AS (
+  SELECT doc_id, bg, x, y,
+         x BETWEEN x1 AND x1 + 5 AND y BETWEEN y1 AND y1 + 3 AS in1,
+         x BETWEEN x2 AND x2 + 5 AND y BETWEEN y2 AND y2 + 3 AS in2,
+         ('0x' || substr(md5('wa:' || CAST(doc_id AS VARCHAR) || ':0:' ||
+             CAST(x AS VARCHAR) || ':' ||
+             CAST(y AS VARCHAR)), 1, 2))::INT AS v0,
+         ('0x' || substr(md5('wa:' || CAST(doc_id AS VARCHAR) || ':1:' ||
+             CAST(x - x1 AS VARCHAR) || ':' ||
+             CAST(y - y1 AS VARCHAR)), 1, 2))::INT AS v1,
+         ('0x' || substr(md5('wa:' || CAST(doc_id AS VARCHAR) || ':2:' ||
+             CAST(x - x2 AS VARCHAR) || ':' ||
+             CAST(y - y2 AS VARCHAR)), 1, 2))::INT AS v2
+  FROM px
+), f AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS frame_idx,
+         CAST(SUM(v0) AS DOUBLE) / 192.0 AS mean_px
+  FROM v GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 1,
+         CAST(SUM(CASE WHEN in1 THEN v1 ELSE v0 END) AS DOUBLE) / 192.0
+  FROM v GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 2,
+         CAST(SUM(CASE WHEN in2 THEN v2
+                       WHEN in1 THEN bg ELSE v0 END) AS DOUBLE) / 192.0
+  FROM v GROUP BY doc_id
+)
+SELECT doc_id, frame_idx, mean_px FROM f
+"""
+
+
 ORACLE_WEBP_LZ77 = """
 WITH g AS (
   SELECT doc_id, 10 + doc_id % 7 AS w0, 8 + doc_id % 5 AS h0
@@ -3781,6 +3889,7 @@ QUERIES = {
     "q_webp_predictor": q_webp_predictor,
     "q_webp_color": q_webp_color,
     "q_webp_meta": q_webp_meta,
+    "q_webp_anim": q_webp_anim,
     "q_audio_dropout": q_audio_dropout,
     "q_qoi_pixels": q_qoi_pixels,
     "q_audio_aiff": q_audio_aiff,
@@ -3853,6 +3962,7 @@ ORACLES["q_webp_palette"] = ORACLE_WEBP_PALETTE
 ORACLES["q_webp_predictor"] = ORACLE_WEBP_PREDICTOR
 ORACLES["q_webp_color"] = ORACLE_WEBP_COLOR
 ORACLES["q_webp_meta"] = ORACLE_WEBP_META
+ORACLES["q_webp_anim"] = ORACLE_WEBP_ANIM
 ORACLES["q_audio_dropout"] = ORACLE_AUDIO_DROPOUT
 ORACLES["q_qoi_pixels"] = ORACLE_QOI_PIXELS
 ORACLES["q_audio_aiff"] = ORACLE_AUDIO_AIFF

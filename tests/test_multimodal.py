@@ -1052,6 +1052,46 @@ def test_vp8l_predictor_palette_transforms():
     assert decode_vp8l_pixels(synth_meta_webp(6)) is not None
 
 
+def test_webp_animation_compositing():
+    """Animated WebP (VP8X/ANIM/ANMF): the x2 offset rule, background
+    init, overwrite compositing, and dispose-to-background — verified
+    pixel-exact against a hand-built expectation."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.vp8l import (
+        decode_webp_anim_frames,
+        encode_webp_anim,
+        synth_anim_webp,
+    )
+
+    rng = np.random.RandomState(17)
+    full = rng.randint(0, 256, (10, 14, 3), dtype=np.uint8)
+    p1 = rng.randint(0, 256, (4, 6, 3), dtype=np.uint8)
+    data = encode_webp_anim(
+        (14, 10), (9, 9, 9),
+        [(0, 0, full, False), (4, 2, p1, True), (8, 4, p1, False)],
+    )
+    frames = decode_webp_anim_frames(data)
+    assert frames is not None and len(frames) == 3
+    assert np.array_equal(frames[0], full)
+    want1 = full.copy()
+    want1[2:6, 4:10] = p1
+    assert np.array_equal(frames[1], want1)
+    want2 = full.copy()
+    want2[2:6, 4:10] = (9, 9, 9)  # disposed to background
+    want2[4:8, 8:14] = p1
+    assert np.array_equal(frames[2], want2)
+    # odd offsets are unrepresentable (stored /2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="even"):
+        encode_webp_anim((14, 10), (0, 0, 0), [(1, 0, p1, False)])
+    # still images / junk return None
+    assert decode_webp_anim_frames(b"RIFFxxxxWEBP") is None
+    assert decode_webp_anim_frames(None) is None
+    assert synth_anim_webp(4) == synth_anim_webp(4)
+
+
 def test_qoi_codec():
     """QOI (qoiformat.org 1.0): exact round-trips for RGB and RGBA
     incl. long runs and index hits, fixture op coverage (one image
