@@ -90,6 +90,58 @@ def near_dedup(docs: DataFrame, est_threshold: float) -> DataFrame:
     return docs.join(drops, "doc_id", "left_anti")
 
 
+def gopher_gate(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop: int = 2,
+) -> DataFrame:
+    """The Gopher rule set (Rae et al. 2021 app. A) as a pipeline
+    stage — the same integer-cross-multiplied rules q_gopher_rules
+    audits (word-count band, mean word length in [3, 10], symbol-to-
+    word < 0.1, ≥ 80% alphabetic words, ≥ ``min_stop`` distinct stop
+    words), here applied as a filter. ``min_stop`` is a dial because
+    corpora without natural English function words (like the synthetic
+    test tables) would otherwise empty out; production keeps the
+    published 2."""
+    from .plans.curation import GOPHER_STOPS
+
+    toks = F.filter(_tokens(), lambda t: t != "")
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_alpha = F.size(
+        F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("long")
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(toks), stops)
+    ).cast("long")
+    n_hash = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    ).cast("long")
+    n_ell = (
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("...")))
+        )
+        / 3
+    ).cast("long")
+    keep = (
+        (n >= min_words)
+        & (n <= max_words)
+        & (3 * n <= sum_len)
+        & (sum_len <= 10 * n)
+        & (10 * (n_hash + n_ell) < n)
+        & (5 * n_alpha >= 4 * n)
+        & (n_stop >= min_stop)
+    )
+    return docs.filter(keep)
+
+
 def quality_gate(docs: DataFrame) -> DataFrame:
     toks = F.filter(_tokens(), lambda t: t != "")
     quality = (
@@ -178,6 +230,7 @@ def run_curation(
     cap: int = 100_000,
     est_threshold: float = 0.5,
     sample_k: int = 0,
+    gopher_min_stop: int | None = None,
 ) -> dict:
     docs = spark.read.parquet(input_path)
     report = {"input": docs.count()}
@@ -185,6 +238,9 @@ def run_curation(
     report["after_exact_dedup"] = docs.count()
     docs = near_dedup(docs, est_threshold)
     report["after_near_dedup"] = docs.count()
+    if gopher_min_stop is not None:
+        docs = gopher_gate(docs, min_stop=gopher_min_stop)
+        report["after_gopher_gate"] = docs.count()
     docs = quality_gate(docs)
     report["after_quality_gate"] = docs.count()
     docs = source_cap(docs, cap)
@@ -227,6 +283,15 @@ def main(argv: list[str] | None = None) -> int:
         help="if > 0, keep a length-weighted k-doc sample (Efraimidis-"
         "Spirakis, md5-seeded) after the source cap",
     )
+    p.add_argument(
+        "--gopher-min-stop",
+        type=int,
+        default=None,
+        metavar="N",
+        help="enable the Gopher rule gate (Rae et al. 2021) before the "
+        "percentile quality gate, requiring >= N distinct stop words "
+        "(published value: 2)",
+    )
     args = p.parse_args(argv)
 
     from .session import get_session
@@ -240,6 +305,7 @@ def main(argv: list[str] | None = None) -> int:
         cap=args.source_cap,
         est_threshold=args.est_threshold,
         sample_k=args.sample_k,
+        gopher_min_stop=args.gopher_min_stop,
     )
     print(json.dumps(report))
     return 0

@@ -55,6 +55,38 @@ def test_curate_e2e(spark, tmp_path):
     }
 
 
+def test_curate_gopher_gate_stage(spark, tmp_path):
+    """--gopher-min-stop wires the Gopher rule gate into the pipeline:
+    the stage count appears in the report, shrinks the corpus (the
+    50-word floor bites on this corpus), and survivors all satisfy the
+    word-count band."""
+    out = str(tmp_path / "shards_g")
+    report = run_curation(
+        spark,
+        "/root/testdata/sf0.001/documents.parquet",
+        out,
+        seq_len=128,
+        cap=100,
+        est_threshold=0.5,
+        gopher_min_stop=1,  # synthetic corpus carries only 'the'
+    )
+    assert "after_gopher_gate" in report
+    assert (
+        report["after_near_dedup"]
+        >= report["after_gopher_gate"]
+        >= report["after_quality_gate"]
+    )
+    assert report["after_gopher_gate"] > 0
+    back = spark.read.parquet(out)
+    from pyspark.sql import functions as F
+
+    n_words = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    )
+    bad = back.filter((n_words < 50) | (n_words > 100_000)).count()
+    assert bad == 0
+
+
 def test_curate_weighted_sample_stage(spark, tmp_path):
     from audios_to_dataset_spark.curate import run_curation
 
