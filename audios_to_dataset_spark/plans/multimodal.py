@@ -2628,6 +2628,74 @@ FROM v GROUP BY doc_id, w0, h0
 """
 
 
+def q_audio_dc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DC-offset audit over decoded PCM — the dead-giveaway of a
+    mis-biased ADC or a broken unsigned→signed conversion (a payload
+    decoded with the wrong zero point shifts the whole signal): the
+    exact integer sample sum, the mean (one exact-in-double division,
+    rounded as evidence), and an integer-cross-multiplied flag
+    |sum| > 64·n (|mean| beyond ~0.2% full scale). Runs through the
+    REAL RIFF decode (wav_pcm16_samples) on the q_audio_stats fixture
+    family, so a re-centering bug flips specific flags. One
+    Arrow-batched stage, no shuffle."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.wav import synth_wav_md5, wav_pcm16_samples
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    out_t = T.StructType(
+        [
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("sum_samples", T.LongType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _dc(ids):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for i in ids:
+            s = wav_pcm16_samples(synth_wav_md5(int(i)))
+            rows.append((int(s.size), int(s.astype(np.int64).sum())))
+        return pd.DataFrame(rows, columns=["n_samples", "sum_samples"])
+
+    a = d.withColumn("dc", _dc(F.col("doc_id")))
+    n = F.col("dc.n_samples")
+    sm = F.col("dc.sum_samples")
+    return a.select(
+        "doc_id",
+        n.alias("n_samples"),
+        sm.alias("sum_samples"),
+        (F.round(sm / n, 6) + F.lit(0.0)).alias("dc_mean"),
+        (F.abs(sm) > 64 * n).alias("dc_flag"),
+    )
+
+
+ORACLE_AUDIO_DC = """
+WITH g AS (
+  SELECT doc_id, 64 + doc_id % 37 AS n FROM documents
+), ix AS (
+  SELECT doc_id, n, unnest(range(n)) AS i FROM g
+), s AS (
+  SELECT doc_id, n,
+         CAST(('0x' || substr(md5('au:' || CAST(doc_id AS VARCHAR) || ':'
+              || CAST(i AS VARCHAR)), 1, 4))::INT - 32768 AS BIGINT) AS v
+  FROM ix
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sum_samples,
+       round(CAST(SUM(v) AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
+         AS dc_mean,
+       (abs(SUM(v)) > 64 * n) AS dc_flag
+FROM s GROUP BY doc_id, n
+"""
+
+
 def q_webp_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANIMATED WebP decode with real inter-frame compositing — the
     extended-container (VP8X/ANIM/ANMF) twin of q_gif_anim
@@ -3890,6 +3958,7 @@ QUERIES = {
     "q_webp_color": q_webp_color,
     "q_webp_meta": q_webp_meta,
     "q_webp_anim": q_webp_anim,
+    "q_audio_dc": q_audio_dc,
     "q_audio_dropout": q_audio_dropout,
     "q_qoi_pixels": q_qoi_pixels,
     "q_audio_aiff": q_audio_aiff,
@@ -3963,6 +4032,7 @@ ORACLES["q_webp_predictor"] = ORACLE_WEBP_PREDICTOR
 ORACLES["q_webp_color"] = ORACLE_WEBP_COLOR
 ORACLES["q_webp_meta"] = ORACLE_WEBP_META
 ORACLES["q_webp_anim"] = ORACLE_WEBP_ANIM
+ORACLES["q_audio_dc"] = ORACLE_AUDIO_DC
 ORACLES["q_audio_dropout"] = ORACLE_AUDIO_DROPOUT
 ORACLES["q_qoi_pixels"] = ORACLE_QOI_PIXELS
 ORACLES["q_audio_aiff"] = ORACLE_AUDIO_AIFF
