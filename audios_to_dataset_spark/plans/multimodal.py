@@ -2628,6 +2628,99 @@ FROM v GROUP BY doc_id, w0, h0
 """
 
 
+def q_webp_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP metadata scrub — the privacy pass's WebP twin of
+    q_exif_scrub (functions/vp8l.scrub_webp_metadata): extended
+    (VP8X) stills carrying an EXIF chunk have it removed, the VP8X
+    EXIF/XMP flag bits cleared, and the RIFF size recomputed, with the
+    image chunk passing through byte-identical. The audit emits the
+    removed byte count (= 8 + exif_len + RIFF padding — the oracle
+    derives it from the fixture length formula), whether metadata was
+    found, whether any remains after the scrub, and the decoded pixel
+    mean of the scrubbed image (proof the scrub never touched image
+    bytes). Odd EXIF lengths exercise the RIFF padding rule."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.vp8l import (
+        decode_vp8l_pixels,
+        extract_webp_still,
+        scrub_webp_metadata,
+        synth_exif_webp,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    out_t = T.StructType(
+        [
+            T.StructField("had_exif", T.BooleanType()),
+            T.StructField("removed_bytes", T.LongType()),
+            T.StructField("clean_after", T.BooleanType()),
+            T.StructField("mean_px", T.DoubleType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _scrub(ids):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for i in ids:
+            raw = synth_exif_webp(int(i))
+            scrubbed, had = scrub_webp_metadata(raw)
+            _again, had2 = scrub_webp_metadata(scrubbed)
+            px = decode_vp8l_pixels(extract_webp_still(scrubbed))
+            rows.append(
+                (
+                    bool(had),
+                    len(raw) - len(scrubbed),
+                    not had2,
+                    int(px.astype(np.int64).sum()) / px.size
+                    if px is not None
+                    else None,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["had_exif", "removed_bytes", "clean_after", "mean_px"],
+        )
+
+    a = d.withColumn("s", _scrub(F.col("doc_id")))
+    return a.select(
+        "doc_id",
+        F.col("s.had_exif").alias("had_exif"),
+        F.col("s.removed_bytes").alias("removed_bytes"),
+        F.col("s.clean_after").alias("clean_after"),
+        F.col("s.mean_px").alias("mean_px"),
+    )
+
+
+ORACLE_WEBP_EXIF_SCRUB = """
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 7 AS w0, 6 + doc_id % 5 AS h0,
+         20 + doc_id % 13 AS n_exif
+  FROM documents
+), fx AS (
+  SELECT doc_id, w0, h0, n_exif, unnest(range(w0)) AS x FROM g
+), px AS (
+  SELECT doc_id, w0, h0, n_exif, x, unnest(range(h0)) AS y FROM fx
+), v AS (
+  SELECT doc_id, w0, h0, n_exif,
+         ('0x' || substr(md5('we:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(x AS VARCHAR) || ':' ||
+             CAST(y AS VARCHAR)), 1, 2))::INT AS v
+  FROM px
+)
+SELECT doc_id,
+       TRUE AS had_exif,
+       CAST(8 + n_exif + (n_exif % 2) AS BIGINT) AS removed_bytes,
+       TRUE AS clean_after,
+       CAST(SUM(v) AS DOUBLE) / CAST(w0 * h0 AS DOUBLE) AS mean_px
+FROM v GROUP BY doc_id, w0, h0, n_exif
+"""
+
+
 def q_audio_dc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DC-offset audit over decoded PCM — the dead-giveaway of a
     mis-biased ADC or a broken unsigned→signed conversion (a payload
@@ -3959,6 +4052,7 @@ QUERIES = {
     "q_webp_meta": q_webp_meta,
     "q_webp_anim": q_webp_anim,
     "q_audio_dc": q_audio_dc,
+    "q_webp_exif_scrub": q_webp_exif_scrub,
     "q_audio_dropout": q_audio_dropout,
     "q_qoi_pixels": q_qoi_pixels,
     "q_audio_aiff": q_audio_aiff,
@@ -4033,6 +4127,7 @@ ORACLES["q_webp_color"] = ORACLE_WEBP_COLOR
 ORACLES["q_webp_meta"] = ORACLE_WEBP_META
 ORACLES["q_webp_anim"] = ORACLE_WEBP_ANIM
 ORACLES["q_audio_dc"] = ORACLE_AUDIO_DC
+ORACLES["q_webp_exif_scrub"] = ORACLE_WEBP_EXIF_SCRUB
 ORACLES["q_audio_dropout"] = ORACLE_AUDIO_DROPOUT
 ORACLES["q_qoi_pixels"] = ORACLE_QOI_PIXELS
 ORACLES["q_audio_aiff"] = ORACLE_AUDIO_AIFF
