@@ -1052,6 +1052,40 @@ def test_vp8l_predictor_palette_transforms():
     assert decode_vp8l_pixels(synth_meta_webp(6)) is not None
 
 
+def test_webp_exif_scrub():
+    """VP8X metadata scrub: EXIF/XMP chunks removed (incl. the RIFF
+    odd-size padding), flag bits cleared, image bytes untouched,
+    idempotent; plain containers pass through; junk → None."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.vp8l import (
+        decode_vp8l_pixels,
+        encode_vp8l_lz77,
+        encode_webp_with_exif,
+        extract_webp_still,
+        scrub_webp_metadata,
+        synth_exif_webp,
+    )
+
+    rng = np.random.RandomState(19)
+    px = rng.randint(0, 256, (6, 9, 3), dtype=np.uint8)
+    for exif_len in (21, 22):  # odd exercises the padding rule
+        data = encode_webp_with_exif(px, b"II*\x00" + bytes(exif_len - 4))
+        scrubbed, had = scrub_webp_metadata(data)
+        assert had
+        assert len(data) - len(scrubbed) == 8 + exif_len + (exif_len & 1)
+        s2, had2 = scrub_webp_metadata(scrubbed)
+        assert not had2 and s2 == scrubbed
+        out = decode_vp8l_pixels(extract_webp_still(scrubbed))
+        assert out is not None and np.array_equal(out, px)
+        # VP8X EXIF/XMP flag bits cleared
+        assert scrubbed[20] & 0x0C == 0
+    plain = encode_vp8l_lz77(px)
+    assert scrub_webp_metadata(plain) == (plain, False)
+    assert scrub_webp_metadata(b"junk") is None
+    assert synth_exif_webp(5) == synth_exif_webp(5)
+
+
 def test_webp_animation_compositing():
     """Animated WebP (VP8X/ANIM/ANMF): the x2 offset rule, background
     init, overwrite compositing, and dispose-to-background — verified

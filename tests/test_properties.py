@@ -308,6 +308,20 @@ def test_image_decoders_never_raise(data):
         assert out is None or out.ndim == 3
     frames = decode_avi_frames(data)
     assert frames is None or all(f.ndim == 3 for f in frames)
+    # the WebP container surface added in r7: anim frames, metadata
+    # scrub, still extraction — same never-raise contract
+    from audios_to_dataset_spark.functions.vp8l import (
+        decode_webp_anim_frames,
+        extract_webp_still,
+        scrub_webp_metadata,
+    )
+
+    af = decode_webp_anim_frames(data)
+    assert af is None or all(f.ndim == 3 for f in af)
+    sc = scrub_webp_metadata(data)
+    assert sc is None or isinstance(sc[1], bool)
+    still = extract_webp_still(data)
+    assert still is None or still[:4] == b"RIFF"
 
 
 @given(st.binary(max_size=4096))
