@@ -77,13 +77,19 @@ _ROTATION_FIRST = (
     "q_qoi_pixels", "q_acf", "q_audio_aiff", "q_audio_au",
     "q_audio_extensible", "q_zone_map", "q_url_dedup", "q_html_strip",
     "q_pii_audit",
-    # --- r8 head (positions 51+): the 14 stragglers, then any
-    # round-7 additions appended below ---
+    # --- r8 head (positions 51+): the 14 stragglers, then the
+    # round-7 additions (never driver-checked yet) ---
     "q_sole_offender", "q_exif_scrub", "q_audio_vad",
     "q_key_skew_audit", "q_dir_rollup", "q_class_balance", "q_gif_anim",
     "q_image_tiles", "q_audio_zcr", "q_audio_transcode",
     "q_graph_health", "q_dedup_mixture_shift", "q_token_drift",
     "q_ab_test",
+    # round-7 additions: the completed-VP8L family, the int8 retrieval
+    # gate, the window/audio/curation audits
+    "q_webp_lz77", "q_webp_palette", "q_webp_predictor", "q_webp_color",
+    "q_webp_meta", "q_webp_anim", "q_webp_exif_scrub",
+    "q_sq_recall", "q_window_cume", "q_audio_dropout", "q_audio_dc",
+    "q_gopher_rules",
 )
 
 

@@ -192,11 +192,12 @@ def main() -> None:
     # tools/scale_smoke.py is present, time the 5 heaviest queries at
     # ~sf1 too, so the scaling exponent is readable directly from one
     # BENCH file. Single-run (these are minutes-scale; min-of-2 would
-    # double a cost the cross-sf comparison doesn't need). q_knn_graph
-    # and q_kcore run their DECLARED fixed-plane configs — at ×10 their
-    # candidates are ~100× (see scale_smoke / COVERAGE.md), which is
-    # exactly the exponent this section exists to expose; the scaled-
-    # plane operating point is measured in scale_smoke's own output.
+    # double a cost the cross-sf comparison doesn't need). Since
+    # round 7, q_knn_graph / q_kcore AUTO-SCALE their hyperplane count
+    # from the corpus row count (plans/dedup.knn_n_planes — the
+    # DECLARED plan is the scaled operating point at any N); the
+    # frozen-plane twin below keeps the old anti-pattern measurable in
+    # the same JSON.
     sf1: dict[str, float] = {}
     x10_dir = "/tmp/spark_graft_scale10"
     if os.path.isdir(os.path.join(x10_dir, "lineitem.parquet")):
@@ -207,23 +208,21 @@ def main() -> None:
                 "noop"
             ).save()
             sf1[name] = round(time.perf_counter() - t0, 3)
-        # the scaled-plane twin, IN the same JSON so the dial is
-        # readable without cross-referencing scale_smoke: same
-        # knn_graph operator, planes widened per the log2(N) rule
-        # (8x5 -> 8x9); the fixed-plane row above IS the documented
-        # anti-pattern at x10
+        # the frozen-plane twin (the sf0.1 plane count applied at x10):
+        # the quadratic anti-pattern the auto rule exists to prevent,
+        # kept measurable without cross-referencing scale_smoke
         from audios_to_dataset_spark.catalog import load as _load
         from audios_to_dataset_spark.operators.similarity import knn_graph
-        from audios_to_dataset_spark.plans.dedup import _make_planes
+        from audios_to_dataset_spark.plans.dedup import knn_planes
         from audios_to_dataset_spark.plans.similarity import KNN_K
 
-        planes_scaled = _make_planes(n_tables=8, n_planes=9, seed=11)
+        planes_frozen = knn_planes(2000)  # sf0.1's operating point
         em10 = _load(spark, x10_dir, "embeddings")
         t0 = time.perf_counter()
-        knn_graph(em10, planes_scaled, k=KNN_K).write.mode(
+        knn_graph(em10, planes_frozen, k=KNN_K).write.mode(
             "overwrite"
         ).format("noop").save()
-        sf1["q_knn_graph_scaled_planes"] = round(
+        sf1["q_knn_graph_frozen_planes"] = round(
             time.perf_counter() - t0, 3
         )
 
