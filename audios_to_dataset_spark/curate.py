@@ -103,41 +103,21 @@ def gopher_gate(
     words), here applied as a filter. ``min_stop`` is a dial because
     corpora without natural English function words (like the synthetic
     test tables) would otherwise empty out; production keeps the
-    published 2."""
-    from .plans.curation import GOPHER_STOPS
+    published 2.
+
+    The rule columns come from ``plans.curation.gopher_rule_exprs`` —
+    the same expressions the DuckDB-audited ``q_gopher_rules`` query
+    emits — so the shipping gate cannot de-sync from the audited set."""
+    from .plans.curation import gopher_rule_exprs
 
     toks = F.filter(_tokens(), lambda t: t != "")
-    n = F.size(toks).cast("long")
-    sum_len = F.aggregate(
-        F.transform(toks, lambda x: F.length(x).cast("long")),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
+    r = gopher_rule_exprs(
+        F.col("text"), toks,
+        min_words=min_words, max_words=max_words, min_stop=min_stop,
     )
-    n_alpha = F.size(
-        F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
-    ).cast("long")
-    stops = F.array(*[F.lit(s) for s in GOPHER_STOPS])
-    n_stop = F.size(
-        F.array_intersect(F.array_distinct(toks), stops)
-    ).cast("long")
-    n_hash = (
-        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
-    ).cast("long")
-    n_ell = (
-        (
-            F.length("text")
-            - F.length(F.replace(F.col("text"), F.lit("...")))
-        )
-        / 3
-    ).cast("long")
     keep = (
-        (n >= min_words)
-        & (n <= max_words)
-        & (3 * n <= sum_len)
-        & (sum_len <= 10 * n)
-        & (10 * (n_hash + n_ell) < n)
-        & (5 * n_alpha >= 4 * n)
-        & (n_stop >= min_stop)
+        r["wc_ok"] & r["wlen_ok"] & r["sym_ok"] & r["alpha_ok"]
+        & r["stop_ok"]
     )
     return docs.filter(keep)
 

@@ -507,6 +507,43 @@ def sample_video_frames(
     return sample_avi_frames(df, every_n, id_col, content_col)
 
 
+def decode_mc_video_frames(
+    data: bytes | None, every_n: int = 1
+) -> list[tuple[int, np.ndarray]]:
+    """Frame extraction for MOTION-COMPENSATED containers/codecs
+    (MP4/MKV/WebM carrying H.264/H.265/VP9/AV1) — the one decode
+    family this build cannot do codec-free. Delegates to PyAV when it
+    is importable and raises ``NotImplementedError`` otherwise (the
+    documented gate: a stub with a real signature, never a fake
+    decode). Returns [(frame_index, HxWx3 uint8 RGB), ...] for every
+    ``every_n``-th frame of the first video stream.
+
+    Exercised by tests/test_mc_video_av.py: the decode path runs
+    end-to-end (PyAV-encoded fixture -> this function) wherever ``av``
+    is installed, and the refusal contract is asserted where it isn't.
+    Batch shape note for the Spark callers: wire this inside
+    ``mapInPandas`` exactly like ``sample_avi_frames`` — one video per
+    row, frames exploded to rows, so a 100 TB corpus never
+    materializes more than one pandas batch of frames per task."""
+    try:
+        import av
+    except ImportError as e:  # pragma: no cover - exercised via tests
+        raise NotImplementedError(
+            "motion-compensated video (H.264/VP9/AV1) needs PyAV;"
+            " install 'av' to enable this path"
+        ) from e
+    import io
+
+    if not data or every_n < 1:
+        return []
+    out: list[tuple[int, np.ndarray]] = []
+    with av.open(io.BytesIO(bytes(data))) as container:
+        for i, frame in enumerate(container.decode(video=0)):
+            if i % every_n == 0:
+                out.append((i, frame.to_ndarray(format="rgb24")))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # REAL PNG decode via stdlib zlib (no PIL) — 8-bit RGB/RGBA, no interlace
 # ---------------------------------------------------------------------------

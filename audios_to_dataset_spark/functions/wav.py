@@ -46,7 +46,7 @@ def parse_wav_header(data: bytes | None) -> tuple[float, int]:
             chunk_id = data[pos : pos + 4]
             (chunk_size,) = struct.unpack_from("<I", data, pos + 4)
             body = pos + 8
-            if chunk_id == b"fmt " and body + 16 <= n:
+            if chunk_id == b"fmt " and chunk_size >= 16 and body + 16 <= n:
                 (_fmt_tag, _channels, sample_rate, _byte_rate, block_align,
                  _bits) = struct.unpack_from("<HHIIHH", data, body)
             elif chunk_id == b"data":
@@ -237,7 +237,7 @@ def wav_pcm_stats(data: bytes | None) -> tuple[float, float, float, int]:
             chunk_id = data[pos : pos + 4]
             (chunk_size,) = struct.unpack_from("<I", data, pos + 4)
             body = pos + 8
-            if chunk_id == b"fmt " and body + 16 <= n:
+            if chunk_id == b"fmt " and chunk_size >= 16 and body + 16 <= n:
                 (tag, _ch, _sr, _br, balign, bits) = struct.unpack_from(
                     "<HHIIHH", data, body
                 )
@@ -378,7 +378,7 @@ def segment_wav_bytes(
             chunk_id = data[pos : pos + 4]
             (chunk_size,) = struct.unpack_from("<I", data, pos + 4)
             body = pos + 8
-            if chunk_id == b"fmt " and body + 16 <= n:
+            if chunk_id == b"fmt " and chunk_size >= 16 and body + 16 <= n:
                 fmt_body = data[body : body + chunk_size]
                 (_t, _c, sample_rate, _br, block_align, _b) = (
                     struct.unpack_from("<HHIIHH", data, body)
@@ -643,7 +643,7 @@ def downmix_stereo(data: bytes | None) -> tuple[list[float], int]:
             cid = data[pos : pos + 4]
             (csz,) = struct.unpack_from("<I", data, pos + 4)
             body = pos + 8
-            if cid == b"fmt " and body + 16 <= n:
+            if cid == b"fmt " and csz >= 16 and body + 16 <= n:
                 (tag, ch, sr, _br, _ba, bits) = struct.unpack_from(
                     "<HHIIHH", data, body
                 )
@@ -837,7 +837,7 @@ def wav_pcm16_samples(data: bytes | None):
             cid = data[pos : pos + 4]
             (csize,) = struct.unpack_from("<I", data, pos + 4)
             body = pos + 8
-            if cid == b"fmt " and body + 16 <= n:
+            if cid == b"fmt " and csize >= 16 and body + 16 <= n:
                 (tag, _ch, _sr, _br, _ba, bits) = struct.unpack_from(
                     "<HHIIHH", data, body
                 )
@@ -876,7 +876,7 @@ def wav_pcm16_frames(data: bytes | None):
             cid = data[pos : pos + 4]
             (csize,) = struct.unpack_from("<I", data, pos + 4)
             body = pos + 8
-            if cid == b"fmt " and body + 16 <= n:
+            if cid == b"fmt " and csize >= 16 and body + 16 <= n:
                 (tag, ch, sr, _br, _ba, bits) = struct.unpack_from(
                     "<HHIIHH", data, body
                 )

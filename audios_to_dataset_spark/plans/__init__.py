@@ -45,51 +45,29 @@ def _modules():
             curation, relational, relational2)
 
 
-# ROUND 7 rotation (VERDICT r6 item 1): CORRECTNESS_r01..r06 covers 247 of
-# the 311 declared queries; the 64 never-checked remainders are front-loaded
-# here so the driver's first-50 window covers 50 of them this round.
-# Positions 1-50 are the frozen r7 window — the round-6 flagship codec /
-# analytics additions (q_jpeg_progressive, q_media_null_content,
-# q_flac_decode, q_qoi_pixels, q_gif_anim, q_dbscan, q_split_assign, ...).
-# Positions 51-64 are the 14 stragglers carried to the ROUND 8 head — chosen
-# as the tail because each has an already driver-checked analog or sibling
-# (q_exif_scrub ~ q_jpeg_pixels r6, q_audio_vad/q_audio_zcr ~ the r6
-# q_audio_* family, q_dir_rollup ~ q_agg_count r1, q_token_drift ~
-# q_value_drift r6, ...). New round-7 queries append AFTER position 64
-# (they join the r8 head); do not reorder or insert ahead of position 64
-# until CORRECTNESS_r07.json lands.
+# ROUND 8 rotation (VERDICT r7 item 1): CORRECTNESS_r01..r07 covers 297 of
+# the 323 declared queries, all green. The 26 never-driver-checked
+# remainders are front-loaded at positions 1-26 so the driver's first-50
+# window attests every one of them this round; after r8 lands, every
+# declared query has a green CORRECTNESS row. New round-8 queries append
+# AFTER position 26 (positions 27-50 of the window are free, so up to 24
+# new queries are also driver-checked this round). Do not reorder or
+# insert ahead of position 26 until CORRECTNESS_r08.json lands.
 _ROTATION_FIRST = (
-    # --- r7 driver window (positions 1-50) ---
-    "q_common_prefix", "q_path_rewrite", "q_dense_rank",
-    "q_jpeg_progressive", "q_media_null_content",
-    "q_decontaminate_ngram", "q_bfs_hops", "q_rle_frames",
-    "q_audio_normalize", "q_link_predict", "q_hll_overlap",
-    "q_stream_record_high",
-    "q_image_dhash", "q_image_neardup", "q_split_leakage",
-    "q_msvc_frames", "q_audio_fingerprint", "q_audio_neardup",
-    "q_t_closeness", "q_audio_headers", "q_mixture_temperature",
-    "q_robust_outliers", "q_ks_drift", "q_cms_join_estimate",
-    "q_video_headers", "q_tga_pixels", "q_stream_media_meta",
-    "q_cdc_merge", "q_dbscan", "q_ico_pixels", "q_pnm_pixels",
-    "q_flac_decode", "q_kmv_overlap", "q_split_assign",
-    "q_matryoshka_recall", "q_incremental_agg", "q_label_noise",
-    "q_coreset", "q_changepoint", "q_tiff_pixels", "q_webp_pixels",
-    "q_qoi_pixels", "q_acf", "q_audio_aiff", "q_audio_au",
-    "q_audio_extensible", "q_zone_map", "q_url_dedup", "q_html_strip",
-    "q_pii_audit",
-    # --- r8 head (positions 51+): the 14 stragglers, then the
-    # round-7 additions (never driver-checked yet) ---
+    # --- r8 driver window head (positions 1-26): the never-checked 26 ---
+    # the 14 r6 stragglers
     "q_sole_offender", "q_exif_scrub", "q_audio_vad",
     "q_key_skew_audit", "q_dir_rollup", "q_class_balance", "q_gif_anim",
     "q_image_tiles", "q_audio_zcr", "q_audio_transcode",
     "q_graph_health", "q_dedup_mixture_shift", "q_token_drift",
     "q_ab_test",
-    # round-7 additions: the completed-VP8L family, the int8 retrieval
-    # gate, the window/audio/curation audits
+    # the round-7 additions: the completed-VP8L family, the int8
+    # retrieval gate, the window/audio/curation audits
     "q_webp_lz77", "q_webp_palette", "q_webp_predictor", "q_webp_color",
     "q_webp_meta", "q_webp_anim", "q_webp_exif_scrub",
     "q_sq_recall", "q_window_cume", "q_audio_dropout", "q_audio_dc",
     "q_gopher_rules",
+    # --- round-8 additions append HERE (positions 27+) ---
 )
 
 

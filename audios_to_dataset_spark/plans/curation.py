@@ -793,6 +793,55 @@ FROM hits GROUP BY source ORDER BY source
 GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def gopher_rule_exprs(
+    text,
+    toks,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop: int = 2,
+) -> dict:
+    """The Gopher rule set (Rae et al. 2021 app. A) as named column
+    expressions — the SINGLE definition shared by the audited
+    ``q_gopher_rules`` query and the shipping ``curate.gopher_gate``
+    pipeline stage, so an edit to either side cannot silently de-sync
+    the gate from the DuckDB-checked rules. ``text`` is the raw text
+    column, ``toks`` its non-empty whitespace tokens. All comparisons
+    integer-cross-multiplied (no float thresholds)."""
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_alpha = F.size(
+        F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("long")
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)), stops
+        )
+    ).cast("long")
+    n_hash = (
+        F.length(text) - F.length(F.replace(text, F.lit("#")))
+    ).cast("long")
+    n_ell = (
+        (F.length(text) - F.length(F.replace(text, F.lit("...")))) / 3
+    ).cast("long")
+    sym = n_hash + n_ell
+    return {
+        "n": n,
+        "sum_len": sum_len,
+        "n_stop": n_stop,
+        "wc_ok": (n >= min_words) & (n <= max_words),
+        "wlen_ok": (3 * n <= sum_len) & (sum_len <= 10 * n),
+        "sym_ok": 10 * sym < n,
+        "alpha_ok": 5 * n_alpha >= 4 * n,
+        "stop_ok": n_stop >= min_stop,
+    }
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher quality-filter rule set (Rae et al. 2021, app. A —
     the published heuristics most LLM corpora start from), audited
@@ -815,48 +864,23 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("text"), " "), lambda x: F.length(x) > 0
     )
     d = d.select("doc_id", toks.alias("toks"), "text")
-    n = F.size("toks").cast("long")
-    sum_len = F.aggregate(
-        F.transform("toks", lambda x: F.length(x).cast("long")),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    n_alpha = F.size(
-        F.filter("toks", lambda x: x.rlike("[A-Za-z]"))
-    ).cast("long")
-    stops = F.array(*[F.lit(s) for s in GOPHER_STOPS])
-    n_stop = F.size(
-        F.array_intersect(
-            F.array_distinct(F.transform("toks", F.lower)), stops
-        )
-    ).cast("long")
-    n_hash = (
-        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
-    ).cast("long")
-    n_ell = (
-        (
-            F.length("text")
-            - F.length(F.replace(F.col("text"), F.lit("...")))
-        )
-        / 3
-    ).cast("long")
-    sym = n_hash + n_ell
-    wc_ok = (n >= 50) & (n <= 100_000)
-    wlen_ok = (3 * n <= sum_len) & (sum_len <= 10 * n)
-    sym_ok = 10 * sym < n
-    alpha_ok = 5 * n_alpha >= 4 * n
-    stop_ok = n_stop >= 2
+    r = gopher_rule_exprs(F.col("text"), F.col("toks"))
     return d.select(
         "doc_id",
-        n.alias("n_words"),
-        (F.round(sum_len / n, 6) + F.lit(0.0)).alias("mean_wlen"),
-        n_stop.alias("n_stopwords"),
-        wc_ok.alias("wc_ok"),
-        wlen_ok.alias("wlen_ok"),
-        sym_ok.alias("sym_ok"),
-        alpha_ok.alias("alpha_ok"),
-        stop_ok.alias("stop_ok"),
-        (wc_ok & wlen_ok & sym_ok & alpha_ok & stop_ok).alias("keep"),
+        r["n"].alias("n_words"),
+        (F.round(r["sum_len"] / r["n"], 6) + F.lit(0.0)).alias(
+            "mean_wlen"
+        ),
+        r["n_stop"].alias("n_stopwords"),
+        r["wc_ok"].alias("wc_ok"),
+        r["wlen_ok"].alias("wlen_ok"),
+        r["sym_ok"].alias("sym_ok"),
+        r["alpha_ok"].alias("alpha_ok"),
+        r["stop_ok"].alias("stop_ok"),
+        (
+            r["wc_ok"] & r["wlen_ok"] & r["sym_ok"] & r["alpha_ok"]
+            & r["stop_ok"]
+        ).alias("keep"),
     )
 
 

@@ -276,13 +276,29 @@ ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
 KNN_K = 3
 
 
+_KNN_COUNT_MEMO: dict[tuple[str, ...], int] = {}
+
+
 def _knn_planes_for(em: DataFrame) -> list[list[list[float]]]:
     """Auto-scaled plane set for the k-NN graph family: one cheap
     count() picks planes-per-table via the integer log2 rule in
     plans/dedup (knn_n_planes) — the plan adapts to corpus size
-    instead of carrying a hand-dialed bucket count to 100×."""
+    instead of carrying a hand-dialed bucket count to 100×.
+
+    The count is memoized per input-file set: five plans
+    (q_knn_graph, q_ann_recall, q_kcore, q_link_predict,
+    q_label_noise) each construct a plane set over the same
+    embeddings table, and without the memo each plan build launched
+    its own full-table count job. File-backed reads (the only way
+    these plans load embeddings) key on the parquet file list; an
+    in-memory DataFrame (tests) falls through to a plain count."""
     from .dedup import knn_planes
 
+    key = tuple(sorted(em.inputFiles()))
+    if key:
+        if key not in _KNN_COUNT_MEMO:
+            _KNN_COUNT_MEMO[key] = em.count()
+        return knn_planes(_KNN_COUNT_MEMO[key])
     return knn_planes(em.count())
 
 

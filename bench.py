@@ -201,8 +201,13 @@ def main() -> None:
     sf1: dict[str, float] = {}
     x10_dir = "/tmp/spark_graft_scale10"
     if os.path.isdir(os.path.join(x10_dir, "lineitem.parquet")):
+        # q_gif_anim joins the sf1 track in round 8 (VERDICT r7 item
+        # 6): the codec family is pure per-row CPU with no shuffle, so
+        # its sf0.1 -> sf1 ratio should read ~10x (linear) — pinning
+        # codec throughput scaling in the same JSON as the LSH growth.
         for name in ("q_dedup_minhash_lsh", "q_pagerank",
-                     "q_sparse_cosine", "q_knn_graph", "q_kcore"):
+                     "q_sparse_cosine", "q_knn_graph", "q_kcore",
+                     "q_gif_anim"):
             t0 = time.perf_counter()
             queries[name](spark, x10_dir).write.mode("overwrite").format(
                 "noop"
@@ -228,13 +233,18 @@ def main() -> None:
 
     # Round-6 capability families, timed OUTSIDE the headline total so
     # BENCH files stay round-over-round comparable on the identical
-    # 40-entry set. Single-run: these are informational, not the
-    # regression gate. The perceptual near-dup queries are deliberately
-    # absent: their fixtures keep a FIXED group count, so at sf0.1 the
-    # pair density is a fixture artifact (100x pairs for 10x docs),
-    # not an operator cost — their scale story lives in the docstring
-    # band-width dial and the sf0.01 differential gate.
+    # 40-entry set. Since round 8 these follow the same min-of-2
+    # protocol as the headline (VERDICT r7 item 4: single-run extras
+    # produced a phantom 2x "regression" — q_flac_decode 11.9 s cold vs
+    # 6.6 s warm — that cost the judge a rerun to disprove); the first
+    # run is kept under ``extras_cold``. The perceptual near-dup
+    # queries are deliberately absent: their fixtures keep a FIXED
+    # group count, so at sf0.1 the pair density is a fixture artifact
+    # (100x pairs for 10x docs), not an operator cost — their scale
+    # story lives in the docstring band-width dial and the sf0.01
+    # differential gate.
     extras: dict[str, float] = {}
+    extras_cold: dict[str, float] = {}
     for name in (
         "q_t_closeness", "q_ks_drift", "q_cms_join_estimate",
         "q_robust_outliers", "q_mixture_temperature",
@@ -255,7 +265,16 @@ def main() -> None:
         queries[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"
         ).save()
-        extras[name] = round(time.perf_counter() - t0, 3)
+        t1 = round(time.perf_counter() - t0, 3)
+        extras_cold[name] = t1
+        if single:
+            extras[name] = t1
+            continue
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        extras[name] = min(t1, round(time.perf_counter() - t0, 3))
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -271,6 +290,7 @@ def main() -> None:
         out["sf1"] = sf1
     if extras:
         out["extras"] = extras
+        out["extras_cold"] = extras_cold
     print(json.dumps(out))
     # Also persist the summary next to the repo (VERDICT r6 item 5):
     # the driver captures stdout's tail, which has truncated the

@@ -376,3 +376,43 @@ def test_au_sample_decode():
     ) is None
     assert decode_au_samples(b[:20]) is None
     assert decode_au_samples(None) is None
+
+
+def test_wav_short_fmt_chunk_rejected():
+    """ADVICE r7: a fmt chunk declaring csize < 16 must not be parsed
+    by reading into the NEXT chunk's bytes — every RIFF walker gates
+    the fmt parse on the declared size now, so the malformed file
+    falls back (keep-with-fallback) instead of transcoding garbage."""
+    import struct
+
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.wav import (
+        parse_wav_header,
+        wav_pcm16_frames,
+        wav_pcm16_samples,
+    )
+
+    # fmt declares 4 bytes; the following data chunk header supplies
+    # the remaining 12 bytes a lax parser would misread as fmt fields
+    fmt_body = struct.pack("<HH", 1, 1)  # tag=PCM, channels=1 ... cut
+    payload = np.arange(8, dtype="<i2").tobytes()
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 4 + 8 + len(payload)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + fmt_body
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    assert parse_wav_header(blob) == (0.0, 0)
+    assert wav_pcm16_frames(blob) is None
+    assert wav_pcm16_samples(blob) is None
+    # a conforming 16-byte fmt still parses
+    good_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    good = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8 + len(payload)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + good_fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    dur, rate = parse_wav_header(good)
+    assert rate == 8000 and dur > 0
+    got = wav_pcm16_frames(good)
+    assert got is not None and got[2] == 1 and got[1] == 8000

@@ -1264,3 +1264,35 @@ def test_gif_animation_compositing():
     bad = encode_gif_animation((8, 6), [(7, 5, patch, 1)])
     assert decode_gif_frames(bad) is None
     assert decode_gif_frames(None) is None
+
+
+def test_vp8l_pixel_count_cap():
+    """ADVICE r7: a crafted ~30-byte VP8L header can declare
+    16384x16384 (14-bit dims) and LZ77 backrefs would expand it to a
+    268M-entry list; dims whose product exceeds 2^26 must be refused
+    up front (same cap as the VP8X canvas path), in microseconds."""
+    import struct
+    import time
+
+    from audios_to_dataset_spark.functions.vp8l import decode_vp8l_pixels
+
+    bits = 0x2F.to_bytes(1, "little")
+    # 14-bit w-1 = 16383, 14-bit h-1 = 16383, alpha 0, version 000
+    payload = bits + struct.pack("<I", (16383) | (16383 << 14))
+    blob = (
+        b"RIFF" + struct.pack("<I", 12 + 8 + len(payload)) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", len(payload)) + payload
+        + b"\x00" * 8
+    )
+    t0 = time.perf_counter()
+    assert decode_vp8l_pixels(blob) is None
+    assert time.perf_counter() - t0 < 0.1  # refused before any decode
+    # boundary: 8192x8192 == 2^26 exactly is still allowed through the
+    # cap (it then fails structurally later, which is fine)
+    payload_ok = bits + struct.pack("<I", (8191) | (8191 << 14))
+    blob_ok = (
+        b"RIFF" + struct.pack("<I", 12 + 8 + len(payload_ok)) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", len(payload_ok)) + payload_ok
+        + b"\x00" * 8
+    )
+    assert decode_vp8l_pixels(blob_ok) is None  # truncated, not capped
