@@ -67,7 +67,8 @@ _ROTATION_FIRST = (
     "q_webp_meta", "q_webp_anim", "q_webp_exif_scrub",
     "q_sq_recall", "q_window_cume", "q_audio_dropout", "q_audio_dc",
     "q_gopher_rules",
-    # --- round-8 additions append HERE (positions 27+) ---
+    # --- round-8 additions (positions 27+, inside the 50-window) ---
+    "q_char_collision", "q_interleave_mixture", "q_code_detect",
 )
 
 

@@ -929,8 +929,90 @@ FROM m
 """
 
 
+CODE_SYMBOLS = ("{", "}", ";", "(", ")", "=", "<", ">", "[", "]")
+
+
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection per document — the pretrain-pipeline
+    router that decides whether a doc goes to the code pile, the prose
+    pile, or the bin. Signals (all exact integers): count of the ten
+    structural code symbols, digit count, and presence of
+    statement-shaped punctuation; the verdict flags use integer
+    cross-multiplication (20·n_sym >= n_chars is the 5% band), so no
+    float threshold can flip a boundary doc between engines.
+
+    Scale: one codegen projection over the text column — no shuffle,
+    no UDF; symbol counts are length-difference expressions the JVM
+    vectorizes. The same shape as q_gopher_rules and runs beside it in
+    a single curation pass."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    n = F.length("text").cast("long")
+    n_sym = sum(
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(c)))
+        ).cast("long")
+        for c in CODE_SYMBOLS
+    )
+    n_digit = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+    ).cast("long")
+    sym_heavy = (20 * n_sym >= n) & (n > 0)
+    stmt_shape = (
+        F.col("text").contains(";")
+        & F.col("text").contains("(")
+        & F.col("text").contains(")")
+    )
+    digit_heavy = (5 * n_digit >= n) & (n > 0)
+    return d.select(
+        "doc_id",
+        n.alias("n_chars"),
+        n_sym.alias("n_code_sym"),
+        n_digit.alias("n_digits"),
+        sym_heavy.alias("sym_heavy"),
+        digit_heavy.alias("digit_heavy"),
+        stmt_shape.alias("stmt_shape"),
+        (sym_heavy & stmt_shape).alias("is_codeish"),
+    ).orderBy("doc_id")
+
+
+def _oracle_code_detect() -> str:
+    sym_terms = " + ".join(
+        "CAST(length(text) - length(replace(text, '{}', ''))"
+        " AS BIGINT)".format(c.replace("'", "''"))
+        for c in CODE_SYMBOLS
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n,
+         {sym_terms} AS n_sym,
+         CAST(length(text) -
+              length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS n_digit,
+         (contains(text, ';') AND contains(text, '(')
+          AND contains(text, ')')) AS stmt_shape
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+)
+SELECT doc_id,
+       n AS n_chars,
+       n_sym AS n_code_sym,
+       n_digit AS n_digits,
+       (20 * n_sym >= n AND n > 0) AS sym_heavy,
+       (5 * n_digit >= n AND n > 0) AS digit_heavy,
+       stmt_shape,
+       ((20 * n_sym >= n AND n > 0) AND stmt_shape) AS is_codeish
+FROM m
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_split_assign": q_split_assign,
+    "q_code_detect": q_code_detect,
     "q_url_dedup": q_url_dedup,
     "q_pii_audit": q_pii_audit,
     "q_curation_funnel": q_curation_funnel,
@@ -953,4 +1035,5 @@ ORACLES = {
     "q_l_diversity": ORACLE_L_DIVERSITY,
     "q_t_closeness": ORACLE_T_CLOSENESS,
     "q_gopher_rules": ORACLE_GOPHER_RULES,
+    "q_code_detect": _oracle_code_detect(),
 }

@@ -1228,8 +1228,140 @@ FROM stripped ORDER BY doc_id
 """
 
 
+def q_char_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-collision (Simpson) index per document — the
+    transcendental-free stand-in for character entropy that gibberish/
+    boilerplate filters use (a doc dominated by one repeated character
+    has collision ~1; natural text sits far lower). Reported as
+    sum(count_c^2) / n^2 over the doc's characters plus the distinct
+    count and the top-character share.
+
+    Determinism: counts are exact bigints aggregated per doc with
+    JVM-side HOFs (no shuffle at all — the whole query is one codegen
+    projection), and each double is ONE correctly-rounded division of
+    two exactly-representable integers, so Spark and DuckDB hash-match
+    without rounding tricks. Scale: embarrassingly parallel scan;
+    per-doc cost is O(distinct_chars · len), bounded by the alphabet.
+    """
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+        & F.col("text").isNotNull()
+        & (F.length("text") > 0)
+    )
+    cs = F.filter(F.split(F.col("text"), ""), lambda c: F.length(c) > 0)
+    d = d.select("doc_id", cs.alias("cs"))
+    cnt = F.transform(
+        F.array_distinct("cs"),
+        lambda c: F.size(
+            F.filter(F.col("cs"), lambda x: x == c)
+        ).cast("long"),
+    )
+    d = d.select(
+        "doc_id", F.size("cs").cast("long").alias("n"), cnt.alias("cnt")
+    )
+    sum_sq = F.aggregate(
+        "cnt", F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+    return d.select(
+        "doc_id",
+        F.col("n").alias("n_chars_tok"),
+        F.size("cnt").cast("long").alias("distinct_chars"),
+        (sum_sq.cast("double") / (F.col("n") * F.col("n")).cast("double"))
+        .alias("simpson"),
+        (F.array_max("cnt").cast("double") / F.col("n").cast("double"))
+        .alias("top_char_ratio"),
+    ).orderBy("doc_id")
+
+
+ORACLE_CHAR_COLLISION = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ''), c -> length(c) > 0) AS cs
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(text) > 0
+), m AS (
+  SELECT doc_id, CAST(len(cs) AS BIGINT) AS n,
+         list_transform(list_distinct(cs),
+             c -> CAST(len(list_filter(cs, x -> x = c)) AS BIGINT)) AS cnt
+  FROM d
+)
+SELECT doc_id,
+       n AS n_chars_tok,
+       CAST(len(cnt) AS BIGINT) AS distinct_chars,
+       CAST(COALESCE(list_sum(list_transform(cnt, x -> x * x)), 0)
+            AS DOUBLE) / CAST(n * n AS DOUBLE) AS simpson,
+       CAST(list_max(cnt) AS DOUBLE) / CAST(n AS DOUBLE)
+         AS top_char_ratio
+FROM m
+ORDER BY doc_id
+"""
+
+
+INTERLEAVE_SCALE = 1_000_000
+
+
+def q_interleave_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted interleave of sources into ONE training
+    stream — the step after q_mixture_plan's sampling table: given
+    per-source weights, emit every document with an integer position
+    key such that reading in key order yields each source at a rate
+    proportional to its weight (the standard stride-scheduling /
+    virtual-time discipline: doc r of a weight-w source lands at
+    key = (r-1)·SCALE // w). A weight-3 source appears 3× as often as
+    a weight-1 source at any prefix of the stream.
+
+    The key is pure integer math over a per-source rank, so the
+    interleave order is reproducible across engines, partitionings and
+    reruns — no RNG, no global window (consumers sort by the emitted
+    key at write time; a total-order window would serialize at scale).
+    Weights derive deterministically from the source name here; a real
+    run passes its mixing table. Scale: one rank window PER SOURCE —
+    the same shuffle profile as q_source_cap."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+    )
+    w = (F.substring("source", -1, 1).cast("int") % 3 + 1).cast("long")
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")
+    )
+    d = d.select(
+        "doc_id",
+        "source",
+        w.alias("weight"),
+        rn.cast("long").alias("src_rank"),
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        "weight",
+        "src_rank",
+        F.expr(
+            f"(src_rank - 1) * CAST({INTERLEAVE_SCALE} AS BIGINT)"
+            " DIV weight"
+        ).alias("pos_key"),
+    ).orderBy("pos_key", "source", "doc_id")
+
+
+ORACLE_INTERLEAVE_MIXTURE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(CAST(right(source, 1) AS INT) % 3 + 1 AS BIGINT) AS weight,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+              AS BIGINT) AS src_rank
+  FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+)
+SELECT doc_id, source, weight, src_rank,
+       (src_rank - 1) * {INTERLEAVE_SCALE} // weight AS pos_key
+FROM d
+ORDER BY pos_key, source, doc_id
+"""
+
+
 QUERIES = {
     "q_rarity_score": q_rarity_score,
+    "q_char_collision": q_char_collision,
+    "q_interleave_mixture": q_interleave_mixture,
     "q_html_strip": q_html_strip,
     "q_bpe_merges": q_bpe_merges,
     "q_source_cap": q_source_cap,
@@ -1247,6 +1379,8 @@ QUERIES = {
 
 ORACLES = {
     "q_rarity_score": ORACLE_RARITY_SCORE,
+    "q_char_collision": ORACLE_CHAR_COLLISION,
+    "q_interleave_mixture": ORACLE_INTERLEAVE_MIXTURE,
     "q_html_strip": ORACLE_HTML_STRIP,
     "q_bpe_merges": ORACLE_BPE_MERGES,
     "q_source_cap": ORACLE_SOURCE_CAP,
