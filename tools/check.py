@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 from datetime import date, datetime
@@ -309,8 +310,14 @@ def main() -> int:
     nulls = "--nulls" in sys.argv[1:]
     skew = "--skew" in sys.argv[1:]
     empty = "--empty" in sys.argv[1:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
+    # the sf_dir positional is optional: a first arg that isn't a
+    # directory is a query name (so `check.py --empty q_foo` works)
+    if args and os.path.isdir(args[0]):
+        sf_dir = args[0]
+        only = set(args[1:])
+    else:
+        sf_dir = "/root/testdata/sf0.01"
+        only = set(args)
     if empty and (nulls or skew):
         print("--empty cannot be combined with --nulls/--skew")
         return 2
