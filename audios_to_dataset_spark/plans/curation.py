@@ -1010,9 +1010,59 @@ ORDER BY doc_id
 """
 
 
+BOILERPLATE_PREFIX_LEN = 16
+
+
+def q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detection by shared document PREFIX — the
+    cheap first pass curation pipelines run before fuzzy dedup: docs
+    opening with the same first N characters (cookie banners, license
+    headers, scraped templates) cluster on one exact key. Emits every
+    prefix bucket with >= 2 docs, its doc/source spread and the total
+    characters it covers, hottest first.
+
+    Exact-match grouping means ONE hash shuffle on a 16-char key (no
+    pair joins, no windows); at 100 TB this is the same shape as
+    wordcount and the natural pre-filter feeding q_dedup_minhash_lsh's
+    candidate stage. All aggregates exact bigints."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+        & F.col("text").isNotNull()
+        & (F.length("text") >= BOILERPLATE_PREFIX_LEN)
+    )
+    p = F.substring(F.lower("text"), 1, BOILERPLATE_PREFIX_LEN)
+    return (
+        d.groupBy(p.alias("prefix"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum("n_chars").cast("long").alias("chars_affected"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "prefix")
+    )
+
+
+ORACLE_BOILERPLATE_PREFIX = f"""
+SELECT substr(lower(text), 1, {BOILERPLATE_PREFIX_LEN}) AS prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       MIN(doc_id) AS first_doc,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_affected
+FROM documents
+WHERE doc_id IS NOT NULL AND text IS NOT NULL
+  AND length(text) >= {BOILERPLATE_PREFIX_LEN}
+GROUP BY 1
+HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, prefix
+"""
+
+
 QUERIES = {
     "q_split_assign": q_split_assign,
     "q_code_detect": q_code_detect,
+    "q_boilerplate_prefix": q_boilerplate_prefix,
     "q_url_dedup": q_url_dedup,
     "q_pii_audit": q_pii_audit,
     "q_curation_funnel": q_curation_funnel,
@@ -1036,4 +1086,5 @@ ORACLES = {
     "q_t_closeness": ORACLE_T_CLOSENESS,
     "q_gopher_rules": ORACLE_GOPHER_RULES,
     "q_code_detect": _oracle_code_detect(),
+    "q_boilerplate_prefix": ORACLE_BOILERPLATE_PREFIX,
 }
