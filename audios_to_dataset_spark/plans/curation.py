@@ -975,7 +975,7 @@ def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         digit_heavy.alias("digit_heavy"),
         stmt_shape.alias("stmt_shape"),
         (sym_heavy & stmt_shape).alias("is_codeish"),
-    ).orderBy("doc_id")
+    )
 
 
 def _oracle_code_detect() -> str:
@@ -1040,7 +1040,6 @@ def q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("chars_affected"),
         )
         .filter(F.col("n_docs") >= 2)
-        .orderBy(F.desc("n_docs"), "prefix")
     )
 
 

@@ -1270,7 +1270,7 @@ def q_char_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("simpson"),
         (F.array_max("cnt").cast("double") / F.col("n").cast("double"))
         .alias("top_char_ratio"),
-    ).orderBy("doc_id")
+    )
 
 
 ORACLE_CHAR_COLLISION = """
@@ -1339,7 +1339,7 @@ def q_interleave_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(src_rank - 1) * CAST({INTERLEAVE_SCALE} AS BIGINT)"
             " DIV weight"
         ).alias("pos_key"),
-    ).orderBy("pos_key", "source", "doc_id")
+    )
 
 
 ORACLE_INTERLEAVE_MIXTURE = f"""
