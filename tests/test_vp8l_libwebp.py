@@ -268,3 +268,48 @@ def test_distance_map_matches_libwebp():
         # and our own decoder agrees with libwebp on the same stream
         ours = decode_vp8l_pixels(probe_stream(dcode))
         assert ours is not None and np.array_equal(ours, px)
+
+
+def test_wild_content_through_our_encoders():
+    """Reverse direction of the wild-content test: real-world images
+    (small wild icons) through OUR encoder modes, decoded by the real
+    libwebp. Fixture content never drove the encoders into long
+    literal runs + mixed palettes the way installed icons do; this
+    pins that every mode's bitstream stays spec-conformant on content
+    we didn't synthesize."""
+    from test_wild_files import _wild_files
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_image_pixels,
+        parse_image_header,
+    )
+
+    PIXEL_CAP = 10_000  # pure-Python encode cost
+    done = 0
+    for p in _wild_files():
+        blob = open(p, "rb").read()
+        hdr = parse_image_header(blob)
+        if hdr is None:
+            continue
+        _fmt, w, h = hdr
+        if w * h > PIXEL_CAP:
+            continue
+        px = decode_image_pixels(blob)
+        if px is None:
+            continue
+        encoders = [
+            ("plain", encode_vp8l),
+            ("lz77_cache", lambda q: encode_vp8l_lz77(q, cache_bits=5)),
+            ("predictor", encode_vp8l_predictor),
+        ]
+        n_colors = len({tuple(c) for c in px.reshape(-1, 3).tolist()})
+        if n_colors <= 256:
+            encoders.append(("palette", encode_vp8l_palette))
+        for name, enc in encoders:
+            out = lw_decode(enc(px))
+            assert out is not None, f"libwebp rejected {name} of {p}"
+            assert np.array_equal(out, px), f"{name} mismatch on {p}"
+        done += 1
+        if done >= 4:
+            break
+    assert done >= 3, f"only {done} wild images small enough to encode"
