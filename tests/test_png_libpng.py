@@ -132,3 +132,45 @@ def test_libpng_streams_decode_in_ours():
         mine = decode_png_pixels(data)
         assert mine is not None, (h, w)
         assert np.array_equal(mine, px), (h, w)
+
+
+def test_wild_content_through_our_png_encoder():
+    """Wild-content direction for the PNG ENCODER (the resize
+    pipeline's re-encode path): real installed images through
+    encode_png (plain, filter-cycled, and Adam7-interlaced) must be
+    accepted and pixel-reproduced by libpng. Same lesson as the VP8L
+    distance-map bug: only content we didn't synthesize drives
+    encoder structures fixtures never produce."""
+    from test_wild_files import _wild_files
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_image_pixels,
+        encode_png,
+        parse_image_header,
+    )
+
+    PIXEL_CAP = 60_000
+    done = 0
+    for p in _wild_files():
+        blob = open(p, "rb").read()
+        hdr = parse_image_header(blob)
+        if hdr is None:
+            continue
+        _fmt, w, h = hdr
+        if w * h > PIXEL_CAP:
+            continue
+        px = decode_image_pixels(blob)
+        if px is None:
+            continue
+        for name, enc in (
+            ("plain", lambda q: encode_png(q)),
+            ("cycled", lambda q: encode_png(q, cycle_filters=True)),
+            ("adam7", lambda q: encode_png(q, interlace=True)),
+        ):
+            got = libpng_decode(enc(px))
+            assert got is not None, f"libpng rejected {name} of {p}"
+            assert np.array_equal(got, px), f"{name} mismatch on {p}"
+        done += 1
+        if done >= 6:
+            break
+    assert done >= 4, f"only {done} wild images ran"

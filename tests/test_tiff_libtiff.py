@@ -179,3 +179,43 @@ def test_wild_tiff_outside_subset_degrade_cleanly():
     blob = lt_write(px, 5)  # LZW
     assert lt_read(blob) is not None  # libtiff round-trips it
     assert decode_tiff_pixels(blob) is None
+
+
+def test_wild_content_through_our_tiff_encoder():
+    """Wild installed images through encode_tiff (both byte orders ×
+    none/PackBits), read back by libtiff — content-driven strip and
+    run shapes the random/tiled fixtures don't produce."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_wild_files import _wild_files
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_image_pixels,
+        parse_image_header,
+    )
+
+    PIXEL_CAP = 120_000
+    done = 0
+    for p in _wild_files():
+        blob = open(p, "rb").read()
+        hdr = parse_image_header(blob)
+        if hdr is None:
+            continue
+        _fmt, w, h = hdr
+        if w * h > PIXEL_CAP:
+            continue
+        px = decode_image_pixels(blob)
+        if px is None:
+            continue
+        for little in (True, False):
+            for packbits in (False, True):
+                got = lt_read(encode_tiff(px, little=little,
+                                          packbits=packbits))
+                assert got is not None and np.array_equal(got, px), (
+                    f"little={little} packbits={packbits} on {p}"
+                )
+        done += 1
+        if done >= 6:
+            break
+    assert done >= 4, f"only {done} wild images ran"
