@@ -202,3 +202,31 @@ def test_wild_aifc_compressed_refused_cleanly():
         assert decode_aiff_samples(blob) is None, name
         fmt, _r, _c, _d = parse_aiff_header(blob)
         assert fmt is None, name
+
+
+def test_wild_mp3_header_parses():
+    """The one genuinely external MP3 in this container (a gsutil test
+    asset with an ID3v2.4 tag) through the compressed-container header
+    parser: format detected, rate from the real MPEG frame header, a
+    finite positive duration. Header-only (no MP3 decoder here by
+    design) — the same surface q_audio_headers audits on fixtures."""
+    import os
+
+    from audios_to_dataset_spark.functions.audio_formats import (
+        parse_audio_header,
+    )
+
+    p = (
+        "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/"
+        "test_data/test.mp3"
+    )
+    if not os.path.exists(p):
+        pytest.skip("gsutil test.mp3 not present")
+    blob = open(p, "rb").read()
+    fmt, rate, dur, ok = parse_audio_header(blob)
+    assert fmt == "mp3" and ok
+    assert rate in (8000, 11025, 12000, 16000, 22050, 24000, 32000,
+                    44100, 48000)
+    # bound the duration by the file's own size at MPEG bitrate limits:
+    # 9.4 kB cannot exceed 9.4s even at 8 kbps, nor undercut 0.2s at 320
+    assert 0.2 < dur < 10.0
