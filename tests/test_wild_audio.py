@@ -230,3 +230,36 @@ def test_wild_mp3_header_parses():
     # bound the duration by the file's own size at MPEG bitrate limits:
     # 9.4 kB cannot exceed 9.4s even at 8 kbps, nor undercut 0.2s at 320
     assert 0.2 < dur < 10.0
+
+
+def test_ima_adpcm_step_matches_audioop():
+    """The IMA/DVI ADPCM nibble state machine against CPython's
+    audioop.adpcm2lin (an independent C implementation of the same
+    Intel/DVI spec, high-nibble-first): identical predictions over
+    random streams AND the saturation/index-clamp extremes. This is
+    the external oracle for the core the WAV tag-0x11 decoder and the
+    q_audio_adpcm fixtures build on."""
+    if audioop is None:
+        pytest.skip("audioop absent")
+    from audios_to_dataset_spark.functions.wav import ima_adpcm_step
+
+    streams = [
+        np.random.RandomState(7).randint(0, 16, 2048).tolist(),
+        [7] * 200 + [15] * 200,   # ramp up then hard down: saturation
+        [8, 0] * 300,             # oscillation at index floor
+        [7, 15] * 300,            # max magnitude alternation
+        list(range(16)) * 40,     # every nibble, cycling
+    ]
+    for nibbles in streams:
+        packed = bytes(
+            (nibbles[i] << 4) | nibbles[i + 1]
+            for i in range(0, len(nibbles) - 1, 2)
+        )
+        lin, _st = audioop.adpcm2lin(packed, 2, None)
+        want = np.frombuffer(lin, "<i2").tolist()
+        pred = idx = 0
+        ours = []
+        for nb in nibbles[: len(want)]:
+            pred, idx = ima_adpcm_step(pred, idx, nb)
+            ours.append(pred)
+        assert ours == want
