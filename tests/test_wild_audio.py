@@ -263,3 +263,23 @@ def test_ima_adpcm_step_matches_audioop():
             pred, idx = ima_adpcm_step(pred, idx, nb)
             ours.append(pred)
         assert ours == want
+
+
+def test_g711_tables_match_audioop_all_256():
+    """Both complete G.711 expansion tables against audioop's
+    independent C implementation, every code point: the µ-law and
+    A-law decoders agree value-for-value over all 256 codes."""
+    if audioop is None:
+        pytest.skip("audioop absent")
+    from audios_to_dataset_spark.functions.wav import (
+        _alaw_table,
+        _mulaw_table,
+    )
+
+    codes = bytes(range(256))
+    assert np.array_equal(
+        _mulaw_table(), np.frombuffer(audioop.ulaw2lin(codes, 2), "<i2")
+    )
+    assert np.array_equal(
+        _alaw_table(), np.frombuffer(audioop.alaw2lin(codes, 2), "<i2")
+    )
