@@ -69,7 +69,7 @@ _ROTATION_FIRST = (
     "q_gopher_rules",
     # --- round-8 additions (positions 27+, inside the 50-window) ---
     "q_char_collision", "q_interleave_mixture", "q_code_detect",
-    "q_boilerplate_prefix",
+    "q_boilerplate_prefix", "q_dedup_threshold_sweep",
 )
 
 

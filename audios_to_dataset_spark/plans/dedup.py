@@ -1747,7 +1747,102 @@ FROM agg
 """
 
 
+SWEEP_MIN_T = 8  # lowest agreement threshold the sweep reports (of 16)
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup THRESHOLD SENSITIVITY table — the tuning artifact a
+    curator reads before picking the one number that decides how much
+    corpus survives: for every MinHash agreement threshold t (8..16 of
+    {NUM_HASHES}), how many LSH candidate pairs clear it and how many
+    docs the one-pass younger-drops rule would remove. One extra scan
+    answers "what if we were stricter?" for every t at once instead of
+    re-running dedup per setting.
+
+    Shape: the signature/band work is the SAME plan q_dedup_minhash_lsh
+    runs; per-pair agreement is one 16-column comparison, and the sweep
+    is a bounded explode (<= 9 rows per pair — linear, no inequality
+    join, no window), then a groupBy on the 9-value threshold key.
+    est_jaccard = t/16 is the single correctly-rounded division."""
+    d = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(d, num_hashes=NUM_HASHES, n=NGRAM_N)
+    pairs = D.lsh_candidate_pairs(
+        sigs, num_hashes=NUM_HASHES, band_size=BAND_SIZE
+    )
+    a = sigs.select(
+        F.col("id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    b = sigs.select(
+        F.col("id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    ag = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_b", agree.alias("agree"))
+        .filter(F.col("agree") >= SWEEP_MIN_T)
+    )
+    sw = ag.select(
+        "doc_b",
+        F.explode(
+            F.sequence(F.lit(SWEEP_MIN_T), F.col("agree"))
+        ).alias("_t"),
+    ).select("doc_b", F.col("_t").cast("long").alias("threshold"))
+    return (
+        sw.groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("doc_b").cast("long").alias("n_docs_dropped"),
+        )
+        .select(
+            "threshold",
+            (
+                F.col("threshold").cast("double") / float(NUM_HASHES)
+            ).alias("est_jaccard"),
+            "n_pairs",
+            "n_docs_dropped",
+        )
+    )
+
+
+def _oracle_threshold_sweep() -> str:
+    base = _oracle_minhash()
+    head, _sep, _tail = base.rpartition("SELECT DISTINCT")
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES)
+    )
+    return f"""{head}, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+), ag AS (
+  SELECT cand.doc_b, ({agree}) AS agree
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_a
+  JOIN sig sb ON sb.doc_id = cand.doc_b
+  WHERE ({agree}) >= {SWEEP_MIN_T}
+), sw AS (
+  SELECT doc_b, CAST(unnest(range({SWEEP_MIN_T}, agree + 1)) AS BIGINT)
+           AS threshold
+  FROM ag
+)
+SELECT threshold,
+       CAST(threshold AS DOUBLE) / {NUM_HASHES}.0 AS est_jaccard,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped
+FROM sw GROUP BY threshold
+"""
+
+
 QUERIES = {
+    "q_dedup_threshold_sweep": q_dedup_threshold_sweep,
     "q_minhash_jaccard": q_minhash_jaccard,
     "q_contamination": q_contamination,
     "q_decontaminate_ngram": q_decontaminate_ngram,
@@ -1775,6 +1870,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_dedup_threshold_sweep": _oracle_threshold_sweep(),
     "q_minhash_jaccard": _oracle_minhash_jaccard(),
     "q_contamination": _oracle_contamination(),
     "q_decontaminate_ngram": _oracle_decontaminate(),
