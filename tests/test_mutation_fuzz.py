@@ -1,0 +1,85 @@
+"""Structured-mutation fuzz: bit flips, truncations, and random
+splices INSIDE valid container streams — harsher than the pure-random
+garbage in test_properties, because mutated valid headers reach deep
+decoder states that random bytes never do. Every decoder must honor
+the keep-with-fallback contract (return None/zeros, never raise) on
+any mutation. A 28k-trial one-off of this suite ran clean in round 8;
+this committed version keeps 300 trials per format as regression
+insurance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from audios_to_dataset_spark.functions.audio_headers import (
+    decode_aiff_samples,
+    decode_au_samples,
+    encode_aiff,
+    encode_au,
+)
+from audios_to_dataset_spark.functions.flac import decode_flac, encode_flac
+from audios_to_dataset_spark.functions.multimodal import (
+    decode_png_pixels,
+    decode_tiff_pixels,
+    encode_png,
+    encode_tiff,
+)
+from audios_to_dataset_spark.functions.vp8l import (
+    decode_vp8l_pixels,
+    encode_vp8l_lz77,
+)
+from audios_to_dataset_spark.functions.wav import (
+    parse_wav_header,
+    synth_wav,
+    wav_pcm16_frames,
+    wav_pcm_stats,
+)
+
+TRIALS = 300
+
+
+def _mutate(rng: np.random.RandomState, blob: bytes) -> bytes:
+    b = bytearray(blob)
+    for _ in range(rng.randint(1, 6)):
+        op = rng.randint(3)
+        if op == 0 and len(b) > 1:
+            b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+        elif op == 1 and len(b) > 8:
+            del b[rng.randint(1, len(b)):]
+        else:
+            i = rng.randint(len(b))
+            b[i:i] = bytes(rng.randint(0, 256, rng.randint(1, 9)).tolist())
+    return bytes(b)
+
+
+def _wav_all(b: bytes):
+    parse_wav_header(b)
+    wav_pcm16_frames(b)
+    wav_pcm_stats(b)
+
+
+def test_decoders_never_raise_on_mutated_valid_streams():
+    rng = np.random.RandomState(4242)
+    px = rng.randint(0, 256, (9, 11, 3)).astype(np.uint8)
+    samples = rng.randint(-32768, 32767, 200).astype(np.int16)
+    cases = [
+        ("vp8l", encode_vp8l_lz77(px, cache_bits=4), decode_vp8l_pixels),
+        ("png", encode_png(px, cycle_filters=True), decode_png_pixels),
+        ("tiff", encode_tiff(px, packbits=True), decode_tiff_pixels),
+        ("wav", synth_wav(16000, 300), _wav_all),
+        ("flac", encode_flac(samples, 44100), decode_flac),
+        ("aiff", encode_aiff(samples, 44100), decode_aiff_samples),
+        ("au", encode_au(samples, 44100), decode_au_samples),
+    ]
+    for name, blob, dec in cases:
+        # the unmutated stream must decode (guards the fixture itself)
+        assert dec(blob) is not None or name == "wav"
+        for t in range(TRIALS):
+            mutated = _mutate(rng, blob)
+            try:
+                dec(mutated)
+            except Exception as e:  # pragma: no cover - the failure path
+                raise AssertionError(
+                    f"{name} raised {type(e).__name__} on mutation {t}"
+                ) from e
