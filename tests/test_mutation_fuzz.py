@@ -63,6 +63,33 @@ def test_decoders_never_raise_on_mutated_valid_streams():
     rng = np.random.RandomState(4242)
     px = rng.randint(0, 256, (9, 11, 3)).astype(np.uint8)
     samples = rng.randint(-32768, 32767, 200).astype(np.int16)
+    from audios_to_dataset_spark.functions.jpeg import (
+        decode_jpeg_pixels,
+        synth_gray_jpeg,
+        synth_gray_jpeg_progressive,
+    )
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_avi_frames,
+        decode_bmp_pixels,
+        decode_gif_frames,
+        decode_ico_pixels,
+        decode_pnm_pixels,
+        decode_tga_pixels,
+        encode_avi_raw,
+        encode_bmp,
+        synth_gray_gif_anim,
+        synth_gray_ico,
+        synth_gray_pnm,
+        synth_gray_tga,
+    )
+    from audios_to_dataset_spark.functions.qoi import (
+        decode_qoi_pixels,
+        encode_qoi,
+    )
+
+    frames = [
+        rng.randint(0, 256, (8, 8, 3)).astype(np.uint8) for _ in range(3)
+    ]
     cases = [
         ("vp8l", encode_vp8l_lz77(px, cache_bits=4), decode_vp8l_pixels),
         ("png", encode_png(px, cycle_filters=True), decode_png_pixels),
@@ -71,6 +98,15 @@ def test_decoders_never_raise_on_mutated_valid_streams():
         ("flac", encode_flac(samples, 44100), decode_flac),
         ("aiff", encode_aiff(samples, 44100), decode_aiff_samples),
         ("au", encode_au(samples, 44100), decode_au_samples),
+        ("bmp", encode_bmp(px), decode_bmp_pixels),
+        ("qoi", encode_qoi(px), decode_qoi_pixels),
+        ("jpeg", synth_gray_jpeg(7), decode_jpeg_pixels),
+        ("jpeg_prog", synth_gray_jpeg_progressive(7), decode_jpeg_pixels),
+        ("gif_anim", synth_gray_gif_anim(7), decode_gif_frames),
+        ("tga", synth_gray_tga(7), decode_tga_pixels),
+        ("ico", synth_gray_ico(7), decode_ico_pixels),
+        ("pnm", synth_gray_pnm(7), decode_pnm_pixels),
+        ("avi", encode_avi_raw(frames), decode_avi_frames),
     ]
     for name, blob, dec in cases:
         # the unmutated stream must decode (guards the fixture itself)
