@@ -630,3 +630,44 @@ def test_zone_map_single_scan_shapes(spark, sf_dir):
     e = _explain(q_zone_map(spark, sf_dir))
     assert "CartesianProduct" not in e
     assert "BroadcastHashJoin" in e
+
+
+def test_round8_queries_scale_shapes(spark, sf_dir):
+    """The round-8 additions keep the plan shapes their docstrings
+    claim: q_char_collision/q_code_detect are shuffle-free codegen
+    projections; q_boilerplate_prefix is exactly one hash-aggregate
+    exchange; q_interleave_mixture windows per source with NO global
+    exchange-for-sort; q_dedup_threshold_sweep adds no cartesian or
+    inequality join over the minhash plan."""
+    from audios_to_dataset_spark.plans.curation import (
+        q_boilerplate_prefix,
+        q_code_detect,
+    )
+    from audios_to_dataset_spark.plans.dedup import q_dedup_threshold_sweep
+    from audios_to_dataset_spark.plans.textops2 import (
+        q_char_collision,
+        q_interleave_mixture,
+    )
+
+    e = _explain(q_char_collision(spark, sf_dir))
+    # HOF projections run outside whole-stage codegen by design; the
+    # scale property is no shuffle and no Python anywhere in the plan
+    assert "Exchange" not in e and "BatchEvalPython" not in e
+
+    e = _explain(q_code_detect(spark, sf_dir))
+    assert "Exchange" not in e and "BatchEvalPython" not in e
+    # column pruning: only doc_id and text leave the scan
+    assert "source" not in e.split("ReadSchema")[1][:200]
+
+    e = _explain(q_boilerplate_prefix(spark, sf_dir))
+    assert e.count("HashAggregate") >= 2  # partial + final
+    assert "SortMergeJoin" not in e and "CartesianProduct" not in e
+
+    e = _explain(q_interleave_mixture(spark, sf_dir))
+    assert "Window" in e
+    assert "hashpartitioning(source" in e  # per-source, never global
+    assert "SinglePartition" not in e
+
+    e = _explain(q_dedup_threshold_sweep(spark, sf_dir))
+    assert "CartesianProduct" not in e
+    assert "BroadcastNestedLoopJoin" not in e
