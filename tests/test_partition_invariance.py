@@ -43,6 +43,8 @@ ORDER_CONTRACT_QUERIES = [
     "q_split_assign", "q_knn_graph", "q_kcore",
     # global shuffle / incremental merge / manifest zones
     "q_global_shuffle", "q_incremental_agg", "q_zone_map",
+    # round-8: stride-scheduled interleave (per-source rank -> pos_key)
+    "q_interleave_mixture",
 ]
 
 
