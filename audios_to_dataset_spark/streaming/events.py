@@ -64,9 +64,19 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+STREAM_WATCHDOG_S = 600  # ~100x a normal sf0.01 replay; wedge -> error
+
+
 def _run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Execute a streaming plan with the availableNow trigger into a
-    memory sink and return the materialized batch DataFrame."""
+    memory sink and return the materialized batch DataFrame.
+
+    Bounded wait: an availableNow microbatch that wedges (observed
+    once under heavy host contention: two 1-task stages parked at 0%
+    CPU) would otherwise block awaitTermination() forever and stall
+    the WHOLE differential gate. The watchdog converts a hang into one
+    failed query; the ceiling is ~100x a normal replay so it never
+    trips on a healthy run."""
     sink = f"stream_{query_name}_{uuid.uuid4().hex[:8]}"
     q = (
         stream_df.writeStream.format("memory")
@@ -79,7 +89,12 @@ def _run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    if not q.awaitTermination(STREAM_WATCHDOG_S):
+        q.stop()
+        raise RuntimeError(
+            f"streaming replay {query_name} still running after"
+            f" {STREAM_WATCHDOG_S}s — wedged microbatch killed"
+        )
     return stream_df.sparkSession.table(sink)
 
 
