@@ -139,15 +139,13 @@ def parse_image_header(data: bytes | None) -> tuple[str | None, int, int]:
                 return None, 0, 0
             w, h = data[6], data[7]
             return "ico", w or 256, h or 256
-        if data[:1] == b"P" and data[1:2] in (b"5", b"6"):  # binary Netpbm
+        if data[:1] == b"P" and data[1:2] in (b"4", b"5", b"6"):
+            # binary Netpbm
+            fmt = {b"4": "pbm", b"5": "pgm", b"6": "ppm"}[data[1:2]]
             px = decode_pnm_pixels(data)
             if px is None:
-                return "pgm" if data[1:2] == b"5" else "ppm", 0, 0
-            return (
-                "pgm" if data[1:2] == b"5" else "ppm",
-                px.shape[1],
-                px.shape[0],
-            )
+                return fmt, 0, 0
+            return fmt, px.shape[1], px.shape[0]
         if data[:2] == b"\xff\xd8":  # JPEG: scan for a SOF marker
             pos = 2
             n = len(data)
@@ -537,10 +535,22 @@ def decode_mc_video_frames(
     if not data or every_n < 1:
         return []
     out: list[tuple[int, np.ndarray]] = []
-    with av.open(io.BytesIO(bytes(data))) as container:
-        for i, frame in enumerate(container.decode(video=0)):
-            if i % every_n == 0:
-                out.append((i, frame.to_ndarray(format="rgb24")))
+    # Decoders never raise on corrupt/mismatched streams (the contract
+    # the 16-format mutation fuzz enforces repo-wide, ADVICE r8): an
+    # audio-only container, a truncated moov box, or mid-stream damage
+    # returns the frames decoded so far (possibly []), same as the
+    # pure-Python decoders' None/empty fallback.
+    try:
+        with av.open(io.BytesIO(bytes(data))) as container:
+            if not container.streams.video:
+                return []
+            for i, frame in enumerate(container.decode(video=0)):
+                if i % every_n == 0:
+                    out.append((i, frame.to_ndarray(format="rgb24")))
+    except av.AVError:
+        return out
+    except (ValueError, OSError):  # PyAV wraps some demux errors as these
+        return out
     return out
 
 
@@ -915,7 +925,7 @@ def decode_image_pixels(data: bytes | None) -> np.ndarray | None:
         return decode_jpeg_pixels(data)
     if data[:4] == b"\x00\x00\x01\x00":
         return decode_ico_pixels(data)
-    if data[:1] == b"P" and data[1:2] in (b"5", b"6"):
+    if data[:1] == b"P" and data[1:2] in (b"4", b"5", b"6"):
         return decode_pnm_pixels(data)
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff_pixels(data)
@@ -2541,22 +2551,26 @@ def encode_pnm(px: np.ndarray, gray: bool) -> bytes:
 
 
 def decode_pnm_pixels(data: bytes | None) -> np.ndarray | None:
-    """Decode binary Netpbm (P5 grayscale / P6 RGB, maxval 255) to an
-    (h, w, 3) uint8 RGB array; P5 gray replicates into all three
-    channels. Header tokens may be separated by any whitespace run and
-    ``#``-to-newline comments (the spec's full lexical rule); exactly
-    one whitespace byte separates maxval from the raster. Anything
-    else — ASCII variants, 16-bit maxval, truncation — returns None."""
+    """Decode binary Netpbm (P4 bitmap / P5 grayscale / P6 RGB,
+    maxval 255) to an (h, w, 3) uint8 RGB array; P5 gray replicates
+    into all three channels, P4 bits unpack MSB-first with 1 = black
+    (rows padded to whole bytes, spec §pbm) — the shape wild files
+    take (CPython's test python.pbm). Header tokens may be separated
+    by any whitespace run and ``#``-to-newline comments (the spec's
+    full lexical rule); exactly one whitespace byte separates the last
+    header token from the raster. Anything else — ASCII variants,
+    16-bit maxval, truncation — returns None."""
     try:
         if not data or len(data) < 8 or data[:1] != b"P":
             return None
         kind = data[1:2]
-        if kind not in (b"5", b"6"):
+        if kind not in (b"4", b"5", b"6"):
             return None
+        n_hdr = 2 if kind == b"4" else 3  # P4 has no maxval token
         pos = 2
         vals: list[int] = []
         n = len(data)
-        while len(vals) < 3 and pos < n:
+        while len(vals) < n_hdr and pos < n:
             c = data[pos]
             if c in b" \t\r\n":
                 pos += 1
@@ -2570,8 +2584,26 @@ def decode_pnm_pixels(data: bytes | None) -> np.ndarray | None:
                 vals.append(int(data[start:pos]))
             else:
                 return None
-        if len(vals) < 3 or pos >= n:
+        if len(vals) < n_hdr or pos >= n:
             return None
+        if kind == b"4":
+            w, h = vals
+            if w <= 0 or h <= 0:
+                return None
+            pos += 1  # the single whitespace byte after height
+            rowbytes = (w + 7) // 8
+            need = rowbytes * h
+            if n < pos + need:
+                return None
+            bits = np.unpackbits(
+                np.frombuffer(data, np.uint8, count=need, offset=pos)
+                .reshape(h, rowbytes),
+                axis=1,
+            )[:, :w]
+            gray = np.where(bits == 1, 0, 255).astype(np.uint8)
+            return np.ascontiguousarray(
+                np.repeat(gray.reshape(h, w, 1), 3, axis=2)
+            )
         w, h, maxval = vals
         if w <= 0 or h <= 0 or maxval != 255:
             return None
@@ -2804,9 +2836,13 @@ def decode_tiff_pixels(data: bytes | None) -> np.ndarray | None:
         rps = one(278, h if h else 0)
         if not w or not h or comp not in (1, 32773):
             return None
-        if photo not in (1, 2) or spp not in (1, 3):
+        # spp 4 = RGB + alpha (ExtraSamples, TIFF 6.0 §18): the alpha
+        # plane is dropped to honor the (h, w, 3) RGB contract — the
+        # shape real wild files take (e.g. CPython's test python.tiff,
+        # RGBA uncompressed chunky)
+        if photo not in (1, 2) or spp not in (1, 3, 4):
             return None
-        if photo == 2 and spp != 3 or photo == 1 and spp != 1:
+        if photo == 2 and spp not in (3, 4) or photo == 1 and spp != 1:
             return None
         bps = arr(258) or [1]
         if any(b != 8 for b in bps[:spp]):
@@ -2844,6 +2880,8 @@ def decode_tiff_pixels(data: bytes | None) -> np.ndarray | None:
             return np.ascontiguousarray(
                 np.repeat(px.reshape(h, w, 1), 3, axis=2)
             )
+        if spp == 4:
+            return np.ascontiguousarray(px.reshape(h, w, 4)[:, :, :3])
         return np.ascontiguousarray(px.reshape(h, w, 3))
     except Exception:
         return None

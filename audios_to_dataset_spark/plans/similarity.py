@@ -276,7 +276,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
 KNN_K = 3
 
 
-_KNN_COUNT_MEMO: dict[tuple[str, ...], int] = {}
+_KNN_COUNT_MEMO: dict[tuple, int] = {}
 
 
 def _knn_planes_for(em: DataFrame) -> list[list[list[float]]]:
@@ -290,16 +290,37 @@ def _knn_planes_for(em: DataFrame) -> list[list[list[float]]]:
     q_label_noise) each construct a plane set over the same
     embeddings table, and without the memo each plan build launched
     its own full-table count job. File-backed reads (the only way
-    these plans load embeddings) key on the parquet file list; an
-    in-memory DataFrame (tests) falls through to a plain count."""
+    these plans load embeddings) key on the parquet file list PLUS the
+    analyzed plan (expression ids stripped) so a filtered/projected
+    frame over the same files never reuses the bare-table count
+    (ADVICE r8); an in-memory DataFrame (tests) falls through to a
+    plain count.
+
+    Limitation (documented, not defended): an in-process rewrite of
+    the SAME parquet file paths would serve a stale count. Spark part
+    files carry fresh UUIDs per write, so this needs a non-Spark
+    writer reusing exact filenames; tools/scale_smoke.py's cache
+    rebuild goes through a full directory delete + Spark write and is
+    therefore safe. Call clear_knn_count_memo() if you do rewrite
+    paths in place."""
+    import re as _re
+
     from .dedup import knn_planes
 
-    key = tuple(sorted(em.inputFiles()))
-    if key:
+    files = tuple(sorted(em.inputFiles()))
+    if files:
+        plan = em._jdf.queryExecution().analyzed().toString()
+        key = (_re.sub(r"#\d+", "#", plan), files)
         if key not in _KNN_COUNT_MEMO:
             _KNN_COUNT_MEMO[key] = em.count()
         return knn_planes(_KNN_COUNT_MEMO[key])
     return knn_planes(em.count())
+
+
+def clear_knn_count_memo() -> None:
+    """Drop all memoized row counts (for callers that rewrite parquet
+    files in place within one process)."""
+    _KNN_COUNT_MEMO.clear()
 
 
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1482,6 +1503,228 @@ SELECT e.src, CAST(COUNT(*) AS BIGINT) AS n_exact,
 FROM exact e LEFT JOIN hits h ON h.src = e.src
 GROUP BY e.src ORDER BY e.src
 """
+
+
+def q_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit sign) quantization RETRIEVAL gate: recall@3 of
+    brute-force search ranked by matching-sign-bit count (64× memory
+    cut — the 'binary embeddings' serving trick, one step past
+    q_sq_recall's int8) against exact float cosine top-3 for the same
+    5-probe set. bit_i = [x_i >= 0]; similarity = popcount(XNOR) =
+    #matching bits — pure integer ranking, ties by vec_id, so the
+    ordering is engine-exact. Same broadcast-probe shape as
+    q_sq_recall (5·N scores, linear in the corpus); at 100 TB the
+    sign bits pack 64 dims/word and the scan is bandwidth-bound, which
+    is the point of the technique."""
+    probe_ids = list(range(SQ_PROBES))
+    em = load(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = (
+        em.filter(
+            F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+        )
+        .select("vec_id", e.alias("e"))
+        .select(
+            "vec_id",
+            "e",
+            F.transform(
+                "e",
+                lambda x: F.when(x >= 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long"),
+            ).alias("b"),
+        )
+    )
+    probes = v.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("src"),
+        F.col("e").alias("qe"),
+        F.col("b").alias("qb"),
+    )
+    pairs = v.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("src")
+    )
+    fdot = F.aggregate(
+        F.zip_with("e", "qe", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    fn = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            "b", "qb",
+            lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = pairs.select(
+        "src",
+        "vec_id",
+        sround(fdot / (fn(F.col("e")) * fn(F.col("qe"))), 3).alias(
+            "cos_f"
+        ),
+        matches.alias("n_match"),
+    )
+    w_exact = Window.partitionBy("src").orderBy(
+        F.col("cos_f").desc(), "vec_id"
+    )
+    w_bin = Window.partitionBy("src").orderBy(
+        F.col("n_match").desc(), "vec_id"
+    )
+    exact = scored.withColumn(
+        "rk", F.row_number().over(w_exact)
+    ).filter(F.col("rk") <= SQ_K).select("src", "vec_id")
+    binq = scored.withColumn(
+        "rk", F.row_number().over(w_bin)
+    ).filter(F.col("rk") <= SQ_K).select("src", "vec_id")
+    hits = exact.join(binq, ["src", "vec_id"], "left_semi")
+    n_hits = hits.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return (
+        exact.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .join(n_hits, "src", "left")
+        .select(
+            "src",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("src")
+    )
+
+
+ORACLE_BQ_RECALL = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         list_transform(embedding,
+             x -> CASE WHEN CAST(x AS DOUBLE) >= 0
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS b
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+), probes AS (
+  SELECT vec_id AS src, e AS qe, b AS qb FROM v
+  WHERE vec_id < {SQ_PROBES}
+), scored AS (
+  SELECT probes.src, v.vec_id,
+         round((list_sum(list_transform(range(1, len(e) + 1),
+                 i -> e[i] * qe[i]))
+           / (sqrt(list_sum(list_transform(e, x -> x * x)))
+              * sqrt(list_sum(list_transform(qe, x -> x * x)))))
+           * 1000.0) / 1000.0 + 0.0 AS cos_f,
+         CAST(list_sum(list_transform(range(1, len(b) + 1),
+                 i -> CASE WHEN b[i] = qb[i] THEN 1 ELSE 0 END))
+              AS BIGINT) AS n_match
+  FROM v CROSS JOIN probes WHERE v.vec_id <> probes.src
+), exact AS (
+  SELECT src, vec_id FROM (
+    SELECT src, vec_id, row_number() OVER (PARTITION BY src
+             ORDER BY cos_f DESC, vec_id) AS rk
+    FROM scored) x WHERE rk <= {SQ_K}
+), binq AS (
+  SELECT src, vec_id FROM (
+    SELECT src, vec_id, row_number() OVER (PARTITION BY src
+             ORDER BY n_match DESC, vec_id) AS rk
+    FROM scored) x WHERE rk <= {SQ_K}
+), hits AS (
+  SELECT exact.src, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM exact JOIN binq USING (src, vec_id) GROUP BY exact.src
+)
+SELECT e.src, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COALESCE(MAX(h.n_hit), 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(MAX(h.n_hit), 0) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM exact e LEFT JOIN hits h ON h.src = e.src
+GROUP BY e.src ORDER BY e.src
+"""
+
+
+EMB_DIM_ROUND = 6
+
+
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding profile (mean / variance / min / max /
+    zero fraction) — the QA pass that catches dead dims, dimension
+    drift, and un-normalized ingest before they silently corrupt LSH
+    (the scale_smoke postmortem: a truncated-dim replica funneled
+    everything into mega-buckets). One posexplode + one groupBy(dim):
+    map-side combinable, shuffle width = n_dims regardless of corpus
+    size. Sums go through the decimal discipline so the variance is
+    order-independent."""
+    em = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    d = em.select(
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("dim", "x")
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+    s1 = F.sum(F.col("x").cast("decimal(28,12)"))
+    s2 = F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
+    mean = s1.cast("double") / n.cast("double")
+    return (
+        d.groupBy(F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            n.alias("n"),
+            sround(mean, EMB_DIM_ROUND).alias("mean"),
+            sround(
+                s2.cast("double") / n.cast("double") - mean * mean,
+                EMB_DIM_ROUND,
+            ).alias("variance"),
+            sround(F.min("x"), EMB_DIM_ROUND).alias("min_x"),
+            sround(F.max("x"), EMB_DIM_ROUND).alias("max_x"),
+            (
+                F.sum(F.when(F.col("x") == 0.0, 1).otherwise(0))
+                .cast("double")
+                / n.cast("double")
+            ).alias("zero_frac"),
+        )
+        .orderBy("dim")
+    )
+
+
+ORACLE_EMBED_DIM_STATS = f"""
+WITH d AS (
+  SELECT CAST(u.i - 1 AS BIGINT) AS dim, CAST(u.x AS DOUBLE) AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i) u
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+)
+SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+       {{m}} AS mean,
+       {{v}} AS variance,
+       round(MIN(x) * 1e{EMB_DIM_ROUND}) / 1e{EMB_DIM_ROUND} + 0.0
+         AS min_x,
+       round(MAX(x) * 1e{EMB_DIM_ROUND}) / 1e{EMB_DIM_ROUND} + 0.0
+         AS max_x,
+       CAST(SUM(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS zero_frac
+FROM d GROUP BY dim ORDER BY dim
+""".format(
+    m=(
+        f"round((CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)"
+        f" / CAST(COUNT(*) AS DOUBLE)) * 1e{EMB_DIM_ROUND})"
+        f" / 1e{EMB_DIM_ROUND} + 0.0"
+    ),
+    v=(
+        f"round((CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)"
+        f" / CAST(COUNT(*) AS DOUBLE)"
+        f" - (CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)"
+        f"    / CAST(COUNT(*) AS DOUBLE))"
+        f"   * (CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)"
+        f"      / CAST(COUNT(*) AS DOUBLE))) * 1e{EMB_DIM_ROUND})"
+        f" / 1e{EMB_DIM_ROUND} + 0.0"
+    ),
+)
 
 
 BATCH_QUERY_IDS = [0, 7, 21, 42, 99]

@@ -1320,7 +1320,13 @@ def q_interleave_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull() & F.col("source").isNotNull()
     )
-    w = (F.substring("source", -1, 1).cast("int") % 3 + 1).cast("long")
+    # Guarded digit extraction (ADVICE r8): a source NOT ending in a
+    # digit must not silently NULL the weight (Spark non-ANSI cast)
+    # while the oracle's CAST raises — both sides default to 0 → w=1.
+    digit = F.regexp_extract("source", "([0-9])$", 1)
+    w = (
+        F.when(digit == "", F.lit(0)).otherwise(digit.cast("int")) % 3 + 1
+    ).cast("long")
     rn = F.row_number().over(
         Window.partitionBy("source").orderBy("doc_id")
     )
@@ -1345,7 +1351,8 @@ def q_interleave_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_INTERLEAVE_MIXTURE = f"""
 WITH d AS (
   SELECT doc_id, source,
-         CAST(CAST(right(source, 1) AS INT) % 3 + 1 AS BIGINT) AS weight,
+         CAST(COALESCE(TRY_CAST(right(source, 1) AS INT), 0) % 3 + 1
+              AS BIGINT) AS weight,
          CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
               AS BIGINT) AS src_rank
   FROM documents

@@ -71,6 +71,18 @@ HEADLINE = [
     "q_dsir_select",
 ]
 
+# Round 9 (VERDICT r8 item 3): the iterative fixpoints carry ±1.3 s+
+# run-to-run variance even within one session (r8's committed headline
+# read +4.3 s vs r7 purely from pagerank/kcore jitter — plans untouched;
+# it cost both builder and judge isolated reruns to disprove). They are
+# pulled OUT of the min-of-2 headline loop and measured as isolated
+# min-of-3 under their own key, with all three raw runs preserved, so a
+# BENCH file is self-explanatory: flat "stable" total + spread visible
+# in "iterative_runs" = jitter, not regression. "value" remains
+# stable + iterative mins — the same 40-query set as r5-r8.
+ITERATIVE = ["q_pagerank", "q_kcore"]
+STABLE = [q for q in HEADLINE if q not in ITERATIVE]
+
 
 def bench_audio_pipeline(spark, n_files: int = 400) -> float:
     """Throughput of the flagship audio ETL (scan→decode→join→shard→
@@ -163,7 +175,7 @@ def main() -> None:
     single = "--single" in sys.argv
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in STABLE:
         fn = queries[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -176,6 +188,23 @@ def main() -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         t2 = round(time.perf_counter() - t0, 3)
         timings[name] = min(t1, t2)
+
+    # Iterative fixpoints: isolated min-of-3, all raw runs preserved
+    # (see the ITERATIVE comment above). Runs are back-to-back with
+    # nothing interleaved so the numbers match the "isolated min-of-3
+    # A/B" protocol CLAUDE.md prescribes for this family.
+    iterative: dict[str, float] = {}
+    iterative_runs: dict[str, list[float]] = {}
+    for name in ITERATIVE:
+        fn = queries[name]
+        runs = []
+        for _ in range(1 if single else 3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        cold[name] = runs[0]
+        iterative_runs[name] = runs
+        iterative[name] = min(runs)
 
     # The audio pipeline follows the same min-of-2 protocol as the
     # declared queries (VERDICT r5 item 5): run twice, report the min,
@@ -205,9 +234,12 @@ def main() -> None:
         # 6): the codec family is pure per-row CPU with no shuffle, so
         # its sf0.1 -> sf1 ratio should read ~10x (linear) — pinning
         # codec throughput scaling in the same JSON as the LSH growth.
+        # q_split_assign / q_dbscan join the sf1 track in round 9
+        # (VERDICT r8 item 2): the CC-fixpoint family gets the same
+        # x10 pin the LSH family has.
         for name in ("q_dedup_minhash_lsh", "q_pagerank",
                      "q_sparse_cosine", "q_knn_graph", "q_kcore",
-                     "q_gif_anim"):
+                     "q_gif_anim", "q_split_assign", "q_dbscan"):
             t0 = time.perf_counter()
             queries[name](spark, x10_dir).write.mode("overwrite").format(
                 "noop"
@@ -276,13 +308,17 @@ def main() -> None:
         ).save()
         extras[name] = min(t1, round(time.perf_counter() - t0, 3))
 
-    total = round(sum(timings.values()), 3)
+    stable_total = round(sum(timings.values()), 3)
+    total = round(stable_total + sum(iterative.values()), 3)
     out = {
         "metric": "headline_queries_total"
         + ("_cold" if single else "_min2"),
         "value": total,
         "unit": "sec",
+        "stable_total": stable_total,
         "queries": timings,
+        "iterative": iterative,
+        "iterative_runs": iterative_runs,
         "cold": cold,
         "sf": sf,
     }

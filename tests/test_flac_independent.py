@@ -450,3 +450,54 @@ def test_corrupted_crc_rejected_by_both_decoders():
         raise RuntimeError("independent decoder accepted a bad CRC")
     except AssertionError:
         pass
+
+
+def _square(n: int, ch: int) -> np.ndarray:
+    """Full-amplitude per-channel square wave (period 2 along the
+    inter-channel sample axis, so EVERY channel alternates and the
+    order-2 residual overflows the Rice cap into the raw-escape
+    branch — an interleave-level alternation would leave even channel
+    counts constant per channel)."""
+    return np.where(
+        (np.arange(n * ch) // ch) % 2 == 0, 32767, -32768
+    ).astype(np.int16)
+
+
+def test_encoder_parameter_grid_cross_checks():
+    """VERDICT r8 item 4: every encode mode ``encode_flac`` can emit,
+    through the independent RFC 9639 decoder AND the shipping decoder —
+    not just fixture defaults. The encoder's real parameter surface is
+    channels 1-8 x the 20-bit STREAMINFO rate field x the per-frame
+    subframe cycle (CONSTANT / FIXED 0-2 / VERBATIM / Rice raw-escape)
+    x frame-count shape (multi-frame, runt last frame, single-sample).
+    bps is fixed 16 and blocksize fixed 32 by construction
+    (functions/flac.py BLOCK) — there is no wider grid to cover."""
+    rates = [8000, 44100, (1 << 20) - 1]  # coded-low / common / 20-bit max
+    # axis 1: full channel sweep on the subframe-cycling md5 wave
+    # (97 samples/channel = 3 full frames + 1 runt; f%4 cycles all
+    # FIXED orders and VERBATIM)
+    for ch in range(1, 9):
+        for sr in rates:
+            samples = _md5_wave(97 * ch, f"grid{ch}")
+            blob = encode_flac(samples, sr, channels=ch)
+            got_rate, got = reference_decode(blob)
+            assert got_rate == sr
+            assert np.array_equal(got, samples), (sr, ch)
+            ours = decode_flac(blob)
+            assert ours is not None and ours[0] == sr
+            assert np.array_equal(ours[1], samples), (sr, ch)
+    # axis 2: the degenerate signal shapes at mono / stereo / 8-channel
+    for ch in (1, 2, 8):
+        for sr in rates:
+            for name, samples in (
+                ("const", np.full(70 * ch, -1234, np.int16)),
+                ("square_escape", _square(96, ch)),
+                ("single", _md5_wave(ch, f"s{ch}")),
+            ):
+                blob = encode_flac(samples, sr, channels=ch)
+                got_rate, got = reference_decode(blob)
+                assert got_rate == sr
+                assert np.array_equal(got, samples), (name, sr, ch)
+                ours = decode_flac(blob)
+                assert ours is not None and ours[0] == sr
+                assert np.array_equal(ours[1], samples), (name, sr, ch)

@@ -1296,3 +1296,66 @@ def test_vp8l_pixel_count_cap():
         + b"\x00" * 8
     )
     assert decode_vp8l_pixels(blob_ok) is None  # truncated, not capped
+
+
+def test_pnm_p4_bitmap_decodes():
+    """P4 packed-bitmap branch (round 9): MSB-first rows padded to
+    whole bytes, 1 = black; header has NO maxval token."""
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_pnm_pixels,
+        parse_image_header,
+    )
+
+    # 10x2: rows need 2 bytes each, last 6 bits of byte 2 are padding
+    # row0 = 1010101010, row1 = 0000000011
+    blob = b"P4\n10 2\n" + bytes([0b10101010, 0b10000000,
+                                  0b00000000, 0b11000000])
+    px = decode_pnm_pixels(blob)
+    assert px is not None and px.shape == (2, 10, 3)
+    assert px[0, :, 0].tolist() == [0, 255] * 5
+    assert px[1, :, 0].tolist() == [255] * 8 + [0, 0]
+    assert np.array_equal(px[:, :, 0], px[:, :, 2])
+    assert parse_image_header(blob) == ("pbm", 10, 2)
+    # truncated raster and zero dims still reject
+    assert decode_pnm_pixels(b"P4\n10 2\n" + bytes(3)) is None
+    assert decode_pnm_pixels(b"P4\n0 2\n") is None
+
+
+def test_tiff_rgba_extrasamples_drops_alpha():
+    """spp=4 branch (round 9): RGBA chunky uncompressed TIFF decodes
+    with the alpha plane dropped — hand-built IFD, both byte orders."""
+    import struct
+
+    import numpy as np
+
+    from audios_to_dataset_spark.functions.multimodal import (
+        decode_tiff_pixels,
+    )
+
+    rng = np.random.RandomState(9)
+    rgba = rng.randint(0, 256, (3, 5, 4), dtype=np.uint8)
+    for e, magic in (("<", b"II*\x00"), (">", b"MM\x00*")):
+        raster = rgba.tobytes()
+        # layout: magic+ifd_off(8) | raster | bps array | IFD
+        bps_off = 8 + len(raster)
+        ifd_off = bps_off + 8
+        entries = [
+            (256, 3, 1, 5), (257, 3, 1, 3), (258, 3, 4, bps_off),
+            (259, 3, 1, 1), (262, 3, 1, 2), (273, 4, 1, 8),
+            (277, 3, 1, 4), (278, 3, 1, 3), (279, 4, 1, len(raster)),
+            (338, 3, 1, 2),  # ExtraSamples: unassociated alpha
+        ]
+        blob = magic + struct.pack(e + "I", ifd_off) + raster
+        blob += struct.pack(e + "HHHH", 8, 8, 8, 8)
+        blob += struct.pack(e + "H", len(entries))
+        for tag, typ, cnt, val in entries:
+            if typ == 3 and cnt == 1:
+                blob += struct.pack(e + "HHIHH", tag, typ, cnt, val, 0)
+            else:
+                blob += struct.pack(e + "HHII", tag, typ, cnt, val)
+        blob += struct.pack(e + "I", 0)
+        px = decode_tiff_pixels(blob)
+        assert px is not None and px.shape == (3, 5, 3), e
+        assert np.array_equal(px, rgba[:, :, :3]), e

@@ -96,6 +96,19 @@ def test_decoders_never_raise_on_mutated_valid_streams():
         ("tiff", encode_tiff(px, packbits=True), decode_tiff_pixels),
         ("wav", synth_wav(16000, 300), _wav_all),
         ("flac", encode_flac(samples, 44100), decode_flac),
+        # parameter-grid streams (VERDICT r8 item 4): the fuzz corpus
+        # must cover the encode modes the shipping --transcode-flac
+        # path can emit, not just the mono default — 8-channel at the
+        # 20-bit rate ceiling, and the full-amplitude square that
+        # forces the Rice raw-escape branch
+        ("flac_8ch",
+         encode_flac(rng.randint(-32768, 32767, 96 * 8).astype(np.int16),
+                     (1 << 20) - 1, channels=8),
+         decode_flac),
+        ("flac_escape",
+         encode_flac(np.where(np.arange(96) % 2 == 0, 32767, -32768)
+                     .astype(np.int16), 44100),
+         decode_flac),
         ("aiff", encode_aiff(samples, 44100), decode_aiff_samples),
         ("au", encode_au(samples, 44100), decode_au_samples),
         ("bmp", encode_bmp(px), decode_bmp_pixels),

@@ -242,3 +242,40 @@ def test_stream_drift_matches_batch_twin(spark, sf_dir):
         for r in _twin_drift(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_watchdog_kills_wedged_microbatch(spark, tmp_path, monkeypatch):
+    """The STREAM_WATCHDOG_S branch (streaming/events.py) was added
+    after an observed wedge but never driven by a test (VERDICT r8
+    item 7): inject a deliberately blocked microbatch (per-row sleep
+    UDF far past the patched timeout) and assert the watchdog converts
+    the hang into ONE failed query while the session keeps serving
+    healthy replays — the whole-gate-stall it exists to prevent."""
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from audios_to_dataset_spark.streaming import events as se
+
+    src = str(tmp_path / "in")
+    spark.range(4).coalesce(1).write.parquet(src)
+    slow = F.udf(lambda x: (time.sleep(30), x)[1], "long")
+    wedged = (
+        spark.readStream.schema("id long").parquet(src)
+        .select(slow("id").alias("id"))
+    )
+    monkeypatch.setattr(se, "STREAM_WATCHDOG_S", 3)
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="wedged microbatch"):
+        se._run_available_now(wedged, "watchdog_negative")
+    # the watchdog fired on its clock, not the microbatch's
+    assert time.monotonic() - t0 < 25
+    # ...and the gate continues: a healthy replay on the SAME session
+    # (same driver process as a real tools/check.py run) still works
+    healthy = se._run_available_now(
+        spark.readStream.schema("id long").parquet(src)
+        .select((F.col("id") * 2).alias("id2")),
+        "watchdog_healthy",
+    )
+    assert sorted(r.id2 for r in healthy.collect()) == [0, 2, 4, 6]

@@ -40,9 +40,24 @@ WILD_GLOBS = [
     "/usr/share/doc/nodejs/*.jpg",
     # Tk demo PPM
     "/root/miniconda/lib/tk8.6/demos/images/teapot.ppm",
+    # CPython test-suite images (round 9, VERDICT r8 item 6): the one
+    # genuinely external TIFF in this container lineage (RGBA
+    # uncompressed little-endian — exercises the spp=4 ExtraSamples
+    # branch) plus the P4/P5/P6 Netpbm trio (P4 1-bit packed rows)
+    "/root/.pyenv/versions/*/lib/python3.*/test/imghdrdata/python.tiff",
+    "/root/.pyenv/versions/*/lib/python3.*/test/imghdrdata/python.pbm",
+    "/root/.pyenv/versions/*/lib/python3.*/test/imghdrdata/python.pgm",
+    "/root/.pyenv/versions/*/lib/python3.*/test/imghdrdata/python.ppm",
+    "/root/.pyenv/versions/*/lib/python3.*/test/test_email/data/python.tiff",
+    "/root/.pyenv/versions/*/lib/python3.*/test/tkinterdata/python.pgm",
+    "/root/.pyenv/versions/*/lib/python3.*/test/tkinterdata/python.ppm",
 ]
 
-MIN_FOUND = 10
+MIN_FOUND = 40
+# formats that must appear in the wild set (fail loudly if a container
+# rev drops them, instead of silently shrinking coverage)
+MIN_PER_FORMAT = {"png": 5, "gif": 5, "jpeg": 2, "tiff": 3, "pbm": 3,
+                  "pgm": 3, "ppm": 3}
 
 
 def _wild_files() -> list[str]:
@@ -64,6 +79,7 @@ def test_wild_files_decode():
     if len(files) < MIN_FOUND:
         pytest.skip(f"only {len(files)} wild files present on this host")
     decoded = 0
+    per_fmt: dict[str, int] = {}
     for p in files:
         blob = open(p, "rb").read()
         hdr = parse_image_header(blob)
@@ -76,7 +92,12 @@ def test_wild_files_decode():
             f"dims mismatch on {p}: {px.shape[:2]} vs header ({h}, {w})"
         )
         decoded += 1
-    assert decoded >= MIN_FOUND
+        per_fmt[fmt] = per_fmt.get(fmt, 0) + 1
+    assert decoded >= MIN_FOUND, per_fmt
+    for fmt, need in MIN_PER_FORMAT.items():
+        assert per_fmt.get(fmt, 0) >= need, (
+            f"wild corpus lost format {fmt}: {per_fmt}"
+        )
 
 
 def test_wild_ppm_pixel_golden():

@@ -360,6 +360,21 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # A green gate with zero queries executed must be impossible: a
+    # mistyped sf_dir (e.g. /root/testdata/sf001 — not a directory) is
+    # reclassified as a query name above, and before this check it would
+    # silently match nothing and print "0 failures" (ADVICE r8 item 1).
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        print("(a non-directory first arg is treated as a query name; "
+              f"sf_dir={sf_dir})")
+        return 2
+    n_run = len(only & set(qs)) if only else len(qs)
+    print(f"Running {n_run} of {len(qs)} declared queries on {sf_dir}")
+    if n_run == 0:
+        print("refusing to run zero queries")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -197,6 +197,41 @@ def knn_candidates(spark, sf_dir: str, planes) -> int:
     return _pairs(multitable_buckets(em, planes).groupBy("bucket").count())
 
 
+def cc_shingle_candidates(spark, sf_dir: str) -> int:
+    """Candidate pairs of the n-gram Jaccard inverted-index self-join
+    (sum over post-cap shingles of n*(n-1)/2) — the pair-finding stage
+    feeding the CC fixpoint behind q_dedup_clusters / q_split_assign.
+    Replica decorrelation (letter rotation) keeps replica shingle sets
+    ~disjoint, so growth must be ~linear; shingles made only of
+    non-rotated chars do collide across replicas, but those are
+    high-frequency and die at the max_shingle_freq cap."""
+    from audios_to_dataset_spark.catalog import load
+    from audios_to_dataset_spark.operators.dedup import shingles
+    from audios_to_dataset_spark.plans.dedup import MAX_SHINGLE_FREQ
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    sh = shingles(d, "doc_id", "text", 3)
+    freq = sh.groupBy("shingle").count()
+    return _pairs(freq.filter(F.col("count") <= MAX_SHINGLE_FREQ))
+
+
+def cc_edges(spark, sf_dir: str) -> int:
+    """Near-dup pair count above threshold — the CC fixpoint's actual
+    edge frame (what connected_components localCheckpoints once)."""
+    from audios_to_dataset_spark.catalog import load
+    from audios_to_dataset_spark.operators.dedup import ngram_jaccard_pairs
+    from audios_to_dataset_spark.plans.dedup import MAX_SHINGLE_FREQ
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    return ngram_jaccard_pairs(
+        d, threshold=0.2, max_shingle_freq=MAX_SHINGLE_FREQ
+    ).count()
+
+
 def pagerank_edges(spark, sf_dir: str) -> int:
     from audios_to_dataset_spark.catalog import load
     from audios_to_dataset_spark.plans.sketches import PR_SUPP_OFFSET
@@ -283,6 +318,27 @@ def main() -> int:
     if pe10 != FACTOR * pe1:
         failures.append(f"pagerank edges not exactly 10x: {pe10} vs {pe1}")
 
+    # --- CC fixpoint family (VERDICT r8 item 2): the n-gram Jaccard
+    # pair graph behind q_dedup_clusters / q_split_assign gets the same
+    # x10 pin as the LSH family — candidate pairs of the inverted-index
+    # self-join AND the resulting edge frame must both stay ~linear ---
+    cj1 = cc_shingle_candidates(spark, sf_dir)
+    cj10 = cc_shingle_candidates(spark, x10)
+    ce1 = cc_edges(spark, sf_dir)
+    ce10 = cc_edges(spark, x10)
+    out["cc_pair_growth"] = {
+        "shingle_cand": {"sf0.1": cj1, "x10": cj10,
+                         "ratio": round(cj10 / max(cj1, 1), 2)},
+        "edges": {"sf0.1": ce1, "x10": ce10,
+                  "ratio": round(ce10 / max(ce1, 1), 2)},
+    }
+    if cj10 > 2 * FACTOR * cj1:
+        failures.append(
+            f"cc shingle candidates superlinear: {cj10} > 2*10*{cj1}"
+        )
+    if ce10 > 2 * FACTOR * ce1:
+        failures.append(f"cc edges superlinear: {ce10} > 2*10*{ce1}")
+
     # --- end-to-end completion at x10 ---
     e2e: dict = {}
     for name in ("q_dedup_minhash_lsh", "q_pagerank"):
@@ -290,6 +346,21 @@ def main() -> int:
         e2e[name] = {"sec": secs, "rows": rows}
         if rows <= 0:
             failures.append(f"{name} empty at x10")
+
+    # q_split_assign at x10 (the CC fixpoint consumer): every non-NULL
+    # doc gets exactly one split label — rows must equal the distinct
+    # doc count, or the fixpoint dropped/duplicated labels at scale
+    n_docs = (
+        load(spark, x10, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .count()
+    )
+    secs, rows = run_query(q["q_split_assign"], spark, x10)
+    e2e["q_split_assign"] = {"sec": secs, "rows": rows, "n_docs": n_docs}
+    if rows != n_docs:
+        failures.append(
+            f"q_split_assign labeled {rows} of {n_docs} docs at x10"
+        )
 
     # knn graph + k-core peel at the DEFAULT operating point (the same
     # operator code path as q_knn_graph / q_kcore — the auto rule picks
