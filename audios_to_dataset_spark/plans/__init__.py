@@ -45,31 +45,22 @@ def _modules():
             curation, relational, relational2)
 
 
-# ROUND 8 rotation (VERDICT r7 item 1): CORRECTNESS_r01..r07 covers 297 of
-# the 323 declared queries, all green. The 26 never-driver-checked
-# remainders are front-loaded at positions 1-26 so the driver's first-50
-# window attests every one of them this round; after r8 lands, every
-# declared query has a green CORRECTNESS row. New round-8 queries append
-# AFTER position 26 (positions 27-50 of the window are free, so up to 24
-# new queries are also driver-checked this round). Do not reorder or
-# insert ahead of position 26 until CORRECTNESS_r08.json lands.
+# ROUND 9 rotation (VERDICT r8 item 1: preserve the full-attestation
+# invariant under growth). As of CORRECTNESS_r08 every one of the 328
+# r8-declared queries has a green driver row; the ONLY exposure is new
+# queries, so all round-9 additions sit at positions 1-N of the driver's
+# 50-query window and are attested immediately. Also re-attested inside
+# the window: q_interleave_mixture (weight derivation changed this
+# round — guarded digit extraction, ADVICE r8). Keep new queries ≤50
+# per round so the window always covers them.
 _ROTATION_FIRST = (
-    # --- r8 driver window head (positions 1-26): the never-checked 26 ---
-    # the 14 r6 stragglers
-    "q_sole_offender", "q_exif_scrub", "q_audio_vad",
-    "q_key_skew_audit", "q_dir_rollup", "q_class_balance", "q_gif_anim",
-    "q_image_tiles", "q_audio_zcr", "q_audio_transcode",
-    "q_graph_health", "q_dedup_mixture_shift", "q_token_drift",
-    "q_ab_test",
-    # the round-7 additions: the completed-VP8L family, the int8
-    # retrieval gate, the window/audio/curation audits
-    "q_webp_lz77", "q_webp_palette", "q_webp_predictor", "q_webp_color",
-    "q_webp_meta", "q_webp_anim", "q_webp_exif_scrub",
-    "q_sq_recall", "q_window_cume", "q_audio_dropout", "q_audio_dc",
-    "q_gopher_rules",
-    # --- round-8 additions (positions 27+, inside the 50-window) ---
-    "q_char_collision", "q_interleave_mixture", "q_code_detect",
-    "q_boilerplate_prefix", "q_dedup_threshold_sweep",
+    # --- round-9 additions ---
+    "q_bq_recall", "q_embed_dim_stats",
+    "q_mode_value", "q_decay_weights",
+    "q_histogram", "q_id_gaps",
+    "q_audio_clipping", "q_audio_windows",
+    # --- changed-in-r9 (re-attest) ---
+    "q_interleave_mixture",
 )
 
 

@@ -1426,7 +1426,135 @@ FROM s
 """
 
 
+def q_mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group MODE — the most frequent event_type per
+    user with an explicit tie-break (count DESC, value ASC). Engines'
+    built-in mode()/first() break ties by scan order, which is
+    partition-dependent; spelling the tie-break as a rank window makes
+    the answer identical on any partitioning (the partition-invariance
+    axis). Share comes from a same-window partition sum — no second
+    shuffle. Scale: one groupBy(user, type) + one window per user;
+    the wordcount shuffle profile."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    cnt = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    tot = Window.partitionBy("user_id")
+    return (
+        cnt.select(
+            "user_id",
+            "event_type",
+            "n",
+            F.row_number().over(w).alias("rk"),
+            F.sum("n").over(tot).cast("bigint").alias("n_total"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("n").alias("n_mode"),
+            "n_total",
+            (
+                F.col("n").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("mode_share"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_MODE_VALUE = """
+WITH cnt AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), rk AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rk,
+         CAST(SUM(n) OVER (PARTITION BY user_id) AS BIGINT) AS n_total
+  FROM cnt
+)
+SELECT user_id, event_type AS mode_event_type, n AS n_mode, n_total,
+       CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS mode_share
+FROM rk WHERE rk = 1 ORDER BY user_id
+"""
+
+
+DECAY_CAP_DAYS = 30  # half-life 1 day, floor at 2^-30
+DECAY_DAY_US = 86_400_000_000
+
+
+def q_decay_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed sampling mass per event_type — the freshness
+    weighting a continuously-ingesting training pipeline applies
+    before mixing (recent data counts full, day-old data counts half,
+    ...). Weight = 2^-min(age_days, 30) with a 1-day half-life: a
+    dyadic rational, so the per-row weight is an EXACT long numerator
+    (1 << (30 - k)) and the aggregate is pure int64 — order- and
+    engine-independent with no float-sum discipline needed. At 100 TB
+    the numerator sum is the only state (map-side combinable); the cap
+    bounds the numerator span so even 2^53-scale row counts stay exact
+    in the final double divide."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    us = F.unix_micros("ts")
+    anchor = e.agg(F.max(us).alias("anchor_us"))
+    age_days = F.expr(
+        f"(anchor_us - unix_micros(ts)) DIV {DECAY_DAY_US}"
+    )
+    # shiftleft's numBits must be a literal in the Python API — spell
+    # the column-valued shift as a SQL expression
+    num = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({DECAY_CAP_DAYS}"
+        f" - least((anchor_us - unix_micros(ts)) DIV {DECAY_DAY_US},"
+        f" {DECAY_CAP_DAYS}) AS INT))"
+    )
+    return (
+        e.crossJoin(F.broadcast(anchor))
+        .select("event_type", num.alias("num"), age_days.alias("age"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (
+                F.sum("num").cast("double")
+                / F.lit(float(1 << DECAY_CAP_DAYS))
+            ).alias("decayed_mass"),
+            F.min("age").cast("bigint").alias("newest_age_days"),
+            F.max("age").cast("bigint").alias("oldest_age_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_DECAY_WEIGHTS = f"""
+WITH e AS (
+  SELECT event_type,
+         (  (SELECT MAX(epoch_us(ts)) FROM events
+             WHERE ts IS NOT NULL AND event_type IS NOT NULL)
+          - epoch_us(ts)) // {DECAY_DAY_US} AS age
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(1::BIGINT << CAST({DECAY_CAP_DAYS}
+                - LEAST(age, {DECAY_CAP_DAYS}) AS INT)) AS DOUBLE)
+         / {float(1 << DECAY_CAP_DAYS)} AS decayed_mass,
+       CAST(MIN(age) AS BIGINT) AS newest_age_days,
+       CAST(MAX(age) AS BIGINT) AS oldest_age_days
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "q_mode_value": q_mode_value,
+    "q_decay_weights": q_decay_weights,
     "q_changepoint": q_changepoint,
     "q_acf": q_acf,
     "q_graph_health": q_graph_health,
@@ -1452,6 +1580,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_mode_value": ORACLE_MODE_VALUE,
+    "q_decay_weights": ORACLE_DECAY_WEIGHTS,
     "q_changepoint": ORACLE_CHANGEPOINT,
     "q_acf": ORACLE_ACF,
     "q_graph_health": ORACLE_GRAPH_HEALTH,

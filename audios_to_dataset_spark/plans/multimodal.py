@@ -4156,3 +4156,224 @@ ORACLES["q_audio_zcr"] = ORACLE_AUDIO_ZCR
 ORACLES["q_audio_transcode"] = ORACLE_AUDIO_TRANSCODE
 ORACLES["q_gif_anim"] = ORACLE_GIF_ANIM
 ORACLES["q_image_tiles"] = ORACLE_IMAGE_TILES
+
+
+CLIP_T = 28000  # |sample| at/above this counts as clipped
+
+
+def q_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipping audit — the ingest gate that catches hot-mic /
+    over-gained recordings before they poison training (peak-limited
+    waveforms destroy spectral features): per clip, the clipped-sample
+    count (|v| >= 28000) and the LONGEST consecutive clipped run
+    (sustained saturation, the damning signal; isolated peaks are
+    benign). Real RIFF parse + numpy run-length on the decoded PCM;
+    the oracle replays the run structure as gaps-and-islands over the
+    md5 sample formula, so an off-by-one in the run merge fails the
+    hash. Row-wise pandas UDF, shuffle-free."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.wav import synth_wav_md5, wav_pcm16_samples
+
+    d = _doc_ids(spark, sf_dir)
+
+    out_t = T.StructType(
+        [
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_clipped", T.LongType()),
+            T.StructField("max_run", T.LongType()),
+            T.StructField("clip_ratio", T.DoubleType()),
+        ]
+    )
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_wav_md5(int(i)) for i in ids])
+
+    @pandas_udf(out_t)
+    def _clip(content):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for b in content:
+            bb = bytes(b) if b is not None else None
+            s = wav_pcm16_samples(bb)
+            if s is None or s.size == 0:
+                rows.append((None, None, None, None))
+                continue
+            c = np.abs(s.astype(np.int64)) >= CLIP_T
+            n_clip = int(c.sum())
+            if n_clip == 0:
+                max_run = 0
+            else:
+                # run lengths: split the clipped mask at the edges
+                edges = np.flatnonzero(np.diff(c.astype(np.int8)))
+                bounds = np.concatenate(([0], edges + 1, [c.size]))
+                lens = np.diff(bounds)
+                starts_clipped = c[bounds[:-1]]
+                max_run = int(lens[starts_clipped].max())
+            rows.append(
+                (s.size, n_clip, max_run, n_clip / s.size)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["n_samples", "n_clipped", "max_run", "clip_ratio"],
+        )
+
+    out = d.withColumn("r", _clip(_synth(F.col("doc_id"))))
+    return out.select(
+        "doc_id",
+        F.col("r.n_samples").alias("n_samples"),
+        F.col("r.n_clipped").alias("n_clipped"),
+        F.col("r.max_run").alias("max_run"),
+        F.col("r.clip_ratio").alias("clip_ratio"),
+    )
+
+
+ORACLE_AUDIO_CLIPPING = f"""
+WITH g AS (
+  SELECT doc_id, 64 + doc_id % 37 AS n FROM documents
+), ix AS (
+  SELECT doc_id, n, unnest(range(n)) AS i FROM g
+), s AS (
+  SELECT doc_id, n, i,
+         abs(('0x' || substr(md5('au:' || CAST(doc_id AS VARCHAR) || ':'
+              || CAST(i AS VARCHAR)), 1, 4))::INT - 32768)
+           >= {CLIP_T} AS clipped
+  FROM ix
+), isl AS (
+  SELECT doc_id, n, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+           AS island
+  FROM s WHERE clipped
+), runs AS (
+  SELECT doc_id, island, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY doc_id, island
+), agg AS (
+  SELECT doc_id, CAST(SUM(run_len) AS BIGINT) AS n_clipped,
+         CAST(MAX(run_len) AS BIGINT) AS max_run
+  FROM runs GROUP BY doc_id
+)
+SELECT g.doc_id, CAST(g.n AS BIGINT) AS n_samples,
+       COALESCE(a.n_clipped, 0) AS n_clipped,
+       COALESCE(a.max_run, 0) AS max_run,
+       CAST(COALESCE(a.n_clipped, 0) AS DOUBLE) / CAST(g.n AS DOUBLE)
+         AS clip_ratio
+FROM g LEFT JOIN agg a ON a.doc_id = g.doc_id
+"""
+
+
+AW_WIN = 16  # framing window (samples)
+AW_HOP = 8   # hop (samples)
+
+
+def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size audio framing (win 16 / hop 8) with per-frame energy —
+    the windowing plumbing under every spectrogram / feature-extract
+    stage, minus the transcendental FFT (so the oracle is exact):
+    per clip, the frame count, the integer sum-of-squares energy of
+    the loudest frame, and its index (earliest wins ties). Energies
+    are pure int64 (16-bit samples² × 16 ≤ 2^34), so the argmax is
+    engine-exact. Row-wise pandas UDF over the decoded PCM; the oracle
+    rebuilds frames with a range join on the md5 formula."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.wav import synth_wav_md5, wav_pcm16_samples
+
+    d = _doc_ids(spark, sf_dir)
+
+    out_t = T.StructType(
+        [
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("peak_frame", T.LongType()),
+            T.StructField("peak_energy", T.LongType()),
+            T.StructField("mean_energy", T.DoubleType()),
+        ]
+    )
+
+    @pandas_udf("binary")
+    def _synth(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series([synth_wav_md5(int(i)) for i in ids])
+
+    @pandas_udf(out_t)
+    def _frames(content):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for b in content:
+            bb = bytes(b) if b is not None else None
+            s = wav_pcm16_samples(bb)
+            if s is None or s.size < AW_WIN:
+                rows.append((None, None, None, None))
+                continue
+            v = s.astype(np.int64)
+            nf = (v.size - AW_WIN) // AW_HOP + 1
+            idx = (
+                np.arange(nf)[:, None] * AW_HOP
+                + np.arange(AW_WIN)[None, :]
+            )
+            en = (v[idx] ** 2).sum(axis=1)
+            pk = int(en.argmax())  # numpy argmax = first max (tie rule)
+            rows.append(
+                (nf, pk, int(en[pk]), float(en.sum()) / nf)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_frames", "peak_frame", "peak_energy", "mean_energy",
+            ],
+        )
+
+    out = d.withColumn("r", _frames(_synth(F.col("doc_id"))))
+    return out.select(
+        "doc_id",
+        F.col("r.n_frames").alias("n_frames"),
+        F.col("r.peak_frame").alias("peak_frame"),
+        F.col("r.peak_energy").alias("peak_energy"),
+        F.col("r.mean_energy").alias("mean_energy"),
+    )
+
+
+ORACLE_AUDIO_WINDOWS = f"""
+WITH g AS (
+  SELECT doc_id, 64 + doc_id % 37 AS n FROM documents
+), fr AS (
+  SELECT doc_id, n, (n - {AW_WIN}) // {AW_HOP} + 1 AS nf,
+         unnest(range((n - {AW_WIN}) // {AW_HOP} + 1)) AS f
+  FROM g
+), sam AS (
+  SELECT fr.doc_id, fr.nf, fr.f,
+         CAST(('0x' || substr(md5('au:' || CAST(fr.doc_id AS VARCHAR)
+              || ':' || CAST(fr.f * {AW_HOP} + j.j AS VARCHAR)), 1, 4)
+              )::INT - 32768 AS BIGINT) AS v
+  FROM fr, LATERAL (SELECT unnest(range({AW_WIN})) AS j) j
+), fe AS (
+  SELECT doc_id, nf, f, CAST(SUM(v * v) AS BIGINT) AS energy
+  FROM sam GROUP BY doc_id, nf, f
+), pick AS (
+  SELECT doc_id, nf, f, energy,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY energy DESC, f) AS rk,
+         CAST(SUM(energy) OVER (PARTITION BY doc_id) AS BIGINT)
+           AS tot
+  FROM fe
+)
+SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+       CAST(f AS BIGINT) AS peak_frame, energy AS peak_energy,
+       CAST(tot AS DOUBLE) / CAST(nf AS DOUBLE) AS mean_energy
+FROM pick WHERE rk = 1
+"""
+
+
+QUERIES["q_audio_clipping"] = q_audio_clipping
+QUERIES["q_audio_windows"] = q_audio_windows
+ORACLES["q_audio_clipping"] = ORACLE_AUDIO_CLIPPING
+ORACLES["q_audio_windows"] = ORACLE_AUDIO_WINDOWS

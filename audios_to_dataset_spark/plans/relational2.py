@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ._util import dsum, dsum_sql, sround
+from ._util import dsum, dsum_sql, sround, sround_sql
 
 
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,7 +756,156 @@ WHERE dr <= 3 ORDER BY c_mktsegment, dr, c_custkey
 """
 
 
+HIST_BUCKETS = 20
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width numeric histogram of o_totalprice — the profiling
+    primitive behind every data-drop QA dashboard (q_profile gives
+    min/max/distinct; this gives the SHAPE). Bounds come from one
+    broadcast 1-row aggregate; bucket = floor((x-min)·B/(max-min))
+    clamped at B-1 — every step is a correctly-rounded IEEE double op,
+    so the bucket id is engine-exact. One scan + one 20-row groupBy:
+    map-side combinable, shuffle width = B."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+    j = o.crossJoin(F.broadcast(bounds))
+    # hi == lo (degenerate single-value column, the tiny-data regime)
+    # must land everything in bucket 0, not divide 0/0 — Spark's floor
+    # (NaN) is NULL while DuckDB's BIGINT cast of NaN raises
+    b = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                * F.lit(float(HIST_BUCKETS))
+                / (F.col("hi") - F.col("lo"))
+            ),
+            F.lit(HIST_BUCKETS - 1),
+        )
+    ).cast("bigint")
+    w = (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BUCKETS))
+    return (
+        j.select(
+            b.alias("bucket"),
+            (F.col("lo") + b.cast("double") * w).alias("b_lo"),
+            (F.col("lo") + (b + 1).cast("double") * w).alias("b_hi"),
+        )
+        .groupBy("bucket")
+        .agg(
+            sround(F.min("b_lo"), 4).alias("lo"),
+            sround(F.min("b_hi"), 4).alias("hi"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_HISTOGRAM = f"""
+WITH bounds AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+  FROM orders WHERE o_totalprice IS NOT NULL
+), j AS (
+  SELECT CASE WHEN hi = lo THEN 0
+          ELSE LEAST(CAST(floor((o_totalprice - lo)
+                           * {float(HIST_BUCKETS)}
+                           / (hi - lo)) AS BIGINT),
+                     {HIST_BUCKETS - 1}) END AS bucket,
+         lo, hi
+  FROM orders CROSS JOIN bounds WHERE o_totalprice IS NOT NULL
+)
+SELECT bucket,
+       {sround_sql(
+           "MIN(lo + CAST(bucket AS DOUBLE)"
+           f" * ((hi - lo) / {float(HIST_BUCKETS)}))", 4)} AS lo,
+       {sround_sql(
+           "MIN(lo + CAST(bucket + 1 AS DOUBLE)"
+           f" * ((hi - lo) / {float(HIST_BUCKETS)}))", 4)} AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM j GROUP BY bucket ORDER BY bucket
+"""
+
+
+GAP_BUCKET = 1024  # id-space bucket width for distributed gap detection
+
+
+def q_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-id-range detection over a key sequence (completed-order
+    keys) — the ingest-completeness audit ('which shard/manifest ids
+    never arrived?'). A naive LEAD over the global key order is one
+    total sort; this decomposes exactly: within-bucket gaps via LEAD
+    partitioned by bucket = key DIV 1024 (uniform shuffle), plus
+    boundary gaps via LEAD over the 1024×-smaller per-bucket min/max
+    summary. The summary pass repeats the same shape recursively at
+    +scale (depth log_1024 N); one level suffices for any corpus whose
+    key count / 1024 fits a single sort (10^11 keys → 10^8 summary
+    rows; a second level → 10^5)."""
+    k = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderstatus") == "F"
+        )
+        .select(F.col("o_orderkey").alias("k"))
+        .filter(F.col("k").isNotNull())
+    )
+    b = (F.col("k") / GAP_BUCKET).cast("bigint")
+    kb = k.select("k", b.alias("b"))
+    w_in = Window.partitionBy("b").orderBy("k")
+    within = (
+        kb.select("k", F.lead("k").over(w_in).alias("nk"))
+        .filter(F.col("nk") > F.col("k") + 1)
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nk") - 1).alias("gap_end"),
+        )
+    )
+    summary = kb.groupBy("b").agg(
+        F.min("k").alias("mn"), F.max("k").alias("mx")
+    )
+    w_b = Window.orderBy("b")
+    boundary = (
+        summary.select(
+            "mx", F.lead("mn").over(w_b).alias("next_mn")
+        )
+        .filter(F.col("next_mn") > F.col("mx") + 1)
+        .select(
+            (F.col("mx") + 1).alias("gap_start"),
+            (F.col("next_mn") - 1).alias("gap_end"),
+        )
+    )
+    return (
+        within.unionByName(boundary)
+        .select(
+            "gap_start",
+            "gap_end",
+            (F.col("gap_end") - F.col("gap_start") + 1).alias(
+                "n_missing"
+            ),
+        )
+        .orderBy("gap_start")
+    )
+
+
+ORACLE_ID_GAPS = """
+WITH k AS (
+  SELECT o_orderkey AS k FROM orders
+  WHERE o_orderstatus = 'F' AND o_orderkey IS NOT NULL
+), g AS (
+  SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM k
+)
+SELECT k + 1 AS gap_start, nk - 1 AS gap_end,
+       nk - k - 1 AS n_missing
+FROM g WHERE nk > k + 1 ORDER BY gap_start
+"""
+
+
 QUERIES = {
+    "q_histogram": q_histogram,
+    "q_id_gaps": q_id_gaps,
     "q_full_outer": q_full_outer,
     "q_dense_rank": q_dense_rank,
     "q_variant_extract": q_variant_extract,
@@ -788,6 +937,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_histogram": ORACLE_HISTOGRAM,
+    "q_id_gaps": ORACLE_ID_GAPS,
     "q_full_outer": ORACLE_FULL_OUTER,
     "q_dense_rank": ORACLE_DENSE_RANK,
     "q_variant_extract": ORACLE_VARIANT_EXTRACT,

@@ -2428,6 +2428,8 @@ QUERIES = {
     "q_knn_graph": q_knn_graph,
     "q_ann_recall": q_ann_recall,
     "q_sq_recall": q_sq_recall,
+    "q_bq_recall": q_bq_recall,
+    "q_embed_dim_stats": q_embed_dim_stats,
     "q_matryoshka_recall": q_matryoshka_recall,
     "q_label_noise": q_label_noise,
     "q_coreset": q_coreset,
@@ -2460,6 +2462,8 @@ ORACLES = {
     "q_knn_graph": _oracle_knn_graph(),
     "q_ann_recall": _oracle_ann_recall(),
     "q_sq_recall": ORACLE_SQ_RECALL,
+    "q_bq_recall": ORACLE_BQ_RECALL,
+    "q_embed_dim_stats": ORACLE_EMBED_DIM_STATS,
     "q_matryoshka_recall": _oracle_matryoshka_recall(),
     "q_label_noise": _oracle_label_noise(),
     "q_coreset": _oracle_coreset(),

@@ -45,6 +45,9 @@ ORDER_CONTRACT_QUERIES = [
     "q_global_shuffle", "q_incremental_agg", "q_zone_map",
     # round-8: stride-scheduled interleave (per-source rank -> pos_key)
     "q_interleave_mixture",
+    # round-9: mode tie-break; two-level gap detection (LEAD windows
+    # within bucket + over the bucket summary)
+    "q_mode_value", "q_id_gaps",
 ]
 
 

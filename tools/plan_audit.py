@@ -43,6 +43,11 @@ ALLOW: dict[tuple[str, str], str] = {
     ("q_skyline", "SinglePartitionWindow"):
         "suffix-max window runs over the bucket grid — size fixed by"
         " the value range, not the data volume",
+    ("q_id_gaps", "SinglePartitionWindow"):
+        "boundary-gap LEAD runs over the per-bucket min/max summary,"
+        " pre-shrunk 1024x by the bucketed within-gap pass; the same"
+        " decomposition recurses for another 1024x per level if the"
+        " summary itself outgrows one sort (plans/relational2.py)",
 }
 
 # Deliberate crossJoins (scalar aggregates, tiny spines) appear as
