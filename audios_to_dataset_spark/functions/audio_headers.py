@@ -128,9 +128,93 @@ def parse_opus_header(
         return None, 0, 0, 0
 
 
+# ADTS AAC sampling-frequency-index table (ISO/IEC 14496-3 §1.6.3.4,
+# literal — indices 13/14 reserved, 15 escape)
+ADTS_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350,
+)
+ADTS_SAMPLES_PER_FRAME = 1024
+
+
+def parse_adts_header(
+    data: bytes | None,
+) -> tuple[str | None, int, int, int]:
+    """Walk ADTS AAC frames (the last reference-allow-list audio format
+    without a header parse — audio/aac, src/main.rs:107-108): (fmt,
+    sample_rate, channels, duration_ms). Header: 12-bit sync, MPEG
+    version, layer 00, protection_absent (header 7 or 9 bytes), 2-bit
+    profile, 4-bit frequency index (table above), 3-bit channel
+    config, 13-bit frame length. Duration = frames * 1024 / rate,
+    floor milliseconds. Frames must agree on rate/channels; stops at
+    the first invalid header; (None, 0, 0, 0) fallback like the rest
+    of the family."""
+    try:
+        if not data:
+            return None, 0, 0, 0
+        n = len(data)
+        pos = 0
+        frames = 0
+        rate = 0
+        channels = 0
+        while pos + 7 <= n:
+            b = data[pos : pos + 7]
+            # sync FFF + layer 00 (b1: 1111 xxx where bits 2-1 = layer)
+            if b[0] != 0xFF or (b[1] & 0xF6) != 0xF0:
+                break
+            sfi = (b[2] >> 2) & 0xF
+            if sfi >= len(ADTS_RATES):
+                break
+            ch = ((b[2] & 0x1) << 2) | (b[3] >> 6)
+            if ch == 0 or ch > 7:  # 0 = AOT-specific config, not ADTS
+                break
+            flen = ((b[3] & 0x3) << 11) | (b[4] << 3) | (b[5] >> 5)
+            hdr_len = 7 if (b[1] & 0x1) else 9  # protection_absent
+            if flen < hdr_len or pos + flen > n:
+                break
+            sr = ADTS_RATES[sfi]
+            if frames and (sr != rate or ch != channels):
+                break
+            rate, channels = sr, ch
+            frames += 1
+            pos += flen
+        if frames == 0:
+            return None, 0, 0, 0
+        dur_ms = frames * ADTS_SAMPLES_PER_FRAME * 1000 // rate
+        return "aac", rate, channels, dur_ms
+    except Exception:
+        return None, 0, 0, 0
+
+
 # ---------------------------------------------------------------------------
 # Deterministic fixtures (oracle-recomputable by construction)
 # ---------------------------------------------------------------------------
+
+
+def synth_adts(doc_id: int) -> bytes:
+    """ADTS AAC stream: frequency index doc_id % 13, channels
+    1 + doc_id % 2, profile doc_id % 4, 2 + doc_id % 6 frames whose
+    payload length varies per frame (5 + (doc_id + j) % 40), so the
+    walk must take each frame's 13-bit length from its own header.
+    Payloads are zero bytes — ADTS parsing never looks inside."""
+    sfi = doc_id % 13
+    ch = 1 + doc_id % 2
+    profile = doc_id % 4
+    out = bytearray()
+    for j in range(2 + doc_id % 6):
+        flen = 7 + 5 + (doc_id + j) % 40
+        out += bytes(
+            [
+                0xFF,
+                0xF1,  # MPEG-4, layer 00, protection absent
+                (profile << 6) | (sfi << 2) | (ch >> 2),
+                ((ch & 0x3) << 6) | (flen >> 11),
+                (flen >> 3) & 0xFF,
+                ((flen & 0x7) << 5) | 0x1F,
+                0xFC,
+            ]
+        ) + b"\x00" * (flen - 7)
+    return bytes(out)
 
 
 def synth_mp3(doc_id: int) -> bytes:

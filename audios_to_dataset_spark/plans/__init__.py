@@ -58,7 +58,7 @@ _ROTATION_FIRST = (
     "q_bq_recall", "q_embed_dim_stats",
     "q_mode_value", "q_decay_weights",
     "q_histogram", "q_id_gaps",
-    "q_audio_clipping", "q_audio_windows",
+    "q_audio_clipping", "q_audio_windows", "q_audio_aac",
     # --- changed-in-r9 (re-attest) ---
     "q_interleave_mixture",
 )

@@ -4377,3 +4377,70 @@ QUERIES["q_audio_clipping"] = q_audio_clipping
 QUERIES["q_audio_windows"] = q_audio_windows
 ORACLES["q_audio_clipping"] = ORACLE_AUDIO_CLIPPING
 ORACLES["q_audio_windows"] = ORACLE_AUDIO_WINDOWS
+
+
+def q_audio_aac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADTS AAC header walk — closes the last reference-allow-list
+    audio format (audio/aac + audio/x-aac, src/main.rs:107-108; the
+    reference only MIME-filters, it never parses) without a codec:
+    sample rate from the literal ISO 14496-3 frequency-index table,
+    channel config, and exact floor-millisecond duration from the
+    per-frame 13-bit lengths. Variable payload sizes per frame force
+    the walk to size every frame from its own header. Row-wise pandas
+    UDF; the oracle replays rate/channels/duration from the id
+    formulas with the table as a literal CASE."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.audio_headers import parse_adts_header, synth_adts
+
+    d = _doc_ids(spark, sf_dir)
+    out_t = T.StructType(
+        [
+            T.StructField("aac_sr", T.LongType()),
+            T.StructField("aac_ch", T.LongType()),
+            T.StructField("aac_ms", T.LongType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _hdr(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        rows = []
+        for i in ids:
+            _f, sr, ch, ms = parse_adts_header(synth_adts(int(i)))
+            rows.append((sr, ch, ms))
+        return pd.DataFrame(rows, columns=["aac_sr", "aac_ch", "aac_ms"])
+
+    out = d.withColumn("r", _hdr(F.col("doc_id")))
+    return out.select(
+        "doc_id",
+        F.col("r.aac_sr").alias("aac_sr"),
+        F.col("r.aac_ch").alias("aac_ch"),
+        F.col("r.aac_ms").alias("aac_ms"),
+    )
+
+
+# the ISO 14496-3 §1.6.3.4 table as a literal CASE (indices 0-12)
+_ADTS_CASE = (
+    "CASE doc_id % 13 "
+    "WHEN 0 THEN 96000 WHEN 1 THEN 88200 WHEN 2 THEN 64000 "
+    "WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000 "
+    "WHEN 6 THEN 24000 WHEN 7 THEN 22050 WHEN 8 THEN 16000 "
+    "WHEN 9 THEN 12000 WHEN 10 THEN 11025 WHEN 11 THEN 8000 "
+    "WHEN 12 THEN 7350 END"
+)
+
+ORACLE_AUDIO_AAC = f"""
+SELECT doc_id,
+       CAST({_ADTS_CASE} AS BIGINT) AS aac_sr,
+       CAST(1 + doc_id % 2 AS BIGINT) AS aac_ch,
+       CAST((2 + doc_id % 6) * 1024 * 1000
+            // ({_ADTS_CASE}) AS BIGINT) AS aac_ms
+FROM documents
+"""
+
+
+QUERIES["q_audio_aac"] = q_audio_aac
+ORACLES["q_audio_aac"] = ORACLE_AUDIO_AAC

@@ -416,3 +416,38 @@ def test_wav_short_fmt_chunk_rejected():
     assert rate == 8000 and dur > 0
     got = wav_pcm16_frames(good)
     assert got is not None and got[2] == 1 and got[1] == 8000
+
+
+def test_adts_aac_header_walk():
+    """ADTS parser (round 9): table rates, channel configs, variable
+    frame lengths, truncation/corruption fallbacks."""
+    from audios_to_dataset_spark.functions.audio_headers import (
+        ADTS_RATES,
+        parse_adts_header,
+        synth_adts,
+    )
+
+    for i in (0, 1, 5, 12, 25, 38, 77):
+        blob = synth_adts(i)
+        fmt, sr, ch, ms = parse_adts_header(blob)
+        assert fmt == "aac"
+        assert sr == ADTS_RATES[i % 13]
+        assert ch == 1 + i % 2
+        assert ms == (2 + i % 6) * 1024 * 1000 // sr
+    assert parse_adts_header(None) == (None, 0, 0, 0)
+    assert parse_adts_header(b"\xff\xf1") == (None, 0, 0, 0)
+    # truncated mid-frame: only the complete leading frames count
+    blob = synth_adts(9)  # 2 + 9 % 6 = 5 frames
+    fmt, sr, ch, ms = parse_adts_header(blob[:-3])
+    assert fmt == "aac" and ms == 4 * 1024 * 1000 // sr
+    # reserved frequency index rejected
+    bad = bytearray(synth_adts(0))
+    bad[2] = (bad[2] & 0xC3) | (13 << 2)
+    assert parse_adts_header(bytes(bad)) == (None, 0, 0, 0)
+    # rate disagreement between frames stops the walk at frame 1
+    b1 = bytearray(synth_adts(0))
+    first_len = 7 + 5 + 0 % 40
+    b1[first_len + 2] = (b1[first_len + 2] & 0xC3) | (4 << 2)
+    fmt, sr, _ch, ms = parse_adts_header(bytes(b1))
+    assert fmt == "aac" and sr == ADTS_RATES[0]
+    assert ms == 1024 * 1000 // sr

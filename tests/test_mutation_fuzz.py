@@ -17,6 +17,8 @@ from audios_to_dataset_spark.functions.audio_headers import (
     decode_au_samples,
     encode_aiff,
     encode_au,
+    parse_adts_header,
+    synth_adts,
 )
 from audios_to_dataset_spark.functions.flac import decode_flac, encode_flac
 from audios_to_dataset_spark.functions.multimodal import (
@@ -110,6 +112,7 @@ def test_decoders_never_raise_on_mutated_valid_streams():
                      .astype(np.int16), 44100),
          decode_flac),
         ("aiff", encode_aiff(samples, 44100), decode_aiff_samples),
+        ("adts", synth_adts(7), parse_adts_header),
         ("au", encode_au(samples, 44100), decode_au_samples),
         ("bmp", encode_bmp(px), decode_bmp_pixels),
         ("qoi", encode_qoi(px), decode_qoi_pixels),

@@ -671,3 +671,62 @@ def test_round8_queries_scale_shapes(spark, sf_dir):
     e = _explain(q_dedup_threshold_sweep(spark, sf_dir))
     assert "CartesianProduct" not in e
     assert "BroadcastNestedLoopJoin" not in e
+
+
+def test_histogram_broadcasts_bounds_and_pushes_partial_agg(spark, sf_dir):
+    """q_histogram (round 9): the 1-row bounds aggregate must broadcast
+    (never sort-merge against the fact scan) and the 20-bucket count
+    must partially aggregate map-side."""
+    from audios_to_dataset_spark.plans.relational2 import q_histogram
+
+    e = _explain(q_histogram(spark, sf_dir))
+    assert "SortMergeJoin" not in e
+    assert "partial_count" in e
+    # column pruning: only o_totalprice read from the 9-column table
+    assert "o_orderdate" not in e and "o_comment" not in e
+
+
+def test_id_gaps_single_partition_only_on_summary(spark, sf_dir):
+    """q_id_gaps (round 9): exactly ONE single-partition exchange —
+    the 1024x-shrunk bucket summary — and none on the full key set.
+    A second one would mean the within-bucket window collapsed."""
+    from audios_to_dataset_spark.plans.relational2 import q_id_gaps
+
+    e = _explain(q_id_gaps(spark, sf_dir))
+    # formatted mode prints each exchange's partitioning under
+    # "Arguments:"; exactly one single-partition exchange (the summary
+    # window), the within-bucket window hash-partitions
+    assert e.count("SinglePartition") == 1
+    assert "hashpartitioning(b#" in e
+    assert "CartesianProduct" not in e
+
+
+def test_bq_recall_broadcasts_probes(spark, sf_dir):
+    """q_bq_recall (round 9): the 5-probe side broadcasts; scoring is
+    a BNLJ cross against the broadcast, never a cartesian shuffle."""
+    from audios_to_dataset_spark.plans.similarity import q_bq_recall
+
+    e = _explain(q_bq_recall(spark, sf_dir))
+    assert "CartesianProduct" not in e
+    assert "BroadcastNestedLoopJoin" in e or "BroadcastHashJoin" in e
+
+
+def test_embed_dim_stats_partial_agg(spark, sf_dir):
+    """q_embed_dim_stats (round 9): the per-dimension aggregate
+    combines map-side (shuffle width = n_dims, not corpus size)."""
+    from audios_to_dataset_spark.plans.similarity import (
+        q_embed_dim_stats,
+    )
+
+    e = _explain(q_embed_dim_stats(spark, sf_dir))
+    assert "partial_count" in e or "partial_sum" in e
+
+
+def test_decay_weights_single_scan_shapes(spark, sf_dir):
+    """q_decay_weights (round 9): anchor is a broadcast 1-row
+    aggregate; the event_type aggregate partially combines."""
+    from audios_to_dataset_spark.plans.events import q_decay_weights
+
+    e = _explain(q_decay_weights(spark, sf_dir))
+    assert "SortMergeJoin" not in e
+    assert "partial_count" in e or "partial_sum" in e
