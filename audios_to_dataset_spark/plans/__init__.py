@@ -61,6 +61,10 @@ _ROTATION_FIRST = (
     "q_audio_clipping", "q_audio_windows", "q_audio_aac",
     # --- changed-in-r9 (re-attest) ---
     "q_interleave_mixture",
+    # q_dbscan's planes now auto-scale (prefix-identical at gate scale,
+    # so its result is unchanged — re-attested anyway since the plan
+    # and oracle both changed)
+    "q_dbscan",
 )
 
 

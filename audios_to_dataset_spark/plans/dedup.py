@@ -383,6 +383,40 @@ def knn_nplanes_sql(count_from: str = "embeddings") -> str:
 # silently drops coverage fails the hash, not just a vibe check.
 DEDUP_PLANES = _make_planes(n_tables=12, n_planes=4, seed=13)
 
+# Plane family for the DBSCAN eps-neighborhood graph (q_dbscan):
+# per-table prefix IS DEDUP_PLANES (so every gate-scale result, sweep,
+# and the 12x4 recall design hold bit-identically wherever
+# knn_n_planes(N) == 4), extended with extra planes so the
+# planes-per-table can follow the same auto-scale rule the KNN family
+# adopted in r6. Round 9's new sf1 bench entry measured the fixed 12x4
+# operating point at 152 s at x10 vs ~31 s scaled — the same
+# frozen-planes quadratic the KNN family fixed.
+#
+# Recall tradeoff (deliberate, documented): a boundary pair at
+# cos 0.35 collides per plane with p ~ 0.61, so per-table collision is
+# p^P and pair recall over 12 tables falls as P grows (P=4 → 0.84,
+# P=9 → ~0.13). For THRESHOLD DEDUP that loss is the product — which
+# is why q_dedup_embedding keeps the gate-pinned 12x4 point and its
+# docstring carries the table-growth recipe (T ~ ln(1-r)/ln(1-p^P))
+# for real 100 TB tuning. DBSCAN is density-based: what it needs from
+# the graph is neighborhood COUNTS clearing min_pts, and candidate
+# recall scales every degree uniformly, so the min_pts dial absorbs
+# the operating point; tools/scale_smoke.py pins completion + role
+# sanity end-to-end at the scaled point.
+_DBSCAN_EXTRA = _make_planes(
+    n_tables=12, n_planes=KNN_MAX_PLANES - 4, seed=17
+)
+DBSCAN_PLANES_FULL = [
+    DEDUP_PLANES[t] + _DBSCAN_EXTRA[t] for t in range(12)
+]
+
+
+def dbscan_planes(n_rows: int) -> list[list[list[float]]]:
+    """First knn_n_planes(n_rows) planes of each DBSCAN table — the
+    prefix slice the oracle mirrors with substr()."""
+    p = knn_n_planes(n_rows)
+    return [t[:p] for t in DBSCAN_PLANES_FULL]
+
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via the LSH-bucketed scale path:
@@ -390,7 +424,18 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join), exact rounded re-score, threshold on the rounded value.
     Uses DEDUP_PLANES (12x4): pair-finding needs recall on BOTH sides of
     a pair, so it takes more tables than the per-query serving probes
-    (see q_dedup_embedding_recall, the gate that keeps this honest)."""
+    (see q_dedup_embedding_recall, the gate that keeps this honest).
+
+    100 TB tuning recipe (why this plan does NOT auto-scale planes the
+    way q_knn_graph/q_dbscan do): for threshold dedup, candidate recall
+    IS the product — every missed pair is a missed duplicate. Bounding
+    bucket size at scale means more planes per table (P up), and
+    holding recall r then means more tables: with per-plane collision
+    p ~ 1 - theta/pi (=0.61 at cos 0.35), T = ln(1-r) / ln(1-p^P) —
+    e.g. P=5 → T=19, P=6 → T=31 for r=0.84. That linear-in-T cost is
+    LSH's real price (the rho exponent), paid deliberately instead of
+    silently shedding recall; the recall gate pins whatever operating
+    point ships."""
     from ..operators import similarity as S
 
     em = load(spark, sf_dir, "embeddings")
@@ -421,6 +466,56 @@ def _emb_pairs_ctes() -> str:
         )
     buckets = "\n  UNION ALL\n".join(bucket_rows)
     return f"""v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), buckets AS (
+{buckets}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), n AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+), pairs AS (
+  SELECT cand.id_a, cand.id_b,
+         round((list_sum(list_transform(range(1, len(a.e) + 1),
+                                        i -> a.e[i] * b.e[i]))
+                / (a.nrm * b.nrm)) * 10000.0) / 10000.0 + 0.0 AS cos_sim
+  FROM cand
+  JOIN n a ON a.vec_id = cand.id_a
+  JOIN n b ON b.vec_id = cand.id_b
+  WHERE round((list_sum(list_transform(range(1, len(a.e) + 1),
+                                       i -> a.e[i] * b.e[i]))
+               / (a.nrm * b.nrm)) * 10000.0) / 10000.0
+        >= {EMB_THRESHOLD}
+)"""
+
+
+def _emb_pairs_ctes_scaled() -> str:
+    """``_emb_pairs_ctes`` twin for the auto-scaled DBSCAN plane
+    family: all 12 family planes' sign bits are concatenated per
+    table, then substr() keeps the first P where P comes from the
+    knn_nplanes_sql row-count twin — the same prefix slice
+    ``dbscan_planes`` takes. Wherever P resolves to 4 (every gate
+    scale), the buckets are bit-identical to ``_emb_pairs_ctes``'s."""
+    bucket_rows = []
+    for t, planes in enumerate(DBSCAN_PLANES_FULL):
+        bits = " || ".join(
+            "(CASE WHEN list_sum(list_transform(range(1, len(e) + 1), "
+            f"i -> e[i] * ({_plane_sql(p)})[i])) >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        bucket_rows.append(
+            f"  SELECT vec_id, '{t}:' || substr({bits}, 1, "
+            "(SELECT p FROM db_np)) AS bucket FROM v"
+        )
+    buckets = "\n  UNION ALL\n".join(bucket_rows)
+    return f"""db_np AS (
+  {knn_nplanes_sql("embeddings")}
+), v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
 ), buckets AS (

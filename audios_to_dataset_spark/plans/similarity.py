@@ -303,9 +303,16 @@ def _knn_planes_for(em: DataFrame) -> list[list[list[float]]]:
     rebuild goes through a full directory delete + Spark write and is
     therefore safe. Call clear_knn_count_memo() if you do rewrite
     paths in place."""
-    import re as _re
-
     from .dedup import knn_planes
+
+    return knn_planes(_corpus_count(em))
+
+
+def _corpus_count(em: DataFrame) -> int:
+    """Memoized row count shared by every plane-auto-scaling plan
+    (k-NN family + q_dbscan) — see the keying/invalidation notes on
+    :func:`_knn_planes_for`."""
+    import re as _re
 
     files = tuple(sorted(em.inputFiles()))
     if files:
@@ -313,8 +320,8 @@ def _knn_planes_for(em: DataFrame) -> list[list[list[float]]]:
         key = (_re.sub(r"#\d+", "#", plan), files)
         if key not in _KNN_COUNT_MEMO:
             _KNN_COUNT_MEMO[key] = em.count()
-        return knn_planes(_KNN_COUNT_MEMO[key])
-    return knn_planes(em.count())
+        return _KNN_COUNT_MEMO[key]
+    return em.count()
 
 
 def clear_knn_count_memo() -> None:
@@ -2283,30 +2290,39 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus an explicit NOISE label for low-density outliers (the rows a
     training-data pipeline quarantines rather than force-assigns).
 
-    Eps-neighborhoods are the DEDUP_PLANES LSH-bucketed cosine pairs
-    (same graph as q_dedup_embedding, kept honest by
-    q_dedup_embedding_recall); cores have >= MIN_PTS points in their
-    neighborhood, clusters are components of the core-core graph,
-    borders attach to their min-labelled core neighbor. The oracle
-    replays buckets, degrees, and the component fixpoint (recursive
-    CTE), so the full core/border/noise assignment is value-hashed."""
+    Eps-neighborhoods are LSH-bucketed cosine pairs over the DBSCAN
+    plane family (per-table prefix = DEDUP_PLANES, so buckets are
+    identical to q_dedup_embedding's wherever the auto-scale rule
+    resolves to 4 planes — every gate scale), with planes-per-table
+    AUTO-SCALED from the corpus row count via the same knn_n_planes
+    rule the k-NN family adopted in r6 (round 9: the new sf1 bench
+    entry measured the fixed 12x4 point at 152 s at x10 vs ~31 s
+    scaled — frozen planes are quadratic by construction; recall
+    tradeoff documented at plans/dedup.DBSCAN_PLANES_FULL). Cores
+    have >= MIN_PTS points in their neighborhood, clusters are
+    components of the core-core graph, borders attach to their
+    min-labelled core neighbor. The oracle replays buckets (same
+    substr prefix slice), degrees, and the component fixpoint
+    (recursive CTE), so the full core/border/noise assignment is
+    value-hashed."""
     from ..operators.similarity import dbscan_clusters
-    from .dedup import DEDUP_PLANES, EMB_THRESHOLD
+    from .dedup import EMB_THRESHOLD, dbscan_planes
 
     em = load(spark, sf_dir, "embeddings")
+    planes = dbscan_planes(_corpus_count(em))
     return dbscan_clusters(
-        em, DEDUP_PLANES, threshold=EMB_THRESHOLD, min_pts=DBSCAN_MIN_PTS
+        em, planes, threshold=EMB_THRESHOLD, min_pts=DBSCAN_MIN_PTS
     ).select(F.col("id").alias("vec_id"), "cluster_id", "role")
 
 
 def _oracle_dbscan() -> str:
-    from .dedup import _emb_pairs_ctes
+    from .dedup import _emb_pairs_ctes_scaled
 
     # MATERIALIZED hints are load-bearing: DuckDB inlines CTEs per
     # reference, and `cedges` sits inside the recursive term — without
     # them the 12-table LSH chain re-executes every fixpoint round
     # (observed: minutes instead of seconds at sf0.01)
-    return f"""WITH RECURSIVE {_emb_pairs_ctes()},
+    return f"""WITH RECURSIVE {_emb_pairs_ctes_scaled()},
 p AS MATERIALIZED (
   SELECT id_a, id_b FROM pairs
 ), und AS MATERIALIZED (

@@ -388,19 +388,23 @@ def main() -> int:
     e2e["kcore_scaled"] = {
         "sec": round(time.perf_counter() - t0, 1), "rows": surv
     }
-    # DBSCAN at x10: same pair-graph scale rule as the dedup path —
-    # widen DEDUP_PLANES (12x4) by ~log2(10) planes per table so bucket
-    # counts track N; asserts the clustering completes and labels every
-    # surviving vector exactly once
+    # DBSCAN at x10 at the DECLARED operating point (round 9: q_dbscan
+    # auto-scales planes-per-table via dbscan_planes — the r8 version
+    # of this smoke widened planes by hand, which hid that the declared
+    # plan was still frozen at 12x4; the new sf1 bench entry caught it
+    # at 152 s). Asserts the clustering completes and labels every
+    # surviving vector exactly once.
     from audios_to_dataset_spark.operators.similarity import dbscan_clusters
-    from audios_to_dataset_spark.plans.dedup import EMB_THRESHOLD, _make_planes
+    from audios_to_dataset_spark.plans.dedup import (
+        EMB_THRESHOLD,
+        dbscan_planes,
+    )
     from audios_to_dataset_spark.plans.similarity import DBSCAN_MIN_PTS
 
-    dbscan_planes = _make_planes(n_tables=12, n_planes=8, seed=13)
     t0 = time.perf_counter()
     roles = dict(
         dbscan_clusters(
-            em, dbscan_planes, EMB_THRESHOLD, DBSCAN_MIN_PTS
+            em, dbscan_planes(n10), EMB_THRESHOLD, DBSCAN_MIN_PTS
         )
         .groupBy("role")
         .count()
