@@ -23,6 +23,7 @@ def _modules():
         analytics,
         curation,
         dedup,
+        evalmetrics,
         events,
         multimodal,
         paths,
@@ -42,7 +43,7 @@ def _modules():
     # front-loads every query that has never produced a CORRECTNESS row.
     return (sketches, analytics, textops, events, tpch2, versioning, paths,
             textops2, dedup, similarity, multimodal, streaming_events,
-            curation, relational, relational2)
+            curation, relational, relational2, evalmetrics)
 
 
 # ROUND 9 rotation (VERDICT r8 item 1: preserve the full-attestation
@@ -56,6 +57,7 @@ def _modules():
 _ROTATION_FIRST = (
     # --- round-9 additions ---
     "q_bq_recall", "q_embed_dim_stats",
+    "q_auc", "q_calibration_bins", "q_confusion_matrix",
     "q_mode_value", "q_decay_weights",
     "q_histogram", "q_id_gaps",
     "q_audio_clipping", "q_audio_windows", "q_audio_aac",

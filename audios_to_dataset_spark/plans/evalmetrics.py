@@ -1,0 +1,320 @@
+"""Model-evaluation metrics over scored/labelled data (round 9) —
+the eval half of a training pipeline: after curation and training, the
+same engine scores and grades held-out data at corpus scale. Every
+metric here is computed from AGGREGATED counts (histograms /
+confusion cells), never from a global sort of raw rows — the shape
+that survives 100 TB — and every arithmetic step is exact-integer or
+correctly-rounded IEEE, so the DuckDB twins are bit-identical.
+
+The "classifier" under evaluation is a deterministic stand-in
+(anchor-cosine score, label-with-hash-noise predictions — same
+convention as q_label_noise/q_ab_test): the OPERATORS are the
+aggregation patterns, which is what the engine ships.
+
+No reference analog (the reference is strictly an ingest tool); this
+is engine-capability surface like plans/relational2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ._util import sround, sround_sql
+
+SCORE_DP = 6  # score quantization (decimal places) — bounds AUC bins
+N_CLASSES = 10  # embeddings.label domain
+CAL_BINS = 10
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, pos, score): score = (cos(e, e1) + 1) / 2
+    quantized to SCORE_DP, where e1 is the first basis vector — so
+    cos = e[0] / ||e||. pos = odd label. Every op (/, sqrt, +, round)
+    is a correctly-rounded IEEE double on both engines."""
+    em = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & F.col("label").isNotNull()
+    )
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        em.select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            e.alias("e"),
+            nrm.alias("nrm"),
+        )
+        .filter(F.col("nrm") > 0)
+        .select(
+            "vec_id",
+            "label",
+            (F.col("label") % 2 == 1).alias("pos"),
+            sround(
+                (F.element_at("e", 1) / F.col("nrm") + 1.0) / 2.0,
+                SCORE_DP,
+            ).alias("score"),
+        )
+    )
+
+
+_SCORED_SQL = f"""
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         label % 2 = 1 AS pos,
+         {sround_sql(
+             "(e[1] / sqrt(list_sum(list_transform(e, x -> x * x)))"
+             " + 1.0) / 2.0", SCORE_DP)} AS score
+  FROM (SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+          AND label IS NOT NULL)
+  WHERE sqrt(list_sum(list_transform(e, x -> x * x))) > 0
+"""
+
+
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC from the SCORE HISTOGRAM — the
+    rank-sum (Mann-Whitney U) evaluation computed without ever
+    totally ordering raw rows: scores quantize to SCORE_DP decimals,
+    one groupBy(score) builds (pos_n, neg_n) per distinct score, and
+    the tie-aware U doubles to stay integer:
+    U2 = Σ_s pos_s · (2·neg_below(s) + neg_s);  AUC = U2 / (2·P·N).
+    The only window runs over DISTINCT quantized scores — bounded by
+    10^SCORE_DP + 1 rows by construction, not by data volume (the
+    q_skyline bucket-grid argument), so the global-sort cost of naive
+    AUC never appears. Integer U2 makes the result engine-exact."""
+    s = _scored(spark, sf_dir)
+    hist = s.groupBy("score").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos_n"),
+        F.sum(F.when(~F.col("pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("neg_n"),
+    )
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = hist.select(
+        "pos_n",
+        "neg_n",
+        F.coalesce(F.sum("neg_n").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("neg_below"),
+    )
+    return contrib.agg(
+        F.sum("pos_n").cast("bigint").alias("n_pos"),
+        F.sum("neg_n").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("pos_n") * (2 * F.col("neg_below") + F.col("neg_n"))
+        )
+        .cast("bigint")
+        .alias("u2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        (
+            F.col("u2").cast("double")
+            / (2.0 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
+ORACLE_AUC = f"""
+WITH s AS ({_SCORED_SQL}),
+hist AS (
+  SELECT score,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_n,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS neg_n
+  FROM s GROUP BY score
+), contrib AS (
+  SELECT pos_n, neg_n,
+         CAST(COALESCE(SUM(neg_n) OVER (ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS neg_below
+  FROM hist
+)
+SELECT CAST(SUM(pos_n) AS BIGINT) AS n_pos,
+       CAST(SUM(neg_n) AS BIGINT) AS n_neg,
+       CAST(SUM(pos_n * (2 * neg_below + neg_n)) AS BIGINT) AS u2,
+       CAST(SUM(pos_n * (2 * neg_below + neg_n)) AS DOUBLE)
+         / (2.0 * SUM(pos_n) * SUM(neg_n)) AS auc
+FROM contrib
+"""
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Brier decomposition inputs: fixed-width
+    score bins (width 1/CAL_BINS — scale-free, no global quantiles),
+    per bin the count, observed positive rate, mean score, and the
+    bin's Brier contribution Σ(score − y)². Everything reduces to one
+    map-side-combinable groupBy; sums stay exact because the
+    quantized score is a 6-decimal rational (Σscore and Σscore² are
+    exact in the decimal domain; (score − y)² expands to
+    score² − 2·y·score + y with y ∈ {{0,1}})."""
+    s = _scored(spark, sf_dir)
+    b = F.least(
+        F.floor(F.col("score") * CAL_BINS), F.lit(CAL_BINS - 1)
+    ).cast("bigint")
+    y = F.when(F.col("pos"), 1).otherwise(0)
+    n = F.count(F.lit(1)).cast("bigint")
+    sum_s = F.sum(F.col("score").cast("decimal(28,6)"))
+    sum_s2 = F.sum(
+        (F.col("score") * F.col("score")).cast("decimal(28,12)")
+    )
+    n_pos = F.sum(y).cast("bigint")
+    return (
+        s.groupBy(b.alias("bin"))
+        .agg(
+            n.alias("n"),
+            n_pos.alias("n_pos"),
+            (n_pos.cast("double") / n.cast("double")).alias("pos_rate"),
+            (sum_s.cast("double") / n.cast("double")).alias(
+                "mean_score"
+            ),
+            (
+                sum_s2.cast("double")
+                - 2.0 * F.sum(F.when(F.col("pos"), F.col("score"))
+                              .otherwise(F.lit(0.0))
+                              .cast("decimal(28,6)")).cast("double")
+                + n_pos.cast("double")
+            ).alias("brier_sum"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE_CALIBRATION_BINS = f"""
+WITH s AS ({_SCORED_SQL})
+SELECT LEAST(CAST(floor(score * {CAL_BINS}) AS BIGINT),
+             {CAL_BINS - 1}) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS pos_rate,
+       CAST(SUM(CAST(score AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+         AS mean_score,
+       CAST(SUM(CAST(score * score AS DECIMAL(28,12))) AS DOUBLE)
+         - 2.0 * CAST(SUM(CAST(CASE WHEN pos THEN score ELSE 0.0 END
+                               AS DECIMAL(28,6))) AS DOUBLE)
+         + CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+         AS brier_sum
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 from a confusion matrix —
+    the multi-class eval readout, computed as two tiny aggregations
+    over (true, pred) cells (shuffle width = classes², regardless of
+    corpus size). The deterministic stand-in classifier predicts the
+    true label except on vec_id % 3 == 0 rows, which shift one class
+    up (the q_label_noise corruption model) — so expected recall is
+    ~2/3 and the metric arithmetic (exact counts → one double
+    division each; F1 = 2PR/(P+R)) is fully engine-exact."""
+    em = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("label").isNotNull()
+    )
+    t = F.col("label").cast("bigint")
+    pred = F.when(
+        F.col("vec_id") % 3 == 0, (t + 1) % N_CLASSES
+    ).otherwise(t)
+    cells = em.select(
+        t.alias("true_label"), pred.alias("pred_label")
+    ).groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tp = (
+        cells.filter(F.col("true_label") == F.col("pred_label"))
+        .select(F.col("true_label").alias("cls"), F.col("n").alias("tp"))
+    )
+    true_tot = cells.groupBy(
+        F.col("true_label").alias("cls")
+    ).agg(F.sum("n").cast("bigint").alias("n_true"))
+    pred_tot = cells.groupBy(
+        F.col("pred_label").alias("cls")
+    ).agg(F.sum("n").cast("bigint").alias("n_pred"))
+    j = (
+        true_tot.join(pred_tot, "cls", "full")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_true", F.lit(0)).cast("bigint").alias(
+                "n_true"
+            ),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias(
+                "n_pred"
+            ),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    prec = F.col("tp").cast("double") / F.col("n_pred").cast("double")
+    rec = F.col("tp").cast("double") / F.col("n_true").cast("double")
+    return j.select(
+        "cls",
+        "n_true",
+        "n_pred",
+        "tp",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when(F.col("tp") == 0, F.lit(0.0))
+        .otherwise(2.0 * prec * rec / (prec + rec))
+        .alias("f1"),
+    ).orderBy("cls")
+
+
+ORACLE_CONFUSION_MATRIX = f"""
+WITH cells AS (
+  SELECT CAST(label AS BIGINT) AS true_label,
+         CASE WHEN vec_id % 3 = 0
+              THEN (CAST(label AS BIGINT) + 1) % {N_CLASSES}
+              ELSE CAST(label AS BIGINT) END AS pred_label,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND label IS NOT NULL
+  GROUP BY 1, 2
+), tp AS (
+  SELECT true_label AS cls, n AS tp FROM cells
+  WHERE true_label = pred_label
+), tt AS (
+  SELECT true_label AS cls, CAST(SUM(n) AS BIGINT) AS n_true
+  FROM cells GROUP BY 1
+), pt AS (
+  SELECT pred_label AS cls, CAST(SUM(n) AS BIGINT) AS n_pred
+  FROM cells GROUP BY 1
+), j AS (
+  SELECT COALESCE(tt.cls, pt.cls) AS cls,
+         CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true,
+         CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+         CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp
+  FROM tt FULL JOIN pt ON tt.cls = pt.cls
+  LEFT JOIN tp ON COALESCE(tt.cls, pt.cls) = tp.cls
+)
+SELECT cls, n_true, n_pred, tp,
+       CAST(tp AS DOUBLE) / n_pred AS precision,
+       CAST(tp AS DOUBLE) / n_true AS recall,
+       CASE WHEN tp = 0 THEN 0.0
+            ELSE 2.0 * (CAST(tp AS DOUBLE) / n_pred)
+                     * (CAST(tp AS DOUBLE) / n_true)
+                 / ((CAST(tp AS DOUBLE) / n_pred)
+                    + (CAST(tp AS DOUBLE) / n_true)) END AS f1
+FROM j ORDER BY cls
+"""
+
+
+QUERIES = {
+    "q_auc": q_auc,
+    "q_calibration_bins": q_calibration_bins,
+    "q_confusion_matrix": q_confusion_matrix,
+}
+
+ORACLES = {
+    "q_auc": ORACLE_AUC,
+    "q_calibration_bins": ORACLE_CALIBRATION_BINS,
+    "q_confusion_matrix": ORACLE_CONFUSION_MATRIX,
+}

@@ -46,8 +46,9 @@ ORDER_CONTRACT_QUERIES = [
     # round-8: stride-scheduled interleave (per-source rank -> pos_key)
     "q_interleave_mixture",
     # round-9: mode tie-break; two-level gap detection (LEAD windows
-    # within bucket + over the bucket summary)
-    "q_mode_value", "q_id_gaps",
+    # within bucket + over the bucket summary); histogram-AUC
+    # cumulative sum over the quantized score histogram
+    "q_mode_value", "q_id_gaps", "q_auc",
 ]
 
 

@@ -730,3 +730,28 @@ def test_decay_weights_single_scan_shapes(spark, sf_dir):
     e = _explain(q_decay_weights(spark, sf_dir))
     assert "SortMergeJoin" not in e
     assert "partial_count" in e or "partial_sum" in e
+
+
+def test_auc_single_partition_only_on_histogram(spark, sf_dir):
+    """q_auc (round 9): raw rows are never totally ordered — the one
+    single-partition exchange feeds the window over the quantized
+    score histogram, after a partial_count-combined groupBy."""
+    from audios_to_dataset_spark.plans.evalmetrics import q_auc
+
+    e = _explain(q_auc(spark, sf_dir))
+    assert e.count("SinglePartition") <= 2  # window + final 1-row agg
+    assert "partial_count" in e or "partial_sum" in e
+    assert "CartesianProduct" not in e
+
+
+def test_confusion_matrix_aggregates_before_join(spark, sf_dir):
+    """q_confusion_matrix (round 9): the class joins run over the
+    classes^2 cell frame, not raw rows — every join side is an
+    aggregate, and none falls back to cartesian."""
+    from audios_to_dataset_spark.plans.evalmetrics import (
+        q_confusion_matrix,
+    )
+
+    e = _explain(q_confusion_matrix(spark, sf_dir))
+    assert "CartesianProduct" not in e
+    assert "partial_count" in e or "partial_sum" in e

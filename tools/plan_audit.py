@@ -43,6 +43,11 @@ ALLOW: dict[tuple[str, str], str] = {
     ("q_skyline", "SinglePartitionWindow"):
         "suffix-max window runs over the bucket grid — size fixed by"
         " the value range, not the data volume",
+    ("q_auc", "SinglePartitionWindow"):
+        "cumulative-negatives window runs over the quantized score"
+        " HISTOGRAM — bounded at 10^6+1 rows by the 6-dp score"
+        " quantization, not by data volume (the q_skyline bucket-grid"
+        " argument); raw rows are never totally ordered",
     ("q_id_gaps", "SinglePartitionWindow"):
         "boundary-gap LEAD runs over the per-bucket min/max summary,"
         " pre-shrunk 1024x by the bucketed within-gap pass; the same"
