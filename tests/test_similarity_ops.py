@@ -311,3 +311,31 @@ def test_coreset_covers_separated_clumps(spark, tmp_path):
     assert clumps == {0, 1, 2}
     radii = [r["radius"] for r in out[1:]]
     assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_knn_count_memo_distinguishes_filtered_frames(spark, sf_dir):
+    """ADVICE r8: the plane-count memo must never serve a bare-table
+    count to a FILTERED frame over the same parquet files (the key now
+    includes the normalized analyzed plan), and two bare loads of the
+    same table must share one memo entry."""
+    from pyspark.sql import functions as F
+
+    from audios_to_dataset_spark.catalog import load
+    from audios_to_dataset_spark.plans.similarity import (
+        _KNN_COUNT_MEMO,
+        _corpus_count,
+        clear_knn_count_memo,
+    )
+
+    clear_knn_count_memo()
+    em = load(spark, sf_dir, "embeddings")
+    n_all = _corpus_count(em)
+    assert len(_KNN_COUNT_MEMO) == 1
+    n_even = _corpus_count(em.filter(F.col("vec_id") % 2 == 0))
+    assert 0 < n_even < n_all
+    assert len(_KNN_COUNT_MEMO) == 2  # distinct key, no stale reuse
+    # a fresh bare load hits the existing entry (expr-id normalization)
+    assert _corpus_count(load(spark, sf_dir, "embeddings")) == n_all
+    assert len(_KNN_COUNT_MEMO) == 2
+    clear_knn_count_memo()
+    assert not _KNN_COUNT_MEMO
