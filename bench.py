@@ -237,14 +237,25 @@ def main() -> None:
         # q_split_assign / q_dbscan join the sf1 track in round 9
         # (VERDICT r8 item 2): the CC-fixpoint family gets the same
         # x10 pin the LSH family has.
+        # The iterative fixpoints swing 2x run-to-run even at x10
+        # (observed: q_split_assign 19.1 s vs 39.8 s on consecutive
+        # idle-host runs of identical code) — they get min-of-2 here;
+        # the scan/join-bound entries stay single-run (stable, and
+        # minutes-scale min-of-2 would double a cost the cross-sf
+        # comparison doesn't need).
+        sf1_min2 = {"q_pagerank", "q_kcore", "q_split_assign",
+                    "q_dbscan"}
         for name in ("q_dedup_minhash_lsh", "q_pagerank",
                      "q_sparse_cosine", "q_knn_graph", "q_kcore",
                      "q_gif_anim", "q_split_assign", "q_dbscan"):
-            t0 = time.perf_counter()
-            queries[name](spark, x10_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            sf1[name] = round(time.perf_counter() - t0, 3)
+            runs = []
+            for _ in range(2 if name in sf1_min2 else 1):
+                t0 = time.perf_counter()
+                queries[name](spark, x10_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            sf1[name] = min(runs)
         # the frozen-plane twin (the sf0.1 plane count applied at x10):
         # the quadratic anti-pattern the auto rule exists to prevent,
         # kept measurable without cross-referencing scale_smoke
@@ -290,6 +301,11 @@ def main() -> None:
         "q_qoi_pixels", "q_audio_aiff", "q_audio_au", "q_exif_scrub",
         "q_audio_vad", "q_class_balance", "q_audio_extensible",
         "q_gif_anim", "q_image_tiles", "q_audio_zcr", "q_audio_transcode",
+        # round-9 additions (eval-metrics family + the new operators)
+        "q_auc", "q_calibration_bins", "q_confusion_matrix",
+        "q_bq_recall", "q_embed_dim_stats", "q_mode_value",
+        "q_decay_weights", "q_histogram", "q_id_gaps",
+        "q_audio_clipping", "q_audio_windows", "q_audio_aac",
     ):
         if name not in queries:
             continue
