@@ -670,3 +670,166 @@ def synth_mp4(doc_id: int) -> bytes:
         box(b"trak", box(b"tkhd", b"\x00" * 84)) for _ in range(n_tracks)
     )
     return ftyp + box(b"moov", mvhd + traks)
+
+
+# ---------------------------------------------------------------------------
+# Ogg container page walk (RFC 3533). The reference MIME-filters
+# audio/ogg (src/main.rs:106) but never parses it; this walks pages,
+# verifies the page CRC, and reconstructs packet boundaries from the
+# lacing values — the container-level integrity audit a corpus scrub
+# needs before trusting granule-position durations.
+# ---------------------------------------------------------------------------
+
+# CRC-32 with polynomial 0x04c11db7, MSB-first, init 0, no final xor
+# (RFC 3533 §6 — the table is DERIVED from the published polynomial,
+# not transcribed from a dump; tests pin it against an independent
+# bitwise long-division implementation).
+_OGG_CRC_POLY = 0x04C11DB7
+_OGG_CRC_TABLE = []
+for _b in range(256):
+    _r = _b << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ _OGG_CRC_POLY) if (_r & 0x80000000) else (_r << 1)
+    _OGG_CRC_TABLE.append(_r & 0xFFFFFFFF)
+
+
+def ogg_page_crc(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[
+            ((crc >> 24) & 0xFF) ^ byte
+        ]
+    return crc
+
+
+def parse_ogg_pages(
+    data: bytes | None,
+) -> tuple[int, int, int, bool]:
+    """Walk every Ogg page: (n_pages, n_packets, last_granule,
+    crc_ok_all). Packet boundaries come from the lacing values (a
+    value < 255 terminates a packet; 255 continues it, possibly
+    across pages). The CRC is recomputed with the header's CRC field
+    zeroed, per RFC 3533 §6. Stops at the first malformed page;
+    never raises on corrupt input (the repo-wide decoder contract)."""
+    try:
+        if not data:
+            return 0, 0, 0, False
+        n = len(data)
+        pos = 0
+        pages = 0
+        packets = 0
+        last_granule = 0
+        crc_ok = True
+        while pos + 27 <= n:
+            if data[pos : pos + 4] != b"OggS" or data[pos + 4] != 0:
+                break
+            nsegs = data[pos + 26]
+            hdr_end = pos + 27 + nsegs
+            if hdr_end > n:
+                break
+            lacing = data[pos + 27 : hdr_end]
+            body = sum(lacing)
+            page_end = hdr_end + body
+            if page_end > n:
+                break
+            stored_crc = int.from_bytes(
+                data[pos + 22 : pos + 26], "little"
+            )
+            page = bytearray(data[pos:page_end])
+            page[22:26] = b"\x00\x00\x00\x00"
+            if ogg_page_crc(bytes(page)) != stored_crc:
+                crc_ok = False
+            granule = int.from_bytes(
+                data[pos + 6 : pos + 14], "little", signed=True
+            )
+            if granule != -1:
+                last_granule = granule
+            packets += sum(1 for v in lacing if v < 255)
+            pages += 1
+            pos = page_end
+        if pages == 0:
+            return 0, 0, 0, False
+        return pages, packets, last_granule, crc_ok
+    except Exception:
+        return 0, 0, 0, False
+
+
+OGG_SEGS_PER_PAGE = 5
+
+
+def synth_ogg_stream(doc_id: int) -> bytes:
+    """Multi-page Ogg stream with every lacing regime: 3 + doc_id % 4
+    pages of exactly OGG_SEGS_PER_PAGE segments; packets are 3 small
+    one-segment packets, one 610+ byte packet laced [255, 255, tail]
+    that SPANS the page-0/page-1 boundary (continuation flag), one
+    exactly-255-byte packet laced [255, 0] (the zero-lacing
+    terminator), then single-segment fillers — so n_packets =
+    5·n_pages − 3 by construction. Final-page granule =
+    10000 + doc_id % 777 (EOS flag set); payload bytes are a
+    deterministic doc_id pattern the parser never inspects."""
+    n_pages = 3 + doc_id % 4
+    total_segs = OGG_SEGS_PER_PAGE * n_pages
+
+    def pk(size: int, salt: int) -> bytes:
+        return bytes((doc_id + salt + i) % 256 for i in range(size))
+
+    packets: list[bytes] = []
+    for k in range(3):
+        packets.append(pk(10 + (doc_id + k) % 200, k))
+    packets.append(pk(510 + 100 + doc_id % 100, 7))  # [255,255,tail]
+    packets.append(pk(255, 11))  # [255, 0]
+    n_fill = total_segs - 8
+    for k in range(n_fill):
+        packets.append(pk(10 + (doc_id + 3 + k) % 200, 13 + k))
+
+    # global lacing segmentation
+    segs: list[tuple[int, bytes, bool]] = []  # (lacing, bytes, ends_pkt)
+    for p in packets:
+        off = 0
+        while True:
+            chunk = p[off : off + 255]
+            off += len(chunk)
+            if len(chunk) == 255 and off < len(p):
+                segs.append((255, chunk, False))
+            elif len(chunk) == 255 and off == len(p):
+                segs.append((255, chunk, False))
+                segs.append((0, b"", True))
+                break
+            else:
+                segs.append((len(chunk), chunk, True))
+                break
+    assert len(segs) == total_segs
+
+    serial = doc_id % (1 << 31)
+    out = bytearray()
+    carry_open = False  # previous page ended mid-packet
+    for i in range(n_pages):
+        chunk = segs[
+            i * OGG_SEGS_PER_PAGE : (i + 1) * OGG_SEGS_PER_PAGE
+        ]
+        htype = 0
+        if i == 0:
+            htype |= 0x02  # BOS
+        if carry_open:
+            htype |= 0x01  # continuation
+        if i == n_pages - 1:
+            htype |= 0x04  # EOS
+            granule = 10_000 + doc_id % 777
+        else:
+            granule = (i + 1) * 512
+        hdr = bytearray(b"OggS")
+        hdr.append(0)
+        hdr.append(htype)
+        hdr += granule.to_bytes(8, "little", signed=True)
+        hdr += serial.to_bytes(4, "little")
+        hdr += i.to_bytes(4, "little")
+        hdr += b"\x00\x00\x00\x00"  # CRC placeholder
+        hdr.append(len(chunk))
+        hdr += bytes(lace for lace, _, _ in chunk)
+        body = b"".join(raw for _, raw, _ in chunk)
+        page = bytes(hdr) + body
+        crc = ogg_page_crc(page)
+        page = page[:22] + crc.to_bytes(4, "little") + page[26:]
+        out += page
+        carry_open = not chunk[-1][2]
+    return bytes(out)

@@ -31,8 +31,10 @@ def _modules():
         relational2,
         similarity,
         sketches,
+        textmetrics,
         textops,
         textops2,
+        timeseries,
         tpch2,
         versioning,
     )
@@ -43,7 +45,8 @@ def _modules():
     # front-loads every query that has never produced a CORRECTNESS row.
     return (sketches, analytics, textops, events, tpch2, versioning, paths,
             textops2, dedup, similarity, multimodal, streaming_events,
-            curation, relational, relational2, evalmetrics)
+            curation, relational, relational2, evalmetrics, timeseries,
+            textmetrics)
 
 
 # ROUND 9 rotation (VERDICT r8 item 1: preserve the full-attestation
@@ -55,6 +58,10 @@ def _modules():
 # round — guarded digit extraction, ADVICE r8). Keep new queries ≤50
 # per round so the window always covers them.
 _ROTATION_FIRST = (
+    # --- round-9 additions (second wave) ---
+    "q_ohlc", "q_time_weighted_avg", "q_interpolate", "q_lttb",
+    "q_ndcg", "q_mrr", "q_map_at_k", "q_cohen_kappa",
+    "q_readability", "q_heaps_law", "q_clustering_coeff", "q_ogg_pages",
     # --- round-9 additions ---
     "q_bq_recall", "q_embed_dim_stats",
     "q_auc", "q_calibration_bins", "q_confusion_matrix",

@@ -1176,6 +1176,126 @@ GROUP BY pa, pb ORDER BY support DESC, pa, pb LIMIT 20
 """
 
 
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient distribution on the part
+    co-purchase graph — q_triangle_count's wedge walk extended to
+    per-node triangle counts (each closed wedge credits all three
+    corners), then cc(v) = 2·T(v) / (d(v)·(d(v)−1)) bucketed into
+    deciles. Same degree-oriented O(m^1.5) enumeration as
+    q_triangle_count (operators/graph.py) — never a three-way
+    self-join — plus one explode(3 corners) and two wordcount-shaped
+    groupBys. The per-node division is one correctly-rounded double
+    op quantized by sround before the decimal sum."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = items.select("o", F.col("p").alias("u"))
+    b = items.select("o", F.col("p").alias("v"))
+    edges = (
+        a.join(b, "o").filter(F.col("u") < F.col("v"))
+        .select("u", "v").distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u").join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    e1 = oriented.select("s", F.col("t").alias("wu"))
+    e2 = oriented.select("s", F.col("t").alias("wv"))
+    wedges = e1.join(e2, "s").filter(F.col("wu") < F.col("wv"))
+    tri = wedges.join(
+        edges,
+        (edges.u == wedges.wu) & (edges.v == wedges.wv),
+    ).select("s", "wu", "wv")
+    tpn = (
+        tri.select(
+            F.explode(F.array("s", "wu", "wv")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    per_node = deg.join(tpn, "node", "left").select(
+        "node",
+        "d",
+        F.coalesce("t", F.lit(0)).cast("bigint").alias("t"),
+    )
+    cc = F.when(
+        F.col("d") >= 2,
+        (2.0 * F.col("t").cast("double"))
+        / (F.col("d").cast("double") * (F.col("d") - 1).cast("double")),
+    ).otherwise(F.lit(0.0))
+    bucketed = per_node.select(
+        F.least(F.floor(cc * 10).cast("bigint"), F.lit(9).cast("bigint"))
+        .alias("bucket"),
+        sround(cc, 12).alias("ccq"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum(F.col("ccq").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("sum_cc"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_CLUSTERING_COEFF = f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+        GROUP BY node),
+oriented AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v
+         END AS s,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u
+         END AS t
+  FROM e0 JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+tri AS (
+  SELECT e1.s AS s, e1.t AS wu, e2.t AS wv
+  FROM oriented e1 JOIN oriented e2 ON e1.s = e2.s AND e1.t < e2.t
+  JOIN e0 ON e0.u = e1.t AND e0.v = e2.t),
+tpn AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (SELECT s AS node FROM tri
+        UNION ALL SELECT wu FROM tri
+        UNION ALL SELECT wv FROM tri)
+  GROUP BY node),
+per_node AS (
+  SELECT deg.node, deg.d,
+         CAST(COALESCE(tpn.t, 0) AS BIGINT) AS t
+  FROM deg LEFT JOIN tpn ON tpn.node = deg.node),
+cc AS (
+  SELECT CASE WHEN d >= 2 THEN
+           (2.0 * CAST(t AS DOUBLE))
+             / (CAST(d AS DOUBLE) * CAST(d - 1 AS DOUBLE))
+         ELSE 0.0 END AS c
+  FROM per_node)
+SELECT LEAST(CAST(floor(c * 10) AS BIGINT), CAST(9 AS BIGINT)) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(CAST({sround_sql('c', 12)} AS DECIMAL(28,12))) AS DOUBLE)
+         AS sum_cc
+FROM cc GROUP BY 1 ORDER BY 1
+"""
+
 QUERIES = {
     "q_frequent_pairs": q_frequent_pairs,
     "q_cohort_ltv": q_cohort_ltv,
@@ -1193,6 +1313,7 @@ QUERIES = {
     "q_retention": q_retention,
     "q_cust_distribution": q_cust_distribution,
     "q_triangle_count": q_triangle_count,
+    "q_clustering_coeff": q_clustering_coeff,
     "q_small_qty_revenue": q_small_qty_revenue,
     "q_above_avg_customers": q_above_avg_customers,
     "q_correlation": q_correlation,
@@ -1218,6 +1339,7 @@ ORACLES = {
     "q_dedup_clusters": _oracle_dedup_clusters(),
     "q_cust_distribution": ORACLE_CUST_DISTRIBUTION,
     "q_triangle_count": ORACLE_TRIANGLE_COUNT,
+    "q_clustering_coeff": ORACLE_CLUSTERING_COEFF,
     "q_small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
     "q_above_avg_customers": ORACLE_ABOVE_AVG_CUSTOMERS,
     "q_correlation": _oracle_correlation(),

@@ -318,3 +318,350 @@ ORACLES = {
     "q_calibration_bins": ORACLE_CALIBRATION_BINS,
     "q_confusion_matrix": ORACLE_CONFUSION_MATRIX,
 }
+
+
+# ---------------------------------------------------------------------
+# Ranking / retrieval metrics (round-9 extension): NDCG@K, MRR, MAP@K,
+# and Cohen's kappa — the retrieval-eval half of the metrics family.
+# The ranked list is per-LABEL (a partitioned window over ~|labels|
+# parallel groups, never a global sort), and the rank-position weights
+# 1/log2(r+1) are shared 12-decimal string literals generated from the
+# definition once at import and embedded in BOTH engines' plans — log2
+# is not correctly-rounded IEEE, so evaluating it independently per
+# engine could diverge in the last ulp; a shared literal cannot.
+# ---------------------------------------------------------------------
+
+import math as _math
+from decimal import Decimal as _Dec
+
+RANK_K = 20
+
+# w_r = 1/log2(r+1), rounded to 12 decimals (exact decimal strings)
+_W: list[str] = [
+    str(_Dec(repr(round((1.0 / _math.log2(r + 1)) * 1e12) / 1e12)))
+    for r in range(1, RANK_K + 1)
+]
+# cum_k = w_1 + … + w_k (exact decimal sums of the rounded weights)
+_CUM: list[str] = []
+_acc = _Dec(0)
+for _w in _W:
+    _acc += _Dec(_w)
+    _CUM.append(str(_acc))
+
+_REL = "vec_id % 3 <> 0"  # deterministic relevance marker
+
+
+def _ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label ranked lists: rank by (score desc, vec_id asc) — a
+    TOTAL order (vec_id unique), so the rank is engine- and
+    partition-invariant; rel is the deterministic marker."""
+    s = _scored(spark, sf_dir)
+    w = Window.partitionBy("label").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return s.select(
+        "label",
+        "vec_id",
+        (F.col("vec_id") % 3 != 0).alias("rel"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+
+
+_RANKED_SQL = f"""
+  SELECT label, vec_id, {_REL} AS rel,
+         CAST(row_number() OVER (PARTITION BY label
+                ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rnk
+  FROM ({_SCORED_SQL})
+"""
+
+_W_CASE = "CASE rnk " + " ".join(
+    f"WHEN {r + 1} THEN CAST('{w}' AS DECIMAL(28,12))"
+    for r, w in enumerate(_W)
+) + " END"
+
+_CUM_CASE = "CASE LEAST(n_rel, " + str(RANK_K) + ") " + " ".join(
+    f"WHEN {k + 1} THEN CAST('{c}' AS DECIMAL(28,12))"
+    for k, c in enumerate(_CUM)
+) + " END"
+
+
+def _dec_lit(s: str):
+    return F.expr(f"CAST('{s}' AS DECIMAL(28,12))")
+
+
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@K per label: DCG sums the shared literal weight at each
+    relevant rank ≤ K (exact decimal sum); IDCG looks up the literal
+    cumulative weight at min(n_rel, K). Both lookups are O(1) literal
+    tables, the per-label window is the only shuffle beyond one
+    groupBy, and every float op is a single correctly-rounded division
+    of small-magnitude decimals — engine-exact without sround."""
+    r = _ranked(spark, sf_dir)
+    warr = F.array(*[_dec_lit(w) for w in _W])
+    zero = F.expr("CAST('0' AS DECIMAL(28,12))")
+    per = r.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("rel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rel"),
+        F.sum(
+            F.when(
+                F.col("rel") & (F.col("rnk") <= RANK_K),
+                F.element_at(warr, F.col("rnk").cast("int")),
+            ).otherwise(zero)
+        ).alias("dcg_d"),
+    )
+    cumarr = F.array(*[_dec_lit(c) for c in _CUM])
+    idcg = F.when(
+        F.col("n_rel") > 0,
+        F.element_at(
+            cumarr, F.least(F.col("n_rel"), F.lit(RANK_K)).cast("int")
+        ),
+    )
+    return per.select(
+        "label",
+        "n",
+        "n_rel",
+        F.col("dcg_d").cast("double").alias("dcg"),
+        idcg.cast("double").alias("idcg"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.col("dcg_d").cast("double") / idcg.cast("double"),
+        ).alias("ndcg"),
+    ).orderBy("label")
+
+
+ORACLE_NDCG = f"""
+WITH r AS ({_RANKED_SQL}),
+per AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+         SUM(CASE WHEN rel AND rnk <= {RANK_K} THEN {_W_CASE}
+                  ELSE CAST('0' AS DECIMAL(28,12)) END) AS dcg_d
+  FROM r GROUP BY label
+)
+SELECT label, n, n_rel,
+       CAST(dcg_d AS DOUBLE) AS dcg,
+       CASE WHEN n_rel > 0 THEN CAST({_CUM_CASE} AS DOUBLE) END AS idcg,
+       CASE WHEN n_rel > 0 THEN
+         CAST(dcg_d AS DOUBLE) / CAST({_CUM_CASE} AS DOUBLE)
+       END AS ndcg
+FROM per ORDER BY label
+"""
+
+
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank inputs per label: the first relevant rank
+    (a MIN over the ranked rows — map-side combinable) and its
+    reciprocal; labels with no relevant item keep NULL rr by the
+    explicit guard on both engines."""
+    r = _ranked(spark, sf_dir)
+    per = r.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("rel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rel"),
+        F.min(F.when(F.col("rel"), F.col("rnk")))
+        .cast("bigint")
+        .alias("first_rel_rank"),
+    )
+    return per.select(
+        "label",
+        "n",
+        "n_rel",
+        "first_rel_rank",
+        F.when(
+            F.col("first_rel_rank").isNotNull(),
+            F.lit(1.0) / F.col("first_rel_rank").cast("double"),
+        ).alias("rr"),
+    ).orderBy("label")
+
+
+ORACLE_MRR = f"""
+WITH r AS ({_RANKED_SQL})
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+       CAST(MIN(CASE WHEN rel THEN rnk END) AS BIGINT) AS first_rel_rank,
+       CASE WHEN MIN(CASE WHEN rel THEN rnk END) IS NOT NULL THEN
+         1.0 / CAST(CAST(MIN(CASE WHEN rel THEN rnk END) AS BIGINT)
+                    AS DOUBLE)
+       END AS rr
+FROM r GROUP BY label ORDER BY label
+"""
+
+
+def q_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@K inputs per label: average precision truncated at K.
+    precision@i = (running count of relevant through rank i) / i is a
+    small rational computed as one correctly-rounded double division,
+    quantized (sround 12) and summed in the decimal domain; AP divides
+    by min(n_rel, K) with an explicit zero guard. Two windows per
+    label partition (rank + running count), then one groupBy."""
+    r = _ranked(spark, sf_dir)
+    w = Window.partitionBy("label").orderBy("rnk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cr = r.select(
+        "label",
+        "rel",
+        "rnk",
+        F.sum(F.when(F.col("rel"), 1).otherwise(0)).over(w).alias("cumrel"),
+    )
+    term = sround(
+        F.col("cumrel").cast("double") / F.col("rnk").cast("double"), 12
+    )
+    per = cr.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("rel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rel"),
+        F.sum(
+            F.when(
+                F.col("rel") & (F.col("rnk") <= RANK_K),
+                term.cast("decimal(28,12)"),
+            ).otherwise(F.expr("CAST('0' AS DECIMAL(28,12))"))
+        ).alias("ap_num"),
+    )
+    denom = F.least(F.col("n_rel"), F.lit(RANK_K))
+    return per.select(
+        "label",
+        "n",
+        "n_rel",
+        F.col("ap_num").cast("double").alias("ap_num"),
+        F.when(
+            denom > 0,
+            F.col("ap_num").cast("double") / denom.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ap"),
+    ).orderBy("label")
+
+
+ORACLE_MAP_AT_K = f"""
+WITH r AS ({_RANKED_SQL}),
+cr AS (
+  SELECT label, rel, rnk,
+         SUM(CASE WHEN rel THEN 1 ELSE 0 END)
+           OVER (PARTITION BY label ORDER BY rnk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumrel
+  FROM r
+), per AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+         SUM(CASE WHEN rel AND rnk <= {RANK_K} THEN
+               CAST({sround_sql(
+                   "CAST(cumrel AS DOUBLE) / CAST(rnk AS DOUBLE)", 12)}
+                    AS DECIMAL(28,12))
+             ELSE CAST('0' AS DECIMAL(28,12)) END) AS ap_num
+  FROM cr GROUP BY label
+)
+SELECT label, n, n_rel,
+       CAST(ap_num AS DOUBLE) AS ap_num,
+       CASE WHEN LEAST(n_rel, {RANK_K}) > 0 THEN
+         CAST(ap_num AS DOUBLE)
+           / CAST(LEAST(n_rel, {RANK_K}) AS DOUBLE)
+       ELSE 0.0 END AS ap
+FROM per ORDER BY label
+"""
+
+
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic stand-in annotators
+    (the q_confusion_matrix corruption model at two different moduli):
+    agreement po and chance agreement pe from exact integer counts —
+    the marginal product sum stays exact in the decimal domain so the
+    100 TB row count cannot overflow — then two correctly-rounded
+    double divisions. One groupBy(classes²) + two tiny marginal aggs."""
+    em = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("label").isNotNull()
+    )
+    t = F.col("label").cast("bigint")
+    pa = F.when(F.col("vec_id") % 3 == 0, (t + 1) % N_CLASSES).otherwise(t)
+    pb = F.when(F.col("vec_id") % 5 == 0, (t + 2) % N_CLASSES).otherwise(t)
+    cells = em.select(pa.alias("pa"), pb.alias("pb")).groupBy(
+        "pa", "pb"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("pa") == F.col("pb"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    ma = cells.groupBy(F.col("pa").alias("cls")).agg(
+        F.sum("n").cast("bigint").alias("na")
+    )
+    mb = cells.groupBy(F.col("pb").alias("cls")).agg(
+        F.sum("n").cast("bigint").alias("nb")
+    )
+    prod = (
+        ma.join(mb, "cls", "inner")
+        .agg(
+            F.sum(
+                (F.col("na") * F.col("nb")).cast("decimal(38,0)")
+            ).alias("prod_sum")
+        )
+    )
+    j = tot.crossJoin(F.broadcast(prod))
+    nd = F.col("n_total").cast("double")
+    po = F.col("n_agree").cast("double") / nd
+    pe = F.col("prod_sum").cast("double") / (nd * nd)
+    return j.select(
+        "n_total",
+        "n_agree",
+        po.alias("po"),
+        pe.alias("pe"),
+        F.when(pe < 1.0, (po - pe) / (1.0 - pe)).alias("kappa"),
+    )
+
+
+ORACLE_COHEN_KAPPA = f"""
+WITH cells AS (
+  SELECT CASE WHEN vec_id % 3 = 0
+              THEN (CAST(label AS BIGINT) + 1) % {N_CLASSES}
+              ELSE CAST(label AS BIGINT) END AS pa,
+         CASE WHEN vec_id % 5 = 0
+              THEN (CAST(label AS BIGINT) + 2) % {N_CLASSES}
+              ELSE CAST(label AS BIGINT) END AS pb,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND label IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN pa = pb THEN n ELSE 0 END) AS BIGINT)
+           AS n_agree
+  FROM cells
+), ma AS (SELECT pa AS cls, CAST(SUM(n) AS BIGINT) AS na
+          FROM cells GROUP BY 1),
+mb AS (SELECT pb AS cls, CAST(SUM(n) AS BIGINT) AS nb
+       FROM cells GROUP BY 1),
+prod AS (
+  SELECT SUM(CAST(na * nb AS DECIMAL(38,0))) AS prod_sum
+  FROM ma JOIN mb USING (cls)
+)
+SELECT n_total, n_agree,
+       CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE) AS po,
+       CAST(prod_sum AS DOUBLE)
+         / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)) AS pe,
+       CASE WHEN CAST(prod_sum AS DOUBLE)
+                   / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))
+                 < 1.0 THEN
+         (CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE)
+          - CAST(prod_sum AS DOUBLE)
+              / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)))
+         / (1.0 - CAST(prod_sum AS DOUBLE)
+                    / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)))
+       END AS kappa
+FROM tot CROSS JOIN prod
+"""
+
+
+QUERIES["q_ndcg"] = q_ndcg
+QUERIES["q_mrr"] = q_mrr
+QUERIES["q_map_at_k"] = q_map_at_k
+QUERIES["q_cohen_kappa"] = q_cohen_kappa
+ORACLES["q_ndcg"] = ORACLE_NDCG
+ORACLES["q_mrr"] = ORACLE_MRR
+ORACLES["q_map_at_k"] = ORACLE_MAP_AT_K
+ORACLES["q_cohen_kappa"] = ORACLE_COHEN_KAPPA

@@ -4444,3 +4444,72 @@ FROM documents
 
 QUERIES["q_audio_aac"] = q_audio_aac
 ORACLES["q_audio_aac"] = ORACLE_AUDIO_AAC
+
+
+def q_ogg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg container page walk (RFC 3533) — the reference MIME-filters
+    audio/ogg (src/main.rs:106) but never opens it; this verifies the
+    page CRC-32 (poly 0x04c11db7, header CRC field zeroed) and
+    reconstructs packet boundaries from the lacing values, including a
+    packet that spans a page boundary (continuation flag) and an
+    exact-multiple-of-255 packet (zero lacing terminator). Row-wise
+    pandas UDF over synthesized streams; the oracle replays
+    pages/packets/granule from the id formulas (n_packets =
+    5·n_pages − 3 is a construction invariant of the fixture)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.audio_headers import parse_ogg_pages, synth_ogg_stream
+
+    d = _doc_ids(spark, sf_dir)
+    out_t = T.StructType(
+        [
+            T.StructField("ogg_pages", T.LongType()),
+            T.StructField("ogg_packets", T.LongType()),
+            T.StructField("ogg_granule", T.LongType()),
+            T.StructField("ogg_crc_ok", T.BooleanType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _walk(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        rows = []
+        for i in ids:
+            pages, packets, gran, ok = parse_ogg_pages(
+                synth_ogg_stream(int(i))
+            )
+            rows.append((pages, packets, gran, ok))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "ogg_pages",
+                "ogg_packets",
+                "ogg_granule",
+                "ogg_crc_ok",
+            ],
+        )
+
+    out = d.withColumn("r", _walk(F.col("doc_id")))
+    return out.select(
+        "doc_id",
+        F.col("r.ogg_pages").alias("ogg_pages"),
+        F.col("r.ogg_packets").alias("ogg_packets"),
+        F.col("r.ogg_granule").alias("ogg_granule"),
+        F.col("r.ogg_crc_ok").alias("ogg_crc_ok"),
+    )
+
+
+ORACLE_OGG_PAGES = """
+SELECT doc_id,
+       CAST(3 + doc_id % 4 AS BIGINT) AS ogg_pages,
+       CAST(5 * (3 + doc_id % 4) - 3 AS BIGINT) AS ogg_packets,
+       CAST(10000 + doc_id % 777 AS BIGINT) AS ogg_granule,
+       TRUE AS ogg_crc_ok
+FROM documents
+"""
+
+
+QUERIES["q_ogg_pages"] = q_ogg_pages
+ORACLES["q_ogg_pages"] = ORACLE_OGG_PAGES

@@ -306,6 +306,12 @@ def main() -> None:
         "q_bq_recall", "q_embed_dim_stats", "q_mode_value",
         "q_decay_weights", "q_histogram", "q_id_gaps",
         "q_audio_clipping", "q_audio_windows", "q_audio_aac",
+        # round-9 second wave (time-series resampling, ranking
+        # metrics, text metrics, graph cc, Ogg page walk)
+        "q_ohlc", "q_time_weighted_avg", "q_interpolate", "q_lttb",
+        "q_ndcg", "q_mrr", "q_map_at_k", "q_cohen_kappa",
+        "q_readability", "q_heaps_law", "q_clustering_coeff",
+        "q_ogg_pages",
     ):
         if name not in queries:
             continue

@@ -49,6 +49,11 @@ ORDER_CONTRACT_QUERIES = [
     # within bucket + over the bucket summary); histogram-AUC
     # cumulative sum over the quantized score histogram
     "q_mode_value", "q_id_gaps", "q_auc",
+    # round-9 second wave: first/last-by-total-order bars, lead-based
+    # durations, LOCF bracketing, argmax survivor selection, per-label
+    # rank lists
+    "q_ohlc", "q_time_weighted_avg", "q_interpolate", "q_lttb",
+    "q_ndcg", "q_map_at_k",
 ]
 
 

@@ -755,3 +755,102 @@ def test_confusion_matrix_aggregates_before_join(spark, sf_dir):
     e = _explain(q_confusion_matrix(spark, sf_dir))
     assert "CartesianProduct" not in e
     assert "partial_count" in e or "partial_sum" in e
+
+
+def test_timeseries_queries_scale_shapes(spark, sf_dir):
+    """Round-9 second wave, time-series family: q_ohlc is ONE map-side
+    combinable aggregation (no window, no join); q_time_weighted_avg
+    windows per event_type (never a global sort); q_interpolate's
+    spine join stays broadcast; q_lttb's neighbor-centroid joins
+    broadcast the <=B-row aggregate and the argmax is an aggregate,
+    not a window over raw points."""
+    from audios_to_dataset_spark.plans.timeseries import (
+        q_interpolate,
+        q_lttb,
+        q_ohlc,
+        q_time_weighted_avg,
+    )
+
+    e = _explain(q_ohlc(spark, sf_dir))
+    assert "Window" not in e and "Join" not in e
+    assert "partial_count" in e or "partial_min" in e
+
+    e = _explain(q_time_weighted_avg(spark, sf_dir))
+    assert "hashpartitioning(event_type" in e
+    assert "SinglePartition" not in e
+
+    e = _explain(q_interpolate(spark, sf_dir))
+    assert "SortMergeJoin" not in e and "CartesianProduct" not in e
+    assert "hashpartitioning(event_type" in e
+
+    e = _explain(q_lttb(spark, sf_dir))
+    assert "SortMergeJoin" not in e and "CartesianProduct" not in e
+    assert e.count("BroadcastHashJoin") >= 3  # bounds + left + right
+    # the survivor selection is max(struct), not a per-point window
+    assert "row_number" not in e
+
+
+def test_ranking_metrics_scale_shapes(spark, sf_dir):
+    """Round-9 second wave, ranking metrics: the ranked list windows
+    PER LABEL (hash partitioning, no single-partition sort of raw
+    rows); kappa joins only aggregated marginals."""
+    from audios_to_dataset_spark.plans.evalmetrics import (
+        q_cohen_kappa,
+        q_map_at_k,
+        q_ndcg,
+    )
+
+    e = _explain(q_ndcg(spark, sf_dir))
+    assert "hashpartitioning(label" in e
+    assert "SinglePartition" not in e
+
+    e = _explain(q_map_at_k(spark, sf_dir))
+    assert "hashpartitioning(label" in e
+    assert "SinglePartition" not in e
+
+    e = _explain(q_cohen_kappa(spark, sf_dir))
+    assert "CartesianProduct" not in e
+    assert "partial_count" in e or "partial_sum" in e
+
+
+def test_textmetrics_scale_shapes(spark, sf_dir):
+    """Round-9 second wave, text metrics: q_readability is one
+    wordcount-shaped groupBy with all token math in JVM HOFs (no
+    Python in the plan); q_heaps_law's only single-partition exchange
+    feeds the fixed 21-row spine window, with tokens reduced to
+    bucket counts first."""
+    from audios_to_dataset_spark.plans.textmetrics import (
+        q_heaps_law,
+        q_readability,
+    )
+
+    e = _explain(q_readability(spark, sf_dir))
+    assert "BatchEvalPython" not in e and "ArrowEvalPython" not in e
+    assert e.count("HashAggregate") >= 2
+
+    e = _explain(q_heaps_law(spark, sf_dir))
+    assert "BatchEvalPython" not in e
+    # token and doc buckets partially aggregate before the spine join
+    assert "partial_count" in e or "partial_min" in e
+
+
+def test_clustering_coeff_wedge_shapes(spark, sf_dir):
+    """q_clustering_coeff: the degree-oriented wedge walk — equi-joins
+    only (no cartesian, no conditional BNLJ), aggregates map-side
+    combined, same bound as q_triangle_count."""
+    from audios_to_dataset_spark.plans.analytics import (
+        q_clustering_coeff,
+    )
+
+    e = _explain(q_clustering_coeff(spark, sf_dir))
+    assert "CartesianProduct" not in e
+    import re as _re
+
+    bnlj = {
+        m.group(1)
+        for m in _re.finditer(
+            r"BroadcastNestedLoopJoin\s+(\w+)", e
+        )
+    }
+    assert bnlj <= {"Cross"}
+    assert "partial_count" in e

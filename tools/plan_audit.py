@@ -53,6 +53,11 @@ ALLOW: dict[tuple[str, str], str] = {
         " pre-shrunk 1024x by the bucketed within-gap pass; the same"
         " decomposition recurses for another 1024x per level if the"
         " summary itself outgrows one sort (plans/relational2.py)",
+    ("q_heaps_law", "SinglePartitionWindow"):
+        "cumulative sums run over the FIXED 21-row power-of-two spine"
+        " (2^4..2^24); tokens and docs reduce to per-bucket counts"
+        " first, so the window input size is a constant, not a"
+        " function of corpus size",
 }
 
 # Deliberate crossJoins (scalar aggregates, tiny spines) appear as
