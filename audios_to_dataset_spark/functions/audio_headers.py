@@ -833,3 +833,129 @@ def synth_ogg_stream(doc_id: int) -> bytes:
         out += page
         carry_open = not chunk[-1][2]
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# EBML / Matroska-WebM element walk. The reference never reaches video
+# containers (audio-only MIME list, src/main.rs:97-110); this closes
+# the remaining mainstream container family (MP4/AVI/Ogg walked
+# elsewhere) with the varint-framed one: element IDs keep their
+# leading-1 marker byte per RFC 8794 §4, sizes strip it.
+# ---------------------------------------------------------------------------
+
+# Master elements (public Matroska registry ids) whose payload is a
+# sequence of child elements rather than a scalar.
+_EBML_MASTER_IDS = frozenset(
+    {0x1A45DFA3, 0x18538067, 0x1549A966, 0x1F43B675}
+)
+
+
+def _read_vint(data: bytes, pos: int, keep_marker: bool):
+    """RFC 8794 variable-size integer: the number of leading zero bits
+    of the first byte gives the width. Returns (value, new_pos) or
+    None on malformed/truncated input."""
+    if pos >= len(data):
+        return None
+    first = data[pos]
+    if first == 0:
+        return None
+    width = 9 - first.bit_length()
+    if pos + width > len(data):
+        return None
+    val = first if keep_marker else first & ((1 << (8 - width)) - 1)
+    for i in range(1, width):
+        val = (val << 8) | data[pos + i]
+    return val, pos + width
+
+
+def parse_ebml(data: bytes | None) -> tuple[int, int, int, int, bool]:
+    """Walk an EBML element tree: (n_elements, max_depth, n_clusters,
+    leaf_payload_bytes, ok). Master elements (EBML header, Segment,
+    Info, Cluster) recurse; everything else counts its payload bytes.
+    ok = the whole buffer parses to exactly its end. Never raises on
+    corrupt input (repo-wide decoder contract); unknown-size elements
+    (all-ones vint) are treated as malformed."""
+    try:
+        if not data:
+            return 0, 0, 0, 0, False
+        stats = {"n": 0, "depth": 0, "clusters": 0, "leaf": 0}
+
+        def walk(lo: int, hi: int, depth: int) -> bool:
+            pos = lo
+            stats["depth"] = max(stats["depth"], depth)
+            while pos < hi:
+                r = _read_vint(data, pos, keep_marker=True)
+                if r is None:
+                    return False
+                eid, pos = r
+                r = _read_vint(data, pos, keep_marker=False)
+                if r is None:
+                    return False
+                size, pos = r
+                if pos + size > hi:
+                    return False
+                stats["n"] += 1
+                if eid == 0x1F43B675:
+                    stats["clusters"] += 1
+                if eid in _EBML_MASTER_IDS:
+                    if not walk(pos, pos + size, depth + 1):
+                        return False
+                else:
+                    stats["leaf"] += size
+                pos += size
+            return pos == hi
+
+        ok = walk(0, len(data), 1)
+        return (
+            stats["n"],
+            stats["depth"],
+            stats["clusters"],
+            stats["leaf"],
+            ok,
+        )
+    except Exception:
+        return 0, 0, 0, 0, False
+
+
+def _ebml_elem(eid: int, payload: bytes) -> bytes:
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(payload)
+    if n < 127:
+        size = bytes([0x80 | n])
+    else:
+        size = bytes([0x40 | (n >> 8), n & 0xFF])
+    return idb + size + payload
+
+
+def synth_ebml(doc_id: int) -> bytes:
+    """Matroska-shaped EBML tree: header (EBMLVersion + DocType),
+    Segment(Info(TimestampScale, Duration), 1 + doc_id % 5 Clusters
+    of Timestamp + SimpleBlock with 20 + (doc_id + 7k) % 50 payload
+    bytes) — so n_elements = 7 + 3·n_clusters, max_depth = 3, and the
+    leaf byte total is oracle-recomputable. One SimpleBlock payload
+    per cluster varies in size, forcing the walk to frame every
+    element from its own vint header."""
+    n_c = 1 + doc_id % 5
+    header = _ebml_elem(
+        0x1A45DFA3,
+        _ebml_elem(0x4286, bytes([1]))
+        + _ebml_elem(0x4282, b"matroska"),
+    )
+    info = _ebml_elem(
+        0x1549A966,
+        _ebml_elem(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+        + _ebml_elem(0x4489, bytes(4)),
+    )
+    clusters = b""
+    for k in range(n_c):
+        sz = 20 + (doc_id + 7 * k) % 50
+        block = bytes(
+            [0x81] + [(doc_id + k + i) % 256 for i in range(sz - 1)]
+        )
+        clusters += _ebml_elem(
+            0x1F43B675,
+            _ebml_elem(0xE7, (k * 1000).to_bytes(2, "big"))
+            + _ebml_elem(0xA3, block),
+        )
+    segment = _ebml_elem(0x18538067, info + clusters)
+    return header + segment

@@ -665,3 +665,163 @@ ORACLES["q_ndcg"] = ORACLE_NDCG
 ORACLES["q_mrr"] = ORACLE_MRR
 ORACLES["q_map_at_k"] = ORACLE_MAP_AT_K
 ORACLES["q_cohen_kappa"] = ORACLE_COHEN_KAPPA
+
+
+def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware average precision (PR-AUC) from the same quantized
+    score histogram as q_auc — AP = Σ_i (R_i − R_{i−1})·P_i over
+    DISTINCT descending score thresholds, i.e. Σ_i pos_n_i·prec_i / P.
+    The cumulative TP/FP window runs over ≤ 10^SCORE_DP + 1 histogram
+    rows (never raw data); prec_i is one correctly-rounded double
+    division quantized to 12 decimals, and pos_n_i·prec_i stays EXACT
+    as DECIMAL(13,12) × count (34 digits, under both engines' 38-digit
+    cap) so the sum is order-independent."""
+    s = _scored(spark, sf_dir)
+    hist = s.groupBy("score").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos_n"),
+        F.sum(F.when(~F.col("pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("neg_n"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "pos_n",
+        F.sum("pos_n").over(w).cast("bigint").alias("tp"),
+        F.sum("neg_n").over(w).cast("bigint").alias("fp"),
+    )
+    prec = sround(
+        F.col("tp").cast("double")
+        / (F.col("tp") + F.col("fp")).cast("double"),
+        12,
+    )
+    terms = cum.select(
+        "pos_n",
+        "tp",
+        "fp",
+        (prec.cast("decimal(13,12)") * F.col("pos_n")).alias("term"),
+    )
+    agg = terms.agg(
+        F.max("tp").alias("n_pos"),
+        F.max("fp").alias("n_neg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_thresholds"),
+        F.sum("term").alias("ap_num"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "n_thresholds",
+        F.when(
+            F.col("n_pos") > 0,
+            F.col("ap_num").cast("double")
+            / F.col("n_pos").cast("double"),
+        ).alias("pr_auc"),
+    )
+
+
+ORACLE_PR_AUC = f"""
+WITH s AS ({_SCORED_SQL}),
+hist AS (
+  SELECT score,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_n,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS neg_n
+  FROM s GROUP BY score
+), cum AS (
+  SELECT pos_n,
+         CAST(SUM(pos_n) OVER w AS BIGINT) AS tp,
+         CAST(SUM(neg_n) OVER w AS BIGINT) AS fp
+  FROM hist
+  WINDOW w AS (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), terms AS (
+  SELECT pos_n, tp, fp,
+         CAST({sround_sql(
+             "CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)", 12)}
+              AS DECIMAL(13,12)) * pos_n AS term
+  FROM cum
+)
+SELECT CAST(MAX(tp) AS BIGINT) AS n_pos,
+       CAST(MAX(fp) AS BIGINT) AS n_neg,
+       CAST(COUNT(*) AS BIGINT) AS n_thresholds,
+       CASE WHEN MAX(tp) > 0 THEN
+         CAST(SUM(term) AS DOUBLE) / CAST(MAX(tp) AS DOUBLE)
+       END AS pr_auc
+FROM terms
+"""
+
+
+def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error — FULLY exact in the decimal domain:
+    per fixed-width bin, |pos_rate − mean_score|·n/N algebraically
+    equals |n_pos − Σscore| / N, and Σscore is an exact DECIMAL(28,6)
+    of the 6-dp quantized scores, so the only float op is the final
+    division. MCE (max per-bin gap) takes one quantized division per
+    bin. One map-side-combinable groupBy over CAL_BINS cells."""
+    s = _scored(spark, sf_dir)
+    b = F.least(
+        F.floor(F.col("score") * CAL_BINS), F.lit(CAL_BINS - 1)
+    ).cast("bigint")
+    y = F.when(F.col("pos"), 1).otherwise(0)
+    bins = s.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(y).cast("bigint").alias("n_pos"),
+        F.sum(F.col("score").cast("decimal(28,6)")).alias("sum_s"),
+    )
+    diff = F.abs(
+        F.col("n_pos").cast("decimal(28,6)") - F.col("sum_s")
+    )
+    gap = sround(
+        diff.cast("double") / F.col("n").cast("double"), 12
+    )
+    agg = bins.select("n", "n_pos", diff.alias("diff"), gap.alias("gap")).agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum("diff").alias("diff_sum"),
+        F.max("gap").alias("mce"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+    )
+    return agg.select(
+        "n_total",
+        "n_bins",
+        F.when(
+            F.col("n_total") > 0,
+            F.col("diff_sum").cast("double")
+            / F.col("n_total").cast("double"),
+        ).alias("ece"),
+        "mce",
+    )
+
+
+ORACLE_ECE = f"""
+WITH s AS ({_SCORED_SQL}),
+bins AS (
+  SELECT LEAST(CAST(floor(score * {CAL_BINS}) AS BIGINT),
+               {CAL_BINS - 1}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         SUM(CAST(score AS DECIMAL(28,6))) AS sum_s
+  FROM s GROUP BY 1
+), d AS (
+  SELECT n, n_pos,
+         ABS(CAST(n_pos AS DECIMAL(28,6)) - sum_s) AS diff,
+         {sround_sql(
+             "CAST(ABS(CAST(n_pos AS DECIMAL(28,6)) - sum_s) AS DOUBLE)"
+             " / CAST(n AS DOUBLE)", 12)} AS gap
+  FROM bins
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CASE WHEN SUM(n) > 0 THEN
+         CAST(SUM(diff) AS DOUBLE) / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE)
+       END AS ece,
+       MAX(gap) AS mce
+FROM d
+"""
+
+
+QUERIES["q_pr_auc"] = q_pr_auc
+QUERIES["q_ece"] = q_ece
+ORACLES["q_pr_auc"] = ORACLE_PR_AUC
+ORACLES["q_ece"] = ORACLE_ECE

@@ -4513,3 +4513,82 @@ FROM documents
 
 QUERIES["q_ogg_pages"] = q_ogg_pages
 ORACLES["q_ogg_pages"] = ORACLE_OGG_PAGES
+
+
+def q_ebml_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EBML/Matroska element walk (RFC 8794 varint framing) — closes
+    the container-family sweep (MP4/AVI/Ogg walked elsewhere; the
+    reference's MIME list is audio-only, src/main.rs:97-110): element
+    IDs keep the marker byte, sizes strip it, master elements recurse
+    (header/Segment/Info/Cluster), and the walk must frame every
+    element from its own vint header because one SimpleBlock per
+    cluster varies in size. Row-wise pandas UDF; the oracle replays
+    counts/depth/leaf bytes from the id formulas, recomputing the
+    variable block sizes with a generate_series sum."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.audio_headers import parse_ebml, synth_ebml
+
+    d = _doc_ids(spark, sf_dir)
+    out_t = T.StructType(
+        [
+            T.StructField("ebml_elems", T.LongType()),
+            T.StructField("ebml_depth", T.LongType()),
+            T.StructField("ebml_clusters", T.LongType()),
+            T.StructField("ebml_leaf_bytes", T.LongType()),
+            T.StructField("ebml_ok", T.BooleanType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _walk(ids):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        rows = []
+        for i in ids:
+            n, depth, nc, leaf, ok = parse_ebml(synth_ebml(int(i)))
+            rows.append((n, depth, nc, leaf, ok))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "ebml_elems",
+                "ebml_depth",
+                "ebml_clusters",
+                "ebml_leaf_bytes",
+                "ebml_ok",
+            ],
+        )
+
+    out = d.withColumn("r", _walk(F.col("doc_id")))
+    return out.select(
+        "doc_id",
+        F.col("r.ebml_elems").alias("ebml_elems"),
+        F.col("r.ebml_depth").alias("ebml_depth"),
+        F.col("r.ebml_clusters").alias("ebml_clusters"),
+        F.col("r.ebml_leaf_bytes").alias("ebml_leaf_bytes"),
+        F.col("r.ebml_ok").alias("ebml_ok"),
+    )
+
+
+ORACLE_EBML_WALK = """
+WITH blocks AS (
+  SELECT d.doc_id,
+         CAST(SUM(20 + (d.doc_id + 7 * g.k) % 50) AS BIGINT) AS bsum
+  FROM documents d, generate_series(0, 4) g(k)
+  WHERE g.k < 1 + d.doc_id % 5
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CAST(7 + 3 * (1 + d.doc_id % 5) AS BIGINT) AS ebml_elems,
+       CAST(3 AS BIGINT) AS ebml_depth,
+       CAST(1 + d.doc_id % 5 AS BIGINT) AS ebml_clusters,
+       CAST(16 + (1 + d.doc_id % 5) * 2 + b.bsum AS BIGINT)
+         AS ebml_leaf_bytes,
+       TRUE AS ebml_ok
+FROM documents d JOIN blocks b ON b.doc_id = d.doc_id
+"""
+
+
+QUERIES["q_ebml_walk"] = q_ebml_walk
+ORACLES["q_ebml_walk"] = ORACLE_EBML_WALK

@@ -248,3 +248,76 @@ ORACLES = {
     "q_readability": ORACLE_READABILITY,
     "q_heaps_law": ORACLE_HEAPS_LAW,
 }
+
+
+def q_gini_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length per source — the
+    concentration audit for corpus balance (a source where 1% of docs
+    carry 90% of the characters skews any per-doc sampling). Exact
+    Lorenz form G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) with i the
+    1-based rank under the TOTAL order (n_chars, doc_id): every sum is
+    integer in the decimal domain, ranks come from a PER-SOURCE window
+    (parallel across sources, never a global sort), and the single
+    division is quantized by sround."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+        & F.col("source").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    agg = r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("i") * F.col("x")).cast("decimal(38,0)")).alias(
+            "six"
+        ),
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("six")
+        - (F.col("n_docs") + 1).cast("decimal(38,0)") * F.col("sx")
+    )
+    den = F.col("n_docs").cast("decimal(38,0)") * F.col("sx")
+    return agg.select(
+        "source",
+        "n_docs",
+        F.col("sx").cast("bigint").alias("total_chars"),
+        F.when(
+            F.col("sx") > 0,
+            sround(num.cast("double") / den.cast("double"), 12),
+        ).alias("gini"),
+    ).orderBy("source")
+
+
+ORACLE_GINI_LENGTH = f"""
+WITH d AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         CAST(row_number() OVER (PARTITION BY source
+                ORDER BY n_chars, doc_id) AS BIGINT) AS i
+  FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+    AND n_chars IS NOT NULL
+), agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(i * x AS DECIMAL(38,0))) AS six
+  FROM d GROUP BY source
+)
+SELECT source, n_docs, CAST(sx AS BIGINT) AS total_chars,
+       CASE WHEN sx > 0 THEN
+         {sround_sql(
+             "CAST(CAST(2 AS DECIMAL(38,0)) * six"
+             " - CAST(n_docs + 1 AS DECIMAL(38,0)) * sx AS DOUBLE)"
+             " / CAST(CAST(n_docs AS DECIMAL(38,0)) * sx AS DOUBLE)",
+             12)}
+       END AS gini
+FROM agg ORDER BY source
+"""
+
+
+QUERIES["q_gini_length"] = q_gini_length
+ORACLES["q_gini_length"] = ORACLE_GINI_LENGTH

@@ -312,6 +312,7 @@ def main() -> None:
         "q_ndcg", "q_mrr", "q_map_at_k", "q_cohen_kappa",
         "q_readability", "q_heaps_law", "q_clustering_coeff",
         "q_ogg_pages",
+        "q_pr_auc", "q_ece", "q_gini_length", "q_ebml_walk",
     ):
         if name not in queries:
             continue

@@ -54,6 +54,9 @@ ORDER_CONTRACT_QUERIES = [
     # rank lists
     "q_ohlc", "q_time_weighted_avg", "q_interpolate", "q_lttb",
     "q_ndcg", "q_map_at_k",
+    # round-9 third wave: histogram-cumulative PR curve, per-source
+    # length ranks
+    "q_pr_auc", "q_gini_length",
 ]
 
 

@@ -854,3 +854,25 @@ def test_clustering_coeff_wedge_shapes(spark, sf_dir):
     }
     assert bnlj <= {"Cross"}
     assert "partial_count" in e
+
+
+def test_third_wave_scale_shapes(spark, sf_dir):
+    """Round-9 third wave: q_pr_auc's single-partition window feeds
+    only the quantized-score histogram (same bound as q_auc);
+    q_ece is one groupBy with partial aggregation and NO window;
+    q_gini_length ranks PER SOURCE (hash partitioning, no global
+    sort)."""
+    from audios_to_dataset_spark.plans.evalmetrics import q_ece, q_pr_auc
+    from audios_to_dataset_spark.plans.textmetrics import q_gini_length
+
+    e = _explain(q_pr_auc(spark, sf_dir))
+    assert "partial_count" in e or "partial_sum" in e
+    assert "CartesianProduct" not in e
+
+    e = _explain(q_ece(spark, sf_dir))
+    assert "Window" not in e
+    assert "partial_count" in e or "partial_sum" in e
+
+    e = _explain(q_gini_length(spark, sf_dir))
+    assert "hashpartitioning(source" in e
+    assert "SinglePartition" not in e

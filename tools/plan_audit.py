@@ -53,6 +53,10 @@ ALLOW: dict[tuple[str, str], str] = {
         " pre-shrunk 1024x by the bucketed within-gap pass; the same"
         " decomposition recurses for another 1024x per level if the"
         " summary itself outgrows one sort (plans/relational2.py)",
+    ("q_pr_auc", "SinglePartitionWindow"):
+        "cumulative TP/FP window runs over the quantized score"
+        " HISTOGRAM — bounded at 10^6+1 rows by the 6-dp quantization"
+        " (the q_auc argument); raw rows are never totally ordered",
     ("q_heaps_law", "SinglePartitionWindow"):
         "cumulative sums run over the FIXED 21-row power-of-two spine"
         " (2^4..2^24); tokens and docs reduce to per-bucket counts"
