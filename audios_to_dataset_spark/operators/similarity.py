@@ -711,6 +711,78 @@ def knn_graph(
     )
 
 
+def hard_negatives(
+    df: DataFrame,
+    tables: list[list[list[float]]],
+    labels: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every
+    labelled anchor, the top-k HIGHEST-cosine bucket-mates with a
+    DIFFERENT label — the near-misses a metric-learning loss needs.
+    Same LSH candidate generation as :func:`knn_graph`; the label
+    filter runs BEFORE the per-anchor rank (a post-rank filter would
+    lose negatives hiding beyond rank k among same-label neighbors).
+
+    ``labels`` is an (id, label) frame; NULL-label rows drop out as
+    both anchors and candidates. Scale shape: identical to knn_graph
+    (bucket equi-join + per-anchor window) plus two label hash joins
+    on the candidate frame.
+    """
+    from pyspark.sql import Window
+
+    bucketed = multitable_buckets(df, tables, id_col, vec_col)
+    a = bucketed.select(F.col("id").alias("src"), "bucket")
+    b = bucketed.select(F.col("id").alias("dst"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    la = labels.select(
+        F.col("id").alias("src"), F.col("label").alias("src_label")
+    )
+    lb = labels.select(
+        F.col("id").alias("dst"), F.col("label").alias("dst_label")
+    )
+    neg = (
+        cand.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("src_label") != F.col("dst_label"))
+    )
+    un = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+        .withColumn("_n", _norm(F.col("_v")))
+        .filter(F.col("_n") > 0)
+        .select(
+            "id",
+            F.transform(
+                "_v", lambda x: x.cast("double") / F.col("_n")
+            ).alias("u"),
+        )
+    )
+    va = un.select(F.col("id").alias("src"), F.col("u").alias("ua"))
+    vb = un.select(F.col("id").alias("dst"), F.col("u").alias("ub"))
+    cos = _dot(F.col("ua"), F.col("ub"))
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), "dst"
+    )
+    return (
+        neg.join(va, "src")
+        .join(vb, "dst")
+        .withColumn("cos_sim", sround(cos, decimals))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "src", "src_label", "dst", "dst_label", "cos_sim", "rank"
+        )
+    )
+
+
 def lsh_topk_batch(
     df: DataFrame,
     tables: list[list[list[float]]],

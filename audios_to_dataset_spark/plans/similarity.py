@@ -409,6 +409,37 @@ def _oracle_knn_graph() -> str:
     return _knn_graph_sql_body() + "ORDER BY src, rank"
 
 
+HN_K = 5
+
+
+def _hard_negatives_sql_body() -> str:
+    """Hard-negative oracle: the SAME bucket/score CTEs as the k-NN
+    twin up through ``scored``, then a label join that keeps only
+    DIFFERENT-label pairs before the per-anchor rank — so the rank
+    runs over negatives only, which is the operator's point (a
+    post-rank filter would lose negatives hiding beyond rank k)."""
+    body = _knn_graph_sql_body()
+    marker = "), ranked AS ("
+    prefix = body[: body.index(marker)]
+    return prefix + f"""), lab AS (
+  SELECT vec_id, CAST(label AS INT) AS label FROM embeddings
+  WHERE vec_id IS NOT NULL AND label IS NOT NULL
+), neg AS (
+  SELECT s.src, la.label AS src_label, s.dst,
+         lb.label AS dst_label, s.cos_sim
+  FROM scored s
+  JOIN lab la ON la.vec_id = s.src
+  JOIN lab lb ON lb.vec_id = s.dst
+  WHERE la.label <> lb.label
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY src
+              ORDER BY cos_sim DESC, dst) AS BIGINT) AS rank
+  FROM neg)
+SELECT src, src_label, dst, dst_label, cos_sim, rank
+FROM ranked WHERE rank <= {HN_K}
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation: recall@3 of the LSH k-NN graph against
     exact brute-force top-3 for a 5-vector probe set — the measurement
@@ -587,6 +618,32 @@ FROM top JOIN lab ON lab.vec_id = top.src
 ORDER BY vec_id
 """
 
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — for every labelled anchor, the top-HN_K
+    highest-cosine bucket-mates with a DIFFERENT label, the triplet/
+    contrastive-loss pairs a metric-learning pipeline mines at corpus
+    scale. Reuses the auto-scaled k-NN LSH candidate generation
+    (operators/similarity.hard_negatives); the label filter runs
+    BEFORE the per-anchor rank so negatives beyond rank k among
+    same-label neighbors are not lost. One bucket equi-join + two
+    label hash joins + a per-anchor window — no all-pairs."""
+    from ..operators.similarity import hard_negatives
+
+    em = load(spark, sf_dir, "embeddings")
+    lab = em.filter(
+        F.col("vec_id").isNotNull() & F.col("label").isNotNull()
+    ).select(
+        F.col("vec_id").alias("id"), F.col("label").cast("int").alias("label")
+    )
+    return hard_negatives(
+        em, _knn_planes_for(em), lab, k=HN_K
+    ).orderBy("src", "rank")
+
+
+def _oracle_hard_negatives() -> str:
+    return _hard_negatives_sql_body() + "ORDER BY src, rank"
 
 CORESET_K = 8
 
@@ -2448,6 +2505,7 @@ QUERIES = {
     "q_embed_dim_stats": q_embed_dim_stats,
     "q_matryoshka_recall": q_matryoshka_recall,
     "q_label_noise": q_label_noise,
+    "q_hard_negatives": q_hard_negatives,
     "q_coreset": q_coreset,
     "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
     "q_dedup_semantic": q_dedup_semantic,
@@ -2482,6 +2540,7 @@ ORACLES = {
     "q_embed_dim_stats": ORACLE_EMBED_DIM_STATS,
     "q_matryoshka_recall": _oracle_matryoshka_recall(),
     "q_label_noise": _oracle_label_noise(),
+    "q_hard_negatives": _oracle_hard_negatives(),
     "q_coreset": _oracle_coreset(),
     "q_ann_ivf_kmeans": _oracle_ann_ivf_kmeans(),
     "q_dedup_semantic": _oracle_dedup_semantic(),

@@ -55,8 +55,8 @@ ORDER_CONTRACT_QUERIES = [
     "q_ohlc", "q_time_weighted_avg", "q_interpolate", "q_lttb",
     "q_ndcg", "q_map_at_k",
     # round-9 third wave: histogram-cumulative PR curve, per-source
-    # length ranks
-    "q_pr_auc", "q_gini_length",
+    # length ranks, per-anchor negative ranks
+    "q_pr_auc", "q_gini_length", "q_hard_negatives",
 ]
 
 

@@ -876,3 +876,21 @@ def test_third_wave_scale_shapes(spark, sf_dir):
     e = _explain(q_gini_length(spark, sf_dir))
     assert "hashpartitioning(source" in e
     assert "SinglePartition" not in e
+
+
+def test_hard_negatives_bucketed_no_allpairs(spark, sf_dir):
+    """q_hard_negatives: candidates come from the LSH bucket equi-join
+    (no cartesian, no conditional BNLJ), labels join by hash, and the
+    rank window partitions per anchor."""
+    from audios_to_dataset_spark.plans.similarity import q_hard_negatives
+
+    e = _explain(q_hard_negatives(spark, sf_dir))
+    assert "CartesianProduct" not in e
+    import re as _re
+
+    bnlj = {
+        m.group(1)
+        for m in _re.finditer(r"BroadcastNestedLoopJoin\s+(\w+)", e)
+    }
+    assert bnlj <= {"Cross"}
+    assert "hashpartitioning(src" in e
