@@ -18,7 +18,11 @@ from audios_to_dataset_spark.functions.audio_headers import (
     encode_aiff,
     encode_au,
     parse_adts_header,
+    parse_ebml,
+    parse_ogg_pages,
     synth_adts,
+    synth_ebml,
+    synth_ogg_stream,
 )
 from audios_to_dataset_spark.functions.flac import decode_flac, encode_flac
 from audios_to_dataset_spark.functions.multimodal import (
@@ -123,6 +127,11 @@ def test_decoders_never_raise_on_mutated_valid_streams():
         ("ico", synth_gray_ico(7), decode_ico_pixels),
         ("pnm", synth_gray_pnm(7), decode_pnm_pixels),
         ("avi", encode_avi_raw(frames), decode_avi_frames),
+        # round-9 container walks: Ogg pages (CRC + lacing) and EBML
+        # varint framing — mutated valid headers reach the recursive
+        # master-element and continued-packet states
+        ("ogg", synth_ogg_stream(7), parse_ogg_pages),
+        ("ebml", synth_ebml(7), parse_ebml),
     ]
     for name, blob, dec in cases:
         # the unmutated stream must decode (guards the fixture itself)
