@@ -245,9 +245,15 @@ def main() -> None:
         # comparison doesn't need).
         sf1_min2 = {"q_pagerank", "q_kcore", "q_split_assign",
                     "q_dbscan"}
+        # q_clustering_coeff / q_hard_negatives join the sf1 track in
+        # the round-9 continuation: the wedge walk is the one new
+        # operator with a superlinear bound (O(m^1.5)) and the
+        # hard-negative miner rides the auto-scaled LSH candidates —
+        # both belong next to the growth pins, not just the extras.
         for name in ("q_dedup_minhash_lsh", "q_pagerank",
                      "q_sparse_cosine", "q_knn_graph", "q_kcore",
-                     "q_gif_anim", "q_split_assign", "q_dbscan"):
+                     "q_gif_anim", "q_split_assign", "q_dbscan",
+                     "q_clustering_coeff", "q_hard_negatives"):
             runs = []
             for _ in range(2 if name in sf1_min2 else 1):
                 t0 = time.perf_counter()
