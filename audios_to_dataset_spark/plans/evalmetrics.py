@@ -825,3 +825,115 @@ QUERIES["q_pr_auc"] = q_pr_auc
 QUERIES["q_ece"] = q_ece
 ORACLES["q_pr_auc"] = ORACLE_PR_AUC
 ORACLES["q_ece"] = ORACLE_ECE
+
+
+PSI_SMOOTH = 0.5  # per-bin additive smoothing (standard PSI practice)
+
+
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between two score cohorts (vec_id
+    parity as the deterministic reference/current split) — the
+    deployment drift check: PSI = Σ_bins (p − q)·ln(p/q) over the
+    CAL_BINS fixed-width bins with 0.5 additive smoothing so empty
+    bins stay finite. The fixed bin spine (spark.range / generate_
+    series) guarantees both engines smooth the SAME empty bins; the
+    per-bin contribution is quantized (sround 9 — ln is within 1 ulp
+    across engines, the q_weighted_sample precedent) and summed in
+    the decimal domain; a bin = −1 TOTAL row carries the scalar.
+    One groupBy(bins) + broadcast totals — no window, no sort."""
+    s = _scored(spark, sf_dir)
+    b = F.least(
+        F.floor(F.col("score") * CAL_BINS), F.lit(CAL_BINS - 1)
+    ).cast("bigint")
+    counts = s.groupBy(b.alias("bin")).agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    spine = spark.range(0, CAL_BINS).select(F.col("id").alias("bin"))
+    filled = (
+        spine.join(F.broadcast(counts), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+        )
+    )
+    tot = filled.agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cur").cast("bigint").alias("t_cur"),
+    )
+    j = filled.crossJoin(F.broadcast(tot))
+    p = (F.col("n_ref").cast("double") + PSI_SMOOTH) / (
+        F.col("t_ref").cast("double") + PSI_SMOOTH * CAL_BINS
+    )
+    q = (F.col("n_cur").cast("double") + PSI_SMOOTH) / (
+        F.col("t_cur").cast("double") + PSI_SMOOTH * CAL_BINS
+    )
+    contrib = sround((p - q) * F.log(p / q), 9)
+    per_bin = j.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        contrib.alias("contrib"),
+    )
+    total = per_bin.agg(
+        F.sum("n_ref").cast("bigint").alias("n_ref"),
+        F.sum("n_cur").cast("bigint").alias("n_cur"),
+        F.sum(F.col("contrib").cast("decimal(28,9)"))
+        .cast("double")
+        .alias("contrib"),
+    ).select(F.lit(-1).cast("bigint").alias("bin"), "n_ref", "n_cur",
+             "contrib")
+    return per_bin.unionByName(total).orderBy("bin")
+
+
+ORACLE_PSI = f"""
+WITH s AS ({_SCORED_SQL}),
+counts AS (
+  SELECT LEAST(CAST(floor(score * {CAL_BINS}) AS BIGINT),
+               {CAL_BINS - 1}) AS bin,
+         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_cur
+  FROM s GROUP BY 1
+), filled AS (
+  SELECT g.bin, CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+         CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur
+  FROM (SELECT CAST(j AS BIGINT) AS bin
+        FROM generate_series(0, {CAL_BINS - 1}) t(j)) g
+  LEFT JOIN counts ON counts.bin = g.bin
+), tot AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+         CAST(SUM(n_cur) AS BIGINT) AS t_cur
+  FROM filled
+), per_bin AS (
+  SELECT bin, n_ref, n_cur,
+         {sround_sql(
+             "((CAST(n_ref AS DOUBLE) + " + str(PSI_SMOOTH) + ")"
+             f" / (CAST(t_ref AS DOUBLE) + {PSI_SMOOTH * CAL_BINS})"
+             " - (CAST(n_cur AS DOUBLE) + " + str(PSI_SMOOTH) + ")"
+             f" / (CAST(t_cur AS DOUBLE) + {PSI_SMOOTH * CAL_BINS}))"
+             " * ln(((CAST(n_ref AS DOUBLE) + " + str(PSI_SMOOTH) + ")"
+             f" / (CAST(t_ref AS DOUBLE) + {PSI_SMOOTH * CAL_BINS}))"
+             " / ((CAST(n_cur AS DOUBLE) + " + str(PSI_SMOOTH) + ")"
+             f" / (CAST(t_cur AS DOUBLE) + {PSI_SMOOTH * CAL_BINS})))",
+             9)} AS contrib
+  FROM filled CROSS JOIN tot
+)
+SELECT bin, n_ref, n_cur, contrib FROM per_bin
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(SUM(n_ref) AS BIGINT),
+       CAST(SUM(n_cur) AS BIGINT),
+       CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE)
+FROM per_bin
+ORDER BY bin
+"""
+
+
+QUERIES["q_psi"] = q_psi
+ORACLES["q_psi"] = ORACLE_PSI

@@ -894,3 +894,14 @@ def test_hard_negatives_bucketed_no_allpairs(spark, sf_dir):
     }
     assert bnlj <= {"Cross"}
     assert "hashpartitioning(src" in e
+
+
+def test_psi_no_window_partial_agg(spark, sf_dir):
+    """q_psi: no window anywhere (the bin spine is a broadcast join),
+    totals broadcast, counts partially aggregate map-side."""
+    from audios_to_dataset_spark.plans.evalmetrics import q_psi
+
+    e = _explain(q_psi(spark, sf_dir))
+    assert "Window" not in e
+    assert "partial_count" in e or "partial_sum" in e
+    assert "SortMergeJoin" not in e

@@ -335,3 +335,39 @@ def test_kappa_ece_prauc_gini_match_naive_reference(spark, sf_dir):
         six = sum((i + 1) * c for i, (c, _) in enumerate(xs))
         gini = (2 * six - (nn + 1) * sx) / (nn * sx)
         assert got[src]["gini"] == pytest.approx(gini, abs=1e-9)
+
+
+def test_psi_matches_naive_reference(spark, sf_dir):
+    import math as _m
+
+    from audios_to_dataset_spark.plans.evalmetrics import (
+        CAL_BINS,
+        PSI_SMOOTH,
+        q_psi,
+    )
+
+    em = _embeddings(sf_dir).dropna(
+        subset=["vec_id", "embedding", "label"]
+    )
+    ref: dict[int, int] = {b: 0 for b in range(CAL_BINS)}
+    cur: dict[int, int] = {b: 0 for b in range(CAL_BINS)}
+    for x in em.itertuples(index=False):
+        e = [float(v) for v in x.embedding]
+        nrm = _m.sqrt(sum(v * v for v in e))
+        if nrm <= 0:
+            continue
+        s = round(((e[0] / nrm + 1.0) / 2.0) * 1e6) / 1e6
+        b = min(int(s * CAL_BINS), CAL_BINS - 1)
+        (ref if x.vec_id % 2 == 0 else cur)[b] += 1
+    t_ref, t_cur = sum(ref.values()), sum(cur.values())
+    psi = 0.0
+    for b in range(CAL_BINS):
+        p = (ref[b] + PSI_SMOOTH) / (t_ref + PSI_SMOOTH * CAL_BINS)
+        q = (cur[b] + PSI_SMOOTH) / (t_cur + PSI_SMOOTH * CAL_BINS)
+        psi += (p - q) * _m.log(p / q)
+    rows = {r["bin"]: r for r in
+            (x.asDict() for x in q_psi(spark, sf_dir).collect())}
+    assert rows[-1]["n_ref"] == t_ref and rows[-1]["n_cur"] == t_cur
+    assert rows[-1]["contrib"] == pytest.approx(psi, abs=1e-7)
+    for b in range(CAL_BINS):
+        assert rows[b]["n_ref"] == ref[b] and rows[b]["n_cur"] == cur[b]
