@@ -63,7 +63,7 @@ _ROTATION_FIRST = (
     "q_ndcg", "q_mrr", "q_map_at_k", "q_cohen_kappa",
     "q_readability", "q_heaps_law", "q_clustering_coeff", "q_ogg_pages",
     "q_pr_auc", "q_ece", "q_gini_length", "q_ebml_walk",
-    "q_hard_negatives", "q_psi",
+    "q_hard_negatives", "q_psi", "q_lift_curve",
     # --- round-9 additions ---
     "q_bq_recall", "q_embed_dim_stats",
     "q_auc", "q_calibration_bins", "q_confusion_matrix",

@@ -937,3 +937,105 @@ ORDER BY bin
 
 QUERIES["q_psi"] = q_psi
 ORACLES["q_psi"] = ORACLE_PSI
+
+
+def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift table over the CAL_BINS fixed-width
+    score bins, highest bin first — the targeting readout (what
+    fraction of positives do the top-X% scored rows capture, and at
+    what lift over random). Everything derives from exact integer
+    counts on the fixed spine; gain, population share, and lift are
+    single correctly-rounded divisions quantized by sround. The
+    cumulative window runs over the ≤ CAL_BINS spine rows (the
+    q_heaps_law argument), never over raw data."""
+    s = _scored(spark, sf_dir)
+    b = F.least(
+        F.floor(F.col("score") * CAL_BINS), F.lit(CAL_BINS - 1)
+    ).cast("bigint")
+    counts = s.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    spine = spark.range(0, CAL_BINS).select(F.col("id").alias("bin"))
+    filled = spine.join(F.broadcast(counts), "bin", "left").select(
+        "bin",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce("n_pos", F.lit(0)).cast("bigint").alias("n_pos"),
+    )
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = filled.agg(
+        F.sum("n").cast("bigint").alias("t_n"),
+        F.sum("n_pos").cast("bigint").alias("t_pos"),
+    )
+    cum = filled.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        F.sum("n_pos").over(w).cast("bigint").alias("cum_pos"),
+    ).crossJoin(F.broadcast(tot))
+    pop_share = F.col("cum_n").cast("double") / F.col("t_n").cast("double")
+    gain = F.col("cum_pos").cast("double") / F.col("t_pos").cast("double")
+    return cum.select(
+        "bin",
+        "n",
+        "n_pos",
+        "cum_n",
+        "cum_pos",
+        F.when(F.col("t_n") > 0, sround(pop_share, 9)).alias("pop_share"),
+        F.when(F.col("t_pos") > 0, sround(gain, 9)).alias("gain"),
+        F.when(
+            (F.col("t_pos") > 0) & (F.col("cum_n") > 0),
+            sround(gain / pop_share, 9),
+        ).alias("lift"),
+    ).orderBy(F.col("bin").desc())
+
+
+ORACLE_LIFT_CURVE = f"""
+WITH s AS ({_SCORED_SQL}),
+counts AS (
+  SELECT LEAST(CAST(floor(score * {CAL_BINS}) AS BIGINT),
+               {CAL_BINS - 1}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM s GROUP BY 1
+), filled AS (
+  SELECT g.bin, CAST(COALESCE(n, 0) AS BIGINT) AS n,
+         CAST(COALESCE(n_pos, 0) AS BIGINT) AS n_pos
+  FROM (SELECT CAST(j AS BIGINT) AS bin
+        FROM generate_series(0, {CAL_BINS - 1}) t(j)) g
+  LEFT JOIN counts ON counts.bin = g.bin
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS t_n,
+         CAST(SUM(n_pos) AS BIGINT) AS t_pos
+  FROM filled
+), cum AS (
+  SELECT bin, n, n_pos,
+         CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+         CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos
+  FROM filled
+  WINDOW w AS (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT bin, n, n_pos, cum_n, cum_pos,
+       CASE WHEN t_n > 0 THEN {sround_sql(
+           "CAST(cum_n AS DOUBLE) / CAST(t_n AS DOUBLE)", 9)}
+       END AS pop_share,
+       CASE WHEN t_pos > 0 THEN {sround_sql(
+           "CAST(cum_pos AS DOUBLE) / CAST(t_pos AS DOUBLE)", 9)}
+       END AS gain,
+       CASE WHEN t_pos > 0 AND cum_n > 0 THEN {sround_sql(
+           "(CAST(cum_pos AS DOUBLE) / CAST(t_pos AS DOUBLE))"
+           " / (CAST(cum_n AS DOUBLE) / CAST(t_n AS DOUBLE))", 9)}
+       END AS lift
+FROM cum CROSS JOIN tot
+ORDER BY bin DESC
+"""
+
+
+QUERIES["q_lift_curve"] = q_lift_curve
+ORACLES["q_lift_curve"] = ORACLE_LIFT_CURVE

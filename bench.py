@@ -319,7 +319,7 @@ def main() -> None:
         "q_readability", "q_heaps_law", "q_clustering_coeff",
         "q_ogg_pages",
         "q_pr_auc", "q_ece", "q_gini_length", "q_ebml_walk",
-        "q_hard_negatives", "q_psi",
+        "q_hard_negatives", "q_psi", "q_lift_curve",
     ):
         if name not in queries:
             continue

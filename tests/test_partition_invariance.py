@@ -56,7 +56,7 @@ ORDER_CONTRACT_QUERIES = [
     "q_ndcg", "q_map_at_k",
     # round-9 third wave: histogram-cumulative PR curve, per-source
     # length ranks, per-anchor negative ranks
-    "q_pr_auc", "q_gini_length", "q_hard_negatives",
+    "q_pr_auc", "q_gini_length", "q_hard_negatives", "q_lift_curve",
 ]
 
 

@@ -905,3 +905,15 @@ def test_psi_no_window_partial_agg(spark, sf_dir):
     assert "Window" not in e
     assert "partial_count" in e or "partial_sum" in e
     assert "SortMergeJoin" not in e
+
+
+def test_lift_curve_spine_only_window(spark, sf_dir):
+    """q_lift_curve: raw rows feed exactly one map-side-combinable
+    groupBy; the cumulative window and the totals cross-join operate
+    on the fixed 10-row spine."""
+    from audios_to_dataset_spark.plans.evalmetrics import q_lift_curve
+
+    e = _explain(q_lift_curve(spark, sf_dir))
+    assert "partial_count" in e or "partial_sum" in e
+    assert "CartesianProduct" not in e
+    assert "SortMergeJoin" not in e

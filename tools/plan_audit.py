@@ -57,6 +57,10 @@ ALLOW: dict[tuple[str, str], str] = {
         "cumulative TP/FP window runs over the quantized score"
         " HISTOGRAM — bounded at 10^6+1 rows by the 6-dp quantization"
         " (the q_auc argument); raw rows are never totally ordered",
+    ("q_lift_curve", "SinglePartitionWindow"):
+        "cumulative gains run over the fixed CAL_BINS spine (10 rows"
+        " by construction — the q_heaps_law argument); raw rows only"
+        " feed one map-side-combinable groupBy",
     ("q_heaps_law", "SinglePartitionWindow"):
         "cumulative sums run over the FIXED 21-row power-of-two spine"
         " (2^4..2^24); tokens and docs reduce to per-bucket counts"
