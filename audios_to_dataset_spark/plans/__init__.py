@@ -49,34 +49,52 @@ def _modules():
             textmetrics)
 
 
-# ROUND 9 rotation (VERDICT r8 item 1: preserve the full-attestation
-# invariant under growth). As of CORRECTNESS_r08 every one of the 328
-# r8-declared queries has a green driver row; the ONLY exposure is new
-# queries, so all round-9 additions sit at positions 1-N of the driver's
-# 50-query window and are attested immediately. Also re-attested inside
-# the window: q_interleave_mixture (weight derivation changed this
-# round — guarded digit extraction, ADVICE r8). Keep new queries ≤50
-# per round so the window always covers them.
+# ROUND 10 rotation (VERDICT r9 item 1: age-aware rotation). The driver's
+# correctness gate samples the first ~50 queries in iteration order.
+# ``_ROTATION_FIRST`` pins new/changed queries at the very front so every
+# round-10 addition is attested immediately (keep additions ≤50/round).
+# The REMAINDER is now ordered by OLDEST last driver attestation (parsed
+# from the committed CORRECTNESS_r*.json files) instead of module order,
+# so the rotation tail re-attests the 47 queries last checked in r1 before
+# anything newer and no query's attestation age grows without bound.
 _ROTATION_FIRST = (
-    # --- round-9 additions (second wave) ---
-    "q_ohlc", "q_time_weighted_avg", "q_interpolate", "q_lttb",
-    "q_ndcg", "q_mrr", "q_map_at_k", "q_cohen_kappa",
-    "q_readability", "q_heaps_law", "q_clustering_coeff", "q_ogg_pages",
-    "q_pr_auc", "q_ece", "q_gini_length", "q_ebml_walk",
-    "q_hard_negatives", "q_psi", "q_lift_curve",
-    # --- round-9 additions ---
-    "q_bq_recall", "q_embed_dim_stats",
-    "q_auc", "q_calibration_bins", "q_confusion_matrix",
-    "q_mode_value", "q_decay_weights",
-    "q_histogram", "q_id_gaps",
-    "q_audio_clipping", "q_audio_windows", "q_audio_aac",
-    # --- changed-in-r9 (re-attest) ---
-    "q_interleave_mixture",
-    # q_dbscan's planes now auto-scale (prefix-identical at gate scale,
-    # so its result is unchanged — re-attested anyway since the plan
-    # and oracle both changed)
-    "q_dbscan",
+    # --- round-10 additions ---
+    # --- changed-in-r10 (re-attest) ---
+    # q_interpolate: co-located samples now enter the backward bracket
+    # frame (is_grid ASC in the DESC window, ADVICE r9) — boundary grid
+    # points coinciding with a series' last sample are now emitted.
+    "q_interpolate",
 )
+
+
+def _attestation_rounds() -> dict[str, int]:
+    """query name -> latest round with a driver CORRECTNESS row.
+
+    Reads the committed ``CORRECTNESS_r*.json`` artifacts at the repo
+    root (three levels above this file). Missing/unreadable files simply
+    contribute nothing; a query with no row anywhere sorts as round 0
+    (never attested → front of the rotation tail).
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    rounds: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name in data:
+            rounds[name] = max(rounds.get(name, 0), rnd)
+    return rounds
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -87,7 +105,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raise ValueError(f"duplicate query ids: {overlap}")
         merged.update(mod.QUERIES)
     front = {n: merged[n] for n in _ROTATION_FIRST if n in merged}
-    front.update((n, fn) for n, fn in merged.items() if n not in front)
+    ages = _attestation_rounds()
+    order = {n: i for i, n in enumerate(merged)}  # module order breaks ties
+    tail = sorted((n for n in merged if n not in front),
+                  key=lambda n: (ages.get(n, 0), order[n]))
+    front.update((n, merged[n]) for n in tail)
     return front
 
 

@@ -120,8 +120,11 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,6)); the final division is one correctly-rounded double
     op on both engines. The last sample of each series has no duration
     and is excluded from both numerator and denominator (both engines,
-    same rule); single-sample series yield NULL via the explicit
-    total_us = 0 guard.
+    same rule) — so a SINGLE-SAMPLE series produces NO output row at
+    all (its only row has NULL dur_us and is filtered before the
+    groupBy); the explicit total_us = 0 guard instead covers series
+    whose samples all share one timestamp (every duration 0 ⇒ NULL twa
+    rather than 0/0). (Docstring corrected per ADVICE r9.)
     """
     e = _clean_events(spark, sf_dir).select(
         "event_type",
@@ -196,7 +199,13 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression is the identical IEEE tree on both engines. Grid points
     outside the observed range are dropped (no extrapolation — both
     engines, same rule); a sample exactly on the grid wins as its own
-    bracket (prev == next ⇒ the t1 = t0 guard returns prev exactly).
+    bracket: the sample sorts before the co-located grid row in BOTH
+    window directions (is_grid ascending in the forward window, and —
+    since round 10, ADVICE r9 — is_grid ASCENDING inside the DESC
+    backward window too), so prev == next, the t1 = t0 guard fires,
+    and the sample's own value is returned exactly. This also means a
+    grid point coinciding with a series' LAST sample is emitted (its
+    bracket is that sample on both sides) instead of silently dropped.
     Order within one timestamp is total: samples sort before grid rows
     (is_grid), then by event_id and value.
     """
@@ -229,9 +238,12 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = Window.partitionBy("event_type").orderBy(
         "t_us", "is_grid", "event_id", "y"
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # is_grid ASC inside the DESC walk: at equal t_us the SAMPLE enters
+    # the backward frame before the grid row, so a co-located sample is
+    # its own right bracket (see docstring; ADVICE r9).
     bwd = Window.partitionBy("event_type").orderBy(
         F.col("t_us").desc(),
-        F.col("is_grid").desc(),
+        F.col("is_grid").asc(),
         F.col("event_id").desc(),
         F.col("y").desc(),
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -294,7 +306,7 @@ b AS (
                  ORDER BY t_us, is_grid, event_id, y
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          bwd AS (PARTITION BY event_type
-                 ORDER BY t_us DESC, is_grid DESC, event_id DESC, y DESC
+                 ORDER BY t_us DESC, is_grid ASC, event_id DESC, y DESC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_type, make_timestamp(t_us) AS win_start,
@@ -321,6 +333,14 @@ def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     |(ax−x)(by−y) − (bx−x)(ay−y)| against the left/right bucket
     centroids; the global first and last points are always kept
     (buckets 0 and B−1), matching LTTB's endpoint rule.
+
+    Empty-neighbor drop rule (ADVICE r9): a middle bucket whose LEFT or
+    RIGHT neighbor bucket holds no points is dropped entirely (the
+    candidate join against the neighbor centroids is inner on both
+    engines), so the output can carry FEWER than LTTB_BUCKETS points
+    per series even when the bucket itself has data. "Downsample to B
+    points" is therefore an upper bound, not a guarantee, on sparse or
+    gappy series; dense series emit exactly B.
 
     Exactness: x is integer microseconds relative to the series start;
     bucket ids are pure integer math; centroids divide decimal sums by

@@ -1,0 +1,83 @@
+"""Randomized differential fuzz of the relational core (VERDICT r9
+item 3): every seed generates one filter/project/groupBy/window/join
+composition twice — a PySpark DataFrame plan and a DuckDB SQL twin —
+and compares rows/schema/value-hash on the same sf0.001 parquet.
+
+Two tiers:
+
+- ``test_fuzz_smoke`` (default suite): 25 seeds, ~30 s — keeps the
+  generator itself from rotting.
+- ``test_fuzz_deep`` (``-m query_fuzz``, excluded from the default run
+  like the partition_invariance tier): 300 seeds, the bar VERDICT r9
+  set. The CLI twin is ``python tools/query_fuzz.py --seeds 300``.
+
+Any divergence found by either tier (or a longer CLI run) should be
+pinned here as an explicit seed in ``REGRESSION_SEEDS`` so it re-runs
+forever even after the generator evolves.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "tools"))
+
+import query_fuzz  # noqa: E402
+
+# Seeds that ever exposed a divergence get pinned here with a short
+# note. 62/93/116/129: the fuzzer's own first 300-seed run caught its
+# order contract being non-total — this testdata's lineitem repeats
+# (l_orderkey, l_linenumber) (1161 dup pairs at sf0.001), so LIMIT
+# boundaries and window orders keyed on it picked different rows per
+# engine; lineitem's order key is now the full column set (rows are
+# unique). A generator-twin finding, not an engine divergence — but the
+# same trap (assuming TPC-H PK uniqueness of this synthetic data) could
+# bite a declared query, so the seeds stay pinned.
+REGRESSION_SEEDS: list[int] = [62, 93, 116, 129]
+
+
+@pytest.fixture(scope="module")
+def fuzz_env(sf_dir_module="/root/testdata/sf0.001"):
+    con = duckdb.connect()
+    for t in query_fuzz.SCHEMAS:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{sf_dir_module}/{t}.parquet'"
+        )
+    lits = query_fuzz.gather_lits(sf_dir_module)
+    yield con, lits, sf_dir_module
+    con.close()
+
+
+def _run_range(spark, fuzz_env, start, n):
+    con, lits, sf = fuzz_env
+    bad = []
+    for seed in range(start, start + n):
+        ok, detail, sql, shape, _n = query_fuzz.run_seed(
+            spark, con, sf, lits, seed)
+        if not ok:
+            bad.append((seed, shape, detail, sql))
+    assert not bad, bad
+
+
+def test_fuzz_smoke(spark, fuzz_env):
+    _run_range(spark, fuzz_env, 1, 25)
+
+
+def test_fuzz_regressions(spark, fuzz_env):
+    con, lits, sf = fuzz_env
+    for seed in REGRESSION_SEEDS:
+        ok, detail, sql, shape, _n = query_fuzz.run_seed(
+            spark, con, sf, lits, seed)
+        assert ok, (seed, shape, detail, sql)
+
+
+@pytest.mark.query_fuzz
+def test_fuzz_deep(spark, fuzz_env):
+    _run_range(spark, fuzz_env, 1, 300)
