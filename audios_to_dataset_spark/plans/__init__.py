@@ -25,6 +25,7 @@ def _modules():
         dedup,
         evalmetrics,
         events,
+        infostats,
         multimodal,
         paths,
         relational,
@@ -46,7 +47,7 @@ def _modules():
     return (sketches, analytics, textops, events, tpch2, versioning, paths,
             textops2, dedup, similarity, multimodal, streaming_events,
             curation, relational, relational2, evalmetrics, timeseries,
-            textmetrics)
+            textmetrics, infostats)
 
 
 # ROUND 10 rotation (VERDICT r9 item 1: age-aware rotation). The driver's
@@ -59,6 +60,9 @@ def _modules():
 # anything newer and no query's attestation age grows without bound.
 _ROTATION_FIRST = (
     # --- round-10 additions ---
+    "q_chi2_independence", "q_mutual_information", "q_spearman",
+    "q_winsorized_mean", "q_degree_assortativity", "q_zipf_slope",
+    "q_decontaminate", "q_boilerplate_prefixes",
     # --- changed-in-r10 (re-attest) ---
     # q_interpolate: co-located samples now enter the backward bracket
     # frame (is_grid ASC in the DESC window, ADVICE r9) — boundary grid

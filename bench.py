@@ -331,6 +331,10 @@ def main() -> None:
         "q_ogg_pages",
         "q_pr_auc", "q_ece", "q_gini_length", "q_ebml_walk",
         "q_hard_negatives", "q_psi", "q_lift_curve",
+        # round-10 additions (info-stats / split-hygiene family)
+        "q_chi2_independence", "q_mutual_information", "q_spearman",
+        "q_winsorized_mean", "q_degree_assortativity", "q_zipf_slope",
+        "q_decontaminate", "q_boilerplate_prefixes",
     ):
         if name not in queries:
             continue

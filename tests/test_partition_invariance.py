@@ -57,6 +57,9 @@ ORDER_CONTRACT_QUERIES = [
     # round-9 third wave: histogram-cumulative PR curve, per-source
     # length ranks, per-anchor negative ranks
     "q_pr_auc", "q_gini_length", "q_hard_negatives", "q_lift_curve",
+    # round-10: histogram-rank cumulative windows (tie ranks/quantile
+    # walks over distinct-value spines) and the top-K rank spine
+    "q_spearman", "q_winsorized_mean", "q_zipf_slope",
 ]
 
 
