@@ -25,6 +25,7 @@ def _modules():
         dedup,
         evalmetrics,
         events,
+        expstats,
         infostats,
         multimodal,
         paths,
@@ -32,6 +33,7 @@ def _modules():
         relational2,
         similarity,
         sketches,
+        survival,
         textmetrics,
         textops,
         textops2,
@@ -47,7 +49,7 @@ def _modules():
     return (sketches, analytics, textops, events, tpch2, versioning, paths,
             textops2, dedup, similarity, multimodal, streaming_events,
             curation, relational, relational2, evalmetrics, timeseries,
-            textmetrics, infostats)
+            textmetrics, infostats, survival, expstats)
 
 
 # ROUND 10 rotation (VERDICT r9 item 1: age-aware rotation). The driver's
@@ -63,6 +65,9 @@ _ROTATION_FIRST = (
     "q_chi2_independence", "q_mutual_information", "q_spearman",
     "q_winsorized_mean", "q_degree_assortativity", "q_zipf_slope",
     "q_decontaminate", "q_boilerplate_prefixes",
+    "q_kaplan_meier", "q_logrank", "q_woe_iv", "q_bh_fdr",
+    "q_entropy_rate", "q_sorted_neighborhood",
+    "q_wasserstein", "q_xcorr", "q_smd_balance", "q_cuped",
     # --- changed-in-r10 (re-attest) ---
     # q_interpolate: co-located samples now enter the backward bracket
     # frame (is_grid ASC in the DESC window, ADVICE r9) — boundary grid

@@ -335,6 +335,11 @@ def main() -> None:
         "q_chi2_independence", "q_mutual_information", "q_spearman",
         "q_winsorized_mean", "q_degree_assortativity", "q_zipf_slope",
         "q_decontaminate", "q_boilerplate_prefixes",
+        # round-10 survival / risk-statistics family
+        "q_kaplan_meier", "q_logrank", "q_woe_iv", "q_bh_fdr",
+        "q_entropy_rate", "q_sorted_neighborhood",
+        # round-10 experiment-health family
+        "q_wasserstein", "q_xcorr", "q_smd_balance", "q_cuped",
     ):
         if name not in queries:
             continue

@@ -60,6 +60,13 @@ ORDER_CONTRACT_QUERIES = [
     # round-10: histogram-rank cumulative windows (tie ranks/quantile
     # walks over distinct-value spines) and the top-K rank spine
     "q_spearman", "q_winsorized_mean", "q_zipf_slope",
+    # round-10 survival family: product-limit / risk-set cumulatives
+    # over the day-gap spine, BH rank + reverse cummin, per-block
+    # sorted-neighborhood ranks, timeline lag pairs
+    "q_kaplan_meier", "q_logrank", "q_bh_fdr", "q_entropy_rate",
+    "q_sorted_neighborhood",
+    # round-10 second wave: CDF cumulative over the fixed score spine
+    "q_wasserstein",
 ]
 
 

@@ -917,3 +917,64 @@ def test_lift_curve_spine_only_window(spark, sf_dir):
     assert "partial_count" in e or "partial_sum" in e
     assert "CartesianProduct" not in e
     assert "SortMergeJoin" not in e
+
+
+def test_survival_family_plan_shapes(spark, sf_dir):
+    """Round-10 survival family: KM reduces raw orders to the day-gap
+    spine with a map-side-combinable groupBy before any window; WOE/IV
+    has no window at all (fixed-width bins + broadcast totals); the
+    sorted-neighborhood probe is a pure equi-join (no nested-loop
+    join, no cartesian); entropy rate joins only broadcast margins."""
+    import re as _re
+
+    from audios_to_dataset_spark.plans.survival import (
+        q_entropy_rate, q_kaplan_meier, q_sorted_neighborhood, q_woe_iv,
+    )
+
+    e = _explain(q_kaplan_meier(spark, sf_dir))
+    assert "partial_count" in e or "partial_sum" in e
+    assert "CartesianProduct" not in e
+
+    e = _explain(q_woe_iv(spark, sf_dir))
+    assert "Window" not in e
+    assert "partial_count" in e or "partial_sum" in e
+    assert "SortMergeJoin" not in e
+
+    e = _explain(q_sorted_neighborhood(spark, sf_dir))
+    assert "CartesianProduct" not in e
+    assert not _re.search(r"BroadcastNestedLoopJoin", e)
+
+    e = _explain(q_entropy_rate(spark, sf_dir))
+    assert "SortMergeJoin" not in e
+    assert "CartesianProduct" not in e
+
+
+def test_expstats_family_plan_shapes(spark, sf_dir):
+    """Round-10 experiment-health family: SMD and CUPED have no window
+    anywhere and partially aggregate map-side; xcorr's only cross join
+    is the broadcast 13-row lag spine (Cross BNLJ, never conditional);
+    wasserstein's window input is the fixed 100-bin spine."""
+    import re as _re
+
+    from audios_to_dataset_spark.plans.expstats import (
+        q_cuped, q_smd_balance, q_wasserstein, q_xcorr,
+    )
+
+    e = _explain(q_smd_balance(spark, sf_dir))
+    assert "Window" not in e
+    assert "partial_count" in e or "partial_sum" in e
+
+    e = _explain(q_cuped(spark, sf_dir))
+    assert "Window" not in e
+    assert "partial_count" in e or "partial_sum" in e
+    assert "CartesianProduct" not in e
+
+    e = _explain(q_xcorr(spark, sf_dir))
+    bnlj = {m.group(1)
+            for m in _re.finditer(r"BroadcastNestedLoopJoin[ \t]+(\w+)", e)}
+    assert bnlj <= {"Cross"}
+    assert "CartesianProduct" not in e
+
+    e = _explain(q_wasserstein(spark, sf_dir))
+    assert "partial_count" in e or "partial_sum" in e
+    assert "CartesianProduct" not in e

@@ -61,6 +61,22 @@ ALLOW: dict[tuple[str, str], str] = {
         "cumulative gains run over the fixed CAL_BINS spine (10 rows"
         " by construction — the q_heaps_law argument); raw rows only"
         " feed one map-side-combinable groupBy",
+    ("q_kaplan_meier", "SinglePartitionWindow"):
+        "product-limit / hazard windows run over the distinct integer"
+        " day-gap SPINE — bounded by the observation horizon in days,"
+        " not data volume; raw orders reduce to per-day (d, c) counts"
+        " via one map-side-combinable groupBy first",
+    ("q_logrank", "SinglePartitionWindow"):
+        "risk-set cumulatives run over the same bounded day-gap spine"
+        " as q_kaplan_meier (pivoted per-cohort counts, one window)",
+    ("q_bh_fdr", "SinglePartitionWindow"):
+        "rank + reverse-cummin windows run over the market-segment"
+        " spine (five rows by construction); the G-tests reduce to a"
+        " (segment x status) contingency table first",
+    ("q_wasserstein", "SinglePartitionWindow"):
+        "CDF cumulative runs over the FIXED 100-bin score spine (the"
+        " q_lift_curve argument); raw rows only feed one map-side-"
+        "combinable histogram groupBy",
     ("q_heaps_law", "SinglePartitionWindow"):
         "cumulative sums run over the FIXED 21-row power-of-two spine"
         " (2^4..2^24); tokens and docs reduce to per-bucket counts"
