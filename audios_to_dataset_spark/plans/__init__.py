@@ -28,6 +28,7 @@ def _modules():
         expstats,
         infostats,
         multimodal,
+        nonparam,
         paths,
         relational,
         relational2,
@@ -49,7 +50,7 @@ def _modules():
     return (sketches, analytics, textops, events, tpch2, versioning, paths,
             textops2, dedup, similarity, multimodal, streaming_events,
             curation, relational, relational2, evalmetrics, timeseries,
-            textmetrics, infostats, survival, expstats)
+            textmetrics, infostats, survival, expstats, nonparam)
 
 
 # ROUND 10 rotation (VERDICT r9 item 1: age-aware rotation). The driver's
@@ -68,6 +69,7 @@ _ROTATION_FIRST = (
     "q_kaplan_meier", "q_logrank", "q_woe_iv", "q_bh_fdr",
     "q_entropy_rate", "q_sorted_neighborhood",
     "q_wasserstein", "q_xcorr", "q_smd_balance", "q_cuped",
+    "q_theil_sen", "q_mann_whitney", "q_welch_t", "q_attribution",
     # --- changed-in-r10 (re-attest) ---
     # q_interpolate: co-located samples now enter the backward bracket
     # frame (is_grid ASC in the DESC window, ADVICE r9) — boundary grid

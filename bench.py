@@ -340,6 +340,8 @@ def main() -> None:
         "q_entropy_rate", "q_sorted_neighborhood",
         # round-10 experiment-health family
         "q_wasserstein", "q_xcorr", "q_smd_balance", "q_cuped",
+        # round-10 nonparametric / attribution family
+        "q_theil_sen", "q_mann_whitney", "q_welch_t", "q_attribution",
     ):
         if name not in queries:
             continue

@@ -67,6 +67,9 @@ ORDER_CONTRACT_QUERIES = [
     "q_sorted_neighborhood",
     # round-10 second wave: CDF cumulative over the fixed score spine
     "q_wasserstein",
+    # round-10 third wave: slope-histogram selection, rank-sum spine
+    # cumulative, last-touch timeline windows
+    "q_theil_sen", "q_mann_whitney", "q_attribution",
 ]
 
 

@@ -978,3 +978,34 @@ def test_expstats_family_plan_shapes(spark, sf_dir):
     e = _explain(q_wasserstein(spark, sf_dir))
     assert "partial_count" in e or "partial_sum" in e
     assert "CartesianProduct" not in e
+
+
+def test_nonparam_family_plan_shapes(spark, sf_dir):
+    """Round-10 nonparametric family: Welch and Mann-Whitney have no
+    unbounded raw-row sort (moment/histogram groupBys); Theil-Sen's
+    only cross join is the broadcast daily spine (Cross BNLJ) and its
+    resolve window is partitioned by the bucket key; attribution's
+    windows are per-user partitions."""
+    import re as _re
+
+    from audios_to_dataset_spark.plans.nonparam import (
+        q_attribution, q_mann_whitney, q_theil_sen, q_welch_t,
+    )
+
+    e = _explain(q_welch_t(spark, sf_dir))
+    assert "Window" not in e
+    assert "partial_count" in e or "partial_sum" in e
+
+    e = _explain(q_mann_whitney(spark, sf_dir))
+    assert "partial_count" in e or "partial_sum" in e
+    assert "CartesianProduct" not in e
+
+    e = _explain(q_theil_sen(spark, sf_dir))
+    bnlj = {m.group(1)
+            for m in _re.finditer(r"BroadcastNestedLoopJoin[ \t]+(\w+)", e)}
+    assert bnlj <= {"Cross"}
+    assert "CartesianProduct" not in e
+
+    e = _explain(q_attribution(spark, sf_dir))
+    assert "hashpartitioning(user_id" in e
+    assert "CartesianProduct" not in e

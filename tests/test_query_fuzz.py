@@ -1,5 +1,5 @@
 """Randomized differential fuzz of the relational core (VERDICT r9
-item 3): every seed generates one filter/project/groupBy/window/join
+item 3): every seed generates one filter/project/groupBy/window/join/set-op
 composition twice — a PySpark DataFrame plan and a DuckDB SQL twin —
 and compares rows/schema/value-hash on the same sf0.001 parquet.
 

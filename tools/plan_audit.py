@@ -73,6 +73,11 @@ ALLOW: dict[tuple[str, str], str] = {
         "rank + reverse-cummin windows run over the market-segment"
         " spine (five rows by construction); the G-tests reduce to a"
         " (segment x status) contingency table first",
+    ("q_mann_whitney", "SinglePartitionWindow"):
+        "rank cumulative runs over the DISTINCT-VALUE spine —"
+        " events.value lives on a 0.01 grid so the spine is bounded by"
+        " the value range, not row count (the q_auc histogram"
+        " argument); raw rows only feed one combinable groupBy",
     ("q_wasserstein", "SinglePartitionWindow"):
         "CDF cumulative runs over the FIXED 100-bin score spine (the"
         " q_lift_curve argument); raw rows only feed one map-side-"

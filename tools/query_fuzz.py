@@ -3,7 +3,8 @@
 
 The codec layer has mutation fuzz (18 formats, 24k trials) but the SQL
 surface only had fixed queries. This tool generates random
-filter/project/groupBy/window/join compositions over the testdata schema
+filter/project/groupBy/window/join/set-op compositions over the testdata
+schema
 TWICE per seed — once as a PySpark DataFrame plan (the API the engine
 uses) and once as a DuckDB SQL twin — runs both on the same parquet, and
 compares row count, column names, and the order-insensitive canonical
@@ -443,7 +444,43 @@ def gen_query(rng, lits):
         where_sql = " WHERE " + " AND ".join(p[1] for p in preds)
 
     shape = rng.choice(["project", "project", "distinct", "group",
-                        "group", "window"])
+                        "group", "window", "setop"])
+
+    if shape == "setop":
+        # Two predicate branches over the SAME base, combined with a
+        # distinct-semantics set operation (UNION / INTERSECT / EXCEPT).
+        # Both engines treat NULLs as equal in set ops; float columns
+        # are excluded like the distinct shape (−0.0/NaN equality).
+        n = rng.randint(1, 3)
+        exprs = [gen_scalar(ctx, 2, types=("int", "str", "ts"))
+                 for _ in range(n)]
+        preds2 = [gen_pred(ctx, 2) for _ in range(rng.randint(0, 2))]
+        where2_sql = ""
+        if preds2:
+            where2_sql = " WHERE " + " AND ".join(p[1] for p in preds2)
+        op = rng.choice(["UNION", "INTERSECT", "EXCEPT"])
+        sel = ", ".join(f"{sql} AS c{i}"
+                        for i, (_c, sql, _t) in enumerate(exprs))
+        sql = (f"SELECT {sel} FROM {from_sql}{where_sql} {op} "
+               f"SELECT {sel} FROM {from_sql}{where2_sql}")
+
+        def build(spark, sf_dir):
+            d1 = _load_base(spark, sf_dir, base)
+            d2 = _load_base(spark, sf_dir, base)
+            for p, _s in preds:
+                d1 = d1.filter(p)
+            for p, _s in preds2:
+                d2 = d2.filter(p)
+            cols = [c.alias(f"c{i}")
+                    for i, (c, _s, _t) in enumerate(exprs)]
+            d1, d2 = d1.select(*cols), d2.select(*cols)
+            if op == "UNION":
+                return d1.unionByName(d2).distinct()
+            if op == "INTERSECT":
+                return d1.intersect(d2)
+            return d1.subtract(d2)  # EXCEPT (distinct semantics)
+
+        return build, sql, shape
 
     if shape == "project":
         n = rng.randint(1, 5)
