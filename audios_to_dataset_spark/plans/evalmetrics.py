@@ -1039,3 +1039,217 @@ ORDER BY bin DESC
 
 QUERIES["q_lift_curve"] = q_lift_curve
 ORACLES["q_lift_curve"] = ORACLE_LIFT_CURVE
+
+
+# --------------------------------------------------------------------------
+# round-10 additions: Matthews correlation + decision-stump split gain
+
+def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient of the threshold-0.5 classifier
+    (pred = score >= 0.5 vs pos = odd label) — the single-scalar
+    binary-eval summary that, unlike accuracy/F1, stays honest under
+    class imbalance. The four confusion cells are exact integer counts
+    from one combinable aggregation; MCC = (TP·TN − FP·FN)/√((TP+FP)
+    (TP+FN)(TN+FP)(TN+FN)) is one identical IEEE tree (products in
+    double — both engines compute the same doubles), NULL when any
+    marginal is empty. One row out, no window, no join.
+    """
+    s = _scored(spark, sf_dir)
+    pred = F.col("score") >= 0.5
+    cells = s.agg(
+        F.sum(F.when(pred & F.col("pos"), 1).otherwise(0))
+        .cast("bigint").alias("tp"),
+        F.sum(F.when(pred & ~F.col("pos"), 1).otherwise(0))
+        .cast("bigint").alias("fp"),
+        F.sum(F.when((~pred) & F.col("pos"), 1).otherwise(0))
+        .cast("bigint").alias("fn"),
+        F.sum(F.when((~pred) & ~F.col("pos"), 1).otherwise(0))
+        .cast("bigint").alias("tn"),
+    )
+    tpd, fpd = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fnd, tnd = F.col("fn").cast("double"), F.col("tn").cast("double")
+    den = (tpd + fpd) * (tpd + fnd) * (tnd + fpd) * (tnd + fnd)
+    return cells.select(
+        "tp", "fp", "fn", "tn",
+        F.when(den > 0.0,
+               sround((tpd * tnd - fpd * fnd) / F.sqrt(den), 9))
+        .alias("mcc"),
+    )
+
+
+ORACLE_MCC = f"""
+WITH s AS ({_SCORED_SQL}),
+cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN score >= 0.5 AND pos THEN 1 ELSE 0 END)
+         AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN score >= 0.5 AND NOT pos THEN 1 ELSE 0 END)
+         AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN score < 0.5 AND pos THEN 1 ELSE 0 END)
+         AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN score < 0.5 AND NOT pos THEN 1 ELSE 0 END)
+         AS BIGINT) AS tn
+  FROM s
+)
+SELECT tp, fp, fn, tn,
+  CASE WHEN (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+            * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+            * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+            * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE)) > 0.0
+  THEN {sround_sql(
+      "(CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)"
+      " - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))"
+      " / sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))"
+      " * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))"
+      " * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))"
+      " * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE)))", 9)}
+  END AS mcc
+FROM cells
+"""
+
+QUERIES["q_mcc"] = q_mcc
+ORACLES["q_mcc"] = ORACLE_MCC
+
+
+SPLIT_BINS = 100  # decision-stump threshold resolution on score
+
+
+def q_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search: the score threshold with maximum
+    binary information gain for the odd-label class — the
+    feature-usefulness probe ("is this score worth a tree split?")
+    next to q_woe_iv's monotone-binning IV.
+
+    Class counts reduce to the FIXED 100-bin score histogram; the
+    left/right partition at every threshold comes from one cumulative
+    window over that spine; per-threshold gain H(parent) − Σ w·H(side)
+    is quantized (sround 9, so the argmax compares exact decimals) and
+    degenerate splits (empty side) are NULL. The winner is the
+    smallest bin among gain ties (ORDER BY bin LIMIT 1 on the ≤100-row
+    tie set). One row out; empty input yields zero rows (max gain NULL
+    matches nothing under strict equality on both engines).
+    """
+    s = _scored(spark, sf_dir)
+    b = F.least(
+        F.floor(F.col("score") * SPLIT_BINS), F.lit(SPLIT_BINS - 1)
+    ).cast("bigint")
+    counts = s.groupBy(b.alias("bin")).agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("bigint")
+        .alias("n_neg"),
+    )
+    spine = spark.range(0, SPLIT_BINS).select(F.col("id").alias("bin"))
+    filled = spine.join(F.broadcast(counts), "bin", "left").select(
+        "bin",
+        F.coalesce("n_pos", F.lit(0)).cast("bigint").alias("n_pos"),
+        F.coalesce("n_neg", F.lit(0)).cast("bigint").alias("n_neg"),
+    )
+    tot = filled.agg(
+        F.sum("n_pos").cast("bigint").alias("t_pos"),
+        F.sum("n_neg").cast("bigint").alias("t_neg"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = filled.crossJoin(F.broadcast(tot)).select(
+        "bin", "t_pos", "t_neg",
+        F.sum("n_pos").over(w).cast("bigint").alias("lp"),
+        F.sum("n_neg").over(w).cast("bigint").alias("ln_"),
+    )
+
+    def _h(p):
+        return F.when(
+            (p > 0.0) & (p < 1.0),
+            -(p * F.log(p) + (F.lit(1.0) - p) * F.log(F.lit(1.0) - p)),
+        ).otherwise(0.0)
+
+    n_l = (F.col("lp") + F.col("ln_")).cast("double")
+    n_r = ((F.col("t_pos") - F.col("lp"))
+           + (F.col("t_neg") - F.col("ln_"))).cast("double")
+    n_t = (F.col("t_pos") + F.col("t_neg")).cast("double")
+    p_par = F.col("t_pos").cast("double") / n_t
+    p_l = F.col("lp").cast("double") / n_l
+    p_r = (F.col("t_pos") - F.col("lp")).cast("double") / n_r
+    gain = _h(p_par) - (n_l / n_t) * _h(p_l) - (n_r / n_t) * _h(p_r)
+    gains = cum.select(
+        "bin",
+        (F.col("lp") + F.col("ln_")).cast("bigint").alias("n_left"),
+        ((F.col("t_pos") - F.col("lp"))
+         + (F.col("t_neg") - F.col("ln_"))).cast("bigint")
+        .alias("n_right"),
+        F.when((n_l > 0.0) & (n_r > 0.0), sround(gain, 9)).alias("gain"),
+    )
+    best = gains.agg(F.max("gain").alias("g"))
+    return (
+        gains.crossJoin(F.broadcast(best))
+        .filter(F.col("gain") == F.col("g"))
+        .select(
+            F.col("bin").alias("split_bin"),
+            sround((F.col("bin") + 1).cast("double")
+                   / float(SPLIT_BINS), 9).alias("threshold"),
+            "gain", "n_left", "n_right",
+        )
+        .orderBy("split_bin")
+        .limit(1)
+    )
+
+
+_HP = ("CASE WHEN {p} > 0.0 AND {p} < 1.0 THEN -(({p}) * ln({p})"
+       " + (1.0 - ({p})) * ln(1.0 - ({p}))) ELSE 0.0 END")
+_PPAR = "(CAST(t_pos AS DOUBLE) / CAST(t_pos + t_neg AS DOUBLE))"
+_PL = "(CAST(lp AS DOUBLE) / CAST(lp + ln_ AS DOUBLE))"
+_PR = ("(CAST(t_pos - lp AS DOUBLE)"
+       " / CAST((t_pos - lp) + (t_neg - ln_) AS DOUBLE))")
+_GAIN = (
+    _HP.format(p=_PPAR)
+    + " - (CAST(lp + ln_ AS DOUBLE) / CAST(t_pos + t_neg AS DOUBLE)) * "
+    + _HP.format(p=_PL)
+    + " - (CAST((t_pos - lp) + (t_neg - ln_) AS DOUBLE)"
+    " / CAST(t_pos + t_neg AS DOUBLE)) * "
+    + _HP.format(p=_PR)
+)
+
+ORACLE_BEST_SPLIT = f"""
+WITH s AS ({_SCORED_SQL}),
+counts AS (
+  SELECT LEAST(CAST(floor(score * {SPLIT_BINS}) AS BIGINT),
+               {SPLIT_BINS - 1}) AS bin,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM s GROUP BY 1
+), filled AS (
+  SELECT g.bin, CAST(COALESCE(n_pos, 0) AS BIGINT) AS n_pos,
+         CAST(COALESCE(n_neg, 0) AS BIGINT) AS n_neg
+  FROM (SELECT CAST(j AS BIGINT) AS bin
+        FROM generate_series(0, {SPLIT_BINS - 1}) t(j)) g
+  LEFT JOIN counts ON counts.bin = g.bin
+), tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS t_pos,
+         CAST(SUM(n_neg) AS BIGINT) AS t_neg
+  FROM filled
+), cum AS (
+  SELECT bin, t_pos, t_neg,
+         CAST(SUM(n_pos) OVER w AS BIGINT) AS lp,
+         CAST(SUM(n_neg) OVER w AS BIGINT) AS ln_
+  FROM filled CROSS JOIN tot
+  WINDOW w AS (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), gains AS (
+  SELECT bin, CAST(lp + ln_ AS BIGINT) AS n_left,
+         CAST((t_pos - lp) + (t_neg - ln_) AS BIGINT) AS n_right,
+         CASE WHEN CAST(lp + ln_ AS DOUBLE) > 0.0
+               AND CAST((t_pos - lp) + (t_neg - ln_) AS DOUBLE) > 0.0
+         THEN {sround_sql(_GAIN, 9)} END AS gain
+  FROM cum
+), best AS (SELECT MAX(gain) AS g FROM gains)
+SELECT bin AS split_bin,
+       {sround_sql(f"CAST(bin + 1 AS DOUBLE) / {float(SPLIT_BINS)}", 9)}
+         AS threshold,
+       gain, n_left, n_right
+FROM gains CROSS JOIN best
+WHERE gain = g
+ORDER BY split_bin
+LIMIT 1
+"""
+
+QUERIES["q_best_split"] = q_best_split
+ORACLES["q_best_split"] = ORACLE_BEST_SPLIT

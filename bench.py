@@ -342,6 +342,8 @@ def main() -> None:
         "q_wasserstein", "q_xcorr", "q_smd_balance", "q_cuped",
         # round-10 nonparametric / attribution family
         "q_theil_sen", "q_mann_whitney", "q_welch_t", "q_attribution",
+        # round-10 eval-metric additions
+        "q_mcc", "q_best_split",
     ):
         if name not in queries:
             continue

@@ -147,3 +147,69 @@ def test_cuped_matches_naive_reference(spark, sf_dir):
     assert abs(row["var_y"] - vy) < 1e-4
     assert abs(row["var_adj"] - (vy - cxy * cxy / vx)) < 1e-4
     assert abs(row["reduction"] - cxy * cxy / (vx * vy)) < 1e-4
+
+
+def test_mcc_matches_naive_reference(spark, sf_dir):
+    from audios_to_dataset_spark.plans.evalmetrics import q_mcc
+
+    row = q_mcc(spark, sf_dir).collect()[0].asDict()
+    em = pd.read_parquet(f"{sf_dir}/embeddings.parquet").dropna(
+        subset=["vec_id", "embedding", "label"]
+    )
+    lab = {int(r["vec_id"]): int(r["label"]) for _, r in em.iterrows()}
+    tp = fp = fn = tn = 0
+    for vid, s in _scores(sf_dir):
+        pos = lab[vid] % 2 == 1
+        pred = s >= 0.5
+        if pred and pos:
+            tp += 1
+        elif pred:
+            fp += 1
+        elif pos:
+            fn += 1
+        else:
+            tn += 1
+    den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    mcc = (tp * tn - fp * fn) / math.sqrt(den)
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (tp, fp, fn, tn)
+    assert abs(row["mcc"] - mcc) < TOL
+
+
+def test_best_split_matches_naive_reference(spark, sf_dir):
+    from audios_to_dataset_spark.plans.evalmetrics import (
+        SPLIT_BINS, q_best_split,
+    )
+
+    row = q_best_split(spark, sf_dir).collect()[0].asDict()
+    em = pd.read_parquet(f"{sf_dir}/embeddings.parquet").dropna(
+        subset=["vec_id", "embedding", "label"]
+    )
+    lab = {int(r["vec_id"]): int(r["label"]) for _, r in em.iterrows()}
+    pos = [0] * SPLIT_BINS
+    neg = [0] * SPLIT_BINS
+    for vid, s in _scores(sf_dir):
+        b = min(int(s * SPLIT_BINS), SPLIT_BINS - 1)
+        (pos if lab[vid] % 2 == 1 else neg)[b] += 1
+    tp, tn_ = sum(pos), sum(neg)
+    n = tp + tn_
+
+    def h(p):
+        return (-(p * math.log(p) + (1 - p) * math.log(1 - p))
+                if 0.0 < p < 1.0 else 0.0)
+
+    best = None
+    for b in range(SPLIT_BINS):
+        lp = sum(pos[: b + 1])
+        lnn = sum(neg[: b + 1])
+        nl, nr = lp + lnn, n - lp - lnn
+        if nl == 0 or nr == 0:
+            continue
+        gain = (h(tp / n) - (nl / n) * h(lp / nl)
+                - (nr / n) * h((tp - lp) / nr))
+        gain = round(gain * 1e9) / 1e9
+        if best is None or gain > best[0]:
+            best = (gain, b, nl, nr)
+    g, b, nl, nr = best
+    assert row["split_bin"] == b
+    assert row["n_left"] == nl and row["n_right"] == nr
+    assert abs(row["gain"] - g) < TOL

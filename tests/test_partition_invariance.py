@@ -68,8 +68,8 @@ ORDER_CONTRACT_QUERIES = [
     # round-10 second wave: CDF cumulative over the fixed score spine
     "q_wasserstein",
     # round-10 third wave: slope-histogram selection, rank-sum spine
-    # cumulative, last-touch timeline windows
-    "q_theil_sen", "q_mann_whitney", "q_attribution",
+    # cumulative, last-touch timeline windows, split-gain argmax
+    "q_theil_sen", "q_mann_whitney", "q_attribution", "q_best_split",
 ]
 
 

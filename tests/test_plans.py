@@ -1009,3 +1009,22 @@ def test_nonparam_family_plan_shapes(spark, sf_dir):
     e = _explain(q_attribution(spark, sf_dir))
     assert "hashpartitioning(user_id" in e
     assert "CartesianProduct" not in e
+
+
+def test_mcc_best_split_plan_shapes(spark, sf_dir):
+    """Round-10 eval-metric additions: MCC is one combinable scalar
+    aggregation (no window, no join); best-split's window input is the
+    fixed 100-bin spine and the argmax is ORDER BY + LIMIT 1 on the
+    tie set, never a raw-row sort."""
+    from audios_to_dataset_spark.plans.evalmetrics import (
+        q_best_split, q_mcc,
+    )
+
+    e = _explain(q_mcc(spark, sf_dir))
+    assert "Window" not in e
+    assert "partial_count" in e or "partial_sum" in e
+
+    e = _explain(q_best_split(spark, sf_dir))
+    assert "partial_count" in e or "partial_sum" in e
+    assert "CartesianProduct" not in e
+    assert "TakeOrderedAndProject" in e

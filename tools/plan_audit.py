@@ -78,6 +78,10 @@ ALLOW: dict[tuple[str, str], str] = {
         " events.value lives on a 0.01 grid so the spine is bounded by"
         " the value range, not row count (the q_auc histogram"
         " argument); raw rows only feed one combinable groupBy",
+    ("q_best_split", "SinglePartitionWindow"):
+        "left/right class cumulatives run over the FIXED 100-bin score"
+        " spine (the q_wasserstein argument); raw rows only feed one"
+        " map-side-combinable histogram groupBy",
     ("q_wasserstein", "SinglePartitionWindow"):
         "CDF cumulative runs over the FIXED 100-bin score spine (the"
         " q_lift_curve argument); raw rows only feed one map-side-"
