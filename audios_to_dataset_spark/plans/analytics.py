@@ -1347,3 +1347,113 @@ ORACLES = {
     "q_period_over_period": ORACLE_PERIOD_OVER_PERIOD,
     "q_skyline": ORACLE_SKYLINE,
 }
+
+
+# --------------------------------------------------------------------------
+# round-10 addition: RFM segmentation
+
+US_PER_DAY_RFM = 86_400_000_000
+RFM_R_DAYS = (30, 90, 365)  # recency band edges (days since last order)
+RFM_F_ORDERS = (10, 5, 2)  # frequency band edges (order count, desc)
+RFM_M_SPEND = (300_000.0, 100_000.0, 25_000.0)  # monetary edges (desc)
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation on FIXED
+    bands — the classic customer-value grid, with data-independent
+    band edges instead of quantiles so the whole segmentation is one
+    combinable groupBy per customer plus one on the segment code (the
+    q_woe_iv fixed-band argument; the quantile flavor is
+    q_window_ntile's capability). Band 1 is best on every axis.
+
+    Recency is exact integer days against the filtered stream's own
+    horizon; spend is a decimal sum, so band comparisons see the same
+    double on both engines. Output: segment code, customer count,
+    decimal-mean spend.
+    """
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull()
+                & F.col("o_orderdate").isNotNull())
+        .select(
+            "o_custkey",
+            F.expr(f"unix_micros(o_orderdate) div {US_PER_DAY_RFM}")
+            .alias("day"),
+            "o_totalprice",
+        )
+    )
+    horizon = o.agg(F.max("day").alias("h_day"))
+    per_c = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("day").alias("last_day"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("spend"),
+        )
+        .crossJoin(F.broadcast(horizon))
+    )
+    rec = F.col("h_day") - F.col("last_day")
+    r_b = (F.when(rec <= RFM_R_DAYS[0], 1)
+           .when(rec <= RFM_R_DAYS[1], 2)
+           .when(rec <= RFM_R_DAYS[2], 3).otherwise(4))
+    f_b = (F.when(F.col("n_orders") >= RFM_F_ORDERS[0], 1)
+           .when(F.col("n_orders") >= RFM_F_ORDERS[1], 2)
+           .when(F.col("n_orders") >= RFM_F_ORDERS[2], 3).otherwise(4))
+    m_b = (F.when(F.col("spend") >= RFM_M_SPEND[0], 1)
+           .when(F.col("spend") >= RFM_M_SPEND[1], 2)
+           .when(F.col("spend") >= RFM_M_SPEND[2], 3).otherwise(4))
+    seg = F.concat(F.lit("R"), r_b.cast("string"),
+                   F.lit("F"), f_b.cast("string"),
+                   F.lit("M"), m_b.cast("string"))
+    return (
+        per_c.groupBy(seg.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            sround(
+                F.sum(F.col("spend").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)), 6
+            ).alias("avg_spend"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_RFM = f"""
+WITH o AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) // {US_PER_DAY_RFM} AS day, o_totalprice
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+), h AS (SELECT MAX(day) AS h_day FROM o),
+per_c AS (
+  SELECT o_custkey, MAX(day) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         COALESCE({dsum_sql("o_totalprice")}, 0.0) AS spend
+  FROM o GROUP BY 1
+), banded AS (
+  SELECT 'R' ||
+    CASE WHEN h_day - last_day <= {RFM_R_DAYS[0]} THEN 1
+         WHEN h_day - last_day <= {RFM_R_DAYS[1]} THEN 2
+         WHEN h_day - last_day <= {RFM_R_DAYS[2]} THEN 3 ELSE 4 END ||
+    'F' ||
+    CASE WHEN n_orders >= {RFM_F_ORDERS[0]} THEN 1
+         WHEN n_orders >= {RFM_F_ORDERS[1]} THEN 2
+         WHEN n_orders >= {RFM_F_ORDERS[2]} THEN 3 ELSE 4 END ||
+    'M' ||
+    CASE WHEN spend >= {RFM_M_SPEND[0]} THEN 1
+         WHEN spend >= {RFM_M_SPEND[1]} THEN 2
+         WHEN spend >= {RFM_M_SPEND[2]} THEN 3 ELSE 4 END AS segment,
+    spend
+  FROM per_c CROSS JOIN h
+)
+SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {sround_sql(
+           "CAST(SUM(CAST(spend AS DECIMAL(28,6))) AS DOUBLE)"
+           " / COUNT(*)", 6)} AS avg_spend
+FROM banded
+GROUP BY segment
+ORDER BY segment
+"""
+
+QUERIES["q_rfm"] = q_rfm
+ORACLES["q_rfm"] = ORACLE_RFM

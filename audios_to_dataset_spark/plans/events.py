@@ -1605,3 +1605,54 @@ ORACLES = {
     "q_ks_drift": ORACLE_KS_DRIFT,
     "q_burstiness": ORACLE_BURSTINESS,
 }
+
+
+# --------------------------------------------------------------------------
+# round-10 addition: time-RANGE window frames
+
+RANGE_FRAME_US = 3_600_000_000  # trailing 1-hour frame
+
+
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 1-hour aggregate via a RANGE window frame
+    (``rangeBetween`` on integer event-time micros) — the
+    value-based-frame engine capability q_rolling_sum's ROWS frame and
+    q_sliding_window's bucketing don't exercise: every event sees
+    exactly the events within the last hour of ITS OWN timestamp.
+
+    RANGE frames are set-valued (all rows with t_us in
+    [t−1h, t] regardless of tie order), so the result is
+    partition-order-invariant by construction; the in-frame value sum
+    runs in DECIMAL. NULL-ts rows are dropped on both sides; NULL
+    user_id partitions group together on both engines.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    base = e.select(
+        "user_id", "event_id",
+        F.expr("unix_micros(ts)").alias("t_us"), "value",
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("t_us")
+        .rangeBetween(-RANGE_FRAME_US, 0)
+    )
+    return base.select(
+        "user_id", "event_id", "t_us",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(28,6)")).over(w)
+        .cast("double").alias("sum_1h"),
+    ).orderBy("event_id")
+
+
+ORACLE_RANGE_FRAME = f"""
+SELECT user_id, event_id, t_us,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_1h
+FROM (SELECT user_id, event_id, epoch_us(ts) AS t_us, value
+      FROM events WHERE ts IS NOT NULL)
+WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+             RANGE BETWEEN {RANGE_FRAME_US} PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+QUERIES["q_range_frame"] = q_range_frame
+ORACLES["q_range_frame"] = ORACLE_RANGE_FRAME

@@ -2556,3 +2556,132 @@ ORACLES = {
     "q_cluster_purity": _oracle_cluster_purity(),
     "q_semdedup_keep": _oracle_semdedup_keep(),
 }
+
+
+# --------------------------------------------------------------------------
+# round-10 addition: simplified silhouette (clustering quality)
+
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette score per label: a = distance to the own-
+    label centroid, b = nearest other-label centroid,
+    s = (b−a)/max(a,b) — the clustering-quality readout that needs no
+    pairwise point distances (the classic silhouette's O(N²) is
+    replaced by N·k centroid distances, the standard large-scale
+    variant). The ``-1`` row carries the overall mean.
+
+    Centroids are quantized decimal means per (label, pos) — the
+    q_label_centroids shape — so both engines share bit-identical
+    centroid doubles; per-dimension squared gaps are quantized
+    (sround 9) and DECIMAL-summed per (vec_id, clabel); sqrt/min/max
+    and the final ratio are identical IEEE trees. The centroid join
+    fans out each point-dimension row exactly k times (k = labels, a
+    constant), and the (vec_id, clabel) reduction is map-side
+    combinable — cost is N·d·k rows, linear in N.
+    """
+    em = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+        & F.col("label").isNotNull()
+    )
+    pts = em.select(
+        "vec_id", F.col("label").cast("bigint").alias("label"),
+        F.posexplode("embedding").alias("pos", "fval"),
+    ).select("vec_id", "label", "pos",
+             F.col("fval").cast("double").alias("val"))
+    cent = (
+        pts.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            sround(
+                F.sum(F.col("val").cast("decimal(28,6)")).cast("double")
+                / F.count("val"), 6
+            ).alias("c")
+        )
+    )
+    term = sround((F.col("val") - F.col("c"))
+                  * (F.col("val") - F.col("c")), 9)
+    d2 = (
+        pts.join(F.broadcast(cent), "pos")
+        .select("vec_id", "label", "clabel",
+                term.cast("decimal(28,9)").alias("t"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum("t").cast("double").alias("d2"))
+    )
+    dist = F.sqrt(F.col("d2"))
+    per_vec = d2.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), dist)).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), dist)).alias("b"),
+    )
+    s = F.when(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+        & (F.greatest(F.col("a"), F.col("b")) > 0.0),
+        sround((F.col("b") - F.col("a"))
+               / F.greatest(F.col("a"), F.col("b")), 9),
+    )
+    sil = per_vec.select("label", s.alias("s"))
+    per_label = sil.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.when(
+            F.count("s") > 0,
+            sround(F.sum(F.col("s").cast("decimal(28,9)")).cast("double")
+                   / F.count("s"), 9),
+        ).alias("mean_sil"),
+    )
+    total = sil.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.when(
+            F.count("s") > 0,
+            sround(F.sum(F.col("s").cast("decimal(28,9)")).cast("double")
+                   / F.count("s"), 9),
+        ).alias("mean_sil"),
+    ).select(F.lit(-1).cast("bigint").alias("label"), "n_points",
+             "mean_sil")
+    return per_label.unionByName(total).orderBy("label")
+
+
+ORACLE_SILHOUETTE = f"""
+WITH pts AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND label IS NOT NULL
+), cent AS (
+  SELECT label AS clabel, pos,
+         {sround_sql(
+             "CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE)"
+             " / COUNT(val)", 6)} AS c
+  FROM pts GROUP BY 1, 2
+), d2 AS (
+  SELECT vec_id, label, clabel,
+         CAST(SUM(CAST({sround_sql("(val - c) * (val - c)", 9)}
+           AS DECIMAL(28,9))) AS DOUBLE) AS d2
+  FROM pts JOIN cent ON pts.pos = cent.pos
+  GROUP BY 1, 2, 3
+), per_vec AS (
+  SELECT vec_id, label,
+         MAX(CASE WHEN clabel = label THEN sqrt(d2) END) AS a,
+         MIN(CASE WHEN clabel <> label THEN sqrt(d2) END) AS b
+  FROM d2 GROUP BY 1, 2
+), sil AS (
+  SELECT label,
+    CASE WHEN a IS NOT NULL AND b IS NOT NULL
+          AND greatest(a, b) > 0.0
+    THEN {sround_sql("(b - a) / greatest(a, b)", 9)} END AS s
+  FROM per_vec
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CASE WHEN COUNT(s) > 0 THEN {sround_sql(
+           "CAST(SUM(CAST(s AS DECIMAL(28,9))) AS DOUBLE) / COUNT(s)",
+           9)} END AS mean_sil
+FROM sil GROUP BY label
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CASE WHEN COUNT(s) > 0 THEN {sround_sql(
+           "CAST(SUM(CAST(s AS DECIMAL(28,9))) AS DOUBLE) / COUNT(s)",
+           9)} END
+FROM sil
+ORDER BY label
+"""
+
+QUERIES["q_silhouette"] = q_silhouette
+ORACLES["q_silhouette"] = ORACLE_SILHOUETTE

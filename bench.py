@@ -344,6 +344,8 @@ def main() -> None:
         "q_theil_sen", "q_mann_whitney", "q_welch_t", "q_attribution",
         # round-10 eval-metric additions
         "q_mcc", "q_best_split",
+        # round-10 fourth wave
+        "q_silhouette", "q_range_frame", "q_rfm",
     ):
         if name not in queries:
             continue

@@ -1028,3 +1028,25 @@ def test_mcc_best_split_plan_shapes(spark, sf_dir):
     assert "partial_count" in e or "partial_sum" in e
     assert "CartesianProduct" not in e
     assert "TakeOrderedAndProject" in e
+
+
+def test_wave4_plan_shapes(spark, sf_dir):
+    """Round-10 fourth wave: silhouette's centroid join broadcasts the
+    k·d centroid table (no cartesian, no sort-merge); range-frame
+    windows partition by user; RFM is two combinable groupBys with a
+    broadcast horizon."""
+    from audios_to_dataset_spark.plans.analytics import q_rfm
+    from audios_to_dataset_spark.plans.events import q_range_frame
+    from audios_to_dataset_spark.plans.similarity import q_silhouette
+
+    e = _explain(q_silhouette(spark, sf_dir))
+    assert "CartesianProduct" not in e
+    assert "BroadcastHashJoin" in e
+    assert "SortMergeJoin" not in e
+
+    e = _explain(q_range_frame(spark, sf_dir))
+    assert "hashpartitioning(user_id" in e
+
+    e = _explain(q_rfm(spark, sf_dir))
+    assert "Window" not in e
+    assert "partial_count" in e or "partial_sum" in e
