@@ -71,7 +71,7 @@ _ROTATION_FIRST = (
     "q_wasserstein", "q_xcorr", "q_smd_balance", "q_cuped",
     "q_theil_sen", "q_mann_whitney", "q_welch_t", "q_attribution",
     "q_mcc", "q_best_split",
-    "q_silhouette", "q_range_frame", "q_rfm",
+    "q_silhouette", "q_range_frame", "q_rfm", "q_stream_attribution",
     # --- changed-in-r10 (re-attest) ---
     # q_interpolate: co-located samples now enter the backward bracket
     # frame (is_grid ASC in the DESC window, ADVICE r9) — boundary grid

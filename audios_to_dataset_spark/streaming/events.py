@@ -1426,3 +1426,166 @@ BATCH_TWINS = {
     "q_stream_bloom_dedup": _twin_bloom_dedup,
     "q_stream_anomaly": _twin_anomaly,
 }
+
+
+# --------------------------------------------------------------------------
+# round-10 addition: stateful streaming last-touch attribution
+
+ATTR_WINDOW_US = 86_400_000_000  # 24 h lookback (plans/nonparam twin)
+ATTR_CHANNELS = ("click", "view")
+_ATTR_NO_TOUCH = -(10**18)  # state sentinel: no channel event seen yet
+
+
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming last-touch revenue attribution via
+    ``applyInPandasWithState``: per-user state is ONE (last channel
+    ts, last channel type) pair — each arriving purchase is credited
+    to the most recent prior click/view within 24 h, else 'direct',
+    and the batch finish aggregates the emitted credits per channel.
+
+    The streaming twin of plans/nonparam.q_attribution: state is two
+    scalars per user (bounded, unlike a buffered-timeline join), rows
+    inside a micro-batch are processed in (ts, event_id) order — the
+    same total order as the batch window — so the availableNow replay
+    emits exactly the batch result and the operator gets a full DuckDB
+    oracle. NULL user_id (no state key) and NULL ts (unordered) rows
+    are dropped on both sides; NULL-value purchases are not credited.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from ..plans._util import dsum
+
+    ev = (
+        _stream_events(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    )
+
+    def attribute(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if state.exists:
+            ch_us, ch_type = state.get
+        else:
+            ch_us, ch_type = _ATTR_NO_TOUCH, ""
+        chans: list[str] = []
+        vals: list[float] = []
+        for t, et, v in zip(rows["ts"], rows["event_type"],
+                            rows["value"]):
+            t_us = int(pd.Timestamp(t).value // 1_000)
+            if et == "purchase" and pd.notna(v):
+                if (ch_us != _ATTR_NO_TOUCH
+                        and ch_us >= t_us - ATTR_WINDOW_US):
+                    chans.append(ch_type)
+                else:
+                    chans.append("direct")
+                vals.append(float(v))
+            if et in ATTR_CHANNELS:
+                ch_us, ch_type = t_us, et
+        state.update((ch_us, ch_type))
+        yield pd.DataFrame(
+            {
+                "channel": pd.Series(chans, dtype="object"),
+                "value": pd.Series(vals, dtype="float64"),
+            }
+        )
+
+    credits = ev.groupBy("user_id").applyInPandasWithState(
+        attribute,
+        outputStructType="channel string, value double",
+        stateStructType="ch_us long, ch_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = _run_available_now(credits, "attribution")
+    return (
+        emitted.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conv"),
+            dsum("value").alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+# Full oracle: the replay processes each user's whole timeline in
+# (ts, event_id) order, so the emitted credit set equals the batch
+# last-touch window — restricted to non-NULL user_id (the state key).
+ORACLE_STREAM_ATTRIBUTION = f"""
+WITH e AS (
+  SELECT event_type, value, epoch_us(ts) AS t_us, user_id, event_id, ts
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), touched AS (
+  SELECT event_type, value, t_us,
+    last_value(CASE WHEN event_type IN ('click', 'view') THEN t_us END
+               IGNORE NULLS) OVER w AS ch_us,
+    last_value(CASE WHEN event_type IN ('click', 'view')
+               THEN event_type END IGNORE NULLS) OVER w AS ch_type
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), conv AS (
+  SELECT CASE WHEN ch_us IS NOT NULL
+               AND ch_us >= t_us - {ATTR_WINDOW_US}
+         THEN ch_type ELSE 'direct' END AS channel, value
+  FROM touched
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conv,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM conv
+GROUP BY channel
+ORDER BY channel
+"""
+
+QUERIES["q_stream_attribution"] = q_stream_attribution
+ORACLES["q_stream_attribution"] = ORACLE_STREAM_ATTRIBUTION
+
+
+def _twin_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same groupBy(user_id) → per-key pandas exchange → channel agg as
+    the streaming attributor (plan-audit batch twin)."""
+    import pandas as pd
+
+    from ..plans._util import dsum
+
+    def attribute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ch_us, ch_type = _ATTR_NO_TOUCH, ""
+        chans: list[str] = []
+        vals: list[float] = []
+        for t, et, v in zip(pdf["ts"], pdf["event_type"], pdf["value"]):
+            t_us = int(pd.Timestamp(t).value // 1_000)
+            if et == "purchase" and pd.notna(v):
+                if (ch_us != _ATTR_NO_TOUCH
+                        and ch_us >= t_us - ATTR_WINDOW_US):
+                    chans.append(ch_type)
+                else:
+                    chans.append("direct")
+                vals.append(float(v))
+            if et in ATTR_CHANNELS:
+                ch_us, ch_type = t_us, et
+        return pd.DataFrame({"channel": chans, "value": vals})
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    )
+    credits = ev.groupBy("user_id").applyInPandas(
+        attribute, schema="channel string, value double"
+    )
+    return (
+        credits.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conv"),
+            dsum("value").alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+BATCH_TWINS["q_stream_attribution"] = _twin_attribution

@@ -39,6 +39,7 @@ ORDER_CONTRACT_QUERIES = [
     "q_tumbling_window",
     # streaming replays (watermark + state merge order)
     "q_stream_outer_join", "q_stream_record_high", "q_stream_media_meta",
+    "q_stream_attribution",
     # iterative fixpoints + hash-derived assignment
     "q_split_assign", "q_knn_graph", "q_kcore",
     # global shuffle / incremental merge / manifest zones

@@ -279,3 +279,32 @@ def test_watchdog_kills_wedged_microbatch(spark, tmp_path, monkeypatch):
         "watchdog_healthy",
     )
     assert sorted(r.id2 for r in healthy.collect()) == [0, 2, 4, 6]
+
+
+def test_stream_attribution_equals_batch(spark, sf_dir):
+    """The stateful streaming last-touch replay must emit exactly the
+    batch window-based attribution (restricted to non-NULL user_id,
+    the state key) — a third cross-check beside the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from audios_to_dataset_spark.catalog import load
+    from audios_to_dataset_spark.plans.nonparam import q_attribution
+    from audios_to_dataset_spark.streaming.events import (
+        q_stream_attribution,
+    )
+
+    got = {r["channel"]: (r["n_conv"], r["revenue"])
+           for r in q_stream_attribution(spark, sf_dir).collect()}
+
+    # batch twin on the same restriction: recompute q_attribution over
+    # events with user_id IS NOT NULL via a filtered temp view swap is
+    # overkill — the testdata's NULL-free sf dir makes the restriction
+    # a no-op, so compare directly and assert the restriction holds
+    assert load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNull()).count() == 0
+    batch = {r["channel"]: (r["n_conv"], r["revenue"])
+             for r in q_attribution(spark, sf_dir).collect()}
+    assert set(got) == set(batch)
+    for ch, (n, rev) in batch.items():
+        assert got[ch][0] == n
+        assert abs(got[ch][1] - rev) < 1e-6
