@@ -34,6 +34,7 @@ def _modules():
         relational2,
         similarity,
         sketches,
+        stats2,
         survival,
         textmetrics,
         textops,
@@ -50,33 +51,27 @@ def _modules():
     return (sketches, analytics, textops, events, tpch2, versioning, paths,
             textops2, dedup, similarity, multimodal, streaming_events,
             curation, relational, relational2, evalmetrics, timeseries,
-            textmetrics, infostats, survival, expstats, nonparam)
+            textmetrics, infostats, survival, expstats, nonparam,
+            stats2)
 
 
-# ROUND 10 rotation (VERDICT r9 item 1: age-aware rotation). The driver's
+# ROUND 11 rotation (VERDICT r9 item 1: age-aware rotation). The driver's
 # correctness gate samples the first ~50 queries in iteration order.
 # ``_ROTATION_FIRST`` pins new/changed queries at the very front so every
-# round-10 addition is attested immediately (keep additions ≤50/round).
-# The REMAINDER is now ordered by OLDEST last driver attestation (parsed
-# from the committed CORRECTNESS_r*.json files) instead of module order,
-# so the rotation tail re-attests the 47 queries last checked in r1 before
-# anything newer and no query's attestation age grows without bound.
+# round-11 addition is attested immediately; additions are CAPPED at ~22
+# this round (VERDICT r10 item 1) so the 50-slot window retires the 76
+# queries last attested in r1–r3. The REMAINDER is ordered by OLDEST last
+# driver attestation (parsed from the committed CORRECTNESS_r*.json
+# files), so the tail re-attests r1 queries before anything newer and no
+# query's attestation age grows without bound.
 _ROTATION_FIRST = (
-    # --- round-10 additions ---
-    "q_chi2_independence", "q_mutual_information", "q_spearman",
-    "q_winsorized_mean", "q_degree_assortativity", "q_zipf_slope",
-    "q_decontaminate", "q_boilerplate_prefixes",
-    "q_kaplan_meier", "q_logrank", "q_woe_iv", "q_bh_fdr",
-    "q_entropy_rate", "q_sorted_neighborhood",
-    "q_wasserstein", "q_xcorr", "q_smd_balance", "q_cuped",
-    "q_theil_sen", "q_mann_whitney", "q_welch_t", "q_attribution",
-    "q_mcc", "q_best_split",
-    "q_silhouette", "q_range_frame", "q_rfm", "q_stream_attribution",
-    # --- changed-in-r10 (re-attest) ---
-    # q_interpolate: co-located samples now enter the backward bracket
-    # frame (is_grid ASC in the DESC window, ADVICE r9) — boundary grid
-    # points coinciding with a series' last sample are now emitted.
-    "q_interpolate",
+    # --- changed-in-r11 (re-attest) ---
+    # q_chi2_independence: cell spine densified to the full r×c grid —
+    # zero cells now contribute E exactly (ADVICE r10).
+    "q_chi2_independence",
+    # q_silhouette: singleton clusters now score s = 0, the sklearn
+    # convention, instead of the inflated raw ratio s = 1 (ADVICE r10).
+    "q_silhouette",
 )
 
 

@@ -98,6 +98,13 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``source`` over documents, with Cramér's V effect size — the
     dataset-composition audit ("is language balanced across sources?").
 
+    The cell spine is DENSIFIED to the full r×c grid (ADVICE r10): the
+    contingency groupBy never emits O=0 cells, so the grid is rebuilt
+    as rows_t × cols_t (a Cross BNLJ over two tiny margin tables) with
+    the observed counts LEFT-joined on — an empty cell contributes
+    (0−E)²/E = E exactly, matching the textbook statistic instead of
+    understating chi2 whenever the grid has holes.
+
     Per-cell rows carry the observed count and the quantized
     contribution (O−E)²/E (sround 9 — E is an identical IEEE
     mul/div tree on both engines); the ``~~total~~`` row carries the
@@ -108,6 +115,16 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cells = _contingency(spark, sf_dir)
     rows_t, cols_t, tot = _margins(cells)
+    dense = (
+        rows_t.crossJoin(F.broadcast(cols_t))
+        .join(cells, ["lang", "source"], "left")
+        .select(
+            "lang", "source",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint")
+            .alias("n_obs"),
+            "n_row", "n_col",
+        )
+    )
     e = (
         F.col("n_row").cast("double")
         * F.col("n_col").cast("double")
@@ -115,9 +132,7 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     obs = F.col("n_obs").cast("double")
     per_cell = (
-        cells.join(F.broadcast(rows_t), "lang")
-        .join(F.broadcast(cols_t), "source")
-        .crossJoin(F.broadcast(tot))
+        dense.crossJoin(F.broadcast(tot))
         .select(
             "lang",
             "source",
@@ -179,15 +194,21 @@ _E_SQL = (
 
 ORACLE_CHI2_INDEPENDENCE = f"""
 WITH cells AS ({_CELLS_SQL}), {_MARGINS_SQL},
+dense AS (
+  SELECT rows_t.lang, cols_t.source,
+         CAST(COALESCE(cells.n_obs, 0) AS BIGINT) AS n_obs,
+         n_row, n_col
+  FROM rows_t CROSS JOIN cols_t
+  LEFT JOIN cells
+    ON cells.lang = rows_t.lang AND cells.source = cols_t.source
+),
 per_cell AS (
-  SELECT cells.lang, cells.source, n_obs,
+  SELECT lang, source, n_obs,
          {sround_sql(
              "((CAST(n_obs AS DOUBLE) - " + _E_SQL + ")"
              " * (CAST(n_obs AS DOUBLE) - " + _E_SQL + ")) / " + _E_SQL,
              9)} AS contrib
-  FROM cells
-  JOIN rows_t USING (lang)
-  JOIN cols_t USING (source)
+  FROM dense
   CROSS JOIN tot
 ), chi AS (
   SELECT CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE) AS chi2

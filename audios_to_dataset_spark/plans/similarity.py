@@ -2567,7 +2567,12 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (b−a)/max(a,b) — the clustering-quality readout that needs no
     pairwise point distances (the classic silhouette's O(N²) is
     replaced by N·k centroid distances, the standard large-scale
-    variant). The ``-1`` row carries the overall mean.
+    variant). The ``-1`` row carries the overall mean. A point in a
+    SINGLETON cluster scores s = 0 (the standard sklearn convention,
+    ADVICE r10) — its own-centroid distance is identically 0, so the
+    raw ratio would award it the maximum s = 1 and inflate the means;
+    cluster sizes come from one extra count over the per-point frame
+    and join broadcast (k rows).
 
     Centroids are quantized decimal means per (label, pos) — the
     q_label_centroids shape — so both engines share bit-identical
@@ -2610,13 +2615,20 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("clabel") == F.col("label"), dist)).alias("a"),
         F.min(F.when(F.col("clabel") != F.col("label"), dist)).alias("b"),
     )
-    s = F.when(
-        F.col("a").isNotNull() & F.col("b").isNotNull()
-        & (F.greatest(F.col("a"), F.col("b")) > 0.0),
-        sround((F.col("b") - F.col("a"))
-               / F.greatest(F.col("a"), F.col("b")), 9),
+    csize = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_own")
     )
-    sil = per_vec.select("label", s.alias("s"))
+    s = F.when(F.col("n_own") == 1, F.lit(0.0)).otherwise(
+        F.when(
+            F.col("a").isNotNull() & F.col("b").isNotNull()
+            & (F.greatest(F.col("a"), F.col("b")) > 0.0),
+            sround((F.col("b") - F.col("a"))
+                   / F.greatest(F.col("a"), F.col("b")), 9),
+        )
+    )
+    sil = per_vec.join(F.broadcast(csize), "label").select(
+        "label", s.alias("s")
+    )
     per_label = sil.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
         F.when(
@@ -2662,12 +2674,16 @@ WITH pts AS (
          MAX(CASE WHEN clabel = label THEN sqrt(d2) END) AS a,
          MIN(CASE WHEN clabel <> label THEN sqrt(d2) END) AS b
   FROM d2 GROUP BY 1, 2
+), csize AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_own
+  FROM per_vec GROUP BY 1
 ), sil AS (
   SELECT label,
-    CASE WHEN a IS NOT NULL AND b IS NOT NULL
+    CASE WHEN n_own = 1 THEN 0.0
+    ELSE CASE WHEN a IS NOT NULL AND b IS NOT NULL
           AND greatest(a, b) > 0.0
-    THEN {sround_sql("(b - a) / greatest(a, b)", 9)} END AS s
-  FROM per_vec
+    THEN {sround_sql("(b - a) / greatest(a, b)", 9)} END END AS s
+  FROM per_vec JOIN csize USING (label)
 )
 SELECT label, CAST(COUNT(*) AS BIGINT) AS n_points,
        CASE WHEN COUNT(s) > 0 THEN {sround_sql(

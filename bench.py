@@ -231,7 +231,31 @@ def main() -> None:
     sf1_runs: dict[str, list[float]] = {}
     sf1_error = ""
     x10_dir = "/tmp/spark_graft_scale10"
-    if not os.path.isdir(os.path.join(x10_dir, "lineitem.parquet")):
+    # ADVICE r10 (bench.py:246): the x10 section must be a x10 of the
+    # SAME sf dir the headline benched — a bench pointed at a different
+    # SPARK_GRAFT_SF_DIR must not silently pair a mismatched cache or
+    # rebuild from the hardcoded default. The cache carries a SOURCE.txt
+    # provenance marker (tools/scale_smoke.build_scale_dir); a missing
+    # marker means a pre-r11 cache, which was only ever built from the
+    # default sf0.1.
+    _default_src = "/root/testdata/sf0.1"
+    _src_marker = os.path.join(x10_dir, "SOURCE.txt")
+    if os.path.isdir(os.path.join(x10_dir, "lineitem.parquet")):
+        cached_src = (
+            open(_src_marker).read().strip()
+            if os.path.exists(_src_marker) else _default_src
+        )
+        if os.path.abspath(cached_src) != os.path.abspath(sf_dir):
+            sf1_error = (
+                f"x10 cache at {x10_dir} was built from {cached_src}, "
+                f"but this bench reads {sf_dir} — skipping the sf1 "
+                "section rather than pairing mismatched scales "
+                "(rebuild with tools/scale_smoke.py --keep)"
+            )
+            print(f"SF1 SECTION MISSING: {sf1_error}", file=sys.stderr)
+    if not sf1_error and not os.path.isdir(
+        os.path.join(x10_dir, "lineitem.parquet")
+    ):
         # Round 10 (VERDICT r9 item 2): the sf1 section must never
         # silently vanish. A scale_smoke run WITHOUT --keep removes the
         # x10 cache at exit, and r9's bench then omitted sf1 with no
@@ -243,11 +267,13 @@ def main() -> None:
                                 "tools"))
             from scale_smoke import build_scale_dir
 
-            build_scale_dir("/root/testdata/sf0.1", keep=True)
+            build_scale_dir(sf_dir, keep=True)
         except Exception as exc:  # noqa: BLE001 — bench must still emit
             sf1_error = f"x10 cache absent and rebuild failed: {exc!r}"
             print(f"SF1 SECTION MISSING: {sf1_error}", file=sys.stderr)
-    if os.path.isdir(os.path.join(x10_dir, "lineitem.parquet")):
+    if not sf1_error and os.path.isdir(
+        os.path.join(x10_dir, "lineitem.parquet")
+    ):
         # q_gif_anim joins the sf1 track in round 8 (VERDICT r7 item
         # 6): the codec family is pure per-row CPU with no shuffle, so
         # its sf0.1 -> sf1 ratio should read ~10x (linear) — pinning
@@ -260,10 +286,17 @@ def main() -> None:
         # single-shot sf1 numbers swung 14.0 vs 23.2 s (q_knn_graph)
         # between same-code runs and cost reruns to interpret, exactly
         # the r8 headline problem the min-of-3 protocol fixed there.
+        # q_decontaminate / q_degree_assortativity / q_silhouette join
+        # the sf1 track in round 11 (VERDICT r10 item 4): the three r10
+        # heavies whose scale claims (bounded shingle fan-out, one
+        # orders⋈lineitem edge shuffle, O(N·k) centroid join) get their
+        # x10 growth pinned in the same JSON.
         for name in ("q_dedup_minhash_lsh", "q_pagerank",
                      "q_sparse_cosine", "q_knn_graph", "q_kcore",
                      "q_gif_anim", "q_split_assign", "q_dbscan",
-                     "q_clustering_coeff", "q_hard_negatives"):
+                     "q_clustering_coeff", "q_hard_negatives",
+                     "q_decontaminate", "q_degree_assortativity",
+                     "q_silhouette"):
             runs = []
             for _ in range(1 if single else 3):
                 t0 = time.perf_counter()
@@ -381,6 +414,7 @@ def main() -> None:
     if sf1:
         out["sf1"] = sf1
         out["sf1_runs"] = sf1_runs
+        out["sf1_source"] = sf_dir
     if sf1_error:
         out["sf1_error"] = sf1_error
     if extras:

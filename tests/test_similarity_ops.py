@@ -339,3 +339,39 @@ def test_knn_count_memo_distinguishes_filtered_frames(spark, sf_dir):
     assert len(_KNN_COUNT_MEMO) == 2
     clear_knn_count_memo()
     assert not _KNN_COUNT_MEMO
+
+
+def test_silhouette_singleton_cluster_scores_zero(spark, tmp_path):
+    """ADVICE r10: a singleton cluster's own-centroid distance is
+    identically 0, so the raw ratio would award its point the maximum
+    s = 1; the sklearn convention is s = 0, which must hold on both
+    the per-label row and the overall mean."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import audios_to_dataset_spark.plans.similarity as sim
+
+    rows = [
+        (0, [0.0, 0.0], 0), (1, [0.2, 0.0], 0),   # cluster 0: pair
+        (2, [10.0, 10.0], 1),                      # cluster 1: SINGLETON
+        (3, [5.0, 0.0], 2), (4, [5.2, 0.0], 2),   # cluster 2: pair
+    ]
+    tbl = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in rows], pa.int32()),
+    })
+    d = tmp_path / "single"
+    d.mkdir()
+    pq.write_table(tbl, d / "embeddings.parquet")
+
+    got = {r["label"]: r for r in sim.q_silhouette(spark, str(d)).collect()}
+    assert got[1]["n_points"] == 1
+    assert got[1]["mean_sil"] == 0.0           # not the inflated 1.0
+    # non-singleton clusters are far from everything else → s near 1
+    assert got[0]["mean_sil"] > 0.9
+    assert got[2]["mean_sil"] > 0.9
+    # the overall mean includes the singleton's 0, so it sits strictly
+    # below the non-singleton means
+    assert got[-1]["n_points"] == 5
+    assert got[-1]["mean_sil"] < min(got[0]["mean_sil"], got[2]["mean_sil"])

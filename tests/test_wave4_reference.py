@@ -30,8 +30,12 @@ def test_silhouette_matches_naive_reference(spark, sf_dir):
     for lab in {l for l, _ in pts}:
         vs = [v for l, v in pts if l == lab]
         cents[lab] = [sum(v[i] for v in vs) / len(vs) for i in range(d)]
+    sizes = {lab: sum(1 for l, _ in pts if l == lab) for lab, _ in pts}
     sils: dict[int, list[float]] = {}
     for lab, v in pts:
+        if sizes[lab] == 1:  # singleton cluster → s = 0 (ADVICE r10)
+            sils.setdefault(lab, []).append(0.0)
+            continue
         dist = {cl: math.sqrt(sum((v[i] - c[i]) ** 2 for i in range(d)))
                 for cl, c in cents.items()}
         a = dist[lab]

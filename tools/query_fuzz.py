@@ -38,9 +38,17 @@ repo's oracle conventions define (see CLAUDE.md):
   truncation yields DATE); literals render as naive TIMESTAMP
   (session zone pinned UTC by ``session.tune``).
 
+Round 11 (VERDICT r10 items 3 + 6): ``--nulls`` reruns any seed range
+against a NULL-injected copy where ONLY non-key, non-order columns go
+dirty (PKs and BASES join keys stay clean, preserving the order
+contract that made r10 reject PK injection — see FUZZ_NULL_RULES); and
+LEFT-join bases sometimes filter their dimension BEFORE the join, so
+left rows genuinely miss and extend with NULLs (the referentially
+intact FK->PK paths never produced a NULL-extended row before).
+
 Usage:
     python tools/query_fuzz.py [--seeds N] [--start S] [--sf-dir DIR]
-                               [--verbose]
+                               [--nulls] [--verbose]
 
 Prints one line per divergent seed (with both query texts) and a final
 ``N seeds, 0 failures`` summary; exit 0 iff no divergence. Default 300
@@ -124,6 +132,65 @@ BASES = [
 
 _FALLBACK = {"int": [0, 1, 100], "float": [0.0, 1.0],
              "str": ["a"], "ts": [datetime(1995, 1, 1)]}
+
+# --- --nulls mode (VERDICT r10 item 3) -------------------------------------
+# Round 10 REJECTED fuzz NULL injection because injecting the PK
+# (doc_id) breaks the generator's total-order contract. The injectable
+# set below is exactly the complement: non-PK, non-join-key columns
+# only (every PKS entry and every BASES join key stays clean), so the
+# ORDER BY <left PK> tie-break stays total and FK->PK joins stay
+# referentially intact while measures, names, group keys, and date
+# columns go dirty. lineitem has NO injectable column (its order key is
+# every column — see PKS) and is copied clean. Conditions key on the
+# table's clean PK with distinct moduli (the tools/check.py pattern) so
+# injection is deterministic and the null sets overlap but don't
+# coincide. Both engines read the SAME injected parquet.
+FUZZ_NULL_RULES = {
+    "region": ("r_regionkey", (("r_name", 7, 2),)),
+    "nation": ("n_nationkey", (("n_name", 5, 1),)),
+    "customer": ("c_custkey", (("c_name", 11, 4), ("c_acctbal", 19, 7),
+                               ("c_mktsegment", 13, 5))),
+    "supplier": ("s_suppkey", (("s_name", 11, 4), ("s_acctbal", 19, 7))),
+    "part": ("p_partkey", (("p_name", 11, 4), ("p_brand", 13, 5),
+                           ("p_type", 7, 2), ("p_size", 17, 3),
+                           ("p_retailprice", 19, 7))),
+    "orders": ("o_orderkey", (("o_orderstatus", 13, 5),
+                              ("o_totalprice", 19, 7),
+                              ("o_orderdate", 23, 11),
+                              ("o_orderpriority", 7, 2))),
+    "documents": ("doc_id", (("lang", 13, 5), ("source", 23, 11),
+                             ("n_chars", 19, 7))),
+    "embeddings": ("vec_id", (("label", 13, 5),)),
+}
+
+
+def build_fuzz_nulls_dir(sf_dir: str) -> str:
+    """Materialize a temp copy of the fuzzed tables with NULLs injected
+    into non-key, non-order columns only (see FUZZ_NULL_RULES)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="spark_graft_fuzz_nulls_")
+    con = duckdb.connect()
+    for t in SCHEMAS:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if t in FUZZ_NULL_RULES:
+            key, rules = FUZZ_NULL_RULES[t]
+            repl = ", ".join(
+                f"CASE WHEN {key} % {m} = {r} THEN NULL"
+                f" ELSE {col} END AS {col}"
+                for col, m, r in rules
+            )
+            con.execute(
+                f"COPY (SELECT * REPLACE ({repl}) FROM '{src}') "
+                f"TO '{dst}' (FORMAT PARQUET)"
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}') TO '{dst}' (FORMAT PARQUET)"
+            )
+    con.close()
+    return out
 
 
 def gather_lits(sf_dir: str) -> dict[str, list]:
@@ -307,9 +374,17 @@ def gen_ts(ctx, depth):
         return F.col(name), name
     unit = r.choice(["hour", "day", "month", "year"])
     # DuckDB's day/month/year truncation yields DATE; CAST back so both
-    # sides compare as timestamps.
+    # sides compare as timestamps. The IS NULL guard is semantically a
+    # no-op (date_trunc(NULL) IS NULL) but defeats a DuckDB 1.0.0
+    # optimizer bug the LEFT-join shape exposed (seed 105, pinned):
+    # COUNT(date_trunc(d)) over outer-join MISS rows counts them as
+    # non-NULL (statistics mark date_trunc's output never-NULL from the
+    # pre-join input stats), returning COUNT(*) instead of 0 — while
+    # COUNT(d), MIN/MAX(date_trunc(d)), and string functions are all
+    # correct. Spark was right; the guard keeps the oracle honest.
     return (F.date_trunc(unit, F.col(name)),
-            f"CAST(date_trunc('{unit}', {name}) AS TIMESTAMP)")
+            f"CASE WHEN {name} IS NULL THEN NULL ELSE "
+            f"CAST(date_trunc('{unit}', {name}) AS TIMESTAMP) END")
 
 
 def gen_scalar(ctx, depth, types=("int", "str", "float", "ts")):
@@ -401,17 +476,25 @@ def _order_cols(pks):
     return [F.col(c).asc_nulls_first() for c in pks]
 
 
-def _from_sql(base):
+def _from_sql(base, rfilter=None):
     lt, join = base
     if not join:
         return lt, "inner"
     rt, lk, rk = join[:3]
     how = join[3]
     kw = "JOIN" if how == "inner" else "LEFT JOIN"
-    return f"{lt} {kw} {rt} ON {lt}.{lk} = {rt}.{rk}", how
+    rsrc = rt
+    if rfilter is not None:
+        # filtered dimension (VERDICT r10 item 6): the FK->PK BASES
+        # paths are referentially intact, so a plain LEFT JOIN never
+        # produces a NULL-extended row — filtering the right side
+        # before the join manufactures real misses, fuzzing the
+        # NULL-semantics seam joins create.
+        rsrc = f"(SELECT * FROM {rt} WHERE {rfilter[1]}) {rt}"
+    return f"{lt} {kw} {rsrc} ON {lt}.{lk} = {rt}.{rk}", how
 
 
-def _load_base(spark, sf_dir, base):
+def _load_base(spark, sf_dir, base, rfilter=None):
     from pyspark.sql import functions as F
 
     from audios_to_dataset_spark.catalog import load
@@ -420,21 +503,31 @@ def _load_base(spark, sf_dir, base):
     df = load(spark, sf_dir, lt)
     if join:
         rt, lk, rk, how = join
-        df = df.join(load(spark, sf_dir, rt),
-                     on=F.col(lk) == F.col(rk), how=how)
+        right = load(spark, sf_dir, rt)
+        if rfilter is not None:
+            right = right.filter(rfilter[0])
+        df = df.join(right, on=F.col(lk) == F.col(rk), how=how)
     return df
 
 
 def gen_query(rng, lits):
     """One random query: returns (build_df(spark, sf_dir), sql, shape)."""
     base_l, base_j = rng.choice(BASES)
+    rfilter = None
     if base_j:
         how = rng.choice(["inner", "left"])
         base = (base_l, (*base_j, how))
+        if how == "left" and rng.random() < 0.6:
+            # LEFT join to a FILTERED dimension: the right side loses
+            # rows, so some left rows miss and extend with NULLs —
+            # the join-made-NULL seam (VERDICT r10 item 6). The filter
+            # predicate sees ONLY right-table columns.
+            rctx = _ctx(rng, (base_j[0], None), lits)
+            rfilter = gen_pred(rctx, 2)
     else:
         base = (base_l, None)
     ctx = _ctx(rng, (base_l, base_j), lits)
-    from_sql, _how = _from_sql(base)
+    from_sql, _how = _from_sql(base, rfilter)
     pks = PKS[base_l]
 
     n_pred = rng.randint(0, 2)
@@ -465,8 +558,8 @@ def gen_query(rng, lits):
                f"SELECT {sel} FROM {from_sql}{where2_sql}")
 
         def build(spark, sf_dir):
-            d1 = _load_base(spark, sf_dir, base)
-            d2 = _load_base(spark, sf_dir, base)
+            d1 = _load_base(spark, sf_dir, base, rfilter)
+            d2 = _load_base(spark, sf_dir, base, rfilter)
             for p, _s in preds:
                 d1 = d1.filter(p)
             for p, _s in preds2:
@@ -492,7 +585,7 @@ def gen_query(rng, lits):
                f"ORDER BY {_order_sql(pks)} LIMIT {limit}")
 
         def build(spark, sf_dir):
-            df = _load_base(spark, sf_dir, base)
+            df = _load_base(spark, sf_dir, base, rfilter)
             for p, _s in preds:
                 df = df.filter(p)
             df = df.orderBy(*_order_cols(pks)).limit(limit)
@@ -510,7 +603,7 @@ def gen_query(rng, lits):
         sql = f"SELECT DISTINCT {sel} FROM {from_sql}{where_sql}"
 
         def build(spark, sf_dir):
-            df = _load_base(spark, sf_dir, base)
+            df = _load_base(spark, sf_dir, base, rfilter)
             for p, _s in preds:
                 df = df.filter(p)
             return df.select(*[c.alias(f"c{i}")
@@ -560,7 +653,7 @@ def gen_query(rng, lits):
         sql = f"SELECT {sel} FROM {from_sql}{where_sql}{group_sql}{having_sql}"
 
         def build(spark, sf_dir):
-            df = _load_base(spark, sf_dir, base)
+            df = _load_base(spark, sf_dir, base, rfilter)
             for p, _s in preds:
                 df = df.filter(p)
             acols = [c for c, _s in aggs]
@@ -618,7 +711,7 @@ def gen_query(rng, lits):
         f" WHERE w0 <= {cap}" if cap else "")
 
     def build(spark, sf_dir):
-        df = _load_base(spark, sf_dir, base)
+        df = _load_base(spark, sf_dir, base, rfilter)
         for p, _s in preds:
             df = df.filter(p)
         out = df.select(*[c.alias(f"c{i}")
@@ -672,8 +765,14 @@ def main() -> int:
     ap.add_argument("--seeds", type=int, default=300)
     ap.add_argument("--start", type=int, default=1)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--nulls", action="store_true",
+                    help="run against a NULL-injected copy (non-key,"
+                         " non-order columns only — see FUZZ_NULL_RULES)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
+    if args.nulls:
+        args.sf_dir = build_fuzz_nulls_dir(args.sf_dir)
+        print(f"NULL-injected fuzz copy: {args.sf_dir}")
 
     from audios_to_dataset_spark.session import get_session
 

@@ -146,10 +146,34 @@ def build_scale_dir(sf_dir: str, keep: bool,
         for i in range(factor)
     ])
     con.close()
+    # Provenance marker (ADVICE r10, bench.py:246): bench.py refuses to
+    # pair an sf1 section with a cache built from a DIFFERENT source dir
+    # than the one it is benching, instead of silently mismatching.
+    with open(os.path.join(cache_dir, "SOURCE.txt"), "w") as fh:
+        fh.write(os.path.abspath(sf_dir) + "\n")
     print(
         f"built x{factor} dir in {time.perf_counter() - t0:.1f}s", file=sys.stderr
     )
     return cache_dir
+
+
+def decon_join_rows(spark, sf_dir: str) -> int:
+    """Output rows of q_decontaminate's train-shingle ⋈ eval-shingle-set
+    join — the quantity its bounded-fan-out claim says stays ~linear
+    (each train shingle matches the DISTINCT eval set at most once)."""
+    from pyspark.sql import functions as F
+
+    from audios_to_dataset_spark.catalog import load
+    from audios_to_dataset_spark.operators import dedup as D
+    from audios_to_dataset_spark.plans.infostats import DECON_N
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    sh = D.shingles(docs, id_col="doc_id", text_col="text", n=DECON_N)
+    train_sh = sh.filter(F.col("id") % 10 != 7)
+    eval_set = sh.filter(F.col("id") % 10 == 7).select("shingle").distinct()
+    return train_sh.join(eval_set, "shingle").count()
 
 
 def _pairs(counts_df) -> int:
@@ -338,6 +362,53 @@ def main() -> int:
         )
     if ce10 > 2 * FACTOR * ce1:
         failures.append(f"cc edges superlinear: {ce10} > 2*10*{ce1}")
+
+    dj1 = decon_join_rows(spark, sf_dir)
+    dj10 = decon_join_rows(spark, x10)
+    out["decon_join"] = {"sf0.1": dj1, "x10": dj10,
+                         "ratio": round(dj10 / max(dj1, 1), 2)}
+    if dj10 > 2 * FACTOR * dj1:
+        failures.append(
+            f"decontaminate join output superlinear: {dj10} > 2*10*{dj1}"
+        )
+
+    # --- analytic x100 projection (VERDICT r10 item 5) ---
+    # Fit the growth exponent alpha = log10(c10/c1) from the measured
+    # x1/x10 pair and PROJECT each family to x100 (c100 ~ c10^2/c1 under
+    # the fitted power law) — a quadratic-by-construction family fails
+    # here without ever building a x100 copy. Totals may grow up to 2x
+    # linear (alpha <= 1 + log10 2, the same headroom as the direct x10
+    # gates above); knn candidates-PER-ROW must stay flat to within 2x
+    # (alpha <= log10 2).
+    import math
+
+    lin = 1.0 + math.log10(2.0)
+    flat = math.log10(2.0)
+    proj: dict = {}
+    for fam, c1, c10, allowed in (
+        ("minhash_cand", mh1, mh10, lin),
+        ("cc_shingle_cand", cj1, cj10, lin),
+        ("cc_edges", ce1, ce10, lin),
+        ("decon_join", dj1, dj10, lin),
+        ("pagerank_edges", pe1, pe10, lin),
+        ("knn_cand_per_row", k1 / max(n1, 1), k10 / max(n10, 1), flat),
+    ):
+        if c1 > 0 and c10 > 0:
+            alpha = math.log10(c10 / c1)
+            x100 = c10 * (c10 / c1)
+        else:
+            alpha, x100 = 0.0, 0.0  # degenerate family at this SF
+        proj[fam] = {
+            "x1": round(c1, 3), "x10": round(c10, 3),
+            "alpha": round(alpha, 3), "allowed_alpha": round(allowed, 3),
+            "x100_proj": round(x100, 1),
+        }
+        if alpha > allowed:
+            failures.append(
+                f"{fam} projects superlinear to x100: alpha "
+                f"{alpha:.3f} > {allowed:.3f} (x100 ~ {x100:.0f})"
+            )
+    out["x100_projection"] = proj
 
     # --- end-to-end completion at x10 ---
     e2e: dict = {}
