@@ -65,6 +65,11 @@ def _modules():
 # files), so the tail re-attests r1 queries before anything newer and no
 # query's attestation age grows without bound.
 _ROTATION_FIRST = (
+    # --- round-11 additions (plans/stats2.py) ---
+    "q_anova_f", "q_cohens_d", "q_kendall_tau", "q_jensen_shannon",
+    "q_kruskal_wallis", "q_permutation_entropy",
+    "q_brier_decomposition", "q_macro_f1", "q_rank_overlap",
+    "q_bollinger", "q_drawdown", "q_lorenz_gini",
     # --- changed-in-r11 (re-attest) ---
     # q_chi2_independence: cell spine densified to the full r×c grid —
     # zero cells now contribute E exactly (ADVICE r10).

@@ -983,3 +983,686 @@ FROM raw CROSS JOIN terms CROSS JOIN tot
 
 QUERIES["q_brier_decomposition"] = q_brier_decomposition
 ORACLES["q_brier_decomposition"] = _oracle_brier()
+
+# --------------------------------------------------------------------------
+# macro / micro / weighted F1 (the q_confusion_matrix cells)
+
+def q_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro-, micro-, and support-weighted F1 over the
+    q_confusion_matrix cells — the one-row corpus summary of the
+    per-class table (same deterministic stand-in classifier:
+    vec_id % 3 == 0 rows shift one class up). The sklearn
+    zero_division=0 convention applies: a class with no predictions
+    scores precision 0, no truth scores recall 0, and F1 is 0 when
+    P + R = 0. Per-class doubles are identical IEEE trees; the ≤
+    N_CLASSES per-class terms are quantized (sround 9) and
+    DECIMAL-summed.
+    """
+    from .evalmetrics import N_CLASSES
+
+    em = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("label").isNotNull()
+    )
+    t = F.col("label").cast("bigint")
+    pred = F.when(
+        F.col("vec_id") % 3 == 0, (t + 1) % N_CLASSES
+    ).otherwise(t)
+    cells = em.select(
+        t.alias("true_label"), pred.alias("pred_label")
+    ).groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tp = (
+        cells.filter(F.col("true_label") == F.col("pred_label"))
+        .select(F.col("true_label").alias("cls"), F.col("n").alias("tp"))
+    )
+    true_tot = cells.groupBy(F.col("true_label").alias("cls")).agg(
+        F.sum("n").cast("bigint").alias("n_true")
+    )
+    pred_tot = cells.groupBy(F.col("pred_label").alias("cls")).agg(
+        F.sum("n").cast("bigint").alias("n_pred")
+    )
+    j = (
+        true_tot.join(pred_tot, "cls", "full")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    p = F.when(
+        F.col("n_pred") > 0,
+        F.col("tp").cast("double") / F.col("n_pred").cast("double"),
+    ).otherwise(F.lit(0.0))
+    r = F.when(
+        F.col("n_true") > 0,
+        F.col("tp").cast("double") / F.col("n_true").cast("double"),
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(p + r > 0.0, 2.0 * p * r / (p + r)).otherwise(F.lit(0.0))
+    per = j.select(
+        "n_true", "tp",
+        sround(p, 9).cast(D28_9).alias("p_t"),
+        sround(r, 9).cast(D28_9).alias("r_t"),
+        sround(f1, 9).cast(D28_9).alias("f_t"),
+        sround(F.col("n_true").cast("double") * f1, 9).cast(D28_9)
+        .alias("wf_t"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.coalesce(F.sum("n_true"), F.lit(0)).cast("bigint").alias("nn"),
+        F.coalesce(F.sum("tp"), F.lit(0)).cast("bigint").alias("tps"),
+        F.sum("p_t").cast("double").alias("sp"),
+        F.sum("r_t").cast("double").alias("sr"),
+        F.sum("f_t").cast("double").alias("sf"),
+        F.sum("wf_t").cast("double").alias("swf"),
+    )
+    kd = F.col("n_classes").cast("double")
+    return agg.select(
+        "n_classes",
+        F.when(
+            F.col("nn") > 0,
+            sround(F.col("tps").cast("double")
+                   / F.col("nn").cast("double"), 9),
+        ).alias("accuracy"),
+        F.when(F.col("n_classes") > 0, sround(F.col("sp") / kd, 9))
+        .alias("macro_precision"),
+        F.when(F.col("n_classes") > 0, sround(F.col("sr") / kd, 9))
+        .alias("macro_recall"),
+        F.when(F.col("n_classes") > 0, sround(F.col("sf") / kd, 9))
+        .alias("macro_f1"),
+        F.when(
+            F.col("nn") > 0,
+            sround(F.col("swf") / F.col("nn").cast("double"), 9),
+        ).alias("weighted_f1"),
+    )
+
+
+def _oracle_macro_f1() -> str:
+    from .evalmetrics import N_CLASSES
+
+    p = ("CASE WHEN n_pred > 0"
+         " THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)"
+         " ELSE 0.0 END")
+    r = ("CASE WHEN n_true > 0"
+         " THEN CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)"
+         " ELSE 0.0 END")
+    f1 = (f"CASE WHEN ({p}) + ({r}) > 0.0"
+          f" THEN 2.0 * ({p}) * ({r}) / (({p}) + ({r})) ELSE 0.0 END")
+    return f"""
+WITH cells AS (
+  SELECT CAST(label AS BIGINT) AS true_label,
+         CASE WHEN vec_id % 3 = 0
+              THEN (CAST(label AS BIGINT) + 1) % {N_CLASSES}
+              ELSE CAST(label AS BIGINT) END AS pred_label,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND label IS NOT NULL
+  GROUP BY 1, 2
+), tp AS (
+  SELECT true_label AS cls, n AS tp FROM cells
+  WHERE true_label = pred_label
+), true_tot AS (
+  SELECT true_label AS cls, CAST(SUM(n) AS BIGINT) AS n_true
+  FROM cells GROUP BY 1
+), pred_tot AS (
+  SELECT pred_label AS cls, CAST(SUM(n) AS BIGINT) AS n_pred
+  FROM cells GROUP BY 1
+), j AS (
+  SELECT COALESCE(true_tot.cls, pred_tot.cls) AS cls,
+         CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true,
+         CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+         CAST(COALESCE(tp, 0) AS BIGINT) AS tp
+  FROM true_tot
+  FULL JOIN pred_tot ON true_tot.cls = pred_tot.cls
+  LEFT JOIN tp ON COALESCE(true_tot.cls, pred_tot.cls) = tp.cls
+), per AS (
+  SELECT n_true, tp,
+    CAST({sround_sql(p, 9)} AS {D28_9_SQL}) AS p_t,
+    CAST({sround_sql(r, 9)} AS {D28_9_SQL}) AS r_t,
+    CAST({sround_sql(f1, 9)} AS {D28_9_SQL}) AS f_t,
+    CAST({sround_sql("CAST(n_true AS DOUBLE) * (" + f1 + ")", 9)}
+         AS {D28_9_SQL}) AS wf_t
+  FROM j
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(COALESCE(SUM(n_true), 0) AS BIGINT) AS nn,
+         CAST(COALESCE(SUM(tp), 0) AS BIGINT) AS tps,
+         CAST(SUM(p_t) AS DOUBLE) AS sp,
+         CAST(SUM(r_t) AS DOUBLE) AS sr,
+         CAST(SUM(f_t) AS DOUBLE) AS sf,
+         CAST(SUM(wf_t) AS DOUBLE) AS swf
+  FROM per
+)
+SELECT n_classes,
+  CASE WHEN nn > 0 THEN {sround_sql(
+      "CAST(tps AS DOUBLE) / CAST(nn AS DOUBLE)", 9)} END AS accuracy,
+  CASE WHEN n_classes > 0 THEN {sround_sql(
+      "sp / CAST(n_classes AS DOUBLE)", 9)} END AS macro_precision,
+  CASE WHEN n_classes > 0 THEN {sround_sql(
+      "sr / CAST(n_classes AS DOUBLE)", 9)} END AS macro_recall,
+  CASE WHEN n_classes > 0 THEN {sround_sql(
+      "sf / CAST(n_classes AS DOUBLE)", 9)} END AS macro_f1,
+  CASE WHEN nn > 0 THEN {sround_sql(
+      "swf / CAST(nn AS DOUBLE)", 9)} END AS weighted_f1
+FROM agg
+"""
+
+
+QUERIES["q_macro_f1"] = q_macro_f1
+ORACLES["q_macro_f1"] = _oracle_macro_f1()
+
+# --------------------------------------------------------------------------
+# rank-biased overlap between two top-K part rankings
+
+RBO_K = 20  # ranking depth (fixed spine)
+RBO_P = 0.9  # RBO persistence
+# (1 - p) * p^(d-1) weights, computed ONCE in Python and embedded as
+# identical literals in both plans — engine pow() is never exercised.
+RBO_WEIGHTS = [(1.0 - RBO_P) * RBO_P ** i for i in range(RBO_K)]
+
+
+def q_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (RBO, truncated at depth K) between the
+    top-K parts BY SHIPPED QUANTITY and BY REVENUE — "do the two
+    business rankings agree, weighted toward the top?" — the
+    two-ranking comparison that q_ndcg/q_mrr (ranking vs relevance
+    labels) don't cover.
+
+    Both rankings come from a distributed TakeOrdered under a TOTAL
+    order (measure DESC, p_partkey — the q_zipf_slope argument); the
+    overlap-at-depth table is a cumulative count over the LITERAL
+    1..K depth spine (x_d = #items whose max(rank_a, rank_b) ≤ d),
+    and RBO = Σ (1−p)·p^(d−1)·x_d/d with the weights embedded as
+    shared Python-computed literals. Per-depth rows carry the
+    agreement curve; the ``-1`` row carries the truncated RBO.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull()
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(D38)).cast("double").alias("qty"),
+        F.sum(
+            (F.col("l_extendedprice") * (1.0 - F.col("l_discount")))
+            .cast(D38)
+        ).cast("double").alias("rev"),
+    )
+    wa = Window.orderBy(F.col("qty").desc(), F.col("l_partkey"))
+    wb = Window.orderBy(F.col("rev").desc(), F.col("l_partkey"))
+    top_a = (
+        per_part.orderBy(F.col("qty").desc(), F.col("l_partkey"))
+        .limit(RBO_K)
+        .select("l_partkey", F.row_number().over(wa).cast("bigint")
+                .alias("ra"))
+    )
+    top_b = (
+        per_part.orderBy(F.col("rev").desc(), F.col("l_partkey"))
+        .limit(RBO_K)
+        .select("l_partkey", F.row_number().over(wb).cast("bigint")
+                .alias("rb"))
+    )
+    both = top_a.join(top_b, "l_partkey").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    per_m = both.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    spine = spark.range(1, RBO_K + 1).select(F.col("id").alias("d"))
+    wd = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        spine.join(per_m, spine.d == per_m.m, "left")
+        .select("d", F.coalesce("c", F.lit(0)).cast("bigint").alias("c"))
+        .select(
+            "d",
+            F.sum("c").over(wd).cast("bigint").alias("n_common"),
+        )
+    )
+    warr = F.array(*[F.lit(w) for w in RBO_WEIGHTS])
+    terms = curve.select(
+        "d", "n_common",
+        sround(
+            F.element_at(warr, F.col("d").cast("int"))
+            * F.col("n_common").cast("double") / F.col("d").cast("double"),
+            12,
+        ).cast("decimal(30,12)").alias("t"),
+    )
+    total = terms.agg(
+        F.sum("t").cast("double").alias("rbo_raw")
+    ).select(
+        F.lit(-1).cast("bigint").alias("d"),
+        F.lit(None).cast("bigint").alias("n_common"),
+        F.lit(None).cast("double").alias("overlap"),
+        sround(F.col("rbo_raw") + 0.0, 9).alias("rbo"),
+    )
+    per_out = curve.select(
+        "d", "n_common",
+        sround(
+            F.col("n_common").cast("double") / F.col("d").cast("double"),
+            9,
+        ).alias("overlap"),
+        F.lit(None).cast("double").alias("rbo"),
+    )
+    return per_out.unionByName(total).orderBy("d")
+
+
+_RBO_W_SQL = "[" + ", ".join(repr(w) for w in RBO_WEIGHTS) + "]"
+
+ORACLE_RANK_OVERLAP = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(l_quantity AS {D38_SQL})) AS DOUBLE) AS qty,
+    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+         AS {D38_SQL})) AS DOUBLE) AS rev
+  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
+), top_a AS (
+  SELECT l_partkey,
+         CAST(row_number() OVER (ORDER BY qty DESC, l_partkey)
+              AS BIGINT) AS ra
+  FROM (SELECT * FROM per_part
+        ORDER BY qty DESC, l_partkey LIMIT {RBO_K})
+), top_b AS (
+  SELECT l_partkey,
+         CAST(row_number() OVER (ORDER BY rev DESC, l_partkey)
+              AS BIGINT) AS rb
+  FROM (SELECT * FROM per_part
+        ORDER BY rev DESC, l_partkey LIMIT {RBO_K})
+), per_m AS (
+  SELECT GREATEST(ra, rb) AS m, CAST(COUNT(*) AS BIGINT) AS c
+  FROM top_a JOIN top_b USING (l_partkey) GROUP BY 1
+), spine AS (
+  SELECT UNNEST(range(1, {RBO_K + 1})) AS d
+), curve AS (
+  SELECT d,
+    CAST(SUM(COALESCE(c, 0)) OVER (ORDER BY d
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS n_common
+  FROM spine LEFT JOIN per_m ON spine.d = per_m.m
+), terms AS (
+  SELECT d, n_common,
+    CAST({sround_sql(
+        "(" + _RBO_W_SQL + ")[CAST(d AS INT)]"
+        " * CAST(n_common AS DOUBLE) / CAST(d AS DOUBLE)", 12)}
+      AS DECIMAL(30,12)) AS t
+  FROM curve
+)
+SELECT d, n_common,
+       {sround_sql(
+           "CAST(n_common AS DOUBLE) / CAST(d AS DOUBLE)", 9)}
+         AS overlap,
+       CAST(NULL AS DOUBLE) AS rbo
+FROM curve
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       {sround_sql("CAST(SUM(t) AS DOUBLE) + 0.0", 9)}
+FROM terms
+ORDER BY d
+"""
+
+QUERIES["q_rank_overlap"] = q_rank_overlap
+ORACLES["q_rank_overlap"] = ORACLE_RANK_OVERLAP
+
+# --------------------------------------------------------------------------
+# Bollinger bands (trailing mean ± 2σ per user timeline)
+
+BOLL_W = 5  # trailing window width (rows)
+BOLL_KSD = 2.0  # band half-width in standard deviations
+
+
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over each user's event-value timeline: trailing
+    BOLL_W-row mean and population σ, and a breakout flag when the
+    current value leaves the ±2σ band — the ROLLING anomaly readout
+    next to q_anomaly_zscore's global per-type z-score.
+
+    One ROWS-frame window per user timeline under the total
+    (ts, event_id) order (NULL ts/user/value rows dropped first — the
+    q_transitions contract). Frame sums are DECIMAL-exact
+    (events.value is a 0.01 grid, squares are 4 dp); mean/σ/band are
+    identical IEEE trees, and the breakout comparison tests a ROUNDED
+    margin against zero so no boundary row can flip between engines.
+    Bands are emitted only for full windows (n_w = BOLL_W).
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-(BOLL_W - 1), Window.currentRow)
+    )
+    v = F.col("value")
+    rolled = e.select(
+        "event_id", "user_id", v.alias("v"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_w"),
+        F.sum(v.cast("decimal(28,6)")).over(w).cast("double").alias("s"),
+        F.sum((v * v).cast("decimal(28,6)")).over(w).cast("double")
+        .alias("ss"),
+    )
+    nd = F.col("n_w").cast("double")
+    mean = F.col("s") / nd
+    var = F.greatest(F.col("ss") / nd - mean * mean, F.lit(0.0))
+    sd = F.sqrt(var)
+    full = F.col("n_w") == BOLL_W
+    margin = sround(
+        F.abs(F.col("v") - mean) - BOLL_KSD * sd, 9
+    )
+    return rolled.select(
+        "event_id", "user_id", "n_w",
+        F.when(full, sround(mean, 9)).alias("mean_w"),
+        F.when(full, sround(sd, 9)).alias("sd_w"),
+        F.when(full, (margin > 0.0).cast("int")).alias("breakout"),
+    ).orderBy("event_id")
+
+
+_BOLL_MEAN = "(s / CAST(n_w AS DOUBLE))"
+_BOLL_SD = (
+    f"sqrt(GREATEST(ss / CAST(n_w AS DOUBLE)"
+    f" - {_BOLL_MEAN} * {_BOLL_MEAN}, 0.0))"
+)
+
+ORACLE_BOLLINGER = f"""
+WITH e AS (
+  SELECT event_id, user_id, ts, value AS v FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+), rolled AS (
+  SELECT event_id, user_id, v,
+    CAST(COUNT(*) OVER w AS BIGINT) AS n_w,
+    CAST(SUM(CAST(v AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s,
+    CAST(SUM(CAST(v * v AS DECIMAL(28,6))) OVER w AS DOUBLE) AS ss
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {BOLL_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, n_w,
+  CASE WHEN n_w = {BOLL_W}
+  THEN {sround_sql(_BOLL_MEAN, 9)} END AS mean_w,
+  CASE WHEN n_w = {BOLL_W}
+  THEN {sround_sql(_BOLL_SD, 9)} END AS sd_w,
+  CASE WHEN n_w = {BOLL_W}
+  THEN CAST({sround_sql(
+      "abs(v - " + _BOLL_MEAN + ") - " + repr(BOLL_KSD)
+      + " * " + _BOLL_SD, 9)} > 0.0 AS INT) END AS breakout
+FROM rolled
+ORDER BY event_id
+"""
+
+QUERIES["q_bollinger"] = q_bollinger
+ORACLES["q_bollinger"] = ORACLE_BOLLINGER
+
+
+# --------------------------------------------------------------------------
+# per-user drawdown (running balance vs running peak)
+
+DD_INFLOW = "purchase"  # inflow type; all other types are outflows
+
+
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's running balance — the
+    peak-to-trough risk readout over a signed event stream (synthetic
+    sign convention: 'purchase' values flow in, every other type flows
+    out; the OPERATOR is the running-peak-minus-balance pattern).
+
+    Two cascaded windows per user timeline under the total
+    (ts, event_id) order: a DECIMAL running sum (exact, so the running
+    peak and every drawdown are decimal-exact too) and a running MAX
+    over it; one combinable groupBy collapses to per-user
+    (final, peak, max_drawdown). No global sort anywhere.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    signed = F.when(
+        F.col("event_type") == DD_INFLOW, F.col("value")
+    ).otherwise(-F.col("value"))
+    wc = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bal = e.select(
+        "user_id", "ts", "event_id",
+        F.sum(signed.cast("decimal(28,6)")).over(wc).alias("bal"),
+    )
+    wb = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peaked = bal.select(
+        "user_id", "bal",
+        F.max("bal").over(wb).alias("peak"),
+    )
+    per_user = peaked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max(F.col("peak") - F.col("bal")).cast("double") + 0.0)
+        .alias("max_drawdown"),
+        (F.max("peak").cast("double") + 0.0).alias("peak_balance"),
+    )
+    final = e.groupBy("user_id").agg(
+        (F.sum(signed.cast("decimal(28,6)")).cast("double") + 0.0)
+        .alias("final_balance")
+    )
+    return per_user.join(final, "user_id").select(
+        "user_id", "n_events", "final_balance", "peak_balance",
+        "max_drawdown",
+    ).orderBy("user_id")
+
+
+ORACLE_DRAWDOWN = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = '{DD_INFLOW}' THEN value
+              ELSE -value END AS sv
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+), bal AS (
+  SELECT user_id, ts, event_id,
+    SUM(CAST(sv AS DECIMAL(28,6))) OVER w AS bal
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), peaked AS (
+  SELECT user_id, bal,
+    MAX(bal) OVER w2 AS peak
+  FROM bal
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MAX(peak - bal) AS DOUBLE) + 0.0 AS max_drawdown,
+         CAST(MAX(peak) AS DOUBLE) + 0.0 AS peak_balance
+  FROM peaked GROUP BY 1
+), final AS (
+  SELECT user_id,
+         CAST(SUM(CAST(sv AS DECIMAL(28,6))) AS DOUBLE) + 0.0
+           AS final_balance
+  FROM e GROUP BY 1
+)
+SELECT user_id, n_events, final_balance, peak_balance, max_drawdown
+FROM per_user JOIN final USING (user_id)
+ORDER BY user_id
+"""
+
+QUERIES["q_drawdown"] = q_drawdown
+ORACLES["q_drawdown"] = ORACLE_DRAWDOWN
+
+# --------------------------------------------------------------------------
+# Lorenz curve + binned Gini of customer spend concentration
+
+LORENZ_BINS = 100  # fixed histogram resolution
+
+
+def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration curve of per-customer total spend with the
+    binned (trapezoid) Gini coefficient — "what share of revenue do
+    the bottom X% of customers carry?" — the concentration readout
+    next to q_supplier_concentration (per-part dominance) and
+    q_heavy_hitters.
+
+    Customers reduce to a FIXED LORENZ_BINS histogram over the spend
+    range (min/max from a broadcast 1-row aggregate); the cumulative
+    windows and the lag for the trapezoid rule run over the LITERAL
+    0..99 bin spine only (the q_wasserstein argument) — raw rows are
+    never totally ordered. All spend sums are DECIMAL-exact; the
+    shares and the Gini terms are quantized (sround) and
+    DECIMAL-summed. The Gini is the BINNED approximation (exact for
+    the binned distribution, a lower bound of the exact statistic) —
+    the convention is documented, not reconciled.
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(D38)).cast("double")
+        .alias("spend")
+    )
+    stats = spend.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.min("spend").alias("lo"),
+        F.max("spend").alias("hi"),
+        F.sum(F.col("spend").cast(D38)).cast("double").alias("s_tot"),
+    )
+    binned = spend.crossJoin(F.broadcast(stats)).select(
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.floor(
+                    (F.col("spend") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * LORENZ_BINS
+                ),
+                F.lit(LORENZ_BINS - 1),
+            ),
+        ).otherwise(F.lit(0)).cast("bigint").alias("bin"),
+        "spend",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("spend").cast(D38)).alias("s"),
+    )
+    spine = spark.range(0, LORENZ_BINS).select(F.col("id").alias("bin"))
+    wd = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dense = (
+        spine.join(per_bin, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce(F.col("s"), F.lit(0).cast(D38)).alias("s"),
+        )
+        .select(
+            "bin", "n",
+            F.sum("n").over(wd).cast("bigint").alias("cum_n"),
+            F.sum("s").over(wd).alias("cum_s"),
+        )
+    )
+    curve = dense.crossJoin(F.broadcast(stats)).select(
+        "bin", "n",
+        F.when(
+            F.col("n_cust") > 0,
+            sround(
+                F.col("cum_n").cast("double")
+                / F.col("n_cust").cast("double"), 9),
+        ).alias("cum_pop_share"),
+        F.when(
+            F.col("s_tot") > 0.0,
+            sround(F.col("cum_s").cast("double") / F.col("s_tot"), 9),
+        ).alias("cum_spend_share"),
+    )
+    wl = Window.orderBy("bin")
+    terms = curve.select(
+        "n", "cum_pop_share", "cum_spend_share",
+        F.coalesce(F.lag("cum_spend_share", 1).over(wl), F.lit(0.0))
+        .alias("l_prev"),
+        F.coalesce(F.lag("cum_pop_share", 1).over(wl), F.lit(0.0))
+        .alias("p_prev"),
+    ).select(
+        sround(
+            (F.col("cum_pop_share") - F.col("p_prev"))
+            * (F.col("cum_spend_share") + F.col("l_prev")), 12
+        ).cast("decimal(30,12)").alias("t")
+    )
+    total = terms.agg(F.sum("t").cast("double").alias("area")).select(
+        F.lit(-1).cast("bigint").alias("bin"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("cum_pop_share"),
+        F.lit(None).cast("double").alias("cum_spend_share"),
+        F.when(
+            F.col("area").isNotNull(),
+            sround(1.0 - F.col("area"), 9),
+        ).alias("gini"),
+    )
+    per_out = curve.select(
+        "bin", "n", "cum_pop_share", "cum_spend_share",
+        F.lit(None).cast("double").alias("gini"),
+    )
+    return per_out.unionByName(total).orderBy("bin")
+
+
+_LZ_BIN_SQL = f"""CASE WHEN hi > lo
+  THEN CAST(LEAST(floor((spend - lo) / (hi - lo) * {LORENZ_BINS}),
+                  {LORENZ_BINS - 1}) AS BIGINT)
+  ELSE 0 END"""
+
+ORACLE_LORENZ_GINI = f"""
+WITH spend AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(o_totalprice AS {D38_SQL})) AS DOUBLE) AS spend
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cust, MIN(spend) AS lo,
+         MAX(spend) AS hi,
+         CAST(SUM(CAST(spend AS {D38_SQL})) AS DOUBLE) AS s_tot
+  FROM spend
+), per_bin AS (
+  SELECT {_LZ_BIN_SQL} AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(spend AS {D38_SQL})) AS s
+  FROM spend CROSS JOIN stats GROUP BY 1
+), spine AS (
+  SELECT UNNEST(range(0, {LORENZ_BINS})) AS bin
+), dense AS (
+  SELECT bin,
+    CAST(SUM(COALESCE(n, 0)) OVER w AS BIGINT) AS cum_n,
+    COALESCE(n, 0) AS n,
+    SUM(COALESCE(s, CAST(0 AS {D38_SQL}))) OVER w AS cum_s
+  FROM spine LEFT JOIN per_bin USING (bin)
+  WINDOW w AS (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), curve AS (
+  SELECT bin, n,
+    CASE WHEN n_cust > 0 THEN {sround_sql(
+        "CAST(cum_n AS DOUBLE) / CAST(n_cust AS DOUBLE)", 9)}
+    END AS cum_pop_share,
+    CASE WHEN s_tot > 0.0 THEN {sround_sql(
+        "CAST(cum_s AS DOUBLE) / s_tot", 9)}
+    END AS cum_spend_share
+  FROM dense CROSS JOIN stats
+), terms AS (
+  SELECT CAST({sround_sql(
+      "(cum_pop_share - COALESCE(LAG(cum_pop_share, 1) OVER wo, 0.0))"
+      " * (cum_spend_share"
+      "    + COALESCE(LAG(cum_spend_share, 1) OVER wo, 0.0))", 12)}
+    AS DECIMAL(30,12)) AS t
+  FROM curve
+  WINDOW wo AS (ORDER BY bin)
+)
+SELECT bin, n, cum_pop_share, cum_spend_share,
+       CAST(NULL AS DOUBLE) AS gini
+FROM curve
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE),
+       CASE WHEN SUM(t) IS NOT NULL
+       THEN {sround_sql("1.0 - CAST(SUM(t) AS DOUBLE)", 9)} END
+FROM terms
+ORDER BY bin
+"""
+
+QUERIES["q_lorenz_gini"] = q_lorenz_gini
+ORACLES["q_lorenz_gini"] = ORACLE_LORENZ_GINI

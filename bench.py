@@ -379,6 +379,11 @@ def main() -> None:
         "q_mcc", "q_best_split",
         # round-10 fourth wave
         "q_silhouette", "q_range_frame", "q_rfm",
+        # round-11 statistics wave (plans/stats2.py)
+        "q_anova_f", "q_cohens_d", "q_kendall_tau", "q_jensen_shannon",
+        "q_kruskal_wallis", "q_permutation_entropy",
+        "q_brier_decomposition", "q_macro_f1", "q_rank_overlap",
+        "q_bollinger", "q_drawdown", "q_lorenz_gini",
     ):
         if name not in queries:
             continue

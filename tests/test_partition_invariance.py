@@ -71,6 +71,11 @@ ORDER_CONTRACT_QUERIES = [
     # round-10 third wave: slope-histogram selection, rank-sum spine
     # cumulative, last-touch timeline windows, split-gain argmax
     "q_theil_sen", "q_mann_whitney", "q_attribution", "q_best_split",
+    # round-11: 2-D prefix sums over the densified contingency grid,
+    # rank-sum spine cumulative, per-user timeline windows (trailing
+    # bands, running peak, ordinal patterns), top-K rank spines
+    "q_kendall_tau", "q_kruskal_wallis", "q_bollinger", "q_drawdown",
+    "q_permutation_entropy", "q_rank_overlap", "q_lorenz_gini",
 ]
 
 

@@ -86,6 +86,11 @@ ALLOW: dict[tuple[str, str], str] = {
         "CDF cumulative runs over the FIXED 100-bin score spine (the"
         " q_lift_curve argument); raw rows only feed one map-side-"
         "combinable histogram groupBy",
+    ("q_rank_overlap", "SinglePartitionWindow"):
+        "row_number / cumulative-overlap windows run over the"
+        " top-RBO_K (20-row) frames produced by a distributed"
+        " TakeOrdered and the LITERAL 1..K depth spine (the"
+        " q_zipf_slope argument); raw parts are never totally ordered",
     ("q_heaps_law", "SinglePartitionWindow"):
         "cumulative sums run over the FIXED 21-row power-of-two spine"
         " (2^4..2^24); tokens and docs reduce to per-bucket counts"
