@@ -114,3 +114,25 @@ def test_fuzz_nulls_smoke(spark, fuzz_nulls_env):
 @pytest.mark.query_fuzz
 def test_fuzz_nulls_deep(spark, fuzz_nulls_env):
     _run_range(spark, fuzz_nulls_env, 1, 200)
+
+
+def test_fuzz_null_rules_never_touch_keys():
+    """The --nulls injectable set must stay disjoint from every PK and
+    every BASES join key — the exact contract that makes NULL fuzz
+    compatible with the generator's total-order / referential
+    assumptions (r10 rejected PK injection for breaking them)."""
+    join_keys = set()
+    for _lt, join in query_fuzz.BASES:
+        if join:
+            _rt, lk, rk = join
+            join_keys |= {lk, rk}
+    for t, (key, rules) in query_fuzz.FUZZ_NULL_RULES.items():
+        pks = set(query_fuzz.PKS[t])
+        assert key in pks, (t, key)
+        injected = {col for col, _m, _r in rules}
+        assert not injected & pks, (t, injected & pks)
+        assert not injected & join_keys, (t, injected & join_keys)
+        cols = {c for c, _typ in query_fuzz.SCHEMAS[t]}
+        assert injected <= cols, (t, injected - cols)
+    # lineitem's order key is every column -> it must have NO rules
+    assert "lineitem" not in query_fuzz.FUZZ_NULL_RULES
