@@ -41,10 +41,14 @@ repo's oracle conventions define (see CLAUDE.md):
 Round 11 (VERDICT r10 items 3 + 6): ``--nulls`` reruns any seed range
 against a NULL-injected copy where ONLY non-key, non-order columns go
 dirty (PKs and BASES join keys stay clean, preserving the order
-contract that made r10 reject PK injection — see FUZZ_NULL_RULES); and
+contract that made r10 reject PK injection — see FUZZ_NULL_RULES);
 LEFT-join bases sometimes filter their dimension BEFORE the join, so
 left rows genuinely miss and extend with NULLs (the referentially
-intact FK->PK paths never produced a NULL-extended row before).
+intact FK->PK paths never produced a NULL-extended row before); and an
+``aggjoin`` shape joins two independently-filtered GROUP BY branches
+on their group keys (the grouped-NULL-key join seam: both engines
+group NULL keys into one row, but that row must not equi-join — an
+inner join drops it, a LEFT join NULL-extends it).
 
 Usage:
     python tools/query_fuzz.py [--seeds N] [--start S] [--sf-dir DIR]
@@ -537,7 +541,70 @@ def gen_query(rng, lits):
         where_sql = " WHERE " + " AND ".join(p[1] for p in preds)
 
     shape = rng.choice(["project", "project", "distinct", "group",
-                        "group", "window", "setop"])
+                        "group", "window", "setop", "aggjoin"])
+
+    if shape == "aggjoin":
+        # Two independently-filtered GROUP BY branches over the SAME
+        # base, joined on their group keys (round 11): fuzzes the
+        # grouped-NULL-key join seam — both engines group NULL keys
+        # into one row, but that row must NOT join (NULL ≠ NULL), so
+        # an inner join drops it and a LEFT join NULL-extends it.
+        # Output rows are unique per left-branch key, so the
+        # order-insensitive hash needs no ORDER contract.
+        n_keys = rng.randint(1, 2)
+        keys = [gen_scalar(ctx, 1, types=("int", "str", "ts"))
+                for _ in range(n_keys)]
+        how = rng.choice(["JOIN", "LEFT JOIN"])
+        branches = []
+        for side in ("l", "r"):
+            from pyspark.sql import functions as F
+
+            predsb = [gen_pred(ctx, 2) for _ in range(rng.randint(0, 2))]
+            aggs = []
+            for i in range(rng.randint(1, 2)):
+                a = rng.choice(["count_star", "sum"])
+                if a == "count_star":
+                    aggs.append((
+                        F.count(F.lit(1)).alias(f"a{i}_{side}"),
+                        f"CAST(COUNT(*) AS BIGINT) AS a{i}_{side}",
+                    ))
+                else:
+                    c, csql = gen_int(ctx, 1)
+                    aggs.append((
+                        F.sum(c).cast("bigint").alias(f"a{i}_{side}"),
+                        f"CAST(SUM({csql}) AS BIGINT) AS a{i}_{side}",
+                    ))
+            branches.append((predsb, aggs))
+        key_sel = ", ".join(f"{sql} AS k{i}"
+                            for i, (_c, sql, _t) in enumerate(keys))
+        group_by = ", ".join(str(i + 1) for i in range(n_keys))
+        subs = []
+        for side, (predsb, aggs) in zip(("l", "r"), branches):
+            wsql = (" WHERE " + " AND ".join(p[1] for p in predsb)
+                    if predsb else "")
+            agg_sel = ", ".join(s for _c, s in aggs)
+            subs.append(
+                f"(SELECT {key_sel}, {agg_sel} FROM {from_sql}{wsql}"
+                f" GROUP BY {group_by})"
+            )
+        using = ", ".join(f"k{i}" for i in range(n_keys))
+        sql = (f"SELECT * FROM {subs[0]} lft {how} {subs[1]} rgt"
+               f" USING ({using})")
+
+        def build(spark, sf_dir):
+            outs = []
+            for _side, (predsb, aggs) in zip(("l", "r"), branches):
+                df = _load_base(spark, sf_dir, base, rfilter)
+                for p, _s in predsb:
+                    df = df.filter(p)
+                g = df.groupBy(*[c.alias(f"k{i}")
+                                 for i, (c, _s, _t) in enumerate(keys)])
+                outs.append(g.agg(*[c for c, _s in aggs]))
+            howp = "inner" if how == "JOIN" else "left"
+            return outs[0].join(
+                outs[1], [f"k{i}" for i in range(n_keys)], howp)
+
+        return build, sql, shape
 
     if shape == "setop":
         # Two predicate branches over the SAME base, combined with a
