@@ -1589,3 +1589,173 @@ def _twin_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_TWINS["q_stream_attribution"] = _twin_attribution
+
+
+# --------------------------------------------------------------------------
+# round 11: streaming Bollinger bands (bounded trailing-window state)
+
+def _boll_units6(x) -> int:
+    """Exact micro-unit integer of Spark's CAST(double AS DECIMAL(28,6))
+    (BigDecimal HALF_UP on the exact binary value) — the quantity the
+    batch plan's decimal window sums accumulate."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        (Decimal(float(x)).quantize(Decimal("0.000001"),
+                                    rounding=ROUND_HALF_UP)
+         * 1_000_000).to_integral_value()
+    )
+
+
+def _boll_round9(x: float) -> float:
+    """Exact twin of plans/_util.sround(x, 9): the ×1e9 multiply runs in
+    IEEE (same as Spark), the half-up integer rounding runs on the EXACT
+    binary value via Decimal (same as Spark's BigDecimal round), and
+    + 0.0 kills −0.0."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    y = x * 1e9
+    r = float(Decimal(y).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+    return r / 1e9 + 0.0
+
+
+def _boll_walk(hist: list, eids, uids, vals):
+    """Shared per-user emission walk for the streaming operator and its
+    batch twin: consumes rows already in (ts, event_id) order, mutates
+    ``hist`` (the trailing BOLL_W−1 RAW double values — raw, because
+    the batch plan squares the unquantized double), and returns the
+    emitted output rows. Every float op replicates the batch
+    expression tree bit-for-bit: window sums are exact integer
+    micro-units (= the decimal window sums), all divisions/sqrt are
+    the same IEEE tree, rounding is half-up on exact binary values."""
+    import math
+
+    from ..plans.stats2 import BOLL_KSD, BOLL_W
+
+    out = []
+    for eid, uid, v in zip(eids, uids, vals):
+        v = float(v)
+        window = hist[-(BOLL_W - 1):] + [v]
+        n_w = len(window)
+        if n_w == BOLL_W:
+            nd = float(n_w)
+            s = sum(_boll_units6(x) for x in window) / 1_000_000
+            ss = sum(_boll_units6(x * x) for x in window) / 1_000_000
+            mean = s / nd
+            var = max(ss / nd - mean * mean, 0.0)
+            sd = math.sqrt(var)
+            margin = _boll_round9(abs(v - mean) - BOLL_KSD * sd)
+            out.append((int(eid), int(uid), n_w,
+                        _boll_round9(mean), _boll_round9(sd),
+                        1 if margin > 0.0 else 0))
+        else:
+            out.append((int(eid), int(uid), n_w, None, None, None))
+        hist.append(v)
+        del hist[:-(BOLL_W - 1)]
+    return out
+
+
+_BOLL_OUT_SCHEMA = ("event_id long, user_id long, n_w long,"
+                    " mean_w double, sd_w double, breakout int")
+
+
+def q_stream_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bollinger bands via ``applyInPandasWithState``:
+    per-user state is the trailing BOLL_W−1 = 4 raw values — bounded,
+    unlike a buffered timeline — and each arriving event emits its
+    trailing mean ± 2σ band membership exactly as the batch window
+    does.
+
+    The streaming twin of plans/stats2.q_bollinger: rows inside a
+    micro-batch are processed in (ts, event_id) order (the batch
+    window's total order), window sums run in exact integer
+    micro-units (= the batch plan's DECIMAL window sums), and every
+    double op replicates the batch IEEE tree — so the availableNow
+    replay emits exactly the batch result and the operator shares
+    q_bollinger's full DuckDB oracle. NULL user_id (no state key),
+    NULL ts (unordered), and NULL value rows are dropped on both
+    sides.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from ..plans.stats2 import BOLL_W
+
+    ev = (
+        _stream_events(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+    )
+
+    def bands(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if state.exists:
+            (packed,) = state.get
+            hist = list(packed) if packed is not None else []
+        else:
+            hist = []
+        out = _boll_walk(hist, rows["event_id"], rows["user_id"],
+                         rows["value"])
+        state.update((hist[-(BOLL_W - 1):],))
+        yield pd.DataFrame(
+            out, columns=["event_id", "user_id", "n_w", "mean_w",
+                          "sd_w", "breakout"]
+        )
+
+    banded = ev.groupBy("user_id").applyInPandasWithState(
+        bands,
+        outputStructType=_BOLL_OUT_SCHEMA,
+        stateStructType="hist array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = _run_available_now(banded, "bollinger")
+    return emitted.select(
+        "event_id", "user_id", "n_w", "mean_w", "sd_w", "breakout"
+    ).orderBy("event_id")
+
+
+def _oracle_stream_bollinger() -> str:
+    from ..plans.stats2 import ORACLE_BOLLINGER
+
+    return ORACLE_BOLLINGER
+
+
+QUERIES["q_stream_bollinger"] = q_stream_bollinger
+ORACLES["q_stream_bollinger"] = _oracle_stream_bollinger()
+
+
+def _twin_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same groupBy(user_id) → per-key pandas exchange as the streaming
+    operator (plan-audit batch twin), sharing _boll_walk."""
+    import pandas as pd
+
+    def bands(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = _boll_walk([], pdf["event_id"], pdf["user_id"],
+                         pdf["value"])
+        return pd.DataFrame(
+            out, columns=["event_id", "user_id", "n_w", "mean_w",
+                          "sd_w", "breakout"]
+        )
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        bands, schema=_BOLL_OUT_SCHEMA
+    ).orderBy("event_id")
+
+
+BATCH_TWINS["q_stream_bollinger"] = _twin_bollinger

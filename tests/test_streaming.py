@@ -308,3 +308,43 @@ def test_stream_attribution_equals_batch(spark, sf_dir):
     for ch, (n, rev) in batch.items():
         assert got[ch][0] == n
         assert abs(got[ch][1] - rev) < 1e-6
+
+
+def test_stream_bollinger_equals_batch(spark, sf_dir):
+    """The availableNow replay of the stateful Bollinger operator must
+    emit EXACTLY the batch window result (same rows, same rounded
+    doubles, same breakout flags) — the bounded trailing-window state
+    replicates the batch decimal sums bit-for-bit."""
+    from audios_to_dataset_spark.plans.stats2 import q_bollinger
+    from audios_to_dataset_spark.streaming.events import (
+        q_stream_bollinger,
+    )
+
+    got = {r["event_id"]: tuple(r)
+           for r in q_stream_bollinger(spark, sf_dir).collect()}
+    want = {r["event_id"]: tuple(r)
+            for r in q_bollinger(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_stream_bollinger_state_is_bounded(spark, sf_dir):
+    """The per-user state array never exceeds BOLL_W−1 raw values —
+    the bounded-state claim the 100 TB design rests on (checked via
+    the shared walk, which both the streaming operator and its batch
+    twin drive)."""
+    from audios_to_dataset_spark.plans.stats2 import BOLL_W
+    from audios_to_dataset_spark.streaming.events import _boll_walk
+
+    hist: list = []
+    out = _boll_walk(hist, range(100), [7] * 100,
+                     [float(i % 13) for i in range(100)])
+    assert len(hist) == BOLL_W - 1
+    assert len(out) == 100
+    assert out[0][2] == 1 and out[BOLL_W - 1][2] == BOLL_W
+    # incremental walk equals one-shot walk (state carry correctness)
+    h1: list = []
+    a = _boll_walk(h1, range(50), [7] * 50,
+                   [float(i % 13) for i in range(50)])
+    b = _boll_walk(h1, range(50, 100), [7] * 50,
+                   [float(i % 13) for i in range(50, 100)])
+    assert a + b == out
