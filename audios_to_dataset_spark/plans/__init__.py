@@ -70,7 +70,7 @@ _ROTATION_FIRST = (
     "q_kruskal_wallis", "q_permutation_entropy",
     "q_brier_decomposition", "q_macro_f1", "q_rank_overlap",
     "q_bollinger", "q_drawdown", "q_lorenz_gini",
-    "q_stream_bollinger",
+    "q_stream_bollinger", "q_tail_index",
     # --- changed-in-r11 (re-attest) ---
     # q_chi2_independence: cell spine densified to the full r×c grid —
     # zero cells now contribute E exactly (ADVICE r10).

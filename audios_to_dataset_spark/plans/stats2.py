@@ -1666,3 +1666,116 @@ ORDER BY bin
 
 QUERIES["q_lorenz_gini"] = q_lorenz_gini
 ORACLES["q_lorenz_gini"] = ORACLE_LORENZ_GINI
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator (heavy-tail audit of customer spend)
+
+HILL_KS = (16, 32, 64, 128)  # tail sizes reported (fixed spine)
+
+
+def q_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail exponent of per-customer
+    spend, at fixed tail sizes k — "how heavy-tailed is revenue
+    concentration?", the parametric companion to q_lorenz_gini's
+    curve: alpha(k) = k / Σ_{i≤k} (ln x_(i) − ln x_(k+1)) over the
+    descending order statistics.
+
+    Only the top max(HILL_KS)+1 spends are ever ordered — a
+    distributed TakeOrdered under the TOTAL (spend DESC, custkey)
+    order, then rank/cumulative windows over that ≤129-row frame (the
+    q_zipf_slope argument). ln terms are quantized per row (sround 9,
+    the q_psi precedent) and cumulated in the decimal domain; each k
+    row joins the literal k-spine against the rank frame, so a tail
+    shorter than k+1 customers simply emits no row for that k. The
+    estimator is DEFINED on the quantized lns (identical trees both
+    engines).
+    """
+    kmax = max(HILL_KS)
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(D38)).cast("double")
+        .alias("spend")
+    ).filter(F.col("spend") > 0.0)
+    top = spend.orderBy(
+        F.col("spend").desc(), F.col("o_custkey")
+    ).limit(kmax + 1)
+    wr = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    lns = top.select(
+        "spend",
+        F.row_number().over(wr).cast("bigint").alias("r"),
+        sround(F.log("spend"), 9).alias("lx"),
+    )
+    wc = Window.orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = lns.select(
+        "r", "lx", "spend",
+        F.sum(F.col("lx").cast(D28_9)).over(wc).cast("double")
+        .alias("cum_lx"),
+    )
+    ks = spark.range(0, len(HILL_KS)).select(
+        F.element_at(
+            F.array(*[F.lit(k) for k in HILL_KS]),
+            (F.col("id") + 1).cast("int"),
+        ).cast("bigint").alias("k")
+    )
+    at_k = cum.join(ks, cum.r == ks.k).select("k", "cum_lx")
+    at_k1 = cum.join(ks, cum.r == ks.k + 1).select(
+        F.col("k").alias("k2"), F.col("lx").alias("lx_k1"),
+        F.col("spend").alias("x_k1"),
+    )
+    j = at_k.join(at_k1, at_k.k == at_k1.k2)
+    kd = F.col("k").cast("double")
+    den = F.col("cum_lx") - kd * F.col("lx_k1")
+    return j.select(
+        "k",
+        sround(F.col("x_k1"), 6).alias("x_k1"),
+        F.when(den > 0.0, sround(kd / den, 9)).alias("hill_alpha"),
+    ).orderBy("k")
+
+
+_HILL_KS_SQL = "[" + ", ".join(str(k) for k in HILL_KS) + "]"
+
+ORACLE_TAIL_INDEX = f"""
+WITH spend AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(o_totalprice AS {D38_SQL})) AS DOUBLE) AS spend
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+), top AS (
+  SELECT * FROM spend WHERE spend > 0.0
+  ORDER BY spend DESC, o_custkey LIMIT {max(HILL_KS) + 1}
+), lns AS (
+  SELECT spend,
+    CAST(row_number() OVER (ORDER BY spend DESC, o_custkey)
+         AS BIGINT) AS r,
+    {sround_sql("ln(spend)", 9)} AS lx
+  FROM top
+), cum AS (
+  SELECT r, lx, spend,
+    CAST(SUM(CAST(lx AS {D28_9_SQL})) OVER (ORDER BY r
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS DOUBLE) AS cum_lx
+  FROM lns
+), ks AS (
+  SELECT CAST(UNNEST({_HILL_KS_SQL}) AS BIGINT) AS k
+), at_k AS (
+  SELECT k, cum_lx FROM cum JOIN ks ON cum.r = ks.k
+), at_k1 AS (
+  SELECT k, lx AS lx_k1, spend AS x_k1
+  FROM cum JOIN ks ON cum.r = ks.k + 1
+)
+SELECT k, {sround_sql("x_k1", 6)} AS x_k1,
+  CASE WHEN cum_lx - CAST(k AS DOUBLE) * lx_k1 > 0.0
+  THEN {sround_sql(
+      "CAST(k AS DOUBLE) / (cum_lx - CAST(k AS DOUBLE) * lx_k1)", 9)}
+  END AS hill_alpha
+FROM at_k JOIN at_k1 USING (k)
+ORDER BY k
+"""
+
+QUERIES["q_tail_index"] = q_tail_index
+ORACLES["q_tail_index"] = ORACLE_TAIL_INDEX

@@ -384,7 +384,7 @@ def main() -> None:
         "q_kruskal_wallis", "q_permutation_entropy",
         "q_brier_decomposition", "q_macro_f1", "q_rank_overlap",
         "q_bollinger", "q_drawdown", "q_lorenz_gini",
-        "q_stream_bollinger",
+        "q_stream_bollinger", "q_tail_index",
     ):
         if name not in queries:
             continue

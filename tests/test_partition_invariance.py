@@ -76,7 +76,7 @@ ORDER_CONTRACT_QUERIES = [
     # bands, running peak, ordinal patterns), top-K rank spines
     "q_kendall_tau", "q_kruskal_wallis", "q_bollinger", "q_drawdown",
     "q_permutation_entropy", "q_rank_overlap", "q_lorenz_gini",
-    "q_stream_bollinger",
+    "q_stream_bollinger", "q_tail_index",
 ]
 
 

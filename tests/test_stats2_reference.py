@@ -373,3 +373,27 @@ def test_bollinger_matches_naive_reference(spark, sf_dir):
                 1 if abs(v - mean) - BOLL_KSD * sd > 1e-12 else 0
             ) or abs(abs(v - mean) - BOLL_KSD * sd) < 1e-9
     assert n_full > 0
+
+
+def test_tail_index_matches_naive_reference(spark, sf_dir):
+    from audios_to_dataset_spark.plans.stats2 import (
+        HILL_KS, q_tail_index,
+    )
+
+    out = {r["k"]: r for r in q_tail_index(spark, sf_dir).collect()}
+    o = _orders(sf_dir).dropna(subset=["o_custkey", "o_totalprice"])
+    spend = sorted(
+        (v for v in o.groupby("o_custkey")["o_totalprice"].sum()
+         if v > 0),
+        reverse=True,
+    )
+    for k in HILL_KS:
+        if len(spend) < k + 1:
+            assert k not in out
+            continue
+        xs = spend[:k]
+        xk1 = spend[k]
+        alpha = k / sum(math.log(x) - math.log(xk1) for x in xs)
+        assert abs(out[k]["x_k1"] - xk1) < 1e-4
+        assert abs(out[k]["hill_alpha"] - alpha) < 1e-5
+    assert out  # at least one k emitted at this SF
