@@ -322,8 +322,13 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums over the DENSIFIED grid: a within-row cumulative (partition
     by q, order by d) cascaded into an across-row cumulative
     (partition by d, order by q) — two PARTITIONED windows over ≤550
-    rows, never a pairwise join. All pair counts are exact BIGINTs;
-    the only float ops are the final sqrt/divide on identical inputs.
+    rows, never a pairwise join. All pair counts are exact INTEGER
+    arithmetic end to end: the tie terms t_x/t_y and n0 compute
+    c*(c-1) in DECIMAL(38,0) (HUGEINT oracle-side) and halve with an
+    integral `div 2` — never a true division through double, which
+    would silently lose precision past c ≈ 9.5e7 (c² > 2^53) on BOTH
+    engines at once (ADVICE r11). The only float ops are the final
+    sqrt/divide on identical inputs.
     """
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity").isNotNull() & F.col("l_discount").isNotNull()
@@ -366,22 +371,36 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.col("n") * F.col("s_dis")), F.lit(0))
         .cast("bigint").alias("discordant"),
     )
+    # Tie terms stay in INTEGER arithmetic end to end (ADVICE r11: the
+    # old c*(c-1)/2 true division went through double, silently losing
+    # precision once a hot cell count c passed ~9.5e7 — c² > 2^53 —
+    # identically on both engines, so the differential check could not
+    # catch it): per-term product in DECIMAL(38,0) (exact to 1e38),
+    # DECIMAL sum, then `div 2` (the sum of even terms is even, so the
+    # integral divide is exact).
+    def _half_sum_pairs(col: str, out: str):
+        return (
+            F.expr(
+                f"CAST(coalesce(sum(CAST({col} AS DECIMAL(38,0))"
+                f" * ({col} - 1)), 0) div 2 AS BIGINT)"
+            ).alias(out)
+        )
+
     tq = (
         cells.groupBy("q")
         .agg(F.sum("n").cast("bigint").alias("c"))
-        .agg(F.coalesce(
-            F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0)
-        ).cast("bigint").alias("t_x"))
+        .agg(_half_sum_pairs("c", "t_x"))
     )
     td = (
         cells.groupBy("d")
         .agg(F.sum("n").cast("bigint").alias("c"))
-        .agg(F.coalesce(
-            F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0)
-        ).cast("bigint").alias("t_y"))
+        .agg(_half_sum_pairs("c", "t_y"))
     )
     j = pair.crossJoin(F.broadcast(tq)).crossJoin(F.broadcast(td))
-    n0 = (F.col("n_rows") * (F.col("n_rows") - 1) / 2).cast("bigint")
+    n0 = F.expr(
+        "CAST((CAST(n_rows AS DECIMAL(38,0)) * (n_rows - 1))"
+        " div 2 AS BIGINT)"
+    )
     den = (
         (n0 - F.col("t_x")).cast("double")
         * (n0 - F.col("t_y")).cast("double")
@@ -432,21 +451,29 @@ WITH li AS (
          CAST(COALESCE(SUM(n * s_dis), 0) AS BIGINT) AS discordant
   FROM s
 ), tq AS (
-  SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT) AS t_x
+  -- integer-exact tie term (HUGEINT product, // integer divide) — the
+  -- Spark twin's DECIMAL(38,0) `div 2`
+  SELECT CAST(COALESCE(SUM(CAST(c AS HUGEINT) * (c - 1)), 0) // 2
+              AS BIGINT) AS t_x
   FROM (SELECT CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY q)
 ), td AS (
-  SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT) AS t_y
+  SELECT CAST(COALESCE(SUM(CAST(c AS HUGEINT) * (c - 1)), 0) // 2
+              AS BIGINT) AS t_y
   FROM (SELECT CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY d)
+), n0t AS (
+  SELECT CAST((CAST(n_rows AS HUGEINT) * (n_rows - 1)) // 2 AS BIGINT)
+         AS n0
+  FROM pair
 )
 SELECT n_rows, concordant, discordant, t_x, t_y,
-  CASE WHEN CAST(n_rows * (n_rows - 1) / 2 - t_x AS DOUBLE)
-            * CAST(n_rows * (n_rows - 1) / 2 - t_y AS DOUBLE) > 0.0
+  CASE WHEN CAST(n0 - t_x AS DOUBLE)
+            * CAST(n0 - t_y AS DOUBLE) > 0.0
   THEN {sround_sql(
       "CAST(concordant - discordant AS DOUBLE)"
-      " / sqrt(CAST(n_rows * (n_rows - 1) / 2 - t_x AS DOUBLE)"
-      " * CAST(n_rows * (n_rows - 1) / 2 - t_y AS DOUBLE))", 9)}
+      " / sqrt(CAST(n0 - t_x AS DOUBLE)"
+      " * CAST(n0 - t_y AS DOUBLE))", 9)}
   END AS tau_b
-FROM pair CROSS JOIN tq CROSS JOIN td
+FROM pair CROSS JOIN tq CROSS JOIN td CROSS JOIN n0t
 """
 
 QUERIES["q_kendall_tau"] = q_kendall_tau

@@ -1595,9 +1595,21 @@ BATCH_TWINS["q_stream_attribution"] = _twin_attribution
 # round 11: streaming Bollinger bands (bounded trailing-window state)
 
 def _boll_units6(x) -> int:
-    """Exact micro-unit integer of Spark's CAST(double AS DECIMAL(28,6))
-    (BigDecimal HALF_UP on the exact binary value) — the quantity the
-    batch plan's decimal window sums accumulate."""
+    """Micro-unit integer twin of Spark's CAST(double AS DECIMAL(28,6))
+    — the quantity the batch plan's decimal window sums accumulate.
+
+    NOT identical paths for arbitrary doubles (ADVICE r11): Catalyst
+    casts via Scala ``BigDecimal.decimal(d)``, i.e. HALF_UP on the
+    SHORTEST decimal representation (Double.toString), while this twin
+    quantizes ``Decimal(float(x))``, the EXACT binary expansion. The
+    two can land on opposite sides of a ``…5e-7`` boundary when the
+    shortest repr sits exactly ON the boundary but the binary value is
+    a hair below (e.g. 1.0000005 → Spark 1.000001, exact-binary
+    1.000000). The stream/batch parity contract therefore rests on the
+    DATA, not the rounding paths: events.value lives on a 0.01 grid, so
+    values (2 dp) and their squares (4 dp) are exactly representable at
+    6 dp and never near a boundary — pinned by
+    tests/test_streaming.py::test_boll_units6_grid_parity."""
     from decimal import ROUND_HALF_UP, Decimal
 
     return int(
@@ -1608,10 +1620,15 @@ def _boll_units6(x) -> int:
 
 
 def _boll_round9(x: float) -> float:
-    """Exact twin of plans/_util.sround(x, 9): the ×1e9 multiply runs in
-    IEEE (same as Spark), the half-up integer rounding runs on the EXACT
-    binary value via Decimal (same as Spark's BigDecimal round), and
-    + 0.0 kills −0.0."""
+    """Twin of plans/_util.sround(x, 9): the ×1e9 multiply runs in IEEE
+    (same as Spark), then half-up SCALE-0 rounding, and + 0.0 kills
+    −0.0. Spark rounds the shortest decimal repr (BigDecimal.decimal)
+    while this rounds the exact binary value via Decimal — for SCALE-0
+    the two always agree (every half-integer boundary is an exactly
+    representable double, and a shortest repr round-trips to its own
+    double, so it can never cross a boundary the binary value doesn't
+    sit on). The caveat in _boll_units6 applies only to fractional
+    quantization scales."""
     from decimal import ROUND_HALF_UP, Decimal
 
     y = x * 1e9

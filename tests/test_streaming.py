@@ -348,3 +348,48 @@ def test_stream_bollinger_state_is_bounded(spark, sf_dir):
     b = _boll_walk(h1, range(50, 100), [7] * 50,
                    [float(i % 13) for i in range(50, 100)])
     assert a + b == out
+
+
+def test_boll_units6_grid_parity(spark):
+    """The stream/batch bit-parity contract for q_stream_bollinger rests
+    on the DATA GRID, not on the rounding paths being identical
+    (ADVICE r11): Spark's CAST(double AS DECIMAL(28,6)) rounds the
+    SHORTEST decimal repr (BigDecimal.decimal), the Python twin rounds
+    the EXACT binary expansion — and for arbitrary doubles they can
+    disagree (8.5e-06: Spark 9 micro-units, exact-binary 8). This test
+    (a) pins one such counter-example so the hazard stays documented,
+    and (b) proves parity on the 0.01 value grid events.value lives on
+    — values (2 dp) and squares (4 dp) are exact at 6 dp."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    from audios_to_dataset_spark.streaming.events import _boll_units6
+
+    # (a) the divergence class is real: exact-binary HALF_UP disagrees
+    # with shortest-repr HALF_UP on a .5e-6 boundary double …
+    hazard = 8.5e-06
+    exact = Decimal(hazard).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP
+    )
+    short = Decimal(repr(hazard)).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP
+    )
+    assert exact != short  # 0.000008 vs 0.000009
+    assert _boll_units6(hazard) == 8  # the twin takes the exact path
+
+    # (b) … but on the 0.01 grid (and its squares) the twin matches the
+    # live Spark cast bit-for-bit, including negatives and values with
+    # no exact binary representation (0.01 itself).
+    grid = [round(k * 0.01, 2) for k in range(-300, 301, 7)]
+    grid += [k * 0.01 for k in range(-300, 301, 11)]  # unrounded path
+    vals = sorted(set(grid) | {v * v for v in grid})
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        int(r[0])
+        for r in df.select(
+            (F.col("x").cast("decimal(28,6)") * 1_000_000)
+            .cast("long")
+        ).collect()
+    ]
+    assert got == [_boll_units6(v) for v in vals]

@@ -91,6 +91,30 @@ ALLOW: dict[tuple[str, str], str] = {
         " top-RBO_K (20-row) frames produced by a distributed"
         " TakeOrdered and the LITERAL 1..K depth spine (the"
         " q_zipf_slope argument); raw parts are never totally ordered",
+    # --- found by the r12 branch-depth fix (ADVICE r11: the old walker
+    # computed depth from leading whitespace, flattening every subtree
+    # under a ':'-prefixed Union/join branch to depth 0, so Windows
+    # there were never inspected). Each below is a bounded-spine window
+    # the broken walker silently skipped:
+    ("q_exact_median", "SinglePartitionWindow"):
+        "rank-bucket cumulative runs over the value-grid HISTOGRAM"
+        " (bucket count set by the value range / MEDIAN_BUCKET_W, not"
+        " row count — the q_auc argument); pass 2 sorts only the one"
+        " target bucket, partitioned by its key",
+    ("q_kruskal_wallis", "SinglePartitionWindow"):
+        "tie-rank cumulative runs over the DISTINCT-VALUE spine —"
+        " events.value lives on a 0.01 grid so the spine is bounded by"
+        " the value range, not row count (the q_mann_whitney argument);"
+        " raw rows only feed one combinable groupBy",
+    ("q_lorenz_gini", "SinglePartitionWindow"):
+        "cumulative-share + trapezoid-lag windows run over the LITERAL"
+        " LORENZ_BINS (100-row) spine (the q_wasserstein argument); raw"
+        " customers reduce to per-bin decimal sums first",
+    ("q_theil_sen", "SinglePartitionWindow"):
+        "rank-bucket cumulative runs over the slope-grid HISTOGRAM"
+        " (fixed TS_BUCKET_W width over the bounded slope range — the"
+        " q_exact_median selection reused); the pair set itself is"
+        " horizon², data-volume-independent",
     ("q_heaps_law", "SinglePartitionWindow"):
         "cumulative sums run over the FIXED 21-row power-of-two spine"
         " (2^4..2^24); tokens and docs reduce to per-bucket counts"
@@ -106,15 +130,38 @@ ALLOW: dict[tuple[str, str], str] = {
 BNLJ_NODE = re.compile(r"BroadcastNestedLoopJoin (\w+) Build")
 
 
-def _window_on_single_partition(plan: str) -> bool:
-    """True if a Window node's subtree contains an Exchange whose
-    arguments are SinglePartition — i.e. the window's input really is
-    one task. A SinglePartition exchange elsewhere (scalar aggregates,
-    1-row broadcasts) is fine and must not flag.
+def _parse_tree(plan: str) -> list[tuple[int, str]]:
+    """(depth, node_text) per tree line of a formatted explain.
 
-    Parses the formatted-explain tree section (indented ``+- Node (id)``
-    lines) plus the per-node detail section (``(id) Node`` /
-    ``Arguments: …``)."""
+    Depth comes from the BRANCH PREFIX, not leading whitespace: each
+    ancestor level contributes a 3-char group that is either three
+    spaces (last child) or ``:␣␣`` (an open union/join branch), and the
+    node's own marker is ``+-␣`` or ``:-␣``. Leading-whitespace depth is
+    WRONG for ``:``-prefixed lines (they have zero leading spaces), which
+    silently flattened every subtree under a Union/join left branch
+    (ADVICE r11)."""
+    nodes: list[tuple[int, str]] = []
+    for ln in plan.splitlines():
+        m = re.match(r"^((?:[: ]  )*)(?:[+:]- )?(\*?.*\(\d+\))\s*$", ln)
+        if not m:
+            continue
+        prefix, text = m.group(1), m.group(2).strip()
+        has_marker = bool(re.match(r"^(?:[: ]  )*[+:]- ", ln))
+        depth = len(prefix) // 3 + (1 if has_marker else 0)
+        nodes.append((depth, text))
+    return nodes
+
+
+def _window_on_single_partition(plan: str) -> bool:
+    """True if a Window node's DIRECT INPUT SPINE contains an Exchange
+    whose arguments are SinglePartition — i.e. the window's input really
+    is one task. A SinglePartition exchange elsewhere (scalar
+    aggregates, 1-row broadcasts, sibling branches) is fine and must not
+    flag.
+
+    Parses the formatted-explain tree section (branch-prefix depth via
+    ``_parse_tree`` — correct under Union/join ``:`` branches) plus the
+    per-node detail section (``(id) Node`` / ``Arguments: …``)."""
     lines = plan.splitlines()
     # node id -> its Arguments line
     args: dict[str, str] = {}
@@ -125,35 +172,29 @@ def _window_on_single_partition(plan: str) -> bool:
             cur = m.group(1)
         elif cur and ln.startswith("Arguments:"):
             args[cur] = ln
-    # tree walk: for each Window, inspect deeper-indented nodes below it
-    tree = [
-        (len(ln) - len(ln.lstrip()), ln.strip())
-        for ln in lines
-        if re.search(r"(\+\-|^\w).*\(\d+\)\s*$", ln)
-    ]
+    tree = _parse_tree(plan)
     # Follow only the window's direct input spine (Sort/Project/Filter/
-    # AQE wrappers) — a SinglePartition exchange on a *sibling* branch
-    # (e.g. the broadcast of a scalar aggregate joined below the window)
-    # is legitimate and must not flag.
+    # AQE wrappers). In preorder the first child of the current spine
+    # node is the NEXT line at depth+1; anything else ends the chain.
     spine_ok = re.compile(
         r"\b(Sort|Project|Filter|WindowGroupLimit|AQEShuffleRead|"
         r"ShuffleQueryStage|InputAdapter|ColumnarToRow|Exchange)\b"
     )
-    for i, (indent, text) in enumerate(tree):
+    for i, (depth, text) in enumerate(tree):
         if not re.search(r"\bWindow(Group)?\w* \(\d+\)", text):
             continue
-        prev = indent
-        for indent2, text2 in tree[i + 1:]:
-            if indent2 <= indent or indent2 <= prev - 1:
-                break
-            if indent2 > prev + 3:  # deeper than the direct child chain
-                break
+        cur_depth = depth
+        for depth2, text2 in tree[i + 1:]:
+            if depth2 != cur_depth + 1:
+                break  # not the direct first child of the spine
             if not spine_ok.search(text2):
                 break
             m = re.search(r"Exchange \((\d+)\)", text2)
-            if m and "SinglePartition" in args.get(m.group(1), ""):
-                return True
-            prev = indent2
+            if m:
+                if "SinglePartition" in args.get(m.group(1), ""):
+                    return True
+                break  # hash/range exchange: partitioning resolved
+            cur_depth = depth2
     return False
 
 

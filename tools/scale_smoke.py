@@ -408,6 +408,21 @@ def main() -> int:
                 f"{fam} projects superlinear to x100: alpha "
                 f"{alpha:.3f} > {allowed:.3f} (x100 ~ {x100:.0f})"
             )
+        elif c1 == 0 and c10 > 2 * FACTOR:
+            # Growth from an EMPTY x1 base is unprojectable — and the
+            # exact regime a quadratic family hides in (ADVICE r11: the
+            # old code recorded alpha 0.0 and passed silently). More
+            # than 2x-linear-from-zero fails; a handful of rows is
+            # logged as unprojectable so the record shows the gap.
+            failures.append(
+                f"{fam} grows from an empty x1 base: x10 = {c10:.0f}"
+                " (unprojectable; rebuild the family at a larger base"
+                " SF to measure alpha)"
+            )
+        elif c1 == 0 and c10 > 0:
+            proj[fam]["unprojectable"] = (
+                f"x1 base empty, x10 = {c10:.3f}: alpha unmeasurable"
+            )
     out["x100_projection"] = proj
 
     # --- end-to-end completion at x10 ---
