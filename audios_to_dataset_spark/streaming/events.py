@@ -1776,3 +1776,137 @@ def _twin_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BATCH_TWINS["q_stream_bollinger"] = _twin_bollinger
+
+
+# --------------------------------------------------------------------------
+# round 12: streaming running drawdown (record-peak state)
+
+def _dd_walk(st: list, eids, uids, vals):
+    """Shared per-user walk for the streaming drawdown operator and its
+    batch twin: consumes rows already in (ts, event_id) order, mutates
+    ``st`` ([running_peak, running_max_dd], empty for a fresh user) and
+    returns the emitted rows. Every operation is a comparison or ONE
+    IEEE subtraction (dd = peak − value) on raw doubles — no rounding
+    step exists, so stream, batch, and the DuckDB window oracle are
+    bit-equal by construction (unlike Bollinger, whose parity rests on
+    the 0.01 grid — see _boll_units6)."""
+    out = []
+    peak = st[0] if st else None
+    mdd = st[1] if st else None
+    for eid, uid, v in zip(eids, uids, vals):
+        v = float(v)
+        peak = v if peak is None or v > peak else peak
+        dd = peak - v
+        mdd = dd if mdd is None or dd > mdd else mdd
+        out.append((int(eid), int(uid), peak, dd, mdd))
+    st[:] = [peak, mdd]
+    return out
+
+
+_DD_OUT_SCHEMA = ("event_id long, user_id long, peak double,"
+                  " dd double, max_dd double")
+
+
+def q_stream_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming running drawdown via ``applyInPandasWithState``:
+    per-user state is TWO doubles (record peak, max drawdown so far) —
+    the minimal stateful financial monitor next to q_stream_bollinger's
+    trailing window — and each arriving event emits its running peak,
+    current drawdown (peak − value), and the max drawdown to date.
+
+    The streaming sibling of plans/stats2.q_drawdown (which reports the
+    per-user SUMMARY; this emits the per-event trajectory): rows inside
+    a micro-batch are processed in (ts, event_id) order, and because
+    the math is max/compare plus one IEEE subtraction there is no
+    quantization step at all — the availableNow replay equals the
+    batch window plan and the DuckDB cumulative-window oracle
+    bit-for-bit. NULL user_id (no state key), NULL ts / event_id
+    (unordered), and NULL value rows are dropped on both sides.
+    100 TB design: state is 2 doubles/user; one user_id shuffle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    ev = (
+        _stream_events(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull() & F.col("value").isNotNull()
+        )
+    )
+
+    def track(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        st = list(state.get) if state.exists else []
+        out = _dd_walk(st, rows["event_id"], rows["user_id"],
+                       rows["value"])
+        state.update(tuple(st))
+        yield pd.DataFrame(
+            out, columns=["event_id", "user_id", "peak", "dd", "max_dd"]
+        )
+
+    tracked = ev.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=_DD_OUT_SCHEMA,
+        stateStructType="peak double, mdd double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = _run_available_now(tracked, "drawdown")
+    return emitted.select(
+        "event_id", "user_id", "peak", "dd", "max_dd"
+    ).orderBy("event_id")
+
+
+ORACLE_STREAM_DRAWDOWN = """
+WITH p AS (
+  SELECT event_id, user_id, ts,
+         MAX(value) OVER w AS peak,
+         MAX(value) OVER w - value AS dd
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, peak, dd,
+       MAX(dd) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS max_dd
+FROM p
+"""
+
+QUERIES["q_stream_drawdown"] = q_stream_drawdown
+ORACLES["q_stream_drawdown"] = ORACLE_STREAM_DRAWDOWN
+
+
+def _twin_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same groupBy(user_id) → per-key pandas exchange as the streaming
+    operator (plan-audit batch twin), sharing _dd_walk."""
+    import pandas as pd
+
+    def track(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = _dd_walk([], pdf["event_id"], pdf["user_id"],
+                       pdf["value"])
+        return pd.DataFrame(
+            out, columns=["event_id", "user_id", "peak", "dd", "max_dd"]
+        )
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull() & F.col("value").isNotNull()
+        )
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        track, schema=_DD_OUT_SCHEMA
+    ).orderBy("event_id")
+
+
+BATCH_TWINS["q_stream_drawdown"] = _twin_drawdown

@@ -84,6 +84,48 @@ def test_fuzz_regressions(spark, fuzz_env):
         assert ok, (seed, shape, detail, sql)
 
 
+def test_date_trunc_outer_join_guard_is_load_bearing():
+    """Deterministic pin of the DuckDB 1.0.0 bug the r11 LEFT-join fuzz
+    shape caught (seed 105 at the time — seed→query mapping drifts with
+    the grammar, so the pin is a minimal repro, not the seed):
+    COUNT(date_trunc(d)) over outer-join MISS rows returns COUNT(*)
+    instead of 0. On an affected version (< 1.1,
+    ``_DUCKDB_DATE_TRUNC_BUG``) the unguarded query must REPRODUCE the
+    bug (else the version gate is stale and should be tightened) and
+    the IS NULL guard must fix it; on a fixed version both forms must
+    agree — either way the gen_ts guard never rots silently."""
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t_probe(k INT)")
+        con.execute("INSERT INTO t_probe VALUES (1),(2),(3)")
+        con.execute("CREATE TABLE d_probe(k INT, d TIMESTAMP)")
+        con.execute("INSERT INTO d_probe VALUES (1, '2020-01-01')")
+        base = (
+            "SELECT t_probe.k, COUNT({expr}) AS c FROM t_probe"
+            " LEFT JOIN d_probe ON t_probe.k = d_probe.k"
+            " GROUP BY 1 ORDER BY 1"
+        )
+        raw = con.execute(
+            base.format(expr="date_trunc('day', d_probe.d)")
+        ).fetchall()
+        guarded = con.execute(
+            base.format(
+                expr="CASE WHEN d_probe.d IS NULL THEN NULL"
+                     " ELSE date_trunc('day', d_probe.d) END")
+        ).fetchall()
+        assert guarded == [(1, 1), (2, 0), (3, 0)]
+        if query_fuzz._DUCKDB_DATE_TRUNC_BUG:
+            assert raw == [(1, 1), (2, 1), (3, 1)], (
+                "unguarded COUNT no longer reproduces the bug —"
+                " tighten _DUCKDB_DATE_TRUNC_BUG", raw)
+        else:
+            assert raw == guarded, (
+                "DuckDB >= 1.1 still mis-counts: re-widen the"
+                " _DUCKDB_DATE_TRUNC_BUG version gate", raw)
+    finally:
+        con.close()
+
+
 @pytest.mark.query_fuzz
 def test_fuzz_deep(spark, fuzz_env):
     _run_range(spark, fuzz_env, 1, 300)

@@ -393,3 +393,61 @@ def test_boll_units6_grid_parity(spark):
         ).collect()
     ]
     assert got == [_boll_units6(v) for v in vals]
+
+
+def test_stream_sessions_equals_batch(spark, sf_dir):
+    """The availableNow replay of the stateful sessionizer must emit
+    EXACTLY the batch sessionization minus each user's still-open tail
+    session (which stays in state and is never emitted) — the
+    replay == batch pin VERDICT r11 item 7 asked for."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from audios_to_dataset_spark.plans.events import q_session_gap
+    from audios_to_dataset_spark.streaming.events import (
+        q_stream_sessions,
+    )
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in q_stream_sessions(spark, sf_dir).collect()
+    }
+    batch = q_session_gap(spark, sf_dir).withColumn(
+        "mx", F.max("session_id").over(Window.partitionBy("user_id"))
+    )
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.filter(F.col("session_id") < F.col("mx")).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_drawdown_equals_batch_twin(spark, sf_dir):
+    """The availableNow replay of the drawdown tracker must equal the
+    batch groupBy→applyInPandas twin bit-for-bit (max/compare plus one
+    IEEE subtraction — no rounding step exists to diverge)."""
+    from audios_to_dataset_spark.streaming.events import (
+        _twin_drawdown,
+        q_stream_drawdown,
+    )
+
+    got = {r["event_id"]: tuple(r)
+           for r in q_stream_drawdown(spark, sf_dir).collect()}
+    want = {r["event_id"]: tuple(r)
+            for r in _twin_drawdown(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_dd_walk_state_carry():
+    """Incremental walk (split across two micro-batches) equals the
+    one-shot walk, and state is exactly [peak, max_dd]."""
+    from audios_to_dataset_spark.streaming.events import _dd_walk
+
+    vals = [float((i * 7) % 13 - 6) for i in range(100)]
+    one: list = []
+    full = _dd_walk(one, range(100), [3] * 100, vals)
+    st: list = []
+    a = _dd_walk(st, range(50), [3] * 50, vals[:50])
+    b = _dd_walk(st, range(50, 100), [3] * 50, vals[50:])
+    assert a + b == full
+    assert st == one == [max(vals), max(full_r[3] for full_r in full)]

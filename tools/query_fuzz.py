@@ -50,6 +50,12 @@ on their group keys (the grouped-NULL-key join seam: both engines
 group NULL keys into one row, but that row must not equi-join — an
 inner join drops it, a LEFT join NULL-extends it).
 
+Round 12 (VERDICT r11 item 6): a ``winjoin`` shape windows OVER a LEFT
+join to a filtered dimension with PARTITION BY a right-table column —
+the window partition key is the NULL-able join output itself, so every
+miss row must land in ONE shared NULL partition on both engines while
+the in-partition ORDER BY stays on the never-NULL left PK.
+
 Usage:
     python tools/query_fuzz.py [--seeds N] [--start S] [--sf-dir DIR]
                                [--nulls] [--verbose]
@@ -74,6 +80,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from check import table_hash  # noqa: E402 — reuse the gate's comparator
+
+# DuckDB 1.0.x mis-counts COUNT(date_trunc(d)) over outer-join miss rows
+# (function-output NULL statistics survive the join; seed 105). The
+# oracle-side IS NULL wrapper in ``gen_ts`` is active only on affected
+# versions so a container upgrade retires it automatically.
+_DUCKDB_DATE_TRUNC_BUG = tuple(
+    int(p) for p in duckdb.__version__.split(".")[:2] if p.isdigit()
+) < (1, 1)
 
 # --- schema the generator knows (text/props/embedding excluded) -----------
 
@@ -385,10 +399,17 @@ def gen_ts(ctx, depth):
     # non-NULL (statistics mark date_trunc's output never-NULL from the
     # pre-join input stats), returning COUNT(*) instead of 0 — while
     # COUNT(d), MIN/MAX(date_trunc(d)), and string functions are all
-    # correct. Spark was right; the guard keeps the oracle honest.
+    # correct. Spark was right; the guard keeps the oracle honest. On a
+    # DuckDB with the fix (1.1+) the guard is dropped so the oracle
+    # exercises the native path — and the version-gated regression test
+    # (tests/test_query_fuzz.py seed 105) proves whichever path is
+    # active still differentially matches.
+    if _DUCKDB_DATE_TRUNC_BUG:
+        return (F.date_trunc(unit, F.col(name)),
+                f"CASE WHEN {name} IS NULL THEN NULL ELSE "
+                f"CAST(date_trunc('{unit}', {name}) AS TIMESTAMP) END")
     return (F.date_trunc(unit, F.col(name)),
-            f"CASE WHEN {name} IS NULL THEN NULL ELSE "
-            f"CAST(date_trunc('{unit}', {name}) AS TIMESTAMP) END")
+            f"CAST(date_trunc('{unit}', {name}) AS TIMESTAMP)")
 
 
 def gen_scalar(ctx, depth, types=("int", "str", "float", "ts")):
@@ -541,7 +562,72 @@ def gen_query(rng, lits):
         where_sql = " WHERE " + " AND ".join(p[1] for p in preds)
 
     shape = rng.choice(["project", "project", "distinct", "group",
-                        "group", "window", "setop", "aggjoin"])
+                        "group", "window", "setop", "aggjoin", "winjoin"])
+
+    if shape == "winjoin" and base_j:
+        # Window OVER a LEFT join, PARTITION BY a right-table column
+        # (VERDICT r11 item 6): the join is forced to LEFT against a
+        # FILTERED dimension so miss rows NULL-extend, and the window's
+        # partition key is exactly that NULL-able join output — the
+        # seam where all miss rows must collapse into ONE partition on
+        # both engines, while Spark and DuckDB order NULLs oppositely
+        # by default (the ORDER BY stays on the never-NULL left PK, so
+        # in-partition order is total). The composition the aggjoin
+        # shape almost but not quite covers.
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        base2 = (base_l, (*base_j, "left"))
+        rfilter2 = rfilter
+        if rfilter2 is None:
+            rctx = _ctx(rng, (base_j[0], None), lits)
+            rfilter2 = gen_pred(rctx, 2)
+        from_sql2, _h = _from_sql(base2, rfilter2)
+        rcols = [c for c, t in SCHEMAS[base_j[0]] if t in ("int", "str")]
+        pname = rng.choice(rcols)
+        n = rng.randint(1, 2)
+        exprs = [gen_scalar(ctx, 1) for _ in range(n)]
+        over_sql = f"PARTITION BY {pname} ORDER BY {_order_sql(pks)}"
+        w = Window.partitionBy(F.col(pname)).orderBy(*_order_cols(pks))
+        wkind = rng.choice(["row_number", "lag", "running_sum"])
+        if wkind == "row_number":
+            wcol = F.row_number().over(w)
+            wsql = f"row_number() OVER ({over_sql})"
+            cap = rng.randint(1, 5)
+        elif wkind == "lag":
+            v, vsql = gen_int(ctx, 1)
+            wcol = F.lag(v, 1).over(w)
+            wsql = f"lag({vsql}, 1) OVER ({over_sql})"
+            cap = None
+        else:
+            v, vsql = gen_int(ctx, 1)
+            wcol = F.sum(v).over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)).cast("bigint")
+            wsql = (f"CAST(SUM({vsql}) OVER ({over_sql} ROWS BETWEEN"
+                    " UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)")
+            cap = None
+        sel = ", ".join(f"{sql} AS c{i}"
+                        for i, (_c, sql, _t2) in enumerate(exprs))
+        inner = (f"SELECT {sel}, {pname} AS pk0, {wsql} AS w0"
+                 f" FROM {from_sql2}{where_sql}")
+        sql = f"SELECT * FROM ({inner}) sub" + (
+            f" WHERE w0 <= {cap}" if cap else "")
+
+        def build(spark, sf_dir):
+            df = _load_base(spark, sf_dir, base2, rfilter2)
+            for p, _s in preds:
+                df = df.filter(p)
+            out = df.select(
+                *[c.alias(f"c{i}")
+                  for i, (c, _s, _t2) in enumerate(exprs)],
+                F.col(pname).alias("pk0"),
+                wcol.alias("w0"))
+            if cap:
+                out = out.filter(F.col("w0") <= cap)
+            return out
+
+        return build, sql, shape
 
     if shape == "aggjoin":
         # Two independently-filtered GROUP BY branches over the SAME
