@@ -35,6 +35,7 @@ def _modules():
         similarity,
         sketches,
         stats2,
+        stats3,
         survival,
         textmetrics,
         textops,
@@ -52,32 +53,29 @@ def _modules():
             textops2, dedup, similarity, multimodal, streaming_events,
             curation, relational, relational2, evalmetrics, timeseries,
             textmetrics, infostats, survival, expstats, nonparam,
-            stats2)
+            stats2, stats3)
 
 
-# ROUND 11 rotation (VERDICT r9 item 1: age-aware rotation). The driver's
+# ROUND 12 rotation (VERDICT r9 item 1: age-aware rotation). The driver's
 # correctness gate samples the first ~50 queries in iteration order.
 # ``_ROTATION_FIRST`` pins new/changed queries at the very front so every
-# round-11 addition is attested immediately; additions are CAPPED at ~22
-# this round (VERDICT r10 item 1) so the 50-slot window retires the 76
-# queries last attested in r1–r3. The REMAINDER is ordered by OLDEST last
-# driver attestation (parsed from the committed CORRECTNESS_r*.json
-# files), so the tail re-attests r1 queries before anything newer and no
-# query's attestation age grows without bound.
+# round-12 addition is attested immediately; additions are CAPPED at 6
+# this round (VERDICT r11 item 1) so the 50-slot window's 44 tail slots
+# retire ALL 42 queries last attested in r3 (plus the 2 oldest r4). The
+# REMAINDER is ordered by OLDEST last driver attestation (parsed from
+# the committed CORRECTNESS_r*.json files), so the tail re-attests old
+# queries before anything newer and no query's attestation age grows
+# without bound.
 _ROTATION_FIRST = (
-    # --- round-11 additions (plans/stats2.py) ---
-    "q_anova_f", "q_cohens_d", "q_kendall_tau", "q_jensen_shannon",
-    "q_kruskal_wallis", "q_permutation_entropy",
-    "q_brier_decomposition", "q_macro_f1", "q_rank_overlap",
-    "q_bollinger", "q_drawdown", "q_lorenz_gini",
-    "q_stream_bollinger", "q_tail_index",
-    # --- changed-in-r11 (re-attest) ---
-    # q_chi2_independence: cell spine densified to the full r×c grid —
-    # zero cells now contribute E exactly (ADVICE r10).
-    "q_chi2_independence",
-    # q_silhouette: singleton clusters now score s = 0, the sklearn
-    # convention, instead of the inflated raw ratio s = 1 (ADVICE r10).
-    "q_silhouette",
+    # --- round-12 additions ---
+    # streaming drawdown tracker (streaming/events.py, full oracle)
+    "q_stream_drawdown",
+    # round-12 statistics wave (plans/stats3.py)
+    "q_ljung_box", "q_runs_test", "q_cvm_test", "q_durbin_watson",
+    # --- changed-in-r12 (re-attest) ---
+    # q_kendall_tau: tie terms t_x/t_y and n0 moved to integer-exact
+    # DECIMAL(38,0)/HUGEINT arithmetic with integral div 2 (ADVICE r11).
+    "q_kendall_tau",
 )
 
 

@@ -115,6 +115,25 @@ ALLOW: dict[tuple[str, str], str] = {
         " (fixed TS_BUCKET_W width over the bounded slope range — the"
         " q_exact_median selection reused); the pair set itself is"
         " horizon², data-volume-independent",
+    # --- round-12 stats wave (plans/stats3.py): all four windows run
+    # over a BOUNDED spine built by one map-side-combinable groupBy —
+    # never raw rows:
+    ("q_ljung_box", "SinglePartitionWindow"):
+        "the 5 leads run over the observed-DAY spine (bounded by the"
+        " horizon in days — the q_kaplan_meier argument); raw events"
+        " only feed one combinable daily-count groupBy",
+    ("q_runs_test", "SinglePartitionWindow"):
+        "the sign-change lag runs over the observed-DAY spine (the"
+        " q_kaplan_meier argument); raw orders only feed one"
+        " combinable daily-revenue groupBy",
+    ("q_cvm_test", "SinglePartitionWindow"):
+        "the two CDF cumulatives run over the DISTINCT-VALUE spine —"
+        " events.value lives on a 0.01 grid so the spine is bounded by"
+        " the value range (the q_mann_whitney argument)",
+    ("q_durbin_watson", "SinglePartitionWindow"):
+        "the residual lag runs over the observed-DAY spine (the"
+        " q_kaplan_meier argument); raw orders only feed one"
+        " combinable daily-revenue groupBy",
     ("q_heaps_law", "SinglePartitionWindow"):
         "cumulative sums run over the FIXED 21-row power-of-two spine"
         " (2^4..2^24); tokens and docs reduce to per-bucket counts"
