@@ -385,6 +385,10 @@ def main() -> None:
         "q_brier_decomposition", "q_macro_f1", "q_rank_overlap",
         "q_bollinger", "q_drawdown", "q_lorenz_gini",
         "q_stream_bollinger", "q_tail_index",
+        # round-12 additions (landed in the interrupted build phase,
+        # attested green at round-12 start; additive per the contract)
+        "q_ljung_box", "q_runs_test", "q_cvm_test", "q_durbin_watson",
+        "q_stream_drawdown",
     ):
         if name not in queries:
             continue
