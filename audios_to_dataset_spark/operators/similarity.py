@@ -19,6 +19,27 @@ from pyspark.sql import functions as F
 from ..plans._util import sround
 
 
+def _spread_small_scan(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor (optimization guide §2.5, input
+    skew): a single-file fixture parquet plans ONE scan split, so every
+    downstream per-row computation — bucket-bit hashing, candidate
+    generation, interpreted HOF dot products — serializes on one core
+    of a 32-core host (r12 profiling: q_knn_graph's candidate stage ran
+    1.4 s single-task, its scoring stage 8.9 s of executor time on 6
+    AQE-coalesced tasks). When the planned scan parallelism is already
+    >= the cluster's defaultParallelism (any real corpus: splits >>
+    cores), this is a NO-OP and adds no shuffle — the repartition only
+    fires for scans narrower than the cluster, where the shuffled frame
+    is by construction tiny."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover — exotic frames; spread anyway
+        return df.repartition(p)
+    return df.repartition(p) if n < p else df
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Left-to-right double dot product of two float arrays."""
     return F.aggregate(
@@ -105,16 +126,53 @@ def cosine_neardup_pairs(
 
 
 def _bucket_bits(planes: list[list[float]], vec_col: str) -> Column:
-    """Sign-bit string of the vector's dot products with the planes."""
-    return F.concat(
-        *[
-            F.when(
-                _dot(F.col(vec_col), F.array(*[F.lit(p) for p in plane]))
-                >= 0,
-                "1",
-            ).otherwise("0")
-            for plane in planes
-        ]
+    """Sign-bit string of the vector's dot products with the planes.
+
+    The plane family is ONE ``array<array<double>>`` literal and the
+    per-plane sign bit is computed inside a single ``transform`` lambda,
+    joined with ``array_join`` — not a per-plane chain of Python-built
+    ``concat(when(dot(...)))`` columns. Two costs motivated this (r12
+    profiling of q_knn_graph: stage walls summed to <2 s while the
+    query took 6-18 s):
+
+    - build cost: every ``F.aggregate``/``F.zip_with`` lambda is dozens
+      of py4j round trips; 8-12 tables x 4-12 planes made each
+      multitable_buckets call 3.3-4.1 s of driver-side construction.
+      This form is 1 literal + 3 lambdas per table (~0.02 s).
+    - analysis cost: per-plane expressions (or per-element literal
+      casts) put thousands of nodes in the tree, and Spark re-analyzes
+      the accumulated plan on every downstream DataFrame op. This form
+      is ~12 nodes per table.
+
+    Per plane the evaluated expression is the identical
+    ``CASE WHEN aggregate(zip_with(v, plane, x*y), 0.0, +) >= 0`` —
+    '1'/'0' strings are never NULL, so ``array_join(transform(...))``
+    concatenates exactly what the old per-plane ``concat`` did: every
+    bucket value is bit-unchanged (pinned by
+    tests/test_similarity_ops.py::test_bucket_bits_formulation).
+
+    The matrix literal travels as ONE json string (classic-mode
+    ``F.lit(list)`` decomposes into per-element py4j literals — the
+    cost this rewrite removes) and ``from_json`` over a foldable
+    argument is constant-folded by the optimizer into a plain
+    ``array<array<double>>`` Literal before execution, so nothing is
+    parsed per row. json.dumps emits repr() doubles (shortest
+    round-trip) and Spark's Jackson path parses correctly rounded, so
+    the folded values are bit-identical to ``F.lit`` doubles —
+    verified element-wise against lit() including subnormals/-0.0
+    (r12, 2057 values, 0 mismatches)."""
+    import json as _json
+
+    mat = (
+        "from_json('"
+        + _json.dumps([[float(p) for p in plane] for plane in planes])
+        + "', 'array<array<double>>')"
+    )
+    return F.expr(
+        f"array_join(transform({mat}, p -> CASE WHEN "
+        f"aggregate(zip_with(`{vec_col}`, p, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+        "(acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END), '')"
     )
 
 
@@ -623,20 +681,41 @@ def lsh_bucketed_neardup_pairs(
     dedup shuffle is ids, not vectors. Tune: more planes/table → smaller
     buckets (cheaper, lower recall); more tables → higher recall
     (linearly more hashing)."""
-    bucketed = multitable_buckets(df, tables, id_col, vec_col)
+    # r12 optimization: spread the slim scan (no-op at scale) and pin
+    # the candidate partitioning before the distinct so the per-pair
+    # scoring stage runs at cluster parallelism instead of the 1-6
+    # partitions AQE's byte heuristic left it (guide §2.4/§2.5; same
+    # rationale as knn_graph above).
+    base = _spread_small_scan(df.select(id_col, vec_col))
+    sc_p = df.sparkSession.sparkContext.defaultParallelism
+    bucketed = multitable_buckets(base, tables, id_col, vec_col)
     a = bucketed.select(F.col("id").alias("id_a"), "bucket")
     b = bucketed.select(F.col("id").alias("id_b"), "bucket")
     cand = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .repartition(sc_p, "id_a")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
+    # Norms are per-VECTOR, not per-pair: computing them on the N-row
+    # join side instead of inside the C >> N candidate projection cuts
+    # the interpreted per-pair work from 3 array folds to 1 (guide
+    # §1.2 step 2). norm(v) evaluated on the same array yields the
+    # identical double, so cos_sim is bit-unchanged and the DuckDB
+    # oracle needs no edit.
+    vn = base.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    va = vn.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
+    vb = vn.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -665,13 +744,25 @@ def knn_graph(
     no all-pairs anywhere."""
     from pyspark.sql import Window
 
-    bucketed = multitable_buckets(df, tables, id_col, vec_col)
+    # r12 optimization (guide §2.4/§2.5): spread the slim (id, vec)
+    # scan so bucket hashing + candidate generation parallelize on
+    # single-file fixtures (no-op at scale, see _spread_small_scan),
+    # and pin the candidate frame's partitioning to (defaultParallelism
+    # × src) BEFORE the distinct: AQE's byte-based coalescing collapsed
+    # the post-distinct scoring stage to ~6 partitions (bytes are tiny,
+    # per-row interpreted dot cost is not), and hashpartitioning(src)
+    # both satisfies the distinct's clustering AND is exactly what the
+    # per-src rank window needs — the window's own Exchange is elided.
+    base = _spread_small_scan(df.select(id_col, vec_col))
+    sc_p = df.sparkSession.sparkContext.defaultParallelism
+    bucketed = multitable_buckets(base, tables, id_col, vec_col)
     a = bucketed.select(F.col("id").alias("src"), "bucket")
     b = bucketed.select(F.col("id").alias("dst"), "bucket")
     cand = (
         a.join(b, "bucket")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
+        .repartition(sc_p, "src")
         .distinct()
     )
     # Pre-normalize to unit vectors ONCE per vector (N rows), so the
@@ -685,7 +776,7 @@ def knn_graph(
     # must not kill the build; found by the candidate-budget
     # hypothesis test).
     un = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+        base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
         .withColumn("_n", _norm(F.col("_v")))
         .filter(F.col("_n") > 0)
         .select(
@@ -734,13 +825,25 @@ def hard_negatives(
     """
     from pyspark.sql import Window
 
-    bucketed = multitable_buckets(df, tables, id_col, vec_col)
+    # r12 optimization (guide §2.4/§2.5): spread the slim (id, vec)
+    # scan so bucket hashing + candidate generation parallelize on
+    # single-file fixtures (no-op at scale, see _spread_small_scan),
+    # and pin the candidate frame's partitioning to (defaultParallelism
+    # × src) BEFORE the distinct: AQE's byte-based coalescing collapsed
+    # the post-distinct scoring stage to ~6 partitions (bytes are tiny,
+    # per-row interpreted dot cost is not), and hashpartitioning(src)
+    # both satisfies the distinct's clustering AND is exactly what the
+    # per-src rank window needs — the window's own Exchange is elided.
+    base = _spread_small_scan(df.select(id_col, vec_col))
+    sc_p = df.sparkSession.sparkContext.defaultParallelism
+    bucketed = multitable_buckets(base, tables, id_col, vec_col)
     a = bucketed.select(F.col("id").alias("src"), "bucket")
     b = bucketed.select(F.col("id").alias("dst"), "bucket")
     cand = (
         a.join(b, "bucket")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
+        .repartition(sc_p, "src")
         .distinct()
     )
     la = labels.select(
@@ -755,7 +858,7 @@ def hard_negatives(
         .filter(F.col("src_label") != F.col("dst_label"))
     )
     un = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+        base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
         .withColumn("_n", _norm(F.col("_v")))
         .filter(F.col("_n") > 0)
         .select(

@@ -586,8 +586,17 @@ def q_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.Series(rows)
 
+    # asNondeterministic (optimization guide §4.4): explode() makes the
+    # optimizer infer `size(fs) > 0` below the Generate, and predicate
+    # pushdown dragged that filter — WITH a full copy of the decode UDF
+    # chain — below the parallelism repartition, so the whole corpus was
+    # decoded twice, once of it on the single scan task (r12 profiling:
+    # a 7.1 s one-task stage before the Exchange). The mark blocks the
+    # substitution; rows with NULL/empty fs are still dropped by the
+    # explode itself, so the result is unchanged.
+    _frames_once = _frames.asNondeterministic()
     return (
-        d.withColumn("fs", _frames(_synth(F.col("doc_id"))))
+        d.withColumn("fs", _frames_once(_synth(F.col("doc_id"))))
         .select("doc_id", F.explode("fs").alias("f"))
         .select(
             "doc_id",
@@ -2859,8 +2868,11 @@ def q_webp_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.Series(rows)
 
+    # asNondeterministic: same §4.4 duplicated-UDF-below-the-repartition
+    # shape as q_gif_anim (see the comment there); result unchanged.
+    _frames_once = _frames.asNondeterministic()
     return (
-        d.withColumn("fs", _frames(_synth(F.col("doc_id"))))
+        d.withColumn("fs", _frames_once(_synth(F.col("doc_id"))))
         .select("doc_id", F.explode("fs").alias("f"))
         .select(
             "doc_id",
@@ -3755,8 +3767,18 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import with_dhash, with_synth_group_bmp
 
     d = _doc_ids(spark, sf_dir)
-    h = with_dhash(with_synth_group_bmp(d)).select(
-        "doc_id", "dhash_hi", "dhash_lo"
+    # localCheckpoint (lazy): the hash frame feeds BOTH sides of the
+    # band self-join, and Catalyst plans a self-join as two full copies
+    # of the subtree — with join-key isnotnull filters pushed below the
+    # UDF projection, the synth+decode+dHash chain was evaluated FOUR
+    # times per run (r12 udf_dup_audit). Materializing the tiny
+    # (doc_id, hi, lo) proxy — guide §8: decide on small rows, decode
+    # heavy bytes once — runs the decode exactly once; lazy so plan-only
+    # consumers (plan_audit, explain capture) never execute it.
+    h = (
+        with_dhash(with_synth_group_bmp(d))
+        .select("doc_id", "dhash_hi", "dhash_lo")
+        .localCheckpoint(eager=False)
     )
     lit16 = F.lit(65535)
     bands = h.select(
@@ -3946,7 +3968,14 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series([synth_wav_group(int(i)) for i in ids])
 
     wav = d.withColumn("content", _synth(F.col("doc_id")))
-    h = with_audio_fingerprint(wav).select("doc_id", "fp_hi", "fp_lo")
+    # localCheckpoint (lazy): same 4x-evaluation-under-self-join shape
+    # as q_image_neardup (see the comment there) — synth+fingerprint
+    # runs once, the 24-byte/doc proxy feeds both join sides.
+    h = (
+        with_audio_fingerprint(wav)
+        .select("doc_id", "fp_hi", "fp_lo")
+        .localCheckpoint(eager=False)
+    )
     lit16 = F.lit(65535)
     bands = h.select(
         "doc_id",

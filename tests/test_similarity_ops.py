@@ -375,3 +375,49 @@ def test_silhouette_singleton_cluster_scores_zero(spark, tmp_path):
     # below the non-singleton means
     assert got[-1]["n_points"] == 5
     assert got[-1]["mean_sil"] < min(got[0]["mean_sil"], got[2]["mean_sil"])
+
+
+def test_bucket_bits_formulation(spark, vectors):
+    """The r12 SQL-built _bucket_bits (from_json matrix literal +
+    transform/array_join, built for driver-side build/analysis cost)
+    must emit bit-identical buckets to the reference per-plane
+    concat(when(dot >= 0)) construction it replaced — including on
+    negative/noisy float32 vectors where a one-ulp dot slip would flip
+    a sign bit."""
+    import random as _random
+
+    rng = _random.Random(1234)
+    tables = [
+        [[rng.gauss(0, 1) for _ in range(8)] for _ in range(5)]
+        for _ in range(4)
+    ]
+
+    def ref_bits(planes, vec_col):
+        return F.concat(
+            *[
+                F.when(
+                    S._dot(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(p)) for p in plane]),
+                    )
+                    >= 0,
+                    "1",
+                ).otherwise("0")
+                for plane in planes
+            ]
+        )
+
+    new = S.multitable_buckets(vectors, tables)
+    ref_entries = [
+        F.concat(F.lit(f"{t}:"), ref_bits(planes, "embedding"))
+        for t, planes in enumerate(tables)
+    ]
+    ref = vectors.select(
+        F.col("vec_id").alias("id"),
+        F.explode(F.array(*ref_entries)).alias("bucket"),
+    )
+    assert new.exceptAll(ref).count() == 0
+    assert ref.exceptAll(new).count() == 0
+    # and the matrix literal really is folded: no per-row json parse
+    op = new._jdf.queryExecution().optimizedPlan().toString()
+    assert "from_json" not in op

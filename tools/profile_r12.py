@@ -65,26 +65,36 @@ def stage_dump(t_start_ms: float, t_end_ms: float, top: int = 12):
     except Exception as exc:  # pragma: no cover
         print(f"  [stage dump unavailable: {exc!r}]")
         return
+    def _ms(iso):
+        return time.mktime(
+            time.strptime(iso[:19], "%Y-%m-%dT%H:%M:%S")) * 1000 + float(
+            iso[20:23] or 0)
+
     rows = []
     for s in stages:
         sub = s.get("firstTaskLaunchedTime") or s.get("submissionTime")
-        if not sub:
+        done = s.get("completionTime")
+        if not sub or not done:
             continue
-        # ISO8601 "2026-08-17T10:00:00.000GMT"
-        ts = time.mktime(time.strptime(sub[:19], "%Y-%m-%dT%H:%M:%S")) * 1000
+        ts = _ms(sub)
         if not (t_start_ms - 1000 <= ts <= t_end_ms + 1000):
             continue
+        wall = _ms(done) - ts
         rows.append((
-            s["executorRunTime"], s["stageId"], s["numCompleteTasks"],
+            wall, s["executorRunTime"], s["stageId"],
+            s["numCompleteTasks"],
             s.get("shuffleReadBytes", 0), s.get("shuffleWriteBytes", 0),
-            s.get("inputBytes", 0), (s.get("name") or "")[:80],
+            s.get("inputBytes", 0), (s.get("name") or "")[:60],
         ))
     rows.sort(reverse=True)
-    print("  top stages by executorRunTime (ms):")
-    for rt, sid, nt, srd, swr, inb, name in rows[:top]:
-        print(f"    run={rt:>8} stage={sid:>4} tasks={nt:>3} "
-              f"shufR={srd:>10} shufW={swr:>10} in={inb:>10}  {name}")
-    print(f"  [{len(rows)} stages in window]")
+    print("  top stages by wall ms (run = summed executor ms):")
+    tot_wall = sum(r[0] for r in rows)
+    for wall, rt, sid, nt, srd, swr, inb, name in rows[:top]:
+        print(f"    wall={wall:>7.0f} run={rt:>8} stage={sid:>4} "
+              f"tasks={nt:>3} shufR={srd:>9} shufW={swr:>9} "
+              f"in={inb:>9}  {name}")
+    print(f"  [{len(rows)} stages in window; wall sum {tot_wall:.0f} ms"
+          " (stages can overlap)]")
 
 
 def main() -> None:
