@@ -38,7 +38,10 @@ def connected_components(
     # expensive pair-finding pipeline — n-gram Jaccard, LSH buckets)
     # re-executes per round. Measured on q_split_assign at sf0.1:
     # 57 s -> ~8 s. localCheckpoint over cache for the same
-    # ContextCleaner reason as operators/dedup.py:473.
+    # ContextCleaner reason as operators/dedup.py:473. EAGER on
+    # purpose: a lazy checkpoint here is raced by broadcast-build
+    # threads inside the first iteration's join (see the pagerank
+    # note), duplicating the expensive pair-finding upstream.
     und = (
         fwd.unionByName(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -48,6 +51,19 @@ def connected_components(
     )
 
     labels = nodes.select("id", F.col("id").alias("label"))
+    # r12 optimization (guide §2.4 remove shuffles / §1.2 algorithm
+    # first): convergence was detected by joining new labels back onto
+    # old labels and counting differences — a full N⋈N join plus a
+    # second action EVERY iteration. Min-label propagation is monotone
+    # (labels only ever decrease), so Σlabel strictly decreases on any
+    # change and is equal iff the fixpoint is reached; one decimal-sum
+    # aggregate over the just-checkpointed labels replaces the N⋈N
+    # join-and-count. Termination is equivalent (both stop after the
+    # first unchanged round), so the labels — and every declared CC
+    # query — are bit-identical. Checkpoints stay EAGER (lazy ones are
+    # raced by broadcast-build threads; measured on pagerank).
+    _lsum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(_lsum).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und.b == labels.id)
@@ -65,15 +81,11 @@ def connected_components(
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(_lsum).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
@@ -184,28 +196,51 @@ def pagerank(
         # width; sizing the loop's frames explicitly cuts per-job task
         # overhead (every iteration is several tiny jobs)
         e = e.repartition(partitions, "src")
+    # NOTE (r12, measured): these loop-invariant frames must stay
+    # EAGER. A lazy checkpoint here is materialized concurrently by the
+    # broadcast-build threads and the main stages (each computes the
+    # un-persisted partitions itself before any are cached), which
+    # re-executes the upstream plan several times — q_pagerank measured
+    # 6.3 s -> 18 s warm with eager=False. Lazy is only safe when a
+    # single sequential consumer materializes the RDD before any other
+    # reader (the connected_components per-round pattern).
     e = e.localCheckpoint(eager=True)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # r12 optimization (guide §2.4 remove shuffles / §1.2 algorithm
+    # first): the dangling flag is loop-INVARIANT per node, so it is
+    # computed once and carried inside the node/rank frame instead of
+    # materializing a separate dangling-id set and semi-joining the
+    # ranks against it EVERY iteration. The per-iteration dangling mass
+    # becomes a filter + decimal-sum aggregate over the rank frame —
+    # identical rows, identical decimal sum (order-independent), so the
+    # ranks and the DuckDB replay oracle are bit-unchanged — and one
+    # build-time checkpoint job (dang_ids) disappears entirely.
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
+        .join(
+            outdeg.select(
+                F.col("src").alias("id"), F.lit(True).alias("_out")
+            ),
+            "id",
+            "left",
+        )
+        .select("id", F.col("_out").isNull().alias("dang"))
         .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     # n as a broadcast 1-row frame, not a driver scalar: the plan stays
     # fully lazy/distributed and the oracle mirrors it as a subquery.
     n_df = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
-        "id", (F.lit(1.0) / F.col("n").cast("double")).alias("rank")
+        "id",
+        "dang",
+        (F.lit(1.0) / F.col("n").cast("double")).alias("rank"),
     )
     # Loop-invariant state is materialized ONCE: the (src, dst, deg)
-    # edge table and the dangling-node id set would otherwise be
-    # recomputed inside every iteration's job (measured ~15% of the
-    # 3-iteration wall time at sf0.1).
+    # edge table would otherwise be recomputed inside every iteration's
+    # job (measured ~15% of the 3-iteration wall time at sf0.1).
     ew = e.join(outdeg, "src").localCheckpoint(eager=True)
-    dang_ids = nodes.join(
-        outdeg, nodes.id == outdeg.src, "left_anti"
-    ).localCheckpoint(eager=True)
 
     for it in range(1, iters + 1):
         contrib = ew.join(ranks, ew.src == ranks.id).select(
@@ -215,14 +250,11 @@ def pagerank(
         inflow = contrib.groupBy("dst").agg(
             F.sum(F.col("c").cast(PR_DEC)).cast("double").alias("inflow")
         )
-        dangling = (
-            ranks.join(dang_ids, "id", "left_semi")
-            .agg(
-                F.coalesce(
-                    F.sum(F.col("rank").cast(PR_DEC)).cast("double"),
-                    F.lit(0.0),
-                ).alias("dmass")
-            )
+        dangling = ranks.filter(F.col("dang")).agg(
+            F.coalesce(
+                F.sum(F.col("rank").cast(PR_DEC)).cast("double"),
+                F.lit(0.0),
+            ).alias("dmass")
         )
         ranks = (
             nodes.join(inflow, nodes.id == inflow.dst, "left")
@@ -230,6 +262,7 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
+                "dang",
                 (
                     F.lit((1.0 - damping))
                     / F.col("n").cast("double")
@@ -243,7 +276,7 @@ def pagerank(
         )
         if it % checkpoint_every == 0 and it < iters:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select("id", "rank")
 
 
 def hits(
@@ -332,6 +365,10 @@ def k_core_peel(
         .distinct()
     )
     if checkpoint:
+        # eager on purpose: each round's und feeds BOTH the degree
+        # groupBy and the survivor join — concurrent stages would race
+        # to materialize a lazy checkpoint and duplicate the round's
+        # work (see the pagerank note above).
         und = und.localCheckpoint(eager=True)
     keep = None
     for it in range(rounds):
