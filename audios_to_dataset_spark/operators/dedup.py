@@ -206,38 +206,33 @@ def minhash_signatures(
     # the identity). A per-column formulation (k/4 digest transforms +
     # k substring transforms + k array_mins = 36 interpreted passes per
     # row) measured 3× slower cold and 25% slower warm at sf0.1.
-    # NOTE: constants must be bound OUTSIDE the lambdas — a
-    # two-parameter lambda is an (element, index) higher-order function
-    # to Spark, so a `s=s` default-capture silently rebinds to the
-    # array index.
-    def _digest_struct(g):
-        return F.struct(
-            *[
-                F.md5(F.concat(F.lit(f"{s}:"), g)).alias(f"d{s}")
-                for s in range(n_digests)
-            ]
-        )
-
-    init = F.struct(
-        *[F.lit("~").alias(f"m{i}") for i in range(num_hashes)]
+    #
+    # r12 (guide §7.3, the multitable_buckets precedent): the fold is
+    # ONE parsed SQL expression instead of ~100 py4j-built F.* nodes —
+    # the construction cost dominated the build of every minhash
+    # consumer (q_dedup_minhash_lsh ~1.1 s of driver time per warm
+    # build). named_struct/least/substring/md5/concat parse to the
+    # IDENTICAL Catalyst expressions the F.* form built, so signatures
+    # are bit-unchanged (pinned by tests/test_dedup_ops.py::
+    # test_minhash_sql_formulation).
+    digest_fields = ", ".join(
+        f"'d{s}', md5(concat('{s}:', g))" for s in range(n_digests)
     )
-
-    def _merge(acc, x):
-        return F.struct(
-            *[
-                F.least(
-                    acc[f"m{i}"],
-                    F.substring(x[f"d{i // 4}"], (i % 4) * 8 + 1, 8),
-                ).alias(f"m{i}")
-                for i in range(num_hashes)
-            ]
-        )
-
-    digs = arr.select(
-        "id", F.transform("grams", _digest_struct).alias("digs")
+    init_fields = ", ".join(f"'m{i}', '~'" for i in range(num_hashes))
+    merge_fields = ", ".join(
+        f"'m{i}', least(acc.m{i}, "
+        f"substring(x.d{i // 4}, {(i % 4) * 8 + 1}, 8))"
+        for i in range(num_hashes)
     )
-    packed = digs.select(
-        "id", F.aggregate("digs", init, _merge).alias("_mh")
+    packed = arr.select(
+        "id",
+        F.expr(
+            "aggregate("
+            f"transform(grams, g -> named_struct({digest_fields})), "
+            f"named_struct({init_fields}), "
+            f"(acc, x) -> named_struct({merge_fields})"
+            ")"
+        ).alias("_mh"),
     )
     return packed.select(
         "id",

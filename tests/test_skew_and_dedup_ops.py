@@ -286,3 +286,63 @@ def test_sparse_cosine_df_cap_prunes_stop_grams(spark):
         ).collect()
     }
     assert pairs == {(0, 1)}
+
+
+def test_minhash_sql_formulation(spark):
+    """The r12 SQL-built minhash fold (one parsed aggregate/named_struct
+    expression, built for driver-side construction cost) must emit
+    bit-identical signatures to the reference F.*-built
+    transform+aggregate chain it replaced — same md5 digests, same
+    substring windows, same least() fold, including single-token and
+    punctuation-heavy docs."""
+    from audios_to_dataset_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_arrays,
+    )
+
+    rows = [
+        (0, " ".join(f"w{i}" for i in range(40))),
+        (1, "short doc here"),
+        (2, "a b c"),                      # exactly n tokens: 1 shingle
+        (3, "punct! heavy, text; with? weird:chars and MORE case"),
+        (4, " ".join(f"tok{i % 7}" for i in range(25))),  # repeats
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    num_hashes, n_digests = 16, 4
+
+    def _digest_struct(g):
+        return F.struct(
+            *[
+                F.md5(F.concat(F.lit(f"{s}:"), g)).alias(f"d{s}")
+                for s in range(n_digests)
+            ]
+        )
+
+    init = F.struct(
+        *[F.lit("~").alias(f"m{i}") for i in range(num_hashes)]
+    )
+
+    def _merge(acc, x):
+        return F.struct(
+            *[
+                F.least(
+                    acc[f"m{i}"],
+                    F.substring(x[f"d{i // 4}"], (i % 4) * 8 + 1, 8),
+                ).alias(f"m{i}")
+                for i in range(num_hashes)
+            ]
+        )
+
+    arr = shingle_arrays(df).filter(F.size("grams") > 0)
+    ref = (
+        arr.select("id", F.transform("grams", _digest_struct).alias("digs"))
+        .select("id", F.aggregate("digs", init, _merge).alias("_mh"))
+        .select(
+            "id",
+            *[F.col(f"_mh.m{i}").alias(f"mh{i}") for i in range(num_hashes)],
+        )
+    )
+    new = minhash_signatures(df)
+    assert sorted(map(tuple, new.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
