@@ -137,19 +137,46 @@ def ngram_jaccard_pairs(
     count; |union| = |A| + |B| - common. Exact integer arithmetic until the
     final division. ``max_shingle_freq`` prunes stop-shingles at scale.
     """
-    sh = shingles(df, id_col, text_col, n).cache()
+    # r12 (guide §2.3 "aggregate before you shuffle"): the old
+    # inverted-index SELF-JOIN moved the postings table through four
+    # P-scale exchanges (freq groupBy, cap semi-join, and both sides of
+    # a ⋈ b). Grouping the postings into per-shingle sorted id arrays
+    # moves them through ONE exchange; the frequency cap becomes a
+    # filter on the grouped row, per-doc counts re-derive from the
+    # capped buckets, and candidate pairs are generated MAP-SIDE by
+    # exploding i<j combinations of each (cap-bounded) array — exactly
+    # one pair per (pair, shared shingle), the same multiset the join
+    # produced, so `common`, the counts and every jaccard are
+    # bit-identical (same integers). The cap (all declared callers pass
+    # max_shingle_freq=5) bounds every array; `f` is an explicit
+    # COUNT(*) — NOT size(ids) — because collect_list drops NULL ids
+    # while the cap (and its oracle twin's HAVING COUNT(*)) must count
+    # them (--nulls sweep).
+    sh = shingles(df, id_col, text_col, n)
+    buckets = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("id")).alias("ids"),
+        F.count(F.lit(1)).alias("f"),
+    )
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
-        sh = sh.join(
-            freq.filter(F.col("f") <= max_shingle_freq).select("shingle"),
-            "shingle",
+        buckets = buckets.filter(F.col("f") <= max_shingle_freq)
+    buckets = buckets.cache()
+    counts = (
+        buckets.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shingles"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-    counts = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    a = sh.select(F.col("id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("id").alias("doc_b"), "shingle")
+    )
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
