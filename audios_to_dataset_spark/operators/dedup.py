@@ -136,6 +136,12 @@ def ngram_jaccard_pairs(
     Inverted-index self-join: pairs sharing ≥1 shingle get their common
     count; |union| = |A| + |B| - common. Exact integer arithmetic until the
     final division. ``max_shingle_freq`` prunes stop-shingles at scale.
+
+    The grouped-postings formulation below REQUIRES a frequency cap to
+    be safe at scale: with ``max_shingle_freq=None`` a hot shingle's
+    posting array is unbounded and the map-side i<j pair generation
+    builds O(f²) structs inside a single row (ADVICE r12). Every
+    declared caller passes 5; pass a cap for any new corpus-scale use.
     """
     # r12 (guide §2.3 "aggregate before you shuffle"): the old
     # inverted-index SELF-JOIN moved the postings table through four
@@ -240,7 +246,7 @@ def minhash_signatures(
     # consumer (q_dedup_minhash_lsh ~1.1 s of driver time per warm
     # build). named_struct/least/substring/md5/concat parse to the
     # IDENTICAL Catalyst expressions the F.* form built, so signatures
-    # are bit-unchanged (pinned by tests/test_dedup_ops.py::
+    # are bit-unchanged (pinned by tests/test_skew_and_dedup_ops.py::
     # test_minhash_sql_formulation).
     digest_fields = ", ".join(
         f"'d{s}', md5(concat('{s}:', g))" for s in range(n_digests)

@@ -62,6 +62,19 @@ def connected_components(
     # first unchanged round), so the labels — and every declared CC
     # query — are bit-identical. Checkpoints stay EAGER (lazy ones are
     # raced by broadcast-build threads; measured on pagerank).
+    # The Σlabel convergence check is only sound for numeric ids: a
+    # non-numeric label would cast to NULL per row, the sum would be
+    # NULL every round, and the loop would silently exit after one
+    # iteration with under-merged clusters (ADVICE r12). All in-repo
+    # callers pass bigint ids; fail loudly on anything else.
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(labels.schema["label"].dataType, NumericType):
+        raise TypeError(
+            "connected_components requires numeric node ids; got "
+            f"{labels.schema['label'].dataType.simpleString()} (the "
+            "decimal-sum convergence check would be NULL every round)"
+        )
     _lsum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     prev_sum = labels.agg(_lsum).collect()[0][0]
     for _ in range(max_iter):

@@ -3775,6 +3775,12 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc_id, hi, lo) proxy — guide §8: decide on small rows, decode
     # heavy bytes once — runs the decode exactly once; lazy so plan-only
     # consumers (plan_audit, explain capture) never execute it.
+    # ACCEPTED RACE (ADVICE r12): if a broadcast-build thread and the
+    # main stage both materialize the lazy RDD concurrently, the decode
+    # can run twice (the graph.py eager-vs-lazy note) — worst case 2×,
+    # still half the old 4×, and measured absent here (the band join is
+    # sort-merge at fixture scale, so one sequential consumer
+    # materializes first). Deterministic data, so perf-only either way.
     h = (
         with_dhash(with_synth_group_bmp(d))
         .select("doc_id", "dhash_hi", "dhash_lo")
@@ -3969,8 +3975,9 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wav = d.withColumn("content", _synth(F.col("doc_id")))
     # localCheckpoint (lazy): same 4x-evaluation-under-self-join shape
-    # as q_image_neardup (see the comment there) — synth+fingerprint
-    # runs once, the 24-byte/doc proxy feeds both join sides.
+    # as q_image_neardup (see the comment there, incl. the accepted
+    # worst-case-2× materialization race) — synth+fingerprint runs
+    # once, the 24-byte/doc proxy feeds both join sides.
     h = (
         with_audio_fingerprint(wav)
         .select("doc_id", "fp_hi", "fp_lo")

@@ -452,11 +452,11 @@ def main() -> None:
         " twin stays single-run: it is an anti-pattern pin, not a"
         " tracked trend",
     }
-    print(json.dumps(out))
-    # Also persist the summary next to the repo (VERDICT r6 item 5):
-    # the driver captures stdout's tail, which has truncated the
-    # one-line JSON before (BENCH_r06 lost its warm dict) — a committed
-    # artifact can't be torn.
+    # Persist the FULL summary (incl. notes) next to the repo (VERDICT
+    # r6 item 5): the driver captures stdout's tail, which has truncated
+    # the one-line JSON before (BENCH_r06 lost its warm dict, BENCH_r11
+    # lost the whole round-over-round PERF table) — a committed artifact
+    # can't be torn.
     try:
         local = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
@@ -468,6 +468,23 @@ def main() -> None:
         os.replace(tmp, local)
     except OSError:
         pass  # read-only checkout: stdout line already carries the data
+    # The stdout line is what the driver parses, and it only captures a
+    # 2000-char TAIL: r11's whole round-over-round PERF table was lost
+    # because the line (static notes blob + 117 extras entries) blew past
+    # that (VERDICT r12 item 5). Emit ONLY the contract keys + the small
+    # tracked sections (headline queries, iterative mins, sf1 mins) and
+    # make it the absolute LAST line printed; the full detail (extras,
+    # cold runs, raw min-of-3 arrays, notes) lives in BENCH_LOCAL.json,
+    # written above. Nothing is removed from "queries" — same 40 keys.
+    slim_keys = (
+        "metric", "value", "unit", "stable_total", "queries",
+        "iterative", "sf", "sf1", "sf1_scaling", "sf1_error",
+    )
+    slim = {k: out[k] for k in slim_keys if k in out}
+    line = json.dumps(slim)
+    if len(line) >= 2000:  # pragma: no cover — keep the tail parseable
+        line = json.dumps({k: slim[k] for k in slim if k != "sf1"})
+    print(line)
 
 
 if __name__ == "__main__":
