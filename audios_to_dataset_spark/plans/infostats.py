@@ -819,28 +819,40 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.shingles(docs, id_col="doc_id", text_col="text", n=DECON_N)
     train_sh = sh.filter(F.col("id") % 10 != 7)
     eval_set = sh.filter(F.col("id") % 10 == 7).select("shingle").distinct()
-    n_sh = train_sh.groupBy("id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
-    )
-    hits = (
-        train_sh.join(eval_set, "shingle")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
-    )
-    return (
-        hits.join(n_sh, "id")
-        .select(
-            F.col("id").alias("doc_id"),
-            "n_shingles",
-            "n_hits",
-            sround(
-                F.col("n_hits").cast("double")
-                / F.col("n_shingles").cast("double"),
-                9,
-            ).alias("contamination"),
+    # r13 (guide §2.3/§2.4 — one pass instead of three): the old shape
+    # ran the shingle explode THREE times (n_sh groupBy, hits join,
+    # eval side) and aggregated train shingles twice (by id for the
+    # count, by shingle→id for the hits). Marking eval membership with
+    # a LEFT join and computing both counts in ONE groupBy(id) drops a
+    # full corpus-side explode pass and an exchange. Row-identical:
+    # eval_set is distinct so the left join multiplies nothing,
+    # count(*) over preserved rows is the old n_shingles, count(_hit)
+    # counts exactly the old inner-join matches, and n_hits >= 1
+    # restores the inner-join's contaminated-docs-only semantics. The
+    # eval side is NOT broadcast-hinted: this split is a tenth of the
+    # corpus (unlike q_decontaminate_ngram's benchmark suite), so the
+    # planner must stay free to pick a shuffle join at real scale.
+    per_doc = (
+        train_sh.join(
+            eval_set.withColumn("_hit", F.lit(1)), "shingle", "left"
         )
-        .orderBy("doc_id")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count("_hit").cast("bigint").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") >= 1)
     )
+    return per_doc.select(
+        F.col("id").alias("doc_id"),
+        "n_shingles",
+        "n_hits",
+        sround(
+            F.col("n_hits").cast("double")
+            / F.col("n_shingles").cast("double"),
+            9,
+        ).alias("contamination"),
+    ).orderBy("doc_id")
 
 
 _DECON_GRAM_SQL = " || ' ' || ".join(

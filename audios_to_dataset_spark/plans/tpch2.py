@@ -496,25 +496,46 @@ def q_sole_offender(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins on l_orderkey — no per-row subquery execution survives at
     100 TB. Deterministic top-20: numwait DESC with the unique s_name
     as tie-break."""
+    # r13 optimization (guide §2.3 aggregate-before-you-shuffle): the
+    # correlated EXISTS / NOT EXISTS decorrelated into a semi + an anti
+    # join, each moving a full lineitem projection (broadcast at bench
+    # scale — plans/r13/q_sole_offender_before.txt broadcasts the FACT
+    # table twice; sort-merge at 100 TB, i.e. two extra lineitem-scale
+    # shuffles). Both predicates are per-ORDER facts, so ONE per-order
+    # aggregate replaces them:
+    #   EXISTS l2 (same order, l2.suppkey <> l1.suppkey)
+    #     ⇔ COUNT(DISTINCT l_suppkey) >= 2 over the order — l1's own
+    #       (non-NULL, supplier-joined) suppkey is in the set, so a
+    #       second distinct value IS a different supplier; NULL
+    #       suppkeys never satisfy <> and COUNT DISTINCT ignores them.
+    #   NOT EXISTS l3 (same order, returned, different supplier)
+    #     ⇔ COUNT(DISTINCT CASE WHEN returnflag='R' THEN l_suppkey END)
+    #       = 1 — l1 itself is returned so the set always contains
+    #       l1.suppkey; a second member is exactly an offending l3
+    #       (NULL-suppkey returns are invisible to both forms).
+    # Row multiplicity is unchanged (the aggregate joins 1:1 on
+    # l_orderkey), so numwait is the same integer per supplier;
+    # verified row+hash-identical vs the UNCHANGED correlated oracle.
     for t in ("supplier", "lineitem", "orders"):
         load(spark, sf_dir, t).createOrReplaceTempView(f"_q21_{t}")
     return spark.sql(
         """
+        WITH per_order AS (
+          SELECT l_orderkey,
+                 COUNT(DISTINCT l_suppkey) AS n_supp,
+                 COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                                     THEN l_suppkey END) AS n_ret_supp
+          FROM _q21_lineitem
+          GROUP BY l_orderkey)
         SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
-        FROM _q21_supplier, _q21_lineitem l1, _q21_orders
+        FROM _q21_supplier, _q21_lineitem l1, _q21_orders, per_order p
         WHERE s_suppkey = l1.l_suppkey
           AND o_orderkey = l1.l_orderkey
+          AND p.l_orderkey = l1.l_orderkey
           AND o_orderstatus = 'F'
           AND l1.l_returnflag = 'R'
-          AND EXISTS (
-            SELECT 1 FROM _q21_lineitem l2
-            WHERE l2.l_orderkey = l1.l_orderkey
-              AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (
-            SELECT 1 FROM _q21_lineitem l3
-            WHERE l3.l_orderkey = l1.l_orderkey
-              AND l3.l_suppkey <> l1.l_suppkey
-              AND l3.l_returnflag = 'R')
+          AND p.n_supp >= 2
+          AND p.n_ret_supp = 1
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 20

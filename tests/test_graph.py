@@ -31,6 +31,31 @@ def test_cycle(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 3}
 
 
+def test_pointer_jumping_matches_naive_and_cuts_rounds(spark):
+    """r13 path-halving pin: the pointer-jumping loop must return the
+    EXACT labels of plain neighbor-min propagation (component min at
+    every node) while converging in strictly fewer rounds on a
+    diameter-heavy graph. A worst-case 33-node path, ids ordered
+    against the propagation direction so the min crawls the full
+    diameter, plus a detached triangle and a singleton."""
+    from audios_to_dataset_spark.operators import graph as G
+
+    n = 33
+    path = [(i, i + 1) for i in range(n - 1)]
+    extra = [(n, n + 1), (n + 1, n + 2), (n, n + 2)]  # triangle
+    got = _run(spark, n + 4, path + extra)
+    # naive reference: min id reachable — path collapses to 0, the
+    # triangle to n, the singleton keeps itself
+    expect = {i: 0 for i in range(n)}
+    expect.update({n: n, n + 1: n, n + 2: n, n + 3: n + 3})
+    assert got == expect
+    # O(log d) round count: a 32-hop diameter needs <= 8 jumped rounds
+    # (plain neighbor-min needs 32); the +1 is the fixpoint-detection
+    # round. This is the measured-speedup guard — if the jumping step
+    # is ever dropped, rounds jump back to O(d) and this fails.
+    assert 1 < G.LAST_CC_ROUNDS <= 9
+
+
 def _tri(spark, edges):
     from audios_to_dataset_spark.operators.graph import triangle_count
 

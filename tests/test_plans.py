@@ -609,17 +609,25 @@ def test_key_skew_audit_topk_no_global_sort(spark, sf_dir):
     assert "Window" not in e
 
 
-def test_sole_offender_decorrelates_to_semi_anti(spark, sf_dir):
-    """Catalyst must rewrite both correlated subqueries into one
-    LeftSemi and one LeftAnti join — a surviving per-row subquery or
-    nested-loop join would re-scan lineitem per row."""
+def test_sole_offender_aggregates_instead_of_semi_anti(spark, sf_dir):
+    """r13: the correlated EXISTS / NOT EXISTS are rewritten at the
+    SOURCE into one per-order distinct-supplier aggregate (guide §2.3)
+    — the decorrelated LeftSemi/LeftAnti pair each moved a full
+    lineitem projection (broadcast at bench scale, a lineitem-wide
+    shuffle at 100 TB). The plan must carry the two COUNT(DISTINCT)
+    aggregates keyed on l_orderkey and NO semi/anti join, per-row
+    subquery, or nested loop."""
     from audios_to_dataset_spark.plans.tpch2 import q_sole_offender
 
     e = _explain(q_sole_offender(spark, sf_dir))
-    assert "LeftSemi" in e
-    assert "LeftAnti" in e
+    assert "LeftSemi" not in e
+    assert "LeftAnti" not in e
     assert "BroadcastNestedLoopJoin" not in e
     assert "CartesianProduct" not in e
+    # the fused per-order pass: conditional distinct count of the
+    # returned-line suppliers next to the plain distinct supplier count
+    assert "count(CASE WHEN (_q21_lineitem.l_returnflag = 'R')" in e
+    assert "count(_q21_lineitem.l_suppkey" in e
 
 
 def test_zone_map_single_scan_shapes(spark, sf_dir):

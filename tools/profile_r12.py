@@ -109,6 +109,11 @@ def main() -> None:
         i = args.index("--runs")
         runs = int(args[i + 1])
         del args[i:i + 2]
+    plans_sub = "r12"
+    if "--dir" in args:
+        i = args.index("--dir")
+        plans_sub = args[i + 1]
+        del args[i:i + 2]
     stages = "--stages" in args
     if stages:
         args.remove("--stages")
@@ -124,7 +129,7 @@ def main() -> None:
 
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r12")
+        "plans", plans_sub)
     os.makedirs(plans_dir, exist_ok=True)
 
     for name in names:
